@@ -1,0 +1,275 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design:
+
+* **exact_dedup** — hash-groupBy on the dedup key: one shuffle of
+  (key-hash, id) pairs, min-id wins. At 100 TB, group on a 128-bit
+  content hash, never the raw text, so shuffle volume is tiny.
+* **ngram_jaccard_pairs** — the *exact* baseline: explode distinct
+  shingles, self-join on shingle, count intersections. Quadratic in
+  per-shingle document frequency → correct but only for modest
+  corpora / verification; the optional ``max_doc_freq`` cut drops
+  ubiquitous shingles (standard "stop-shingle" trick) to bound the
+  join fan-out.
+* **minhash_lsh** — the scale path: k permutation-style min-hashes
+  from one base hash (``(a_i·h + b_i) mod p``), banded; candidate
+  pairs only where a full band matches. Shuffle volume O(docs·bands),
+  join fan-out bounded by bucket sizes — this is what runs at 100 TB,
+  with the Jaccard baseline as its accuracy oracle.
+* **simhash64** — near-dup bit fingerprint; Hamming-ball lookups.
+
+Everything is built-in column expressions (no Python UDFs), and all
+arithmetic is ANSI-mode safe (Spark 4 default): hashes are reduced
+mod 2^31−1 before affine transforms so no int64 overflow is possible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_lakehouse_aws_spark.llmops.text import word_shingles
+
+# MinHash parameters: h_i(x) = (a_i * x + b_i) mod P.
+# P = 2^31 − 1 (Mersenne prime) keeps a_i·x + b_i far below int64
+# overflow even under ANSI arithmetic.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep one survivor (min id) per duplicate group; report group size."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs above ``threshold``.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|−|A∩B|) over distinct word
+    n-gram shingle sets. Intersections come from a shingle self-join
+    (map-side combinable count), set sizes from one groupBy.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.filter(F.col("_df") <= max_doc_freq).select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _base_hash(col: str | Column) -> Column:
+    """xxhash64 folded into [0, P): ANSI-safe for affine transforms."""
+    return F.pmod(F.xxhash64(col), F.lit(MINHASH_PRIME).cast("long"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, array<long> signature): min over shingles per hash fn.
+
+    Base shingle hash is ``xxhash64`` (JVM built-in) reduced mod
+    2^31−1; the k "permutations" are affine transforms of it. One
+    explode + one groupBy(id) — shuffle O(docs·shingles) once;
+    signatures thereafter are ``num_hashes × 8`` bytes per doc.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    base = _base_hash("shingle")
+    hash_cols = []
+    for i in range(num_hashes):
+        a = 2 * i + 1  # odd multiplier < 2^7; a*base < 2^38: no overflow
+        b = 104729 * (i + 1)
+        h = F.pmod(F.lit(a).cast("long") * base + F.lit(b).cast("long"),
+                   F.lit(MINHASH_PRIME).cast("long"))
+        hash_cols.append(h.alias(f"_h{i}"))
+    hashed = sh.select(id_col, *hash_cols)
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(id_col, F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate pairs with estimated Jaccard.
+
+    Each row emits ``num_bands`` (band, bucket=hash(band slice))
+    keys; an equi-join on (band, bucket) yields candidates — the
+    only join in the pipeline, and its fan-out is bounded by bucket
+    occupancy, not corpus size. Estimated Jaccard = fraction of
+    matching signature positions.
+    """
+    sig = signatures.select(F.col(id_col), "signature")
+    rows_per_band = (F.size("signature") / num_bands).cast("int")
+    banded = (
+        sig.select(
+            id_col,
+            "signature",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                    lambda bnd: F.struct(
+                        bnd.alias("band"),
+                        F.xxhash64(
+                            F.slice("signature", bnd * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)).cast(
+            "double"
+        )
+        / F.size("sig_a")
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
+    """63-bit SimHash over distinct word tokens.
+
+    For each bit position, sum ±1 votes of the token hashes' bits
+    (``getbit``); fingerprint bit set iff the vote is positive.
+    63 bits keeps ``Σ bit_i·2^i`` inside a signed int64 under ANSI
+    arithmetic. Pure array expressions — no shuffle, no UDF.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(62)),
+        lambda bit: F.when(
+            F.aggregate(
+                th,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + (F.getbit(h, bit) * 2 - 1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    # fold bits → integer MSB-first: acc*2 + bit (max 2^63−1, safe)
+    sim = F.aggregate(F.reverse(bits), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
+    return df.select(F.col(id_col), sim.alias(out))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash within ``max_hamming`` bits.
+
+    Scale path: block the 63-bit fingerprint into ``num_blocks``
+    segments; by pigeonhole any pair within ``max_hamming < 2×blocks``
+    shares at least one exact block → join per block, then verify
+    the true Hamming distance. Avoids the all-pairs compare.
+    """
+    sims = simhash64(df, id_col=id_col, text_col=text_col)
+    width = 63 // num_blocks + 1
+    blocked = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_blocks - 1)),
+                lambda blk: F.struct(
+                    blk.alias("block"),
+                    # extract block bits via integer div/mod (ANSI-safe)
+                    F.transform(
+                        F.sequence(blk * width, F.least(blk * width + width - 1, F.lit(62))),
+                        lambda i: F.getbit("simhash", i),
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.block", "bb.key")
+    a = blocked.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "block", "key")
+    b = blocked.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "block", "key")
+    cand = (
+        a.join(b, ["block", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.sequence(F.lit(0), F.lit(62)),
+        F.lit(0),
+        lambda acc, i: acc + F.abs(F.getbit("sim_a", i) - F.getbit("sim_b", i)),
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,154 @@
+"""Embedding similarity search: brute-force cosine + LSH scale path.
+
+The embedding column is ``array<float>``; all math is done via
+built-in higher-order array functions (``zip_with`` + ``aggregate``)
+in JVM codegen — no Python in the loop. Dot products accumulate in
+float64, sequential over index order, so the DuckDB oracle computes
+bit-comparable values.
+
+Scale design (100 TB / billions of vectors):
+
+* **cosine_topk** — exact baseline. The query side is small by
+  construction (top-k for a bounded query set) and is broadcast;
+  the corpus streams through map tasks; per-query top-k via
+  rank-limit window (pre-pruned map-side). Cost O(|Q|·N·d) but
+  embarrassingly parallel and shuffle-light (only groups·k rows).
+* **rp_lsh_buckets** — random-hyperplane LSH: b sign-bits per
+  vector → bucket id; candidate search touches only same-bucket
+  vectors (IVF-style). Hyperplanes are a deterministic integer
+  grid (no RNG) so results are reproducible across engines/runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ — sequential fold, deterministic order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def embedding_norms(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(vec_col)
+    return df.select(F.col(id_col), F.sqrt(dot(v, v)).alias("norm"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: Sequence[int] | None = None,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    query_df: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, neighbor_id, cosine) — cosine rounded to 6dp,
+    ranked by (rounded cosine desc, neighbor id asc) so ordering is
+    reproducible across engines.
+    """
+    from pyspark.sql import Window
+
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_n"))
+    if query_df is None:
+        query_df = df.filter(F.col(id_col).isin(list(query_ids)))
+    queries = query_df.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("v_q"))
+
+    # broadcast the small query side; corpus streams map-side only
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = dot(F.col("v_q"), F.col("v_n")) / (
+        F.sqrt(dot(F.col("v_q"), F.col("v_q"))) * F.sqrt(dot(F.col("v_n"), F.col("v_n")))
+    )
+    scored = joined.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
+    )
+
+
+def _grid_hyperplane(bit: Column | int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: w[j] = ((bit·37 + j·101) mod 19) − 9.
+
+    Integer grid in [−9, 9]; reproducible anywhere, no RNG state.
+    """
+    b = F.lit(bit) if isinstance(bit, int) else bit
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.pmod(b * 37 + j * 101, F.lit(19)) - 9).cast("double"),
+    )
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-projection (sign) LSH bucket id per vector.
+
+    ``bucket = Σ_bit (v·w_bit > 0) · 2^bit`` — an IVF-style coarse
+    quantizer: ANN search joins queries to candidates on ``bucket``
+    (plus optional multi-probe neighbors), reducing a billion-vector
+    scan to bucket-local work.
+    """
+    v = _as_double(vec_col)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bits - 1)),
+        lambda bit: F.when(dot(v, _grid_hyperplane(bit, dim)) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    bucket = F.aggregate(F.reverse(bits), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def ann_search_lsh(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: restrict cosine scoring to LSH bucket peers."""
+    from pyspark.sql import Window
+
+    buckets = rp_lsh_buckets(df, id_col=id_col, vec_col=vec_col, num_bits=num_bits, dim=dim)
+    with_b = df.join(buckets, id_col)
+    queries = with_b.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("v_q"), F.col("bucket")
+    )
+    corpus = with_b.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_n"), F.col("bucket")
+    )
+    joined = corpus.join(F.broadcast(queries), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = dot(F.col("v_q"), F.col("v_n")) / (
+        F.sqrt(dot(F.col("v_q"), F.col("v_q"))) * F.sqrt(dot(F.col("v_n"), F.col("v_n")))
+    )
+    scored = joined.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
+    )

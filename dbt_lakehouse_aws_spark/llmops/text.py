@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data pipelines.
+
+All expressions are built-in Catalyst column functions (JVM-side,
+whole-stage codegen) — no Python UDFs in the hot path. Each operator
+is embarrassingly parallel over rows: no shuffle, so throughput
+scales linearly with executors at 100 TB.
+
+Where a cross-engine oracle must reproduce a hash, we use a
+*portable polynomial hash* (ascii × 31^(i mod 8) over characters)
+rather than xxhash64 — both Spark and DuckDB can evaluate it with
+identical integer semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 31^0 .. 31^7 — multiplier cycle for the portable polynomial hash.
+POLY_MULTIPLIERS = [31**i for i in range(8)]
+
+#: tiny per-language stopword marker lists for the n-gram/stopword
+#: language-ID heuristic (expressible identically in ANSI SQL).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "que"],
+    "de": ["der", "und", "die"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(t, " ")
+
+
+def word_shingles(text: str | Column = "text", n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined), for Jaccard/MinHash.
+
+    Pure array expressions: ``transform(sequence(1, #tokens-n+1),
+    i -> concat_ws(' ', slice(tokens, i, n)))`` — evaluated inside
+    codegen, no explode until the caller asks for one.
+    """
+    toks = tokens_col(text)
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array())
+
+
+def poly_hash(text: str | Column = "text") -> Column:
+    """Portable 64-bit polynomial fingerprint of a string.
+
+    ``sum(ascii(char_i) * 31^((i-1) mod 8))`` over 1-based char
+    positions. Bounded: 553-char docs × 128 × 31^7 < 2^63, so the
+    arithmetic never overflows int64 and DuckDB computes the exact
+    same value (rolling-hash-style document fingerprinting).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    mults = F.array(*[F.lit(m).cast("long") for m in POLY_MULTIPLIERS])
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.ascii(F.substring(t, i, F.lit(1))).cast("long")
+        * F.element_at(mults, ((i - F.lit(1)) % 8) + 1),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    return df.withColumn(out, poly_hash(text_col))
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: token count, char stats, ratios.
+
+    Mirrors the usual pretraining-corpus filters (length, symbol
+    ratio, stopword density) with engine-portable expressions.
+    """
+    t = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(t, r"[^a-z]", ""))
+    stop_hits = F.regexp_count(F.concat(F.lit(" "), t, F.lit(" ")), F.lit(r" (the|a|and|of) "))
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_chars_obs": F.length(t),
+            "avg_token_len": F.round(
+                F.length(F.regexp_replace(t, r" ", "")).cast("double") / n_tokens, 6
+            ),
+            "alpha_ratio": F.round(alpha_chars.cast("double") / F.length(t), 6),
+            "stopword_ratio": F.round(stop_hits.cast("double") / n_tokens, 6),
+        }
+    )
+
+
+def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic.
+
+    One ``regexp_count`` per language over the padded text; argmax
+    with a fixed priority order for ties. Deterministic, portable,
+    vectorized. (The real-world version would use char-n-gram
+    profiles; the operator shape — score columns + argmax case — is
+    identical.)
+    """
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    out = df
+    for lang, words in LANG_MARKERS.items():
+        pat = " (" + "|".join(words) + ") "
+        out = out.withColumn(f"score_{lang}", F.regexp_count(padded, F.lit(pat)))
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = None
+    for lang in langs:  # fixed priority order breaks ties
+        cond = F.col(f"score_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return out.withColumn("pred_lang", pred)

@@ -1,0 +1,141 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A11).
+
+All shapes here compile to partial+final hash aggregates (map-side
+combine), so shuffle volume is O(groups), not O(rows) — the property
+that makes them hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ensemble_avg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    exclude: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Group-by AVG over many columns (A1), with optional per-column
+    conditional exclusion (A2).
+
+    ``exclude={"sv": ("proj_system", "thebat")}`` reproduces the
+    reference's ``avg(case when proj_system != 'thebat' then sv end)``
+    (stg_proj_preseason_pitching_skills.sql:14-19).
+    """
+    exclude = exclude or {}
+    aggs = []
+    for c in value_cols:
+        if c in exclude:
+            flag_col, flag_val = exclude[c]
+            expr = F.avg(F.when(F.col(flag_col) != flag_val, F.col(c)))
+        else:
+            expr = F.avg(F.col(c))
+        aggs.append(expr.alias(c))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def regression_slope(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x: str | Column,
+    y: str | Column,
+    *,
+    name: str = "slope",
+) -> DataFrame:
+    """Least-squares slope per group via sufficient statistics (A3).
+
+    Mirrors the reference's hand-rolled form (stg_nfbc_sgp_factors
+    .sql:7-30): ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` with a
+    ``nullif`` guard on the denominator. One pass, map-side
+    combinable — unlike a two-pass mean-centered formula. Spark's
+    built-in ``regr_slope`` computes the same quantity; we keep the
+    explicit sufficient-stats arithmetic so the DuckDB oracle can
+    run the identical formula (bit-comparable results).
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(xc).alias("_sx"),
+        F.sum(yc).alias("_sy"),
+        F.sum(xc * yc).alias("_sxy"),
+        F.sum(xc * xc).alias("_sxx"),
+    )
+    denom = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / F.nullif(
+        denom, F.lit(0.0)
+    )
+    return stats.withColumn(name, slope).drop("_n", "_sx", "_sy", "_sxy", "_sxx")
+
+
+def pivot_wide(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    value_col: str,
+    *,
+    agg: str = "max",
+    prefix: str = "",
+) -> DataFrame:
+    """Long → wide pivot (A7; reference mart_sgp_factors.sql:7-19
+    does it as ``max(case when category='r' then sgp end)``).
+
+    Passing ``pivot_values`` explicitly matters at scale: it skips
+    the extra distinct-values job Spark otherwise runs.
+    """
+    agg_fn = getattr(F, agg)
+    wide = df.groupBy(*group_cols).pivot(pivot_col, list(pivot_values)).agg(
+        agg_fn(F.col(value_col))
+    )
+    if prefix:
+        for v in pivot_values:
+            wide = wide.withColumnRenamed(str(v), f"{prefix}{v}")
+    return wide
+
+
+def unpivot_long(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    var_name: str = "category",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long unpivot (U2; the reference stacks 10 ``union
+    all`` branches, stg_nfbc_sgp_inputs.sql:7-18).
+
+    ``DataFrame.unpivot`` expands rows inside the scan projection —
+    one pass, no shuffle, no N× re-read like the union-all original.
+    """
+    return df.unpivot(list(id_cols), list(value_cols), var_name, value_name)
+
+
+def percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str | Column,
+    ps: Sequence[float],
+    *,
+    exact: bool = True,
+    prefix: str = "p",
+) -> DataFrame:
+    """Per-group percentiles (A8, mart_sgp_percentiles.sql:20-34).
+
+    ``exact=False`` uses the approx sketch (mergeable, single-pass,
+    the 100 TB path); ``exact=True`` matches the DuckDB oracle's
+    ``quantile_cont`` interpolation for correctness checks —
+    Trino's qdigest vs Spark's Greenwald-Khanna would otherwise
+    differ within sketch error (SURVEY.md §4 item 4).
+    """
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    aggs = []
+    for p in ps:
+        fn = F.percentile(vc, F.lit(p)) if exact else F.percentile_approx(vc, F.lit(p))
+        aggs.append(fn.alias(f"{prefix}{int(p * 100)}"))
+    return df.groupBy(*group_cols).agg(*aggs)

@@ -1,0 +1,55 @@
+"""Projection / predicate helpers (SURVEY.md §2.2 P1-P13).
+
+Thin, declarative wrappers — everything stays a Catalyst expression
+so filter pushdown, column pruning, and codegen apply untouched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """Progressive typing: string-at-source → typed-at-stage (P1).
+
+    Reproduces the reference's stage-layer ``cast(x as double/int)``
+    blocks (stg_nfbc_ranked_standings.sql:12-28).
+    """
+    return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+
+
+def when_chain(cases: Sequence[tuple[Column, object]], default: object = None) -> Column:
+    """Ordered CASE WHEN chain (P12).
+
+    Order is load-bearing: the reference's position bucketing relies
+    on first-match-wins (``'%C%'`` before ``'%2B%'``,
+    stg_proj_preseason_hitting_sgp_oc.sql:45-58).
+    """
+    if not cases:
+        return F.lit(default)
+    cond, val = cases[0]
+    expr = F.when(cond, val)
+    for cond, val in cases[1:]:
+        expr = expr.when(cond, val)
+    return expr.otherwise(default)
+
+
+def null_padded_union(dfs: Sequence[DataFrame], schema: dict[str, str]) -> DataFrame:
+    """UNION ALL with typed-NULL schema alignment (U4).
+
+    The reference unions hitters ∪ pitchers with explicit
+    ``null as col`` placeholders (mart_preseason_overall_rankings_
+    50s.sql:7-101). Each input gains typed null columns for whatever
+    it lacks, then unionByName keeps positional bugs impossible.
+    """
+    aligned = []
+    for df in dfs:
+        missing = {c: F.lit(None).cast(t) for c, t in schema.items() if c not in df.columns}
+        aligned.append(df.withColumns(missing).select(*schema.keys()))
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df)
+    return out

@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-aware defaults.
+
+The test/bench environment is ``local[N]`` (single JVM), but every
+config below is chosen so the same plans hold on a 1000-executor
+cluster reading ~100 TB:
+
+* AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  and dynamic broadcast conversion replace hand-tuned partition
+  counts at scale.
+* ``spark.sql.shuffle.partitions`` defaults to the local core count
+  (the driver harness exports ``SPARK_GRAFT_CPUS``); on a real
+  cluster AQE coalesces from ``initialPartitionNum`` anyway.
+* Arrow enabled for every pandas interchange (Pandas UDFs,
+  ``toPandas``) — the LLM-ops modules rely on vectorized batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "0")))
+    except ValueError:
+        return 0
+
+
+def get_spark(app_name: str = "dbt-lakehouse-aws-spark", *, master: str | None = None) -> SparkSession:
+    """Build (or return) the process-wide SparkSession.
+
+    Idempotent: Spark returns the active session if one exists, so
+    tests, bench.py and the driver harness can all call this freely.
+    """
+    cpus = _cpus() or (os.cpu_count() or 4)
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_parts = str(max(cpus, 8))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- optimizer / execution ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Arrow for all pandas interchange (Pandas UDFs, toPandas) ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- parquet scan behavior: pruning + pushdown are load-bearing ---
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # testdata events.parquet uses TIMESTAMP(NANOS): read as int64
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # session timezone pinned so timestamp semantics match the DuckDB oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        # quieter local runs
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,97 @@
+"""Table catalog: named-table registry + materialization sink.
+
+The reference materializes every dbt model as an Iceberg/Parquet
+table in one of three schemas (``source``/``stage``/``main``,
+``dbt_project.yml:38-51``). Here a :class:`TableCatalog` plays that
+role: models register DataFrames under ``schema.name``, optionally
+materialized to Parquet (S8: ``df.write.saveAsTable`` equivalent).
+
+For the driver's star-schema testdata, :func:`load_star_schema`
+registers every parquet table as a temp view so both the DataFrame
+API and ``spark.sql`` can reach them — mirroring how the DuckDB
+oracle sees the same files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every driver testdata table and register temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in STAR_TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+class TableCatalog:
+    """Minimal schema-qualified table registry with a Parquet sink.
+
+    ``materialize=True`` writes Parquet and re-reads it, matching the
+    reference's every-model-is-a-table semantics (each consumer reads
+    the materialized artifact, not the producer's plan). With
+    ``materialize=False`` the DataFrame (its logical plan) is shared
+    directly — the intra-job analogue, letting Catalyst fuse stages.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str | None = None):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self._tables: dict[str, DataFrame] = {}
+
+    @staticmethod
+    def _qualify(schema: str, name: str) -> str:
+        return f"{schema}.{name}" if schema else name
+
+    def put(
+        self,
+        schema: str,
+        name: str,
+        df: DataFrame,
+        *,
+        materialize: bool = False,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        key = self._qualify(schema, name)
+        if materialize:
+            if not self.warehouse_dir:
+                raise ValueError("materialize=True requires a warehouse_dir")
+            path = os.path.join(self.warehouse_dir, schema, name)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+            df = self.spark.read.parquet(path)
+        self._tables[key] = df
+        df.createOrReplaceTempView(f"{schema}__{name}" if schema else name)
+        return df
+
+    def get(self, schema: str, name: str) -> DataFrame:
+        return self._tables[self._qualify(schema, name)]
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._tables
+
+    def names(self) -> list[str]:
+        return sorted(self._tables)

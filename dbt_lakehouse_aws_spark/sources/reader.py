@@ -1,0 +1,93 @@
+"""Source readers: schema-on-read CSV/TSV with path-derived metadata.
+
+Reproduces the reference's source layer semantics (SURVEY.md §2.1
+S1-S4; reference ``models/source/fangraphs/
+src_fangraphs_projections_preseason_hitting.sql:7-16``):
+
+* every raw column read as **string** (reference ``README.md:32-34``),
+* ``year``/``month``/``day`` parsed from the Hive-style ingest path
+  (``.../year=YYYY/month=M/day=D/file.csv``),
+* ``_ptkey`` = ``concat(year, month, day)`` ingest ordering key,
+* ``_filename`` = basename of the source file (load-bearing
+  downstream: it carries projection-system / league identity),
+* ``_loaddatetime`` = load audit timestamp.
+
+Scale notes: ``F.col("_metadata.file_path")`` is evaluated at the
+scan (per input split, no shuffle); the regexes are codegen'd JVM
+expressions. On a 100 TB ingest directory the read parallelism comes
+from file splits — nothing here adds a shuffle or a Python round trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: metadata columns added by :func:`with_path_metadata`
+PATH_META_COLS = ("year", "month", "day", "_ptkey", "_filename", "_loaddatetime")
+
+
+def _file_path_col() -> Column:
+    # `_metadata.file_path` is the modern (Spark >= 3.2) replacement for
+    # input_file_name(): it's stable under joins and whole-stage codegen.
+    return F.col("_metadata.file_path")
+
+
+def with_path_metadata(df: DataFrame, *, path_col: Column | None = None) -> DataFrame:
+    """Add the reference's ``$path``-derived columns to a raw scan.
+
+    Mirrors reference ``src_*.sql:8-15`` exactly:
+    ``regexp_extract("$path", 'year=(\\d{4})', 1) as year`` etc.,
+    ``concat(year, month, day) as _ptkey``,
+    ``element_at(split("$path", '/'), -1) as _filename``,
+    ``current_timestamp as _loaddatetime``.
+    """
+    p = path_col if path_col is not None else _file_path_col()
+    year = F.regexp_extract(p, r"year=(\d{4})", 1)
+    month = F.regexp_extract(p, r"month=(\d{1,2})", 1)
+    day = F.regexp_extract(p, r"day=(\d{1,2})", 1)
+    return (
+        df.withColumn("year", year)
+        .withColumn("month", month)
+        .withColumn("day", day)
+        .withColumn("_ptkey", F.concat(year, month, day))
+        .withColumn("_filename", F.element_at(F.split(p, "/"), -1))
+        .withColumn("_loaddatetime", F.current_timestamp())
+    )
+
+
+def read_csv_source(
+    spark: SparkSession,
+    path: str,
+    *,
+    sep: str = ",",
+    header: bool = True,
+    add_path_metadata: bool = True,
+    recursive: bool = True,
+) -> DataFrame:
+    """Read a raw CSV/TSV ingest prefix, all columns as strings.
+
+    ``inferSchema`` stays off on purpose: the reference types
+    everything as varchar at the source layer and casts downstream
+    (``README.md:34``). ``recursiveFileLookup`` lets one logical
+    table span the ``year=/month=/day=`` tree while we still derive
+    the partition values ourselves from the path (the reference's
+    partitions are logical-by-path, not catalog-declared).
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", sep)
+        .option("inferSchema", "false")
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    df = reader.csv(path)
+    # Select _metadata at scan time so it survives later transforms.
+    df = df.select("*", "_metadata")
+    if add_path_metadata:
+        df = with_path_metadata(df)
+    return df.drop("_metadata")
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver's star-schema parquet tables."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,888 @@
+"""The engine's query surface: SURVEY.md §2 operator inventory +
+LLM-data-pipeline operators, each as a (SparkSession, sf_dir) →
+DataFrame callable with (where SQL-expressible) a DuckDB oracle.
+
+Parity rules applied throughout (driver compares row count + schema
++ order-insensitive value hash after sorting columns by name):
+
+* every computed column is aliased identically on both sides;
+* float aggregates are rounded (4-6 dp) on both sides so summation
+  order can't flip the hash;
+* rank/count columns are cast to BIGINT on the Spark side (DuckDB
+  window/count outputs are BIGINT);
+* LIMIT queries order by (rounded measure, unique key) so the
+  cutoff is deterministic in both engines;
+* ANSI-mode safe: no raw casts of possibly-empty strings, no int64
+  overflow, nullif guards on every division.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_lakehouse_aws_spark.operators.aggregates import (
+    percentiles,
+    pivot_wide,
+    regression_slope,
+    unpivot_long,
+)
+from dbt_lakehouse_aws_spark.operators.relational import null_padded_union, when_chain
+from dbt_lakehouse_aws_spark.operators.windows import (
+    global_row_number,
+    ranked_in_group,
+    top_k_per_group,
+)
+from dbt_lakehouse_aws_spark.sources.snapshots import latest_per_group, latest_snapshot
+from dbt_lakehouse_aws_spark.llmops.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from dbt_lakehouse_aws_spark.llmops.multimodal import (
+    attach_binary_payload,
+    extract_binary_features,
+)
+from dbt_lakehouse_aws_spark.llmops.similarity import (
+    ann_search_lsh,
+    cosine_topk,
+    embedding_norms,
+)
+from dbt_lakehouse_aws_spark.llmops.text import doc_fingerprint, lang_id_scores, text_quality
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+        # rejects by default; read as int64 nanos and convert to
+        # microsecond timestamps (integer div — DuckDB truncates the
+        # same way, and float division would lose precision > 2^53).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+
+
+_REGISTRY: list[QuerySpec] = []
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _REGISTRY.append(QuerySpec(name, fn, oracle))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scans & latest-snapshot sources (SURVEY §2.1 S5/S6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s5_latest_snapshot",
+    """
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+    """,
+)
+def s5_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery max snapshot filter (reference src_*.sql:17-21)."""
+    ev = T(spark, sf_dir, "events").withColumn("_day", F.to_date("ts"))
+    return latest_snapshot(ev, "_day").select("event_id", "event_type", "user_id", "value")
+
+
+@register(
+    "s6_latest_per_group",
+    """
+    SELECT event_id, event_type, ts FROM (
+      SELECT event_id, event_type, ts,
+             rank() OVER (PARTITION BY event_type ORDER BY ts DESC) AS _rnk
+      FROM events
+    ) WHERE _rnk = 1
+    """,
+)
+def s6_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed latest-per-group (reference src_nfbc_adp.sql:15-24)."""
+    ev = T(spark, sf_dir, "events")
+    return latest_per_group(ev, ["event_type"], "ts").select("event_id", "event_type", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Core relational: aggregation pipelines (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan→filter→hash-agg (A1 shape). Predicate pushes to parquet."""
+    l = T(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+    WITH rev AS (
+      SELECT o.o_orderkey, sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+      GROUP BY o.o_orderkey
+    )
+    SELECT o_orderkey, round(r, 2) AS revenue
+    FROM rev
+    ORDER BY round(r, 2) DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join → agg → deterministic top-k (J2/J3/O1)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    l = T(spark, sf_dir, "lineitem")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    return (
+        rev.select("o_orderkey", F.round("r", 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "a2_conditional_avg",
+    """
+    SELECT l_returnflag,
+           round(avg(CASE WHEN l_linestatus <> 'F' THEN l_quantity END), 6) AS avg_qty_nonf,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a2_conditional_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg(case when …) exclusion aggregate (A2; reference
+    stg_proj_preseason_pitching_skills.sql:14-19)."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.avg(F.when(F.col("l_linestatus") != "F", F.col("l_quantity"))), 6).alias(
+            "avg_qty_nonf"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a3_regression_slope",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+             sum(l_quantity * l_extendedprice) AS sxy,
+             sum(l_quantity * l_quantity) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) AS slope
+    FROM s
+    """,
+)
+def a3_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sufficient-statistics least-squares slope (A3; reference
+    stg_nfbc_sgp_factors.sql:7-30)."""
+    l = T(spark, sf_dir, "lineitem")
+    out = regression_slope(l, ["l_returnflag"], "l_quantity", "l_extendedprice")
+    return out.select("l_returnflag", F.round("slope", 6).alias("slope"))
+
+
+@register(
+    "a4_group_rank_cell_avg",
+    """
+    SELECT event_type, user_id % 10 AS user_bucket,
+           round(avg(value), 6) AS avg_value, count(*) AS n
+    FROM events GROUP BY event_type, user_id % 10
+    """,
+)
+def a4_group_rank_cell_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by avg over (group, cell) grid (A4; stg_nfbc_sgp_inputs.sql:31-39)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("event_type", "user_bucket")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "a5_replacement_floor",
+    """
+    WITH floors AS (
+      SELECT c_mktsegment AS segment, round(min(c_acctbal), 4) AS floor_bal
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT segment, floor_bal FROM floors
+    UNION ALL
+    SELECT 'ALL' AS segment, (SELECT round(max(floor_bal), 4) FROM floors) AS floor_bal
+    """,
+)
+def a5_replacement_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-min + scalar-subquery max appended as synthetic row
+    (A5/A6/U5; reference stg_proj_preseason_hitting_rep_lvl_oc.sql:60-71)."""
+    c = T(spark, sf_dir, "customer")
+    floors = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.round(F.min("c_acctbal"), 4).alias("floor_bal")
+    )
+    ut_row = floors.agg(F.round(F.max("floor_bal"), 4).alias("floor_bal")).select(
+        F.lit("ALL").alias("segment"), "floor_bal"
+    )
+    return floors.unionByName(ut_row)
+
+
+@register(
+    "a7_pivot_daily_events",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           round(sum(CASE WHEN event_type = 'click'    THEN value END), 4) AS click,
+           round(sum(CASE WHEN event_type = 'error'    THEN value END), 4) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup'   THEN value END), 4) AS signup,
+           round(sum(CASE WHEN event_type = 'view'     THEN value END), 4) AS view
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def a7_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (A7; reference mart_sgp_factors.sql:7-19).
+    Explicit pivot values skip Spark's extra distinct-scan job."""
+    ev = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    wide = ev.groupBy("day").pivot(
+        "event_type", ["click", "error", "purchase", "signup", "view"]
+    ).agg(F.round(F.sum("value"), 4))
+    return wide
+
+
+@register(
+    "a8_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.8), 6) AS p80,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def a8_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (A8; reference mart_sgp_percentiles.sql:20-34
+    uses approx_percentile — exact here for cross-engine parity,
+    percentile_approx offered for the 100 TB path)."""
+    ev = T(spark, sf_dir, "events")
+    out = percentiles(ev, ["event_type"], "value", [0.8, 0.9], exact=True)
+    return out.select(
+        "event_type", F.round("p80", 6).alias("p80"), F.round("p90", 6).alias("p90")
+    )
+
+
+@register(
+    "a9_budget_share",
+    """
+    WITH total AS (SELECT sum(c_acctbal) AS total_pos FROM customer WHERE c_acctbal > 0)
+    SELECT c_custkey, round(c_acctbal / total_pos, 9) AS share
+    FROM customer CROSS JOIN total
+    WHERE c_acctbal > 0
+    """,
+)
+def a9_budget_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered scalar SUM + 1-row cross join (A9+J5; reference
+    stg_proj_preseason_hitting_values_oc.sql:16-25)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    total = c.agg(F.sum("c_acctbal").alias("total_pos"))
+    return c.crossJoin(F.broadcast(total)).select(
+        "c_custkey", F.round(F.col("c_acctbal") / F.col("total_pos"), 9).alias("share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w2_priority_price_ranks",
+    """
+    SELECT o_orderkey, o_orderpriority, price_rank FROM (
+      SELECT o_orderkey, o_orderpriority,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+      FROM orders
+    ) WHERE price_rank <= 100
+    """,
+)
+def w2_priority_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned row_number ranks (W2; stg_nfbc_ranked_standings.sql:32-41)."""
+    o = T(spark, sf_dir, "orders")
+    ranked = ranked_in_group(
+        o, ["o_orderpriority"], [F.desc("o_totalprice"), F.asc("o_orderkey")], name="price_rank"
+    )
+    return ranked.filter(F.col("price_rank") <= 100).select(
+        "o_orderkey", "o_orderpriority", F.col("price_rank").cast("long").alias("price_rank")
+    )
+
+
+@register(
+    "w3_top_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, brand_rank FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS brand_rank
+      FROM part
+    ) WHERE brand_rank <= 5
+    """,
+)
+def w3_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (W3/O2; positional draft pools,
+    stg_proj_preseason_hitting_rep_lvl_oc.sql:9-27). Catalyst
+    rewrites to map-side rank-limit — shuffle O(groups·k)."""
+    p = T(spark, sf_dir, "part")
+    out = top_k_per_group(
+        p,
+        ["p_brand"],
+        [F.desc("p_retailprice"), F.asc("p_partkey")],
+        5,
+        keep_rank_as="brand_rank",
+    )
+    return out.select(
+        "p_brand", "p_partkey", "p_retailprice", F.col("brand_rank").cast("long").alias("brand_rank")
+    )
+
+
+@register(
+    "w4_global_order_rank",
+    """
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def w4_global_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank without a single-partition shuffle (W4; the one
+    reference shape that fights Spark's execution model — see
+    operators/windows.py:global_row_number)."""
+    o = T(spark, sf_dir, "orders")
+    out = global_row_number(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], name="rn")
+    return out.select("o_orderkey", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Predicates / projections / set ops (SURVEY §2.2, §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p_predicate_gauntlet",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_type LIKE 'PROMO%' THEN 'promo'
+                WHEN p_name LIKE '%gear%' THEN 'gear'
+                ELSE 'other' END AS bucket,
+           round(p_retailprice / nullif(p_size, 0), 4) AS price_per_size
+    FROM part
+    WHERE p_size BETWEEN 10 AND 40
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND (p_name LIKE '%blue%' OR p_type LIKE '%MEDIUM%' OR p_size > 20)
+    """,
+)
+def p_predicate_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE/IN/BETWEEN/CASE/nullif in one plan (P3-P13). The ordered
+    when-chain preserves first-match-wins semantics (reference
+    stg_proj_preseason_hitting_sgp_oc.sql:45-58)."""
+    p = T(spark, sf_dir, "part")
+    bucket = when_chain(
+        [
+            (F.col("p_type").like("PROMO%"), "promo"),
+            (F.col("p_name").like("%gear%"), "gear"),
+        ],
+        default="other",
+    )
+    return (
+        p.filter(F.col("p_size").between(10, 40))
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .filter(
+            F.col("p_name").like("%blue%")
+            | F.col("p_type").like("%MEDIUM%")
+            | (F.col("p_size") > 20)
+        )
+        .select(
+            "p_partkey",
+            bucket.alias("bucket"),
+            F.round(
+                F.col("p_retailprice") / F.nullif(F.col("p_size"), F.lit(0)), 4
+            ).alias("price_per_size"),
+        )
+    )
+
+
+@register(
+    "p2_distinct_segments",
+    "SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nationkey FROM customer",
+)
+def p2_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (P2; stg_mpd_player_id_map.sql:7)."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_mktsegment").alias("segment"), F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+
+
+@register(
+    "f_json_props",
+    """
+    SELECT event_type,
+           sum(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS INT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def f_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction from semi-structured props (scalar
+    function family, SURVEY §2.8) — portable alternative to
+    get_json_object for the oracle."""
+    ev = T(spark, sf_dir, "events")
+    k = F.nullif(F.regexp_extract("props", r'"k": ([0-9]+)', 1), F.lit("")).cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "u2_unpivot_measures",
+    """
+    SELECT measure, round(sum(value), 4) AS total, count(*) AS n FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    ) GROUP BY measure
+    """,
+)
+def u2_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (U2; the reference's stacked UNION ALL,
+    stg_nfbc_sgp_inputs.sql:7-18 — unpivot reads the table once
+    instead of 4×)."""
+    l = T(spark, sf_dir, "lineitem")
+    long = unpivot_long(
+        l.select("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="value",
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.sum("value"), 4).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "u4_party_union",
+    """
+    SELECT c_custkey AS party_id, 'customer' AS kind, c_nationkey AS nationkey,
+           round(c_acctbal, 4) AS acctbal, c_mktsegment AS segment
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, 'supplier', s_nationkey, round(s_acctbal, 4), CAST(NULL AS VARCHAR)
+    FROM supplier
+    """,
+)
+def u4_party_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-padded schema-aligned union (U4; hitters ∪ pitchers,
+    mart_preseason_overall_rankings_50s.sql:7-101)."""
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_id"),
+        F.lit("customer").alias("kind"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.round("c_acctbal", 4).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_id"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.round("s_acctbal", 4).alias("acctbal"),
+    )
+    return null_padded_union(
+        [c, s],
+        {
+            "party_id": "long",
+            "kind": "string",
+            "nationkey": "int",
+            "acctbal": "double",
+            "segment": "string",
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_left_enrich",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, coalesce(p.p_brand, 'NONE') AS brand
+    FROM lineitem l
+    LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size > 45) p
+      ON l.l_partkey = p.p_partkey
+    """,
+)
+def j1_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer enrich with null handling (J1; stg_mpd_player_id_map
+    .sql:17-19). Small dim side broadcasts."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") > 45).select("p_partkey", "p_brand")
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left").select(
+        "l_orderkey", "l_linenumber", F.coalesce("p_brand", F.lit("NONE")).alias("brand")
+    )
+
+
+@register(
+    "j7_join_literal_pred",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_open_orders
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'O'
+    GROUP BY c.c_custkey
+    """,
+)
+def j7_join_literal_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join with literal predicate inside the ON clause (J7;
+    mart_preseason_overall_rankings_50s.sql:120-122). The literal is
+    pushed into the right side pre-join."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_open_orders"))
+    )
+
+
+@register(
+    "j9_semi_join_big_spenders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def j9_semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi membership join (J9; the app's drafted-ids isin,
+    app/app.py:567-569)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT text, min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy, min-id survivor."""
+    d = T(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], "doc_id").select("text", "doc_id", "dup_count")
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_obs,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio,
+           round(CAST(len(regexp_extract_all(' ' || text || ' ', ' (the|a|and|of) ')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    out = text_quality(d)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars_obs").cast("long").alias("n_chars_obs"),
+        "avg_token_len",
+        "alpha_ratio",
+        "stopword_ratio",
+    )
+
+
+@register(
+    "lang_id",
+    """
+    WITH scores AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(' ' || text || ' ', ' (the|and|of) '))  AS BIGINT) AS score_en,
+             CAST(len(regexp_extract_all(' ' || text || ' ', ' (le|la|et) '))    AS BIGINT) AS score_fr,
+             CAST(len(regexp_extract_all(' ' || text || ' ', ' (el|los|que) '))  AS BIGINT) AS score_es,
+             CAST(len(regexp_extract_all(' ' || text || ' ', ' (der|und|die) ')) AS BIGINT) AS score_de,
+             CAST(len(regexp_extract_all(' ' || text || ' ', ' (de|shi|le) '))   AS BIGINT) AS score_zh
+      FROM documents
+    )
+    SELECT doc_id, score_en, score_fr, score_es, score_de, score_zh,
+           CASE WHEN score_en = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'en'
+                WHEN score_fr = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'fr'
+                WHEN score_es = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'es'
+                WHEN score_de = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'de'
+                ELSE 'zh' END AS pred_lang
+    FROM scores
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    out = lang_id_scores(d)
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{l}").cast("long").alias(f"score_{l}") for l in ("en", "fr", "es", "de", "zh")],
+        "pred_lang",
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(sum(ord(substr(text, CAST(i AS INT), 1))
+                    * ([1,31,961,29791,923521,28629151,887503681,27512614111])[CAST((i - 1) % 8 AS INT) + 1])
+                AS BIGINT) AS fingerprint
+    FROM pos GROUP BY doc_id
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable polynomial document fingerprint (rolling-hash style)."""
+    d = T(spark, sf_dir, "documents")
+    return doc_fingerprint(d).select("doc_id", "fingerprint")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tokens) - 1),
+                                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS shingle
+      FROM toks WHERE len(tokens) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i) >= 0.5
+    """,
+)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup pairs (the accuracy
+    oracle for MinHash-LSH)."""
+    d = T(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+@register("minhash_lsh_pairs", None)  # non-SQL-expressible (xxhash64 base); rows-only check
+def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH candidate pairs — the 100 TB dedup path."""
+    d = T(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, n=3, num_hashes=32)
+    return lsh_candidate_pairs(sigs, num_bands=8, est_threshold=0.4)
+
+
+@register("simhash_fingerprints", None)  # xxhash64-based; rows-only check
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return simhash64(d)
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS v_q FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v_q, c.emb)
+                   / (sqrt(list_dot_product(q.v_q, q.v_q)) * sqrt(list_dot_product(c.emb, c.emb))),
+                   6) AS cosine
+      FROM q, v c WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline)."""
+    e = T(spark, sf_dir, "embeddings")
+    out = cosine_topk(e, query_ids=range(10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "embedding_label_norms",
+    """
+    WITH n AS (
+      SELECT label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(avg(norm), 6) AS avg_norm,
+           round(min(norm), 6) AS min_norm,
+           round(max(norm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_label_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    norms = embedding_norms(e).join(e.select("vec_id", "label"), "vec_id")
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )
+
+
+@register("ann_lsh_topk", None)  # approximate by design; rows-only check
+def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the billion-vector path)."""
+    e = T(spark, sf_dir, "embeddings")
+    return ann_search_lsh(e, query_ids=range(10), k=5, num_bits=6)
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ord(substr(text, 1, 1)) AS INT) AS first_byte,
+           'blob' AS modality
+    FROM documents
+    """,
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + Arrow-batched mapInPandas feature extraction
+    (decode stubbed; plumbing real — llmops/multimodal.py)."""
+    d = T(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(d)
+    return extract_binary_features(payloads)
+
+
+# ---------------------------------------------------------------------------
+# public registry API
+# ---------------------------------------------------------------------------
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {spec.name: spec.fn for spec in _REGISTRY}
+
+
+def all_oracles() -> dict[str, str]:
+    return {spec.name: spec.oracle for spec in _REGISTRY if spec.oracle is not None}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship query (driver smoke check): scan → filter →
+    broadcast join → hash agg → window rank → order. Touches every
+    engine layer in one Catalyst plan (SURVEY §7.3)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    revenue = (
+        l.filter(F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        revenue.withColumn("segment_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("segment_rank") <= 10)
+        .orderBy("c_mktsegment", "segment_rank")
+    )
