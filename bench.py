@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() over the full plan)
+after a warm-up pass that touches every input table, so JVM/codegen
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_lakehouse_aws_spark.session import get_spark
+from dbt_lakehouse_aws_spark import standard_queries as SQ
+
+#: headline set: the reference's signature relational shapes + the
+#: scale-path LLM ops (LSH variants, not the quadratic baselines).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "s5_latest_snapshot",
+    "a3_regression_slope",
+    "a7_pivot_daily_events",
+    "a8_value_percentiles",
+    "w2_priority_price_ranks",
+    "w3_top_parts_per_brand",
+    "w4_global_order_rank",
+    "u2_unpivot_measures",
+    "j1_left_enrich",
+    "j7_join_literal_pred",
+    "dedup_exact",
+    "text_quality",
+    "doc_fingerprint",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    queries = SQ.all_queries()
+
+    # warm-up: materialize every table scan once (JVM + codegen warm)
+    for t in ("lineitem", "orders", "customer", "part", "supplier",
+              "events", "documents", "embeddings"):
+        try:
+            SQ.T(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

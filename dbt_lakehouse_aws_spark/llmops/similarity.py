@@ -59,18 +59,22 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
-    corpus = df.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_n"))
+    # norms precomputed per row (not per pair): |Q|·N pairs share them
+    v = _as_double(vec_col)
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), v.alias("v_n"), F.sqrt(dot(v, v)).alias("norm_n")
+    )
     if query_df is None:
         query_df = df.filter(F.col(id_col).isin(list(query_ids)))
-    queries = query_df.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("v_q"))
+    queries = query_df.select(
+        F.col(id_col).alias("query_id"), v.alias("v_q"), F.sqrt(dot(v, v)).alias("norm_q")
+    )
 
     # broadcast the small query side; corpus streams map-side only
     joined = corpus.crossJoin(F.broadcast(queries)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = dot(F.col("v_q"), F.col("v_n")) / (
-        F.sqrt(dot(F.col("v_q"), F.col("v_q"))) * F.sqrt(dot(F.col("v_n"), F.col("v_n")))
-    )
+    cos = dot(F.col("v_q"), F.col("v_n")) / (F.col("norm_q") * F.col("norm_n"))
     scored = joined.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -132,19 +136,18 @@ def ann_search_lsh(
     from pyspark.sql import Window
 
     buckets = rp_lsh_buckets(df, id_col=id_col, vec_col=vec_col, num_bits=num_bits, dim=dim)
-    with_b = df.join(buckets, id_col)
+    v = _as_double(vec_col)
+    with_b = df.join(buckets, id_col).withColumn("_norm", F.sqrt(dot(v, v)))
     queries = with_b.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("v_q"), F.col("bucket")
+        F.col(id_col).alias("query_id"), v.alias("v_q"), F.col("_norm").alias("norm_q"), F.col("bucket")
     )
     corpus = with_b.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_n"), F.col("bucket")
+        F.col(id_col).alias("neighbor_id"), v.alias("v_n"), F.col("_norm").alias("norm_n"), F.col("bucket")
     )
     joined = corpus.join(F.broadcast(queries), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = dot(F.col("v_q"), F.col("v_n")) / (
-        F.sqrt(dot(F.col("v_q"), F.col("v_q"))) * F.sqrt(dot(F.col("v_n"), F.col("v_n")))
-    )
+    cos = dot(F.col("v_q"), F.col("v_n")) / (F.col("norm_q") * F.col("norm_n"))
     scored = joined.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

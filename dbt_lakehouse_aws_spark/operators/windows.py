@@ -71,48 +71,52 @@ def global_row_number(
 ) -> DataFrame:
     """Scalable global ``row_number() over (order by ...)`` (W4).
 
-    Two-pass, no single-partition shuffle:
+    One shuffle, no single-partition funnel, no window exchange:
 
     1. ``repartitionByRange`` on the order keys — partition *i* holds
-       a contiguous key range, ranges ascending with partition id.
-    2. per-partition ``row_number`` (cheap: data already ordered
-       within the task after a local sort),
+       a contiguous key range, ranges ascending with partition id —
+       then ``sortWithinPartitions`` (task-local sort, no shuffle).
+    2. ``monotonically_increasing_id()`` over the sorted partitions
+       encodes ``partition_id·2^33 + local_index``, i.e. the local
+       rank for free — no ``Window.partitionBy`` hash exchange.
     3. per-partition counts → cumulative offsets (``#partitions``
-       rows, computed driver-side), broadcast-joined back.
+       rows, driver-side), broadcast-joined back.
+
+    The frame is persisted before step 3: ``repartitionByRange``
+    samples its boundaries, and re-evaluating it in a second job can
+    yield different partition assignment — offsets computed against
+    run A must not be applied to run B (at cluster scale use
+    DISK_ONLY / checkpoint for the same pin).
 
     ``order_by`` must be a total order (add a unique tiebreaker
     column) for the result to be deterministic.
 
-    At reference scale a plain ``Window.orderBy`` is fine; this
-    primitive exists so the same logical op survives 100 TB
+    A plain ``Window.orderBy`` would shuffle everything to ONE task;
+    this primitive exists so the same logical op survives 100 TB
     (SURVEY.md §4 item 3).
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    ranged = df.repartitionByRange(num_partitions, *order_by)
-    pid = ranged.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy(*order_by)
-    # Persist before the counts job: repartitionByRange picks its
-    # boundaries by sampling, and re-evaluating it in a second job can
-    # yield different boundaries — offsets computed against run A
-    # would then be applied to run B's partitions. Persisting pins one
-    # materialization for both jobs (at cluster scale use DISK_ONLY /
-    # checkpoint for the same guarantee).
-    local = pid.withColumn("_local_rn", F.row_number().over(w)).persist()
+    ranged = df.repartitionByRange(num_partitions, *order_by).sortWithinPartitions(*order_by)
+    tagged = ranged.select("*", F.monotonically_increasing_id().alias("_mono")).persist()
 
-    counts = sorted(local.groupBy("_pid").count().collect(), key=lambda r: r["_pid"])
-    offsets, acc = {}, 0
-    for row in counts:
-        offsets[row["_pid"]] = acc
-        acc += row["count"]
+    pid = F.shiftright("_mono", 33)
+    local_ix = F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1).cast("long"))
 
-    offset_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid INT, _offset BIGINT"
+    counts = sorted(
+        tagged.groupBy(pid.alias("_pid")).count().collect(), key=lambda r: r["_pid"]
     )
+    offsets, acc = [], 0
+    for row in counts:
+        offsets.append((int(row["_pid"]), acc))
+        acc += row["count"]
+    offset_df = spark.createDataFrame(offsets, "_pid INT, _offset BIGINT")
+
     return (
-        local.join(F.broadcast(offset_df), "_pid")
-        .withColumn(name, (F.col("_local_rn") + F.col("_offset")).cast("long"))
-        .drop("_pid", "_local_rn", "_offset")
+        tagged.withColumn("_pid", pid.cast("int"))
+        .join(F.broadcast(offset_df), "_pid")
+        .withColumn(name, (local_ix + F.col("_offset") + 1).cast("long"))
+        .drop("_pid", "_mono", "_offset")
     )
