@@ -10,7 +10,6 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
@@ -18,24 +17,9 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
+from dbt_lakehouse_aws_spark.oracle import compare_frames
 from dbt_lakehouse_aws_spark.session import get_spark
 from dbt_lakehouse_aws_spark.sources.catalog import STAR_TABLES
-
-
-def norm_cell(v):
-    if v is None:
-        return "<NULL>"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "<NaN>"
-        # driver-style normalization: fixed decimal repr
-        return f"{v:.6f}"
-    return str(v)
-
-
-def frame_to_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(",".join(norm_cell(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
@@ -77,24 +61,13 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
-        ok = True
-        if len(srows) != len(drows):
-            print(f"FAIL {name}: row count spark={len(srows)} duckdb={len(drows)}")
-            ok = False
-        if sorted(c.lower() for c in scols) != sorted(dcols):
-            print(f"FAIL {name}: columns spark={sorted(scols)} duckdb={sorted(dcols)}")
-            ok = False
-        if ok:
-            sm = frame_to_multiset([c.lower() for c in scols], srows)
-            dm = frame_to_multiset(dcols, drows)
-            if sm != dm:
-                diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
-                print(f"FAIL {name}: value mismatch, first diffs: {diff}")
-                ok = False
-        if ok:
-            print(f"ok   {name}: {len(srows)} rows match ({elapsed:.1f}s)")
-        else:
+        problems = compare_frames(scols, srows, dcols, drows)
+        if problems:
+            for p in problems:
+                print(f"FAIL {name}: {p}")
             failures.append(name)
+        else:
+            print(f"ok   {name}: {len(srows)} rows match ({elapsed:.1f}s)")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
     return 1 if failures else 0

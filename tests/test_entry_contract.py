@@ -1,0 +1,49 @@
+"""Driver-contract conformance + a fast oracle replica at sf0.001.
+
+The driver's real gate runs at sf0.01 (scripts/check_oracle.py);
+this keeps a cheaper always-on version inside pytest so a regression
+in any queries()/oracle_sql() pair fails the suite immediately.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from dbt_lakehouse_aws_spark.oracle import compare_frames
+from dbt_lakehouse_aws_spark.sources.catalog import STAR_TABLES
+
+QUERIES = E.queries()
+ORACLES = E.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) > 1
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_against_oracle(spark, duck, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    srows = sdf.collect()
+    if name not in ORACLES:
+        # rows-only check (non-SQL-expressible op) — must still run
+        assert isinstance(srows, list)
+        return
+    rel = duck.sql(ORACLES[name])
+    problems = compare_frames(sdf.columns, srows, rel.columns, rel.fetchall())
+    assert not problems, f"{name}: {problems}"

@@ -1,0 +1,150 @@
+"""LLM-data-pipeline operators: dedup, similarity, text, multimodal.
+
+Correctness strategy: tiny corpora with hand-computable truth, plus
+invariants (identical docs → identical signatures; LSH candidates ⊇
+high-similarity pairs on separable data; brute-force top-k agrees
+with numpy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_lakehouse_aws_spark.llmops.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from dbt_lakehouse_aws_spark.llmops.multimodal import (
+    attach_binary_payload,
+    decode_stub,
+    extract_binary_features,
+)
+from dbt_lakehouse_aws_spark.llmops.similarity import cosine_topk
+from dbt_lakehouse_aws_spark.llmops.text import (
+    doc_fingerprint,
+    lang_id_scores,
+    text_quality,
+    word_shingles,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different text about spark engines here now"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, ["text"], "doc_id")
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert rows == {1: 2, 2: 1, 3: 1}  # doc 4 folded into survivor 1
+
+
+def test_word_shingles_values(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = [r[0] for r in df.select(word_shingles("text", 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []  # shorter than n → empty array, not null
+
+
+def test_ngram_jaccard_hand_computed(spark, docs):
+    """Docs 1&2 share 6 of their 7+7 distinct 3-shingles → J = 6/8."""
+    out = ngram_jaccard_pairs(docs, threshold=0.1)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(1, 2)] == pytest.approx(6 / 8)
+    assert got[(1, 4)] == pytest.approx(1.0)
+    assert (1, 3) not in got
+
+
+def test_minhash_identical_docs_identical_signatures(spark, docs):
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+
+
+def test_lsh_finds_near_and_exact_dups(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, num_bands=8, est_threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got[(1, 4)] == pytest.approx(1.0)  # exact dup always survives
+    assert (1, 2) in got  # near-dup lands in a shared band at J≈0.75
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_properties(spark, docs):
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sims[1] == sims[4]
+    assert all(v >= 0 for v in sims.values())  # 63-bit: non-negative
+    near = simhash_near_pairs(docs, max_hamming=16)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in near.collect()}
+    assert got[(1, 4)] == 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 8)).astype(float)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(30)], "id long, emb array<double>"
+    )
+    out = cosine_topk(df, query_ids=[0, 5], id_col="id", vec_col="emb", k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cosine"]))
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    for q in (0, 5):
+        sims = [(j, cos[q, j]) for j in range(30) if j != q]
+        expect = sorted(sims, key=lambda t: (-round(t[1], 6), t[0]))[:3]
+        assert [n for n, _ in got[q]] == [n for n, _ in expect]
+        for (_, a), (_, b) in zip(got[q], expect):
+            assert a == pytest.approx(b, abs=1e-5)
+
+
+def test_text_quality_features(spark):
+    df = spark.createDataFrame([(1, "the cat and the dog")], "doc_id long, text string")
+    r = text_quality(df).collect()[0]
+    assert r["n_tokens"] == 5
+    assert r["n_chars_obs"] == 19
+    assert r["avg_token_len"] == pytest.approx(15 / 5)
+    assert r["alpha_ratio"] == pytest.approx(15 / 19)
+    # non-overlapping padded matches: " the ", " and " ... " the " won't
+    # re-match the shared space; expect >= 2 stopword hits
+    assert r["stopword_ratio"] >= 2 / 5 - 1e-9
+
+
+def test_lang_id_picks_dominant_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the house and the garden of eden"), (2, "le chat et la maison et le chien")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id_scores(df).collect()}
+    assert got == {1: "en", 2: "fr"}
+
+
+def test_fingerprint_deterministic_and_discriminative(spark, docs):
+    out = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    assert out[1] == out[4]
+    assert out[1] != out[3]
+
+
+def test_multimodal_plumbing(spark, docs):
+    payloads = attach_binary_payload(docs, modality="blob")
+    feats = extract_binary_features(payloads)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows[1]["n_bytes"] == len(DOCS[0][1].encode())
+    assert rows[1]["first_byte"] == ord("t")
+    assert rows[1]["modality"] == "blob"
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x89PNG", "image")

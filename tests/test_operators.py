@@ -1,0 +1,143 @@
+"""Relational / aggregate / window operators vs hand-computed truth
+(SURVEY §2.2-2.7).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dbt_lakehouse_aws_spark.operators.aggregates import (
+    ensemble_avg,
+    percentiles,
+    pivot_wide,
+    regression_slope,
+    unpivot_long,
+)
+from dbt_lakehouse_aws_spark.operators.relational import (
+    cast_columns,
+    null_padded_union,
+    when_chain,
+)
+from dbt_lakehouse_aws_spark.operators.windows import (
+    global_row_number,
+    ranked_in_group,
+    top_k_per_group,
+)
+
+
+def test_cast_columns(spark):
+    df = spark.createDataFrame([("1.5", "7")], "a string, b string")
+    out = cast_columns(df, {"a": "double", "b": "int"})
+    assert dict(out.dtypes) == {"a": "double", "b": "int"}
+    r = out.collect()[0]
+    assert (r["a"], r["b"]) == (1.5, 7)
+
+
+def test_when_chain_first_match_wins(spark):
+    """The reference's LIKE-bucketing depends on CASE order: a 'C,2B'
+    player is a C (catcher branch fires first)."""
+    df = spark.createDataFrame([("C,2B",), ("2B,SS",), ("UT",)], "pos string")
+    bucket = when_chain(
+        [
+            (F.col("pos").like("%C%"), "C"),
+            (F.col("pos").like("%2B%"), "MI"),
+        ],
+        default="OTHER",
+    )
+    got = [r[0] for r in df.select(bucket.alias("b")).collect()]
+    assert got == ["C", "MI", "OTHER"]
+
+
+def test_null_padded_union_types_and_rows(spark):
+    hitters = spark.createDataFrame([("h1", 10.0)], "id string, hr double")
+    pitchers = spark.createDataFrame([("p1", 3.5)], "id string, era double")
+    out = null_padded_union(
+        [hitters, pitchers], {"id": "string", "hr": "double", "era": "double"}
+    )
+    assert out.columns == ["id", "hr", "era"]
+    rows = {r["id"]: (r["hr"], r["era"]) for r in out.collect()}
+    assert rows == {"h1": (10.0, None), "p1": (None, 3.5)}
+
+
+def test_ensemble_avg_with_exclusion(spark):
+    df = spark.createDataFrame(
+        [
+            ("p1", "steamer", 2.0, 10.0),
+            ("p1", "thebat", 4.0, 99.0),  # sv vote excluded, k kept
+            ("p1", "atc", 6.0, 20.0),
+        ],
+        "id string, proj_system string, k double, sv double",
+    )
+    out = ensemble_avg(df, ["id"], ["k", "sv"], exclude={"sv": ("proj_system", "thebat")})
+    r = out.collect()[0]
+    assert r["k"] == pytest.approx(4.0)  # (2+4+6)/3
+    assert r["sv"] == pytest.approx(15.0)  # (10+20)/2 — thebat dropped
+
+
+def test_regression_slope_closed_form(spark):
+    """y = 3x + 1 exactly → slope 3; constant-x group → NULL (nullif guard)."""
+    rows = [("g", float(x), 3.0 * x + 1.0) for x in range(1, 6)]
+    rows += [("flat", 2.0, float(y)) for y in (5, 7, 9)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    got = {r["grp"]: r["slope"] for r in regression_slope(df, ["grp"], "x", "y").collect()}
+    assert got["g"] == pytest.approx(3.0)
+    assert got["flat"] is None
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("f1", "r", 1.0), ("f1", "hr", 2.0), ("f2", "r", 3.0), ("f2", "hr", 4.0)],
+        "f string, category string, v double",
+    )
+    wide = pivot_wide(df, ["f"], "category", ["r", "hr"], "v", prefix="sgp_")
+    assert set(wide.columns) == {"f", "sgp_r", "sgp_hr"}
+    back = unpivot_long(wide, ["f"], ["sgp_r", "sgp_hr"])
+    assert back.count() == 4
+    got = {(r["f"], r["category"]): r["value"] for r in back.collect()}
+    assert got[("f1", "sgp_r")] == 1.0
+    assert got[("f2", "sgp_hr")] == 4.0
+
+
+def test_percentiles_exact(spark):
+    df = spark.createDataFrame([("g", float(v)) for v in range(1, 11)], "g string, v double")
+    r = percentiles(df, ["g"], "v", [0.8, 0.9]).collect()[0]
+    # linear interpolation over 1..10: p80 = 8.2, p90 = 9.1
+    assert r["p80"] == pytest.approx(8.2)
+    assert r["p90"] == pytest.approx(9.1)
+
+
+def test_ranked_in_group_methods(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("a", 5), ("b", 1)], "g string, v int"
+    )
+    out = ranked_in_group(df, ["g"], [F.desc("v")], method="rank")
+    got = sorted((r["g"], r["v"], r["rnk"]) for r in out.collect())
+    assert got == [("a", 5, 3), ("a", 10, 1), ("a", 10, 1), ("b", 1, 1)]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(10)] + [("g2", i) for i in range(3)],
+        "g string, v int",
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v")], 2, keep_rank_as="rn")
+    got = sorted((r["g"], r["v"], r["rn"]) for r in out.collect())
+    assert got == [("g1", 8, 2), ("g1", 9, 1), ("g2", 1, 2), ("g2", 2, 1)]
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    """The scalable two-pass rank must agree exactly with the naive
+    Window.orderBy over a total order."""
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(500)], "k int, uid int"
+    ).repartition(8)
+    fast = global_row_number(df, [F.desc("k"), F.asc("uid")], name="rn", num_partitions=6)
+    naive = df.withColumn(
+        "rn_naive",
+        F.row_number().over(Window.orderBy(F.desc("k"), F.asc("uid"))).cast("long"),
+    )
+    j = fast.join(naive, ["k", "uid"])
+    assert j.filter(F.col("rn") != F.col("rn_naive")).count() == 0
+    assert fast.count() == 500
