@@ -42,7 +42,11 @@ def with_path_metadata(df: DataFrame, *, path_col: Column | None = None) -> Data
     ``element_at(split("$path", '/'), -1) as _filename``,
     ``current_timestamp as _loaddatetime``.
     """
-    p = path_col if path_col is not None else _file_path_col()
+    # `_metadata.file_path` is a URI: spaces etc. arrive percent-encoded,
+    # but the reference's `$path` carries raw S3 keys and downstream
+    # logic matches on literal filenames ('NFBC OC 2025 … .csv') — decode.
+    raw = path_col if path_col is not None else _file_path_col()
+    p = F.url_decode(raw)
     year = F.regexp_extract(p, r"year=(\d{4})", 1)
     month = F.regexp_extract(p, r"month=(\d{1,2})", 1)
     day = F.regexp_extract(p, r"day=(\d{1,2})", 1)
