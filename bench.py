@@ -36,11 +36,16 @@ HEADLINE = [
     "u2_unpivot_measures",
     "j1_left_enrich",
     "j7_join_literal_pred",
+    "a10_ratio_of_sums",
+    "j8_two_step_join",
+    "u3_tiered_union",
     "dedup_exact",
     "text_quality",
     "doc_fingerprint",
+    "token_stats",
     "minhash_lsh_pairs",
     "cosine_topk",
+    "emb_near_dup_pairs",
 ]
 
 

@@ -1,0 +1,213 @@
+"""Serving-plane query surface (SURVEY §3.2/§3.3, reference app/app.py).
+
+The reference serves one column-projected ordered scan per session,
+then does every interactive operation client-side in pandas. Here
+each of those pandas operations is a composable Spark expression, so
+the same predicates run engine-side (pushed down to the scan) when
+the frame is too big to collect — the serving API is scale-neutral.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: the 26-column serving projection (app/app.py:419-426)
+RANKINGS_COLUMNS = (
+    "id", "rank", "name", "team", "pos", "position", "value", "adp",
+    "min_pick", "max_pick", "rank_diff", "projected_opening_day_status",
+    "pa", "ab", "r", "hr", "rbi", "sb", "avg", "obp",
+    "ip", "k", "w", "sv", "era", "whip",
+)
+
+
+def rankings_scan(mart: DataFrame, columns: Sequence[str] = RANKINGS_COLUMNS) -> DataFrame:
+    """S9: explicit column projection + ORDER BY rank
+    (app/app.py:417-430). The projection prunes the parquet scan;
+    the sort is the serve-time ordering contract (stored tables have
+    no guaranteed order — SURVEY §7.5 item 3)."""
+    cols = [c for c in columns if c in mart.columns]
+    return mart.select(*cols).orderBy("rank")
+
+
+def apply_filters(
+    df: DataFrame,
+    *,
+    search: str | None = None,
+    positions: Sequence[str] | None = None,
+    teams: Sequence[str] | None = None,
+    statuses: Sequence[str] | None = None,
+    require_adp: bool = False,
+) -> DataFrame:
+    """Interactive filter stack (P9-P11; app/app.py:596-625, 723-728).
+
+    * search — case-insensitive substring on name
+    * positions — any-of against the comma-separated eligibility
+      string (``arrays_overlap`` over ``split(pos, ',')``)
+    * teams / statuses — IN-list membership
+    * require_adp — non-null adp/min_pick/max_pick (mock-draft pool)
+    """
+    if search:
+        df = df.filter(F.lower(F.col("name")).contains(search.lower()))
+    if positions:
+        df = df.filter(
+            F.arrays_overlap(
+                F.split(F.col("pos"), ","), F.array(*[F.lit(p) for p in positions])
+            )
+        )
+    if teams:
+        df = df.filter(F.col("team").isin(list(teams)))
+    if statuses:
+        df = df.filter(F.col("projected_opening_day_status").isin(list(statuses)))
+    if require_adp:
+        df = df.filter(
+            F.col("adp").isNotNull()
+            & F.col("min_pick").isNotNull()
+            & F.col("max_pick").isNotNull()
+        )
+    return df
+
+
+def team_aggregates(df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """A10: roster-level category totals (app/app.py:909-937).
+
+    Counting stats sum; AVG re-derives as ratio-of-sums
+    Σ(ab·avg)/Σab; ERA/WHIP are IP-weighted means Σ(stat·ip)/Σip.
+    All partial+final hash aggregates — never a collect.
+    """
+    z = lambda c: F.coalesce(F.col(c), F.lit(0.0))  # noqa: E731 — app fillna(0)
+    aggs = [
+        F.sum(z("r")).alias("r"),
+        F.sum(z("hr")).alias("hr"),
+        F.sum(z("rbi")).alias("rbi"),
+        F.sum(z("sb")).alias("sb"),
+        F.sum(z("k")).alias("k"),
+        F.sum(z("w")).alias("w"),
+        F.sum(z("sv")).alias("sv"),
+        (F.sum(z("ab") * z("avg")) / F.sum(z("ab"))).alias("avg"),
+        (F.sum(z("era") * z("ip")) / F.sum(z("ip"))).alias("era"),
+        (F.sum(z("whip") * z("ip")) / F.sum(z("ip"))).alias("whip"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def latest_percentiles(percentiles: DataFrame, format_type: str) -> DataFrame:
+    """§3.3 ad-hoc percentile query (app/app.py:868-890): parse
+    league format and year out of ``_filename`` (``split_part``),
+    keep the requested format's max year via the correlated-shape
+    scalar max, return (category, p80, p90)."""
+    parts = percentiles.withColumns(
+        {
+            "format_part": F.split_part(F.col("_filename"), F.lit(" "), F.lit(2)),
+            "year_part": F.split_part(F.col("_filename"), F.lit(" "), F.lit(3)).cast("int"),
+        }
+    ).filter(F.col("format_part") == format_type)
+    max_year = parts.agg(F.max("year_part").alias("year_part"))
+    return (
+        parts.join(F.broadcast(max_year), "year_part")
+        .select("category", "p80", "p90")
+    )
+
+
+def pick_probabilities(
+    df: DataFrame, *, current_pick: int, out: str = "pick_prob"
+) -> DataFrame:
+    """Mock-draft pick-probability model (app/app.py:738-799) as
+    vectorized column expressions (SURVEY §2.10).
+
+    Gaussian centered on ADP with σ = max(range/3, 3), then the
+    urgency piecewise: far-before-min ≈ 0, within-2-of-min ×0.1,
+    past-max ×10·(1+2·overdue), approaching-max ramp. Probabilities
+    are normalized to sum 1 across the frame; the single weighted
+    draw stays driver-side exactly as in the reference.
+    """
+    pick = F.lit(float(current_pick))
+    std = F.greatest((F.col("max_pick") - F.col("min_pick")) / 3.0, F.lit(3.0))
+    base = F.exp(-0.5 * F.pow((pick - F.col("adp")) / std, F.lit(2.0)))
+    before = F.col("min_pick") - pick
+    overdue = pick - F.col("max_pick")
+    prob = (
+        F.when((before > 0) & (before <= 2), base * 0.1)
+        .when(before > 2, F.lit(0.0001))
+        .when(overdue > 0, base * (1 + overdue * 2) * 10)
+        .when(pick >= F.col("max_pick") - 2,
+              base * (1 + (2 - (F.col("max_pick") - pick)) * 0.5))
+        .otherwise(base)
+    )
+    scored = df.withColumn("_raw", prob)
+    total = scored.agg(F.sum("_raw").alias("_total"))
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .withColumn(out, F.col("_raw") / F.col("_total"))
+        .drop("_raw", "_total")
+    )
+
+
+# --------------------------------------------------------------------------
+# draft-state store (reference: DynamoDB table, app/app.py:119-245)
+# --------------------------------------------------------------------------
+
+@dataclass
+class DraftBoard:
+    """In-engine stand-in for the reference's DynamoDB draft table
+    (S10): put/get/delete/scan keyed on player_id, with the same
+    item shape (app/app.py:151-159). Backed by a dict here; the
+    cluster-scale deployment note: persist as a Delta/parquet
+    dimension and MERGE on player_id (SURVEY §2.1 S10)."""
+
+    _items: dict[str, dict] = field(default_factory=dict)
+
+    def put(self, player_id: str, player_name: str, *, my_team: bool = False) -> None:
+        self._items[player_id] = {
+            "player_id": player_id,
+            "drafted": True,
+            "drafted_at": datetime.now(timezone.utc).isoformat(),
+            "player_name": player_name,
+            "drafted_to_my_team": my_team,
+        }
+
+    def get(self, player_id: str) -> dict | None:
+        return self._items.get(player_id)
+
+    def delete(self, player_id: str) -> None:
+        self._items.pop(player_id, None)
+
+    def scan(self) -> list[dict]:
+        return list(self._items.values())
+
+    def drafted_ids(self) -> list[str]:
+        return [i["player_id"] for i in self._items.values() if i["drafted"]]
+
+    def my_team_ids(self) -> list[str]:
+        return [
+            i["player_id"] for i in self._items.values() if i["drafted_to_my_team"]
+        ]
+
+
+def with_draft_status(df: DataFrame, board: DraftBoard, id_col: str = "id") -> DataFrame:
+    """J9: drafted / my-team flags via broadcast membership — the
+    engine-side form of the app's ``isin`` semi-join
+    (app/app.py:567-569). The id sets are small (≤ league size), so
+    this compiles to a broadcast ``isin`` filterless projection."""
+    drafted = board.drafted_ids()
+    mine = board.my_team_ids()
+    return df.withColumns(
+        {
+            "drafted": F.col(id_col).isin(drafted) if drafted else F.lit(False),
+            "my_team": F.col(id_col).isin(mine) if mine else F.lit(False),
+        }
+    )
+
+
+def undrafted_pool(df: DataFrame, board: DraftBoard, id_col: str = "id") -> DataFrame:
+    """Anti-join form for the mock-draft candidate pool."""
+    drafted = board.drafted_ids()
+    if not drafted:
+        return df
+    return df.filter(~F.col(id_col).isin(drafted))

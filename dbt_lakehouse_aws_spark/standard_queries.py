@@ -853,6 +853,222 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_features(payloads)
 
 
+@register(
+    "a10_ratio_of_sums",
+    """
+    SELECT l_suppkey AS suppkey,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+               AS qty_weighted_price,
+           ROUND(SUM(l_discount * l_quantity) / SUM(l_quantity), 6)
+               AS qty_weighted_discount
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def a10_ratio_of_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-of-sums team aggregates (A10; reference app/app.py:
+    909-937 — AVG = Σ(ab·avg)/Σab, ERA = Σ(era·ip)/Σip). One
+    partial+final hash agg; never an avg-of-avgs."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"), 4
+        ).alias("qty_weighted_price"),
+        F.round(
+            F.sum(F.col("l_discount") * F.col("l_quantity")) / F.sum("l_quantity"), 6
+        ).alias("qty_weighted_discount"),
+    )
+
+
+@register(
+    "w5_rank_diff",
+    """
+    SELECT o_orderkey AS orderkey,
+           rnk,
+           CAST(o_custkey AS BIGINT) - rnk AS rank_diff
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    )
+    """,
+)
+def w5_rank_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-derived column reused in an expression (W5; reference
+    mart_…_50s.sql:117 `adp − row_number()`), on the scalable
+    global-rank primitive instead of a one-task window."""
+    o = T(spark, sf_dir, "orders")
+    ranked = global_row_number(
+        o, [F.desc("o_totalprice"), F.asc("o_orderkey")], name="rnk"
+    )
+    return ranked.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("rnk"),
+        (F.col("o_custkey").cast("long") - F.col("rnk")).alias("rank_diff"),
+    )
+
+
+@register(
+    "j8_two_step_join",
+    """
+    WITH sub AS (
+      SELECT c_custkey, n_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_regionkey = 2
+    )
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey, sub.n_name AS nation_name
+    FROM orders LEFT JOIN sub ON o_custkey = sub.c_custkey
+    """,
+)
+def j8_two_step_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join to a pre-filtered inner sub-join (J8; reference
+    rosters CTE, mart_…_50s.sql:103-110, 123-124). Both dims
+    broadcast; the fact side never shuffles."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    sub = (
+        c.join(F.broadcast(n.filter(F.col("n_regionkey") == 2)),
+               c.c_nationkey == n.n_nationkey, "inner")
+        .select("c_custkey", "n_name")
+    )
+    return (
+        o.join(F.broadcast(sub), o.o_custkey == sub.c_custkey, "left")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+
+@register(
+    "u3_tiered_union",
+    """
+    WITH base AS (
+      SELECT p_partkey, p_brand, p_type, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS brand_rank
+      FROM part
+    ), tier1 AS (
+      SELECT p_partkey, p_retailprice FROM base WHERE brand_rank <= 3
+    ), rem1 AS (
+      SELECT p_partkey, p_type, p_retailprice,
+             row_number() OVER (PARTITION BY p_type
+                                ORDER BY p_retailprice DESC, p_partkey) AS type_rank
+      FROM base WHERE brand_rank > 3
+    ), tier2 AS (
+      SELECT p_partkey, p_retailprice FROM rem1 WHERE type_rank <= 2
+    ), rem2 AS (
+      SELECT p_partkey, p_retailprice FROM rem1 WHERE type_rank > 2
+      ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+    )
+    SELECT p_partkey AS partkey, p_retailprice AS retailprice, 'tier1' AS tier FROM tier1
+    UNION ALL
+    SELECT p_partkey, p_retailprice, 'tier2' FROM tier2
+    UNION ALL
+    SELECT p_partkey, p_retailprice, 'tier3' FROM rem2
+    """,
+)
+def u3_tiered_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way union of disjoint top-k tiers (U3; the reference's
+    draftable-pool construction, stg_proj_preseason_hitting_rep_lvl
+    _oc.sql:33-58): per-brand pool, then per-type pool of the
+    remainder, then a global TakeOrdered top-10 of the rest."""
+    p = T(spark, sf_dir, "part")
+    base = ranked_in_group(
+        p, ["p_brand"], [F.desc("p_retailprice"), F.asc("p_partkey")], name="brand_rank"
+    )
+    tier1 = base.filter(F.col("brand_rank") <= 3)
+    rem1 = ranked_in_group(
+        base.filter(F.col("brand_rank") > 3),
+        ["p_type"], [F.desc("p_retailprice"), F.asc("p_partkey")], name="type_rank",
+    )
+    tier2 = rem1.filter(F.col("type_rank") <= 2)
+    tier3 = (
+        rem1.filter(F.col("type_rank") > 2)
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(10)
+    )
+    sel = lambda df, tier: df.select(  # noqa: E731
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_retailprice").alias("retailprice"),
+        F.lit(tier).alias("tier"),
+    )
+    return sel(tier1, "tier1").unionByName(sel(tier2, "tier2")).unionByName(
+        sel(tier3, "tier3")
+    )
+
+
+@register(
+    "token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_pieces,
+           ROUND(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS pieces_per_word
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + a BPE-ish piece count
+    (alpha runs / digit runs / punctuation as separate pieces) —
+    the pretraining-corpus cost estimator. Pure codegen expressions,
+    embarrassingly parallel."""
+    d = T(spark, sf_dir, "documents")
+    pat = F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")
+    ws = F.size(F.split(F.col("text"), " "))
+    pieces = F.size(F.regexp_extract_all(F.col("text"), pat, F.lit(0)))
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        pieces.cast("long").alias("bpe_pieces"),
+        F.round(pieces.cast("double") / ws, 6).alias("pieces_per_word"),
+    )
+
+
+@register(
+    "emb_near_dup_pairs",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.25
+    """,
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, label-blocked (the
+    LLM-dedup scale pattern: block on a cheap key — here label, in
+    production an LSH bucket — so the pairwise compare is per-block,
+    never corpus²)."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import dot, _as_double
+
+    e = T(spark, sf_dir, "embeddings")
+    v = _as_double("embedding")
+    side = e.select("vec_id", "label", v.alias("emb"),
+                    F.sqrt(dot(v, v)).alias("norm"))
+    a = side.select(F.col("vec_id").alias("id_a"), "label",
+                    F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a"))
+    b = side.select(F.col("vec_id").alias("id_b"), "label",
+                    F.col("emb").alias("emb_b"), F.col("norm").alias("norm_b"))
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= 0.25)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
