@@ -835,6 +835,17 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search_lsh(e, query_ids=range(10), k=5, num_bits=6)
 
 
+@register("ann_ivf_topk", None)  # approximate by design; rows-only check
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer (driver-side
+    sample), Arrow-batched cell assignment, nprobe-cell search
+    (llmops/similarity.py)."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import ann_search_ivf
+
+    e = T(spark, sf_dir, "embeddings")
+    return ann_search_ivf(e, query_ids=range(10), k=5, n_cells=16, nprobe=4)
+
+
 @register(
     "multimodal_features",
     """

@@ -148,3 +148,24 @@ def test_multimodal_plumbing(spark, docs):
     assert rows[1]["modality"] == "blob"
     with pytest.raises(NotImplementedError):
         decode_stub(b"\x89PNG", "image")
+
+
+def test_ivf_ann_recall(spark):
+    """IVF top-k must mostly agree with exact brute force on
+    clustered data (each query's true neighbors share its cell)."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 5
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.normal(size=16) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from dbt_lakehouse_aws_spark.llmops.similarity import ann_search_ivf, cosine_topk
+
+    qids = [0, 1, 2, 3]
+    exact = cosine_topk(df, qids, id_col="vec_id", vec_col="embedding", k=5)
+    approx = ann_search_ivf(df, qids, k=5, n_cells=8, nprobe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, recall

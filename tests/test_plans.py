@@ -1,0 +1,117 @@
+"""Physical-plan property tests — the 100 TB scale contract.
+
+Correctness tests prove the operators compute the right answer;
+these prove Catalyst compiles them to the plans that survive scale:
+filters pushed to the parquet scan, columns pruned, small sides
+broadcast, rank-limit pushdown on top-k windows, partial (map-side)
+aggregation, and no full-data single-partition exchange anywhere.
+A regression that silently de-optimizes a plan fails here even
+though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_lakehouse_aws_spark import standard_queries as SQ
+from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
+
+def plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return SQ.all_queries()
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir, queries):
+    p = plan(queries["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "partial_sum" in p  # map-side combine: shuffle O(groups), not O(rows)
+    # column pruning: only the 7 needed columns reach the scan
+    assert "l_orderkey" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_j8_all_broadcast_no_shuffle(spark, sf_dir, queries):
+    p = plan(queries["j8_two_step_join"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    # the fact table never moves: no hash-partition exchange at all
+    assert "hashpartitioning" not in p
+    # literal dim predicate reached the nation scan
+    assert "EqualTo(n_regionkey,2)" in p
+
+
+def test_s5_latest_snapshot_broadcasts_the_max(spark, sf_dir, queries):
+    p = plan(queries["s5_latest_snapshot"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # the only SinglePartition exchange is the 1-row global max agg
+    assert p.count("SinglePartition") == 1
+
+
+def test_w3_rank_limit_pushdown(spark, sf_dir, queries):
+    p = plan(queries["w3_top_parts_per_brand"](spark, sf_dir))
+    # Partial WindowGroupLimit = each map task pre-prunes to k rows
+    # per group BEFORE the exchange → shuffle O(groups·k)
+    assert "WindowGroupLimit" in p and "Partial" in p
+
+
+def test_w4_global_rank_never_single_partitions_data(spark, sf_dir, queries):
+    p = plan(queries["w4_global_order_rank"](spark, sf_dir))
+    assert "rangepartitioning" in p
+    assert "SinglePartition" not in p
+    # offsets come back as a broadcast join, not a window
+    assert "BroadcastHashJoin" in p
+    naive = SQ.T(spark, sf_dir, "orders")
+    naive_plan = plan(
+        naive.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                    F.desc("o_totalprice")
+                )
+            ),
+        )
+    )
+    assert "SinglePartition" in naive_plan  # what we're avoiding
+
+
+def test_u3_tier3_is_take_ordered(spark, sf_dir, queries):
+    p = plan(queries["u3_tiered_union"](spark, sf_dir))
+    # global top-10 compiles to TakeOrderedAndProject (per-partition
+    # heap + driver merge), never a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q3_topk_is_take_ordered(spark, sf_dir, queries):
+    p = plan(queries["q3_top_revenue_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "c_mktsegment" in p and "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_global_row_number_scales_partitions(spark):
+    df = spark.range(10_000).withColumn("k", F.col("id") % 100)
+    out = global_row_number(df, [F.asc("k"), F.asc("id")], num_partitions=16)
+    assert out.rdd.getNumPartitions() >= 8  # result stays distributed
+
+
+def test_text_ops_stay_in_codegen(spark, sf_dir, queries):
+    # no BatchEvalPython / row-at-a-time UDF in the text pipeline
+    for q in ("text_quality", "token_stats", "doc_fingerprint", "lang_id"):
+        p = plan(queries[q](spark, sf_dir))
+        assert "BatchEvalPython" not in p, q
+        # '*'-prefixed nodes are inside a WholeStageCodegen stage
+        assert "* ColumnarToRow" in p or "* Project" in p, q
+
+
+def test_multimodal_is_arrow_batched(spark, sf_dir, queries):
+    p = plan(queries["multimodal_features"](spark, sf_dir))
+    # mapInPandas → Arrow-batched MapInPandas node, not per-row Python
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
