@@ -37,6 +37,7 @@ HEADLINE = [
     "j1_left_enrich",
     "j7_join_literal_pred",
     "a10_ratio_of_sums",
+    "sgp_factor_chain",
     "j8_two_step_join",
     "u3_tiered_union",
     "dedup_exact",

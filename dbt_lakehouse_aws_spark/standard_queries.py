@@ -1080,6 +1080,130 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SGP_STANDINGS_SQL = """
+      SELECT l_returnflag AS _filename,
+             l_linestatus AS league,
+             CAST(l_suppkey AS VARCHAR) AS team,
+             ROUND(SUM(l_extendedprice) / 100000, 4) AS points,
+             SUM(l_quantity) AS r,
+             COUNT(*) AS hr,
+             SUM(l_linenumber) AS rbi,
+             MIN(l_partkey) AS sb,
+             MAX(l_partkey) AS ab,
+             MIN(l_orderkey) AS h,
+             MAX(l_orderkey) AS k,
+             FLOOR(AVG(l_partkey)) AS w,
+             FLOOR(AVG(l_orderkey)) AS s,
+             ROUND(SUM(l_quantity) / 7, 4) AS ip,
+             FLOOR(AVG(l_linenumber) * 10) AS er,
+             FLOOR(AVG(l_quantity) * 100) AS bb,
+             MIN(l_linenumber) AS ha,
+             ROUND(AVG(l_discount), 6) AS avg,
+             ROUND(AVG(l_tax), 6) AS era,
+             ROUND(AVG(l_extendedprice) / 10000, 6) AS whip
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus, l_suppkey
+"""
+
+_SGP_CATS_SQL = [
+    ("R", "r", "DESC"), ("HR", "hr", "DESC"), ("RBI", "rbi", "DESC"),
+    ("SB", "sb", "DESC"), ("AVG", "avg", "DESC"), ("K", "k", "DESC"),
+    ("W", "w", "DESC"), ("S", "s", "DESC"), ("ERA", "era", "ASC"),
+    ("WHIP", "whip", "ASC"),
+]
+
+_SGP_ORACLE = f"""
+    WITH standings AS ({_SGP_STANDINGS_SQL}),
+    ranked AS (
+      SELECT _filename, league,
+             {", ".join(f"CAST({c} AS DOUBLE) AS {c}" for _, c, _d in _SGP_CATS_SQL)},
+             {", ".join(
+                 f"row_number() OVER (PARTITION BY _filename, league"
+                 f" ORDER BY CAST({c} AS {'DOUBLE' if c in ('avg','era','whip','ip') else 'INT'}) {d},"
+                 f" team ASC) AS rank_{c}"
+                 for _, c, d in _SGP_CATS_SQL)}
+      FROM standings
+    ),
+    unpiv AS (
+      {" UNION ALL ".join(
+          f"SELECT _filename, league, '{u}' AS category, rank_{c} AS rank,"
+          f" CAST({c} AS DOUBLE) AS value FROM ranked"
+          for u, c, _d in _SGP_CATS_SQL)}
+    ),
+    agg AS (
+      SELECT _filename, category, rank, avg(value) AS value
+      FROM unpiv WHERE rank BETWEEN 3 AND 10
+      GROUP BY _filename, category, rank
+    ),
+    pts AS (
+      SELECT _filename, category, 13 - rank AS points, value FROM agg
+    ),
+    stats AS (
+      SELECT _filename, category,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(points) AS sx, SUM(value) AS sy,
+             SUM(points * value) AS sxy, SUM(points * points) AS sxx
+      FROM pts GROUP BY _filename, category
+    ),
+    slopes AS (
+      SELECT _filename, category,
+             (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) AS sgp_value
+      FROM stats
+    )
+    SELECT _filename,
+           {", ".join(
+               f"ROUND(MAX(CASE WHEN category = '{u}' THEN sgp_value END), 5) AS sgp_{c}"
+               for u, c, _d in _SGP_CATS_SQL)}
+    FROM slopes GROUP BY _filename
+"""
+
+
+@register("sgp_factor_chain", _SGP_ORACLE)
+def sgp_factor_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's standings→factors chain (W2 + U2 + A4 + A3 +
+    A7) run through the REAL pipeline model functions
+    (sgp/models.py: stg_ranked_standings → stg_sgp_inputs →
+    stg_sgp_factors → mart_sgp_factors) over a standings frame
+    derived from lineitem — the driver-checked end-to-end proof of
+    the SGP factor math.
+
+    Integer-cast categories derive only from integral aggregates
+    (sums/extrema of whole-number columns are exact in float64, so
+    floor/cast is order-independent and engine-portable).
+    """
+    from dbt_lakehouse_aws_spark.sgp import models as M
+
+    l = T(spark, sf_dir, "lineitem")
+    std = l.groupBy(
+        F.col("l_returnflag").alias("_filename"),
+        F.col("l_linestatus").alias("league"),
+        F.col("l_suppkey").cast("string").alias("team"),
+    ).agg(
+        F.round(F.sum("l_extendedprice") / 100000, 4).alias("points"),
+        F.sum("l_quantity").alias("r"),
+        F.count(F.lit(1)).alias("hr"),
+        F.sum("l_linenumber").alias("rbi"),
+        F.min("l_partkey").alias("sb"),
+        F.max("l_partkey").alias("ab"),
+        F.min("l_orderkey").alias("h"),
+        F.max("l_orderkey").alias("k"),
+        F.floor(F.avg("l_partkey")).alias("w"),
+        F.floor(F.avg("l_orderkey")).alias("s"),
+        F.round(F.sum("l_quantity") / 7, 4).alias("ip"),
+        F.floor(F.avg("l_linenumber") * 10).alias("er"),
+        F.floor(F.avg("l_quantity") * 100).alias("bb"),
+        F.min("l_linenumber").alias("ha"),
+        F.round(F.avg("l_discount"), 6).alias("avg"),
+        F.round(F.avg("l_tax"), 6).alias("era"),
+        F.round(F.avg("l_extendedprice") / 10000, 6).alias("whip"),
+    )
+    factors = M.mart_sgp_factors(M.stg_sgp_factors(M.stg_sgp_inputs(M.stg_ranked_standings(std))))
+    return factors.select(
+        "_filename",
+        *[F.round(f"sgp_{c}", 5).alias(f"sgp_{c}") for c in M.CATEGORIES],
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
