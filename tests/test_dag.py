@@ -1,0 +1,88 @@
+"""ModelGraph DAG runner + TableCatalog sink (SURVEY §3.1 / S8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_lakehouse_aws_spark.plans.graph import ModelGraph
+from dbt_lakehouse_aws_spark.sources.catalog import TableCatalog
+
+
+def _graph(spark):
+    g = ModelGraph()
+    g.add_source("raw", spark.createDataFrame([(1, 2.0), (2, 4.0)], "id int, v double"))
+
+    @g.model(name="stage")
+    def stage(raw):
+        return raw.withColumn("v2", F.col("v") * 2)
+
+    @g.model(name="mart")
+    def mart(stage):
+        return stage.agg(F.sum("v2").alias("total"))
+
+    # a second consumer of `stage` → fan_out=2 → cache candidate
+    @g.model(name="mart2")
+    def mart2(stage):
+        return stage.agg(F.max("v2").alias("mx"))
+
+    return g
+
+
+def test_topo_order_and_fanout(spark):
+    g = _graph(spark)
+    order = g.topo_order()
+    assert order.index("raw") < order.index("stage") < order.index("mart")
+    assert g.fan_out()["stage"] == 2
+
+
+def test_run_lazy(spark):
+    out = _graph(spark).run()
+    assert out["mart"].collect()[0]["total"] == 12.0
+    assert out["mart2"].collect()[0]["mx"] == 8.0
+
+
+def test_run_materialize_table(spark, tmp_path):
+    out = _graph(spark).run(materialize="table", warehouse_dir=str(tmp_path))
+    assert out["mart"].collect()[0]["total"] == 12.0
+    # intermediate models exist as parquet artifacts (every-model-a-table)
+    assert (tmp_path / "stage").exists()
+    assert (tmp_path / "mart").exists()
+
+
+def test_unresolved_ref_raises(spark):
+    g = ModelGraph()
+
+    @g.model(name="orphan")
+    def orphan(missing_dep):
+        return None
+
+    with pytest.raises(KeyError, match="missing_dep"):
+        g.run()
+
+
+def test_cycle_raises(spark):
+    g = ModelGraph()
+
+    @g.model(name="a")
+    def a(b):
+        return b
+
+    @g.model(name="b")
+    def b(a):
+        return a
+
+    with pytest.raises(Exception):  # graphlib CycleError
+        g.run()
+
+
+def test_table_catalog_schemas(spark, tmp_path):
+    cat = TableCatalog(spark, warehouse_dir=str(tmp_path))
+    df = spark.createDataFrame([(1, "x")], "id int, s string")
+    cat.put("stage", "players", df, materialize=True)
+    assert "stage.players" in cat
+    got = cat.get("stage", "players")
+    assert got.collect()[0]["s"] == "x"
+    assert (tmp_path / "stage" / "players").exists()
+    # registered as a sql-reachable view
+    assert spark.sql("select count(*) c from stage__players").collect()[0]["c"] == 1
