@@ -49,10 +49,17 @@ def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFram
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) pairs, distinct per document."""
-    return (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
-        .distinct()
+    """(id, shingle) pairs, distinct per document.
+
+    Dedup happens with ``array_distinct`` BEFORE the explode: within-
+    document uniqueness is a per-row property, so a map-side array op
+    replaces what a post-explode ``.distinct()`` would do with a full
+    (id, shingle) shuffle — at 100 TB that's the difference between
+    zero and one extra shuffle of the entire shingle stream.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
     )
 
 
