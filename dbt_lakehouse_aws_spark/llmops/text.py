@@ -63,12 +63,16 @@ def poly_hash(text: str | Column = "text") -> Column:
     """
     t = F.col(text) if isinstance(text, str) else text
     mults = F.array(*[F.lit(m).cast("long") for m in POLY_MULTIPLIERS])
-    return F.aggregate(
-        F.sequence(F.lit(1), F.length(t)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.ascii(F.substring(t, i, F.lit(1))).cast("long")
-        * F.element_at(mults, ((i - F.lit(1)) % 8) + 1),
+    # NB: sequence(1, 0) is DESCENDING [1, 0], not empty — the empty
+    # string must be special-cased or the fold visits bogus positions.
+    return F.when(F.length(t) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), F.length(t)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.ascii(F.substring(t, i, F.lit(1))).cast("long")
+            * F.element_at(mults, ((i - F.lit(1)) % 8) + 1),
+        )
     )
 
 

@@ -141,3 +141,54 @@ def test_percentiles_sign_flip(results, fixture_root):
     assert oc.loc["R", "p90"] > oc.loc["R", "p80"]
     assert oc.loc["ERA", "p90"] < oc.loc["ERA", "p80"]
     assert oc.loc["ERA", "p80"] > 0  # sign restored after the flip
+
+
+def test_fifties_league_parameterization(spark, fixture_root, expected):
+    """The same pipeline code under the 50s LeagueConfig must produce
+    the 50s-file factors and ADP join — the reference's duplicated
+    model pair collapsed into parameters (SURVEY §7.1)."""
+    from dbt_lakehouse_aws_spark.sgp.config import FIFTIES
+
+    r = str(fixture_root)
+    sources = {
+        "standings": read_csv_source(spark, f"{r}/nfbc_standings"),
+        "players": latest_snapshot(read_csv_source(spark, f"{r}/nfbc_players")),
+        "id_map": read_csv_source(spark, f"{r}/player_id_map", add_path_metadata=False),
+        "fg_hitting": latest_snapshot(
+            read_csv_source(spark, f"{r}/fangraphs_projections_preseason_hitting")
+        ),
+        "fg_pitching": latest_snapshot(
+            read_csv_source(spark, f"{r}/fangraphs_projections_preseason_pitching")
+        ),
+        "razzball_hitting": latest_snapshot(
+            read_csv_source(spark, f"{r}/razzball_projections_preseason_hitting")
+        ),
+        "razzball_pitching": latest_snapshot(
+            read_csv_source(spark, f"{r}/razzball_projections_preseason_pitching")
+        ),
+        "adp": latest_per_group(
+            read_csv_source(spark, f"{r}/nfbc_adp", sep="\t"), ("_filename",)
+        ),
+        "rosters": latest_snapshot(read_csv_source(spark, f"{r}/fangraphs_rosters")),
+    }
+    out = run_pipeline(FIFTIES, sources, materialize="cache")
+    mart = out["overall_rankings"].toPandas()
+
+    src = sgp_oracle.load_sources(fixture_root)
+    ids = sgp_oracle.ids_frame(src["players"], src["id_map"])
+    factors = sgp_oracle.factor_table(src["standings"])
+    hit = sgp_oracle.hitting_values(src, ids, factors, FIFTIES)
+    pitch = sgp_oracle.pitching_values(src, ids, factors, FIFTIES)
+    want = sgp_oracle.overall_rankings(src, ids, hit, pitch, FIFTIES)
+
+    g = mart.set_index("id").sort_index()
+    w = want.set_index("id").sort_index()
+    assert len(g) == len(w)
+    assert (g["rank"] == w["rank"]).all()
+    assert np.allclose(g["value"], w["value"], rtol=1e-9)
+    # the 50s config picked the Fifties ADP file, not OC's
+    assert g["adp"].isna().equals(w["adp"].isna())
+    # and differs from the OC run for at least some players
+    oc_mart = expected["mart"].set_index("id")
+    joined = g[["value"]].join(oc_mart[["value"]], rsuffix="_oc", how="inner")
+    assert (joined["value"] != joined["value_oc"]).any()
