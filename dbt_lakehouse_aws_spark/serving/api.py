@@ -211,3 +211,58 @@ def undrafted_pool(df: DataFrame, board: DraftBoard, id_col: str = "id") -> Data
     if not drafted:
         return df
     return df.filter(~F.col(id_col).isin(drafted))
+
+
+def simulate_draft_pick(
+    df: DataFrame,
+    board: DraftBoard,
+    *,
+    current_pick: int,
+    rng=None,
+    id_col: str = "id",
+    name_col: str = "name",
+):
+    """One mock-draft pick (app/app.py:715-799): filter the undrafted
+    ADP pool, score pick probabilities engine-side, then make the
+    single weighted draw driver-side (as the reference does — the
+    draw itself is O(pool), not a distributed op).
+
+    Returns the drafted (player_id, player_name), or None if the
+    pool is empty. Pass a seeded ``numpy.random.Generator`` for
+    reproducible drafts.
+    """
+    import numpy as np
+
+    if rng is None:
+        rng = np.random.default_rng()
+    pool = apply_filters(undrafted_pool(df, board, id_col), require_adp=True)
+    scored = pick_probabilities(pool, current_pick=current_pick)
+    rows = scored.select(id_col, name_col, "pick_prob").collect()
+    if not rows:
+        return None
+    probs = np.array([r["pick_prob"] for r in rows], dtype=float)
+    if probs.sum() <= 0:
+        return None
+    probs = probs / probs.sum()
+    chosen = rows[int(rng.choice(len(rows), p=probs))]
+    board.put(chosen[id_col], chosen[name_col])
+    return chosen[id_col], chosen[name_col]
+
+
+def simulate_draft(
+    df: DataFrame,
+    *,
+    n_picks: int,
+    seed: int = 0,
+    start_pick: int = 1,
+    board: DraftBoard | None = None,
+) -> DraftBoard:
+    """Run ``n_picks`` sequential mock picks; returns the board."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    board = board or DraftBoard()
+    for i in range(n_picks):
+        if simulate_draft_pick(df, board, current_pick=start_pick + i, rng=rng) is None:
+            break
+    return board

@@ -58,6 +58,11 @@ def get_spark(app_name: str = "dbt-lakehouse-aws-spark", *, master: str | None =
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # session timezone pinned so timestamp semantics match the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
+        # catalog tables (incl. bucketed) land outside the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         # quieter local runs
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

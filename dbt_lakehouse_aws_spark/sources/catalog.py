@@ -72,8 +72,26 @@ class TableCatalog:
         *,
         materialize: bool = False,
         partition_by: list[str] | None = None,
+        bucket_by: list[str] | None = None,
+        num_buckets: int = 16,
     ) -> DataFrame:
         key = self._qualify(schema, name)
+        if bucket_by:
+            # bucketed catalog table: co-locates rows by key hash at
+            # write time, so later equi-joins/aggs on the bucket key
+            # read pre-partitioned data and skip the shuffle entirely
+            # (the lever that replaces shuffle with layout at 100 TB).
+            table = f"{schema}__{name}" if schema else name
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(num_buckets, *bucket_by)
+                .sortBy(*bucket_by)
+                .saveAsTable(table)
+            )
+            df = self.spark.table(table)
+            self._tables[key] = df
+            return df
         if materialize:
             if not self.warehouse_dir:
                 raise ValueError("materialize=True requires a warehouse_dir")

@@ -86,3 +86,32 @@ def test_table_catalog_schemas(spark, tmp_path):
     assert (tmp_path / "stage" / "players").exists()
     # registered as a sql-reachable view
     assert spark.sql("select count(*) c from stage__players").collect()[0]["c"] == 1
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables co-bucketed on the join key must join with NO
+    exchange — the layout replaces the shuffle (SURVEY §4 /
+    'bucketing for co-located joins')."""
+    import uuid
+
+    cat = TableCatalog(spark)
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    )
+    right = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("b")
+    )
+    lt = cat.put("bk", f"left_{uuid.uuid4().hex[:6]}", left, bucket_by=["k"], num_buckets=8)
+    rt = cat.put("bk", f"right_{uuid.uuid4().hex[:6]}", right, bucket_by=["k"], num_buckets=8)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-BHJ
+    try:
+        joined = lt.join(rt, "k")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing replaced both shuffles
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

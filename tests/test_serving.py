@@ -123,3 +123,15 @@ def test_draft_board_semi_join(board_df):
     assert undrafted_pool(board_df, board).count() == 4
     assert board.get("1")["player_name"] == "Mike Trout"
     assert len(board.scan()) == 1
+
+
+def test_simulate_draft_deterministic_and_adp_biased(board_df):
+    from dbt_lakehouse_aws_spark.serving.api import simulate_draft
+
+    b1 = simulate_draft(board_df, n_picks=3, seed=42)
+    b2 = simulate_draft(board_df, n_picks=3, seed=42)
+    assert [i["player_id"] for i in b1.scan()] == [i["player_id"] for i in b2.scan()]
+    assert len(b1.drafted_ids()) == 3
+    # early picks should come from the low-ADP players (adp 1.5-4.0),
+    # not the adp-40 closer
+    assert "5" not in set(b1.drafted_ids())
