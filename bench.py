@@ -46,6 +46,7 @@ HEADLINE = [
     "token_stats",
     "minhash_lsh_pairs",
     "cosine_topk",
+    "cosine_topk_arrow",
     "emb_near_dup_pairs",
 ]
 

@@ -40,6 +40,13 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def safe_norm(v: Column) -> Column:
+    """|v|, as NULL for the zero vector — cosine with a zero vector is
+    undefined, and under ANSI mode (Spark 4 default) an unguarded
+    /0 would fail the whole job instead of nulling one pair."""
+    return F.nullif(F.sqrt(dot(v, v)), F.lit(0.0))
+
+
 def embedding_norms(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     v = _as_double(vec_col)
     return df.select(F.col(id_col), F.sqrt(dot(v, v)).alias("norm"))
@@ -65,12 +72,12 @@ def cosine_topk(
     # norms precomputed per row (not per pair): |Q|·N pairs share them
     v = _as_double(vec_col)
     corpus = df.select(
-        F.col(id_col).alias("neighbor_id"), v.alias("v_n"), F.sqrt(dot(v, v)).alias("norm_n")
+        F.col(id_col).alias("neighbor_id"), v.alias("v_n"), safe_norm(v).alias("norm_n")
     )
     if query_df is None:
         query_df = df.filter(F.col(id_col).isin(list(query_ids)))
     queries = query_df.select(
-        F.col(id_col).alias("query_id"), v.alias("v_q"), F.sqrt(dot(v, v)).alias("norm_q")
+        F.col(id_col).alias("query_id"), v.alias("v_q"), safe_norm(v).alias("norm_q")
     )
 
     # broadcast the small query side; corpus streams map-side only
@@ -140,7 +147,7 @@ def ann_search_lsh(
 
     buckets = rp_lsh_buckets(df, id_col=id_col, vec_col=vec_col, num_bits=num_bits, dim=dim)
     v = _as_double(vec_col)
-    with_b = df.join(buckets, id_col).withColumn("_norm", F.sqrt(dot(v, v)))
+    with_b = df.join(buckets, id_col).withColumn("_norm", safe_norm(v))
     queries = with_b.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), v.alias("v_q"), F.col("_norm").alias("norm_q"), F.col("bucket")
     )
@@ -247,7 +254,7 @@ def ann_search_ivf(
 
     v = _as_double(vec_col)
     assigned = ivf_assign(df, cents, vec_col=vec_col).withColumn(
-        "_norm", F.sqrt(dot(v, v))
+        "_norm", safe_norm(v)
     )
 
     # probe set per query: nprobe nearest centroids (driver-side — the
@@ -284,6 +291,76 @@ def ann_search_ivf(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
+    )
+
+
+def cosine_topk_arrow(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine, Arrow/numpy path.
+
+    Same semantics as :func:`cosine_topk`, different physical plan:
+    the (small) query matrix is closed over by a ``mapInPandas``
+    that scores EVERY corpus batch against ALL queries with one
+    numpy matmul and emits only each batch's local top-k per query —
+    a per-partition pre-prune, so the final window sees
+    O(partitions·|Q|·k) rows instead of O(N·|Q|).
+
+    Higher-order array expressions (the `cosine_topk` path) are
+    interpreted per element; BLAS matmul over Arrow batches is the
+    faster hot path once N·|Q|·d dominates fixed overhead. Cosines
+    agree with the expression path to float64 round-off (summation
+    order differs), hence rounding to 6dp.
+    """
+    from collections.abc import Iterator
+
+    from pyspark.sql import Window
+
+    qrows = (
+        df.filter(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("v"))
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in qrows])
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ qmat.T  # (batch, |Q|)
+            nids = pdf[id_col].to_numpy()
+            parts = []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                mask = nids != qid
+                cand_ids, cand_sims = nids[mask], col[mask]
+                top = np.argsort(-cand_sims)[: k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[top],
+                            "cosine": np.round(cand_sims[top], 6),
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    local = df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
     )

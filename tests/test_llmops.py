@@ -169,3 +169,38 @@ def test_ivf_ann_recall(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, recall
+
+
+def test_cosine_arrow_agrees_with_expression_path(spark):
+    """The Arrow/matmul scale path must return the same neighbors
+    (and cosines to 1e-6) as the expression path."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import cosine_topk, cosine_topk_arrow
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=12).tolist()) for i in range(1, 120)],
+        "vec_id long, embedding array<double>",
+    )
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+         for r in cosine_topk(df, range(1, 6), k=4).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+         for r in cosine_topk_arrow(df, range(1, 6), k=4).collect()}
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key][0] == b[key][0], key
+        assert a[key][1] == pytest.approx(b[key][1], abs=2e-6)
+
+
+def test_cosine_handles_zero_vector_under_ansi(spark):
+    """A zero-norm embedding must yield NULL cosine, not a job-killing
+    ANSI divide-by-zero."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = cosine_topk(df, [1], k=5).collect()
+    got = {r["neighbor_id"]: (r["cosine"], r["rank"]) for r in rows}
+    assert got[3][0] is not None and got[3][1] == 1
+    assert got[2][0] is None  # zero vector → NULL cosine, ranked last
