@@ -125,3 +125,12 @@ def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         cond = F.col(f"score_{lang}") == best
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
     return out.withColumn("pred_lang", pred)
+
+
+def fast_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Scale-path document fingerprint: one ``xxhash64`` per doc —
+    a single codegen'd JVM hash call, vs :func:`poly_hash`'s
+    per-character fold (which exists for cross-engine oracle
+    portability, not speed). Use this one in production dedup keys.
+    """
+    return df.withColumn(out, F.xxhash64(F.col(text_col)))

@@ -85,10 +85,23 @@ class ModelGraph:
         }
         if missing:
             raise KeyError(f"unresolved refs: {sorted(missing)}")
+        needed: set[str] | None = None
+        if only is not None:
+            # transitive closure of dependencies: run exactly the
+            # requested models and their ancestors (dbt --select
+            # semantics), skipping every other subtree entirely
+            needed = set()
+            frontier = set(only)
+            while frontier:
+                node = frontier.pop()
+                if node in needed:
+                    continue
+                needed.add(node)
+                frontier.update(self._deps.get(node, ()))
         fan = self.fan_out()
         out: dict[str, DataFrame] = {}
         for name in self.topo_order():
-            if only is not None and name not in only and fan[name] == 0:
+            if needed is not None and name not in needed:
                 continue
             df = self._models[name](*[out[d] for d in self._deps[name]])
             if materialize == "table" and warehouse_dir and self._deps[name]:

@@ -115,3 +115,26 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         assert joined.count() == 10_000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_run_only_prunes_unneeded_subtrees(spark):
+    g = ModelGraph()
+    g.add_source("raw", spark.createDataFrame([(1,)], "id int"))
+    ran = []
+
+    def track(name, fn):
+        import functools
+
+        @functools.wraps(fn)  # keep the inner signature → deps resolve
+        def wrapped(*dfs):
+            ran.append(name)
+            return fn(*dfs)
+        return wrapped
+
+    g.model(track("stage", lambda raw: raw), name="stage")
+    g.model(track("mart", lambda stage: stage), name="mart")
+    g.model(track("other", lambda raw: raw), name="other")
+
+    out = g.run(only={"mart"})
+    assert "mart" in out and "stage" in ran
+    assert "other" not in ran  # unrelated subtree never executed

@@ -204,3 +204,10 @@ def test_cosine_handles_zero_vector_under_ansi(spark):
     got = {r["neighbor_id"]: (r["cosine"], r["rank"]) for r in rows}
     assert got[3][0] is not None and got[3][1] == 1
     assert got[2][0] is None  # zero vector → NULL cosine, ranked last
+
+
+def test_fast_fingerprint(spark, docs):
+    from dbt_lakehouse_aws_spark.llmops.text import fast_fingerprint
+
+    out = {r["doc_id"]: r["fingerprint"] for r in fast_fingerprint(docs).collect()}
+    assert out[1] == out[4] and out[1] != out[3]

@@ -115,3 +115,21 @@ def test_multimodal_is_arrow_batched(spark, sf_dir, queries):
     # mapInPandas → Arrow-batched MapInPandas node, not per-row Python
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + date predicate → Catalyst reads only
+    matching directories (PartitionFilters), the physical realization
+    of the reference's year=/month=/day= logical partitioning."""
+    from dbt_lakehouse_aws_spark import standard_queries as SQ
+    from dbt_lakehouse_aws_spark.sources.catalog import TableCatalog
+
+    ev = SQ.T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    cat = TableCatalog(spark, warehouse_dir=str(tmp_path))
+    stored = cat.put("source", "events_by_day", ev, materialize=True,
+                     partition_by=["day"])
+    one_day = ev.select(F.max("day")).collect()[0][0]
+    q = stored.filter(F.col("day") == F.lit(one_day)).select("event_id", "value")
+    p = plan(q)
+    assert "PartitionFilters" in p and "isnotnull(day" in p
+    assert q.count() > 0
