@@ -285,3 +285,79 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS: each node
+    labeled with the min id reachable from it (its component).
+
+    Iterative min-label propagation over the undirected edge list —
+    the step LSH pipelines need between "candidate pairs" and "keep
+    one survivor per group" (A near B near C must collapse to ONE
+    group even though (A, C) was never a candidate pair).
+
+    Each iteration is one join + one groupBy (label ← min of own and
+    neighbors' labels) with a driver-side convergence check on the
+    count of changed labels; components with diameter d converge in
+    ≤ ⌈log2 d⌉+1 iterations of doubling... conservatively bounded by
+    ``max_iterations`` linear rounds. Frames are localCheckpoint()ed
+    per round so the lineage (and its re-execution cost) stays flat
+    — the standard Spark iterative-algorithm pattern.
+
+    Returns (node, component) for every node appearing in ``pairs``.
+    Not SQL-expressible without recursive CTEs → rows-only oracle.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    edges = edges.localCheckpoint()
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("_nbr"), F.col("component")) < F.col("component")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("_chg")).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Drop every near-duplicate except the min-id member of each
+    connected component; singletons (no pair) pass through."""
+    comps = connected_components(pairs, a_col=a_col, b_col=b_col)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

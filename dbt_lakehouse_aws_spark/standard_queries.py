@@ -835,6 +835,20 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search_lsh(e, query_ids=range(10), k=5, num_bits=6)
 
 
+@register("minhash_dedup_survivors", None)  # iterative algorithm; rows-only
+def minhash_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LLM-dedup resolution chain: MinHash signatures → banded
+    LSH candidate pairs → connected components (iterative min-label
+    propagation — NOT SQL-expressible without recursive CTEs) →
+    min-id survivor per duplicate group (llmops/dedup.py)."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import dedup_survivors
+
+    d = T(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, num_bands=8, est_threshold=0.5)
+    return dedup_survivors(d, pairs).select("doc_id", "lang", "source")
+
+
 @register("cosine_topk_arrow", None)  # float-summation-order differs; rows-only
 def cosine_topk_arrow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy exact top-k — same semantics as cosine_topk,

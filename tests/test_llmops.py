@@ -211,3 +211,24 @@ def test_fast_fingerprint(spark, docs):
 
     out = {r["doc_id"]: r["fingerprint"] for r in fast_fingerprint(docs).collect()}
     assert out[1] == out[4] and out[1] != out[3]
+
+
+def test_connected_components_transitive_groups(spark):
+    """A-B and B-C pairs (never A-C) must still form one group."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import connected_components, dedup_survivors
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    comps = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[10] == comps[11] == 10
+    assert comps[20] == comps[21] == comps[22] == comps[23] == 20
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_survivors(docs, pairs).collect()}
+    assert kept == {1, 10, 20, 99}  # min of each group + untouched singleton
