@@ -135,3 +135,22 @@ def test_simulate_draft_deterministic_and_adp_biased(board_df):
     # early picks should come from the low-ADP players (adp 1.5-4.0),
     # not the adp-40 closer
     assert "5" not in set(b1.drafted_ids())
+
+
+def test_cli_run_and_serve(spark, tmp_path):
+    """`run` builds marts from the raw tree; `serve` queries them —
+    the end-to-end user workflow (dbt build + app, SURVEY §3)."""
+    from tests import sgp_fixtures
+    from dbt_lakehouse_aws_spark.cli import main
+
+    raw = tmp_path / "raw"
+    marts = tmp_path / "marts"
+    sgp_fixtures.gen_all(raw)
+    rc = main(["run", "--raw-dir", str(raw), "--out-dir", str(marts), "--league", "oc"])
+    assert rc == 0
+    out = spark.read.parquet(str(marts / "oc" / "overall_rankings"))
+    assert out.count() > 100
+    assert {"rank", "value", "adp"} <= set(out.columns)
+    rc = main(["serve", "--marts-dir", str(marts), "--league", "oc",
+               "--limit", "5", "--search", "First1"])
+    assert rc == 0
