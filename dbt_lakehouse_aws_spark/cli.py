@@ -67,7 +67,7 @@ def cmd_run(args) -> int:
     spark = get_spark("sgp-run")
     cfg = LEAGUES[args.league]
     sources = load_raw_sources(spark, args.raw_dir)
-    out = run_pipeline(cfg, sources, materialize=args.materialize or "cache")
+    out = run_pipeline(cfg, sources, materialize=args.materialize or "checkpoint")
     for mart in MART_OUTPUTS:
         path = f"{args.out_dir}/{args.league}/{mart}"
         out[mart].write.mode("overwrite").parquet(path)
@@ -101,7 +101,9 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--raw-dir", required=True)
     runp.add_argument("--out-dir", required=True)
     runp.add_argument("--league", choices=("oc", "50s"), default="oc")
-    runp.add_argument("--materialize", choices=("cache", "table"), default=None)
+    runp.add_argument(
+        "--materialize", choices=("checkpoint", "cache", "table"), default=None
+    )
     runp.set_defaults(fn=cmd_run)
 
     servep = sub.add_parser("serve", help="query the rankings mart")

@@ -15,6 +15,15 @@ Materialization is pluggable per run:
   parquet round-trips between layers.
 * ``materialize="cache"`` — ``.persist()`` each multi-consumer node
   (fan_out > 1), the intra-job analogue of dbt's table-per-model.
+  Downstream plans still carry the full textual lineage, so Catalyst
+  re-optimizes a combinatorially growing tree on deep DAGs.
+* ``materialize="checkpoint"`` — ``localCheckpoint(eager=False)``
+  each multi-consumer node: like cache, but also TRUNCATES lineage,
+  keeping downstream logical plans flat. Measured 2-3× faster
+  end-to-end on the 20-model SGP DAG (planning-bound at small data).
+  Caveat: localCheckpoint is not replayable after executor loss — on
+  a long-lived cluster job prefer a reliable ``checkpoint()`` dir or
+  ``materialize="table"``.
 * ``materialize="table"`` — write each model to parquet under
   ``warehouse_dir`` and read it back: the reference's exact
   semantics (every model a table), useful when lineage re-use
@@ -110,5 +119,7 @@ class ModelGraph:
                 df = df.sparkSession.read.parquet(path)
             elif materialize == "cache" and fan[name] > 1:
                 df = df.persist()
+            elif materialize == "checkpoint" and fan[name] > 1 and self._deps[name]:
+                df = df.localCheckpoint(eager=False)
             out[name] = df
         return out

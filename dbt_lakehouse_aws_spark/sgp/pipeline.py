@@ -124,6 +124,9 @@ def run_pipeline(
     cfg: LeagueConfig,
     sources: dict[str, DataFrame],
     *,
-    materialize: str | None = "cache",
+    materialize: str | None = "checkpoint",
 ) -> dict[str, DataFrame]:
+    """Default materialization is ``checkpoint``: on this 20-model DAG
+    the flat plans it keeps are 2-3× faster end-to-end than ``cache``
+    (PERF.md) while computing identical results."""
     return build_pipeline(cfg, sources).run(materialize=materialize)

@@ -51,7 +51,8 @@ def results(spark, fixture_root):
         ),
         "rosters": latest_snapshot(read_csv_source(spark, f"{r}/fangraphs_rosters")),
     }
-    return run_pipeline(OC, sources, materialize="cache")
+    # default (checkpoint) materialization — the 50s test covers "cache"
+    return run_pipeline(OC, sources)
 
 
 @pytest.fixture(scope="module")
