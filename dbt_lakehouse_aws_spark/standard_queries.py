@@ -835,6 +835,57 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search_lsh(e, query_ids=range(10), k=5, num_bits=6)
 
 
+@register(
+    "s2_path_metadata",
+    r"""
+    WITH paths AS (
+      SELECT event_id,
+             concat('s3://lake/events/year=', CAST(2020 + event_id % 5 AS VARCHAR),
+                    '/month=', CAST(1 + event_id % 12 AS VARCHAR),
+                    '/day=', CAST(1 + event_id % 28 AS VARCHAR),
+                    '/batch ', CAST(event_id % 7 AS VARCHAR), '.csv') AS p
+      FROM events
+    )
+    SELECT event_id,
+           regexp_extract(p, 'year=(\d{4})', 1) AS year,
+           regexp_extract(p, 'month=(\d{1,2})', 1) AS month,
+           regexp_extract(p, 'day=(\d{1,2})', 1) AS day,
+           concat(regexp_extract(p, 'year=(\d{4})', 1),
+                  regexp_extract(p, 'month=(\d{1,2})', 1),
+                  regexp_extract(p, 'day=(\d{1,2})', 1)) AS _ptkey,
+           str_split(p, '/')[-1] AS _filename
+    FROM paths
+    """,
+)
+def s2_path_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$path-derived metadata columns (S2/S3; reference src_*.sql:
+    8-14) hash-checked against DuckDB over a constructed path column
+    — the same with_path_metadata() used by the CSV source layer."""
+    from dbt_lakehouse_aws_spark.sources.reader import with_path_metadata
+
+    ev = T(spark, sf_dir, "events").select("event_id")
+    p = F.concat(
+        F.lit("s3://lake/events/year="), (2020 + F.col("event_id") % 5).cast("string"),
+        F.lit("/month="), (1 + F.col("event_id") % 12).cast("string"),
+        F.lit("/day="), (1 + F.col("event_id") % 28).cast("string"),
+        F.lit("/batch "), (F.col("event_id") % 7).cast("string"), F.lit(".csv"),
+    )
+    return with_path_metadata(ev.withColumn("p", p), path_col=F.col("p")).select(
+        "event_id", "year", "month", "day", "_ptkey", "_filename"
+    )
+
+
+@register("simhash_near_pairs", None)  # xxhash64-based; rows-only check
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-blocked SimHash near-dup pairs (llmops/dedup.py):
+    block the 63-bit fingerprint, join per block, verify true
+    Hamming distance — never an all-pairs compare."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import simhash_near_pairs
+
+    d = T(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=12)
+
+
 @register("minhash_dedup_survivors", None)  # iterative algorithm; rows-only
 def minhash_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full LLM-dedup resolution chain: MinHash signatures → banded
