@@ -1120,6 +1120,32 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_filter",
+    """
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text), 6) AS alpha_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, alpha_ratio
+    FROM feats
+    WHERE n_tokens BETWEEN 20 AND 80 AND alpha_ratio >= 0.815
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus quality gate: keep documents passing
+    length + symbol-ratio thresholds (the Gopher-rules shape) —
+    the text_quality features consumed as a filter, fully pushed
+    into one codegen projection + filter."""
+    d = text_quality(T(spark, sf_dir, "documents"))
+    return d.filter(
+        F.col("n_tokens").between(20, 80) & (F.col("alpha_ratio") >= 0.815)
+    ).select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"), "alpha_ratio")
+
+
+@register(
     "emb_near_dup_pairs",
     """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
