@@ -22,8 +22,13 @@ from pyspark.sql import SparkSession
 
 
 def _cpus() -> int:
+    """SPARK_GRAFT_CPUS if set to a positive int, else 0 (= fall back
+    to os.cpu_count()). NB: must return 0 when unset — clamping the
+    default to 1 here once silently pinned every session to local[1]
+    on a 32-core machine."""
     try:
-        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "0")))
+        v = int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
+        return v if v > 0 else 0
     except ValueError:
         return 0
 
