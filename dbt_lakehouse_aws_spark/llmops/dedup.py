@@ -123,11 +123,13 @@ def minhash_signatures(
     explode + one groupBy(id) — shuffle O(docs·shingles) once;
     signatures thereafter are ``num_hashes × 8`` bytes per doc.
     """
-    # NOTE(perf): an all-array-expression variant (transform +
-    # array_min, no explode) was measured 17× SLOWER at sf0.1 —
-    # higher-order array functions are interpreted per element,
-    # while explode + groupBy runs in whole-stage codegen with
-    # map-side partial aggregation. Keep the explode plan.
+    # NOTE(perf): a naive all-array variant (re-hashing shingles
+    # inside every per-hash transform) measured 17× slower per core;
+    # a well-factored one (hash once, then 32 affine array_min
+    # transforms) TIES this plan warm on local[32] while avoiding
+    # the shuffle entirely. We keep explode+groupBy: the map-side
+    # partial min makes its shuffle O(docs), and codegen'd explode
+    # beats interpreted higher-order funcs per CPU cycle.
     sh = shingle_table(df, id_col, text_col, n)
     base = _base_hash("shingle")
     hash_cols = []
