@@ -141,8 +141,17 @@ def ann_search_lsh(
     k: int = 5,
     num_bits: int = 8,
     dim: int = 64,
+    multi_probe: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: restrict cosine scoring to LSH bucket peers."""
+    """Approximate top-k: restrict cosine scoring to LSH bucket peers.
+
+    ``multi_probe=True`` also probes every bucket at Hamming
+    distance 1 from each query's bucket (flip one sign bit) — the
+    standard multi-probe LSH recall boost: near neighbors that fell
+    just across one hyperplane are recovered at the cost of
+    ``num_bits``× more (still tiny, query-side-only) probe keys.
+    The corpus side — the expensive side — is untouched.
+    """
     from pyspark.sql import Window
 
     buckets = rp_lsh_buckets(df, id_col=id_col, vec_col=vec_col, num_bits=num_bits, dim=dim)
@@ -151,6 +160,17 @@ def ann_search_lsh(
     queries = with_b.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), v.alias("v_q"), F.col("_norm").alias("norm_q"), F.col("bucket")
     )
+    if multi_probe:
+        probes = F.array_union(
+            F.array(F.col("bucket")),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bits - 1)),
+                # flip bit i (shiftleft needs an int literal, so 2^i
+                # comes from pow — exact in double for i < 53)
+                lambda i: F.col("bucket").bitwiseXOR(F.pow(F.lit(2.0), i).cast("long")),
+            ),
+        )
+        queries = queries.withColumn("bucket", F.explode(probes))
     corpus = with_b.select(
         F.col(id_col).alias("neighbor_id"), v.alias("v_n"), F.col("_norm").alias("norm_n"), F.col("bucket")
     )
@@ -159,6 +179,8 @@ def ann_search_lsh(
     )
     cos = dot(F.col("v_q"), F.col("v_n")) / (F.col("norm_q") * F.col("norm_n"))
     scored = joined.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    if multi_probe:  # a pair can match through several probe buckets
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))

@@ -122,3 +122,92 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the escape hatch for stream semantics
+    Spark's built-in windows can't express — a session ends only
+    when its user goes quiet for ``gap``).
+
+    State per user: {session start, last event ts, event count,
+    value sum}. Each micro-batch folds its (Arrow-batched) rows into
+    the state; a session is EMITTED when the event-time timeout
+    fires (watermark passed last_ts + gap), so results are final and
+    state is bounded — per-key state, not per-event, at any scale.
+
+    Batch DataFrames work too (one pass, every session emitted at
+    the end) — handy for tests and backfills.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp,"
+        " n_events long, total_value double"
+    )
+    state_schema = "start long, last long, n long, total double"
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(last, unit="ms")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        start = last = None
+        n, total = 0, 0.0
+        if state.exists:
+            start, last, n, total = state.get
+        closed = []
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        for ts, value in zip(rows[ts_col], rows["value"]):
+            ms = int(ts.value // 1_000_000)
+            if last is not None and ms - last > gap_ms:
+                closed.append((start, last, n, total))
+                start, last, n, total = ms, ms, 1, float(value)
+            else:
+                start = ms if start is None else start
+                last, n, total = ms, n + 1, total + float(value)
+        state.update((start, last, n, total))
+        state.setTimeoutTimestamp(last + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _, _ in closed],
+                    "n_events": [n for _, _, n, _ in closed],
+                    "total_value": [t for _, _, _, t in closed],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def _duration_ms(spec: str) -> int:
+    n, unit = spec.split()
+    factor = {"second": 1_000, "seconds": 1_000, "minute": 60_000,
+              "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000}[unit]
+    return int(n) * factor

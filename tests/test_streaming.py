@@ -85,3 +85,63 @@ def test_windowed_event_counts(spark, tmp_path):
     # the 10:00 click window is final (watermark passed): 2 events, 3.0
     assert got[("2025-01-01 10:00:00", "click")] == (2, 3.0)
     assert got[("2025-01-01 11:00:00", "view")] == (1, 5.0)
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """Gap-based sessions via applyInPandasWithState: in-batch gap
+    splits emit immediately; open sessions emit when the event-time
+    timeout fires after the watermark passes last_ts + gap."""
+    from dbt_lakehouse_aws_spark.streaming.ingest import sessionize
+
+    src = tmp_path / "sessions"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    header = "ts,user_id,value\n"
+    # batch 1: u1 two events (one session), u2 one event, u4 two
+    # events separated by > gap (first closes within the batch)
+    (src / "f1.csv").write_text(
+        header
+        + "2025-01-01 10:00:00,1,1.0\n"
+        + "2025-01-01 10:10:00,1,2.0\n"
+        + "2025-01-01 10:05:00,2,5.0\n"
+        + "2025-01-01 10:00:00,4,7.0\n"
+        + "2025-01-01 11:30:00,4,1.0\n"
+    )
+    # batches 2-3: clock-advancing events → watermark passes the
+    # open sessions' timeout, firing their emission
+    (src / "f2.csv").write_text(header + "2025-01-01 15:00:00,3,1.0\n")
+    (src / "f3.csv").write_text(header + "2025-01-01 16:00:00,3,1.0\n")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .csv(str(src))
+    )
+    sessions = sessionize(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from sessions_out").collect()
+    }
+    # u4's first session closed by the in-batch gap split
+    assert got[(4, "2025-01-01 10:00:00")] == (1, 7.0)
+    # u1's and u2's sessions emitted via event-time timeout
+    assert got[(1, "2025-01-01 10:00:00")] == (2, 3.0)
+    assert got[(2, "2025-01-01 10:05:00")] == (1, 5.0)
+    # u3's session is still open (watermark never passed it) — and
+    # u4's second session likewise
+    assert all(uid != 3 for uid, _ in got)
