@@ -1146,6 +1146,42 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_events",
+    """
+    WITH d AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 8 HOUR
+                  THEN 1 ELSE 0 END AS _new
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS _sess
+      FROM d
+    )
+    SELECT user_id,
+           min(ts)              AS session_start,
+           max(ts)              AS session_end,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, _sess
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch path): lag → flag → running
+    sum → group-by, all window functions in one codegen span (the
+    streaming twin is ``streaming.ingest.sessionize``). The 8-hour
+    gap sits near the median inter-event spacing of the testdata,
+    so sessions are genuinely multi-event."""
+    from dbt_lakehouse_aws_spark.streaming.ingest import sessionize_batch
+
+    ev = T(spark, sf_dir, "events")
+    s = sessionize_batch(ev, gap="8 hours", order_cols=("event_id",))
+    return s.withColumn("total_value", F.round("total_value", 4))
+
+
+@register(
     "emb_near_dup_pairs",
     """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -20,7 +20,7 @@ engine's streaming surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -203,6 +203,53 @@ def sessionize(
         .applyInPandasWithState(
             fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Batch counterpart of :func:`sessionize` — same session
+    semantics (a session ends when its key goes quiet for ``gap``)
+    as pure window functions, the Spark-first shape for backfills:
+
+    1. ``lag(ts)`` per key → a new-session flag where the gap from
+       the previous event exceeds ``gap`` (interval comparison on
+       the raw timestamps — no epoch truncation);
+    2. running ``sum`` of the flag → a per-key session ordinal;
+    3. group-by (key, ordinal) → start/end/count/value.
+
+    Everything stays in whole-stage codegen (no UDF). One shuffle:
+    both windows share the ``partitionBy(key) orderBy(ts)`` sort,
+    and partial aggregation shrinks the group-by's second exchange
+    to one row per session — at 100 TB the cost is a single
+    repartition of events by key plus an in-partition sort.
+
+    ``order_cols`` appends tie-break columns to the window order for
+    keys with duplicate timestamps.
+    """
+    n, unit = gap.split()
+    gap_interval = F.expr(f"INTERVAL {int(n)} {unit.upper()}")
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    prev = F.lag(ts_col).over(w)
+    new_sess = F.when(F.col(ts_col) > prev + gap_interval, F.lit(1)).otherwise(F.lit(0))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        events.withColumn("_sess", F.sum(new_sess).over(running))
+        .groupBy(key_col, "_sess")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .drop("_sess")
     )
 
 

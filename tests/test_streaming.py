@@ -145,3 +145,32 @@ def test_sessionize_stateful(spark, tmp_path):
     # u3's session is still open (watermark never passed it) — and
     # u4's second session likewise
     assert all(uid != 3 for uid, _ in got)
+
+
+def test_sessionize_batch_window_path(spark):
+    """The codegen (lag + running-sum) batch path must agree with a
+    hand-computed sessionization, including single-event sessions and
+    the boundary case gap == threshold (NOT a split: strict >)."""
+    from dbt_lakehouse_aws_spark.streaming.ingest import sessionize_batch
+
+    rows = [
+        # u1: 3 events, middle gap exactly 30min (no split), then 31min (split)
+        ("2025-01-01 10:00:00", 1, 1.0),
+        ("2025-01-01 10:30:00", 1, 2.0),
+        ("2025-01-01 11:01:00", 1, 4.0),
+        # u2: lone event
+        ("2025-01-01 09:00:00", 2, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"], r["total_value"])
+        for r in sessionize_batch(df, gap="30 minutes").collect()
+    }
+    assert got == {
+        (1, "2025-01-01 10:00:00"): ("2025-01-01 10:30:00", 2, 3.0),
+        (1, "2025-01-01 11:01:00"): ("2025-01-01 11:01:00", 1, 4.0),
+        (2, "2025-01-01 09:00:00"): ("2025-01-01 09:00:00", 1, 7.0),
+    }
