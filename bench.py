@@ -40,6 +40,9 @@ HEADLINE = [
     "sgp_factor_chain",
     "j8_two_step_join",
     "u3_tiered_union",
+    "sessionize_events",
+    "asof_purchase_attribution",
+    "range_join_click_views",
     "dedup_exact",
     "text_quality",
     "doc_fingerprint",

@@ -1182,6 +1182,78 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_purchase_attribution",
+    """
+    SELECT p.event_id, p.user_id,
+           p.ts                AS purchase_ts,
+           v.ts                AS view_ts,
+           round(v.value, 4)   AS view_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): every purchase attributed
+    to the user's most recent prior-or-equal view — checked against
+    DuckDB's native ASOF LEFT JOIN. One shuffle by user_id; no
+    per-row point-in-time subquery."""
+    from dbt_lakehouse_aws_spark.operators.temporal import as_of_join
+
+    ev = T(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = as_of_join(p, v, ["user_id"], left_ts="purchase_ts", right_prefix="view_")
+    return joined.select(
+        "event_id", "user_id", "purchase_ts", "view_ts",
+        F.round("view_value", 4).alias("view_value"),
+    )
+
+
+@register(
+    "range_join_click_views",
+    """
+    SELECT c.event_id AS click_id, v.event_id AS view_id,
+           c.user_id, c.ts AS click_ts, v.ts AS view_ts
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND v.ts >  c.ts
+     AND v.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+    """,
+)
+def range_join_click_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (operators/temporal.py): views within the
+    hour after each click, same user. The band rewrite plans as a
+    hash equi-join on (user_id, band) — DuckDB's inequality join is
+    the oracle, BroadcastNestedLoopJoin is what we refuse to plan."""
+    from dbt_lakehouse_aws_spark.operators.temporal import range_join
+
+    ev = T(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = range_join(
+        c.withColumnRenamed("user_id", "u"),
+        v.withColumnRenamed("v_user_id", "u"),
+        ["u"],
+        left_ts="click_ts",
+        right_ts="view_ts",
+        upper="1 hours",
+    )
+    return joined.select(
+        "click_id", "view_id", F.col("u").alias("user_id"), "click_ts", "view_ts"
+    )
+
+
+@register(
     "emb_near_dup_pairs",
     """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

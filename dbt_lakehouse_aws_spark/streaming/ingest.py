@@ -206,6 +206,35 @@ def sessionize(
     )
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    *,
+    content_cols: tuple[str, ...] = ("text",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``llmops.dedup.exact_dedup``: keep the first
+    arrival of each content hash in a document stream.
+
+    ``dropDuplicatesWithinWatermark`` (not ``dropDuplicates``) is the
+    scale choice: plain stream dedup state grows forever — every hash
+    ever seen — while the watermark variant evicts state older than
+    the watermark, so memory is O(hashes per window) at any corpus
+    size. The trade: a duplicate arriving later than ``watermark``
+    after its first copy is re-admitted — for ingest feeds, where
+    duplicates cluster in time (re-sent batches, crawler revisits),
+    that's the right bound; a periodic batch ``exact_dedup`` pass
+    sweeps stragglers.
+
+    Dedup key is ``xxhash64`` of the content columns — 8-byte state
+    entries instead of full documents.
+    """
+    hashed = docs.withColumn("content_hash", F.xxhash64(*[F.col(c) for c in content_cols]))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def sessionize_batch(
     events: DataFrame,
     *,

@@ -174,3 +174,49 @@ def test_sessionize_batch_window_path(spark):
         (1, "2025-01-01 11:01:00"): ("2025-01-01 11:01:00", 1, 4.0),
         (2, "2025-01-01 09:00:00"): ("2025-01-01 09:00:00", 1, 7.0),
     }
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """First arrival of each content hash survives; in-watermark
+    duplicates (same or later batch) are dropped."""
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_exact_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    header = "ts,doc_id,text\n"
+    (src / "f1.csv").write_text(
+        header
+        + "2025-01-01 10:00:00,1,hello world\n"
+        + "2025-01-01 10:01:00,2,hello world\n"   # dup of doc 1, same batch
+        + "2025-01-01 10:02:00,3,something else\n"
+    )
+    (src / "f2.csv").write_text(
+        header + "2025-01-01 10:30:00,4,hello world\n"  # dup, later batch, in watermark
+        + "2025-01-01 10:31:00,5,brand new\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .csv(str(src))
+    )
+    q = (
+        stream_exact_dedup(stream, content_cols=("text",), watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = sorted(
+        r["doc_id"] for r in spark.sql("select doc_id from dedup_out").collect()
+    )
+    assert kept == [1, 3, 5]

@@ -1,0 +1,109 @@
+"""As-of and banded range join: hand-computed semantics, tie and
+tolerance edges, and the plan contract (hash join, not nested-loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_lakehouse_aws_spark.operators.temporal import as_of_join, range_join
+
+
+def _ts_df(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    for c, t in [(f.name, f.dataType.simpleString()) for f in df.schema.fields]:
+        if c.endswith("ts") and t == "string":
+            df = df.withColumn(c, F.to_timestamp(c))
+    return df
+
+
+def test_as_of_join_hand_computed(spark):
+    trades = _ts_df(
+        spark,
+        [
+            (1, "2025-01-01 10:00:05", "A"),   # matches quote @10:00:00
+            (2, "2025-01-01 10:00:10", "A"),   # tie with quote @10:00:10 → matches it (<=)
+            (3, "2025-01-01 09:59:00", "A"),   # before any quote → NULLs
+            (4, "2025-01-01 12:00:00", "B"),   # other key
+        ],
+        "trade_id long, ts string, sym string",
+    )
+    quotes = _ts_df(
+        spark,
+        [
+            ("2025-01-01 10:00:00", "A", 100.0),
+            ("2025-01-01 10:00:10", "A", 101.0),
+            ("2025-01-01 11:00:00", "B", 7.0),
+        ],
+        "ts string, sym string, px double",
+    )
+    got = {
+        r["trade_id"]: (str(r["q_ts"]) if r["q_ts"] else None, r["q_px"])
+        for r in as_of_join(trades, quotes, ["sym"], right_prefix="q_").collect()
+    }
+    assert got == {
+        1: ("2025-01-01 10:00:00", 100.0),
+        2: ("2025-01-01 10:00:10", 101.0),
+        3: (None, None),
+        4: ("2025-01-01 11:00:00", 7.0),
+    }
+
+
+def test_as_of_join_tolerance_and_null_payload(spark):
+    left = _ts_df(spark, [(1, "2025-01-01 10:00:00", "A")], "id long, ts string, k string")
+    right = _ts_df(
+        spark,
+        [("2025-01-01 06:00:00", "A", 5.0), ("2025-01-01 09:00:00", "A", None)],
+        "ts string, k string, v double",
+    )
+    # latest right row has NULL payload — the struct must carry the
+    # NULL, not skip back to the 06:00 row
+    [r] = as_of_join(left, right, ["k"]).collect()
+    assert str(r["asof_ts"]) == "2025-01-01 09:00:00" and r["asof_v"] is None
+    # tolerance 30min: 09:00 is too old → whole match nulled
+    [r] = as_of_join(left, right, ["k"], tolerance="30 minutes").collect()
+    assert r["asof_ts"] is None and r["asof_v"] is None
+
+
+def test_range_join_hand_computed(spark):
+    clicks = _ts_df(
+        spark,
+        [(1, "2025-01-01 10:00:00", 7), (2, "2025-01-01 23:59:30", 7)],
+        "click_id long, click_ts string, uid long",
+    )
+    views = _ts_df(
+        spark,
+        [
+            (10, "2025-01-01 10:00:00", 7),  # not strictly after → excluded
+            (11, "2025-01-01 10:59:59", 7),  # in window
+            (12, "2025-01-01 11:00:00", 7),  # exactly +1h → included (<=)
+            (13, "2025-01-01 11:00:01", 7),  # just past → excluded
+            (14, "2025-01-02 00:30:00", 7),  # day boundary band crossing
+            (15, "2025-01-01 10:30:00", 8),  # other key
+        ],
+        "view_id long, view_ts string, uid long",
+    )
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in range_join(
+            clicks, views, ["uid"], left_ts="click_ts", right_ts="view_ts", upper="1 hours"
+        ).collect()
+    }
+    assert got == {(1, 11), (1, 12), (2, 14)}
+
+
+def test_range_join_plans_as_hash_join(spark):
+    """The banded rewrite must produce a hash-partitioned equi-join —
+    never BroadcastNestedLoopJoin — so it scales past one executor."""
+    ev = _ts_df(
+        spark,
+        [(1, "2025-01-01 10:00:00", 1, 0.5)],
+        "event_id long, ts string, user_id long, value double",
+    )
+    l = ev.select(F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"), "user_id")
+    r = ev.select(F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"), "user_id")
+    plan = range_join(
+        l, r, ["user_id"], left_ts="a_ts", right_ts="b_ts", upper="2 hours"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "Join" in plan
