@@ -41,6 +41,8 @@ HEADLINE = [
     "j8_two_step_join",
     "u3_tiered_union",
     "sessionize_events",
+    "stratified_sample_docs",
+    "pack_sequences_512",
     "asof_purchase_attribution",
     "range_join_click_views",
     "dedup_exact",

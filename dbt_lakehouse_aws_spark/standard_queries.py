@@ -1254,6 +1254,66 @@ def range_join_click_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_docs",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             ((doc_id % 2147483647) * (2654435761 % 2147483647)) % 2147483647 AS _h
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang ORDER BY _h, doc_id) AS _rn
+      FROM h
+    )
+    SELECT doc_id, lang, source FROM r WHERE _rn <= 50
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced deterministic corpus sample (llmops/corpus.py): 50
+    lowest-hash docs per language via the engine-portable Knuth
+    multiplicative hash — membership is a pure function of doc_id,
+    so reruns and engine swaps reproduce the sample bit-for-bit
+    (which is exactly what this oracle check proves)."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import stratified_sample
+
+    d = T(spark, sf_dir, "documents")
+    return stratified_sample(d, strata=["lang"], k=50, id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "pack_sequences_512",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS toks FROM documents
+    ), c AS (
+      SELECT lang, doc_id, toks,
+             SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - toks AS _start
+      FROM t
+    )
+    SELECT lang, CAST(FLOOR(_start / 512.0) AS BIGINT) AS chunk_id,
+           count(*) AS n_docs, SUM(toks) AS chunk_tokens
+    FROM c GROUP BY lang, chunk_id
+    """,
+)
+def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (llmops/corpus.py): per-lang
+    shards cut every 512 whitespace tokens, each doc assigned to the
+    chunk where it starts. Single exchange per shard; the group-by
+    reuses the window's distribution (same plan shape proven for
+    sessionize_events)."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import pack_sequences
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    return pack_sequences(d, token_col="toks", budget=512, id_col="doc_id", shard_cols=["lang"])
+
+
+@register(
     "emb_near_dup_pairs",
     """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -1,0 +1,60 @@
+"""Corpus construction: deterministic sampling + sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_lakehouse_aws_spark.llmops.corpus import (
+    MERSENNE31,
+    deterministic_sample,
+    pack_sequences,
+    portable_hash,
+    stratified_sample,
+)
+
+
+def test_deterministic_sample_stable_and_unbiased(spark):
+    df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in deterministic_sample(df, id_col="doc_id", fraction=0.3).collect()}
+    # repartitioning must NOT change membership (df.sample would)
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            df.repartition(7), id_col="doc_id", fraction=0.3
+        ).collect()
+    }
+    assert s1 == s2
+    assert 0.28 < len(s1) / 20_000 < 0.32
+    # nested: a 10% sample is a subset of the 30% sample (same hash order)
+    s3 = {r["doc_id"] for r in deterministic_sample(df, id_col="doc_id", fraction=0.1).collect()}
+    assert s3 < s1
+
+
+def test_portable_hash_range(spark):
+    rows = spark.range(0, 1000).select(portable_hash(F.col("id")).alias("h")).collect()
+    assert all(0 <= r["h"] < MERSENNE31 for r in rows)
+
+
+def test_stratified_sample_balanced(spark):
+    rows = [(i, "en" if i % 3 else "fr") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(df, strata=["lang"], k=10, id_col="doc_id")
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 10, "fr": 10}
+    # deterministic: same rows every run
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, strata=["lang"], k=10, id_col="doc_id").collect())
+    assert a == b
+
+
+def test_pack_sequences_hand_computed(spark):
+    # tokens per doc in id order: 300, 300, 500 → starts 0, 300, 600
+    # budget 512: docs 1,2 start in chunk 0; doc 3 starts in chunk 1
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 500)], "doc_id long, toks long"
+    )
+    got = {
+        r["chunk_id"]: (r["n_docs"], r["chunk_tokens"])
+        for r in pack_sequences(df, token_col="toks", budget=512, id_col="doc_id").collect()
+    }
+    assert got == {0: (2, 600), 1: (1, 500)}

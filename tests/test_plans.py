@@ -133,3 +133,30 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     p = plan(q)
     assert "PartitionFilters" in p and "isnotnull(day" in p
     assert q.count() > 0
+
+
+def test_asof_one_exchange_no_join(spark, sf_dir, queries):
+    """as_of_join compiles to union + ONE hash exchange + window —
+    never a join operator, never a per-row subquery."""
+    p = plan(queries["asof_purchase_attribution"](spark, sf_dir))
+    assert "Join" not in p
+    # formatted mode lists each node in tree + detail: 1 exchange → 2 mentions
+    assert p.count("Exchange hashpartitioning(user_id") <= 2
+    assert "SinglePartition" not in p
+
+
+def test_sessionize_single_shuffle_shared_sort(spark, sf_dir, queries):
+    """Both windows and the final aggregate ride ONE exchange on
+    user_id: grouping on (user_id, _sess) is satisfied by the
+    existing hash distribution — no second shuffle."""
+    p = plan(queries["sessionize_events"](spark, sf_dir))
+    # exactly one exchange node in the tree listing
+    tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") == 1
+    assert "SinglePartition" not in p
+
+
+def test_range_join_is_hash_equi_join(spark, sf_dir, queries):
+    p = plan(queries["range_join_click_views"](spark, sf_dir))
+    assert "NestedLoop" not in p
+    assert "Cartesian" not in p
