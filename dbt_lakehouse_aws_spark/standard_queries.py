@@ -1146,6 +1146,69 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j10_anti_unordered_customers",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def j10_anti_unordered_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (completes the join family J1-J9): customers with
+    no big-ticket order. LEFT ANTI plans as a hash join probing for
+    absence — same scale envelope as the equi joins; the price
+    predicate pushes into the probe-side scan."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "w6_ntile_value_quartiles",
+    """
+    SELECT event_id, event_type,
+           ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+    FROM events
+    """,
+)
+def w6_ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing per group (quality-tier assignment shape);
+    event_id tiebreak makes bucket edges deterministic cross-engine."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
+@register(
+    "a12_rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def a12_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — subtotal + grand-total rows
+    in one pass (Spark expands grouping sets inside a single
+    partial+final hash aggregate, still shuffle O(groups))."""
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
     "sessionize_events",
     """
     WITH d AS (
