@@ -50,6 +50,7 @@ HEADLINE = [
     "doc_fingerprint",
     "token_stats",
     "minhash_lsh_pairs",
+    "edit_distance_pairs",
     "cosine_topk",
     "cosine_topk_arrow",
     "emb_near_dup_pairs",

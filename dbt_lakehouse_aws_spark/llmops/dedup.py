@@ -363,3 +363,61 @@ def dedup_survivors(
         F.col("node").alias(id_col)
     )
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    block_cols: Sequence[str] = ("lang",),
+    max_len_diff: int = 10,
+    max_dist: int = 25,
+) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein distance, length-banded:
+    ``|len(a) - len(b)| <= max_len_diff`` implies
+    ``lev(a, b) >= |len(a)-len(b)|``, so banding on length is a
+    LOSSLESS block for the distance filter — unlike MinHash/SimHash
+    this modality has no false negatives inside the length window.
+
+    Plan shape mirrors :func:`~...operators.temporal.range_join`:
+    the a-side explodes onto the length bands its window overlaps
+    (width = ``max_len_diff`` → ≤ 3 copies), the join is a hash
+    equi-join on (block, band), and ``levenshtein`` runs with its
+    threshold argument (early-exit row-pruning, JVM-side) only on
+    band collisions — never corpus². ``id_a < id_b`` emits each
+    unordered pair exactly once (the mirrored collision fails the
+    ordering filter).
+    """
+    band = max(max_len_diff, 1)
+    blocks = list(block_cols)
+    a_bands = F.sequence(
+        F.floor((F.col(len_col) - max_len_diff) / band),
+        F.floor((F.col(len_col) + max_len_diff) / band),
+    )
+    a = docs.select(
+        *blocks,
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_txt_a"),
+        F.col(len_col).alias("_len_a"),
+        F.explode(a_bands).alias("_band"),
+    )
+    b = docs.select(
+        *blocks,
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_txt_b"),
+        F.col(len_col).alias("_len_b"),
+        F.floor(F.col(len_col) / band).alias("_band"),
+    )
+    dist = F.levenshtein(F.col("_txt_a"), F.col("_txt_b"), max_dist)
+    return (
+        a.join(b, blocks + ["_band"], "inner")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_len_a") - F.col("_len_b")) <= max_len_diff)
+        )
+        .withColumn("edit_dist", dist.cast("long"))
+        .filter(F.col("edit_dist") >= 0)
+        .select(*blocks, "id_a", "id_b", "edit_dist")
+    )

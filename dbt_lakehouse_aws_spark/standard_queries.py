@@ -1377,6 +1377,30 @@ def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "edit_distance_pairs",
+    """
+    SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 10
+    WHERE levenshtein(a.text, b.text) <= 25
+    """,
+)
+def edit_distance_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs (llmops/dedup.py): the length band
+    is a lossless block (lev >= length gap), the threshold argument
+    early-exits the DP — the oracle runs the quadratic per-lang form
+    of the same predicate."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import edit_distance_pairs
+
+    d = T(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        d, block_cols=("lang",), max_len_diff=10, max_dist=25
+    ).select("lang", "id_a", "id_b", "edit_dist")
+
+
+@register(
     "emb_near_dup_pairs",
     """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

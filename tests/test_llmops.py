@@ -261,3 +261,26 @@ def test_multi_probe_lsh_improves_recall(spark):
     # gaussians are the LSH worst case, so expect a real lift, not
     # perfection
     assert multi >= single + 0.15 and multi >= 0.3
+
+
+def test_edit_distance_pairs_lossless_banding(spark):
+    """Banded result must equal the quadratic reference exactly —
+    the length band is lossless for the distance threshold."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "en", "the quick brown fox jumps"),
+        (2, "en", "the quick brown fox jumped"),   # dist 2 from doc 1
+        (3, "en", "a completely different text!"),
+        (4, "fr", "the quick brown fox jumps"),    # other block: never paired
+        (5, "en", "the quick brown fox jumps over the lazy dog and keeps running"),  # len gap > band
+    ]
+    docs = spark.createDataFrame(
+        [(i, l, t, len(t)) for i, l, t in rows],
+        "doc_id long, lang string, text string, n_chars long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(docs, max_len_diff=10, max_dist=5).collect()
+    }
+    assert got == {(1, 2): 2}
