@@ -1401,6 +1401,40 @@ def edit_distance_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_freq_topk",
+    """
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), c AS (
+      SELECT lang, token, count(*) AS n FROM tok WHERE token <> '' GROUP BY lang, token
+    ), r AS (
+      SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+      FROM c
+    )
+    SELECT lang, token, n, rnk FROM r WHERE rnk <= 20
+    """,
+)
+def token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary head: explode → partial+final count →
+    rank-limited top-20 (WindowGroupLimit prunes each map task to 20
+    rows per lang before the final shuffle). The corpus version of
+    'most frequent tokens', shuffle O(vocab), never O(tokens)."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    return top_k_per_group(
+        counts,
+        ["lang"],
+        [F.desc("n"), F.asc("token")],
+        20,
+        keep_rank_as="rnk",
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+@register(
     "emb_near_dup_pairs",
     """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

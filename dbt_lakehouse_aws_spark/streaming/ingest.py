@@ -206,6 +206,36 @@ def sessionize(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.range_join``: right
+    rows in ``(left_ts, left_ts + upper]`` per key, as a watermarked
+    stream-stream inner join.
+
+    The time-range predicate is what bounds the join state: with
+    watermarks on BOTH sides, Spark evicts buffered left rows once
+    the right watermark passes ``left_ts + upper`` (and vice versa),
+    so state is O(events per window), not O(stream). Timestamp
+    column names must differ across sides (rename before calling) —
+    the range condition needs to address both."""
+    n, unit = upper.split()
+    cond = (
+        (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {int(n)} {unit.upper()}"))
+    )
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    return l.join(r, (l[on] == r[on]) & cond, "inner").drop(r[on])
+
+
 def stream_exact_dedup(
     docs: DataFrame,
     *,

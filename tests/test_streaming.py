@@ -220,3 +220,52 @@ def test_stream_exact_dedup(spark, tmp_path):
         r["doc_id"] for r in spark.sql("select doc_id from dedup_out").collect()
     )
     assert kept == [1, 3, 5]
+
+
+def test_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream range join: views within the hour
+    after each click pair up; outside-window views don't."""
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_interval_join
+
+    cdir, vdir = tmp_path / "clicks", tmp_path / "views"
+    cdir.mkdir(); vdir.mkdir()
+    (cdir / "c1.csv").write_text(
+        "click_ts,user_id,click_id\n"
+        + "2025-01-01 10:00:00,1,100\n"
+        + "2025-01-01 12:00:00,2,200\n"
+    )
+    (vdir / "v1.csv").write_text(
+        "view_ts,user_id,view_id\n"
+        + "2025-01-01 10:30:00,1,900\n"   # in window of click 100
+        + "2025-01-01 11:30:00,1,901\n"   # past the hour → no pair
+        + "2025-01-01 12:00:00,2,902\n"   # not strictly after → no pair
+        + "2025-01-01 12:59:00,2,903\n"   # in window of click 200
+    )
+    def src(d, tscol):
+        schema = T.StructType(
+            [
+                T.StructField(tscol, T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField(tscol.replace("_ts", "_id"), T.LongType()),
+            ]
+        )
+        return spark.readStream.schema(schema).option("header", "true").csv(str(d))
+
+    joined = stream_interval_join(
+        src(cdir, "click_ts"), src(vdir, "view_ts"),
+        on="user_id", left_ts="click_ts", right_ts="view_ts",
+        upper="1 hour", watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("select click_id, view_id from ssj_out").collect()
+    }
+    assert got == {(100, 900), (200, 903)}
