@@ -1209,6 +1209,56 @@ def a12_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w7_rolling_7day_value",
+    """
+    SELECT event_id, user_id,
+           round(SUM(value) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 4) AS rolling_7d
+    FROM events
+    """,
+)
+def w7_rolling_7day_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling sum per user — the time-based RANGE
+    frame (value-based, so equal-second ties are frame peers in any
+    engine). Ordered on epoch seconds: Spark's rangeBetween takes
+    numeric offsets, and integer seconds make the frame arithmetic
+    engine-portable."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("rolling_7d")
+    )
+
+
+@register(
+    "w8_value_distribution",
+    """
+    SELECT event_id, event_type,
+           round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) AS pct_rank,
+           round(cume_dist()    OVER (PARTITION BY event_type ORDER BY value), 6) AS cume
+    FROM events
+    """,
+)
+def w8_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per group (quality-percentile gating
+    shape) — both defined on the ORDER BY value alone, so ties get
+    identical scores in any engine; no tiebreak column needed."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id", "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
     "sessionize_events",
     """
     WITH d AS (
