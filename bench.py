@@ -43,6 +43,7 @@ HEADLINE = [
     "sessionize_events",
     "stratified_sample_docs",
     "pack_sequences_512",
+    "corpus_pipeline_manifest",
     "asof_purchase_attribution",
     "range_join_click_views",
     "dedup_exact",

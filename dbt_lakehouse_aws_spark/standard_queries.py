@@ -1485,6 +1485,69 @@ def token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pipeline_manifest",
+    """
+    WITH feats AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS toks,
+             ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text), 6) AS alpha_ratio
+      FROM documents
+    ), ok AS (
+      SELECT doc_id, lang, text, toks FROM feats
+      WHERE toks BETWEEN 20 AND 80 AND alpha_ratio >= 0.815
+    ), ded AS (
+      SELECT doc_id, lang, toks,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS _dn
+      FROM ok
+    ), surv AS (
+      SELECT doc_id, lang, toks FROM ded WHERE _dn = 1
+    ), samp AS (
+      SELECT doc_id, lang, toks,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ((doc_id % 2147483647) * (2654435761 % 2147483647)) % 2147483647,
+                        doc_id) AS _rn
+      FROM surv
+    ), keep AS (
+      SELECT doc_id, lang, toks FROM samp WHERE _rn <= 30
+    ), packed AS (
+      SELECT lang, doc_id, toks,
+             SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - toks AS _start
+      FROM keep
+    )
+    SELECT lang, CAST(FLOOR(_start / 256.0) AS BIGINT) AS chunk_id,
+           count(*) AS n_docs, SUM(toks) AS chunk_tokens
+    FROM packed GROUP BY lang, chunk_id
+    """,
+)
+def corpus_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus build in ONE Catalyst plan: quality
+    gate → exact dedup (min-id survivor per text) → balanced
+    stratified sample (30/lang) → 256-token sequence packing —
+    every stage a real engine operator (text_quality,
+    stratified_sample, pack_sequences), the whole chain
+    oracle-checked. This is the training-data pipeline the engine
+    exists for, compressed to a manifest of packed chunks."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import pack_sequences, stratified_sample
+
+    d = T(spark, sf_dir, "documents")
+    q = text_quality(d).filter(
+        F.col("n_tokens").between(20, 80) & (F.col("alpha_ratio") >= 0.815)
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    surv = (
+        q.withColumn("_dn", F.row_number().over(w))
+        .filter(F.col("_dn") == 1)
+        .select("doc_id", "lang", F.col("n_tokens").cast("long").alias("toks"))
+    )
+    samp = stratified_sample(surv, strata=["lang"], k=30, id_col="doc_id")
+    return pack_sequences(
+        samp, token_col="toks", budget=256, id_col="doc_id", shard_cols=["lang"]
+    )
+
+
+@register(
     "emb_near_dup_pairs",
     """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
