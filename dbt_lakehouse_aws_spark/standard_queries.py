@@ -1547,6 +1547,21 @@ def corpus_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_distinct_users")  # no oracle: HLL sketch values are engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type — the scale path
+    where exact count-distinct would shuffle every (type, user)
+    pair: the sketch aggregates map-side into ~KB of state per
+    group. Engine-specific sketch → rows-only driver check; the
+    ±5% error bound vs exact is asserted in
+    test_operators.py::test_approx_distinct_error_bound."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @register(
     "emb_near_dup_pairs",
     """

@@ -141,3 +141,24 @@ def test_global_row_number_matches_single_partition_window(spark):
     j = fast.join(naive, ["k", "uid"])
     assert j.filter(F.col("rn") != F.col("rn_naive")).count() == 0
     assert fast.count() == 500
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ at rsd=0.02 must land within 5% of the exact distinct
+    count on every event-type group."""
+    from dbt_lakehouse_aws_spark import standard_queries as SQ
+
+    ev = SQ.T(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in SQ.all_queries()["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)

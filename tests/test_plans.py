@@ -160,3 +160,14 @@ def test_range_join_is_hash_equi_join(spark, sf_dir, queries):
     p = plan(queries["range_join_click_views"](spark, sf_dir))
     assert "NestedLoop" not in p
     assert "Cartesian" not in p
+
+
+def test_corpus_pipeline_all_codegen_bounded_shuffles(spark, sf_dir, queries):
+    """The 4-stage corpus pipeline must stay entirely JVM-side (no
+    Python eval) and shuffle only on its three partition keys
+    (text-dedup, lang-sample, lang-pack — pack reuses sample's)."""
+    p = plan(queries["corpus_pipeline_manifest"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") <= 3
+    assert "SinglePartition" not in p
