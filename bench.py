@@ -41,6 +41,7 @@ HEADLINE = [
     "j8_two_step_join",
     "u3_tiered_union",
     "sessionize_events",
+    "scd2_user_state",
     "stratified_sample_docs",
     "pack_sequences_512",
     "corpus_pipeline_manifest",

@@ -1,0 +1,53 @@
+"""Slowly-changing-dimension (type 2) collapse — the engine's
+counterpart of dbt's ``snapshot`` materialization (the reference's
+dbt project gets SCD2 for free from dbt core; here it's an explicit
+operator over periodic snapshot rows).
+
+Given per-period state observations (key, state, period), emit one
+row per *run* of consecutive identical state: (key, state,
+valid_from, valid_to, n_periods).  Same single-shuffle window shape
+as sessionization: lag → change flag → running sum → group-by that
+reuses the exchange's distribution.  No MERGE loop, no driver-side
+diffing — at 100 TB it's one repartition by key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_collapse(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    state_cols: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Collapse consecutive equal-state observations into validity
+    ranges. A run breaks when ANY state column changes (NULL-safe:
+    first observation always opens a run). ``order_col`` must be
+    unique per key (a period/date/ts column)."""
+    keys, states = list(key_cols), list(state_cols)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    # run-break = any state column IS DISTINCT FROM its predecessor
+    # (eqNullSafe: NULL→NULL continues a run; the first observation,
+    # whose lag is NULL against a non-null state, opens one)
+    changed = F.lit(False)
+    for c in states:
+        prev = F.lag(c).over(w)
+        changed = changed | ~prev.eqNullSafe(F.col(c))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flag = F.when(changed, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.withColumn("_run", F.sum(flag).over(running))
+        .groupBy(*keys, "_run", *states)
+        .agg(
+            F.min(order_col).alias("valid_from"),
+            F.max(order_col).alias("valid_to"),
+            F.count(F.lit(1)).alias("n_periods"),
+        )
+        .drop("_run")
+    )

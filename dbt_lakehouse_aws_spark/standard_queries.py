@@ -1259,6 +1259,52 @@ def w8_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_user_state",
+    """
+    WITH st AS (
+      SELECT user_id, day, state FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type AS state,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC) AS _r
+        FROM events
+      ) WHERE _r = 1
+    ), chg AS (
+      SELECT user_id, day, state,
+             CASE WHEN lag(state) OVER (PARTITION BY user_id ORDER BY day)
+                       IS DISTINCT FROM state THEN 1 ELSE 0 END AS _c
+      FROM st
+    ), grp AS (
+      SELECT user_id, day, state,
+             SUM(_c) OVER (PARTITION BY user_id ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS _run
+      FROM chg
+    )
+    SELECT user_id, state, min(day) AS valid_from, max(day) AS valid_to,
+           count(*) AS n_periods
+    FROM grp GROUP BY user_id, _run, state
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-snapshot (SCD type 2) semantics as an explicit operator
+    (operators/scd.py): daily last-event state per user, consecutive
+    equal states collapsed to validity ranges. The dedupe window,
+    the run-detection windows, and the final group-by all hash on
+    user_id — one logical partitioning end to end."""
+    from dbt_lakehouse_aws_spark.operators.scd import scd2_collapse
+
+    ev = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    w = Window.partitionBy("user_id", "day").orderBy(F.desc("ts"))
+    st = (
+        ev.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "day", F.col("event_type").alias("state"))
+    )
+    return scd2_collapse(
+        st, key_cols=["user_id"], state_cols=["state"], order_col="day"
+    )
+
+
+@register(
     "sessionize_events",
     """
     WITH d AS (

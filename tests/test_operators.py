@@ -162,3 +162,28 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)
+
+
+def test_scd2_collapse_runs_and_null_states(spark):
+    """Consecutive equal states collapse (NULL-safely); any change
+    — including to/from NULL — opens a new validity range."""
+    from dbt_lakehouse_aws_spark.operators.scd import scd2_collapse
+
+    rows = [
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"),
+        (2, 1, None), (2, 2, None), (2, 3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, period long, state string")
+    got = {
+        (r["k"], r["valid_from"]): (r["state"], r["valid_to"], r["n_periods"])
+        for r in scd2_collapse(
+            df, key_cols=["k"], state_cols=["state"], order_col="period"
+        ).collect()
+    }
+    assert got == {
+        (1, 1): ("a", 2, 2),
+        (1, 3): ("b", 3, 1),
+        (1, 4): ("a", 4, 1),
+        (2, 1): (None, 2, 2),   # NULL run stays one range
+        (2, 3): ("x", 3, 1),
+    }
