@@ -100,3 +100,27 @@ def pack_sequences(
             F.sum(token_col).alias("chunk_tokens"),
         )
     )
+
+
+def sample_by_rates(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    id_col: str,
+) -> DataFrame:
+    """Corpus mixing: keep each stratum at its own rate (the
+    "2 epochs of wiki, 0.3 of crawl" knob), deterministically —
+    membership is portable_hash(id) < rate·M with the rate resolved
+    per stratum from a literal CASE chain, so the whole thing is one
+    codegen filter: no join, no shuffle, no randomness. A row's
+    membership never changes as other strata's rates are tuned
+    (hash order is shared), which keeps incremental re-mixes cheap.
+    """
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(r)).otherwise(rate)
+    return df.filter(
+        portable_hash(F.col(id_col)).cast("double") < rate * float(MERSENNE31)
+    )

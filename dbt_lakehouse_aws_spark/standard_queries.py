@@ -1609,6 +1609,31 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mix_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ((doc_id % 2147483647) * (2654435761 % 2147483647)) % 2147483647 AS _h,
+             CASE lang WHEN 'en' THEN 0.1 WHEN 'zh' THEN 0.5 ELSE 0.3 END AS _rate
+      FROM documents
+    ) WHERE CAST(_h AS DOUBLE) < _rate * 2147483647.0
+    """,
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing (llmops/corpus.py::sample_by_rates): downweight
+    English to 10%, upweight Chinese to 50%, 30% elsewhere — one
+    deterministic codegen filter, no shuffle, membership reproducible
+    in any engine (that's what this oracle proves)."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import sample_by_rates
+
+    d = T(spark, sf_dir, "documents")
+    return sample_by_rates(
+        d, stratum_col="lang", rates={"en": 0.1, "zh": 0.5},
+        default_rate=0.3, id_col="doc_id",
+    ).select("doc_id", "lang")
+
+
+@register(
     "emb_near_dup_pairs",
     """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -58,3 +58,26 @@ def test_pack_sequences_hand_computed(spark):
         for r in pack_sequences(df, token_col="toks", budget=512, id_col="doc_id").collect()
     }
     assert got == {0: (2, 600), 1: (1, 500)}
+
+
+def test_sample_by_rates_per_stratum_and_nested(spark):
+    from dbt_lakehouse_aws_spark.llmops.corpus import sample_by_rates
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(30_000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sample_by_rates(
+        df, stratum_col="lang", rates={"en": 0.5, "fr": 0.1},
+        default_rate=0.25, id_col="doc_id",
+    )
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.46 < counts["en"] / 10_000 < 0.54
+    assert 0.08 < counts["fr"] / 10_000 < 0.12
+    assert 0.22 < counts["de"] / 10_000 < 0.28
+    # shared hash order → raising one stratum's rate only ADDS rows there
+    more = sample_by_rates(
+        df, stratum_col="lang", rates={"en": 0.7, "fr": 0.1},
+        default_rate=0.25, id_col="doc_id",
+    )
+    a = {r["doc_id"] for r in got.collect()}
+    b = {r["doc_id"] for r in more.collect()}
+    assert a < b
