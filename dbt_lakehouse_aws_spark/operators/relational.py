@@ -53,3 +53,19 @@ def null_padded_union(dfs: Sequence[DataFrame], schema: dict[str, str]) -> DataF
     for df in aligned[1:]:
         out = out.unionByName(df)
     return out
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """dbt ``materialized='incremental'`` semantics as a batch
+    operator: rows from ``updates`` replace same-key rows in
+    ``target``; unmatched target rows pass through (MERGE ... WHEN
+    MATCHED UPDATE WHEN NOT MATCHED INSERT, minus the storage
+    engine).
+
+    One left-anti join (broadcast when updates are small — the
+    normal incremental case: a day's delta against years of
+    history) + a union. Schemas must match by name. On a real lake
+    this lands as Delta/Iceberg MERGE; the plan shape is the same.
+    """
+    keep = target.join(updates.select(*keys).distinct(), list(keys), "left_anti")
+    return updates.unionByName(keep)

@@ -1305,6 +1305,66 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_upsert_events",
+    """
+    WITH target AS (
+      SELECT event_id, event_type, value FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-20'
+    ), updates AS (
+      SELECT event_id, event_type, round(value * 2, 4) AS value
+      FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+    )
+    SELECT event_id, event_type, round(value, 4) AS value FROM updates
+    UNION ALL
+    SELECT t.event_id, t.event_type, round(t.value, 4) AS value
+    FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.event_id = t.event_id)
+    """,
+)
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt incremental-materialization semantics
+    (operators/relational.py::merge_upsert): a 'delta' of re-scored
+    recent events merged over history — update-wins on the 5-day
+    overlap, inserts beyond it, history passthrough elsewhere."""
+    from dbt_lakehouse_aws_spark.operators.relational import merge_upsert
+
+    ev = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    target = ev.filter(F.col("day") < F.lit("2024-01-20").cast("date")).select(
+        "event_id", "event_type", "value"
+    )
+    updates = ev.filter(F.col("day") >= F.lit("2024-01-15").cast("date")).select(
+        "event_id", "event_type", F.round(F.col("value") * 2, 4).alias("value")
+    )
+    merged = merge_upsert(target, updates, ["event_id"])
+    return merged.select("event_id", "event_type", F.round("value", 4).alias("value"))
+
+
+@register(
+    "a14_value_histogram",
+    """
+    SELECT event_type,
+           CAST(FLOOR(value / 0.5) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(sum(value), 4) AS bucket_value
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+)
+def a14_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per group — fixed-width binning as a
+    pure projection + partial/final hash agg (the profiling shape
+    for data-quality dashboards); shuffle O(types × buckets)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.floor(F.col("value") / 0.5).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("bucket_value"),
+        )
+    )
+
+
+@register(
     "sessionize_events",
     """
     WITH d AS (

@@ -187,3 +187,16 @@ def test_scd2_collapse_runs_and_null_states(spark):
         (2, 1): (None, 2, 2),   # NULL run stays one range
         (2, 3): ("x", 3, 1),
     }
+
+
+def test_merge_upsert_update_wins_insert_passthrough(spark):
+    from dbt_lakehouse_aws_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "id long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(1, "new"), (3, "insert")], "id long, v string"
+    )
+    got = {r["id"]: r["v"] for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert got == {1: "new", 2: "keep", 3: "insert"}
