@@ -1365,6 +1365,29 @@ def a14_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a15_corr_covar_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 4)      AS covar_qty_disc,
+           round(stddev_samp(l_extendedprice) / 1000, 4)     AS std_price_k
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a15_corr_covar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation / sample covariance / stddev —
+    statistical profiling aggregates, all single-pass sufficient-
+    stats (partial+final hash agg, shuffle O(groups))."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+        F.round(F.stddev_samp("l_extendedprice") / 1000, 4).alias("std_price_k"),
+    )
+
+
+@register(
     "sessionize_events",
     """
     WITH d AS (
