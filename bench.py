@@ -56,6 +56,11 @@ HEADLINE = [
     "cosine_topk",
     "cosine_topk_arrow",
     "emb_near_dup_pairs",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "bigram_topk",
+    "emb_label_centroid_dist",
+    "int8_quant_topk",
 ]
 
 
@@ -74,6 +79,12 @@ def main() -> None:
             SQ.T(spark, sf_dir, t).count()
         except Exception:
             pass
+    # spin up the Arrow Python workers once (one per core, ~0.5 s each
+    # cold) so worker fork cost isn't billed to the first pandas-UDF
+    # query — on a real cluster these are long-lived daemons.
+    spark.range(0, 1024, 1, 32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

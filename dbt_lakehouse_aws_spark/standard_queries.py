@@ -1880,6 +1880,494 @@ def sgp_factor_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational wideners: multi-dimensional aggregates, navigation windows,
+# set-difference cohorts, and classic TPC-H plan shapes (decorrelated
+# scalar subqueries, HAVING, count-distribution) — completeness beyond
+# the reference's literal surface, same engine primitives.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a16_cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def a16_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims with GROUPING() ids (the OLAP cross-tab
+    companion to a12's ROLLUP). Spark expands all 4 grouping sets
+    inside ONE partial+final hash aggregate — no extra scan or
+    shuffle per set; grouping() disambiguates aggregated-NULL rows
+    from data NULLs, which is what makes cubes safely joinable."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "a17_grouping_sets_acctbal",
+    """
+    SELECT c_mktsegment, c_nationkey,
+           round(sum(c_acctbal), 2) AS total_bal,
+           count(*) AS n_customers
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+    """,
+)
+def a17_grouping_sets_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (detail + per-segment subtotal + grand
+    total) — the general form of rollup/cube, chosen sets only, one
+    hash-agg pass (Spark 4 DataFrame.groupingSets)."""
+    c = T(spark, sf_dir, "customer")
+    return c.groupingSets(
+        [["c_mktsegment", "c_nationkey"], ["c_mktsegment"], []],
+        "c_mktsegment",
+        "c_nationkey",
+    ).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "w9_user_event_gaps",
+    """
+    SELECT user_id,
+           round(avg(gap_s), 4) AS avg_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           count(*) AS n_gaps
+    FROM (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    ) WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def w9_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time deltas via lag() then per-user gap stats —
+    the navigation-window shape (sessionization's building block).
+    One shuffle total: the window partition key (user_id) equals the
+    group-by key, so Catalyst reuses the exchange."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    gaps = ev.select(
+        "user_id", (epoch - F.lag(epoch).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+
+
+@register(
+    "w10_brand_price_position",
+    """
+    SELECT p_partkey, p_brand,
+           CAST(dense_rank() OVER (PARTITION BY p_brand
+                                   ORDER BY p_retailprice DESC) AS BIGINT) AS price_rank,
+           round(first_value(p_retailprice) OVER (
+             PARTITION BY p_brand ORDER BY p_retailprice DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS brand_max,
+           round(last_value(p_retailprice) OVER (
+             PARTITION BY p_brand ORDER BY p_retailprice DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS brand_min
+    FROM part
+    """,
+)
+def w10_brand_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + first/last_value with an explicit full-partition
+    frame. The UNBOUNDED..UNBOUNDED frame is load-bearing: the
+    default frame stops at CURRENT ROW, which silently turns
+    last_value into "current value" in every SQL engine."""
+    p = T(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return p.select(
+        "p_partkey", "p_brand",
+        F.dense_rank().over(w).cast("long").alias("price_rank"),
+        F.round(F.first("p_retailprice").over(wf), 2).alias("brand_max"),
+        F.round(F.last("p_retailprice").over(wf), 2).alias("brand_min"),
+    )
+
+
+@register(
+    "u6_order_year_cohorts",
+    """
+    WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1997),
+         y98 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1998)
+    SELECT 'both' AS cohort, o_custkey FROM
+      (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
+    UNION ALL
+    SELECT 'only_1997' AS cohort, o_custkey FROM
+      (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+    """,
+)
+def u6_order_year_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT retention cohorts (customers ordering in
+    both 1997 and 1998 vs churned). Catalyst compiles both to
+    left-semi / left-anti hash joins over the deduped sides — no
+    sort-based set algebra."""
+    o = T(spark, sf_dir, "orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey").distinct()
+    both = y97.intersect(y98).select(F.lit("both").alias("cohort"), "o_custkey")
+    churned = y97.exceptAll(y98).select(F.lit("only_1997").alias("cohort"), "o_custkey")
+    return both.unionByName(churned)
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT order_count, count(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS order_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY order_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram including the
+    zero-order customers (left join + count of the nullable side,
+    then a second tiny aggregation over the counts)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q18_large_volume_orders",
+    """
+    SELECT o.o_orderkey, c.c_name,
+           round(o.o_totalprice, 2) AS total_price,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderkey, c.c_name, o.o_totalprice
+    HAVING sum(l.l_quantity) > 250
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via HAVING on a summed
+    fact measure, with dimension columns carried through the group
+    by. The customer join is broadcast; the only shuffle is the
+    orderkey aggregation."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_name", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+        .select(
+            "o_orderkey", "c_name",
+            F.round("o_totalprice", 2).alias("total_price"), "total_qty",
+        )
+    )
+
+
+@register(
+    "q15_top_revenue_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(rev.r, 2) AS total_rev
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r = (SELECT max(r) FROM rev)
+    """,
+)
+def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by revenue via a scalar-subquery
+    max over an aggregated view (reused, not recomputed: Spark plans
+    the subquery as a broadcast scalar against the same shuffle
+    output)."""
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    max_rev = rev.agg(F.max("r").alias("_mx"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.r == max_rev._mx)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("r", 2).alias("total_rev"))
+    )
+
+
+@register(
+    "q2_min_price_per_brand",
+    """
+    SELECT p.p_brand, p.p_partkey, round(p.p_retailprice, 2) AS price
+    FROM part p
+    JOIN (SELECT p_brand, min(p_retailprice) AS min_price
+          FROM part GROUP BY p_brand) m
+      ON p.p_brand = m.p_brand AND p.p_retailprice = m.min_price
+    """,
+)
+def q2_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: rows matching a per-group aggregate (cheapest
+    part per brand) — the decorrelated form of a correlated scalar
+    subquery: aggregate once, broadcast-join back on (group, min).
+    Exact equality is safe because min() returns a stored value."""
+    p = T(spark, sf_dir, "part")
+    m = p.groupBy(F.col("p_brand").alias("_brand")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(m),
+            (p.p_brand == m._brand) & (p.p_retailprice == m.min_price),
+        )
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text/corpus wideners: bigram language stats, vocabulary richness,
+# PII-style masking (LLM-training-data preprocessing surface).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_topk",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    b AS (
+      SELECT z[1] || ' ' || z[2] AS bigram
+      FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+            FROM toks WHERE len(t) >= 2)
+    )
+    SELECT bigram, count(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency top-k. Bigrams come from zipping
+    the token array against its own 1-shifted slice — per-row array
+    ops in codegen, so the only shuffle is the count aggregation
+    (partial map-side combine keeps it O(distinct bigrams)); the
+    final top-20 is a TakeOrderedAndProject, not a global sort."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.filter(n >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "ttr_by_source",
+    """
+    SELECT source,
+           CAST(count(DISTINCT tok) AS BIGINT) AS vocab,
+           count(*) AS n_tokens,
+           round(count(DISTINCT tok) * 1.0 / count(*), 6) AS ttr
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY source
+    """,
+)
+def ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio (vocabulary richness) per source — the
+    corpus-diversity gate in training-data curation. Exact distinct
+    is required (TTR is a ratio of exact counts); Spark plans it as
+    a two-phase expand + hash aggregate, still shuffle O(groups)."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    return toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("vocab"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.countDistinct("tok") / F.count(F.lit(1)), 6).alias("ttr"),
+    )
+
+
+@register(
+    "pii_redact_props",
+    """
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
+    FROM events
+    """,
+)
+def pii_redact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style masking: replace every digit run with a sentinel and
+    count the redactions (the audit column a compliance pipeline
+    keeps). Pure codegen string ops — zero shuffle, scales linearly
+    with the corpus. Production pattern swaps the digit regex for
+    email/phone/SSN alternations; the plumbing is identical."""
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("masked"),
+        F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_masked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding wideners: per-label centroid geometry + int8 quantized search.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_label_centroid_dist",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    u AS (SELECT label, vec_id, generate_subscripts(emb, 1) AS pos,
+                 unnest(emb) AS val FROM e),
+    cent AS (SELECT label, pos, avg(val) AS c FROM u GROUP BY label, pos),
+    dist AS (
+      SELECT u.label, u.vec_id, sqrt(sum((u.val - cent.c) ^ 2)) AS d
+      FROM u JOIN cent ON u.label = cent.label AND u.pos = cent.pos
+      GROUP BY u.label, u.vec_id
+    )
+    SELECT label, round(avg(d), 6) AS avg_dist,
+           round(max(d), 6) AS max_dist,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dist GROUP BY label
+    """,
+)
+def emb_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-geometry profile: per-label centroid (element-wise
+    mean via posexplode + (label, pos) hash agg — the distributed
+    way to average vectors; shuffle is O(labels·dim), not O(rows))
+    then each member's L2 distance to its centroid via a broadcast
+    join + zip_with fold, aggregated to per-label spread stats.
+    This is the quality report behind embedding-cluster dedup/IVF."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import _as_double
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("emb")
+    )
+    pos = e.select("label", "vec_id", F.posexplode("emb").alias("pos", "val"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+            ).alias("centroid")
+        )
+    )
+    sq = F.zip_with("emb", "centroid", lambda x, c: (x - c) * (x - c))
+    d = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+    return (
+        e.join(F.broadcast(cent), "label")
+        .select("label", "vec_id", d.alias("d"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("d"), 6).alias("avg_dist"),
+            F.round(F.max("d"), 6).alias("max_dist"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "int8_quant_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s AS (SELECT max(list_max(list_transform(emb, x -> abs(x)))) AS scale FROM e),
+    q AS (SELECT vec_id,
+                 [CAST(round(x / scale * 127) AS BIGINT) for x in emb] AS qv
+          FROM e, s),
+    qs AS (SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id < 8),
+    scored AS (
+      SELECT qs.query_id, q.vec_id,
+             CAST(list_dot_product(qs.qq, q.qv) AS BIGINT) AS qdot
+      FROM qs JOIN q ON q.vec_id != qs.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, qdot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qdot DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, qdot FROM ranked WHERE rn <= 3
+    """,
+)
+def int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization + quantized-dot-product top-k — the
+    memory-bound ANN trick (4× smaller vectors, integer SIMD dots).
+    Scale factor = corpus max |x|, carried as a broadcast 1-row
+    frame (never collected to the driver); quantized dots are exact
+    integers, so this oracle check is bit-exact across engines —
+    unlike float cosine, no rounding tolerance needed."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import _as_double
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    scale = e.agg(
+        F.max(F.array_max(F.transform("emb", F.abs))).alias("_scale")
+    )
+    q = e.crossJoin(F.broadcast(scale)).select(
+        "vec_id",
+        F.transform(
+            "emb", lambda x: F.round(x / F.col("_scale") * 127).cast("long")
+        ).alias("qv"),
+    )
+    qs = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    qdot = F.aggregate(
+        F.zip_with("qq", "qv", lambda a, b: a * b), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q.join(F.broadcast(qs), q.vec_id != qs.query_id)
+        .select("query_id", "vec_id", qdot.alias("qdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "qdot")
+    )
+
+
+# ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
 

@@ -171,3 +171,49 @@ def test_corpus_pipeline_all_codegen_bounded_shuffles(spark, sf_dir, queries):
     tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
     assert tree.count("Exchange") <= 3
     assert "SinglePartition" not in p
+
+
+def test_w9_window_and_agg_share_one_exchange(spark, sf_dir, queries):
+    """lag() window partitions on user_id and the gap aggregate
+    groups on user_id — Catalyst must reuse the one hash exchange."""
+    p = plan(queries["w9_user_event_gaps"](spark, sf_dir))
+    tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") == 1
+    assert "SinglePartition" not in p
+
+
+def test_cube_expands_in_one_aggregate_pass(spark, sf_dir, queries):
+    """CUBE = Expand (4 grouping sets) feeding ONE partial+final
+    hash aggregate — not one scan/shuffle per set."""
+    p = plan(queries["a16_cube_revenue"](spark, sf_dir))
+    assert "Expand" in p
+    tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") == 1 and tree.count("Scan") == 1
+
+
+def test_bigram_topk_plan(spark, sf_dir, queries):
+    """Bigram construction is per-row codegen (no Python, no extra
+    shuffle); final top-20 is a TakeOrderedAndProject heap, never a
+    global sort of all distinct bigrams."""
+    p = plan(queries["bigram_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+    tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") == 1  # only the bigram-count agg
+
+
+def test_q18_having_is_filter_after_partial_agg(spark, sf_dir, queries):
+    """HAVING compiles to a plain Filter over the final aggregate;
+    the customer dimension stays broadcast."""
+    p = plan(queries["q18_large_volume_orders"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+
+
+def test_int8_quant_topk_no_cartesian_blowup(spark, sf_dir, queries):
+    """The query side (8 vectors) must be the broadcast side of the
+    inequality join — a nested-loop against a tiny broadcast is a
+    map-side pass, but a CartesianProduct would be corpus²."""
+    p = plan(queries["int8_quant_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
