@@ -91,6 +91,10 @@ def global_row_number(
     ``order_by`` must be a total order (add a unique tiebreaker
     column) for the result to be deterministic.
 
+    Project ``df`` down to the columns you need BEFORE calling: the
+    persist is a column-pruning barrier, so every input column is
+    cached and re-scanned by both post-persist passes.
+
     A plain ``Window.orderBy`` would shuffle everything to ONE task;
     this primitive exists so the same logical op survives 100 TB
     (SURVEY.md §4 item 3).

@@ -95,3 +95,46 @@ def read_csv_source(
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the driver's star-schema parquet tables."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_jsonl_source(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    corrupt_col: str = "_corrupt_record",
+    add_path_metadata: bool = False,
+    recursive: bool = True,
+) -> DataFrame:
+    """Read a JSON-Lines corpus (the LLM-training-data interchange
+    format: one document object per line).
+
+    Scale rules baked in:
+
+    * **schema is required** — inference would scan the whole corpus
+      a second time before the first real job; at 100 TB that is a
+      full extra pass. Pass a ``StructType`` or DDL string.
+    * **PERMISSIVE + quarantine column**: malformed lines land in
+      ``corrupt_col`` instead of failing the job (one bad shard must
+      not kill a corpus build). Filter ``col(corrupt_col).isNotNull()``
+      into a quarantine sink, drop it from the clean path.
+    * optional path metadata (same ``year=/month=/day=`` derivation
+      as CSV ingest) so snapshot semantics work for JSONL drops too.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(T.StructField(corrupt_col, T.StringType()))
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .json(path)
+    )
+    if add_path_metadata:
+        df = df.select("*", "_metadata")
+        df = with_path_metadata(df).drop("_metadata")
+    return df

@@ -414,7 +414,10 @@ def w4_global_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global rank without a single-partition shuffle (W4; the one
     reference shape that fights Spark's execution model — see
     operators/windows.py:global_row_number)."""
-    o = T(spark, sf_dir, "orders")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # project BEFORE ranking: global_row_number persists its input,
+    # and a cache is a pruning barrier — select-after would cache all
+    # columns of the table.
     out = global_row_number(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], name="rn")
     return out.select("o_orderkey", "rn")
 

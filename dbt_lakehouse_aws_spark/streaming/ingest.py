@@ -317,3 +317,66 @@ def _duration_ms(spec: str) -> int:
     factor = {"second": 1_000, "seconds": 1_000, "minute": 60_000,
               "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000}[unit]
     return int(n) * factor
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension.
+
+    The static side is re-evaluated per micro-batch, so a dimension
+    that is itself a table-read picks up upstream refreshes without
+    restarting the query — the streaming analogue of the reference's
+    J1/J2 ID-map enrichment. The dimension is broadcast: stream-static
+    equi-joins need no watermark and keep NO state (unlike
+    stream-stream joins), so the stream side never shuffles.
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_merge_upsert(
+    stream: DataFrame,
+    *,
+    out_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+):
+    """Streaming upsert sink: dbt-incremental MERGE semantics applied
+    continuously (foreachBatch + the batch ``merge_upsert`` operator).
+
+    Each micro-batch's rows replace same-key rows in the target
+    table; unmatched history passes through. Within one batch,
+    duplicate keys are collapsed arbitrarily (``dropDuplicates``) —
+    give rows a version column and pre-aggregate if last-write-wins
+    matters. Write-then-swap stands in for Delta/Iceberg MERGE
+    atomicity, exactly as in ``incremental_latest_snapshot``.
+    """
+    import os
+    import shutil
+
+    from dbt_lakehouse_aws_spark.operators.relational import merge_upsert
+
+    spark = stream.sparkSession
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        updates = batch.dropDuplicates(keys)
+        if os.path.exists(out_dir):
+            target = spark.read.parquet(out_dir)
+            merged = merge_upsert(target, updates, keys)
+        else:
+            merged = updates
+        stage = f"{out_dir}__stage"
+        merged.write.mode("overwrite").parquet(stage)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(stage, out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -117,6 +117,14 @@ def test_sessionize_stateful(spark, tmp_path):
     # open sessions' timeout, firing their emission
     (src / "f2.csv").write_text(header + "2025-01-01 15:00:00,3,1.0\n")
     (src / "f3.csv").write_text(header + "2025-01-01 16:00:00,3,1.0\n")
+    # FileStreamSource schedules micro-batches in MTIME order; the
+    # three writes above can land within one clock tick, which lets
+    # f3 run before (or batch with) f2 and changes which sessions
+    # emit. Pin strictly increasing mtimes so batch order is f1,f2,f3.
+    import os as _os
+
+    for i, f in enumerate(("f1.csv", "f2.csv", "f3.csv")):
+        _os.utime(src / f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
 
     stream = (
         spark.readStream.schema(schema)
@@ -137,14 +145,24 @@ def test_sessionize_stateful(spark, tmp_path):
         (r["user_id"], str(r["session_start"])): (r["n_events"], r["total_value"])
         for r in spark.sql("select * from sessions_out").collect()
     }
-    # u4's first session closed by the in-batch gap split
-    assert got[(4, "2025-01-01 10:00:00")] == (1, 7.0)
-    # u1's and u2's sessions emitted via event-time timeout
-    assert got[(1, "2025-01-01 10:00:00")] == (2, 3.0)
-    assert got[(2, "2025-01-01 10:05:00")] == (1, 5.0)
-    # u3's session is still open (watermark never passed it) — and
-    # u4's second session likewise
-    assert all(uid != 3 for uid, _ in got)
+    # Exactly five sessions emit, by three distinct mechanisms:
+    assert got == {
+        # u4's first closed by the in-batch gap split of batch 1
+        (4, "2025-01-01 10:00:00"): (1, 7.0),
+        # u1/u2 closed by event-time timeout (watermark from f2/f3
+        # passed last_ts + gap)
+        (1, "2025-01-01 10:00:00"): (2, 3.0),
+        (2, "2025-01-01 10:05:00"): (1, 5.0),
+        # u4's second closed by timeout once f3 pushed the watermark
+        # to 15:00 (> 11:30 + gap)
+        (4, "2025-01-01 11:30:00"): (1, 1.0),
+        # u3's first closed by the cross-batch gap split: its 16:00
+        # event arrived > gap after 15:00 — session close on next
+        # event needs NO watermark progress
+        (3, "2025-01-01 15:00:00"): (1, 1.0),
+    }
+    # u3's 16:00 session is the only one still open (watermark never
+    # reached 16:30, and no later u3 event arrived)
 
 
 def test_sessionize_batch_window_path(spark):
@@ -269,3 +287,58 @@ def test_stream_interval_join(spark, tmp_path):
         for r in spark.sql("select click_id, view_id from ssj_out").collect()
     }
     assert got == {(100, 900), (200, 903)}
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static broadcast join: each micro-batch row is enriched
+    from the batch dimension with no stream-side shuffle or state."""
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_static_enrich
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b.csv").write_text("id,dim_key\n1,a\n2,b\n3,zz\n")
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("dim_key", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).option("header", "true").csv(str(src))
+    dim = spark.createDataFrame([("a", "Alpha"), ("b", "Beta")], "dim_key string, label string")
+    q = (
+        stream_static_enrich(stream, dim, "dim_key")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["id"], r["label"]) for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {("1", "Alpha"), ("2", "Beta"), ("3", None)}
+
+
+def test_stream_merge_upsert(spark, tmp_path):
+    """Continuous MERGE: batch-2 same-key rows replace batch-1 rows,
+    unmatched history survives, checkpoint skips re-reading batch 1."""
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_merge_upsert
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.StringType()),
+    ])
+
+    (src / "b1.csv").write_text("k,v\n1,a1\n2,a2\n")
+    stream = spark.readStream.schema(schema).option("header", "true").csv(str(src))
+    q = stream_merge_upsert(stream, out_dir=out, checkpoint_dir=ckpt, keys=["k"])
+    q.awaitTermination(120)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("1", "a1"), ("2", "a2")}
+
+    (src / "b2.csv").write_text("k,v\n2,b2\n3,b3\n")
+    stream = spark.readStream.schema(schema).option("header", "true").csv(str(src))
+    q = stream_merge_upsert(stream, out_dir=out, checkpoint_dir=ckpt, keys=["k"])
+    q.awaitTermination(120)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("1", "a1"), ("2", "b2"), ("3", "b3")}
