@@ -386,3 +386,81 @@ def cosine_topk_arrow(
         .filter(F.col("_rn") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    out: str = "cluster",
+):
+    """Fully distributed Lloyd's k-means over the whole corpus
+    (complement of :func:`train_ivf_centroids`, which trains on a
+    driver-side sample — use this when the final partition itself is
+    the product, e.g. embedding-cluster dedup or topic bucketing).
+
+    Scale shape per iteration:
+
+    * centroids (k·dim doubles — KBs) broadcast into an Arrow-batched
+      pandas UDF; assignment is one numpy matmul per batch, no
+      shuffle, linear in executors;
+    * centroid update via ``posexplode`` + (cluster, pos) hash
+      aggregate — partial map-side combine means the shuffle carries
+      ≤ k·dim rows per task, never the corpus;
+    * only the k·dim centroid matrix ever returns to the driver, and
+      the loop re-plans from the raw input each round, so lineage
+      stays flat without checkpointing.
+
+    Init is deterministic farthest-point traversal over a hash-ordered
+    sample (``xxhash64(id)`` order = seedless pseudo-random, stable
+    across runs/engines): naive "first k rows" init can land every
+    seed in one dense region and Lloyd's never recovers. Distance is
+    Euclidean (argmin of ‖x−c‖² = argmax of c·x − ‖c‖²/2).
+
+    Returns ``(assignments DataFrame [id_col, out], centroids ndarray)``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    base = df.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    sample = np.array(
+        [
+            r[1]
+            for r in base.orderBy(F.xxhash64(F.col(id_col)), id_col)
+            .limit(max(4096, 4 * k))
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cents = np.empty((k, sample.shape[1]))
+    cents[0] = sample[0]
+    d2 = ((sample - cents[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        cents[i] = sample[int(np.argmax(d2))]
+        d2 = np.minimum(d2, ((sample - cents[i]) ** 2).sum(axis=1))
+
+    def assigner(c):
+        half_sq = (c * c).sum(axis=1) / 2.0
+
+        @pandas_udf("int")
+        def nearest(v: pd.Series) -> pd.Series:
+            m = np.array(v.tolist(), dtype=np.float64)
+            return pd.Series(np.argmax(m @ c.T - half_sq, axis=1).astype("int32"))
+
+        return nearest
+
+    for _ in range(iters):
+        assigned = base.withColumn(out, assigner(cents)(F.col("_v")))
+        rows = (
+            assigned.select(out, F.posexplode("_v").alias("_pos", "_val"))
+            .groupBy(out, "_pos")
+            .agg(F.avg("_val").alias("_c"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        for r in rows:
+            cents[r[out]][r["_pos"]] = r["_c"]
+
+    assigned = base.withColumn(out, assigner(cents)(F.col("_v")))
+    return assigned.select(id_col, out), cents

@@ -2370,6 +2370,80 @@ def int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "time_weekly_revenue",
+    """
+    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY date_trunc('week', o_orderdate)
+    """,
+)
+def time_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup via date_trunc (ISO Monday weeks in both
+    engines) — the time-dimension group-by every BI layer needs; the
+    range predicate pushes to the parquet scan."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("week", "o_orderdate").cast("date").alias("wk"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "time_ship_latency",
+    """
+    SELECT o.o_orderpriority,
+           round(avg(datediff('day', o.o_orderdate, l.l_shipdate)), 4) AS avg_days,
+           CAST(max(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS max_days,
+           count(*) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY o.o_orderpriority
+    """,
+)
+def time_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic across a join: order→ship latency in whole
+    days (datediff counts day boundaries identically in Spark and
+    DuckDB) aggregated per priority class."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    dd = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg(dd), 4).alias("avg_days"),
+            F.max(dd).cast("long").alias("max_days"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register("kmeans_cluster_sizes")  # iterative, rows-only check
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings corpus
+    (llmops/similarity.py::kmeans_lloyd), reported as cluster sizes.
+    Iterative + FP-order-dependent at the cluster boundaries, so no
+    SQL oracle — correctness is proven by the blob-recovery test."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import kmeans_lloyd
+
+    e = T(spark, sf_dir, "embeddings")
+    assigned, _cents = kmeans_lloyd(e, k=8, iters=3)
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

@@ -284,3 +284,34 @@ def test_edit_distance_pairs_lossless_banding(spark):
         for r in edit_distance_pairs(docs, max_len_diff=10, max_dist=5).collect()
     }
     assert got == {(1, 2): 2}
+
+
+def test_kmeans_lloyd_recovers_blobs(spark):
+    """Three well-separated synthetic blobs: distributed Lloyd's must
+    partition them exactly (every member of a blob shares a cluster,
+    different blobs get different clusters) and land centroids on the
+    blob means."""
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.similarity import kmeans_lloyd
+
+    centers = {0: (0.0, 0.0), 1: (10.0, 10.0), 2: (-10.0, 10.0)}
+    rows = []
+    for b, (cx, cy) in centers.items():
+        for i in range(20):
+            # deterministic jitter in [-0.5, 0.5)
+            rows.append((b * 20 + i, [cx + (i % 10) / 10 - 0.45, cy + (i % 7) / 7 - 0.45]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    assigned, cents = kmeans_lloyd(df, k=3, iters=4)
+    got = assigned.collect()
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r["vec_id"] // 20, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in by_blob.values())  # blobs are pure
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3  # and distinct
+    # each centroid sits within the jitter radius of a blob center
+    for c in cents:
+        assert min(
+            (c[0] - cx) ** 2 + (c[1] - cy) ** 2 for cx, cy in centers.values()
+        ) < 0.25
