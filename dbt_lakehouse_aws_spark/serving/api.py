@@ -266,3 +266,27 @@ def simulate_draft(
         if simulate_draft_pick(df, board, current_pick=start_pick + i, rng=rng) is None:
             break
     return board
+
+
+def keyset_page(
+    df: DataFrame,
+    *,
+    order_col: str = "rank",
+    after: int | float | str | None = None,
+    page_size: int = 500,
+) -> DataFrame:
+    """Keyset pagination for the serving scan: page N+1 is
+    ``WHERE order_col > last_seen ORDER BY order_col LIMIT page_size``.
+
+    OFFSET pagination re-sorts and skips ``offset`` rows on every
+    page — O(total scanned) per page, quadratic across a full crawl.
+    A keyset predicate pushes to the parquet scan (min/max row-group
+    skipping when the table is written sorted on ``order_col``, see
+    ``TableCatalog.put(sort_by=...)``) and the LIMIT compiles to
+    TakeOrderedAndProject. ``order_col`` must be unique (a rank) for
+    gapless pages.
+    """
+    out = df
+    if after is not None:
+        out = out.filter(F.col(order_col) > F.lit(after))
+    return out.orderBy(order_col).limit(page_size)

@@ -2444,6 +2444,63 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "json_parse_props",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS max_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic JSON parsing (vs f_json_props' regex fallback):
+    from_json with an explicit schema parses once into a struct, all
+    downstream field access is a codegen struct getter. At corpus
+    scale prefer this over get_json_object chains — N extracts from
+    one column each re-parse the string, from_json parses once."""
+    ev = T(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "user_event_sequence",
+    """
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY ts, event_id)[:5], ',') AS first5,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect: each user's first five event types in time
+    order (the behavioral-sequence feature for sessionless funnel
+    analysis / next-event models). Spark's collect_list has no ORDER
+    BY — sort structs of (ts, tiebreak, value) after collection;
+    per-group arrays sort in-memory per group, no extra shuffle."""
+    ev = T(spark, sf_dir, "events")
+    seq = F.slice(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s.event_type,
+        ),
+        1,
+        5,
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(seq, ",").alias("first5"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

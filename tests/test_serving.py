@@ -154,3 +154,18 @@ def test_cli_run_and_serve(spark, tmp_path):
     rc = main(["serve", "--marts-dir", str(marts), "--league", "oc",
                "--limit", "5", "--search", "First1"])
     assert rc == 0
+
+
+def test_keyset_page(spark):
+    """Keyset pages are gapless, non-overlapping, and the predicate
+    (not an OFFSET) selects the page."""
+    from dbt_lakehouse_aws_spark.serving.api import keyset_page
+
+    df = spark.range(1, 101).withColumnRenamed("id", "rank")
+    p1 = [r["rank"] for r in keyset_page(df, after=None, page_size=10).collect()]
+    assert p1 == list(range(1, 11))
+    p2 = [r["rank"] for r in keyset_page(df, after=p1[-1], page_size=10).collect()]
+    assert p2 == list(range(11, 21))
+    # pushdown: the filter reaches the scan, the limit is a heap
+    plan = keyset_page(df, after=90, page_size=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
