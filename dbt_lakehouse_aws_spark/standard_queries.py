@@ -2501,6 +2501,237 @@ def user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated on the fact table → left
+    semi join with a non-equi residual (shipdate > orderdate+60d).
+    The semi join deduplicates before the aggregate, so the count is
+    per-order not per-lineitem; Spark keeps the equi key for the
+    hash/SMJ and evaluates the date residual post-probe."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == l.l_orderkey) & (
+        l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_size, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN exclusion subquery + count distinct
+    per (brand, size). NOT IN is null-aware — Spark plans a
+    NullAwareAntiJoin in general; s_suppkey is a non-null key here so
+    left_anti is the equivalent (and cheaper) decorrelated form. The
+    exclusion side is tiny → broadcast."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    excl = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    kept = l.join(F.broadcast(excl), l.l_suppkey == excl.s_suppkey, "left_anti")
+    return (
+        kept.join(F.broadcast(p), kept.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AVG subquery, written in
+    its decorrelated form — one per-part aggregate, joined back to
+    the fact on the same key. Both sides shuffle on l_partkey, so AQE
+    can reuse the exchange; the oracle keeps the correlated form to
+    prove the rewrite is equivalent."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    pa = l.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("half_avg_qty"))
+    small = (
+        l.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    )
+    return small.groupBy("p_brand").agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_custkey % 7 AS code, count(*) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-06-01')
+    GROUP BY code
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar aggregate (broadcast as a
+    1-row cross join, SURVEY §2.3 J5) + NOT EXISTS anti join against
+    a date-pruned order slice. The date filter lands on the orders
+    scan (PushedFilters), shrinking the anti join's build side."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("_avg"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy((F.col("c_custkey") % 7).alias("code")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+    )
+
+
+@register(
+    "doc_repetition",
+    """
+    WITH g AS (
+      SELECT source,
+             1.0 - len(list_distinct(w))::DOUBLE / len(w) AS dup_word_frac,
+             1.0 - len(list_distinct(g3))::DOUBLE / len(g3) AS dup_gram_frac
+      FROM (SELECT source, w,
+                   list_transform(generate_series(1, len(w) - 2),
+                                  i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS g3
+            FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= 3)
+    )
+    SELECT source,
+           round(avg(dup_word_frac), 6) AS avg_dup_word_frac,
+           round(avg(dup_gram_frac), 6) AS avg_dup_gram_frac,
+           CAST(count(*) FILTER (WHERE dup_gram_frac > 0.01) AS BIGINT) AS n_repetitive,
+           count(*) AS n_docs
+    FROM g GROUP BY source
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition scoring: duplicate
+    word fraction and duplicate 3-gram fraction per doc, rolled up
+    per source. The n-grams never explode — dup fraction is
+    1 − |distinct|/|all| computed on the array itself (array_distinct
+    is per-row, zero shuffle); only the per-source rollup shuffles.
+    At 100 TB that keeps the repetition gate map-side."""
+    d = T(spark, sf_dir, "documents")
+    base = d.select("source", F.split("text", " ").alias("w")).filter(F.size("w") >= 3)
+    grams = base.withColumn(
+        "g3",
+        F.expr(
+            "transform(sequence(1, size(w) - 2),"
+            " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"
+        ),
+    )
+    scored = grams.select(
+        "source",
+        (1.0 - F.size(F.array_distinct("w")) / F.size("w")).alias("dup_word_frac"),
+        (1.0 - F.size(F.array_distinct("g3")) / F.size("g3")).alias("dup_gram_frac"),
+    )
+    return scored.groupBy("source").agg(
+        F.round(F.avg("dup_word_frac"), 6).alias("avg_dup_word_frac"),
+        F.round(F.avg("dup_gram_frac"), 6).alias("avg_dup_gram_frac"),
+        F.sum(F.when(F.col("dup_gram_frac") > 0.01, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repetitive"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "decontaminate_docs",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, source,
+                 unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+          FROM w),
+    bench AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 97 = 0),
+    contam AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (shingle)
+               WHERE g.doc_id % 97 <> 0)
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM documents d LEFT JOIN contam c USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.source
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    word-3-gram shingle with a held-out benchmark slice (doc_id %
+    97 == 0 stands in for the eval set). The benchmark shingle set is
+    distinct-ed then BROADCAST — the corpus side streams through a
+    map-side semi join, no corpus-wide shuffle. Real pipelines drop
+    the flagged docs; we report per-source counts so the result is
+    oracle-checkable."""
+    d = T(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "source", F.split("text", " ").alias("w"))
+    grams = docs.filter(F.size("w") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"
+            )
+        ).alias("shingle"),
+    )
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = grams.filter(is_bench).select("shingle").distinct()
+    contam = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    base = docs.filter(~is_bench).select("doc_id", "source")
+    return base.join(contam, "doc_id", "left").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

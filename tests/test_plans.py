@@ -217,3 +217,42 @@ def test_int8_quant_topk_no_cartesian_blowup(spark, sf_dir, queries):
     p = plan(queries["int8_quant_topk"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q4_semi_join_keeps_equi_key(spark, sf_dir, queries):
+    """The EXISTS with a date residual must still be an equi semi
+    join on l_orderkey (hash/SMJ), never a nested loop over the
+    fact table."""
+    p = plan(queries["q4_priority_exists"](spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_q16_exclusion_is_broadcast_anti(spark, sf_dir, queries):
+    """NOT IN over a non-null key compiles to a broadcast anti join
+    — the 6-row exclusion list must never shuffle the fact table."""
+    p = plan(queries["q16_supplier_variety"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_q22_anti_join_scan_is_date_pruned(spark, sf_dir, queries):
+    """The NOT EXISTS build side must carry the o_orderdate filter
+    into the parquet scan (PushedFilters), not post-filter."""
+    p = plan(queries["q22_idle_rich_customers"](spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_doc_repetition_no_explode_no_python(spark, sf_dir, queries):
+    """Repetition scoring stays array-local: no Generate (explode)
+    node, no Python eval — one exchange for the per-source rollup."""
+    p = plan(queries["doc_repetition"](spark, sf_dir))
+    assert "Generate" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_decontaminate_benchmark_set_broadcast(spark, sf_dir, queries):
+    """The benchmark shingle set is broadcast to a map-side semi
+    join; the corpus side must not shuffle on shingle."""
+    p = plan(queries["decontaminate_docs"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
