@@ -2732,6 +2732,162 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chunk_documents",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w,
+                 unnest(generate_series(1, greatest(len(w) - 31, 1), 24)) AS start
+          FROM w)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS BIGINT)
+             AS chunk_ix,
+           array_to_string(w[start:start+31], ' ') AS chunk,
+           CAST(len(w[start:start+31]) AS BIGINT) AS n_tokens
+    FROM s
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: 32-token chunks, stride 24
+    (8-token overlap), tail clamped. Start offsets come from
+    ``sequence`` and the chunk from ``slice`` — all codegen, the only
+    row growth is the chunk fan-out itself (~len/stride per doc), no
+    Python and no shuffle. At 100 TB chunking is a map-only stage
+    that pipelines straight into the embedding UDF."""
+    d = T(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w"))
+    exploded = base.select(
+        "doc_id",
+        "w",
+        F.posexplode(F.expr("sequence(1, greatest(size(w) - 31, 1), 24)")).alias(
+            "chunk_ix", "start"
+        ),
+    )
+    piece = F.slice("w", F.col("start"), 32)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_ix").cast("long").alias("chunk_ix"),
+        F.array_join(piece, " ").alias("chunk"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, emb AS v_q FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+             round(list_dot_product(q.v_q, c.emb)
+                   / (sqrt(list_dot_product(q.v_q, q.v_q)) * sqrt(list_dot_product(c.emb, c.emb))),
+                   6) AS cosine
+      FROM q, v c WHERE c.label <> q.q_label
+    ), ranked AS (
+      SELECT query_id, neighbor_id, neg_label, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_label, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-3 most-similar vectors with a DIFFERENT label. The query set
+    is tiny → broadcast nested-loop (map-side over the corpus); the
+    label inequality rides the join condition so same-label pairs
+    never materialize. Dot products are ``zip_with``+``aggregate``,
+    JVM-side, sequential evaluation order matching DuckDB's
+    list_dot_product for stable rounding."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("v_q"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("emb").alias("v_c"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    joined = c.join(F.broadcast(q), F.col("neg_label") != F.col("q_label"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        "neg_label",
+        F.round(
+            dot(F.col("v_q"), F.col("v_c"))
+            / (F.sqrt(dot(F.col("v_q"), F.col("v_q"))) * F.sqrt(dot(F.col("v_c"), F.col("v_c")))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "grouped_ols_arrow",
+    """
+    SELECT o_orderpriority,
+           round(regr_slope(o_totalprice,
+                            date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)), 6) AS slope,
+           round(regr_intercept(o_totalprice,
+                                date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)), 4) AS icept,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def grouped_ols_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit through the Arrow escape hatch:
+    ``applyInPandas`` runs a vectorized numpy closed-form fit per
+    group (the pattern for any per-group sklearn/scipy model at
+    scale — one shuffle on the group key, model code untouched).
+    The oracle is SQL ``regr_slope``/``regr_intercept``, proving the
+    UDF path agrees with the sufficient-statistics aggregate (A3)
+    to 6 decimals. Prefer JVM ``regr_slope`` when the model IS a
+    line; this exists for the models that aren't."""
+    import pandas as pd
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        x, y = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+        xc, yc = x - x.mean(), y - y.mean()
+        slope = float((xc * yc).sum() / (xc * xc).sum())
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "slope": [round(slope, 6)],
+                "icept": [round(float(y.mean() - slope * x.mean()), 4)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return o.groupBy("o_orderpriority").applyInPandas(
+        fit, schema="o_orderpriority string, slope double, icept double, n long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

@@ -256,3 +256,28 @@ def test_decontaminate_benchmark_set_broadcast(spark, sf_dir, queries):
     join; the corpus side must not shuffle on shingle."""
     p = plan(queries["decontaminate_docs"](spark, sf_dir))
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_chunk_documents_map_only_codegen(spark, sf_dir, queries):
+    """Chunking is a map-only stage: one Generate (the chunk
+    fan-out), zero Exchange, zero Python."""
+    p = plan(queries["chunk_documents"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") == 0
+
+
+def test_hard_negatives_broadcast_not_cartesian(spark, sf_dir, queries):
+    """The label-inequality join must broadcast the tiny query set,
+    never CartesianProduct the corpus."""
+    p = plan(queries["hard_negative_mining"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_grouped_ols_is_arrow_not_pickle(spark, sf_dir, queries):
+    """applyInPandas must compile to FlatMapGroupsInPandas (Arrow
+    batches), not row-pickling BatchEvalPython."""
+    p = plan(queries["grouped_ols_arrow"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
