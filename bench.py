@@ -61,6 +61,13 @@ HEADLINE = [
     "bigram_topk",
     "emb_label_centroid_dist",
     "int8_quant_topk",
+    "q4_priority_exists",
+    "q17_small_quantity_revenue",
+    "doc_repetition",
+    "decontaminate_docs",
+    "chunk_documents",
+    "hard_negative_mining",
+    "grouped_ols_arrow",
 ]
 
 

@@ -46,7 +46,9 @@ def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 class TableCatalog:
-    """Minimal schema-qualified table registry with a Parquet sink.
+    """Minimal schema-qualified table registry with a columnar sink
+    (Parquet by default; ``file_format="orc"`` for ORC consumers —
+    both keep column pruning and min/max row-group skipping).
 
     ``materialize=True`` writes Parquet and re-reads it, matching the
     reference's every-model-is-a-table semantics (each consumer reads
@@ -76,6 +78,7 @@ class TableCatalog:
         bucket_by: list[str] | None = None,
         num_buckets: int = 16,
         sort_by: list[str] | None = None,
+        file_format: str = "parquet",
     ) -> DataFrame:
         key = self._qualify(schema, name)
         if bucket_by:
@@ -105,11 +108,11 @@ class TableCatalog:
                 # at the scan (poor man's Z-order; one key or a
                 # prefix-ordered few is where it pays).
                 df = df.sortWithinPartitions(*sort_by)
-            writer = df.write.mode("overwrite")
+            writer = df.write.mode("overwrite").format(file_format)
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
-            writer.parquet(path)
-            df = self.spark.read.parquet(path)
+            writer.save(path)
+            df = self.spark.read.format(file_format).load(path)
             self._partitioning[key] = list(partition_by or [])
         self._tables[key] = df
         df.createOrReplaceTempView(f"{schema}__{name}" if schema else name)

@@ -2888,6 +2888,33 @@ def grouped_ols_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "variant_json_props",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS min_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VariantType path (Spark 4): ``parse_json``
+    once into the binary variant encoding, then ``variant_get``
+    field access — the open-lakehouse answer to schemaless JSON
+    columns. Unlike from_json (fixed schema up front) a variant
+    column keeps the full document queryable while field reads stay
+    ~columnar; use it when the props schema drifts per event type."""
+    ev = T(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

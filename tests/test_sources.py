@@ -171,3 +171,20 @@ def test_sorted_write_tightens_rowgroup_stats(spark, tmp_path):
     # data within the file is actually ordered on k
     got = spark.read.parquet(str(path)).select("k").limit(3).collect()
     assert [r["k"] for r in got] == [0, 1, 2]
+
+
+def test_orc_sink_roundtrip_partitioned(spark, tmp_path):
+    """file_format="orc": the sink writes ORC (partition layout and
+    values preserved) and the catalog re-reads it with partition
+    discovery — the parquet path's contract, second columnar format."""
+    from dbt_lakehouse_aws_spark.sources.catalog import TableCatalog
+    import os
+
+    cat = TableCatalog(spark, warehouse_dir=str(tmp_path))
+    df = spark.range(0, 100).withColumn("p", (F.col("id") % 2).cast("int"))
+    out = cat.put("main", "orct", df, materialize=True,
+                  partition_by=["p"], file_format="orc")
+    assert out.count() == 100
+    assert out.filter(F.col("p") == 1).count() == 50
+    part_dir = tmp_path / "main" / "orct" / "p=0"
+    assert any(x.endswith(".orc") for x in os.listdir(part_dir))
