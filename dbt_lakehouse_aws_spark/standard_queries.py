@@ -2915,6 +2915,40 @@ def variant_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "frame_sample_docs",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(0, greatest(len(text) // 16 - 1, 0), 4)) AS frame_ix
+      FROM documents
+      WHERE len(text) >= 16
+    )
+    SELECT d.doc_id, CAST(f.frame_ix AS BIGINT) AS frame_ix,
+           substr(d.text, f.frame_ix * 16 + 1, 16) AS frame_txt
+    FROM f JOIN documents d USING (doc_id)
+    """,
+)
+def frame_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling through the real mapInPandas
+    plumbing (llmops/multimodal.py::sample_frames): payloads are the
+    utf-8 bytes of the text column, frames are 16-byte slices, every
+    4th kept. Because the corpus is ASCII, the byte slices decode to
+    substrings — making an Arrow fan-out operator oracle-checkable
+    against plain SQL substr."""
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    d = T(spark, sf_dir, "documents").filter(F.length("text") >= 16)
+    payloads = attach_binary_payload(d, modality="blob")
+    frames = sample_frames(payloads, frame_bytes=16, every_n=4)
+    return frames.select(
+        "doc_id", "frame_ix", F.decode("frame", "utf-8").alias("frame_txt")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

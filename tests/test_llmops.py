@@ -315,3 +315,61 @@ def test_kmeans_lloyd_recovers_blobs(spark):
         assert min(
             (c[0] - cx) ** 2 + (c[1] - cy) ** 2 for cx, cy in centers.values()
         ) < 0.25
+
+
+def test_resize_payloads_fixed_size_nearest_neighbor(spark, docs):
+    """Every resized payload is exactly target_bytes; the sampling is
+    the nearest-neighbor index map (hand-checked on a known byte)."""
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        attach_binary_payload,
+        resize_payloads,
+    )
+
+    payloads = attach_binary_payload(docs, modality="blob")
+    out = {r["doc_id"]: r for r in resize_payloads(payloads, target_bytes=8).collect()}
+    raw = DOCS[0][1].encode()
+    assert all(r["dst_bytes"] == 8 for r in out.values())
+    expected = bytes(raw[(i * len(raw)) // 8] for i in range(8))
+    assert bytes(out[1]["payload"]) == expected
+    assert out[1]["src_bytes"] == len(raw)
+
+
+def test_sample_frames_every_nth(spark, docs):
+    """Frame fan-out: payload of n frames yields ceil(n/every_n) rows
+    with the right byte slices."""
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    payloads = attach_binary_payload(docs, modality="blob")
+    frames = sample_frames(payloads, frame_bytes=4, every_n=2)
+    raw = DOCS[0][1].encode()
+    mine = sorted(
+        ((r["frame_ix"], bytes(r["frame"])) for r in frames.collect() if r["doc_id"] == 1)
+    )
+    n_frames = len(raw) // 4
+    assert [ix for ix, _ in mine] == list(range(0, n_frames, 2))
+    for ix, fb in mine:
+        assert fb == raw[ix * 4 : (ix + 1) * 4]
+
+
+def test_repartition_by_size_class_spreads_heavies(spark):
+    """All rows survive, and the heavy class lands on >1 partition
+    (the straggler guard actually spreads)."""
+    from dbt_lakehouse_aws_spark.llmops.multimodal import repartition_by_size_class
+
+    rows = [(i, bytes(200_000) if i < 40 else bytes(10)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = repartition_by_size_class(
+        df, boundaries=(100_000,), partitions_per_class=4
+    )
+    assert out.count() == 80
+    from pyspark.sql import functions as F2
+    heavy_parts = (
+        out.filter(F2.col("_size_class") == 1)
+        .select(F2.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert heavy_parts > 1
