@@ -188,3 +188,22 @@ def test_orc_sink_roundtrip_partitioned(spark, tmp_path):
     assert out.filter(F.col("p") == 1).count() == 50
     part_dir = tmp_path / "main" / "orct" / "p=0"
     assert any(x.endswith(".orc") for x in os.listdir(part_dir))
+
+
+def test_python_datasource_parallel_deterministic(spark):
+    """Custom Python DataSource: partition planning yields real task
+    parallelism; per-row seeding makes the data identical under any
+    partitioning; schema comes from the connector."""
+    from dbt_lakehouse_aws_spark.sources.pydatasource import SynthCorpusDataSource
+
+    spark.dataSource.register(SynthCorpusDataSource)
+    df8 = (spark.read.format("synthcorpus")
+           .option("rows", 400).option("partitions", 8).load())
+    assert df8.count() == 400
+    assert [f.name for f in df8.schema.fields] == ["doc_id", "text", "source"]
+    n_parts = df8.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts == 8
+    # re-slicing must not change the data (partition-independent rows)
+    df2 = (spark.read.format("synthcorpus")
+           .option("rows", 400).option("partitions", 2).load())
+    assert df2.exceptAll(df8).count() == 0 and df8.exceptAll(df2).count() == 0
