@@ -380,3 +380,64 @@ def stream_merge_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_user_totals(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incrementally-maintained per-key lifetime aggregate on the
+    ``transformWithStateInPandas`` API (Spark 4's arbitrary-state
+    successor to ``applyInPandasWithState``): a ``ValueState`` holds
+    (n_events, total_value) per key; every micro-batch folds its
+    Arrow rows into the state and emits the updated row.
+
+    This is the streaming materialization of an aggregate table —
+    what the reference's "incremental materializations" future-work
+    section gestures at — with O(keys) state, no reprocessing of
+    history, and typed state the runtime can checkpoint/restore
+    (RocksDB state store provider required). Use it over windowed
+    aggregation when totals are lifetime (no watermark can retire
+    the state) but keys are bounded.
+
+    Runtime deps: the transformWithState Python runner imports
+    ``google.protobuf`` (state-server protocol). This container
+    doesn't ship protobuf, so the e2e test auto-skips here; the
+    operator itself is plain public API and runs wherever pyspark's
+    declared deps are installed.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} long, n_events long, total_value double"
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += int(len(pdf))
+                total += float(pdf[value_col].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -342,3 +342,65 @@ def test_stream_merge_upsert(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
     assert got == {("1", "a1"), ("2", "b2"), ("3", "b3")}
+
+
+def test_running_user_totals_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas lifetime totals: state carries
+    across micro-batches (f2's emission includes f1's events) and
+    each batch emits the updated row for touched keys only.
+
+    The TWS python runner needs protobuf (not in this container) —
+    the operator is exercised end-to-end wherever protobuf exists.
+    """
+    pytest.importorskip("google.protobuf")
+    from dbt_lakehouse_aws_spark.streaming.ingest import running_user_totals
+
+    src = tmp_path / "twst"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    header = "user_id,value\n"
+    (src / "f1.csv").write_text(header + "1,1.0\n1,2.0\n2,5.0\n")
+    (src / "f2.csv").write_text(header + "1,4.0\n")
+    import os as _os
+
+    for i, f in enumerate(("f1.csv", "f2.csv")):
+        _os.utime(src / f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("header", "true")
+            .option("maxFilesPerTrigger", "1")
+            .csv(str(src))
+        )
+        totals = running_user_totals(stream)
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("twst_out")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql("select * from twst_out").collect()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    emitted = {(r["user_id"], r["n_events"], r["total_value"]) for r in rows}
+    assert (1, 2, 3.0) in emitted  # batch 1: u1 has 2 events
+    assert (2, 1, 5.0) in emitted  # batch 1: u2
+    assert (1, 3, 7.0) in emitted  # batch 2 folded ONTO batch-1 state
+    # u2 untouched in batch 2 → exactly these three emissions
+    assert len(emitted) == 3
