@@ -119,8 +119,22 @@ def minhash_signatures(
     """(id, array<long> signature): min over shingles per hash fn.
 
     Base shingle hash is ``xxhash64`` (JVM built-in) reduced mod
-    2^31−1; the k "permutations" are affine transforms of it. One
-    explode + one groupBy(id) — shuffle O(docs·shingles) once;
+    P=2^31−1; the k "permutations" are affine transforms
+    ``(a_i·h + b_i) mod P`` with a_i, b_i drawn FULL-RANGE from a
+    seeded RNG. Full-range multipliers are load-bearing: with small
+    a_i (an earlier revision used a_i = 2i+1 ≤ 63), ``a_i·h + b_i``
+    stays below P for every h < P/63, so no position ever wraps and
+    ALL k functions share one argmin — the shingle with the smallest
+    base hash decides the entire signature, and any two docs sharing
+    one low-hash shingle collide at est_jaccard=1.0 (observed: a
+    20 000-doc corpus produced thousands of false candidate pairs,
+    and LSH fan-out exploded quadratically with corpus size). With
+    a_i ~ U[1, P), a_i·h ≥ P for essentially every shingle, the mod
+    wraps ~a_i times, and positions are pairwise-independent in the
+    classic universal-hashing sense. a_i·h < 2^62 — no int64
+    overflow under ANSI mode.
+
+    One explode + one groupBy(id) — shuffle O(docs·shingles) once;
     signatures thereafter are ``num_hashes × 8`` bytes per doc.
     """
     # NOTE(perf): a naive all-array variant (re-hashing shingles
@@ -130,12 +144,15 @@ def minhash_signatures(
     # the shuffle entirely. We keep explode+groupBy: the map-side
     # partial min makes its shuffle O(docs), and codegen'd explode
     # beats interpreted higher-order funcs per CPU cycle.
+    import random as _random
+
     sh = shingle_table(df, id_col, text_col, n)
     base = _base_hash("shingle")
+    rng = _random.Random(0xD0C5EED)
     hash_cols = []
     for i in range(num_hashes):
-        a = 2 * i + 1  # odd multiplier < 2^7; a*base < 2^38: no overflow
-        b = 104729 * (i + 1)
+        a = rng.randrange(1, MINHASH_PRIME)
+        b = rng.randrange(0, MINHASH_PRIME)
         h = F.pmod(F.lit(a).cast("long") * base + F.lit(b).cast("long"),
                    F.lit(MINHASH_PRIME).cast("long"))
         hash_cols.append(h.alias(f"_h{i}"))
