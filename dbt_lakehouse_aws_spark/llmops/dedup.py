@@ -224,16 +224,31 @@ def lsh_candidate_pairs(
 
 
 def simhash64(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", out: str = "simhash"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "simhash",
+    n: int = 3,
 ) -> DataFrame:
-    """63-bit SimHash over distinct word tokens.
+    """63-bit SimHash over distinct word ``n``-gram shingles.
 
-    For each bit position, sum ±1 votes of the token hashes' bits
+    For each bit position, sum ±1 votes of the shingle hashes' bits
     (``getbit``); fingerprint bit set iff the vote is positive.
     63 bits keeps ``Σ bit_i·2^i`` inside a signed int64 under ANSI
     arithmetic. Pure array expressions — no shuffle, no UDF.
+
+    Features are shingles (same modality as MinHash), not unigram
+    tokens: on a low-vocabulary corpus every document contains
+    nearly every token, unigram feature sets coincide, and the
+    fingerprints collapse onto each other — a 100k-doc probe with a
+    30-word vocabulary produced 95.5M "near" pairs from unigram
+    features vs a sane fan-out from 3-gram features. ``n=1`` gives
+    the unigram behavior back where vocabulary is genuinely rich.
     """
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    toks = F.array_distinct(
+        word_shingles(text_col, n) if n > 1 else F.split(F.col(text_col), " ")
+    )
     th = F.transform(toks, lambda t: F.xxhash64(t))
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(62)),

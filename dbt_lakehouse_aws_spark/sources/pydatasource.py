@@ -50,6 +50,11 @@ class SynthCorpusReader(DataSourceReader):
         self.seed = int(options.get("seed", "42"))
         self.min_words = int(options.get("min_words", "20"))
         self.max_words = int(options.get("max_words", "60"))
+        # vocab=N > 0 swaps the 30-word corpus vocabulary for N
+        # synthetic tokens w0..w{N-1} — realistic-vocabulary probes
+        # (hash/LSH fan-out rates are vocabulary-sensitive; see
+        # PERF.md's MinHash bug postmortem)
+        self.vocab_size = int(options.get("vocab", "0"))
 
     def partitions(self):
         step = max(1, -(-self.rows // self.num_partitions))  # ceil div
@@ -59,11 +64,15 @@ class SynthCorpusReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangeSlice):
+        if self.vocab_size > 0:
+            vocab = [f"w{k}" for k in range(self.vocab_size)]
+        else:
+            vocab = _VOCAB
         for i in range(partition.start, partition.end):
             # per-ROW seeding keeps rows identical under any slicing
             rng = random.Random(self.seed * 1_000_003 + i)
             n = rng.randint(self.min_words, self.max_words)
-            text = " ".join(rng.choice(_VOCAB) for _ in range(n))
+            text = " ".join(rng.choice(vocab) for _ in range(n))
             yield (i, text, f"src{i % 20}")
 
 

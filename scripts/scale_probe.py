@@ -40,6 +40,7 @@ def main() -> int:
     from dbt_lakehouse_aws_spark.llmops.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
+        simhash_near_pairs,
     )
     from dbt_lakehouse_aws_spark.llmops.text import text_quality
 
@@ -54,6 +55,12 @@ def main() -> int:
         lambda: lsh_candidate_pairs(minhash_signatures(docs)).count(),
     )
     probe("text_quality", lambda: text_quality(docs).count())
+    # fan-out RATE is the health metric here (see PERF.md): near-pair
+    # count must stay ~linear in n_docs, not quadratic
+    probe(
+        "simhash_near(h<=8)",
+        lambda: simhash_near_pairs(docs, max_hamming=8).count(),
+    )
     probe(
         "chunk_32/24",
         lambda: docs.select(
