@@ -58,6 +58,9 @@ HEADLINE = [
     "emb_near_dup_pairs",
     "q13_order_count_distribution",
     "q18_large_volume_orders",
+    "q5_local_supplier_volume",
+    "q19_disjunctive_brackets",
+    "q21_waiting_suppliers",
     "bigram_topk",
     "emb_label_centroid_dist",
     "int8_quant_topk",

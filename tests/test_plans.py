@@ -281,3 +281,15 @@ def test_grouped_ols_is_arrow_not_pickle(spark, sf_dir, queries):
     p = plan(queries["grouped_ols_arrow"](spark, sf_dir))
     assert "FlatMapGroupsInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_q21_single_lineitem_agg_no_self_joins(spark, sf_dir, queries):
+    """The EXISTS / NOT EXISTS pair is decorrelated into ONE
+    per-order aggregate of lineitem: the plan must contain no
+    nested-loop join, and lineitem appears at most twice (probe +
+    the shared per-order aggregate), never three times as the
+    correlated form would scan it."""
+    p = plan(queries["q21_waiting_suppliers"](spark, sf_dir))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert p.count("lineitem.parquet") <= 2
+    assert "LeftSemi" in p
