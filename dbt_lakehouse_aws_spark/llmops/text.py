@@ -134,3 +134,57 @@ def fast_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     portability, not speed). Use this one in production dedup keys.
     """
     return df.withColumn(out, F.xxhash64(F.col(text_col)))
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean log-likelihood
+    under a bigram LM trained on the corpus itself.
+
+    ``score(d) = avg over positions i≥2 of ln( c(w_{i-1} w_i) /
+    c(w_{i-1} ·) )`` with counts from the whole input. Every scored
+    bigram occurs in the training counts (the corpus scores itself),
+    so no smoothing is needed and the result is exactly reproducible
+    by any SQL engine — fluent/repetitive documents score high,
+    out-of-distribution word salad scores low. This is the
+    distributed shape of the KenLM-style quality gate in web-corpus
+    pipelines (CCNet/Gopher); swapping in a pretrained external LM
+    only changes the model side of the join.
+
+    Plan: bigrams come from ``arrays_zip`` of two array slices
+    (codegen, no UDF) and explode map-side; "training" is two hash
+    aggregates over (w1, w2) — O(vocab²) rows, partial-agg combined;
+    scoring re-joins the exploded bigrams to the model. With
+    ``broadcast_model`` (default — bigram vocabularies saturate:
+    even web-scale corpora hold well under ~10⁸ distinct bigrams)
+    the scoring join is map-side and the ONLY data-sized shuffle is
+    the final per-doc aggregation. Set it False to let AQE pick a
+    shuffle join when the model side genuinely outgrows broadcast.
+    """
+    toks = tokens_col(text_col)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    big = df.select(id_col, F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    model = c2.join(c1, "w1").withColumn("_lp", F.log(F.col("_c2") / F.col("_c1")))
+    model = model.select("w1", "w2", "_lp")
+    if broadcast_model:
+        model = F.broadcast(model)
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

@@ -3426,6 +3426,36 @@ def frame_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bigram_lm_quality",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b2 AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+        FROM toks)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM b2 GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+    scored AS (SELECT doc_id, ln(c2 / c1) AS lp
+               FROM b2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+    SELECT doc_id, round(avg(lp), 6) AS avg_logprob, count(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy corpus quality gate: train a bigram LM on
+    the corpus (two hash aggregates), score every document by mean
+    log-likelihood (broadcast model join → map-side), one shuffle
+    per doc-agg. See llmops/text.py::bigram_lm_scores."""
+    from dbt_lakehouse_aws_spark.llmops.text import bigram_lm_scores
+
+    d = T(spark, sf_dir, "documents")
+    return bigram_lm_scores(d)
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

@@ -51,3 +51,26 @@ def test_typed_null_and_regexp_extract(spark):
     assert dict(out.dtypes)["pad"] == "double"
     r = out.collect()[0]
     assert (r["pad"], r["year"], r["ab"]) == (None, "2024", "ab")
+
+
+def test_top_tokens_udtf_lateral(spark):
+    """UDTF registers as a SQL table function and agrees with a
+    hand-computed top-k (count desc, first-seen asc)."""
+    from dbt_lakehouse_aws_spark.functions.udtf import HAS_UDTF, register_udtfs
+
+    if not HAS_UDTF:
+        import pytest as _pytest
+
+        _pytest.skip("pyspark UDTF API unavailable")
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, "b a b c a b"), (2, "z z y")], ["doc_id", "text"]
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, t.token, t.cnt, t.rank "
+        "FROM udtf_docs d, LATERAL top_tokens(d.text, 2) t "
+        "ORDER BY d.doc_id, t.rank"
+    ).collect()
+    got = [(r.doc_id, r.token, r.cnt, r.rank) for r in rows]
+    assert got == [(1, "b", 3, 1), (1, "a", 2, 2), (2, "z", 2, 1), (2, "y", 1, 2)]

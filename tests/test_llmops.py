@@ -373,3 +373,26 @@ def test_repartition_by_size_class_spreads_heavies(spark):
         .count()
     )
     assert heavy_parts > 1
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Corpus: 'a b a b', 'a b', 'a c'. Counts: c(a,b)=3, c(b,a)=1,
+    c(a,c)=1; prefix c(a·)=4, c(b·)=1. Per-doc mean ln-likelihoods
+    are closed-form; the rare continuation scores lowest."""
+    import math
+
+    from dbt_lakehouse_aws_spark.llmops.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    exp = {
+        1: (round((math.log(3 / 4) + math.log(1 / 1) + math.log(3 / 4)) / 3, 6), 3),
+        2: (round(math.log(3 / 4), 6), 1),
+        3: (round(math.log(1 / 4), 6), 1),
+    }
+    for doc_id, (lp, n) in exp.items():
+        assert rows[doc_id]["avg_logprob"] == pytest.approx(lp, abs=1e-6)
+        assert rows[doc_id]["n_bigrams"] == n
+    assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"] > rows[3]["avg_logprob"]
