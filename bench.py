@@ -51,6 +51,7 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "token_stats",
+    "bigram_lm_quality",
     "minhash_lsh_pairs",
     "edit_distance_pairs",
     "cosine_topk",

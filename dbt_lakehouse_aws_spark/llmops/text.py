@@ -141,7 +141,7 @@ def bigram_lm_scores(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_model: bool = True,
+    broadcast_model: bool = False,
 ) -> DataFrame:
     """Perplexity-proxy quality score: per-doc mean log-likelihood
     under a bigram LM trained on the corpus itself.
@@ -159,12 +159,15 @@ def bigram_lm_scores(
     Plan: bigrams come from ``arrays_zip`` of two array slices
     (codegen, no UDF) and explode map-side; "training" is two hash
     aggregates over (w1, w2) — O(vocab²) rows, partial-agg combined;
-    scoring re-joins the exploded bigrams to the model. With
-    ``broadcast_model`` (default — bigram vocabularies saturate:
-    even web-scale corpora hold well under ~10⁸ distinct bigrams)
-    the scoring join is map-side and the ONLY data-sized shuffle is
-    the final per-doc aggregation. Set it False to let AQE pick a
-    shuffle join when the model side genuinely outgrows broadcast.
+    scoring re-joins the exploded bigrams to the model. The model
+    side's size is vocabulary-dependent (tiny for narrow domains,
+    billions of bigram types at web scale), so the default leaves
+    the join strategy to AQE, which broadcasts small models from
+    runtime stats and shuffle-joins big ones — measured
+    equal-or-faster than a forced broadcast at BOTH a 30-word and a
+    20 000-word vocabulary (forcing the broadcast of an ~8M-row
+    model cost +45% at 200k docs). ``broadcast_model=True`` remains
+    as an explicit hint for models known to be small.
     """
     toks = tokens_col(text_col)
     pairs = F.arrays_zip(

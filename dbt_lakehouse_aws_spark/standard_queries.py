@@ -3448,8 +3448,9 @@ def frame_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy corpus quality gate: train a bigram LM on
     the corpus (two hash aggregates), score every document by mean
-    log-likelihood (broadcast model join → map-side), one shuffle
-    per doc-agg. See llmops/text.py::bigram_lm_scores."""
+    log-likelihood (model-join strategy left to AQE — broadcast when
+    runtime stats say the model is small), one shuffle per doc-agg.
+    See llmops/text.py::bigram_lm_scores."""
     from dbt_lakehouse_aws_spark.llmops.text import bigram_lm_scores
 
     d = T(spark, sf_dir, "documents")
