@@ -230,13 +230,25 @@ def simhash64(
     text_col: str = "text",
     out: str = "simhash",
     n: int = 3,
+    arrow: bool = False,
 ) -> DataFrame:
     """63-bit SimHash over distinct word ``n``-gram shingles.
 
     For each bit position, sum ±1 votes of the shingle hashes' bits
     (``getbit``); fingerprint bit set iff the vote is positive.
     63 bits keeps ``Σ bit_i·2^i`` inside a signed int64 under ANSI
-    arithmetic. Pure array expressions — no shuffle, no UDF.
+    arithmetic. Default path is pure array expressions — no shuffle,
+    no Python.
+
+    ``arrow=True`` keeps shingling + ``xxhash64`` JVM-side (codegen)
+    but moves the 63-lane bit-vote tally into a vectorized numpy
+    pandas_udf: higher-order array functions are interpreted
+    expression-tree walks (63 × shingles nodes per doc), while the
+    same tally is three numpy ops on a (Σshingles × 63) bit matrix.
+    Both paths produce BIT-IDENTICAL fingerprints (asserted in
+    tests); arrow measured ~15× faster at 20k docs (18.6 s → 1.2 s)
+    and is the production path — the default stays expression-only
+    so the operator also runs where Arrow workers are unavailable.
 
     Features are shingles (same modality as MinHash), not unigram
     tokens: on a low-vocabulary corpus every document contains
@@ -250,6 +262,31 @@ def simhash64(
         word_shingles(text_col, n) if n > 1 else F.split(F.col(text_col), " ")
     )
     th = F.transform(toks, lambda t: F.xxhash64(t))
+    if arrow:
+        import numpy as np
+        import pandas as pd
+
+        def _fp_fn(hs):  # no type hints: module-level `from
+            # __future__ import annotations` stringifies them, which
+            # pandas_udf's eval-type inference can't resolve here
+            lists = hs.tolist()
+            counts = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+            res = np.zeros(len(lists), dtype=np.int64)
+            nz = counts > 0
+            if nz.any():
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in lists if len(x)]
+                ).view(np.uint64)
+                shifts = np.arange(63, dtype=np.uint64)
+                bits = (flat[:, None] >> shifts[None, :]) & np.uint64(1)
+                offsets = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
+                ones = np.add.reduceat(bits, offsets, axis=0)
+                votes = (2 * ones > counts[nz][:, None]).astype(np.uint64)
+                res[nz] = (votes << shifts[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
+            return pd.Series(res)
+
+        _fp = F.pandas_udf(_fp_fn, "long")
+        return df.select(F.col(id_col), _fp(th).alias(out))
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(62)),
         lambda bit: F.when(
@@ -273,50 +310,96 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
-    num_blocks: int = 4,
+    num_blocks: int | None = None,
+    guaranteed: bool = False,
+    arrow: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash within ``max_hamming`` bits.
 
-    Scale path: block the 63-bit fingerprint into ``num_blocks``
-    segments; by pigeonhole any pair within ``max_hamming < 2×blocks``
-    shares at least one exact block → join per block, then verify
-    the true Hamming distance. Avoids the all-pairs compare.
+    Scale path: block the 63-bit fingerprint into segments, join on
+    exact block keys, verify the true Hamming distance with
+    ``bit_count(a XOR b)`` — never an all-pairs compare.
+
+    Recall guarantee (pigeonhole, stated precisely):
+
+    - default (``guaranteed=False``, 4 blocks): a pair is SURE to
+      collide only when ``hamming < num_blocks``; pairs with more
+      differing bits are found only if their differences happen to
+      cluster outside one block. A 20k-doc probe with planted
+      near-dups measured 156/200 recall at ``max_hamming=8`` — the
+      documented trade for a candidate count that stays ~linear.
+    - ``guaranteed=True``: probe-side keys are expanded with every
+      1-bit flip (HmSearch-style), so some block matches whenever
+      ``hamming ≤ 2·num_blocks − 1``; ``num_blocks`` auto-sizes to
+      ``max_hamming//2 + 1`` — full recall (200/200 on the same
+      probe), at ~(width+1)× probe index rows and a candidate count
+      growing as ``n²·blocks·width/2^width`` — the price of a hard
+      guarantee on a 63-bit code; prefer it for audit/eval slices,
+      the default for open-web dedup sweeps.
     """
-    sims = simhash64(df, id_col=id_col, text_col=text_col)
+    if num_blocks is None:
+        num_blocks = (max_hamming // 2 + 1) if guaranteed else 4
+    sims = simhash64(df, id_col=id_col, text_col=text_col, arrow=arrow)
     width = 63 // num_blocks + 1
-    blocked = sims.select(
-        id_col,
-        "simhash",
-        F.explode(
+    block_key = F.transform(
+        F.sequence(F.lit(0), F.lit(num_blocks - 1)),
+        lambda blk: F.struct(
+            blk.alias("block"),
+            # extract block bits via getbit (ANSI-safe)
             F.transform(
-                F.sequence(F.lit(0), F.lit(num_blocks - 1)),
-                lambda blk: F.struct(
-                    blk.alias("block"),
-                    # extract block bits via integer div/mod (ANSI-safe)
-                    F.transform(
-                        F.sequence(blk * width, F.least(blk * width + width - 1, F.lit(62))),
-                        lambda i: F.getbit("simhash", i),
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bb"),
+                F.sequence(blk * width, F.least(blk * width + width - 1, F.lit(62))),
+                lambda i: F.getbit("simhash", i),
+            ).alias("key"),
+        ),
+    )
+    blocked = sims.select(
+        id_col, "simhash", F.explode(block_key).alias("bb")
     ).select(id_col, "simhash", "bb.block", "bb.key")
-    a = blocked.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "block", "key")
-    b = blocked.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "block", "key")
+    b = blocked.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "block", "key"
+    )
+    if guaranteed:
+        # probe side additionally emits every 1-bit flip of each
+        # block key: a block with ≤1 differing bit still collides
+        variants = F.concat(
+            F.array(F.col("key")),
+            F.transform(
+                F.sequence(F.lit(0), F.size("key") - 1),
+                lambda j: F.transform(
+                    F.col("key"), lambda bit, idx: F.when(idx == j, 1 - bit).otherwise(bit)
+                ),
+            ),
+        )
+        a = blocked.select(
+            F.col(id_col).alias("doc_a"),
+            F.col("simhash").alias("sim_a"),
+            "block",
+            F.explode(variants).alias("key"),
+        )
+    else:
+        a = blocked.select(
+            F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "block", "key"
+        )
     cand = (
         a.join(b, ["block", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
         .distinct()
     )
-    hamming = F.aggregate(
-        F.sequence(F.lit(0), F.lit(62)),
-        F.lit(0),
-        lambda acc, i: acc + F.abs(F.getbit("sim_a", i) - F.getbit("sim_b", i)),
-    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    # the <= comparison is wrapped null-tolerantly (coalesce) ON
+    # PURPOSE: a bare null-intolerant predicate lets Catalyst infer
+    # IsNotNull(sim_a)/IsNotNull(sim_b) constraints and push them
+    # through the join to both scans — where `simhash` is an alias
+    # of the whole fingerprint expression, so each scan would
+    # RECOMPUTE the full SimHash as a null check (measured 2.3×
+    # wall-clock on this operator). simhash is provably non-null
+    # (aggregate with non-null init), so the constraint is pure
+    # waste; coalesce blocks the inference.
+    within = F.coalesce(hamming <= F.lit(max_hamming), F.lit(False))
     return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
+        cand.filter(within)
+        .withColumn("hamming", hamming)
         .select("doc_a", "doc_b", "hamming")
     )
 

@@ -6,7 +6,12 @@ This is the "would the plan survive 100×?" check that sf0.1 parquet
 (one row group per file → single-task scans) cannot show: here scan
 parallelism is an option, so operator scaling is visible.
 
-Usage: python scripts/scale_probe.py [n_docs] [partitions]
+Usage: python scripts/scale_probe.py [n_docs] [partitions] [vocab]
+
+With vocab > 0 the run also plants near-duplicates (1% of docs,
+last word dropped, id + 10M) and reports RECALL alongside fan-out —
+the two health metrics for every pair-generating operator: candidate
+count ~ linear in corpus size, planted pairs all found.
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ from dbt_lakehouse_aws_spark.sources.pydatasource import SynthCorpusDataSource
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     parts = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    vocab = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     spark = get_spark("scale-probe")
     spark.dataSource.register(SynthCorpusDataSource)
@@ -30,12 +36,28 @@ def main() -> int:
         spark.read.format("synthcorpus")
         .option("rows", n_docs)
         .option("partitions", parts)
+        .option("vocab", vocab)
         .load()
-        .withColumnRenamed("doc_id", "doc_id")
     )
-    docs.cache().count()  # pin the corpus so probes time the operator
 
     from pyspark.sql import functions as F
+
+    if vocab > 0:  # plant near-dups so recall is measurable
+        planted = docs.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.expr(
+                "array_join(slice(split(text,' '), 1, size(split(text,' '))-1), ' ')"
+            ).alias("text"),
+            "source",
+        )
+        docs = docs.unionByName(planted)
+    docs.cache().count()  # pin the corpus so probes time the operator
+
+    def recall(pairs, a="doc_a", b="doc_b"):
+        if vocab <= 0:
+            return ""
+        hits = pairs.filter(F.col(b).cast("long") - F.col(a).cast("long") == 10_000_000).count()
+        return f", planted recall {hits}/{n_docs // 100}"
 
     from dbt_lakehouse_aws_spark.llmops.dedup import (
         lsh_candidate_pairs,
@@ -44,23 +66,20 @@ def main() -> int:
     )
     from dbt_lakehouse_aws_spark.llmops.text import text_quality
 
-    def probe(name, thunk):
+    def probe(name, thunk, pair_df=None):
         t0 = time.monotonic()
         n = thunk()
         dt = time.monotonic() - t0
-        print(f"{name}: {dt:.2f}s  ({n_docs / dt:,.0f} docs/s, result rows={n})")
+        extra = recall(pair_df) if pair_df is not None else ""
+        print(f"{name}: {dt:.2f}s  ({n_docs / dt:,.0f} docs/s, result rows={n}{extra})")
 
-    probe(
-        "minhash+lsh",
-        lambda: lsh_candidate_pairs(minhash_signatures(docs)).count(),
-    )
+    lsh = lsh_candidate_pairs(minhash_signatures(docs)).cache()
+    probe("minhash+lsh", lsh.count, pair_df=lsh)
     probe("text_quality", lambda: text_quality(docs).count())
     # fan-out RATE is the health metric here (see PERF.md): near-pair
     # count must stay ~linear in n_docs, not quadratic
-    probe(
-        "simhash_near(h<=8)",
-        lambda: simhash_near_pairs(docs, max_hamming=8).count(),
-    )
+    sim = simhash_near_pairs(docs, max_hamming=8, guaranteed=True, arrow=True).cache()
+    probe("simhash_near(h<=8,guaranteed,arrow)", sim.count, pair_df=sim)
     probe(
         "chunk_32/24",
         lambda: docs.select(

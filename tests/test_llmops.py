@@ -396,3 +396,39 @@ def test_bigram_lm_scores_hand_computed(spark):
         assert rows[doc_id]["avg_logprob"] == pytest.approx(lp, abs=1e-6)
         assert rows[doc_id]["n_bigrams"] == n
     assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"] > rows[3]["avg_logprob"]
+
+
+def test_simhash_arrow_path_bit_identical(spark, docs):
+    """The numpy pandas_udf vote tally must reproduce the expression
+    path exactly, including empty text and tie votes."""
+    import pyspark.sql.functions as SF
+
+    extra = spark.createDataFrame([(100, ""), (101, "x y z w")], ["doc_id", "text"])
+    d = docs.unionByName(extra)
+    a = simhash64(d).withColumnRenamed("simhash", "s1")
+    b = simhash64(d, arrow=True).withColumnRenamed("simhash", "s2")
+    assert a.join(b, "doc_id").filter(SF.col("s1") != SF.col("s2")).count() == 0
+
+
+def test_simhash_guaranteed_mode_recall(spark):
+    """guaranteed=True must find EVERY pair within max_hamming: plant
+    single-word edits and cross-check against the brute-force
+    bit_count distance of the full fingerprint set."""
+    import pyspark.sql.functions as SF
+
+    base = [(i, f"w{i} " + " ".join(f"t{j}" for j in range(30))) for i in range(50)]
+    edited = [(1000 + i, f"w{i} " + " ".join(f"t{j}" for j in range(29)) + " zz") for i in range(50)]
+    d = spark.createDataFrame(base + edited, ["doc_id", "text"])
+    sims = simhash64(d, arrow=True)
+    a = sims.select(SF.col("doc_id").alias("doc_a"), SF.col("simhash").alias("sa"))
+    b = sims.select(SF.col("doc_id").alias("doc_b"), SF.col("simhash").alias("sb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(SF.col("doc_a") < SF.col("doc_b"))
+        .withColumn("h", SF.bit_count(SF.col("sa").bitwiseXOR(SF.col("sb"))).cast("int"))
+        .filter(SF.col("h") <= 6)
+    )
+    got = simhash_near_pairs(d, max_hamming=6, guaranteed=True, arrow=True)
+    truth_set = {(r.doc_a, r.doc_b) for r in truth.collect()}
+    got_set = {(r.doc_a, r.doc_b) for r in got.collect()}
+    assert got_set == truth_set and len(truth_set) > 0
