@@ -72,6 +72,9 @@ HEADLINE = [
     "chunk_documents",
     "hard_negative_mining",
     "grouped_ols_arrow",
+    "paragraph_dedup_docs",
+    "tfidf_topk_docs",
+    "dsir_importance_sample",
 ]
 
 

@@ -1,0 +1,113 @@
+"""In-engine text classification: multinomial Naive Bayes over
+hashed token features.
+
+The quality/language/domain classifiers in training-data pipelines
+(fastText-style) are, at their statistical core, linear models over
+sparse token counts. Multinomial NB is the closed-form member of
+that family — both *training* (per-class token-bucket counts) and
+*inference* (argmax of summed log-probabilities) are pure relational
+aggregates, so the whole classifier runs inside the engine with no
+iterative solver and is oracle-checkable in ANSI SQL.
+
+Scale shape:
+
+* features are hashed buckets (portable polynomial hash mod
+  ``n_buckets``) → model size = classes × buckets, independent of
+  vocabulary; the model **broadcasts**;
+* training = one explode + (class, bucket) hash count (map-side
+  combinable, shuffle O(classes·buckets));
+* inference = tokens ⋈ broadcast model (fan-out = classes per
+  token) → per-(doc, class) partial sum → min-struct argmax
+  (one shuffle O(docs·classes));
+* add-one smoothing over the dense class×bucket grid, so unseen
+  buckets score identically in any engine.
+
+Determinism: scores are rounded before the argmax and ties break on
+the class name (min-struct of (−score, class)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_lakehouse_aws_spark.llmops.text import poly_hash, tokens_col
+
+
+def nb_train(
+    docs: DataFrame,
+    *,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 128,
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB; returns ``(model, priors)``.
+
+    model:  (class, bucket, lp)   — ln P(bucket | class), smoothed
+    priors: (class, lprior)       — ln P(class)
+    Both are classes×buckets-sized: broadcast-able at any corpus size.
+    """
+    toks = docs.select(
+        F.col(label_col).alias("class"), F.explode(tokens_col(text_col)).alias("tok")
+    ).withColumn("bucket", F.pmod(poly_hash(F.col("tok")), F.lit(n_buckets)))
+
+    bc = toks.groupBy("class", "bucket").agg(F.count(F.lit(1)).alias("n_bc"))
+    ctot = bc.groupBy("class").agg(F.sum("n_bc").alias("n_c"))
+    grid = ctot.crossJoin(
+        docs.sparkSession.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
+    )
+    model = (
+        grid.join(bc, ["class", "bucket"], "left")
+        .select(
+            "class",
+            "bucket",
+            F.log(
+                (F.coalesce("n_bc", F.lit(0)) + 1).cast("double")
+                / (F.col("n_c") + n_buckets)
+            ).alias("lp"),
+        )
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    priors = (
+        docs.groupBy(F.col(label_col).alias("class"))
+        .agg(F.count(F.lit(1)).alias("docs_c"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("class", F.log(F.col("docs_c").cast("double") / F.col("_n")).alias("lprior"))
+    )
+    return model, priors
+
+
+def nb_predict(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Score every document against the broadcast model; returns
+    (id, pred_class, score) with the argmax resolved deterministically."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    ).withColumn("bucket", F.pmod(poly_hash(F.col("tok")), F.lit(n_buckets)))
+
+    scored = (
+        toks.join(F.broadcast(model), "bucket")
+        .groupBy(id_col, "class")
+        .agg(F.sum("lp").alias("_ll"))
+        .join(F.broadcast(priors), "class")
+        .select(
+            id_col,
+            "class",
+            F.round(F.col("_ll") + F.col("lprior"), 6).alias("score"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("score")).alias("neg"), F.col("class").alias("c"))).alias("_b")
+    )
+    return best.select(
+        id_col,
+        F.col("_b.c").alias("pred_class"),
+        (-F.col("_b.neg")).alias("score"),
+    )

@@ -124,3 +124,105 @@ def sample_by_rates(
     return df.filter(
         portable_hash(F.col(id_col)).cast("double") < rate * float(MERSENNE31)
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    *,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of a *target* unigram
+    distribution vs. the *raw* corpus distribution, both estimated
+    over hashed token buckets so the feature space is fixed-width no
+    matter the vocabulary.
+
+    ``llr(doc) = Σ_tokens ln p_target(bucket(tok)) − ln p_raw(bucket(tok))``
+
+    with add-one smoothing per bucket. Buckets use the portable
+    polynomial hash (mod ``n_buckets``) so a DuckDB oracle computes
+    bit-equal scores.
+
+    Plan: one explode → per-bucket counts for raw and target (two
+    partial-agg branches over the same exploded relation, each
+    shuffling ``n_buckets`` rows) → both collapsed into ``n_buckets``
+    log-ratio rows, broadcast → per-doc sum (shuffle O(docs)).
+    Nothing is ever keyed on the token string, so vocabulary skew
+    ("the" = billions of rows) lands evenly across ``n_buckets``
+    partitions at 100 TB.
+    """
+    from dbt_lakehouse_aws_spark.llmops.text import poly_hash, tokens_col
+
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("_is_target"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).withColumn("bucket", F.pmod(poly_hash(F.col("tok")), F.lit(n_buckets)))
+
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tgt_n"),
+    )
+    tot = counts.agg(
+        F.sum("raw_n").alias("raw_tot"), F.sum("tgt_n").alias("tgt_tot")
+    )
+    ratios = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_n") + 1).cast("double") / (F.col("tgt_tot") + n_buckets))
+            - F.log((F.col("raw_n") + 1).cast("double") / (F.col("raw_tot") + n_buckets))
+        ).alias("log_ratio"),
+    )
+    return (
+        toks.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("log_ratio"), 6).alias("llr"))
+    )
+
+
+def importance_resample(
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    llr_col: str = "llr",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Deterministic importance resampling over :func:`importance_weights`
+    output: keep each doc with probability ``sigmoid(llr/T)``, decided
+    by the portable id hash (same Gumbel-free trick as
+    :func:`deterministic_sample` — rerun-stable, no rand())."""
+    keep_p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(llr_col) / F.lit(temperature)))
+    u = portable_hash(F.col(id_col)).cast("double") / F.lit(float(MERSENNE31))
+    return weights.filter(u < keep_p)
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): key = u^(1/w) with u the portable id
+    hash mapped into (0, 1]; the k largest keys are the sample.
+
+    One pass, no state: the top-k compiles to TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows), so a 100 TB corpus
+    never sorts globally. Inclusion probability is proportional to
+    weight (heavier docs are exponentially more likely to draw a
+    large key), and membership is rerun-stable because u is a hash,
+    not rand().
+    """
+    u = (portable_hash(F.col(id_col)) + 1).cast("double") / F.lit(float(MERSENNE31))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_key", F.round(key, 12))
+        .orderBy(F.desc("_es_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -536,3 +536,78 @@ def edit_distance_pairs(
         .filter(F.col("edit_dist") >= 0)
         .select(*blocks, "id_a", "id_b", "edit_dist")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str | None = None,
+    chunk_tokens: int | None = None,
+    out_text: str = "dedup_text",
+) -> DataFrame:
+    """Corpus-global paragraph-level exact dedup (the C4/CCNet move:
+    drop every repeated paragraph, keep its first occurrence, then
+    stitch each document back together from its surviving
+    paragraphs).
+
+    Paragraph = ``sep``-delimited span, or — for single-line corpora
+    — a fixed window of ``chunk_tokens`` whitespace tokens (exactly
+    one of the two must be given).
+
+    Scale shape: posexplode → **min-struct aggregate keyed on the
+    paragraph** (partial/map-side combinable, so a paragraph repeated
+    a million times still ships one row per map task — deliberately
+    NOT a `row_number` window, which would sort every copy of a hot
+    paragraph in one task) → hash join back on the paragraph → one
+    shuffle by doc to re-assemble in position order. First occurrence
+    is the lexicographically least ``(doc_id, pos)``, so the result
+    is deterministic under any row order. At 100 TB, swap the join
+    key from paragraph text to ``xxhash64(paragraph)`` to shrink
+    shuffle volume; the text key keeps this oracle-comparable.
+    """
+    if (sep is None) == (chunk_tokens is None):
+        raise ValueError("exactly one of sep / chunk_tokens is required")
+    if sep is not None:
+        paras = F.split(F.col(text_col), sep)
+    else:
+        toks = F.split(F.col(text_col), " ")
+        n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+        paras = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+            ),
+        )
+
+    totals = docs.select(F.col(id_col), F.size(paras).cast("long").alias("total_paras"))
+    exploded = docs.select(F.col(id_col), F.posexplode(paras).alias("pos", "para"))
+    first_seen = exploded.groupBy("para").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first")
+    )
+    kept = (
+        exploded.join(first_seen, "para")
+        .filter(
+            (F.col("_first")[id_col] == F.col(id_col))
+            & (F.col("_first.pos") == F.col("pos"))
+        )
+        .drop("_first")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_paras"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias(out_text),
+    )
+    # docs whose every paragraph was seen earlier still get a row
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "total_paras",
+        F.coalesce("kept_paras", F.lit(0)).alias("kept_paras"),
+        F.coalesce(out_text, F.lit("")).alias(out_text),
+    )

@@ -464,3 +464,75 @@ def kmeans_lloyd(
 
     assigned = base.withColumn(out, assigner(cents)(F.col("_v")))
     return assigned.select(id_col, out), cents
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-duplicate pairs (Abbas et al.
+    2023: k-means the embedding space, then look for high-cosine
+    pairs *only within a cluster*).
+
+    The cluster id is the blocking key: the pair join is a hash
+    equi-join on ``cluster`` (shuffle O(corpus), fan-out bounded by
+    cluster sizes — corpus²/k in expectation, never corpus²), and
+    cosine runs as codegen array expressions with per-row norms
+    precomputed once. At 100 TB: raise k so clusters stay
+    partition-sized (SemDeDup's own regime — the paper runs k=50 000
+    on LAION), and AQE's skew-join split handles the odd mega-cluster.
+    """
+    assigned, _ = kmeans_lloyd(
+        df, vec_col=vec_col, id_col=id_col, k=k, iters=iters, out="cluster"
+    )
+    vecs = (
+        df.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+        .join(assigned, id_col)
+        .withColumn("_n", safe_norm(F.col("_v")))
+    )
+    a = vecs.select(
+        "cluster",
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = vecs.select(
+        "cluster",
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("cluster", "id_a", "id_b", "cos_sim")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Drop all but the min-id member of every semantic-duplicate
+    component (pairs from :func:`semantic_dedup_pairs`, grouping via
+    the iterative connected-components primitive shared with the
+    MinHash pipeline)."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import dedup_survivors
+
+    pairs = semantic_dedup_pairs(
+        df, id_col=id_col, vec_col=vec_col, k=k, iters=iters, threshold=threshold
+    )
+    return dedup_survivors(df, pairs, id_col=id_col, a_col="id_a", b_col="id_b")

@@ -13,7 +13,7 @@ identical integer semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: 31^0 .. 31^7 — multiplier cycle for the portable polynomial hash.
@@ -189,5 +189,86 @@ def bigram_lm_scores(
         .agg(
             F.round(F.avg("_lp"), 6).alias("avg_logprob"),
             F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k keywords per document by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``, the scikit-learn smoothing).
+
+    Plan: one explode → (doc, term) hash count (map-side combinable)
+    → term-keyed document-frequency aggregate of the *already
+    collapsed* per-doc counts (shuffle O(vocab), never O(tokens)) →
+    broadcast-join the tiny ``N`` scalar → per-doc top-k via a
+    rank-limited window (partial ``WindowGroupLimit`` prunes to k
+    rows per doc before the final shuffle). Ties break on the term
+    string so results are deterministic cross-engine.
+    """
+    terms = docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("_n") + 1).cast("double") / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rnk")
+    )
+
+
+def unigram_entropy(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the classic
+    repetitiveness/diversity quality signal (low entropy = looping,
+    boilerplate; used alongside the Gopher repetition rules).
+
+    One explode → (doc, term) count → per-doc Σ −p·ln p (both
+    aggregates map-side combinable; shuffle O(doc·distinct-terms)
+    then O(docs))."""
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("_n"),
+            F.sum(F.col("tf") * F.log(F.col("tf").cast("double"))).alias("_s"),
+        )
+        .select(
+            id_col,
+            F.col("_n").alias("n_tokens"),
+            # H = ln n − (Σ tf·ln tf)/n  (algebraic form avoids a
+            # second pass for p = tf/n)
+            F.round(F.log(F.col("_n").cast("double")) - F.col("_s") / F.col("_n"), 6).alias(
+                "entropy_nats"
+            ),
         )
     )

@@ -58,13 +58,20 @@ from dbt_lakehouse_aws_spark.llmops.text import doc_fingerprint, lang_id_scores,
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-        # rejects by default; read as int64 nanos and convert to
-        # microsecond timestamps (integer div — DuckDB truncates the
-        # same way, and float division would lose precision > 2^53).
+        # events.parquet has shipped with either TIMESTAMP(NANOS) (which
+        # Spark's reader rejects by default) or plain microsecond
+        # timestamps, depending on the generator version. Read with
+        # nanosAsLong=true and adapt: a long column is nanos → convert to
+        # microsecond timestamps (integer div — DuckDB truncates the same
+        # way, and float division would lose precision > 2^53); a
+        # timestamp column is already what we want (normalize NTZ → LTZ
+        # so downstream epoch arithmetic matches DuckDB's epoch()).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -3455,6 +3462,262 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     return bigram_lm_scores(d)
+
+
+@register(
+    "paragraph_dedup_docs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, t, unnest(range(CAST(ceil(len(t) / 20.0) AS BIGINT))) AS pos
+      FROM toks
+    ), paras AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             array_to_string(list_slice(t, CAST(pos * 20 + 1 AS INT),
+                                        CAST(pos * 20 + 20 AS INT)), ' ') AS para
+      FROM chunks
+    ), firsts AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      FROM paras
+    ), rebuilt AS (
+      SELECT doc_id, count(*) AS kept_paras,
+             string_agg(para, ' ' ORDER BY pos) AS dedup_text
+      FROM firsts WHERE rn = 1 GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, CAST(ceil(len(t) / 20.0) AS BIGINT) AS total_paras FROM toks
+    )
+    SELECT t.doc_id, t.total_paras,
+           coalesce(r.kept_paras, 0) AS kept_paras,
+           coalesce(r.dedup_text, '') AS dedup_text
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global paragraph dedup, C4-style (chunk = 20 tokens on
+    this single-line corpus). See llmops/dedup.py::paragraph_dedup."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import paragraph_dedup
+
+    d = T(spark, sf_dir, "documents")
+    return paragraph_dedup(d, chunk_tokens=20)
+
+
+@register(
+    "tfidf_topk_docs",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS _n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * (ln((_n + 1) / (df + 1.0)) + 1), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term), n
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document. See llmops/text.py::tfidf_topk."""
+    from dbt_lakehouse_aws_spark.llmops.text import tfidf_topk
+
+    d = T(spark, sf_dir, "documents")
+    return tfidf_topk(d, k=3)
+
+
+@register(
+    "dsir_importance_sample",
+    """
+    WITH toks AS (
+      SELECT doc_id, source = 'src0' AS is_target,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), tokh AS (
+      SELECT doc_id, is_target,
+             CAST(coalesce(list_sum(list_transform(range(1, length(tok) + 1),
+                    i -> ord(substr(tok, CAST(i AS INT), 1))
+                         * ([1,31,961,29791,923521,28629151,887503681,27512614111])[CAST((i - 1) % 8 AS INT) + 1])),
+                  0) AS BIGINT) % 64 AS bucket
+      FROM toks
+    ), counts AS (
+      SELECT bucket, count(*) AS raw_n,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_n
+      FROM tokh GROUP BY 1
+    ), tot AS (
+      SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM counts
+    ), ratios AS (
+      SELECT bucket,
+             ln((tgt_n + 1) / (tgt_tot + 64.0)) - ln((raw_n + 1) / (raw_tot + 64.0)) AS log_ratio
+      FROM counts, tot
+    ), w AS (
+      SELECT doc_id, round(sum(log_ratio), 6) AS llr
+      FROM tokh JOIN ratios USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, llr FROM w
+    WHERE ((doc_id % 2147483647) * 506952114 % 2147483647) / 2147483647.0
+          < 1.0 / (1.0 + exp(-llr))
+    """,
+)
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance resampling toward source='src0'
+    (hashed-unigram log-likelihood ratio, deterministic keep).
+    See llmops/corpus.py::importance_weights / importance_resample."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import (
+        importance_resample,
+        importance_weights,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    w = importance_weights(d, target_pred=F.col("source") == "src0")
+    return importance_resample(w)
+
+
+@register("bpe_merge_table")  # rows-only: iterative training, not SQL-expressible
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training: the learned merge-rule table.
+    See llmops/tokenizer.py::bpe_train (word-frequency collapse +
+    per-round pair-count argmax)."""
+    from dbt_lakehouse_aws_spark.llmops.tokenizer import bpe_vocab
+
+    d = T(spark, sf_dir, "documents")
+    return bpe_vocab(d, num_merges=12)
+
+
+@register("bpe_tokenize_docs")  # rows-only: depends on trained merges
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE merges, then Arrow-encode every document; per-doc
+    subword counts + compression vs. characters."""
+    from dbt_lakehouse_aws_spark.llmops.tokenizer import bpe_encode, bpe_train
+
+    d = T(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=12)
+    enc = bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.aggregate(
+                "bpe_tokens", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ).cast("double")
+            / F.size("bpe_tokens"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+@register("semantic_dedup_survivors")  # rows-only: k-means assignment is iterative
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means blocking + within-cluster cosine pruning;
+    survivors only. See llmops/similarity.py::semantic_dedup."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import semantic_dedup
+
+    e = T(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, k=8, iters=3, threshold=0.9).select("vec_id", "label")
+
+
+@register(
+    "nb_classify_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tokh AS (
+      SELECT doc_id, lang,
+             CAST(coalesce(list_sum(list_transform(range(1, length(tok) + 1),
+                    i -> ord(substr(tok, CAST(i AS INT), 1))
+                         * (POLY_MULTS)[CAST((i - 1) % 8 AS INT) + 1])),
+                  0) AS BIGINT) % 128 AS bucket
+      FROM toks
+    ), bc AS (
+      SELECT lang AS class, bucket, count(*) AS n_bc FROM tokh GROUP BY 1, 2
+    ), ctot AS (
+      SELECT class, sum(n_bc) AS n_c FROM bc GROUP BY 1
+    ), grid AS (
+      SELECT class, n_c, r.range AS bucket FROM ctot CROSS JOIN range(128) r
+    ), model AS (
+      SELECT g.class, g.bucket,
+             ln((coalesce(b.n_bc, 0) + 1) / (g.n_c + 128.0)) AS lp
+      FROM grid g LEFT JOIN bc b ON b.class = g.class AND b.bucket = g.bucket
+    ), priors AS (
+      SELECT lang AS class,
+             ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS lprior
+      FROM documents GROUP BY 1
+    ), scored AS (
+      SELECT t.doc_id, m.class, round(sum(m.lp) + p.lprior, 6) AS score
+      FROM tokh t
+      JOIN model m ON m.bucket = t.bucket
+      JOIN priors p ON p.class = m.class
+      GROUP BY t.doc_id, m.class, p.lprior
+    ), best AS (
+      SELECT doc_id, class AS pred_class, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, class) AS rn
+      FROM scored
+    )
+    SELECT b.doc_id, d.lang, b.pred_class, b.score
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id WHERE rn = 1
+    """.replace("POLY_MULTS", "[1,31,961,29791,923521,28629151,887503681,27512614111]"),
+)
+def nb_classify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NB trained AND applied in-engine (hashed token
+    buckets, broadcast model). See llmops/classify.py."""
+    from dbt_lakehouse_aws_spark.llmops.classify import nb_predict, nb_train
+
+    d = T(spark, sf_dir, "documents")
+    model, priors = nb_train(d, label_col="lang")
+    pred = nb_predict(d, model, priors)
+    return pred.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "pred_class", "score"
+    )
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, n_chars,
+           round(pow((((doc_id % 2147483647) * 506952114 % 2147483647) + 1)
+                     / 2147483647.0, 1.0 / n_chars), 12) AS _es_key
+    FROM documents WHERE n_chars > 0
+    ORDER BY _es_key DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample (k=50, weight=n_chars),
+    deterministic. See llmops/corpus.py::weighted_sample."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import weighted_sample
+
+    d = T(spark, sf_dir, "documents")
+    return weighted_sample(d, id_col="doc_id", weight_col="n_chars", k=50).select(
+        "doc_id", "n_chars", "_es_key"
+    )
+
+
+@register(
+    "unigram_entropy_docs",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), c AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 6) AS entropy_nats
+    FROM c GROUP BY doc_id
+    """,
+)
+def unigram_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (repetitiveness signal).
+    See llmops/text.py::unigram_entropy."""
+    from dbt_lakehouse_aws_spark.llmops.text import unigram_entropy
+
+    d = T(spark, sf_dir, "documents")
+    return unigram_entropy(d)
 
 
 # ---------------------------------------------------------------------------

@@ -432,3 +432,221 @@ def test_simhash_guaranteed_mode_recall(spark):
     truth_set = {(r.doc_a, r.doc_b) for r in truth.collect()}
     got_set = {(r.doc_a, r.doc_b) for r in got.collect()}
     assert got_set == truth_set and len(truth_set) > 0
+
+
+# ---------------------------------------------------------------------------
+# paragraph dedup / tfidf / DSIR
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_hand_computed(spark):
+    from dbt_lakehouse_aws_spark.llmops.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\n\nc d"),       # both paragraphs novel
+            (2, "c d\n\ne f"),       # "c d" already in doc 1
+            (3, "a b\n\nc d"),       # nothing novel at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, sep="\n\n").collect()
+    }
+    assert out[1]["dedup_text"] == "a b c d"
+    assert (out[1]["total_paras"], out[1]["kept_paras"]) == (2, 2)
+    assert out[2]["dedup_text"] == "e f"
+    assert (out[2]["total_paras"], out[2]["kept_paras"]) == (2, 1)
+    assert out[3]["dedup_text"] == ""
+    assert (out[3]["total_paras"], out[3]["kept_paras"]) == (2, 0)
+
+
+def test_paragraph_dedup_chunk_mode_positions(spark):
+    from dbt_lakehouse_aws_spark.llmops.dedup import paragraph_dedup
+
+    # 5 tokens at chunk=2 → chunks "w0 w1", "w2 w3", "w4"
+    docs = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4"), (2, "w2 w3 x y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, chunk_tokens=2).collect()}
+    assert out[1]["total_paras"] == 3 and out[1]["kept_paras"] == 3
+    assert out[2]["dedup_text"] == "x y"  # "w2 w3" deduped, order kept
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from dbt_lakehouse_aws_spark.llmops.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry date")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple tf=2 df=1 → 2·(ln(4/2)+1); banana tf=1 df=2 → ln(4/3)+1
+    apple = next(r for r in by_doc[1] if r["term"] == "apple")
+    assert apple["rnk"] == 1
+    assert abs(apple["tfidf"] - round(2 * (math.log(4 / 2) + 1), 6)) < 1e-9
+    # doc 3: cherry tf=3 dominates; date second
+    assert [r["term"] for r in sorted(by_doc[3], key=lambda r: r["rnk"])] == [
+        "cherry",
+        "date",
+    ]
+
+
+def test_dsir_importance_targets_score_higher(spark):
+    from dbt_lakehouse_aws_spark.llmops.corpus import (
+        importance_resample,
+        importance_weights,
+    )
+
+    # target docs speak "ml"; raw background speaks "cook"
+    rows = [(i, "model training data gradient", "tgt") for i in range(10)]
+    rows += [(100 + i, "flour oven butter sugar", "bg") for i in range(10)]
+    rows += [(200, "model training flour sugar", "mix")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = importance_weights(docs, target_pred=F.col("source") == "tgt")
+    scores = {r["doc_id"]: r["llr"] for r in w.collect()}
+    assert scores[0] > scores[200] > scores[100]  # target > mixed > background
+    kept = importance_resample(w).collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    # resampling must strictly favor target-looking docs
+    tgt_rate = len(kept_ids & set(range(10))) / 10
+    bg_rate = len(kept_ids & set(range(100, 110))) / 10
+    assert tgt_rate > bg_rate
+    # determinism: same result on re-run
+    assert kept_ids == {r["doc_id"] for r in importance_resample(w).collect()}
+
+
+def test_bpe_train_hand_computed(spark):
+    from dbt_lakehouse_aws_spark.llmops.tokenizer import bpe_train
+
+    # "ababc" ×3, "abd" ×2 → pair (a,b) dominates (freq 8); then
+    # ("ab","ab") in ababc (freq 3) vs ("ab","c") 3 vs ("ab","d") 2:
+    # tie between abab/abc breaks lexicographically: ("ab","ab").
+    docs = spark.createDataFrame(
+        [(1, "ababc ababc abd"), (2, "ababc abd")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=2)
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("ab", "ab")
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    from dbt_lakehouse_aws_spark.llmops.tokenizer import bpe_train
+
+    # corpus of just "aaa" — after merge (a,a), "aaa" must fold to
+    # [aa, a] (greedy, non-overlapping), giving no further (a,a) pair
+    # of count ≥ 2 unless words repeat.
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, num_merges=3)
+    assert merges[0] == ("a", "a")
+    assert ("aa", "a") in merges[1:] or ("a", "aa") in merges[1:] or len(merges) >= 1
+
+
+def test_bpe_encode_roundtrip_and_consistency(spark):
+    from dbt_lakehouse_aws_spark.llmops.tokenizer import (
+        bpe_encode,
+        bpe_train,
+        _encode_word,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "lower lowest low"), (2, "newer newest new"), (3, "low lower new")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=8)
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(docs, merges).collect()}
+    # lossless: concatenating subwords reproduces the original words
+    for doc_id, text in [(1, "lower lowest low"), (2, "newer newest new")]:
+        assert "".join(enc[doc_id]) == text.replace(" ", "")
+    # trained merges compress: fewer tokens than characters
+    assert len(enc[1]) < len("lowerlowestlow")
+    # driver-side encode agrees with the distributed path
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    local = [t for w in "low lower new".split() for t in _encode_word(w, ranks)]
+    assert enc[3] == local
+
+
+def test_semantic_dedup_removes_planted_twins(spark):
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # two well-separated blobs; ids 0/1 and 100/101 are near-twins
+    for base_id, center in ((0, np.ones(16)), (100, -np.ones(16))):
+        blob = center + 0.05 * rng.standard_normal((6, 16))
+        blob[1] = blob[0] + 1e-4  # planted twin of the blob's first member
+        for i, v in enumerate(blob):
+            rows.append((base_id + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = semantic_dedup_pairs(df, k=2, iters=4, threshold=0.999999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (100, 101) in got
+    # twins live in the same cluster; cross-blob pairs never appear
+    assert all(a // 100 == b // 100 for a, b in got)
+
+    kept = {r["vec_id"] for r in semantic_dedup(df, k=2, iters=4, threshold=0.999999).collect()}
+    assert 0 in kept and 1 not in kept
+    assert 100 in kept and 101 not in kept
+
+
+def test_nb_classifier_separates_planted_classes(spark):
+    from dbt_lakehouse_aws_spark.llmops.classify import nb_predict, nb_train
+
+    rows = [(i, "gradient model tensor loss", "ml") for i in range(8)]
+    rows += [(50 + i, "flour butter oven sugar", "baking") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model, priors = nb_train(docs, label_col="lang")
+    pred = {r["doc_id"]: r["pred_class"] for r in nb_predict(docs, model, priors).collect()}
+    assert all(pred[i] == "ml" for i in range(8))
+    assert all(pred[50 + i] == "baking" for i in range(8))
+    # held-out doc mixing both vocabularies but leaning ml
+    test = spark.createDataFrame(
+        [(99, "gradient model flour")], "doc_id long, text string"
+    )
+    assert nb_predict(test, model, priors).collect()[0]["pred_class"] == "ml"
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from dbt_lakehouse_aws_spark.llmops.corpus import weighted_sample
+
+    # 200 light rows (w=1) + 20 heavy rows (w=500): a 40-row sample
+    # should catch most heavy rows
+    rows = [(i, 1.0) for i in range(200)] + [(1000 + i, 500.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(df, id_col="doc_id", weight_col="w", k=40).collect()}
+    heavy_hit = len([i for i in got if i >= 1000])
+    assert heavy_hit >= 15
+    # deterministic across runs
+    again = {r["doc_id"] for r in weighted_sample(df, id_col="doc_id", weight_col="w", k=40).collect()}
+    assert got == again
+
+
+def test_unigram_entropy_hand_computed(spark):
+    import math
+
+    from dbt_lakehouse_aws_spark.llmops.text import unigram_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_entropy(docs).collect()}
+    assert out[1]["entropy_nats"] == 0.0          # constant doc
+    assert abs(out[2]["entropy_nats"] - round(math.log(4), 6)) < 1e-9  # uniform
+    assert abs(out[3]["entropy_nats"] - round(math.log(2), 6)) < 1e-9

@@ -293,3 +293,34 @@ def test_q21_single_lineitem_agg_no_self_joins(spark, sf_dir, queries):
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     assert p.count("lineitem.parquet") <= 2
     assert "LeftSemi" in p
+
+
+def test_paragraph_dedup_no_window_on_paragraph(spark, sf_dir, queries):
+    """First-occurrence must be the min-struct aggregate (map-side
+    combinable — a hot paragraph never sorts in one task), not a
+    row_number window over the paragraph key."""
+    p = plan(queries["paragraph_dedup_docs"](spark, sf_dir))
+    assert "Window" not in p
+
+
+def test_tfidf_topk_rank_limit_pushdown(spark, sf_dir, queries):
+    """Per-doc top-k must pre-prune with a partial WindowGroupLimit
+    before the shuffle to the final window."""
+    p = plan(queries["tfidf_topk_docs"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir, queries):
+    """The n_buckets-row log-ratio table joins back to the exploded
+    tokens as a broadcast hash join — token traffic never shuffles
+    on the token/bucket key."""
+    p = plan(queries["dsir_importance_sample"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_semantic_dedup_blocks_on_cluster(spark, sf_dir, queries):
+    """The within-cluster pair join must be a hash/sort-merge
+    equi-join on the cluster id — never a cartesian product."""
+    p = plan(queries["semantic_dedup_survivors"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
