@@ -75,6 +75,12 @@ HEADLINE = [
     "paragraph_dedup_docs",
     "tfidf_topk_docs",
     "dsir_importance_sample",
+    "nb_classify_docs",
+    "bm25_topk_docs",
+    "hybrid_search_rrf",
+    "funnel_signup_purchase",
+    "cohort_retention_events",
+    "unigram_entropy_docs",
 ]
 
 

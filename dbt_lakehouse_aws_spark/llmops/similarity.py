@@ -536,3 +536,35 @@ def semantic_dedup(
         df, id_col=id_col, vec_col=vec_col, k=k, iters=iters, threshold=threshold
     )
     return dedup_survivors(df, pairs, id_col=id_col, a_col="id_a", b_col="id_b")
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings
+    (``score(d) = Σ_r 1/(k0 + rank_r(d))``, Cormack et al. 2009) —
+    the standard way to combine keyword (BM25) and vector (cosine)
+    retrieval without score calibration.
+
+    Union + hash agg, not an N-way outer join: absent ranks simply
+    contribute nothing, and the plan stays one shuffle of
+    O(Σ candidate-list sizes) rows regardless of how many rankings
+    are fused. Top-k compiles to TakeOrderedAndProject.
+    """
+    scored = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col), (F.lit(1.0) / (F.lit(k0) + F.col(rank_col))).alias("_c")
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

@@ -272,3 +272,65 @@ def unigram_entropy(
             ),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents against a bag of query terms
+    (Lucene's idf smoothing: ``ln(1 + (N − df + ½)/(df + ½))``).
+
+    Plan: doc lengths come straight off ``size(split(text))`` (no
+    explode, no shuffle); term frequencies explode but filter to the
+    query terms *before* the aggregate, so the shuffled relation is
+    O(matching postings), not O(tokens). The per-term idf table and
+    the N/avgdl scalars are broadcast; the final top-k compiles to
+    TakeOrderedAndProject. This is the exact-scoring counterpart of
+    an inverted index — at 100 TB the same plan works because the
+    early filter is the index lookup.
+    """
+    terms = [t for t in query_terms]
+    dl = docs.select(F.col(id_col), F.size(tokens_col(text_col)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "_avgdl",
+    )
+    per_term = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(idf), "term")
+        .select(
+            F.col(id_col),
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl")))
+            ).alias("_s"),
+        )
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

@@ -134,3 +134,91 @@ def _seconds(spec: str) -> int:
         "day": 86_400, "days": 86_400,
     }[unit]
     return int(n) * factor
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users completed step 1,
+    then step 2 *strictly after* their earliest step-1 moment, and so
+    on (the earliest-qualifying-event semantics every product
+    analytics engine uses).
+
+    One pass per step: the survivors-so-far (one row per user,
+    monotonically shrinking) join back to the events of the next
+    step type. The event side filters on the step type *before* the
+    join, and the survivor side is the small one — at 100 TB the
+    join is survivor-broadcast or AQE-planned, never a shuffle of
+    the raw event log per step.
+
+    Returns (step_idx, step, n_users), one row per step.
+    """
+    spark = events.sparkSession
+    ev = events.select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"), F.col(type_col).alias("_ty")
+    )
+    survivors = (
+        ev.filter(F.col("_ty") == steps[0]).groupBy("_u").agg(F.min("_ts").alias("_t"))
+    )
+    counts = [survivors.agg(F.count(F.lit(1)).alias("n_users"))]
+    for s in steps[1:]:
+        survivors = (
+            ev.filter(F.col("_ty") == s)
+            .join(survivors, "_u")
+            .filter(F.col("_ts") > F.col("_t"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_t"))
+        )
+        counts.append(survivors.agg(F.count(F.lit(1)).alias("n_users")))
+    out = None
+    for i, (s, c) in enumerate(zip(steps, counts), start=1):
+        row = c.select(
+            F.lit(i).cast("long").alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col("n_users").cast("long"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort-retention matrix: users bucketed by first-activity day,
+    counted as active at each day offset since that first day.
+
+    Two aggregates: per-user first day (shuffle O(users)), then a
+    distinct (cohort_day, offset, user) count (shuffle O(active
+    cells)). The first-day table re-joins the raw events on the user
+    key — at scale that's the only big join and it's on the natural
+    partition key of an event log.
+
+    Returns (cohort_day, day_offset, n_users).
+    """
+    day = F.to_date(F.col(ts_col))
+    ev = events.select(F.col(user_col).alias("_u"), day.alias("_d"))
+    first = ev.groupBy("_u").agg(F.min("_d").alias("cohort_day"))
+    cells = (
+        ev.join(first, "_u")
+        .select(
+            "_u",
+            "cohort_day",
+            F.datediff(F.col("_d"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+    )
+    if max_offset is not None:
+        cells = cells.filter(F.col("day_offset") <= max_offset)
+    return (
+        cells.distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -3720,6 +3720,144 @@ def unigram_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_entropy(d)
 
 
+@register(
+    "bm25_topk_docs",
+    """
+    WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    per AS (
+      SELECT t.doc_id,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS sc
+      FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term), stats s
+    )
+    SELECT doc_id, round(sum(sc), 6) AS bm25 FROM per GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for query {spark, join, window}.
+    See llmops/text.py::bm25_topk."""
+    from dbt_lakehouse_aws_spark.llmops.text import bm25_topk
+
+    d = T(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "join", "window"], k=20)
+
+
+@register(
+    "funnel_signup_purchase",
+    """
+    WITH e AS (SELECT user_id AS u, ts, event_type AS ty FROM events),
+    s1 AS (SELECT u, min(ts) AS t FROM e WHERE ty = 'signup' GROUP BY u),
+    s2 AS (SELECT e.u, min(e.ts) AS t FROM e JOIN s1 ON e.u = s1.u AND e.ts > s1.t
+           WHERE ty = 'view' GROUP BY e.u),
+    s3 AS (SELECT e.u, min(e.ts) AS t FROM e JOIN s2 ON e.u = s2.u AND e.ts > s2.t
+           WHERE ty = 'click' GROUP BY e.u),
+    s4 AS (SELECT e.u, min(e.ts) AS t FROM e JOIN s3 ON e.u = s3.u AND e.ts > s3.t
+           WHERE ty = 'purchase' GROUP BY e.u)
+    SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL SELECT 2, 'view', count(*) FROM s2
+    UNION ALL SELECT 3, 'click', count(*) FROM s3
+    UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → click → purchase
+    (earliest-qualifying-event semantics). See
+    operators/temporal.py::funnel_counts."""
+    from dbt_lakehouse_aws_spark.operators.temporal import funnel_counts
+
+    ev = T(spark, sf_dir, "events")
+    return funnel_counts(ev, ["signup", "view", "click", "purchase"])
+
+
+@register(
+    "cohort_retention_events",
+    """
+    WITH ev AS (SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+    first AS (SELECT u, min(d) AS cohort_day FROM ev GROUP BY u)
+    SELECT cohort_day, CAST(d - cohort_day AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_users
+    FROM ev JOIN first USING (u)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix (first-activity day × day offset).
+    See operators/temporal.py::cohort_retention."""
+    from dbt_lakehouse_aws_spark.operators.temporal import cohort_retention
+
+    ev = T(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+@register(
+    "hybrid_search_rrf",
+    """
+    WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    per AS (
+      SELECT t.doc_id,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS sc
+      FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term), stats s
+    ), kw_top AS (
+      SELECT doc_id, round(sum(sc), 6) AS bm25 FROM per GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 50
+    ), kwr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM kw_top
+    ), v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT emb AS v_q FROM v WHERE vec_id = 0),
+    vscored AS (
+      SELECT c.vec_id AS doc_id,
+             round(list_dot_product(q.v_q, c.emb)
+                   / (sqrt(list_dot_product(q.v_q, q.v_q)) * sqrt(list_dot_product(c.emb, c.emb))),
+                   6) AS cosine
+      FROM q, v c WHERE c.vec_id <> 0
+    ), vr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+      FROM vscored QUALIFY rank <= 50
+    ), u AS (
+      SELECT doc_id, 1.0 / (60 + rank) AS c FROM kwr
+      UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM vr
+    )
+    SELECT doc_id, round(sum(c), 6) AS rrf FROM u GROUP BY 1
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking + cosine vector
+    ranking fused by reciprocal rank (k0=60). See
+    llmops/similarity.py::rrf_fuse."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import rrf_fuse
+    from dbt_lakehouse_aws_spark.llmops.text import bm25_topk
+
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    kw = bm25_topk(d, ["spark", "join", "window"], k=50)
+    # rank over the already-limited 50-row candidate list: the
+    # single-partition window is bounded, not a corpus funnel
+    kwr = kw.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+    )
+    vr = cosine_topk(e, query_ids=[0], k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([kwr, vr], id_col="doc_id", k0=60, k=20)
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

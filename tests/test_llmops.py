@@ -650,3 +650,76 @@ def test_unigram_entropy_hand_computed(spark):
     assert out[1]["entropy_nats"] == 0.0          # constant doc
     assert abs(out[2]["entropy_nats"] - round(math.log(4), 6)) < 1e-9  # uniform
     assert abs(out[3]["entropy_nats"] - round(math.log(2), 6)) < 1e-9
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from dbt_lakehouse_aws_spark.llmops.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "join table"), (3, "cat dog bird")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["spark"], k=10).collect()}
+    assert list(rows) == [1]  # only doc 1 contains 'spark'
+    # N=3, df=1, dl=3, avgdl=8/3, tf=2
+    idf = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+    expect = idf * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / (8 / 3)))
+    assert abs(rows[1] - round(expect, 6)) < 1e-9
+
+
+def test_funnel_strict_ordering(spark):
+    from dbt_lakehouse_aws_spark.operators.temporal import funnel_counts
+
+    rows = [
+        # user 1 completes in order
+        (1, "2024-01-01 10:00:00", "signup"),
+        (1, "2024-01-01 11:00:00", "view"),
+        (1, "2024-01-01 12:00:00", "purchase"),
+        # user 2 purchases BEFORE viewing → stops at view... but views after signup
+        (2, "2024-01-01 10:00:00", "signup"),
+        (2, "2024-01-01 09:00:00", "purchase"),
+        (2, "2024-01-01 11:00:00", "view"),
+        # user 3 never signs up
+        (3, "2024-01-01 08:00:00", "view"),
+        (3, "2024-01-01 09:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r["step"]: r["n_users"] for r in funnel_counts(ev, ["signup", "view", "purchase"]).collect()}
+    assert out == {"signup": 2, "view": 2, "purchase": 1}
+
+
+def test_cohort_retention_hand_computed(spark):
+    from dbt_lakehouse_aws_spark.operators.temporal import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 09:00:00"), (1, "2024-01-03 09:00:00"),
+        (2, "2024-01-01 12:00:00"), (2, "2024-01-01 18:00:00"),
+        (3, "2024-01-02 09:00:00"), (3, "2024-01-03 09:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert out[("2024-01-01", 0)] == 2      # users 1, 2 on day 0
+    assert out[("2024-01-01", 2)] == 1      # user 1 returns day +2
+    assert out[("2024-01-02", 1)] == 1      # user 3 returns day +1
+    assert ("2024-01-01", 1) not in out
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from dbt_lakehouse_aws_spark.llmops.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a, b], k0=60, k=10).collect()}
+    assert abs(out[20] - round(1 / 62 + 1 / 61, 6)) < 1e-9   # in both lists → wins
+    assert abs(out[10] - round(1 / 61, 6)) < 1e-9
+    assert abs(out[30] - round(1 / 62, 6)) < 1e-9
+    assert max(out, key=out.get) == 20
