@@ -92,10 +92,14 @@ def nb_predict(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
     ).withColumn("bucket", F.pmod(poly_hash(F.col("tok")), F.lit(n_buckets)))
 
+    # per-doc bucket counts first: the model join fans out over
+    # ≤ docs·n_buckets rows (not the raw token stream), and the
+    # log-likelihood is Σ cnt·lp — same partial-agg shape at any scale
+    doc_buckets = toks.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
     scored = (
-        toks.join(F.broadcast(model), "bucket")
+        doc_buckets.join(F.broadcast(model), "bucket")
         .groupBy(id_col, "class")
-        .agg(F.sum("lp").alias("_ll"))
+        .agg(F.sum(F.col("cnt") * F.col("lp")).alias("_ll"))
         .join(F.broadcast(priors), "class")
         .select(
             id_col,

@@ -163,9 +163,16 @@ def importance_weights(
         F.explode(tokens_col(text_col)).alias("tok"),
     ).withColumn("bucket", F.pmod(poly_hash(F.col("tok")), F.lit(n_buckets)))
 
-    counts = toks.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("raw_n"),
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tgt_n"),
+    # collapse to per-doc bucket counts FIRST: every downstream agg
+    # and join then works on ≤ docs·n_buckets rows, the token stream
+    # (and its per-char hash fold) is scanned exactly once, and the
+    # partial agg combines map-side.
+    doc_buckets = toks.groupBy(id_col, "_is_target", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    counts = doc_buckets.groupBy("bucket").agg(
+        F.sum("cnt").alias("raw_n"),
+        F.sum(F.when(F.col("_is_target"), F.col("cnt")).otherwise(0)).alias("tgt_n"),
     )
     tot = counts.agg(
         F.sum("raw_n").alias("raw_tot"), F.sum("tgt_n").alias("tgt_tot")
@@ -178,9 +185,9 @@ def importance_weights(
         ).alias("log_ratio"),
     )
     return (
-        toks.join(F.broadcast(ratios), "bucket")
+        doc_buckets.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
-        .agg(F.round(F.sum("log_ratio"), 6).alias("llr"))
+        .agg(F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias("llr"))
     )
 
 

@@ -611,3 +611,42 @@ def paragraph_dedup(
         F.coalesce("kept_paras", F.lit(0)).alias("kept_paras"),
         F.coalesce(out_text, F.lit("")).alias(out_text),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    k: int | None = 20,
+) -> DataFrame:
+    """Corpus-internal duplicated-span mining (the diagnosis step of
+    substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"): every ``n``-token span that
+    occurs in ≥ ``min_docs`` distinct documents, with its document
+    frequency and first host doc.
+
+    Within-doc repeats are collapsed *before* the explode
+    (``array_distinct``, a per-row property — PERF.md rule), so the
+    shuffled relation has one row per (doc, distinct-span) and the
+    aggregate needs plain ``count(*)``, never a count-distinct
+    Expand. Top-k compiles to TakeOrderedAndProject; pass ``k=None``
+    for the full table (the input to an actual span-removal pass).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("span"),
+    )
+    dup = (
+        sh.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    if k is None:
+        return dup
+    return dup.orderBy(F.desc("n_docs"), F.asc("span")).limit(k)

@@ -69,3 +69,46 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: Sequence[str]) -> 
     """
     keep = target.join(updates.select(*keys).distinct(), list(keys), "left_anti")
     return updates.unionByName(keep)
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Data-quality profile: one row per column with row/null counts,
+    distinct cardinality, and min/max (stringified for a uniform
+    schema) — the "PROFILE TABLE" every ingestion pipeline runs
+    before trusting a new drop.
+
+    Deliberately one narrow aggregate per column, unioned — NOT one
+    wide aggregate: N ``countDistinct`` in a single agg compile to an
+    Expand that duplicates every input row N times before the
+    shuffle (the Q21 lesson, PERF.md), while N independent aggs each
+    read one column (columnar scan pruning) and shuffle one partial
+    row per task. ``exact_distinct=False`` swaps in HLL++
+    (approx_count_distinct) — the right default at 100 TB.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    parts = []
+    for c in cols:
+        distinct = (
+            F.countDistinct(F.col(c)) if exact_distinct else F.approx_count_distinct(F.col(c))
+        )
+        parts.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulls"),
+                distinct.cast("long").alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_val"),
+                F.max(F.col(c)).cast("string").alias("max_val"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -222,3 +222,45 @@ def cohort_retention(
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def ewma_last(
+    events: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exponentially weighted moving average of each key's value
+    series, evaluated at the key's latest event (the "current decayed
+    state" feature every time-series store exposes).
+
+    ``ewma = α·Σ (1−α)^(N−i)·v_i / normalizer`` — expressed as one
+    window pass: rank each event within its key, then a weighted sum
+    with the decay factored as ``pow(1−α, N−i)``. The exponent is
+    bounded by the partition length and non-negative, so the term
+    underflows harmlessly to 0 for old events (never overflows).
+    One shuffle on the key; no recurrence, no UDF. Uses the
+    pandas ``ewm(adjust=True)`` normalization.
+    """
+    keys = [F.col(c) for c in key_cols]
+    # tie-break beyond the timestamp so the rank (hence the decay
+    # weights) is deterministic cross-engine when timestamps collide
+    order = [F.asc(ts_col)] + [F.asc(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    ranked = events.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w).alias("_i"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("_n"),
+    )
+    decay = F.pow(F.lit(1.0 - alpha), (F.col("_n") - F.col("_i")).cast("double"))
+    return ranked.groupBy(*key_cols).agg(
+        F.round(
+            F.sum(F.col("_v") * decay) / F.sum(decay),
+            6,
+        ).alias("ewma"),
+        F.max("_n").cast("long").alias("n_events"),
+    )

@@ -3557,9 +3557,11 @@ def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT bucket,
              ln((tgt_n + 1) / (tgt_tot + 64.0)) - ln((raw_n + 1) / (raw_tot + 64.0)) AS log_ratio
       FROM counts, tot
+    ), db AS (
+      SELECT doc_id, bucket, count(*) AS cnt FROM tokh GROUP BY 1, 2
     ), w AS (
-      SELECT doc_id, round(sum(log_ratio), 6) AS llr
-      FROM tokh JOIN ratios USING (bucket) GROUP BY doc_id
+      SELECT doc_id, round(sum(cnt * log_ratio), 6) AS llr
+      FROM db JOIN ratios USING (bucket) GROUP BY doc_id
     )
     SELECT doc_id, llr FROM w
     WHERE ((doc_id % 2147483647) * 506952114 % 2147483647) / 2147483647.0
@@ -3649,12 +3651,14 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang AS class,
              ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS lprior
       FROM documents GROUP BY 1
+    ), db AS (
+      SELECT doc_id, bucket, count(*) AS cnt FROM tokh GROUP BY 1, 2
     ), scored AS (
-      SELECT t.doc_id, m.class, round(sum(m.lp) + p.lprior, 6) AS score
-      FROM tokh t
-      JOIN model m ON m.bucket = t.bucket
+      SELECT d.doc_id, m.class, round(sum(d.cnt * m.lp) + p.lprior, 6) AS score
+      FROM db d
+      JOIN model m ON m.bucket = d.bucket
       JOIN priors p ON p.class = m.class
-      GROUP BY t.doc_id, m.class, p.lprior
+      GROUP BY d.doc_id, m.class, p.lprior
     ), best AS (
       SELECT doc_id, class AS pred_class, score,
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, class) AS rn
@@ -3856,6 +3860,104 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([kwr, vr], id_col="doc_id", k0=60, k=20)
+
+
+@register(
+    "duplicate_spans_docs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 3),
+                    i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS span
+      FROM toks WHERE len(t) >= 5
+    ), dup AS (
+      SELECT span, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+      FROM sh GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT span, n_docs, first_doc FROM dup ORDER BY n_docs DESC, span LIMIT 20
+    """,
+)
+def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated 5-token spans across the corpus (substring-dedup
+    diagnosis). See llmops/dedup.py::duplicate_spans."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import duplicate_spans
+
+    d = T(spark, sf_dir, "documents")
+    return duplicate_spans(d, n=5, min_docs=2, k=20)
+
+
+@register(
+    "ewma_user_value",
+    """
+    WITH r AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * pow(0.7, n - i)) / sum(pow(0.7, n - i)), 6) AS ewma,
+           CAST(max(n) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed value state (α=0.3).
+    See operators/temporal.py::ewma_last."""
+    from dbt_lakehouse_aws_spark.operators.temporal import ewma_last
+
+    ev = T(spark, sf_dir, "events")
+    return ewma_last(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        alpha=0.3,
+        tiebreak_cols=["event_id"],
+    )
+
+
+@register(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling operator over orders (int + string columns;
+    stringified min/max). See operators/relational.py::profile_columns."""
+    from dbt_lakehouse_aws_spark.operators.relational import profile_columns
+
+    o = T(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact_distinct=True,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -723,3 +723,43 @@ def test_rrf_fuse_hand_computed(spark):
     assert abs(out[10] - round(1 / 61, 6)) < 1e-9
     assert abs(out[30] - round(1 / 62, 6)) < 1e-9
     assert max(out, key=out.get) == 20
+
+
+def test_duplicate_spans_hand_computed(spark):
+    from dbt_lakehouse_aws_spark.llmops.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a lazy the quick brown fox sleeps"),
+            (3, "nothing shared here at all"),
+            (4, "the quick brown cat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["span"]: r for r in duplicate_spans(docs, n=3, min_docs=2, k=None).collect()}
+    assert out["the quick brown"]["n_docs"] == 3
+    assert out["the quick brown"]["first_doc"] == 1
+    assert out["quick brown fox"]["n_docs"] == 2
+    assert "nothing shared here" not in out
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+
+    from dbt_lakehouse_aws_spark.operators.temporal import ewma_last
+
+    rows = [(1, i, float(v)) for i, v in enumerate([1, 5, 3, 8, 2, 9])]
+    rows += [(2, i, float(v)) for i, v in enumerate([10, 10, 10])]
+    ev = spark.createDataFrame(rows, "user_id long, seq long, value double").withColumn(
+        "ts", F.timestamp_micros(F.col("seq") * 1_000_000)
+    )
+    got = {
+        r["user_id"]: r["ewma"]
+        for r in ewma_last(
+            ev, key_cols=["user_id"], ts_col="ts", value_col="value", alpha=0.3
+        ).collect()
+    }
+    exp1 = pd.Series([1, 5, 3, 8, 2, 9]).ewm(alpha=0.3, adjust=True).mean().iloc[-1]
+    assert abs(got[1] - round(exp1, 6)) < 1e-9
+    assert got[2] == 10.0

@@ -200,3 +200,18 @@ def test_merge_upsert_update_wins_insert_passthrough(spark):
     )
     got = {r["id"]: r["v"] for r in merge_upsert(target, updates, ["id"]).collect()}
     assert got == {1: "new", 2: "keep", 3: "insert"}
+
+
+def test_profile_columns_counts_nulls_and_distinct(spark):
+    from dbt_lakehouse_aws_spark.operators.relational import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "x long, s string",
+    )
+    out = {r["column"]: r for r in profile_columns(df, exact_distinct=True).collect()}
+    assert out["x"]["n_rows"] == 4
+    assert out["x"]["n_nulls"] == 1
+    assert out["x"]["n_distinct"] == 2
+    assert out["x"]["min_val"] == "1" and out["x"]["max_val"] == "2"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
