@@ -78,6 +78,8 @@ class TableCatalog:
         bucket_by: list[str] | None = None,
         num_buckets: int = 16,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_files: int | None = None,
         file_format: str = "parquet",
     ) -> DataFrame:
         key = self._qualify(schema, name)
@@ -108,6 +110,13 @@ class TableCatalog:
                 # at the scan (poor man's Z-order; one key or a
                 # prefix-ordered few is where it pays).
                 df = df.sortWithinPartitions(*sort_by)
+            if zorder_by:
+                # multi-dimensional clustering: Morton-interleaved sort
+                # key + range partitioning, so EVERY z-ordered column's
+                # min/max tightens per file (see sources/zorder.py).
+                from dbt_lakehouse_aws_spark.sources.zorder import zorder_write_order
+
+                df = zorder_write_order(df, zorder_by, num_ranges=zorder_files)
             writer = df.write.mode("overwrite").format(file_format)
             if partition_by:
                 writer = writer.partitionBy(*partition_by)

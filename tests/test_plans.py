@@ -324,3 +324,31 @@ def test_semantic_dedup_blocks_on_cluster(spark, sf_dir, queries):
     equi-join on the cluster id — never a cartesian product."""
     p = plan(queries["semantic_dedup_survivors"](spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, queries):
+    """Spark's InjectRuntimeFilter adds a bloom-filter semi-filter
+    (might_contain) on the fact side of a shuffle join whose dim side
+    is selectively filtered — the runtime analogue of partition
+    pruning for non-partition keys. Thresholds: creationSideThreshold
+    is a MAXIMUM for the dim side, applicationSideScanSizeThreshold a
+    MINIMUM for the fact side (at 100 TB the defaults 10MB/10GB
+    trigger this on every dim-filtered fact join; local test data
+    needs the floor lowered)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        assert "might_contain" in plan(j).lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
