@@ -34,24 +34,63 @@ from pyspark.sql import functions as F
 from dbt_lakehouse_aws_spark.llmops.text import poly_hash, tokens_col
 
 
+def hashed_bucket_counts(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+) -> DataFrame:
+    """(id, bucket, cnt) hashed-token features — the shared input of
+    NB training and scoring (and the same shape DSIR consumes).
+
+    When one corpus is both trained on and scored (self-labeling,
+    eval runs), pass the SAME returned DataFrame to both
+    :func:`nb_train` and :func:`nb_predict`: the (id, bucket)
+    aggregate's exchange is then identical in both branches and
+    Catalyst's ReuseExchange materializes it once — the token stream
+    and its per-char hash fold are scanned a single time.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    ).withColumn("bucket", F.pmod(poly_hash(F.col("tok")), F.lit(n_buckets)))
+    return toks.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def nb_train(
     docs: DataFrame,
     *,
     label_col: str,
     text_col: str = "text",
     n_buckets: int = 128,
+    id_col: str = "doc_id",
+    doc_buckets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train multinomial NB; returns ``(model, priors)``.
 
     model:  (class, bucket, lp)   — ln P(bucket | class), smoothed
     priors: (class, lprior)       — ln P(class)
     Both are classes×buckets-sized: broadcast-able at any corpus size.
-    """
-    toks = docs.select(
-        F.col(label_col).alias("class"), F.explode(tokens_col(text_col)).alias("tok")
-    ).withColumn("bucket", F.pmod(poly_hash(F.col("tok")), F.lit(n_buckets)))
 
-    bc = toks.groupBy("class", "bucket").agg(F.count(F.lit(1)).alias("n_bc"))
+    Without ``doc_buckets`` the class×bucket counts aggregate straight
+    off the exploded token stream (map-side combine collapses each
+    task to ≤ classes·n_buckets rows — the cheapest possible shuffle).
+    With ``doc_buckets`` (see :func:`hashed_bucket_counts`) the counts
+    derive from the shared feature relation instead, trading a
+    (doc, bucket)-sized shuffle for hashing the corpus only once
+    across train+predict.
+    """
+    if doc_buckets is not None:
+        bc = (
+            doc_buckets.join(docs.select(F.col(id_col), F.col(label_col).alias("class")), id_col)
+            .groupBy("class", "bucket")
+            .agg(F.sum("cnt").alias("n_bc"))
+        )
+    else:
+        toks = docs.select(
+            F.col(label_col).alias("class"), F.explode(tokens_col(text_col)).alias("tok")
+        ).withColumn("bucket", F.pmod(poly_hash(F.col("tok")), F.lit(n_buckets)))
+        bc = toks.groupBy("class", "bucket").agg(F.count(F.lit(1)).alias("n_bc"))
     ctot = bc.groupBy("class").agg(F.sum("n_bc").alias("n_c"))
     grid = ctot.crossJoin(
         docs.sparkSession.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
@@ -85,17 +124,19 @@ def nb_predict(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 128,
+    doc_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document against the broadcast model; returns
-    (id, pred_class, score) with the argmax resolved deterministically."""
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
-    ).withColumn("bucket", F.pmod(poly_hash(F.col("tok")), F.lit(n_buckets)))
+    (id, pred_class, score) with the argmax resolved deterministically.
 
-    # per-doc bucket counts first: the model join fans out over
-    # ≤ docs·n_buckets rows (not the raw token stream), and the
-    # log-likelihood is Σ cnt·lp — same partial-agg shape at any scale
-    doc_buckets = toks.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    Per-doc bucket counts first: the model join fans out over
+    ≤ docs·n_buckets rows (not the raw token stream), and the
+    log-likelihood is Σ cnt·lp — same partial-agg shape at any scale.
+    """
+    if doc_buckets is None:
+        doc_buckets = hashed_bucket_counts(
+            docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+        )
     scored = (
         doc_buckets.join(F.broadcast(model), "bucket")
         .groupBy(id_col, "class")

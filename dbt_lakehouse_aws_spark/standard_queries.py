@@ -3671,11 +3671,18 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nb_classify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial NB trained AND applied in-engine (hashed token
     buckets, broadcast model). See llmops/classify.py."""
-    from dbt_lakehouse_aws_spark.llmops.classify import nb_predict, nb_train
+    from dbt_lakehouse_aws_spark.llmops.classify import (
+        hashed_bucket_counts,
+        nb_predict,
+        nb_train,
+    )
 
     d = T(spark, sf_dir, "documents")
-    model, priors = nb_train(d, label_col="lang")
-    pred = nb_predict(d, model, priors)
+    # same corpus trains and scores → share the hashed features so
+    # the token stream is hashed once (AQE reuses the exchange)
+    db = hashed_bucket_counts(d)
+    model, priors = nb_train(d, label_col="lang", doc_buckets=db)
+    pred = nb_predict(d, model, priors, doc_buckets=db)
     return pred.join(d.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "pred_class", "score"
     )
