@@ -156,3 +156,51 @@ def nb_predict(
         F.col("_b.c").alias("pred_class"),
         (-F.col("_b.neg")).alias("score"),
     )
+
+
+def chi2_terms(
+    docs: DataFrame,
+    *,
+    label_col: str,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """χ² feature selection: rank terms by association with the
+    label (the classic preprocessing step before training a text
+    classifier — which words are evidence of which class).
+
+    ``χ²(t) = Σ_c (O_tc − E_tc)² / E_tc`` over token counts, with
+    ``E_tc = rowtot_t · coltot_c / N``.
+
+    The contingency table is densified (term-totals × classes grid,
+    left-joined to the observed counts) so zero-observed cells
+    contribute their full (0−E)²/E — the textbook statistic, not the
+    sparse approximation. Everything shuffles O(vocab·classes): the
+    observed counts collapse map-side, the classes-sized column
+    totals broadcast, and the grid join is keyed on (term, class)
+    where both sides are vocab-sized. Top-k compiles to
+    TakeOrderedAndProject.
+    """
+    tc = (
+        docs.select(
+            F.col(label_col).alias("class"),
+            F.explode(tokens_col(text_col)).alias("term"),
+        )
+        .groupBy("term", "class")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_tot = tc.groupBy("term").agg(F.sum("o").alias("rt"))
+    col_tot = tc.groupBy("class").agg(F.sum("o").alias("ct"))
+    n = tc.agg(F.sum("o").alias("n"))
+    grid = row_tot.crossJoin(F.broadcast(col_tot))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    o = F.coalesce("o", F.lit(0))
+    return (
+        grid.join(tc, ["term", "class"], "left")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_chi", (o - e) * (o - e) / e)
+        .groupBy("term")
+        .agg(F.round(F.sum("_chi"), 6).alias("chi2"))
+        .orderBy(F.desc("chi2"), F.asc("term"))
+        .limit(k)
+    )

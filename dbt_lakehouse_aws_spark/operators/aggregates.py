@@ -139,3 +139,47 @@ def percentiles(
         fn = F.percentile(vc, F.lit(p)) if exact else F.percentile_approx(vc, F.lit(p))
         aggs.append(fn.alias(f"{prefix}{int(p * 100)}"))
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def mad_outliers(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier profile via median absolute deviation
+    (the outlier rule that survives the outliers themselves, unlike
+    mean±kσ): flag rows where ``|x − median| > k · 1.4826 · MAD``.
+
+    Two exact-percentile aggregates with a join back between them
+    (median of residuals needs the median first) — each shuffles
+    O(groups), the joins are on the group key. Returns per-group
+    (median, mad, n_rows, n_outliers).
+    """
+    gcols = list(group_cols)
+    med = df.groupBy(*gcols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("median")
+    )
+    resid = df.join(med, gcols).withColumn(
+        "_ad", F.abs(F.col(value_col) - F.col("median"))
+    )
+    mad = resid.groupBy(*gcols).agg(
+        F.expr("percentile(_ad, 0.5)").alias("mad"),
+        F.first("median").alias("median"),
+    )
+    flagged = resid.drop("median").join(mad, gcols)
+    return (
+        flagged.groupBy(*gcols)
+        .agg(
+            F.round(F.first("median"), 6).alias("median"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("_ad") > F.lit(k) * F.lit(1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -3967,6 +3967,67 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chi2_terms_by_lang",
+    """
+    WITH tc AS (
+      SELECT term, lang AS class, count(*) AS o FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY 1, 2
+    ), rt AS (SELECT term, sum(o) AS rt FROM tc GROUP BY 1),
+    ct AS (SELECT class, sum(o) AS ct FROM tc GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM tc),
+    grid AS (SELECT term, rt, class, ct FROM rt CROSS JOIN ct),
+    cells AS (
+      SELECT g.term, coalesce(tc.o, 0) AS o, g.rt * g.ct / n.n AS e
+      FROM grid g LEFT JOIN tc ON tc.term = g.term AND tc.class = g.class, n
+    )
+    SELECT term, round(sum((o - e) * (o - e) / e), 6) AS chi2
+    FROM cells GROUP BY term
+    ORDER BY chi2 DESC, term LIMIT 20
+    """,
+)
+def chi2_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: terms most associated with the
+    lang label. See llmops/classify.py::chi2_terms."""
+    from dbt_lakehouse_aws_spark.llmops.classify import chi2_terms
+
+    d = T(spark, sf_dir, "documents")
+    return chi2_terms(d, label_col="lang", k=20)
+
+
+@register(
+    "mad_outliers_orders",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, median(o_totalprice) AS median
+      FROM orders GROUP BY 1
+    ), resid AS (
+      SELECT o.o_orderpriority, abs(o.o_totalprice - m.median) AS ad, m.median
+      FROM orders o JOIN med m USING (o_orderpriority)
+    ), mad AS (
+      SELECT o_orderpriority, median(ad) AS mad FROM resid GROUP BY 1
+    )
+    SELECT r.o_orderpriority,
+           round(min(r.median), 6) AS median,
+           round(min(m.mad), 6) AS mad,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN r.ad > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM resid r JOIN mad m USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier profile of order totals per
+    priority. See operators/aggregates.py::mad_outliers."""
+    from dbt_lakehouse_aws_spark.operators.aggregates import mad_outliers
+
+    o = T(spark, sf_dir, "orders")
+    return mad_outliers(
+        o, group_cols=["o_orderpriority"], value_col="o_totalprice", k=3.0
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

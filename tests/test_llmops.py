@@ -763,3 +763,17 @@ def test_ewma_matches_pandas(spark):
     exp1 = pd.Series([1, 5, 3, 8, 2, 9]).ewm(alpha=0.3, adjust=True).mean().iloc[-1]
     assert abs(got[1] - round(exp1, 6)) < 1e-9
     assert got[2] == 10.0
+
+
+def test_chi2_terms_ranks_class_markers_first(spark):
+    from dbt_lakehouse_aws_spark.llmops.classify import chi2_terms
+
+    rows = [(i, "alpha alpha shared word", "c1") for i in range(6)]
+    rows += [(10 + i, "beta beta shared word", "c2") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = chi2_terms(docs, label_col="lang", k=4).collect()
+    ranked = [r["term"] for r in out]
+    # perfectly class-separating terms outrank the uniform ones
+    assert set(ranked[:2]) == {"alpha", "beta"}
+    chi = {r["term"]: r["chi2"] for r in out}
+    assert chi["shared"] == 0.0 and chi["word"] == 0.0

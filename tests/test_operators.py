@@ -215,3 +215,15 @@ def test_profile_columns_counts_nulls_and_distinct(spark):
     assert out["x"]["n_distinct"] == 2
     assert out["x"]["min_val"] == "1" and out["x"]["max_val"] == "2"
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    from dbt_lakehouse_aws_spark.operators.aggregates import mad_outliers
+
+    vals = [("g", float(v)) for v in [10, 11, 12, 13, 14, 1000]]
+    vals += [("h", float(v)) for v in [5, 5, 5, 5]]
+    df = spark.createDataFrame(vals, "grp string, x double")
+    out = {r["grp"]: r for r in mad_outliers(df, group_cols=["grp"], value_col="x").collect()}
+    assert out["g"]["median"] == 12.5
+    assert out["g"]["n_outliers"] == 1        # the 1000 spike
+    assert out["h"]["mad"] == 0.0 and out["h"]["n_outliers"] == 0
