@@ -183,3 +183,41 @@ def mad_outliers(
             .alias("n_outliers"),
         )
     )
+
+
+def distinct_sketch_rollup(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable count-distinct via Apache DataSketches HLL
+    (``hll_sketch_agg`` / ``hll_union_agg``, Spark 3.5+): build one
+    sketch per group, then derive the GLOBAL distinct estimate by
+    merging the per-group sketches — never rescanning the raw data.
+
+    This is the sketch-infrastructure pattern a 100 TB warehouse
+    needs: per-(day, country) sketches persist as bytes (~2^lg_k per
+    group), and any coarser rollup (per-day, per-country, grand
+    total) is a union of sketches, turning a full-table
+    count-distinct into a KB-sized merge. Returns the per-group rows
+    plus a ``__total__`` row whose estimate comes from the merge.
+    """
+    sk = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("_sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per_group = sk.select(
+        F.col(group_col).alias("group_key"),
+        F.hll_sketch_estimate("_sk").cast("long").alias("distinct_est"),
+        F.col("n_rows").cast("long"),
+    )
+    total = sk.agg(
+        F.lit("__total__").alias("group_key"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"), F.lit(False)))
+        .cast("long")
+        .alias("distinct_est"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+    return per_group.unionByName(total)

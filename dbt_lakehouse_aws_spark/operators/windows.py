@@ -124,3 +124,48 @@ def global_row_number(
         .withColumn(name, (local_ix + F.col("_offset") + 1).cast("long"))
         .drop("_pid", "_mono", "_offset")
     )
+
+
+def interval_union_length(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Total length of the UNION of each key's (possibly overlapping)
+    intervals — the gaps-and-islands problem (billed machine-hours,
+    total user engagement time), where naive SUM double-counts
+    overlaps.
+
+    Classic two-window solution, one shuffle on the key:
+
+    1. running max of interval ends over preceding rows (ordered by
+       start) — an island breaks where a start exceeds every prior
+       end;
+    2. running sum of break flags numbers the islands;
+    3. per-island extent = max(end) − min(start), summed per key.
+
+    Both windows and both aggregates share the same partition key,
+    so Catalyst plans ONE exchange (the W9 shared-exchange shape).
+    """
+    keys = [F.col(c) for c in key_cols]
+    w_order = Window.partitionBy(*keys).orderBy(F.asc(start_col), F.asc(end_col))
+    prev_max_end = F.max(end_col).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_break = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    flagged = df.withColumn("_brk", is_break)
+    island = F.sum("_brk").over(
+        w_order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("_island", island)
+    per_island = islands.groupBy(*key_cols, "_island").agg(
+        (F.max(end_col) - F.min(start_col)).alias("_len")
+    )
+    return per_island.groupBy(*key_cols).agg(
+        F.sum("_len").alias("union_len"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+    )

@@ -4028,6 +4028,75 @@ def mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interval_union_user_time",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + CAST(round(value * 10, 0) AS BIGINT) AS e
+      FROM events
+    ), m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM iv
+    ), b AS (
+      SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM m
+    ), isl AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM b
+    ), per AS (
+      SELECT user_id, island, max(e) - min(s) AS len FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS union_len,
+           CAST(count(*) AS BIGINT) AS n_islands
+    FROM per GROUP BY 1
+    """,
+)
+def interval_union_user_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: total non-double-counted engagement seconds
+    per user (interval = [ts, ts + value·10s]). See
+    operators/windows.py::interval_union_length."""
+    from dbt_lakehouse_aws_spark.operators.windows import interval_union_length
+
+    ev = T(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.round(F.col("value") * 10, 0).cast("long")).alias("e"),
+    )
+    return interval_union_length(iv, key_cols=["user_id"], start_col="s", end_col="e")
+
+
+@register("hll_user_rollup")  # rows-only: DataSketches estimates aren't ANSI-SQL
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-user sketches per event type + grand
+    total from the sketch union (never rescans raw data). See
+    operators/aggregates.py::distinct_sketch_rollup."""
+    from dbt_lakehouse_aws_spark.operators.aggregates import distinct_sketch_rollup
+
+    ev = T(spark, sf_dir, "events")
+    return distinct_sketch_rollup(ev, group_col="event_type", value_col="user_id")
+
+
+@register("pagerank_event_graph")  # rows-only: iterative fixpoint
+def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite user↔event-type interaction graph
+    (both directions, so rank flows between users and the event types
+    they share). See operators/graph.py::pagerank."""
+    from dbt_lakehouse_aws_spark.operators.graph import pagerank
+
+    ev = T(spark, sf_dir, "events")
+    fwd = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iters=8)
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

@@ -227,3 +227,86 @@ def test_mad_outliers_flags_planted_spike(spark):
     assert out["g"]["median"] == 12.5
     assert out["g"]["n_outliers"] == 1        # the 1000 spike
     assert out["h"]["mad"] == 0.0 and out["h"]["n_outliers"] == 0
+
+
+def test_interval_union_hand_computed(spark):
+    from dbt_lakehouse_aws_spark.operators.windows import interval_union_length
+
+    rows = [
+        # user 1: [0,10] ∪ [5,15] ∪ [20,30] → 15 + 10 = 25, 2 islands
+        (1, 0, 10), (1, 5, 15), (1, 20, 30),
+        # user 2: nested [0,100] ⊇ [10,20] → 100, 1 island
+        (2, 0, 100), (2, 10, 20),
+        # user 3: touching endpoints [0,5][5,9] merge (closed intervals)
+        (3, 0, 5), (3, 5, 9),
+    ]
+    df = spark.createDataFrame(rows, "u long, s long, e long")
+    out = {
+        r["u"]: (r["union_len"], r["n_islands"])
+        for r in interval_union_length(df, key_cols=["u"], start_col="s", end_col="e").collect()
+    }
+    assert out[1] == (25, 2)
+    assert out[2] == (100, 1)
+    assert out[3] == (9, 1)
+
+
+def test_interval_union_single_exchange(spark):
+    """Windows and aggregates all share the user partition key: the
+    plan must contain exactly one shuffle."""
+    from dbt_lakehouse_aws_spark.operators.windows import interval_union_length
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("u"), F.col("id").alias("s"), (F.col("id") + 3).alias("e")
+    )
+    out = interval_union_length(df, key_cols=["u"], start_col="s", end_col="e")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_distinct_sketch_rollup_merge_consistency(spark):
+    from dbt_lakehouse_aws_spark.operators.aggregates import distinct_sketch_rollup
+
+    # 3 groups with distinct-but-overlapping member sets
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 7000).alias("member"),
+    )
+    out = {r["group_key"]: r for r in distinct_sketch_rollup(
+        df, group_col="g", value_col="member").collect()}
+    exact_total = 7000
+    est = out["__total__"]["distinct_est"]
+    assert abs(est - exact_total) / exact_total < 0.05  # HLL ±few %
+    assert out["__total__"]["n_rows"] == 30_000
+    for g in ("0", "1", "2"):
+        exact_g = df.filter(F.col("g") == g).select("member").distinct().count()
+        assert abs(out[g]["distinct_est"] - exact_g) / exact_g < 0.05
+
+
+def test_pagerank_matches_power_iteration(spark):
+    from dbt_lakehouse_aws_spark.operators.graph import pagerank
+
+    # 4-node graph with a dangling node (3 has no out-edges)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=25).collect()}
+
+    # reference: plain python power iteration, same damping/dangling
+    import collections
+    out = collections.defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    nodes = [0, 1, 2, 3]
+    r = {v: 0.25 for v in nodes}
+    for _ in range(25):
+        dang = sum(r[v] for v in nodes if v not in out)
+        nxt = {v: (1 - 0.85) / 4 + 0.85 * dang / 4 for v in nodes}
+        for s in out:
+            for d in out[s]:
+                nxt[d] += 0.85 * r[s] / len(out[s])
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
