@@ -81,6 +81,13 @@ HEADLINE = [
     "funnel_signup_purchase",
     "cohort_retention_events",
     "unigram_entropy_docs",
+    "duplicate_spans_docs",
+    "ewma_user_value",
+    "weighted_sample_docs",
+    "chi2_terms_by_lang",
+    "mad_outliers_orders",
+    "interval_union_user_time",
+    "profile_orders",
 ]
 
 

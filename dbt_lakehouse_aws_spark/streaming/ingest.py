@@ -441,3 +441,54 @@ def running_user_totals(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_ewma(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Streaming exponentially-weighted value state per key
+    (``applyInPandasWithState``): the batch :func:`~...operators.
+    temporal.ewma_last` recurrence carried across micro-batches.
+
+    State is THREE doubles per key — numerator ``Σ(1−α)^(N−i)·v_i``,
+    weight sum ``Σ(1−α)^(N−i)``, and count — updated per event as
+    ``num·(1−α)+v`` / ``wsum·(1−α)+1``; the emitted
+    ``num/wsum`` is exactly the batch operator's adjust=True EWMA, so
+    the two paths cross-check bit-for-bit on the same data. Bounded
+    state, no timeline buffering, any corpus size.
+
+    Batch DataFrames work too (one pass — used by the equivalence
+    test); in a stream each micro-batch emits the key's updated EWMA
+    (update output mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, ewma double, n_events long"
+    state_schema = "num double, wsum double, n long"
+    decay = 1.0 - alpha
+
+    def fold(key, pdfs, state: GroupState):
+        num, wsum, n = (0.0, 0.0, 0) if not state.exists else state.get
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        for v in rows[value_col]:
+            num = num * decay + float(v)
+            wsum = wsum * decay + 1.0
+            n += 1
+        state.update((num, wsum, n))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "ewma": [num / wsum], "n_events": [n]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

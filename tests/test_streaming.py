@@ -404,3 +404,74 @@ def test_running_user_totals_transform_with_state(spark, tmp_path):
     assert (1, 3, 7.0) in emitted  # batch 2 folded ONTO batch-1 state
     # u2 untouched in batch 2 → exactly these three emissions
     assert len(emitted) == 3
+
+
+def test_stream_ewma_matches_batch_operator(spark, tmp_path):
+    """The stateful streaming EWMA, fed two micro-batches, converges
+    to exactly the batch ewma_last value over the union of events."""
+    from dbt_lakehouse_aws_spark.operators.temporal import ewma_last
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_ewma
+
+    src = tmp_path / "ewma"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    header = "ts,user_id,value\n"
+    (src / "f1.csv").write_text(
+        header
+        + "2025-01-01 10:00:00,1,1.0\n"
+        + "2025-01-01 10:01:00,1,5.0\n"
+        + "2025-01-01 10:00:00,2,7.0\n"
+    )
+    (src / "f2.csv").write_text(
+        header
+        + "2025-01-01 10:02:00,1,3.0\n"
+        + "2025-01-01 10:03:00,2,2.0\n"
+    )
+    import os as _os
+
+    for i, f in enumerate(("f1.csv", "f2.csv")):
+        _os.utime(src / f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src), header=True)
+    )
+    q = (
+        stream_ewma(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("ewma_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user = final state
+    updates = spark.sql("SELECT * FROM ewma_sink").collect()
+    final = {}
+    for r in updates:  # memory sink appends per batch; later rows win
+        final[r["user_id"]] = (r["ewma"], r["n_events"])
+
+    batch = spark.createDataFrame(
+        [
+            ("2025-01-01 10:00:00", 1, 1.0),
+            ("2025-01-01 10:01:00", 1, 5.0),
+            ("2025-01-01 10:02:00", 1, 3.0),
+            ("2025-01-01 10:00:00", 2, 7.0),
+            ("2025-01-01 10:03:00", 2, 2.0),
+        ],
+        "ts string, user_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expect = {
+        r["user_id"]: (r["ewma"], r["n_events"])
+        for r in ewma_last(batch, key_cols=["user_id"], alpha=0.3).collect()
+    }
+    for u in (1, 2):
+        assert abs(final[u][0] - expect[u][0]) < 1e-6
+        assert final[u][1] == expect[u][1]
