@@ -4097,6 +4097,63 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=8)
 
 
+@register(
+    "j11_full_outer_presence",
+    """
+    SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN o.o_orderkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01') o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def j11_full_outer_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join presence classes (customers without
+    orders vs matched rows) — completes the join-type matrix
+    (inner/left/semi/anti/cross are covered elsewhere)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_orderkey").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return j.groupBy(side.alias("side")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "j12_null_safe_join",
+    """
+    WITH a AS (
+      SELECT nullif(event_type, 'error') AS k, count(*) AS n_a
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT nullif(event_type, 'error') AS k, CAST(sum(round(value, 2)) AS DOUBLE) AS v_b
+      FROM events GROUP BY 1
+    )
+    SELECT a.k, a.n_a, round(b.v_b, 2) AS v_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    group matches itself instead of dropping out."""
+    ev = T(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error")).alias("k")
+    a = ev.groupBy(k).agg(F.count(F.lit(1)).alias("n_a"))
+    b = ev.groupBy(k).agg(F.sum(F.round("value", 2)).alias("v_b"))
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(a["k"], "n_a", F.round("v_b", 2).alias("v_b"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
