@@ -68,6 +68,64 @@ def _formatted_plan(df: DataFrame) -> str:
     )
 
 
+#: structural wrappers that sit between an Exchange and its real
+#: consumer in AQE plans
+_EXCHANGE_WRAPPERS = ("AQEShuffleRead", "ShuffleQueryStage", "ReusedExchange", "Sort")
+
+
+def _single_partition_funnel(p: str) -> bool:
+    """True only for a REAL global funnel: an Exchange SinglePartition
+    whose consumer is not a no-grouping-key final aggregate.
+
+    A scalar aggregate (``df.agg(...)`` with no groupBy) also plans
+    ``Exchange SinglePartition``, but its input is one pre-combined
+    partial row per map task — bounded by task count, not data size —
+    so flagging it would outlaw every COUNT(*)/global-sum in the
+    engine. The hazard case is a Window/row-funnel consumer, which
+    materializes the full child relation in one task.
+    """
+    sections = p.split("== Physical Plan ==")
+    if len(sections) < 2:
+        return "SinglePartition" in p
+    tree = sections[1].split("\n\n")[0].splitlines()
+    nodes = []  # (indent, name, id)
+    for ln in tree:
+        m = re.search(r"([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", ln)
+        if m:
+            indent = len(ln) - len(ln.lstrip(" +:-*"))
+            nodes.append((indent, m.group(1).strip(), int(m.group(2))))
+    sp_ids = set()
+    for block in p.split("\n\n"):
+        m = re.match(r"\((\d+)\) Exchange\b", block)
+        if m and "Arguments: SinglePartition" in block:
+            sp_ids.add(int(m.group(1)))
+    if not sp_ids:
+        return False
+    by_pos = list(enumerate(nodes))
+    for i, (ind, name, nid) in by_pos:
+        if nid not in sp_ids:
+            continue
+        # nearest ancestor that is not a structural wrapper
+        j, cur_ind = i - 1, ind
+        while j >= 0:
+            p_ind, p_name, _ = nodes[j]
+            if p_ind < cur_ind:
+                # exact match: "Sort" is a pass-through wrapper under a
+                # final SortAggregate, but "SortAggregate" itself is a
+                # consumer (startswith would conflate them)
+                if p_name in _EXCHANGE_WRAPPERS or p_name.startswith(
+                    ("AQEShuffleRead", "ShuffleQueryStage", "ReusedExchange")
+                ):
+                    cur_ind = p_ind
+                    j -= 1
+                    continue
+                if "Aggregate" not in p_name:
+                    return True
+                break
+            j -= 1
+    return False
+
+
 def plan_report(df: DataFrame) -> PlanReport:
     """Lint ``df``'s physical plan; never raises."""
     p = _formatted_plan(df)
@@ -75,7 +133,7 @@ def plan_report(df: DataFrame) -> PlanReport:
         "cartesian": "CartesianProduct" in p,
         "nested_loop": "BroadcastNestedLoopJoin" in p,
         "python_row_udf": "BatchEvalPython" in p,
-        "single_partition_exchange": "SinglePartition" in p,
+        "single_partition_exchange": _single_partition_funnel(p),
         "expand": bool(re.search(r"\bExpand\b", p)),
         "unpushed_scan": bool(
             re.search(r"PushedFilters: \[\]", p) and re.search(r"\(\d+\) Filter", p)

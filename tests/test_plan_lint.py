@@ -80,3 +80,41 @@ def test_headline_queries_are_scalable(spark, sf_dir):
     for name in ("q1_pricing_summary", "q3_top_revenue_orders", "q5_local_supplier_volume",
                  "q21_waiting_suppliers", "bigram_lm_quality", "chunk_documents"):
         assert_scalable(qs[name](spark, sf_dir))
+
+
+#: queries whose CONSTRUCTION executes driver-side iteration (BPE /
+#: Lloyd's / PageRank / connected components / IVF training) — their
+#: constituent plans are linted via their own plan tests; building
+#: them here would run multi-round jobs, not lint a plan.
+_ITERATIVE = (
+    "bpe_",
+    "pagerank",
+    "kmeans",
+    "ann_ivf",
+    "semantic_dedup",
+    "minhash_dedup_survivors",
+    "corpus_pipeline",
+)
+
+
+def test_every_registered_query_plan_is_scalable(spark, sf_dir):
+    """The whole driver surface passes the scale linter: no cartesian
+    products, no row-pickling Python UDFs, and no single-partition
+    funnel (scalar final aggregates are exempt by the tree-aware
+    check; bounded-window cases compile to TakeOrderedAndProject or
+    post-limit windows that never materialize a full relation in one
+    task)."""
+    from dbt_lakehouse_aws_spark import standard_queries as SQ
+
+    failures = {}
+    for name, fn in SQ.all_queries().items():
+        if any(s in name for s in _ITERATIVE):
+            continue
+        try:
+            rep = plan_report(fn(spark, sf_dir))
+        except Exception as e:  # pragma: no cover - structural failure
+            failures[name] = f"build error: {e}"
+            continue
+        if rep.errors:
+            failures[name] = rep.errors
+    assert not failures, failures
