@@ -78,3 +78,89 @@ def test_poly_hash_matches_python_reference(spark, texts):
     got = {r["i"]: r["h"] for r in df.select("i", poly_hash("text").alias("h")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == py_hash(t), repr(t)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=12
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_paragraph_dedup_invariants(spark, docs):
+    """Union of kept paragraphs == distinct paragraph set; kept ≤
+    total per doc; reassembled text only contains the doc's own
+    paragraphs in original order."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import paragraph_dedup
+
+    rows = [(i, " ".join(words)) for i, words in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = paragraph_dedup(df, chunk_tokens=2).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    texts = dict(rows)
+    all_paras = set()
+    for i, words in docs:
+        toks = texts[i].split(" ")
+        paras = [" ".join(toks[j : j + 2]) for j in range(0, len(toks), 2)]
+        all_paras.update(paras)
+        r = by_id[i]
+        assert r["kept_paras"] <= r["total_paras"] == len(paras)
+        kept_seq = r["dedup_text"].split(" ") if r["dedup_text"] else []
+        # kept text is a subsequence of the original token stream
+        it = iter(toks)
+        assert all(t in it for t in kept_seq)
+    # every distinct paragraph survives exactly once corpus-wide
+    kept_all = []
+    for r in out:
+        toks = r["dedup_text"].split(" ") if r["dedup_text"] else []
+        kept_all.extend(" ".join(toks[j : j + 2]) for j in range(0, len(toks), 2))
+    assert sorted(kept_all) == sorted(all_paras)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 100), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_interval_union_bounds(spark, rows):
+    """0 < union_len ≤ Σ lengths, and union_len ≥ max single length;
+    islands ≤ n intervals (per single key)."""
+    from dbt_lakehouse_aws_spark.operators.windows import interval_union_length
+
+    iv = [(1, s, s + d + 1) for _, s, d in rows]
+    df = spark.createDataFrame(iv, "k long, s long, e long")
+    out = interval_union_length(df, key_cols=["k"], start_col="s", end_col="e").collect()[0]
+    lens = [e - s for _, s, e in iv]
+    assert out["union_len"] <= sum(lens)
+    assert out["union_len"] >= max(lens)
+    assert 1 <= out["n_islands"] <= len(iv)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=50
+    )
+)
+def test_ewma_within_value_range(spark, vals):
+    """EWMA is a convex combination: min(v) ≤ ewma ≤ max(v)."""
+    from dbt_lakehouse_aws_spark.operators.temporal import ewma_last
+
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double").withColumn(
+        "ts", F.timestamp_micros(F.col("seq") * 1_000_000)
+    )
+    out = ewma_last(df, key_cols=["k"], ts_col="ts", value_col="v", alpha=0.4).collect()[0]
+    assert min(vals) - 1e-6 <= out["ewma"] <= max(vals) + 1e-6
+    assert out["n_events"] == len(vals)
