@@ -36,6 +36,16 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_readme_query_count():
+    """README's stated surface must track the live registry (VERDICT r1 §wrong-2)."""
+    import pathlib
+
+    readme = pathlib.Path(__file__).resolve().parents[1] / "README.md"
+    text = readme.read_text()
+    assert f"the {len(QUERIES)}-query driver surface" in text
+    assert f"SQL-expressible, {len(ORACLES)} of them" in text
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_against_oracle(spark, duck, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
