@@ -1,0 +1,400 @@
+"""ACID-lite lakehouse table format: parquet data + manifest log.
+
+The reference materializes every model as an **Iceberg** table
+(reference ``dbt_project.yml:38-51``) — transactional overwrites,
+snapshot-isolated readers, and ``MERGE`` for the roadmap'd
+incremental materializations (reference ``README.md:44-48``). Neither
+Delta nor Iceberg jars are installable in this sandbox, so this
+module implements the same *public, well-documented* design (an
+Iceberg/Delta-style metadata log over immutable parquet files) from
+first principles:
+
+* **Immutable data files.** Every write lands new uniquely-named
+  parquet files under ``<table>/data/``; nothing is ever mutated in
+  place. A snapshot is a *list of files*, not a directory state.
+* **Manifest log.** ``<table>/_log/{version:020d}.json`` holds the
+  file list, schema (Spark JSON), per-file column stats, and the
+  parent version. The latest version is ``max()`` over the log dir —
+  exactly Delta's ``_delta_log`` discovery rule.
+* **Atomic, optimistic commits.** A commit is materialized as a
+  fully-written temp file hard-linked into the log via
+  ``os.link`` — POSIX put-if-absent. Two writers racing for version
+  N: one link succeeds, the loser gets :class:`CommitConflict` and
+  must rebase (re-read the new snapshot and retry). No partial
+  manifest is ever visible.
+* **Snapshot isolation.** Readers resolve a version once; since data
+  files are immutable and only unreferenced by later manifests
+  (never deleted until :meth:`vacuum`), a reader's DataFrame is
+  repeatable against concurrent writers.
+* **Time travel.** ``read(version=N)`` / :meth:`history`.
+* **Copy-on-write MERGE / DELETE with file-level pruning.** MERGE
+  rewrites *only* the files that actually contain matched keys:
+  manifest min/max stats prune the candidate set without touching
+  data, then an exact ``input_file_name`` semi-join pins the files
+  to rewrite. At 100 TB with date- or key-clustered files, a daily
+  delta touches a sliver of the table — the whole point of the
+  format. Untouched files carry into the new manifest by reference.
+
+The statistics are harvested from parquet footers via pyarrow (no
+Spark job), mirroring how Iceberg manifests carry per-file column
+bounds.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import uuid
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+# manifest stats only for types whose min/max are JSON-safe and
+# totally ordered the same way in parquet stats and in Spark
+_STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "string", "date")
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version first — rebase and retry."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    operation: str
+    files: tuple[str, ...]
+    schema_json: str
+    stats: dict[str, dict[str, list]]  # file -> col -> [min, max]
+    parent: int | None
+
+
+def _file_stats(path: str, cols: Sequence[str]) -> dict[str, list]:
+    """Per-file [min, max] bounds for ``cols`` from the parquet footer."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for c in cols:
+        idx = name_to_idx.get(c)
+        if idx is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    ok = False
+                    break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None and _json_safe(lo) and _json_safe(hi):
+            out[c] = [lo, hi]
+    return out
+
+
+def _json_safe(v) -> bool:
+    if isinstance(v, float):
+        return not (math.isnan(v) or math.isinf(v))
+    return isinstance(v, (int, str, bool))
+
+
+class AcidTable:
+    """One transactional table rooted at ``path`` (see module doc)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._log = os.path.join(path, _LOG_DIR)
+        self._data = os.path.join(path, _DATA_DIR)
+
+    # -- log primitives ---------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self._log) and bool(self._versions())
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self._log):
+            return []
+        return sorted(
+            int(f.split(".")[0]) for f in os.listdir(self._log) if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no table at {self.path}")
+        return vs[-1]
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.latest_version() if version is None else version
+        with open(os.path.join(self._log, f"{v:020d}.json")) as fh:
+            m = json.load(fh)
+        return Snapshot(
+            version=m["version"],
+            operation=m["operation"],
+            files=tuple(m["files"]),
+            schema_json=m["schema"],
+            stats=m.get("stats", {}),
+            parent=m.get("parent"),
+        )
+
+    def history(self) -> list[Snapshot]:
+        return [self.snapshot(v) for v in self._versions()]
+
+    def _commit(
+        self,
+        *,
+        operation: str,
+        files: Sequence[str],
+        schema_json: str,
+        stats: dict[str, dict[str, list]],
+        base_version: int | None,
+    ) -> Snapshot:
+        os.makedirs(self._log, exist_ok=True)
+        new_version = 0 if base_version is None else base_version + 1
+        manifest = {
+            "version": new_version,
+            "operation": operation,
+            "files": sorted(files),
+            "schema": schema_json,
+            "stats": stats,
+            "parent": base_version,
+        }
+        tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = os.path.join(self._log, f"{new_version:020d}.json")
+        try:
+            os.link(tmp, final)  # atomic put-if-absent: the commit point
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {new_version} of {self.path} was committed concurrently; "
+                "re-read the snapshot and retry"
+            ) from e
+        finally:
+            os.unlink(tmp)
+        return self.snapshot(new_version)
+
+    # -- data-file primitives ---------------------------------------------
+
+    def _write_data_files(self, df: DataFrame, version_hint: int) -> list[str]:
+        """Write ``df`` to new immutable files; return log-relative names.
+
+        Spark writes to a staging dir (its committer already guarantees
+        task-level atomicity there); finished parts are then hard-linked
+        into ``data/`` under collision-free names. Same-filesystem link +
+        unlink keeps this metadata-only.
+        """
+        os.makedirs(self._data, exist_ok=True)
+        stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        out: list[str] = []
+        for f in sorted(os.listdir(stage)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"{version_hint:010d}-{uuid.uuid4().hex}.parquet"
+            os.link(os.path.join(stage, f), os.path.join(self._data, name))
+            out.append(name)
+        import shutil
+
+        shutil.rmtree(stage)
+        return out
+
+    def _stats_for(self, files: Sequence[str], schema: StructType) -> dict[str, dict[str, list]]:
+        cols = [f.name for f in schema.fields if f.dataType.simpleString() in _STATS_TYPES]
+        return {f: _file_stats(os.path.join(self._data, f), cols) for f in files}
+
+    # -- public API -------------------------------------------------------
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> Snapshot:
+        """CTAS / INSERT: ``overwrite`` replaces the file list,
+        ``append`` extends it. Both are single atomic commits."""
+        base = self.latest_version() if self.exists() else None
+        hint = 0 if base is None else base + 1
+        new_files = self._write_data_files(df, hint)
+        stats = self._stats_for(new_files, df.schema)
+        if mode == "append" and base is not None:
+            snap = self.snapshot(base)
+            files = list(snap.files) + new_files
+            stats = {**snap.stats, **stats}
+        elif mode in ("overwrite", "append"):
+            files = new_files
+        else:
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        return self._commit(
+            operation=f"WRITE {mode}",
+            files=files,
+            schema_json=df.schema.json(),
+            stats=stats,
+            base_version=base,
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot-isolated scan, optionally time-traveling to ``version``.
+
+        The returned plan enumerates the snapshot's exact file list with
+        an explicit schema — later commits cannot change (or break) it.
+        """
+        snap = self.snapshot(version)
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if not snap.files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self._data, f) for f in snap.files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _prune_files(self, snap: Snapshot, key: str, lo, hi) -> list[str]:
+        """Files whose [min,max] for ``key`` can overlap [lo, hi]."""
+        out = []
+        for f in snap.files:
+            bounds = snap.stats.get(f, {}).get(key)
+            if bounds is None or lo is None:
+                out.append(f)  # no stats → can't prune safely
+                continue
+            if not (bounds[1] < lo or bounds[0] > hi):
+                out.append(f)
+        return out
+
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: Sequence[str],
+        *,
+        max_retries: int = 3,
+    ) -> Snapshot:
+        """``MERGE INTO`` (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
+        INSERT *): copy-on-write on exactly the files holding matched
+        keys.
+
+        Three-phase file targeting, none of which scans untouched data:
+
+        1. *Stats prune*: manifest min/max bounds on ``keys[0]`` vs the
+           delta's key range drop files that cannot contain a match.
+        2. *Exact pin*: scan only the pruned candidates with
+           ``input_file_name()``, semi-join on the full key, collect the
+           distinct file names that truly hold matches (bounded by file
+           count, not row count).
+        3. *Rewrite*: (touched-file rows ⟕̸ update keys) ∪ updates → new
+           files; untouched files carry over by reference.
+
+        Retries automatically on :class:`CommitConflict` by rebasing on
+        the new snapshot (optimistic concurrency, Delta-style).
+        """
+        keys = list(keys)
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            try:
+                return self._merge_once(snap, updates, keys)
+            except CommitConflict:
+                continue
+        # final attempt propagates the conflict
+        return self._merge_once(self.snapshot(), updates, keys)
+
+    def _merge_once(self, snap: Snapshot, updates: DataFrame, keys: list[str]) -> Snapshot:
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        bounds = updates.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).first()
+        candidates = self._prune_files(snap, keys[0], bounds["lo"], bounds["hi"])
+        touched: list[str] = []
+        if candidates:
+            cand_paths = [os.path.join(self._data, f) for f in candidates]
+            cand_df = self.spark.read.schema(schema).parquet(*cand_paths)
+            touched_paths = (
+                cand_df.withColumn("_file", F.input_file_name())
+                .join(updates.select(*keys).distinct(), keys, "left_semi")
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            touched = [os.path.basename(r["_file"]) for r in touched_paths]
+        if touched:
+            touched_df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self._data, f) for f in touched]
+            )
+            survivors = touched_df.join(updates.select(*keys).distinct(), keys, "left_anti")
+            rewritten = updates.select(*[f.name for f in schema.fields]).unionByName(survivors)
+        else:
+            rewritten = updates.select(*[f.name for f in schema.fields])
+        new_files = self._write_data_files(rewritten, snap.version + 1)
+        untouched = [f for f in snap.files if f not in set(touched)]
+        stats = {f: s for f, s in snap.stats.items() if f in set(untouched)}
+        stats.update(self._stats_for(new_files, schema))
+        return self._commit(
+            operation=f"MERGE keys={keys} touched={len(touched)}/{len(snap.files)}",
+            files=untouched + new_files,
+            schema_json=snap.schema_json,
+            stats=stats,
+            base_version=snap.version,
+        )
+
+    def delete(self, predicate: str) -> Snapshot:
+        """``DELETE WHERE predicate``: rewrite only files that contain
+        matching rows; files with no matches carry over untouched."""
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        cond = F.expr(predicate)
+        touched: list[str] = []
+        if snap.files:
+            all_df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self._data, f) for f in snap.files]
+            )
+            rows = (
+                all_df.withColumn("_file", F.input_file_name())
+                .filter(cond)
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            touched = [os.path.basename(r["_file"]) for r in rows]
+        new_files: list[str] = []
+        if touched:
+            touched_df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self._data, f) for f in touched]
+            )
+            keep = touched_df.filter(~cond | cond.isNull())
+            if keep.limit(1).count() > 0:
+                new_files = self._write_data_files(keep, snap.version + 1)
+        untouched = [f for f in snap.files if f not in set(touched)]
+        stats = {f: s for f, s in snap.stats.items() if f in set(untouched)}
+        stats.update(self._stats_for(new_files, schema))
+        return self._commit(
+            operation=f"DELETE touched={len(touched)}/{len(snap.files)}",
+            files=untouched + new_files,
+            schema_json=snap.schema_json,
+            stats=stats,
+            base_version=snap.version,
+        )
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Physically delete data files referenced by no retained
+        manifest (and drop pre-horizon manifests). Readers of retained
+        snapshots are unaffected — that's the snapshot-isolation
+        contract; readers older than the horizon break, exactly like
+        ``VACUUM`` + ``delta.deletedFileRetentionDuration``."""
+        versions = self._versions()
+        keep_versions = versions[-retain_last:]
+        live = {f for v in keep_versions for f in self.snapshot(v).files}
+        removed = []
+        for f in os.listdir(self._data) if os.path.isdir(self._data) else []:
+            if f.endswith(".parquet") and f not in live:
+                os.unlink(os.path.join(self._data, f))
+                removed.append(f)
+        for v in versions[:-retain_last]:
+            os.unlink(os.path.join(self._log, f"{v:020d}.json"))
+        return removed

@@ -1402,11 +1402,18 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dbt incremental-materialization semantics
-    (operators/relational.py::merge_upsert): a 'delta' of re-scored
-    recent events merged over history — update-wins on the 5-day
-    overlap, inserts beyond it, history passthrough elsewhere."""
-    from dbt_lakehouse_aws_spark.operators.relational import merge_upsert
+    """dbt incremental-materialization semantics on the TRANSACTIONAL
+    table layer (sources/acid.py): the target lands as an AcidTable
+    (range-clustered on event_id so manifest min/max stats are tight),
+    then a 'delta' of re-scored recent events is MERGEd in — a real
+    copy-on-write commit that rewrites only the files holding matched
+    keys, with history passthrough elsewhere. The oracle is plain SQL
+    (update-wins ∪ anti-join), so this green row certifies the whole
+    write→stats→prune→merge→snapshot-read chain, not just the plan
+    shape (batch-operator twin: operators/relational.py::merge_upsert)."""
+    import tempfile
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
 
     ev = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     target = ev.filter(F.col("day") < F.lit("2024-01-20").cast("date")).select(
@@ -1415,7 +1422,10 @@ def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = ev.filter(F.col("day") >= F.lit("2024-01-15").cast("date")).select(
         "event_id", "event_type", F.round(F.col("value") * 2, 4).alias("value")
     )
-    merged = merge_upsert(target, updates, ["event_id"])
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="acid_merge_"))
+    table.write(target.repartitionByRange(8, "event_id"))
+    table.merge(updates, ["event_id"])
+    merged = table.read()
     return merged.select("event_id", "event_type", F.round("value", 4).alias("value"))
 
 

@@ -1,0 +1,203 @@
+"""ACID table layer (sources/acid.py): transactional semantics the
+reference gets from Iceberg (reference dbt_project.yml:38-51) —
+atomic commits, snapshot isolation, time travel, copy-on-write
+MERGE/DELETE with file-level pruning, vacuum, and the ModelGraph
+incremental materialization built on top."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_lakehouse_aws_spark.plans.graph import ModelGraph
+from dbt_lakehouse_aws_spark.sources.acid import AcidTable, CommitConflict
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, grp string, value double")
+
+
+@pytest.fixture
+def base_rows():
+    return [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(100)]
+
+
+def test_write_read_roundtrip(spark, tmp_path, base_rows):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    assert not t.exists()
+    snap = t.write(_mkdf(spark, base_rows))
+    assert snap.version == 0 and t.exists()
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == sorted(base_rows)
+
+
+def test_append_extends_file_list(spark, tmp_path, base_rows):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    s0 = t.write(_mkdf(spark, base_rows))
+    s1 = t.write(_mkdf(spark, [(1000, "new", 1.0)]), mode="append")
+    assert set(s0.files) < set(s1.files)
+    assert t.read().count() == 101
+
+
+def test_snapshot_isolation_under_merge(spark, tmp_path, base_rows):
+    """A reader's resolved DataFrame must be repeatable across a
+    concurrent writer's MERGE — the core ACID guarantee."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, base_rows).repartitionByRange(4, "id"))
+    reader = t.read()  # resolves version 0's file list
+    before = sorted(tuple(r) for r in reader.collect())
+    t.merge(_mkdf(spark, [(0, "even", 999.0), (500, "new", 1.0)]), ["id"])
+    after_commit = sorted(tuple(r) for r in reader.collect())
+    assert before == after_commit == sorted(base_rows)
+    merged = {r["id"]: r["value"] for r in t.read().collect()}
+    assert merged[0] == 999.0 and merged[500] == 1.0 and len(merged) == 101
+
+
+def test_time_travel_and_history(spark, tmp_path, base_rows):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, base_rows))
+    t.merge(_mkdf(spark, [(0, "even", -1.0)]), ["id"])
+    t.delete("id >= 90")
+    assert [s.version for s in t.history()] == [0, 1, 2]
+    assert t.read(version=0).count() == 100
+    assert {r["value"] for r in t.read(version=1).filter("id = 0").collect()} == {-1.0}
+    assert t.read().count() == 90
+
+
+def test_commit_conflict_put_if_absent(spark, tmp_path, base_rows):
+    """Two writers racing for the same version: exactly one wins."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    snap = t.write(_mkdf(spark, base_rows))
+    kwargs = dict(
+        operation="TEST",
+        files=list(snap.files),
+        schema_json=snap.schema_json,
+        stats=snap.stats,
+        base_version=snap.version,
+    )
+    t._commit(**kwargs)  # first writer wins version 1
+    with pytest.raises(CommitConflict):
+        t._commit(**kwargs)  # second writer must conflict, not clobber
+
+
+def test_merge_retries_past_conflict(spark, tmp_path, base_rows):
+    """merge() rebases on CommitConflict instead of surfacing it."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, base_rows))
+    real_commit = t._commit
+    fails = {"n": 0}
+
+    def flaky_commit(**kwargs):
+        if fails["n"] == 0:
+            fails["n"] += 1
+            # another writer sneaks in version base+1 first
+            real_commit(
+                operation="SNEAK",
+                files=kwargs["files"],
+                schema_json=kwargs["schema_json"],
+                stats=kwargs["stats"],
+                base_version=kwargs["base_version"],
+            )
+        return real_commit(**kwargs)
+
+    t._commit = flaky_commit
+    snap = t.merge(_mkdf(spark, [(3, "odd", 33.0)]), ["id"])
+    assert fails["n"] == 1 and snap.version == 2
+    assert t.read().filter("id = 3").first()["value"] == 33.0
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """A narrow-key delta against a range-clustered table must rewrite
+    only the overlapping files — the 100 TB incremental contract."""
+    rows = [(i, "g", float(i)) for i in range(1000)]
+    t = AcidTable(spark, str(tmp_path / "t"))
+    s0 = t.write(_mkdf(spark, rows).repartitionByRange(8, "id"))
+    assert len(s0.files) == 8
+    s1 = t.merge(_mkdf(spark, [(5, "g", -5.0), (7, "g", -7.0)]), ["id"])
+    carried = set(s0.files) & set(s1.files)
+    assert len(carried) == 7, "only the one file holding ids 5 and 7 may be rewritten"
+    assert "touched=1/8" in s1.operation
+    got = {r["id"]: r["value"] for r in t.read().collect()}
+    assert got[5] == -5.0 and got[7] == -7.0 and got[999] == 999.0 and len(got) == 1000
+
+
+def test_merge_inserts_unmatched_keys(spark, tmp_path, base_rows):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, base_rows))
+    t.merge(_mkdf(spark, [(50, "even", 0.5), (200, "new", 2.0)]), ["id"])
+    got = {r["id"]: (r["grp"], r["value"]) for r in t.read().collect()}
+    assert len(got) == 101
+    assert got[50] == ("even", 0.5) and got[200] == ("new", 2.0)
+    assert got[49] == ("odd", 49.0)
+
+
+def test_delete_rewrites_only_matching_files(spark, tmp_path):
+    rows = [(i, "g", float(i)) for i in range(1000)]
+    t = AcidTable(spark, str(tmp_path / "t"))
+    s0 = t.write(_mkdf(spark, rows).repartitionByRange(8, "id"))
+    s1 = t.delete("id < 10")
+    assert len(set(s0.files) & set(s1.files)) == 7
+    assert t.read().count() == 990
+    assert t.read().filter("id < 10").count() == 0
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, "x", 2.0)], "id bigint, grp string, value double"
+    )
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(df)
+    t.delete("grp = 'x'")  # NULL predicate rows must survive (SQL semantics)
+    assert [r["id"] for r in t.read().collect()] == [1]
+
+
+def test_vacuum_drops_unreferenced_files(spark, tmp_path, base_rows):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    s0 = t.write(_mkdf(spark, base_rows).repartition(4))
+    t.merge(_mkdf(spark, [(i, "g", 0.0) for i in range(100)]), ["id"])
+    removed = t.vacuum(retain_last=1)
+    assert set(removed) == set(s0.files), "every v0-only file reclaimed"
+    assert [s.version for s in t.history()] == [1]
+    assert t.read().count() == 100  # latest snapshot intact
+
+
+def test_empty_table_read(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    df = _mkdf(spark, [(1, "g", 1.0)])
+    t.write(df)
+    t.delete("id = 1")
+    assert t.read().count() == 0
+    assert t.read().columns == ["id", "grp", "value"]
+
+
+def test_modelgraph_incremental_materialization(spark, tmp_path):
+    """Two DAG runs: full refresh, then a delta run that MERGEs into
+    the existing table instead of rewriting it (dbt incremental)."""
+    wh = str(tmp_path / "wh")
+
+    def build(source_rows):
+        g = ModelGraph()
+        g.add_source("raw", _mkdf(spark, source_rows))
+
+        @g.model
+        def scored(raw):
+            return raw.withColumn("value", F.col("value") * 10)
+
+        return g
+
+    first = [(i, "g", float(i)) for i in range(10)]
+    g1 = build(first)
+    out1 = g1.run(materialize="incremental", warehouse_dir=wh, unique_keys={"scored": ["id"]})
+    assert out1["scored"].count() == 10
+
+    delta = [(5, "g", 5.0), (100, "new", 1.0)]  # one update, one insert
+    g2 = build(delta)
+    out2 = g2.run(materialize="incremental", warehouse_dir=wh, unique_keys={"scored": ["id"]})
+    got = {r["id"]: r["value"] for r in out2["scored"].collect()}
+    assert len(got) == 11 and got[5] == 50.0 and got[100] == 10.0 and got[9] == 90.0
+
+    table = AcidTable(spark, os.path.join(wh, "scored"))
+    assert [s.version for s in table.history()] == [0, 1]
+    assert table.snapshot().operation.startswith("MERGE")
