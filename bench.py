@@ -91,10 +91,69 @@ HEADLINE = [
 ]
 
 
+def _prepare_chunked(sf_dir: str) -> str:
+    """Re-chunk the bench inputs into multi-file, multi-row-group
+    tables so scans actually parallelize.
+
+    The driver's testdata ships ONE row group per table (one file) —
+    every scan is a single task regardless of cluster width, so
+    sf0.1 wall-clock is overhead-dominated and perf regressions hide
+    under the noise floor (PERF.md; VERDICT r1 item 6). Real 100 TB
+    tables are thousands of files; splitting here makes the local
+    bench exercise the same parallel-scan path. Source data is
+    read-only, so the split copy lands in /tmp, built once and
+    reused (rebuilt only if row counts drift). Set
+    SPARK_GRAFT_BENCH_RAW=1 to bench the pristine single-file dir.
+    """
+    import pyarrow.parquet as pq
+
+    if os.environ.get("SPARK_GRAFT_BENCH_RAW"):
+        return sf_dir
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    target = os.path.join("/tmp", f"spark_graft_bench_{tag}")
+    os.makedirs(target, exist_ok=True)
+    for fname in sorted(os.listdir(sf_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        src = os.path.join(sf_dir, fname)
+        dst = os.path.join(target, fname)  # a DIRECTORY of parts
+        table = pq.ParquetFile(src)
+        rows = table.metadata.num_rows
+        # ≥32 concurrent tasks for the big tables; the small-but-CPU-heavy
+        # documents/embeddings tables still split (text/vector queries do
+        # real per-row work), only tiny dims stay 1 file
+        n_files = max(1, min(32, rows // 1_000))
+        if os.path.isdir(dst):
+            existing = sum(
+                pq.ParquetFile(os.path.join(dst, f)).metadata.num_rows
+                for f in os.listdir(dst)
+                if f.endswith(".parquet")
+            )
+            if existing == rows:
+                continue
+            import shutil
+
+            shutil.rmtree(dst)
+        os.makedirs(dst, exist_ok=True)
+        data = table.read()
+        per = -(-rows // n_files)  # ceil
+        for i in range(n_files):
+            chunk = data.slice(i * per, per)
+            if chunk.num_rows == 0:
+                break
+            pq.write_table(
+                chunk,
+                os.path.join(dst, f"part-{i:05d}.parquet"),
+                row_group_size=max(10_000, per // 4),
+            )
+    return target
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    sf_dir = _prepare_chunked(sf_dir)
 
     spark = get_spark("bench")
     queries = SQ.all_queries()
