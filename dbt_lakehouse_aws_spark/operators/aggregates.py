@@ -191,6 +191,7 @@ def distinct_sketch_rollup(
     group_col: str,
     value_col: str,
     lg_k: int = 12,
+    total_sentinel: str = "__total__",
 ) -> DataFrame:
     """Mergeable count-distinct via Apache DataSketches HLL
     (``hll_sketch_agg`` / ``hll_union_agg``, Spark 3.5+): build one
@@ -202,19 +203,24 @@ def distinct_sketch_rollup(
     group), and any coarser rollup (per-day, per-country, grand
     total) is a union of sketches, turning a full-table
     count-distinct into a KB-sized merge. Returns the per-group rows
-    plus a ``__total__`` row whose estimate comes from the merge.
+    plus a rollup row whose estimate comes from the merge.
+
+    ``group_key`` is stringified (so non-string group columns union
+    cleanly with the sentinel) and the rollup sentinel is
+    parameterizable — pick one outside the group domain if a genuine
+    group could be named ``__total__``.
     """
     sk = df.groupBy(group_col).agg(
         F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("_sk"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     per_group = sk.select(
-        F.col(group_col).alias("group_key"),
+        F.col(group_col).cast("string").alias("group_key"),
         F.hll_sketch_estimate("_sk").cast("long").alias("distinct_est"),
         F.col("n_rows").cast("long"),
     )
     total = sk.agg(
-        F.lit("__total__").alias("group_key"),
+        F.lit(total_sentinel).alias("group_key"),
         F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"), F.lit(False)))
         .cast("long")
         .alias("distinct_est"),

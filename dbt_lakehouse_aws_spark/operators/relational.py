@@ -91,6 +91,11 @@ def profile_columns(
     (approx_count_distinct) — the right default at 100 TB.
     """
     cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError(
+            "profile_columns needs at least one column (got an empty "
+            "column list / zero-column DataFrame)"
+        )
     parts = []
     for c in cols:
         distinct = (

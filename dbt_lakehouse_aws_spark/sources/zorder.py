@@ -43,8 +43,14 @@ def zorder_key(
     """Attach the Morton-interleaved sort key for ``cols``.
 
     Numeric columns only; ``bits × len(cols)`` must stay ≤ 63.
+    NULL values coalesce to the column's low bound (cluster first in
+    z-order) rather than producing NULL keys that land arbitrarily;
+    an empty input or an all-NULL column (no usable min/max) raises a
+    clear error instead of a downstream TypeError.
     """
     cols = list(cols)
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
     if bits * len(cols) > 63:
         raise ValueError("bits × n_cols must fit in a signed long")
     stats = df.agg(
@@ -56,8 +62,15 @@ def zorder_key(
     normed: list[Column] = []
     for c in cols:
         lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"cannot z-order on {c!r}: empty input or all-NULL column "
+                "(no min/max to normalize against)"
+            )
         span = (hi - lo) or 1.0
-        scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top
+        scaled = (F.coalesce(F.col(c).cast("double"), F.lit(lo)) - F.lit(lo)) / F.lit(
+            span
+        ) * top
         normed.append(F.round(scaled).cast("long"))
 
     z: Column = F.lit(0).cast("long")

@@ -20,6 +20,8 @@ engine's streaming surface).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -450,6 +452,7 @@ def stream_ewma(
     ts_col: str = "ts",
     value_col: str = "value",
     alpha: float = 0.3,
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Streaming exponentially-weighted value state per key
     (``applyInPandasWithState``): the batch :func:`~...operators.
@@ -462,20 +465,27 @@ def stream_ewma(
     the two paths cross-check bit-for-bit on the same data. Bounded
     state, no timeline buffering, any corpus size.
 
-    Batch DataFrames work too (one pass — used by the equivalence
-    test); in a stream each micro-batch emits the key's updated EWMA
-    (update output mode).
+    Stream-only (``applyInPandasWithState`` rejects batch plans);
+    each micro-batch emits the key's updated EWMA (update output
+    mode). The batch twin for one-shot data is ``ewma_last``.
+
+    ``tiebreak_cols`` break equal-timestamp ordering within a
+    micro-batch (mirroring ``ewma_last``'s deterministic sort) —
+    without them, ts collisions fold in arrival order and the
+    claimed batch equivalence breaks.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{key_col} long, ewma double, n_events long"
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, ewma double, n_events long"
     state_schema = "num double, wsum double, n long"
     decay = 1.0 - alpha
+    sort_cols = [ts_col, *tiebreak_cols]
 
     def fold(key, pdfs, state: GroupState):
         num, wsum, n = (0.0, 0.0, 0) if not state.exists else state.get
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        rows = pd.concat(list(pdfs)).sort_values(sort_cols)
         for v in rows[value_col]:
             num = num * decay + float(v)
             wsum = wsum * decay + 1.0

@@ -310,3 +310,27 @@ def test_pagerank_matches_power_iteration(spark):
     for v in nodes:
         assert abs(got[v] - r[v]) < 1e-9
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_distinct_sketch_rollup_nonstring_group_and_sentinel(spark):
+    """ADVICE r1: a non-string group column must union cleanly with
+    the rollup row, and the sentinel is parameterizable so a genuine
+    group can never collide with it."""
+    from dbt_lakehouse_aws_spark.operators.aggregates import distinct_sketch_rollup
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"),  # bigint group col
+        (F.col("id") % 50).alias("member"),
+    )
+    out = {r["group_key"]: r for r in distinct_sketch_rollup(
+        df, group_col="g", value_col="member", total_sentinel="<ALL>").collect()}
+    assert set(out) == {"0", "1", "2", "<ALL>"}
+    assert out["<ALL>"]["n_rows"] == 1000
+
+
+def test_profile_columns_empty_cols_raises(spark):
+    from dbt_lakehouse_aws_spark.operators.relational import profile_columns
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="at least one column"):
+        profile_columns(df, cols=[])

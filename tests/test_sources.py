@@ -265,3 +265,23 @@ def test_zorder_write_tightens_both_dims(spark, tmp_path):
     assert len(spans) >= 8
     assert max(spans) <= 64 * 64 / 4
     assert sum(spans) <= 2 * 64 * 64  # near-disjoint tiling, small overlap
+
+
+def test_zorder_key_guards_and_null_coalesce(spark):
+    """ADVICE r1: empty/all-NULL inputs raise a clear error; NULL
+    values cluster at the low bound instead of yielding NULL keys."""
+    import pytest as _pytest
+
+    from dbt_lakehouse_aws_spark.sources.zorder import zorder_key
+
+    with _pytest.raises(ValueError, match="empty input or all-NULL"):
+        zorder_key(spark.createDataFrame([], "x int, y int"), ["x", "y"]).collect()
+    with _pytest.raises(ValueError, match="at least one column"):
+        zorder_key(spark.range(3), [])
+
+    df = spark.createDataFrame(
+        [(0, 0), (None, 0), (15, 15)], "x int, y int"
+    )
+    keys = {(r["x"], r["y"]): r["_z"] for r in zorder_key(df, ["x", "y"], bits=4).collect()}
+    assert keys[(None, 0)] == keys[(0, 0)]  # NULL → low bound
+    assert all(k is not None for k in keys.values())

@@ -475,3 +475,46 @@ def test_stream_ewma_matches_batch_operator(spark, tmp_path):
     for u in (1, 2):
         assert abs(final[u][0] - expect[u][0]) < 1e-6
         assert final[u][1] == expect[u][1]
+
+
+def test_stream_ewma_string_key_and_tiebreak(spark, tmp_path):
+    """ADVICE r1: the output key field derives its type from the
+    input schema (not hardcoded long), and equal-timestamp rows fold
+    in tiebreak order, matching ewma_last's deterministic sort."""
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_ewma
+
+    src = tmp_path / "ewma_str"
+    src.mkdir()
+    # physical row order is the REVERSE of the tiebreak order
+    (src / "f1.csv").write_text(
+        "ts,user,seq,value\n"
+        + "2025-01-01 10:00:00,alice,2,5.0\n"
+        + "2025-01-01 10:00:00,alice,1,1.0\n"
+        + "2025-01-01 10:00:00,bob,1,7.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user", T.StringType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).csv(str(src), header=True)
+    out = stream_ewma(stream, key_col="user", alpha=0.3, tiebreak_cols=["seq"])
+    assert dict(out.dtypes)["user"] == "string"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_str_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user"]: (r["ewma"], r["n_events"])
+        for r in spark.sql("SELECT * FROM ewma_str_sink").collect()
+    }
+    # alice folds 1.0 then 5.0: num = 1*0.7 + 5 = 5.7, wsum = 1.7
+    assert got["alice"][1] == 2 and abs(got["alice"][0] - 5.7 / 1.7) < 1e-12
+    assert got["bob"] == (7.0, 1)
