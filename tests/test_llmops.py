@@ -777,3 +777,130 @@ def test_chi2_terms_ranks_class_markers_first(spark):
     assert set(ranked[:2]) == {"alpha", "beta"}
     chi = {r["term"]: r["chi2"] for r in out}
     assert chi["shared"] == 0.0 and chi["word"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Real image codecs (round 2: VERDICT item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_decode_hand_built_fixture():
+    """Pin the BMP byte layout against a hand-assembled 2x2 24-bpp
+    file: bottom-up rows, BGR channel order, rows padded to 4 bytes
+    (2*3=6 -> stride 8)."""
+    import struct
+
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_bmp
+
+    # pixels (top-down RGB): (255,0,0) (0,255,0) / (0,0,255) (9,8,7)
+    bottom_row = bytes([255, 0, 0, 7, 8, 9]) + b"\x00\x00"  # BGR of row 1 + pad
+    top_row = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"   # BGR of row 0 + pad
+    body = bottom_row + top_row  # bottom-up storage
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    px = decode_bmp(header + dib + body)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 8, 7]]], dtype=np.uint8
+    )
+    assert np.array_equal(px, expect)
+
+
+def test_bmp_roundtrip_odd_width_and_topdown():
+    import struct
+
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 3), (5, 7), (4, 2)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+    # top-down variant: negative height must decode to the same raster
+    px = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    data = bytearray(encode_bmp(px))
+    struct.pack_into("<i", data, 22, -2)  # declare top-down
+    stride = (3 * 3 + 3) & ~3
+    body = bytearray(data[54:])
+    body[0:stride], body[stride : 2 * stride] = (
+        data[54 + stride : 54 + 2 * stride],
+        data[54 : 54 + stride],
+    )
+    data[54:] = body
+    assert np.array_equal(decode_bmp(bytes(data)), px)
+
+
+def test_bmp_32bpp_decode():
+    import struct
+
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_bmp
+
+    # 1x1 BGRA pixel (1,2,3,4) -> RGBA (3,2,1,4); no padding at 32bpp
+    body = bytes([1, 2, 3, 4])
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + 4, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 0, 4, 0, 0, 0, 0)
+    px = decode_bmp(header + dib + body)
+    assert px.shape == (1, 1, 4) and list(px[0, 0]) == [3, 2, 1, 4]
+
+
+def test_ppm_pgm_roundtrip_and_comments():
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+    gray = rng.integers(0, 256, size=(3, 2), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(gray))[:, :, 0], gray)
+
+    # header comments + flexible whitespace
+    data = b"P6 # a comment\n# another\n2\t1 # trailing\n255\n" + bytes(
+        [10, 20, 30, 40, 50, 60]
+    )
+    px = decode_ppm(data)
+    assert px.shape == (1, 2, 3) and list(px[0, 1]) == [40, 50, 60]
+
+
+def test_decode_media_image_vs_stubbed_modalities():
+    import numpy as np
+    import pytest as _pytest
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_media, encode_bmp
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    feats = decode_media(encode_bmp(px), "image")
+    assert (feats["width"], feats["height"], feats["channels"]) == (2, 2, 3)
+    assert feats["pixel_sum"] == int(px.sum())
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "video")
+
+
+def test_extract_image_features_spark_roundtrip(spark):
+    """Known-dimension BMP payloads through the Spark mapInPandas
+    decode path — the driver-query shape at fixture scale."""
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        encode_bmp,
+        extract_image_features,
+    )
+
+    rows = []
+    for doc_id, (h, w) in enumerate([(3, 4), (2, 7), (5, 5)]):
+        px = ((doc_id + np.arange(h * w * 3)) % 256).astype(np.uint8).reshape(h, w, 3)
+        rows.append((doc_id, bytearray(encode_bmp(px)), int(px.sum())))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in extract_image_features(df).collect()}
+    for doc_id, _, pixel_sum in rows:
+        r = got[doc_id]
+        assert r["channels"] == 3 and r["pixel_sum"] == pixel_sum
+    assert (got[0]["width"], got[0]["height"]) == (4, 3)
+    assert (got[1]["width"], got[1]["height"]) == (7, 2)
