@@ -92,6 +92,82 @@ def read_csv_source(
     return df.drop("_metadata")
 
 
+def read_csv_evolving(
+    spark: SparkSession,
+    path: str,
+    *,
+    sep: str = ",",
+    add_path_metadata: bool = True,
+) -> DataFrame:
+    """CSV ingest with **union-by-name schema drift** across partitions.
+
+    The reference's ``dbt_utils.star()`` resolves the column set from
+    the catalog at compile time (SURVEY §1.3), which silently absorbs
+    a column added mid-year; a plain multi-file ``spark.read.csv``
+    does NOT — with one inferred header, files whose headers differ
+    are matched **positionally**, so ``year=2024/month=06`` adding a
+    column in the middle shifts every later column's values into the
+    wrong field. This reader defines the drift semantics explicitly:
+
+    1. **Header discovery** — one distributed job reads the FIRST
+       LINE of every file (open/readline/close per task: O(files)
+       metadata-sized I/O, no full scan).
+    2. **Group scan** — files are grouped by identical header; each
+       group gets its own all-string scan with its own column set.
+       The number of groups is the number of schema *versions*, not
+       files — bounded and small.
+    3. **Union by name** — groups combine with
+       ``unionByName(allowMissingColumns=True)``: columns align by
+       NAME, files predating a column carry typed NULLs, and the
+       output column order is first-seen order across groups (the
+       catalog-resolution order ``star()`` would produce).
+
+    Path metadata (year/month/day/_ptkey/_filename) is derived per
+    group scan, so latest-snapshot filters keep working unchanged.
+    """
+    import os
+
+    paths_df = spark.read.format("binaryFile").option("recursiveFileLookup", "true").load(
+        path
+    ).select("path")
+
+    def first_lines(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            headers = []
+            for p in pdf["path"]:
+                local = p.removeprefix("file:")
+                with open(local, "rb") as fh:
+                    headers.append(fh.readline().decode("utf-8").rstrip("\r\n"))
+            yield pd.DataFrame({"path": pdf["path"], "header": headers})
+
+    # binaryFile would read whole payloads if we took `content`; we only
+    # take `path` (column pruning keeps it a listing) and read the first
+    # line ourselves inside the executors.
+    by_header: dict[str, list[str]] = {}
+    for r in paths_df.mapInPandas(first_lines, "path string, header string").collect():
+        by_header.setdefault(r["header"], []).append(r["path"])
+
+    out: DataFrame | None = None
+    data_cols: list[str] = []  # first-seen order across groups
+    for header in sorted(by_header, key=lambda h: min(by_header[h])):
+        files = [p.removeprefix("file:") for p in by_header[header]]
+        part = spark.read.option("header", "true").option("sep", sep).option(
+            "inferSchema", "false"
+        ).csv(files)
+        data_cols += [c for c in part.columns if c not in data_cols]
+        part = part.select("*", "_metadata")
+        if add_path_metadata:
+            part = with_path_metadata(part)
+        part = part.drop("_metadata")
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+    if out is None:
+        raise FileNotFoundError(f"no CSV files under {os.fspath(path)}")
+    meta = [c for c in PATH_META_COLS if c in out.columns]
+    return out.select(*data_cols, *meta)
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the driver's star-schema parquet tables."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

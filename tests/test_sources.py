@@ -285,3 +285,35 @@ def test_zorder_key_guards_and_null_coalesce(spark):
     keys = {(r["x"], r["y"]): r["_z"] for r in zorder_key(df, ["x", "y"], bits=4).collect()}
     assert keys[(None, 0)] == keys[(0, 0)]  # NULL → low bound
     assert all(k is not None for k in keys.values())
+
+
+def test_schema_drift_across_partitions(spark, tmp_path):
+    """VERDICT r1 item 7: CSV headers differing across year=/month=
+    partitions (column added mid-year, columns reordered) must align
+    BY NAME, with pre-drift files carrying NULLs for new columns —
+    the semantics the reference gets from catalog-resolved star()."""
+    from dbt_lakehouse_aws_spark.sources.reader import read_csv_evolving
+
+    jan = tmp_path / "t" / "year=2024" / "month=1"
+    jun = tmp_path / "t" / "year=2024" / "month=6"
+    dec = tmp_path / "t" / "year=2024" / "month=12"
+    for d in (jan, jun, dec):
+        d.mkdir(parents=True)
+    (jan / "a.csv").write_text("id,name\n1,alice\n2,bob\n")
+    # June adds `score` IN THE MIDDLE — positional matching would
+    # shift `name` values into `score`
+    (jun / "b.csv").write_text("id,score,name\n3,9.5,carol\n")
+    # December reorders columns entirely
+    (dec / "c.csv").write_text("name,id,score\ndan,4,7.0\n")
+
+    df = read_csv_evolving(spark, str(tmp_path / "t"))
+    assert set(("id", "name", "score")) <= set(df.columns)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["1"]["name"] == "alice" and rows["1"]["score"] is None
+    assert rows["2"]["name"] == "bob" and rows["2"]["score"] is None
+    assert rows["3"]["name"] == "carol" and rows["3"]["score"] == "9.5"
+    assert rows["4"]["name"] == "dan" and rows["4"]["score"] == "7.0"
+    # path metadata still derived per group
+    assert rows["3"]["month"] == "6" and rows["4"]["_filename"] == "c.csv"
+    # column order is first-seen across groups (star()-style)
+    assert df.columns[:3] == ["id", "name", "score"]
