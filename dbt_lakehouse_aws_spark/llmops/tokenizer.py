@@ -80,25 +80,127 @@ def _merge_once(syms: Column, a: str, b: str) -> Column:
     return F.aggregate(syms, zero, step, fin)
 
 
+def _safe_batch(top: list, *, truncated: bool) -> list:
+    """Longest prefix of the count-sorted candidate pairs that is
+    PROVABLY order-equivalent to applying them one at a time.
+
+    Accepted pairs must be pairwise symbol-disjoint: merging (a, b)
+    only perturbs counts of pairs touching ``a`` or ``b``, so a
+    disjoint prefix's counts are mutually invariant. The prefix stops
+    at the first candidate sharing a symbol with an accepted pair —
+    every count that the accepted merges can change (including NEW
+    pairs like (x, ab), whose count is bounded by the old (x, a)
+    count) then sits at or below that cutoff count. Finally any
+    accepted tail with count ≤ cutoff is dropped: a changed/new pair
+    tying the tail's count could win the lexicographic tie-break in
+    the sequential order, so only strictly-above-cutoff merges are
+    certain. If the candidate list was truncated (a full batch with
+    no violator), the unseen remainder plays the cutoff role.
+    Falls back to the single top pair (exact sequential step) when
+    the safety rule leaves nothing.
+    """
+    accepted: list = []
+    seen: set[str] = set()
+    cutoff = -1
+    for row in top:
+        a, b = row["pair"]["a"], row["pair"]["b"]
+        if a in seen or b in seen:
+            cutoff = row["n"]
+            break
+        accepted.append(row)
+        seen.update((a, b))
+    else:
+        if truncated and top:
+            cutoff = top[-1]["n"]
+    while accepted and accepted[-1]["n"] <= cutoff:
+        accepted.pop()
+    return accepted or top[:1]
+
+
+def _bpe_train_inmem(
+    word_counts: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Exact BPE on a collected (word, count) table — bit-identical
+    semantics to the distributed loop: overlapping adjacencies all
+    count (``aaa`` contributes 2 to (a, a)), ties break on the
+    pair's lexicographic order, merges apply greedily left-to-right,
+    training stops when the best pair's count drops below 2."""
+    words: list[tuple[list[str], int]] = [
+        (list(w), c) for w, c in word_counts.items() if len(w) > 1
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((a, b))
+        for idx, (syms, c) in enumerate(words):
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = (out, c)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     *,
     text_col: str = "text",
     num_merges: int = 30,
     checkpoint_every: int = 5,
+    batch_merges: int = 64,
+    driver_vocab_limit: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merge rules from a document corpus.
 
     Returns the ordered merge list. Deterministic: ties in pair
     frequency break on the pair's lexicographic order.
+
+    Two execution paths, identical results (round-1 watch item: the
+    one-job-per-merge loop paints 32k job launches at real vocab
+    sizes):
+
+    * **Collected-vocab path** (distinct words ≤
+      ``driver_vocab_limit``): one distributed word-count job, one
+      collect, then exact in-memory training — the shape every
+      production tokenizer trainer uses, because BPE statistics
+      depend only on the vocab-bounded (word, count) table. 2 Spark
+      jobs regardless of ``num_merges``. At the default limit the
+      collected table is ≲100 MB; web-scale corpora plateau around
+      10⁷ distinct (lowercased, length-capped) words, so this is the
+      100 TB path too, not a toy shortcut.
+    * **Distributed path** (vocab above the limit): per pass,
+      collect the top-``batch_merges`` candidate pairs and apply the
+      :func:`_safe_batch` prefix — provably order-equivalent to
+      one-at-a-time merging, one job per PASS instead of per merge.
+      ``batch_merges=1`` degenerates to the classic sequential loop
+      (used as the equality oracle in tests).
     """
     vocab = _word_counts(docs, text_col).withColumn(
         "syms", F.split(F.col("word"), "")
     )
     vocab = vocab.localCheckpoint(eager=True)
 
+    if vocab.count() <= driver_vocab_limit:
+        rows = vocab.select("word", "w_count").collect()
+        return _bpe_train_inmem({r["word"]: r["w_count"] for r in rows}, num_merges)
+
     merges: list[tuple[str, str]] = []
-    for step in range(num_merges):
+    passes = 0
+    while len(merges) < num_merges:
         # NB: sequence(1, 0) is DESCENDING, not empty — single-symbol
         # words must short-circuit to an empty pair list (ANSI mode
         # errors on the out-of-range element_at otherwise).
@@ -113,19 +215,26 @@ def bpe_train(
             ),
         ).otherwise(F.array())
         pairs = vocab.select("w_count", F.explode(pair_list).alias("pair"))
-        best = (
+        top = (
             pairs.groupBy("pair")
             .agg(F.sum("w_count").alias("n"))
             .orderBy(F.desc("n"), F.asc("pair.a"), F.asc("pair.b"))
-            .limit(1)
+            .limit(batch_merges)
             .collect()
         )
-        if not best or best[0]["n"] < 2:
+        top = [r for r in top if r["n"] >= 2]
+        if not top:
             break
-        a, b = best[0]["pair"]["a"], best[0]["pair"]["b"]
-        merges.append((a, b))
-        vocab = vocab.withColumn("syms", _merge_once(F.col("syms"), a, b))
-        if (step + 1) % checkpoint_every == 0:
+        batch = _safe_batch(top, truncated=len(top) == batch_merges)
+        batch = batch[: num_merges - len(merges)]
+        # one projection applies the whole batch: the per-pair folds
+        # compose into a single map-only stage over the vocab table
+        for row in batch:
+            a, b = row["pair"]["a"], row["pair"]["b"]
+            merges.append((a, b))
+            vocab = vocab.withColumn("syms", _merge_once(F.col("syms"), a, b))
+        passes += 1
+        if passes % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return merges
 

@@ -904,3 +904,30 @@ def test_extract_image_features_spark_roundtrip(spark):
         assert r["channels"] == 3 and r["pixel_sum"] == pixel_sum
     assert (got[0]["width"], got[0]["height"]) == (4, 3)
     assert (got[1]["width"], got[1]["height"]) == (7, 2)
+
+
+def test_bpe_batched_equals_sequential_and_saves_jobs(spark, sf_dir):
+    """Round-2 (VERDICT item 8): both fast paths — the collected-vocab
+    trainer (default) and the batched distributed loop — must produce
+    the EXACT sequential merge table, and the default path must cut
+    Spark jobs >=5x at num_merges=256."""
+    from dbt_lakehouse_aws_spark.llmops.tokenizer import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    docs = docs.localCheckpoint(eager=True)  # freeze input lineage
+
+    sc = spark.sparkContext
+
+    def count_jobs(group, **kwargs):
+        sc.setJobGroup(group, group)
+        merges = bpe_train(docs, num_merges=256, **kwargs)
+        sc.setJobGroup("", "")
+        return merges, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    seq, seq_jobs = count_jobs("bpe-seq", batch_merges=1, driver_vocab_limit=0)
+    bat, _ = count_jobs("bpe-batch", batch_merges=64, driver_vocab_limit=0)
+    mem, mem_jobs = count_jobs("bpe-mem")  # default: collected-vocab path
+    assert bat == seq, "batched distributed merge table must equal sequential"
+    assert mem == seq, "collected-vocab merge table must equal sequential"
+    assert len(seq) > 50, "fixture too small to be meaningful"
+    assert mem_jobs * 5 <= seq_jobs, f"expected >=5x fewer jobs, got {seq_jobs} -> {mem_jobs}"
