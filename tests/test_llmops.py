@@ -146,8 +146,13 @@ def test_multimodal_plumbing(spark, docs):
     assert rows[1]["n_bytes"] == len(DOCS[0][1].encode())
     assert rows[1]["first_byte"] == ord("t")
     assert rows[1]["modality"] == "blob"
-    with pytest.raises(NotImplementedError):
+    # r2: images decode for real (BMP/PPM); a compressed format we
+    # can't parse is a ValueError, codec-needing modalities still
+    # raise NotImplementedError
+    with pytest.raises(ValueError):
         decode_stub(b"\x89PNG", "image")
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x89PNG", "video")
 
 
 def test_ivf_ann_recall(spark):
