@@ -245,17 +245,45 @@ class AcidTable:
             base_version=base,
         )
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        *,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """Snapshot-isolated scan, optionally time-traveling to ``version``.
 
         The returned plan enumerates the snapshot's exact file list with
         an explicit schema — later commits cannot change (or break) it.
+
+        ``prune={"col": (lo, hi)}`` drops files whose manifest
+        [min, max] bounds cannot intersect the requested value range
+        BEFORE Spark ever opens them — manifest-level file skipping,
+        the same trick Iceberg plays with its manifest column bounds
+        (parquet row-group skipping still applies inside the files
+        that survive). The caller still applies the exact predicate;
+        pruning is only ever a superset. Use ``(x, x)`` for point
+        lookups and ``None`` endpoints for half-open ranges.
         """
         snap = self.snapshot(version)
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        if not snap.files:
+        files = list(snap.files)
+        for col, (lo, hi) in (prune or {}).items():
+            kept = []
+            for f in files:
+                bounds = snap.stats.get(f, {}).get(col)
+                if bounds is None:
+                    kept.append(f)  # no stats → cannot prune safely
+                    continue
+                if (hi is not None and bounds[0] > hi) or (
+                    lo is not None and bounds[1] < lo
+                ):
+                    continue
+                kept.append(f)
+            files = kept
+        if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self._data, f) for f in snap.files]
+        paths = [os.path.join(self._data, f) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
     def _prune_files(self, snap: Snapshot, key: str, lo, hi) -> list[str]:

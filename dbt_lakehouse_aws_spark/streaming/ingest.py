@@ -384,6 +384,61 @@ def stream_merge_upsert(
     )
 
 
+def stream_merge_into_acid(
+    stream: DataFrame,
+    *,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_col: str | None = None,
+):
+    """Streaming incremental refresh into the ACID table layer
+    (sources/acid.py): ``Trigger.AvailableNow`` + per-micro-batch
+    transactional ``MERGE INTO`` — the full lakehouse version of
+    :func:`stream_merge_upsert`, which rewrites the whole table per
+    batch. Here each batch is a copy-on-write commit touching only
+    the files that hold matched keys, concurrent readers keep their
+    snapshot, and the table's manifest history doubles as the
+    streaming audit log (one MERGE commit per batch).
+
+    Within a batch, ``order_col`` picks the surviving row per key
+    (latest wins); without it duplicates collapse arbitrarily.
+
+    Exactly-once: Spark's checkpoint makes batch replay possible
+    after a crash, but the merge is idempotent — replaying a batch
+    re-replaces the same keys with the same rows — so the table
+    converges to the same state (the same argument Delta's
+    idempotent ``foreachBatch`` writers make).
+    """
+    from pyspark.sql import Window
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        updates = batch
+        if order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+            updates = (
+                updates.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            updates = updates.dropDuplicates(keys)
+        table = AcidTable(batch.sparkSession, table_path)
+        if table.exists():
+            table.merge(updates, keys)
+        else:
+            table.write(updates)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def running_user_totals(
     events: DataFrame,
     *,

@@ -201,3 +201,63 @@ def test_modelgraph_incremental_materialization(spark, tmp_path):
     table = AcidTable(spark, os.path.join(wh, "scored"))
     assert [s.version for s in table.history()] == [0, 1]
     assert table.snapshot().operation.startswith("MERGE")
+
+
+def test_read_time_file_pruning(spark, tmp_path):
+    """read(prune=...) must skip files whose manifest bounds cannot
+    hold the requested range — Iceberg-style manifest skipping."""
+    rows = [(i, "g", float(i)) for i in range(1000)]
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, rows).repartitionByRange(8, "id"))
+
+    pruned = t.read(prune={"id": (100, 120)})
+    # the pruned plan should enumerate far fewer than 8 files
+    n_files = len(pruned.inputFiles())
+    assert 1 <= n_files <= 2, n_files
+    # pruning is a superset: exact filter on top gives the right rows
+    assert pruned.filter("id BETWEEN 100 AND 120").count() == 21
+    # point lookup and half-open range
+    assert t.read(prune={"id": (999, 999)}).filter("id = 999").count() == 1
+    assert t.read(prune={"id": (900, None)}).filter("id >= 900").count() == 100
+    # unknown-stats columns never prune
+    assert t.read(prune={"grp": ("a", "z")}).count() == 1000
+
+
+def test_stream_merge_into_acid(spark, tmp_path):
+    """AvailableNow streaming refresh: two micro-batches MERGE into
+    the AcidTable; last-wins within batch via order_col; history
+    records one commit per batch."""
+    import os as _os
+
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_merge_into_acid
+
+    src = tmp_path / "src"
+    src.mkdir()
+    header = "id,value,seq\n"
+    (src / "b1.csv").write_text(header + "1,10.0,1\n2,20.0,1\n")
+    # batch 2: update id=2 (two in-batch versions; seq 3 must win), insert id=3
+    (src / "b2.csv").write_text(header + "2,99.0,2\n2,25.0,3\n3,30.0,2\n")
+    for i, f in enumerate(("b1.csv", "b2.csv")):
+        _os.utime(src / f, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema("id long, value double, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src), header=True)
+    )
+    table_path = str(tmp_path / "acid_t")
+    q = stream_merge_into_acid(
+        stream,
+        table_path=table_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        keys=["id"],
+        order_col="seq",
+    )
+    q.awaitTermination(120)
+
+    t = AcidTable(spark, table_path)
+    got = {r["id"]: r["value"] for r in t.read().collect()}
+    assert got == {1: 10.0, 2: 25.0, 3: 30.0}
+    ops = [s.operation for s in t.history()]
+    assert ops[0].startswith("WRITE") and all(o.startswith("MERGE") for o in ops[1:])
+    assert len(ops) == 2
