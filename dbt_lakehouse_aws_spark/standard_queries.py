@@ -4211,11 +4211,53 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_sketch_rollup(ev, group_col="event_type", value_col="user_id")
 
 
-@register("pagerank_event_graph")  # rows-only: iterative fixpoint
+def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle: PageRank is only 'not
+    SQL-expressible' if the iteration count is dynamic — ours is a
+    fixed 8, so the fixpoint unrolls into 8 chained CTEs computing
+    exactly the Spark operator's recurrence (symmetric bipartite
+    graph → no dangling mass). Both sides round to 6dp; float
+    summation-order noise after 8 iterations is ~1e-15 relative,
+    far inside the rounding."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             (1 - {damping}) / (SELECT count(*) FROM nodes)
+             + {damping} * coalesce(s._s, 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / d.deg) AS _s
+        FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.node
+        GROUP BY e.dst
+      ) s ON n.node = s.node)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH fwd AS (
+      SELECT DISTINCT concat('u:', user_id) AS src, concat('t:', event_type) AS dst
+      FROM events
+    ),
+    edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS rank FROM nodes),
+    {chain}
+    SELECT node, round(rank, 6) AS rank FROM {prev}
+    """
+
+
+@register("pagerank_event_graph", _pagerank_oracle_sql())
 def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite user↔event-type interaction graph
     (both directions, so rank flows between users and the event types
-    they share). See operators/graph.py::pagerank."""
+    they share). See operators/graph.py::pagerank.
+
+    r2: gains a value oracle — the fixed-iteration fixpoint unrolls
+    into chained CTEs (:func:`_pagerank_oracle_sql`), so the
+    iterative operator is hash-checked, not rows-only."""
     from dbt_lakehouse_aws_spark.operators.graph import pagerank
 
     ev = T(spark, sf_dir, "events")
@@ -4224,7 +4266,7 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
     ).distinct()
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank(edges, iters=8)
+    return pagerank(edges, iters=8).select("node", F.round("rank", 6).alias("rank"))
 
 
 @register(
