@@ -359,6 +359,12 @@ class AcidTable:
             rewritten = updates.select(*[f.name for f in schema.fields]).unionByName(survivors)
         else:
             rewritten = updates.select(*[f.name for f in schema.fields])
+        # ~one output file per rewritten input file: without this the
+        # rewrite inherits spark.sql.shuffle.partitions (200 by
+        # default) and every merge bloats the manifest with hundreds
+        # of tiny files — the file count must stay proportional to
+        # the touched set, not the session config.
+        rewritten = rewritten.coalesce(max(1, len(touched)))
         new_files = self._write_data_files(rewritten, snap.version + 1)
         untouched = [f for f in snap.files if f not in set(touched)]
         stats = {f: s for f, s in snap.stats.items() if f in set(untouched)}
@@ -395,7 +401,7 @@ class AcidTable:
             touched_df = self.spark.read.schema(schema).parquet(
                 *[os.path.join(self._data, f) for f in touched]
             )
-            keep = touched_df.filter(~cond | cond.isNull())
+            keep = touched_df.filter(~cond | cond.isNull()).coalesce(max(1, len(touched)))
             if keep.limit(1).count() > 0:
                 new_files = self._write_data_files(keep, snap.version + 1)
         untouched = [f for f in snap.files if f not in set(touched)]

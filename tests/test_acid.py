@@ -261,3 +261,15 @@ def test_stream_merge_into_acid(spark, tmp_path):
     ops = [s.operation for s in t.history()]
     assert ops[0].startswith("WRITE") and all(o.startswith("MERGE") for o in ops[1:])
     assert len(ops) == 2
+
+
+def test_merge_file_count_stays_proportional(spark, tmp_path):
+    """A merge must not inherit spark.sql.shuffle.partitions for its
+    rewrite — file count stays ~touched-set-sized across commits."""
+    rows = [(i, "g", float(i)) for i in range(1000)]
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, rows).repartitionByRange(8, "id"))
+    s1 = t.merge(_mkdf(spark, [(5, "g", -5.0), (500, "g", -0.5)]), ["id"])
+    assert len(s1.files) <= 8 + 2, f"manifest bloated to {len(s1.files)} files"
+    s2 = t.delete("id BETWEEN 0 AND 200")
+    assert len(s2.files) <= len(s1.files) + 2
