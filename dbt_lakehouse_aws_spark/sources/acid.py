@@ -222,15 +222,39 @@ class AcidTable:
 
     # -- public API -------------------------------------------------------
 
+    @staticmethod
+    def _evolved_schema(schema: StructType, df: DataFrame) -> StructType:
+        """Union-by-name schema evolution (Delta ``mergeSchema``):
+        new columns append to the table schema; a same-name column
+        with a different type is a hard error (silent coercion at
+        100 TB is how lakes rot). Old files simply lack the new
+        columns — the explicit-schema parquet read fills NULLs."""
+        existing = {f.name: f for f in schema.fields}
+        out = list(schema.fields)
+        for f in df.schema.fields:
+            cur = existing.get(f.name)
+            if cur is None:
+                out.append(f)
+            elif cur.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change {f.name!r}: "
+                    f"{cur.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                )
+        return StructType(out)
+
     def write(self, df: DataFrame, mode: str = "overwrite") -> Snapshot:
         """CTAS / INSERT: ``overwrite`` replaces the file list,
-        ``append`` extends it. Both are single atomic commits."""
+        ``append`` extends it (with union-by-name schema evolution).
+        Both are single atomic commits."""
         base = self.latest_version() if self.exists() else None
         hint = 0 if base is None else base + 1
         new_files = self._write_data_files(df, hint)
         stats = self._stats_for(new_files, df.schema)
+        schema_json = df.schema.json()
         if mode == "append" and base is not None:
             snap = self.snapshot(base)
+            old_schema = StructType.fromJson(json.loads(snap.schema_json))
+            schema_json = self._evolved_schema(old_schema, df).json()
             files = list(snap.files) + new_files
             stats = {**snap.stats, **stats}
         elif mode in ("overwrite", "append"):
@@ -240,7 +264,7 @@ class AcidTable:
         return self._commit(
             operation=f"WRITE {mode}",
             files=files,
-            schema_json=df.schema.json(),
+            schema_json=schema_json,
             stats=stats,
             base_version=base,
         )
@@ -335,6 +359,7 @@ class AcidTable:
 
     def _merge_once(self, snap: Snapshot, updates: DataFrame, keys: list[str]) -> Snapshot:
         schema = StructType.fromJson(json.loads(snap.schema_json))
+        evolved = self._evolved_schema(schema, updates)
         bounds = updates.agg(
             F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
         ).first()
@@ -351,14 +376,23 @@ class AcidTable:
                 .collect()
             )
             touched = [os.path.basename(r["_file"]) for r in touched_paths]
+        lacking = [f.name for f in schema.fields if f.name not in updates.columns]
+        if lacking:
+            # UPDATE SET * semantics (Delta's rule): the delta must
+            # carry every existing target column — silently NULLing
+            # matched rows' columns would be data loss, not evolution
+            raise ValueError(f"merge updates missing target columns: {lacking}")
+        up = updates.select(*[f.name for f in evolved.fields])
         if touched:
             touched_df = self.spark.read.schema(schema).parquet(
                 *[os.path.join(self._data, f) for f in touched]
             )
             survivors = touched_df.join(updates.select(*keys).distinct(), keys, "left_anti")
-            rewritten = updates.select(*[f.name for f in schema.fields]).unionByName(survivors)
+            # pre-evolution survivor rows take NULLs for new columns
+            rewritten = up.unionByName(survivors, allowMissingColumns=True)
         else:
-            rewritten = updates.select(*[f.name for f in schema.fields])
+            rewritten = up
+        rewritten = rewritten.select(*[f.name for f in evolved.fields])
         # ~one output file per rewritten input file: without this the
         # rewrite inherits spark.sql.shuffle.partitions (200 by
         # default) and every merge bloats the manifest with hundreds
@@ -368,11 +402,11 @@ class AcidTable:
         new_files = self._write_data_files(rewritten, snap.version + 1)
         untouched = [f for f in snap.files if f not in set(touched)]
         stats = {f: s for f, s in snap.stats.items() if f in set(untouched)}
-        stats.update(self._stats_for(new_files, schema))
+        stats.update(self._stats_for(new_files, evolved))
         return self._commit(
             operation=f"MERGE keys={keys} touched={len(touched)}/{len(snap.files)}",
             files=untouched + new_files,
-            schema_json=snap.schema_json,
+            schema_json=evolved.json(),
             stats=stats,
             base_version=snap.version,
         )
@@ -414,6 +448,90 @@ class AcidTable:
             stats=stats,
             base_version=snap.version,
         )
+
+    def optimize(
+        self,
+        *,
+        target_file_bytes: int = 128 << 20,
+        zorder_by: Sequence[str] | None = None,
+    ) -> Snapshot:
+        """Transactional compaction (the lakehouse ``OPTIMIZE``):
+        rewrite the current snapshot at ~``target_file_bytes`` per
+        file — optionally z-ordered so every listed column's manifest
+        bounds tighten — and commit the swap atomically. Readers of
+        the old snapshot are untouched; streaming writers that lose
+        the version race simply rebase (their merge retries).
+
+        Incremental writers leave one small file per touched-set per
+        commit; at 100 TB that's manifest pressure and a task per
+        tiny file. OPTIMIZE is the periodic counterweight: one
+        commit, same rows, bounded file count, better clustering.
+        """
+        import math
+
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        total = sum(
+            os.path.getsize(os.path.join(self._data, f)) for f in snap.files
+        )
+        n = max(1, math.ceil(total / target_file_bytes))
+        df = self.read(snap.version)
+        if zorder_by:
+            from dbt_lakehouse_aws_spark.sources.zorder import zorder_write_order
+
+            df = zorder_write_order(df, list(zorder_by), num_ranges=n)
+        else:
+            df = df.repartition(n)
+        new_files = self._write_data_files(df, snap.version + 1)
+        return self._commit(
+            operation=f"OPTIMIZE files={len(snap.files)}->{len(new_files)}"
+            + (f" zorder={list(zorder_by)}" if zorder_by else ""),
+            files=new_files,
+            schema_json=snap.schema_json,
+            stats=self._stats_for(new_files, schema),
+            base_version=snap.version,
+        )
+
+    def row_changes(
+        self, v_from: int, v_to: int, keys: Sequence[str]
+    ) -> DataFrame:
+        """Change feed between two snapshots (Delta CDF-shaped):
+        returns the target schema plus ``_change_type`` ∈
+        {insert, update, delete}.
+
+        Copy-on-write makes this cheap: only files that differ
+        between the manifests can hold changed rows, so the diff
+        scans ``added ∪ removed`` files, never the carried-over bulk.
+        Rows identical on both sides (survivors copied during a
+        rewrite) cancel out via an exact full-row anti-join; the
+        rest classify by key presence."""
+        keys = list(keys)
+        old, new = self.snapshot(v_from), self.snapshot(v_to)
+        schema = StructType.fromJson(json.loads(new.schema_json))
+        cols = [f.name for f in schema.fields]
+
+        def scan(files):
+            paths = [os.path.join(self._data, f) for f in files]
+            if not paths:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(*paths)
+
+        removed = scan(sorted(set(old.files) - set(new.files)))
+        added = scan(sorted(set(new.files) - set(old.files)))
+        # survivors copied verbatim during COW rewrites appear on both
+        # sides — cancel them out before classifying
+        a = added.join(removed, cols, "left_anti")
+        r = removed.join(added, cols, "left_anti")
+        inserts = a.join(r.select(*keys).distinct(), keys, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        updates = a.join(r.select(*keys).distinct(), keys, "left_semi").withColumn(
+            "_change_type", F.lit("update")
+        )
+        deletes = r.join(a.select(*keys).distinct(), keys, "left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(updates).unionByName(deletes)
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Physically delete data files referenced by no retained

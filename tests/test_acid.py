@@ -273,3 +273,65 @@ def test_merge_file_count_stays_proportional(spark, tmp_path):
     assert len(s1.files) <= 8 + 2, f"manifest bloated to {len(s1.files)} files"
     s2 = t.delete("id BETWEEN 0 AND 200")
     assert len(s2.files) <= len(s1.files) + 2
+
+
+def test_optimize_compacts_and_zorders(spark, tmp_path):
+    rows = [(i, "g", float(i)) for i in range(2000)]
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, rows).repartition(16))
+    for i in range(3):  # a few small incremental commits
+        t.merge(_mkdf(spark, [(i, "g", -1.0)]), ["id"])
+    before = t.snapshot()
+    snap = t.optimize(target_file_bytes=1 << 30, zorder_by=["id", "value"])
+    assert snap.operation.startswith("OPTIMIZE")
+    assert len(snap.files) < len(before.files)
+    assert t.read().count() == 2000  # same rows
+    assert {r["id"]: r["value"] for r in t.read().collect()}[1] == -1.0
+    # old snapshot still time-travels
+    assert t.read(before.version).count() == 2000
+
+
+def test_schema_evolution_append_and_merge(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, [(1, "g", 1.0), (2, "g", 2.0)]))
+    # append with a NEW column evolves the schema; old rows read NULL
+    extra = spark.createDataFrame(
+        [(3, "g", 3.0, "en")], "id bigint, grp string, value double, lang string"
+    )
+    t.write(extra, mode="append")
+    got = {r["id"]: r["lang"] for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: "en"}
+    # merge with the evolved+1 schema: update + insert carry a newer col
+    upd = spark.createDataFrame(
+        [(2, "g", 2.5, "fr", 9), (4, "g", 4.0, "de", 7)],
+        "id bigint, grp string, value double, lang string, score int",
+    )
+    t.merge(upd, ["id"])
+    rows = {r["id"]: (r["lang"], r["score"]) for r in t.read().collect()}
+    assert rows[2] == ("fr", 9) and rows[4] == ("de", 7)
+    assert rows[1] == (None, None)
+    # type change is a hard error
+    bad = spark.createDataFrame([(9, "g", 1.0, 5)], "id bigint, grp string, value double, lang int")
+    with pytest.raises(ValueError, match="cannot change 'lang'"):
+        t.write(bad, mode="append")
+    # merge lacking an existing column is a hard error (no silent NULLing)
+    with pytest.raises(ValueError, match="missing target columns"):
+        t.merge(spark.createDataFrame([(1, "g")], "id bigint, grp string"), ["id"])
+
+
+def test_row_changes_between_snapshots(spark, tmp_path):
+    rows = [(i, "g", float(i)) for i in range(100)]
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, rows).repartitionByRange(4, "id"))
+    t.merge(_mkdf(spark, [(7, "g", 700.0), (200, "new", 2.0)]), ["id"])
+    t.delete("id = 50")
+    changes = {
+        (r["id"], r["_change_type"])
+        for r in t.row_changes(0, t.latest_version(), ["id"]).collect()
+    }
+    assert changes == {(7, "update"), (200, "insert"), (50, "delete")}
+    # adjacent diff of the delete commit only
+    only_del = {
+        (r["id"], r["_change_type"]) for r in t.row_changes(1, 2, ["id"]).collect()
+    }
+    assert only_del == {(50, "delete")}
