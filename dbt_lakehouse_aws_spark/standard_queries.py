@@ -1479,6 +1479,49 @@ def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "acid_change_feed",
+    """
+    WITH target AS (
+      SELECT event_id, event_type, value FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-20'
+    ), updates AS (
+      SELECT event_id, event_type, round(value * 2, 4) AS value
+      FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+    )
+    SELECT u.event_id, 'insert' AS _change_type
+    FROM updates u WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.event_id = u.event_id)
+    UNION ALL
+    SELECT u.event_id, 'update' AS _change_type
+    FROM updates u JOIN target t ON t.event_id = u.event_id
+    WHERE u.value IS DISTINCT FROM t.value OR u.event_type IS DISTINCT FROM t.event_type
+    """,
+)
+def acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed correctness through the driver gate: the same
+    write→MERGE as merge_upsert_events, then ``row_changes(0, 1)``
+    classifies each delta row as insert (new key) or update (matched
+    key whose row actually changed — a doubled value equal to the
+    original, i.e. value 0, must NOT appear, because the COW diff
+    cancels identical rows). The oracle derives the same
+    classification relationally, so a green row certifies the
+    manifest-diff CDC path end-to-end."""
+    import tempfile
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    ev = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    target = ev.filter(F.col("day") < F.lit("2024-01-20").cast("date")).select(
+        "event_id", "event_type", "value"
+    )
+    updates = ev.filter(F.col("day") >= F.lit("2024-01-15").cast("date")).select(
+        "event_id", "event_type", F.round(F.col("value") * 2, 4).alias("value")
+    )
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="acid_cdc_"))
+    table.write(target.repartitionByRange(8, "event_id"))
+    table.merge(updates, ["event_id"])
+    return table.row_changes(0, 1, ["event_id"]).select("event_id", "_change_type")
+
+
+@register(
     "a14_value_histogram",
     """
     SELECT event_type,
