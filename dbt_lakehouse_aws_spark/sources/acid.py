@@ -122,6 +122,20 @@ class AcidTable:
         self._data = os.path.join(path, _DATA_DIR)
 
     # -- log primitives ---------------------------------------------------
+    #
+    # The log is DELTA-STRUCTURED (the public Delta Lake design): each
+    # commit file records only {add: {file: stats}, remove: [...]}
+    # relative to its parent, so commit cost is O(touched files), not
+    # O(table files) — at 1M files a full-manifest rewrite per commit
+    # would be ~100 MB of JSON; a merge delta is a few hundred bytes.
+    # Every CHECKPOINT_EVERY commits the writer also drops a
+    # ``*.checkpoint.json`` with the full reconstructed state, bounding
+    # snapshot reconstruction to ≤ CHECKPOINT_EVERY delta replays + one
+    # checkpoint read. Checkpoints are idempotent derived data (tmp +
+    # rename, losers overwrite with identical bytes); only the delta
+    # file's os.link is the commit point.
+
+    CHECKPOINT_EVERY = 10
 
     def exists(self) -> bool:
         return os.path.isdir(self._log) and bool(self._versions())
@@ -130,7 +144,18 @@ class AcidTable:
         if not os.path.isdir(self._log):
             return []
         return sorted(
-            int(f.split(".")[0]) for f in os.listdir(self._log) if f.endswith(".json")
+            int(f.split(".")[0])
+            for f in os.listdir(self._log)
+            if f.endswith(".json") and not f.endswith(".checkpoint.json")
+        )
+
+    def _checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self._log):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self._log)
+            if f.endswith(".checkpoint.json")
         )
 
     def latest_version(self) -> int:
@@ -139,17 +164,37 @@ class AcidTable:
             raise FileNotFoundError(f"no table at {self.path}")
         return vs[-1]
 
+    def _read_json(self, name: str) -> dict:
+        with open(os.path.join(self._log, name)) as fh:
+            return json.load(fh)
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.latest_version() if version is None else version
-        with open(os.path.join(self._log, f"{v:020d}.json")) as fh:
-            m = json.load(fh)
+        base = [c for c in self._checkpoint_versions() if c <= v]
+        files: dict[str, dict] = {}
+        schema_json = ""
+        operation, parent = "", None
+        start = 0
+        if base:
+            cp = self._read_json(f"{base[-1]:020d}.checkpoint.json")
+            files = dict(cp["files"])  # file -> stats
+            schema_json = cp["schema"]
+            operation, parent = cp["operation"], cp.get("parent")
+            start = base[-1] + 1
+        for i in range(start, v + 1):
+            m = self._read_json(f"{i:020d}.json")
+            for f in m.get("remove", []):
+                files.pop(f, None)
+            files.update(m.get("add", {}))
+            schema_json = m["schema"]
+            operation, parent = m["operation"], m.get("parent")
         return Snapshot(
-            version=m["version"],
-            operation=m["operation"],
-            files=tuple(m["files"]),
-            schema_json=m["schema"],
-            stats=m.get("stats", {}),
-            parent=m.get("parent"),
+            version=v,
+            operation=operation,
+            files=tuple(sorted(files)),
+            schema_json=schema_json,
+            stats=files,
+            parent=parent,
         )
 
     def history(self) -> list[Snapshot]:
@@ -166,17 +211,24 @@ class AcidTable:
     ) -> Snapshot:
         os.makedirs(self._log, exist_ok=True)
         new_version = 0 if base_version is None else base_version + 1
-        manifest = {
+        if base_version is None:
+            prev_files: set[str] = set()
+            prev_stats: dict[str, dict] = {}
+        else:
+            prev = self.snapshot(base_version)
+            prev_files, prev_stats = set(prev.files), prev.stats
+        new_set = set(files)
+        delta = {
             "version": new_version,
             "operation": operation,
-            "files": sorted(files),
+            "add": {f: stats.get(f, prev_stats.get(f, {})) for f in sorted(new_set - prev_files)},
+            "remove": sorted(prev_files - new_set),
             "schema": schema_json,
-            "stats": stats,
             "parent": base_version,
         }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(delta, fh)
             fh.flush()
             os.fsync(fh.fileno())
         final = os.path.join(self._log, f"{new_version:020d}.json")
@@ -189,7 +241,25 @@ class AcidTable:
             ) from e
         finally:
             os.unlink(tmp)
-        return self.snapshot(new_version)
+        snap = self.snapshot(new_version)
+        if new_version % self.CHECKPOINT_EVERY == 0:
+            self._write_checkpoint(snap)
+        return snap
+
+    def _write_checkpoint(self, snap: Snapshot) -> None:
+        cp = {
+            "version": snap.version,
+            "operation": snap.operation,
+            "files": snap.stats,  # file -> stats (the full reconstructed map)
+            "schema": snap.schema_json,
+            "parent": snap.parent,
+        }
+        tmp = os.path.join(self._log, f".cptmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(cp, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self._log, f"{snap.version:020d}.checkpoint.json"))
 
     # -- data-file primitives ---------------------------------------------
 
@@ -547,6 +617,13 @@ class AcidTable:
             if f.endswith(".parquet") and f not in live:
                 os.unlink(os.path.join(self._data, f))
                 removed.append(f)
+        # the horizon version must stay reconstructable once the
+        # pre-horizon delta chain is gone — checkpoint it first
+        horizon = keep_versions[0]
+        self._write_checkpoint(self.snapshot(horizon))
         for v in versions[:-retain_last]:
             os.unlink(os.path.join(self._log, f"{v:020d}.json"))
+        for c in self._checkpoint_versions():
+            if c < horizon:
+                os.unlink(os.path.join(self._log, f"{c:020d}.checkpoint.json"))
         return removed

@@ -1473,7 +1473,10 @@ def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = AcidTable(spark, tempfile.mkdtemp(prefix="acid_merge_"))
     table.write(target.repartitionByRange(8, "event_id"))
-    table.merge(updates, ["event_id"])
+    # materialize the delta once: merge runs several actions (bounds,
+    # exact file pin, rewrite) and must not re-scan + re-derive the
+    # source per action — same shape as a real ingest's staged delta
+    table.merge(updates.localCheckpoint(eager=True), ["event_id"])
     merged = table.read()
     return merged.select("event_id", "event_type", F.round("value", 4).alias("value"))
 
@@ -1517,7 +1520,7 @@ def acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = AcidTable(spark, tempfile.mkdtemp(prefix="acid_cdc_"))
     table.write(target.repartitionByRange(8, "event_id"))
-    table.merge(updates, ["event_id"])
+    table.merge(updates.localCheckpoint(eager=True), ["event_id"])
     return table.row_changes(0, 1, ["event_id"]).select("event_id", "_change_type")
 
 

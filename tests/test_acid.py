@@ -335,3 +335,40 @@ def test_row_changes_between_snapshots(spark, tmp_path):
         (r["id"], r["_change_type"]) for r in t.row_changes(1, 2, ["id"]).collect()
     }
     assert only_del == {(50, "delete")}
+
+
+def test_log_is_delta_structured_with_checkpoints(spark, tmp_path):
+    """Commit cost must be O(touched files): each log entry stores
+    only add/remove deltas, with a full checkpoint every
+    CHECKPOINT_EVERY commits bounding reconstruction."""
+    import json as _json
+
+    rows = [(i, "g", float(i)) for i in range(500)]
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, rows).repartitionByRange(8, "id"))
+    for i in range(12):
+        t.merge(_mkdf(spark, [(i, "g", -float(i))]), ["id"])
+
+    log = tmp_path / "t" / "_log"
+    merge_delta = _json.loads((log / f"{5:020d}.json").read_text())
+    assert set(merge_delta) == {"version", "operation", "add", "remove", "schema", "parent"}
+    assert len(merge_delta["add"]) <= 2 and len(merge_delta["remove"]) <= 2
+    # checkpoint exists at version 10 and reconstruction works everywhere
+    assert (log / f"{10:020d}.checkpoint.json").exists()
+    assert t.read(version=12).count() == 500
+    assert t.read(version=3).count() == 500
+    got = {r["id"]: r["value"] for r in t.read().collect()}
+    assert got[11] == -11.0 and got[499] == 499.0
+
+
+def test_vacuum_preserves_horizon_reconstruction(spark, tmp_path):
+    """After vacuum drops the pre-horizon delta chain, the retained
+    versions must still reconstruct (checkpoint written at horizon)."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, [(i, "g", float(i)) for i in range(50)]))
+    for i in range(4):
+        t.merge(_mkdf(spark, [(i, "g", -1.0)]), ["id"])
+    t.vacuum(retain_last=2)
+    assert [s.version for s in t.history()] == [3, 4]
+    assert t.read(version=3).count() == 50
+    assert t.read(version=4).count() == 50
