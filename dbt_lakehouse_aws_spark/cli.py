@@ -93,6 +93,31 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_table(args) -> int:
+    """ACID table admin: history / optimize / vacuum / changes."""
+    from dbt_lakehouse_aws_spark.session import get_spark
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    table = AcidTable(get_spark("table-admin"), args.path)
+    if args.table_cmd == "history":
+        for s in table.history():
+            print(f"v{s.version}\t{len(s.files)} files\t{s.operation}")
+    elif args.table_cmd == "optimize":
+        snap = table.optimize(
+            target_file_bytes=args.target_mb << 20,
+            zorder_by=args.zorder.split(",") if args.zorder else None,
+        )
+        print(snap.operation)
+    elif args.table_cmd == "vacuum":
+        removed = table.vacuum(retain_last=args.retain)
+        print(f"removed {len(removed)} data files")
+    elif args.table_cmd == "changes":
+        table.row_changes(args.v_from, args.v_to, args.keys.split(",")).show(
+            100, truncate=False
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbt_lakehouse_aws_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -114,6 +139,22 @@ def main(argv: list[str] | None = None) -> int:
     servep.add_argument("--position", action="append")
     servep.add_argument("--team", action="append")
     servep.set_defaults(fn=cmd_serve)
+
+    tablep = sub.add_parser("table", help="ACID table admin")
+    tsub = tablep.add_subparsers(dest="table_cmd", required=True)
+    for name in ("history", "optimize", "vacuum", "changes"):
+        tp = tsub.add_parser(name)
+        tp.add_argument("--path", required=True)
+        if name == "optimize":
+            tp.add_argument("--target-mb", type=int, default=128)
+            tp.add_argument("--zorder")
+        elif name == "vacuum":
+            tp.add_argument("--retain", type=int, default=1)
+        elif name == "changes":
+            tp.add_argument("--from", dest="v_from", type=int, required=True)
+            tp.add_argument("--to", dest="v_to", type=int, required=True)
+            tp.add_argument("--keys", required=True)
+    tablep.set_defaults(fn=cmd_table)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -138,3 +138,25 @@ def test_run_only_prunes_unneeded_subtrees(spark):
     out = g.run(only={"mart"})
     assert "mart" in out and "stage" in ran
     assert "other" not in ran  # unrelated subtree never executed
+
+
+def test_cli_table_admin(spark, tmp_path, capsys):
+    """CLI ACID admin: history / optimize / vacuum round-trip."""
+    from dbt_lakehouse_aws_spark import cli
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.write(spark.range(100).withColumnRenamed("id", "k").repartition(4))
+    t.merge(spark.createDataFrame([(5,)], "k long"), ["k"])
+
+    assert cli.main(["table", "history", "--path", path]) == 0
+    out = capsys.readouterr().out
+    assert "v0" in out and "MERGE" in out
+
+    assert cli.main(["table", "optimize", "--path", path, "--target-mb", "512"]) == 0
+    assert "OPTIMIZE" in capsys.readouterr().out
+
+    assert cli.main(["table", "vacuum", "--path", path, "--retain", "1"]) == 0
+    assert "removed" in capsys.readouterr().out
+    assert t.read().count() == 100
