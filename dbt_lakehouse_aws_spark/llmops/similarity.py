@@ -568,3 +568,93 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 8,
+):
+    """Distributed PCA fit: (mean, components, explained_variance).
+
+    The covariance matrix is assembled from per-partition sufficient
+    statistics — each Arrow batch contributes its ``XᵀX`` (d×d),
+    column sum, and row count — so the shuffle-free reduce moves
+    O(partitions · d²) floats to the driver, never the vectors
+    themselves (at d=1024 that's 8 MB per partition: fine; the
+    corpus can be any size). The d×d eigendecomposition is
+    driver-side numpy — d is model-embedding-sized, not data-sized,
+    which is what makes this the standard scalable PCA shape.
+
+    Component sign is fixed deterministically (largest-|loading|
+    entry made positive) so runs and engines agree.
+    """
+    from collections.abc import Iterator
+
+    part_schema = "n long, colsum array<double>, xtx array<double>"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, colsum, xtx = 0, None, None
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if m.size == 0:
+                continue
+            n += m.shape[0]
+            s = m.sum(axis=0)
+            g = m.T @ m
+            colsum = s if colsum is None else colsum + s
+            xtx = g if xtx is None else xtx + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "colsum": [colsum.tolist()], "xtx": [xtx.flatten().tolist()]}
+            )
+
+    rows = df.select(_as_double(vec_col).alias(vec_col)).mapInPandas(
+        partials, part_schema
+    ).collect()
+    n = sum(r["n"] for r in rows)
+    if n == 0:
+        raise ValueError("pca_fit: empty input")
+    d = len(rows[0]["colsum"])
+    colsum = np.sum([r["colsum"] for r in rows], axis=0)
+    xtx = np.sum([np.array(r["xtx"]).reshape(d, d) for r in rows], axis=0)
+    mean = colsum / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    components = evecs[:, order].T  # (k, d)
+    for i in range(components.shape[0]):
+        j = int(np.abs(components[i]).argmax())
+        if components[i, j] < 0:
+            components[i] = -components[i]
+    return mean, components, evals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    mean,
+    components,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto fitted components: Arrow-batched matmul
+    ``(X − μ) Wᵀ``, map-only (no shuffle), emitting k-dim arrays."""
+    from collections.abc import Iterator
+
+    mean = np.asarray(mean, dtype=np.float64)
+    comp = np.asarray(components, dtype=np.float64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {out_col} array<double>"
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            proj = (m - mean) @ comp.T if m.size else np.zeros((0, comp.shape[0]))
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: [r.tolist() for r in proj]})
+
+    return df.select(id_col, _as_double(vec_col).alias(vec_col)).mapInPandas(
+        project, schema
+    )

@@ -994,6 +994,23 @@ def cosine_topk_arrow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pca_project_embeddings", None)  # eigendecomposition; rows-only
+def pca_project_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (llmops/similarity.py::pca_fit/pca_project):
+    covariance from per-partition XᵀX sufficient statistics (shuffle-
+    free, O(partitions·d²) to the driver), d×d eigh driver-side,
+    Arrow-batched projection. Rows-only here (no SQL eigensolver);
+    numpy parity is pinned in tests/test_llmops.py::test_pca_*."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import pca_fit, pca_project
+
+    e = T(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(e, k=8)
+    proj = pca_project(e, mean, comps, out_col="pca")
+    return proj.select(
+        "vec_id", F.transform("pca", lambda x: F.round(x, 6)).alias("pca")
+    )
+
+
 @register("ann_ivf_topk", None)  # approximate by design; rows-only check
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer (driver-side

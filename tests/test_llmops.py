@@ -936,3 +936,35 @@ def test_bpe_batched_equals_sequential_and_saves_jobs(spark, sf_dir):
     assert mem == seq, "collected-vocab merge table must equal sequential"
     assert len(seq) > 50, "fixture too small to be meaningful"
     assert mem_jobs * 5 <= seq_jobs, f"expected >=5x fewer jobs, got {seq_jobs} -> {mem_jobs}"
+
+
+def test_pca_matches_numpy_and_orders_variance(spark, sf_dir):
+    """Distributed PCA must agree with numpy's eigendecomposition of
+    the full covariance (same components up to the deterministic
+    sign fix) and explain variance in decreasing order."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import pca_fit, pca_project
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean, comps, ev = pca_fit(e, k=5)
+
+    X = np.array([r["embedding"] for r in e.select("embedding").collect()], dtype=np.float64)
+    ref_mean = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:5]
+    ref = evecs[:, order].T
+    for i in range(5):
+        j = int(np.abs(ref[i]).argmax())
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+
+    assert np.allclose(mean, ref_mean, atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-6)
+    assert np.all(np.diff(ev) <= 1e-12), "explained variance must be non-increasing"
+
+    proj = pca_project(e, mean, comps, out_col="p")
+    got = {r["vec_id"]: np.array(r["p"]) for r in proj.collect()}
+    ref_proj = (X - ref_mean) @ ref.T
+    ids = [r["vec_id"] for r in e.select("vec_id").collect()]
+    for vid, rp in zip(ids, ref_proj):
+        assert np.allclose(got[vid], rp, atol=1e-8)
