@@ -164,3 +164,60 @@ def test_ewma_within_value_range(spark, vals):
     out = ewma_last(df, key_cols=["k"], ts_col="ts", value_col="v", alpha=0.4).collect()[0]
     assert min(vals) - 1e-6 <= out["ewma"] <= max(vals) + 1e-6
     assert out["n_events"] == len(vals)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("merge"),
+                      st.lists(st.integers(0, 30), min_size=1, max_size=5, unique=True),
+                      st.integers(-100, 100)),
+            st.tuples(st.just("delete"), st.integers(0, 30), st.integers(0, 30)),
+            st.tuples(st.just("append"),
+                      st.lists(st.integers(100, 130), min_size=1, max_size=3, unique=True),
+                      st.integers(-100, 100)),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_acid_table_matches_reference_model(spark, tmp_path_factory, ops):
+    """Model-based ACID check: a random sequence of merge / delete /
+    append commits must leave the table equal to a plain dict model
+    at EVERY version (time travel included)."""
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    tmp = tmp_path_factory.mktemp("acid_model")
+    t = AcidTable(spark, str(tmp / "t"))
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, "id bigint, value bigint")
+
+    model: dict[int, int] = {i: i * 10 for i in range(20)}
+    t.write(mkdf(list(model.items())).repartition(3))
+    versions = [dict(model)]
+
+    for op in ops:
+        if op[0] == "merge":
+            _, keys, val = op
+            rows = [(k, val + k) for k in keys]
+            t.merge(mkdf(rows), ["id"])
+            model.update(dict(rows))
+        elif op[0] == "delete":
+            _, lo, span = op
+            t.delete(f"id BETWEEN {lo} AND {lo + span}")
+            model = {k: v for k, v in model.items() if not (lo <= k <= lo + span)}
+        else:
+            _, keys, val = op
+            rows = [(k, val) for k in keys if k not in model]
+            if not rows:
+                continue
+            t.write(mkdf(rows), mode="append")
+            model.update(dict(rows))
+        versions.append(dict(model))
+
+    for v, expect in enumerate(versions):
+        got = {r["id"]: r["value"] for r in t.read(version=v).collect()}
+        assert got == expect, f"version {v} diverged"
