@@ -88,6 +88,12 @@ HEADLINE = [
     "mad_outliers_orders",
     "interval_union_user_time",
     "profile_orders",
+    # round-2 additions
+    "image_decode_features",
+    "clean_text_normalize",
+    "pagerank_event_graph",
+    "pca_project_embeddings",
+    "merge_upsert_events",
 ]
 
 

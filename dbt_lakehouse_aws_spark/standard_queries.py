@@ -1293,6 +1293,35 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clean_text_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS clean,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+                                           ' +', ' ', 'g'))) AS BIGINT) AS clean_len
+    FROM documents
+    """,
+)
+def clean_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (the first stage of every
+    pretraining pipeline): lowercase, control chars → space,
+    whitespace collapse, trim. Pure codegen string expressions —
+    map-only, no Python, scales with the scan."""
+    d = T(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[\x00-\x1f]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id", clean.alias("clean"), F.length(clean).cast("long").alias("clean_len")
+    )
+
+
+@register(
     "j10_anti_unordered_customers",
     """
     SELECT c.c_custkey, c.c_mktsegment
