@@ -4480,8 +4480,8 @@ DRIVER_WINDOW: list[str] = [
     "image_decode_features",  # round-2: real BMP decode round-trip
     "funnel_signup_purchase",
     "cohort_retention_events",
-    "ewma_user_value",
-    "interval_union_user_time",
+    "acid_change_feed",  # round-2: ACID change-feed oracle
+    "pagerank_event_graph",  # round-2: unrolled power-iteration oracle
 ]
 
 
