@@ -227,3 +227,67 @@ def distinct_sketch_rollup(
         F.sum("n_rows").cast("long").alias("n_rows"),
     )
     return per_group.unionByName(total)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: int = 20,
+    capacity: int = 512,
+) -> DataFrame:
+    """Top-k frequent items via per-partition Misra-Gries summaries +
+    exact recount of the merged candidate set.
+
+    The exact ``groupBy(value).count()`` shuffles O(distinct values);
+    fine for vocab-bounded columns, hostile for ~unbounded ones
+    (URLs, n-grams, user agents at 100 TB). Misra-Gries bounds the
+    shuffle instead at O(partitions · capacity): each partition
+    streams its rows through a ``capacity``-counter summary
+    (classic guarantee: any item with partition frequency >
+    n_partition/capacity survives), the tiny candidate union is
+    broadcast back, and ONE filtered exact count ranks the true
+    frequencies — so reported counts are exact, and the top-k is
+    provably complete whenever the true k-th frequency exceeds
+    n/capacity (vastly true for Zipfian data with capacity >> k).
+
+    Two map-side passes, no O(distinct) shuffle, deterministic
+    (count desc, value asc) ordering.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def mg_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # mergeable Misra-Gries (Agarwal et al.): vectorized exact
+        # counts per Arrow batch merged into the summary, then one
+        # threshold-eviction (subtract the (capacity+1)-th largest
+        # count, drop non-positives) whenever the summary overflows —
+        # same frequency guarantee as the per-row algorithm, no
+        # Python per-row loop.
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[value_col].dropna().value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                import numpy as np
+
+                cnts = np.fromiter(counters.values(), dtype=np.int64)
+                thr = np.partition(cnts, len(cnts) - capacity - 1)[len(cnts) - capacity - 1]
+                counters = {k: c - thr for k, c in counters.items() if c > thr}
+        if counters:
+            yield pd.DataFrame({value_col: list(counters.keys())})
+
+    vtype = df.schema[value_col].dataType.simpleString()
+    candidates = (
+        df.select(value_col)
+        .mapInPandas(mg_summaries, f"{value_col} {vtype}")
+        .distinct()
+    )
+    return (
+        df.join(F.broadcast(candidates), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc(value_col))
+        .limit(k)
+    )

@@ -1322,6 +1322,34 @@ def clean_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "heavy_hitters_tokens",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM toks WHERE length(tok) > 0
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the token stream
+    (operators/aggregates.py::heavy_hitters): per-partition
+    bounded-counter summaries + one exact recount of the merged
+    candidates — shuffle O(partitions·capacity), never O(distinct).
+    Counts are exact, so the oracle is the plain exact top-k; the
+    sketch's candidate-completeness is stress-tested on Zipfian data
+    in tests/test_operators.py::test_heavy_hitters_exact_on_zipfian."""
+    from dbt_lakehouse_aws_spark.operators.aggregates import heavy_hitters
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    return heavy_hitters(toks, "tok", k=20, capacity=1024)
+
+
+@register(
     "j10_anti_unordered_customers",
     """
     SELECT c.c_custkey, c.c_mktsegment

@@ -334,3 +334,18 @@ def test_profile_columns_empty_cols_raises(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="at least one column"):
         profile_columns(df, cols=[])
+
+
+def test_heavy_hitters_exact_on_zipfian(spark):
+    """Misra-Gries candidates + exact recount must equal the plain
+    groupBy top-k on skewed data, with exact counts."""
+    from dbt_lakehouse_aws_spark.operators.aggregates import heavy_hitters
+
+    # Zipf-ish: value v appears ~N/v times
+    rows = [(v,) for v in range(1, 200) for _ in range(2000 // v)]
+    df = spark.createDataFrame(rows, "val int").repartition(8)
+    got = [(r["val"], r["n"]) for r in heavy_hitters(df, "val", k=10, capacity=64).collect()]
+    exact = (
+        df.groupBy("val").count().orderBy(F.desc("count"), F.asc("val")).limit(10).collect()
+    )
+    assert got == [(r["val"], r["count"]) for r in exact]
