@@ -112,12 +112,53 @@ def _json_safe(v) -> bool:
     return isinstance(v, (int, str, bool))
 
 
-class AcidTable:
-    """One transactional table rooted at ``path`` (see module doc)."""
+_BLOOM_BITS = 1 << 15  # 32768 bits = 4 KB per (file, column)
+_BLOOM_K = 5
 
-    def __init__(self, spark: SparkSession, path: str):
+
+def _bloom_hashes(value) -> tuple[int, int]:
+    import hashlib
+
+    digest = hashlib.blake2b(repr(value).encode(), digest_size=16).digest()
+    return int.from_bytes(digest[:8], "little"), int.from_bytes(digest[8:], "little") | 1
+
+
+def _bloom_build(values) -> str:
+    """Base64 Bloom bitmap over ``values`` (double hashing, k probes)."""
+    import base64
+
+    bits = 0
+    for v in values:
+        h1, h2 = _bloom_hashes(v)
+        for i in range(_BLOOM_K):
+            bits |= 1 << ((h1 + i * h2) % _BLOOM_BITS)
+    return base64.b64encode(bits.to_bytes(_BLOOM_BITS // 8, "little")).decode()
+
+
+def _bloom_might_contain(encoded: str, value) -> bool:
+    import base64
+
+    bits = int.from_bytes(base64.b64decode(encoded), "little")
+    h1, h2 = _bloom_hashes(value)
+    return all(bits >> ((h1 + i * h2) % _BLOOM_BITS) & 1 for i in range(_BLOOM_K))
+
+
+class AcidTable:
+    """One transactional table rooted at ``path`` (see module doc).
+
+    ``bloom_cols`` opts files written by THIS handle into per-file
+    Bloom filters on the listed columns (4 KB per file·column in the
+    manifest). They close the pruning gap min/max stats leave on
+    tables that are NOT clustered by the merge key: every file's
+    [min, max] spans the whole domain, but each file holds only its
+    shard of keys — the blooms identify the files that can possibly
+    hold a delta's keys without scanning anything.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, *, bloom_cols: Sequence[str] = ()):
         self.spark = spark
         self.path = path
+        self.bloom_cols = tuple(bloom_cols)
         self._log = os.path.join(path, _LOG_DIR)
         self._data = os.path.join(path, _DATA_DIR)
 
@@ -288,7 +329,19 @@ class AcidTable:
 
     def _stats_for(self, files: Sequence[str], schema: StructType) -> dict[str, dict[str, list]]:
         cols = [f.name for f in schema.fields if f.dataType.simpleString() in _STATS_TYPES]
-        return {f: _file_stats(os.path.join(self._data, f), cols) for f in files}
+        out = {f: _file_stats(os.path.join(self._data, f), cols) for f in files}
+        bloom_cols = [c for c in self.bloom_cols if c in {f.name for f in schema.fields}]
+        if bloom_cols:
+            import pyarrow.parquet as pq
+
+            for f in files:
+                table = pq.read_table(
+                    os.path.join(self._data, f), columns=bloom_cols
+                )
+                for c in bloom_cols:
+                    vals = [v for v in table.column(c).to_pylist() if v is not None]
+                    out[f][f"__bloom__{c}"] = _bloom_build(vals)
+        return out
 
     # -- public API -------------------------------------------------------
 
@@ -392,6 +445,43 @@ class AcidTable:
                 out.append(f)
         return out
 
+    _BLOOM_PRUNE_MAX_KEYS = 100_000
+
+    def _bloom_prune(
+        self, snap: Snapshot, candidates: list[str], updates: DataFrame, key: str
+    ) -> list[str]:
+        """Drop candidate files whose Bloom filter rules out every
+        delta key. Only fires when (a) candidates carry blooms for
+        ``key`` and (b) the delta's distinct key set is small enough
+        to collect (bounded driver cost) — otherwise the exact
+        semi-join pin handles it as before."""
+        with_blooms = [
+            f for f in candidates if f"__bloom__{key}" in snap.stats.get(f, {})
+        ]
+        if not with_blooms:
+            return candidates
+        key_rows = (
+            updates.select(key).distinct().limit(self._BLOOM_PRUNE_MAX_KEYS + 1).collect()
+        )
+        if len(key_rows) > self._BLOOM_PRUNE_MAX_KEYS:
+            return candidates
+        import base64
+
+        hashes = [_bloom_hashes(r[key]) for r in key_rows if r[key] is not None]
+        kept = []
+        for f in candidates:
+            enc = snap.stats.get(f, {}).get(f"__bloom__{key}")
+            if enc is None:
+                kept.append(f)
+                continue
+            bits = int.from_bytes(base64.b64decode(enc), "little")
+            if any(
+                all(bits >> ((h1 + i * h2) % _BLOOM_BITS) & 1 for i in range(_BLOOM_K))
+                for h1, h2 in hashes
+            ):
+                kept.append(f)
+        return kept
+
     def merge(
         self,
         updates: DataFrame,
@@ -434,6 +524,7 @@ class AcidTable:
             F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
         ).first()
         candidates = self._prune_files(snap, keys[0], bounds["lo"], bounds["hi"])
+        candidates = self._bloom_prune(snap, candidates, updates, keys[0])
         touched: list[str] = []
         if candidates:
             cand_paths = [os.path.join(self._data, f) for f in candidates]

@@ -372,3 +372,32 @@ def test_vacuum_preserves_horizon_reconstruction(spark, tmp_path):
     assert [s.version for s in t.history()] == [3, 4]
     assert t.read(version=3).count() == 50
     assert t.read(version=4).count() == 50
+
+
+def test_bloom_prune_on_unclustered_table(spark, tmp_path):
+    """On a table NOT clustered by the merge key, min/max stats prune
+    nothing (every file spans the domain) — the per-file Bloom
+    filters must pin the delta to the files actually holding its
+    keys, without scanning."""
+    import random
+
+    ids = list(range(1000))
+    random.Random(5).shuffle(ids)  # random placement across files
+    rows = [(i, "g", float(i)) for i in ids]
+    t = AcidTable(spark, str(tmp_path / "t"), bloom_cols=["id"])
+    snap0 = t.write(
+        spark.createDataFrame(rows, "id bigint, grp string, value double").repartition(8)
+    )
+    assert len(snap0.files) == 8
+    assert all("__bloom__id" in snap0.stats[f] for f in snap0.files)
+
+    s1 = t.merge(_mkdf(spark, [(123, "g", -1.0), (777, "g", -2.0)]), ["id"])
+    touched = int(s1.operation.split("touched=")[1].split("/")[0])
+    assert touched <= 3, f"bloom should pin 2 scattered keys to <=3 files, got {touched}"
+    got = {r["id"]: r["value"] for r in t.read().collect()}
+    assert got[123] == -1.0 and got[777] == -2.0 and len(got) == 1000
+
+    # a handle without bloom_cols still reads/merges the same table
+    t2 = AcidTable(spark, str(tmp_path / "t"))
+    t2.merge(_mkdf(spark, [(5, "g", -5.0)]), ["id"])
+    assert t2.read().filter("id = 5").first()["value"] == -5.0
