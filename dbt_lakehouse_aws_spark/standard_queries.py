@@ -336,6 +336,72 @@ def a8_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a8b_percentile_disc",
+    """
+    SELECT event_type,
+           round(quantile_disc(value, 0.5), 6) AS med_disc,
+           round(quantile_disc(value, 0.9), 6) AS p90_disc
+    FROM events GROUP BY event_type
+    """,
+)
+def a8b_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-percentile completeness for the A8 family:
+    ``percentile_disc`` returns an actual data value (no
+    interpolation — what a 'median document length' should report),
+    bit-comparable across engines unlike interpolated quantiles at
+    rounding boundaries."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 6).alias(
+            "med_disc"
+        ),
+        F.round(F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)"), 6).alias(
+            "p90_disc"
+        ),
+    )
+
+
+@register(
+    "session_window_native",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800 OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (30-min inactivity
+    gap) — the third sessionization variant next to the stateful
+    streaming operator and the window-function batch twin
+    (streaming/ingest.py::sessionize / sessionize_batch). One
+    hash-aggregate with a session-merging phase, no window functions;
+    the oracle derives the same sessions via the classic
+    gaps-and-islands lag + running-flag-sum construction."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+
+
+@register(
     "a9_budget_share",
     """
     WITH total AS (SELECT sum(c_acctbal) AS total_pos FROM customer WHERE c_acctbal > 0)
