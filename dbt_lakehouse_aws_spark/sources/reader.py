@@ -132,12 +132,16 @@ def read_csv_evolving(
     ).select("path")
 
     def first_lines(batches):
+        from urllib.parse import unquote, urlparse
+
         import pandas as pd
 
         for pdf in batches:
             headers = []
             for p in pdf["path"]:
-                local = p.removeprefix("file:")
+                # binaryFile reports URIs — percent-decode so paths
+                # with spaces ('NFBC OC 2025 ... .csv') open correctly
+                local = unquote(urlparse(p).path)
                 with open(local, "rb") as fh:
                     headers.append(fh.readline().decode("utf-8").rstrip("\r\n"))
             yield pd.DataFrame({"path": pdf["path"], "header": headers})
@@ -152,7 +156,9 @@ def read_csv_evolving(
     out: DataFrame | None = None
     data_cols: list[str] = []  # first-seen order across groups
     for header in sorted(by_header, key=lambda h: min(by_header[h])):
-        files = [p.removeprefix("file:") for p in by_header[header]]
+        # spark.read.csv accepts the URI form directly (it decodes
+        # internally) — pass paths through untouched
+        files = list(by_header[header])
         part = spark.read.option("header", "true").option("sep", sep).option(
             "inferSchema", "false"
         ).csv(files)

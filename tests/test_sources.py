@@ -317,3 +317,17 @@ def test_schema_drift_across_partitions(spark, tmp_path):
     assert rows["3"]["month"] == "6" and rows["4"]["_filename"] == "c.csv"
     # column order is first-seen across groups (star()-style)
     assert df.columns[:3] == ["id", "name", "score"]
+
+
+def test_schema_drift_handles_spaced_filenames(spark, tmp_path):
+    """URI-encoded paths (spaces in filenames, the reference's
+    'NFBC OC 2025 ... .csv' pattern) must survive header discovery."""
+    from dbt_lakehouse_aws_spark.sources.reader import read_csv_evolving
+
+    d = tmp_path / "t" / "year=2025" / "month=3"
+    d.mkdir(parents=True)
+    (d / "NFBC OC 2025 Standings.csv").write_text("id,name\n1,alice\n")
+    df = read_csv_evolving(spark, str(tmp_path / "t"))
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["name"] == "alice"
+    assert rows[0]["_filename"] == "NFBC OC 2025 Standings.csv"
