@@ -1862,7 +1862,7 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT lang, CAST(FLOOR(_start / 512.0) AS BIGINT) AS chunk_id,
-           count(*) AS n_docs, SUM(toks) AS chunk_tokens
+           count(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS chunk_tokens
     FROM c GROUP BY lang, chunk_id
     """,
 )
@@ -1972,7 +1972,7 @@ def token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM keep
     )
     SELECT lang, CAST(FLOOR(_start / 256.0) AS BIGINT) AS chunk_id,
-           count(*) AS n_docs, SUM(toks) AS chunk_tokens
+           count(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS chunk_tokens
     FROM packed GROUP BY lang, chunk_id
     """,
 )
@@ -4519,63 +4519,65 @@ def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 entries of
 # queries() each round (row-count + schema + value-hash vs DuckDB at
-# sf0.01). Round 1 verified registrations 1-50; DRIVER_WINDOW rotates
-# the 50 not-yet-driver-verified, highest-value queries into that
-# window for round 2 (VERDICT r1, next-round item 1). Everything else
-# keeps registration order behind them and stays covered by the
-# in-repo sf0.001 oracle replica (tests/test_entry_contract.py, which
-# runs ALL queries every pytest session regardless of this ordering).
+# sf0.01). Rounds 1+2 verified 97 of 138 registrations (90 green);
+# round 3's window = the 2 round-2 red rows (oracle HUGEINT cast
+# fixed this round) + every query that has never had a driver
+# CORRECTNESS row (34 value-oracled + 7 rows-only), so that after
+# round 3 the cumulative board covers ALL registered queries.
+# Everything else keeps registration order behind them and stays
+# covered by the in-repo sf0.001 oracle replica
+# (tests/test_entry_contract.py, which runs ALL queries every pytest
+# session regardless of this ordering).
 DRIVER_WINDOW: list[str] = [
-    "f_json_props",  # re-verify: round-1 red row fixed (oracle BIGINT cast)
-    "q2_min_price_per_brand",
-    "q4_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_nation_balance_share",
-    "q12_late_priority_counts",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_revenue_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_brackets",
-    "q20_promo_part_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "merge_upsert_events",
-    "a14_value_histogram",
-    "a15_corr_covar_stats",
-    "a16_cube_revenue",
-    "a17_grouping_sets_acctbal",
-    "j11_full_outer_presence",
-    "j12_null_safe_join",
-    "w9_user_event_gaps",
-    "w10_brand_price_position",
-    "u6_order_year_cohorts",
-    "sgp_factor_chain",
-    "paragraph_dedup_docs",
-    "tfidf_topk_docs",
-    "bm25_topk_docs",
-    "dsir_importance_sample",
-    "nb_classify_docs",
-    "stratified_sample_docs",
+    # -- round-2 red rows, re-verify with CAST(SUM(..) AS BIGINT) oracles --
     "pack_sequences_512",
     "corpus_pipeline_manifest",
-    "cosine_topk_arrow",  # round-2: gains a tolerance oracle
-    "minhash_dedup_survivors",  # round-2: gains a ground-truth oracle
-    "sessionize_events",
-    "asof_purchase_attribution",
-    "range_join_click_views",
-    "image_decode_features",  # round-2: real BMP decode round-trip
-    "funnel_signup_purchase",
-    "cohort_retention_events",
-    "acid_change_feed",  # round-2: ACID change-feed oracle
-    "pagerank_event_graph",  # round-2: unrolled power-iteration oracle
+    # -- value-oracled, never driver-checked (rounds 1-2 window overflow) --
+    "a8b_percentile_disc",
+    "session_window_native",
+    "clean_text_normalize",
+    "heavy_hitters_tokens",
+    "edit_distance_pairs",
+    "token_freq_topk",
+    "corpus_mix_sample",
+    "emb_near_dup_pairs",
+    "bigram_topk",
+    "ttr_by_source",
+    "pii_redact_props",
+    "emb_label_centroid_dist",
+    "int8_quant_topk",
+    "time_weekly_revenue",
+    "time_ship_latency",
+    "json_parse_props",
+    "user_event_sequence",
+    "doc_repetition",
+    "decontaminate_docs",
+    "chunk_documents",
+    "hard_negative_mining",
+    "grouped_ols_arrow",
+    "variant_json_props",
+    "frame_sample_docs",
+    "bigram_lm_quality",
+    "weighted_sample_docs",
+    "unigram_entropy_docs",
+    "hybrid_search_rrf",
+    "duplicate_spans_docs",
+    "ewma_user_value",
+    "profile_orders",
+    "chi2_terms_by_lang",
+    "mad_outliers_orders",
+    "interval_union_user_time",
+    # -- rows-only entries, never driver-checked: get their no_oracle
+    #    rows on record (approx/iterative by design) --
+    "pca_project_embeddings",
+    "approx_distinct_users",
+    "kmeans_cluster_sizes",
+    "bpe_merge_table",
+    "bpe_tokenize_docs",
+    "semantic_dedup_survivors",
+    "hll_user_rollup",
+    # -- remaining slots: new round-3 queries are appended here as
+    #    they are registered (driver checks exactly the first 50) --
 ]
 
 
