@@ -364,16 +364,22 @@ def cosine_topk_arrow(
             nids = pdf[id_col].to_numpy()
             parts = []
             for j, qid in enumerate(qids):
-                col = sims[:, j]
+                # round BEFORE the batch-local prune and break ties on
+                # neighbor_id, exactly like the final window ordering —
+                # pruning on raw float order could drop a row that is
+                # epsilon below the batch's k-th raw cosine but equal
+                # after rounding with a smaller neighbor_id, i.e. a row
+                # the global top-k keeps
+                col = np.round(sims[:, j], 6)
                 mask = nids != qid
                 cand_ids, cand_sims = nids[mask], col[mask]
-                top = np.argsort(-cand_sims)[: k]
+                top = np.lexsort((cand_ids, -cand_sims))[: k]
                 parts.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
                             "neighbor_id": cand_ids[top],
-                            "cosine": np.round(cand_sims[top], 6),
+                            "cosine": cand_sims[top],
                         }
                     )
                 )

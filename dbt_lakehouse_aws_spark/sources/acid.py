@@ -45,9 +45,11 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -181,22 +183,31 @@ class AcidTable:
     def exists(self) -> bool:
         return os.path.isdir(self._log) and bool(self._versions())
 
+    # Only files matching the canonical {version:020d} names count as
+    # log entries. A writer that crashes between creating its
+    # .tmp-{uuid}.json staging file and the os.link/unlink commit
+    # leaves a stray whose first dot-segment isn't an int — naive
+    # int(f.split('.')[0]) parsing would then brick every read and
+    # commit of the table until manual cleanup.
+    _DELTA_RE = re.compile(r"^(\d{20})\.json$")
+    _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.json$")
+
     def _versions(self) -> list[int]:
         if not os.path.isdir(self._log):
             return []
         return sorted(
-            int(f.split(".")[0])
+            int(m.group(1))
             for f in os.listdir(self._log)
-            if f.endswith(".json") and not f.endswith(".checkpoint.json")
+            if (m := self._DELTA_RE.match(f))
         )
 
     def _checkpoint_versions(self) -> list[int]:
         if not os.path.isdir(self._log):
             return []
         return sorted(
-            int(f.split(".")[0])
+            int(m.group(1))
             for f in os.listdir(self._log)
-            if f.endswith(".checkpoint.json")
+            if (m := self._CHECKPOINT_RE.match(f))
         )
 
     def latest_version(self) -> int:
@@ -521,8 +532,24 @@ class AcidTable:
         schema = StructType.fromJson(json.loads(snap.schema_json))
         evolved = self._evolved_schema(schema, updates)
         bounds = updates.agg(
-            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            F.min(keys[0]).alias("lo"),
+            F.max(keys[0]).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            # struct() so NULL-bearing key tuples still count (bare
+            # count_distinct drops any row with a NULL key column,
+            # which would false-positive this guard)
+            F.count_distinct(F.struct(*keys)).alias("nk"),
         ).first()
+        if bounds["n"] != bounds["nk"]:
+            # Delta/Iceberg MERGE raises when multiple source rows match
+            # one target row; silently unioning both deltas in would
+            # duplicate the key. Callers wanting last-wins semantics
+            # must dedupe first (stream_merge_into_acid does).
+            raise ValueError(
+                f"merge updates contain duplicate keys on {keys} "
+                f"({bounds['n']} rows, {bounds['nk']} distinct keys); "
+                "dedupe the source (e.g. latest-per-key) before merging"
+            )
         candidates = self._prune_files(snap, keys[0], bounds["lo"], bounds["hi"])
         candidates = self._bloom_prune(snap, candidates, updates, keys[0])
         touched: list[str] = []
@@ -680,9 +707,19 @@ class AcidTable:
         removed = scan(sorted(set(old.files) - set(new.files)))
         added = scan(sorted(set(new.files) - set(old.files)))
         # survivors copied verbatim during COW rewrites appear on both
-        # sides — cancel them out before classifying
-        a = added.join(removed, cols, "left_anti")
-        r = removed.join(added, cols, "left_anti")
+        # sides — cancel them out before classifying. The cancellation
+        # must be NULL-safe: join(cols) uses null-unsafe equality, so a
+        # survivor row carrying a NULL in any column would never match
+        # its identical copy and be misclassified as an update.
+        def _cancel(left: DataFrame, right: DataFrame) -> DataFrame:
+            cond = reduce(
+                lambda x, y: x & y,
+                [left[c].eqNullSafe(right[c]) for c in cols],
+            )
+            return left.join(right, cond, "left_anti")
+
+        a = _cancel(added, removed)
+        r = _cancel(removed, added)
         inserts = a.join(r.select(*keys).distinct(), keys, "left_anti").withColumn(
             "_change_type", F.lit("insert")
         )

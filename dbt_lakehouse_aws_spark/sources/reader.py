@@ -127,9 +127,16 @@ def read_csv_evolving(
     """
     import os
 
-    paths_df = spark.read.format("binaryFile").option("recursiveFileLookup", "true").load(
-        path
-    ).select("path")
+    # pathGlobFilter: one stray non-CSV in the tree (_SUCCESS, a
+    # parquet part, .DS_Store) must be ignored, not header-grouped —
+    # decoding its first "line" yields garbage or a UnicodeDecodeError
+    paths_df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.{csv,tsv}")
+        .load(path)
+        .select("path")
+    )
 
     def first_lines(batches):
         from urllib.parse import unquote, urlparse
@@ -143,7 +150,11 @@ def read_csv_evolving(
                 # with spaces ('NFBC OC 2025 ... .csv') open correctly
                 local = unquote(urlparse(p).path)
                 with open(local, "rb") as fh:
-                    headers.append(fh.readline().decode("utf-8").rstrip("\r\n"))
+                    headers.append(
+                        fh.readline()
+                        .decode("utf-8", errors="replace")
+                        .rstrip("\r\n")
+                    )
             yield pd.DataFrame({"path": pdf["path"], "header": headers})
 
     # binaryFile would read whole payloads if we took `content`; we only

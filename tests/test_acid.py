@@ -401,3 +401,139 @@ def test_bloom_prune_on_unclustered_table(spark, tmp_path):
     t2 = AcidTable(spark, str(tmp_path / "t"))
     t2.merge(_mkdf(spark, [(5, "g", -5.0)]), ["id"])
     assert t2.read().filter("id = 5").first()["value"] == -5.0
+
+
+def test_row_changes_null_safe_cancellation(spark, tmp_path):
+    """COW-copied survivor rows containing NULLs must cancel out of
+    the change feed: the cancellation join is null-safe (eqNullSafe
+    per column), so an unchanged row with a NULL field is NOT
+    misclassified as an update when its file is rewritten."""
+    rows = [
+        (1, None, 1.0),      # NULL grp — survivor in the touched file
+        (2, "g", None),      # NULL value — survivor in the touched file
+        (3, "g", 3.0),       # the row the merge actually updates
+    ]
+    df = spark.createDataFrame(rows, "id bigint, grp string, value double")
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(df.coalesce(1))  # one file => every survivor gets COW-copied
+    t.merge(
+        spark.createDataFrame([(3, "g", 30.0)], "id bigint, grp string, value double"),
+        ["id"],
+    )
+    changes = {
+        (r["id"], r["_change_type"])
+        for r in t.row_changes(0, 1, ["id"]).collect()
+    }
+    assert changes == {(3, "update")}, changes
+
+
+def test_stray_tmp_log_file_is_ignored(spark, tmp_path, base_rows):
+    """A writer crash between staging .tmp-{uuid}.json and the
+    os.link commit must not brick the table: version listing skips
+    anything that isn't a canonical {version:020d} log name."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, base_rows))
+    log = tmp_path / "t" / "_log"
+    (log / ".tmp-deadbeef.json").write_text("{}")
+    (log / ".cptmp-deadbeef.json").write_text("{}")
+    (log / "garbage.json").write_text("{}")
+    assert t.read().count() == 100
+    s = t.merge(_mkdf(spark, [(0, "even", -1.0)]), ["id"])
+    assert s.version == 1
+    assert t.read().filter("id = 0").first()["value"] == -1.0
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path, base_rows):
+    """Delta/Iceberg MERGE raises when several source rows match one
+    target row; silently unioning both deltas in would duplicate the
+    key. NULL-bearing but unique keys must NOT trip the guard."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, base_rows))
+    dup = _mkdf(spark, [(1, "odd", 10.0), (1, "odd", 20.0)])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(dup, ["id"])
+    # table unchanged after the rejected merge
+    assert t.latest_version() == 0 and t.read().count() == 100
+
+    t2 = AcidTable(spark, str(tmp_path / "t2"))
+    t2.write(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (None, "b", 2.0)], "id bigint, grp string, value double"
+        )
+    )
+    upd = spark.createDataFrame(
+        [(1, "a", 10.0), (None, "b", 20.0)], "id bigint, grp string, value double"
+    )
+    s = t2.merge(upd, ["id"])  # unique keys incl. a NULL: no raise
+    assert s.version == 1
+
+
+def test_concurrent_merges_from_two_processes(spark, tmp_path):
+    """Optimistic concurrency under a REAL race: two separate Spark
+    drivers (subprocesses, own JVMs) merge disjoint key ranges into
+    the same table after a file-barrier rendezvous. The os.link
+    put-if-absent commit admits exactly one winner per version; the
+    loser must rebase and land next — afterwards the history is
+    linear (v1, v2 with parent chain 0 -> 1 -> 2) and BOTH deltas
+    are present in the final snapshot."""
+    import subprocess
+    import sys as _sys
+
+    rows = [(i, "base", float(i)) for i in range(200)]
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, rows).repartitionByRange(4, "id"))
+
+    worker = os.path.join(os.path.dirname(__file__), "acid_race_worker.py")
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(tmp_path / "t"), tag, peer,
+             str(lo), str(hi), str(barrier)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        for tag, peer, lo, hi in [("A", "B", 0, 30), ("B", "A", 100, 130)]
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    versions = sorted(
+        int(line.split("version=")[1])
+        for out in outs for line in out.splitlines() if "COMMITTED" in line
+    )
+    assert versions == [1, 2], outs
+
+    # serializable history: parent chain is linear, no skipped/forked version
+    hist = t.history()
+    assert [s.version for s in hist] == [0, 1, 2]
+    assert [s.parent for s in hist] == [None, 0, 1]
+    got = {r["id"]: (r["grp"], r["value"]) for r in t.read().collect()}
+    assert len(got) == 200
+    assert all(got[i] == ("A", float(-i)) for i in range(0, 30))
+    assert all(got[i] == ("B", float(-i)) for i in range(100, 130))
+    assert all(got[i] == ("base", float(i)) for i in range(30, 100))
+
+
+def test_vacuum_spares_concurrent_reader_of_retained_snapshot(spark, tmp_path):
+    """VACUUM must never delete a file referenced by a retained
+    manifest: a reader that resolved its file list before a
+    merge+vacuum keeps collecting identical rows as long as its
+    snapshot is within the retention horizon — and only breaks once
+    vacuum's horizon passes it (the documented Delta
+    deletedFileRetentionDuration contract)."""
+    rows = [(i, "g", float(i)) for i in range(100)]
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, rows).repartitionByRange(4, "id"))
+
+    reader_v0 = t.read()  # pins version 0's files
+    before = sorted(tuple(r) for r in reader_v0.collect())
+
+    t.merge(_mkdf(spark, [(1, "g", -1.0)]), ["id"])          # v1
+    t.vacuum(retain_last=2)                                   # keeps v0 + v1
+    assert sorted(tuple(r) for r in reader_v0.collect()) == before
+
+    t.merge(_mkdf(spark, [(2, "g", -2.0)]), ["id"])          # v2
+    t.vacuum(retain_last=1)                                   # v0's files go
+    latest = {r["id"]: r["value"] for r in t.read().collect()}
+    assert latest[1] == -1.0 and latest[2] == -2.0 and len(latest) == 100
+    with pytest.raises(Exception):
+        reader_v0.collect()  # horizon passed: stale reader fails, not wrong data

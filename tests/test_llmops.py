@@ -968,3 +968,28 @@ def test_pca_matches_numpy_and_orders_variance(spark, sf_dir):
     ids = [r["vec_id"] for r in e.select("vec_id").collect()]
     for vid, rp in zip(ids, ref_proj):
         assert np.allclose(got[vid], rp, atol=1e-8)
+
+
+def test_cosine_arrow_batch_prune_keeps_rounded_ties(spark):
+    """The per-batch pre-prune must use the SAME ordering as the
+    final window (6dp-rounded cosine desc, neighbor_id asc). Scaled
+    copies of one direction all have cosine exactly 1.0 to the query;
+    with k=2 the global answer is the two SMALLEST neighbor ids, so a
+    batch pruning on raw float order with no id tiebreak could ship
+    the wrong survivors."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import cosine_topk, cosine_topk_arrow
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [(0, base)]
+    # ids descending in insertion order so naive "first k seen" also fails
+    for j, scale in zip(range(60, 0, -1), [1.0 + 0.001 * s for s in range(60)]):
+        rows.append((j, [scale * x for x in base]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)  # many batches, each holding a slice of the tie
+    a = [(r["rank"], r["neighbor_id"], r["cosine"])
+         for r in cosine_topk(df, [0], k=2).collect()]
+    b = [(r["rank"], r["neighbor_id"], r["cosine"])
+         for r in cosine_topk_arrow(df, [0], k=2).collect()]
+    assert a == b
+    assert [n for _, n, _ in sorted(b)] == [1, 2]

@@ -331,3 +331,22 @@ def test_schema_drift_handles_spaced_filenames(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["name"] == "alice"
     assert rows[0]["_filename"] == "NFBC OC 2025 Standings.csv"
+
+
+def test_schema_drift_ignores_stray_non_csv_files(spark, tmp_path):
+    """One _SUCCESS marker or binary sidecar in the tree must not
+    poison header discovery (UnicodeDecodeError / garbage header
+    group) — only *.csv / *.tsv files participate."""
+    from dbt_lakehouse_aws_spark.sources.reader import read_csv_evolving
+
+    d = tmp_path / "t" / "year=2024" / "month=1"
+    d.mkdir(parents=True)
+    (d / "a.csv").write_text("id,name\n1,alice\n")
+    (d / "_SUCCESS").write_text("")
+    (d / "part-0000.parquet").write_bytes(b"PAR1\x80\x81\xfe\xffPAR1")
+    (d / ".DS_Store").write_bytes(bytes(range(256)))
+
+    df = read_csv_evolving(spark, str(tmp_path / "t"))
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["name"] == "alice"
+    assert df.columns[:2] == ["id", "name"]
