@@ -343,16 +343,73 @@ class AcidTable:
         out = {f: _file_stats(os.path.join(self._data, f), cols) for f in files}
         bloom_cols = [c for c in self.bloom_cols if c in {f.name for f in schema.fields}]
         if bloom_cols:
-            import pyarrow.parquet as pq
-
-            for f in files:
-                table = pq.read_table(
-                    os.path.join(self._data, f), columns=bloom_cols
-                )
-                for c in bloom_cols:
-                    vals = [v for v in table.column(c).to_pylist() if v is not None]
-                    out[f][f"__bloom__{c}"] = _bloom_build(vals)
+            for f, c, bits in self._bloom_bitmaps(files, bloom_cols):
+                out[f][f"__bloom__{c}"] = bits
         return out
+
+    def _bloom_bitmaps(
+        self, files: Sequence[str], bloom_cols: list[str]
+    ) -> list[tuple[str, str, str]]:
+        """Per-(file, column) Bloom bitmaps, built DISTRIBUTED.
+
+        The scan tasks hash their own rows (``mapInArrow`` so integer
+        columns keep exact Python values — a pandas int→float null
+        promotion would change ``repr`` and silently break probe
+        equality with :func:`_bloom_hashes` at merge time); each task
+        emits one 4 KB partial bitmap per (file, column) per Arrow
+        batch and the driver ORs them — collected metadata is
+        O(files · row-groups), never O(rows). The previous
+        implementation read every key of every new file on the
+        driver, a pure-Python O(rows) pass that was the slowest part
+        of an 8M-row write in scale probe #4.
+        """
+        import base64
+        import urllib.parse
+
+        import pyarrow as pa
+
+        paths = [os.path.join(self._data, f) for f in files]
+        scan = self.spark.read.parquet(*paths).select(
+            F.input_file_name().alias("_file"), *bloom_cols
+        )
+        n_bytes = _BLOOM_BITS // 8
+        out_schema = StructType.fromDDL("_file string, _col string, _bits binary")
+
+        def partials(batches):
+            for batch in batches:
+                fnames = batch.column("_file").to_pylist()
+                for c in bloom_cols:
+                    vals = batch.column(c).to_pylist()
+                    per_file: dict[str, int] = {}
+                    for fname, v in zip(fnames, vals):
+                        if v is None:
+                            continue
+                        h1, h2 = _bloom_hashes(v)
+                        acc = per_file.get(fname, 0)
+                        for i in range(_BLOOM_K):
+                            acc |= 1 << ((h1 + i * h2) % _BLOOM_BITS)
+                        per_file[fname] = acc
+                    if per_file:
+                        yield pa.RecordBatch.from_pylist(
+                            [
+                                {"_file": f, "_col": c, "_bits": b.to_bytes(n_bytes, "little")}
+                                for f, b in per_file.items()
+                            ]
+                        )
+
+        # empty bitmap default: a file whose column is all-NULL must
+        # still carry a bloom (it can never match any probe key) —
+        # matching the semantics of building from an empty value list
+        merged: dict[tuple[str, str], int] = {
+            (f, c): 0 for f in files for c in bloom_cols
+        }
+        for row in scan.mapInArrow(partials, out_schema).collect():
+            base = os.path.basename(urllib.parse.unquote(urllib.parse.urlparse(row["_file"]).path))
+            merged[(base, row["_col"])] |= int.from_bytes(row["_bits"], "little")
+        return [
+            (f, c, base64.b64encode(bits.to_bytes(n_bytes, "little")).decode())
+            for (f, c), bits in merged.items()
+        ]
 
     # -- public API -------------------------------------------------------
 

@@ -537,3 +537,44 @@ def test_vacuum_spares_concurrent_reader_of_retained_snapshot(spark, tmp_path):
     assert latest[1] == -1.0 and latest[2] == -2.0 and len(latest) == 100
     with pytest.raises(Exception):
         reader_v0.collect()  # horizon passed: stale reader fails, not wrong data
+
+
+def test_distributed_bloom_bitmaps_bit_identical_to_driver_build(spark, tmp_path):
+    """The mapInArrow bloom build must produce the SAME bitmap the
+    driver-side _bloom_build computes from the file's values —
+    including exact int (no pandas float promotion), strings, NULL
+    skipping, and the all-NULL → empty-bitmap case. A repr drift
+    between build and probe hashing would silently disable pruning
+    (or worse, prune a file that holds a key)."""
+    import pyarrow.parquet as pq
+
+    from dbt_lakehouse_aws_spark.sources.acid import _bloom_build, _bloom_might_contain
+
+    rows = [
+        (1, "alpha", 1.0),
+        (2, None, 2.0),
+        (9_007_199_254_740_993, "big", 3.0),  # exact only as int, not float64
+        (4, "alpha", None),
+    ]
+    t = AcidTable(spark, str(tmp_path / "t"), bloom_cols=["id", "grp"])
+    snap = t.write(
+        spark.createDataFrame(rows, "id bigint, grp string, value double").coalesce(1)
+    )
+    (f,) = snap.files
+    table = pq.read_table(str(tmp_path / "t" / "data" / f))
+    for col in ("id", "grp"):
+        vals = [v for v in table.column(col).to_pylist() if v is not None]
+        assert snap.stats[f][f"__bloom__{col}"] == _bloom_build(vals)
+    enc = snap.stats[f]["__bloom__id"]
+    assert _bloom_might_contain(enc, 9_007_199_254_740_993)
+    assert not _bloom_might_contain(enc, 9_007_199_254_740_992)
+
+    # all-NULL column still carries a (never-matching) bloom
+    t2 = AcidTable(spark, str(tmp_path / "t2"), bloom_cols=["grp"])
+    snap2 = t2.write(
+        spark.createDataFrame(
+            [(1, None, 1.0)], "id bigint, grp string, value double"
+        ).coalesce(1)
+    )
+    (f2,) = snap2.files
+    assert snap2.stats[f2]["__bloom__grp"] == _bloom_build([])
