@@ -103,9 +103,41 @@ def ngram_jaccard_pairs(
     )
 
 
-def _base_hash(col: str | Column) -> Column:
-    """xxhash64 folded into [0, P): ANSI-safe for affine transforms."""
-    return F.pmod(F.xxhash64(col), F.lit(MINHASH_PRIME).cast("long"))
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """The seeded full-range (a_i, b_i) affine coefficients shared by
+    :func:`minhash_signatures` and the SQL-oracle generator — one
+    source of truth so the replay can't drift from the operator."""
+    import random as _random
+
+    rng = _random.Random(0xD0C5EED)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def _portable_hash60(col: str | Column) -> Column:
+    """60-bit hash = first 15 hex chars of md5, as a non-negative long.
+
+    The point is CROSS-ENGINE reproducibility: ``xxhash64`` exists
+    only in Spark, but md5 is bit-identical everywhere, so
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`` computes the
+    SAME value in DuckDB (verified including unicode). 15 hex chars
+    (60 bits < 2^63) keep the parse ANSI-safe in both engines. Still
+    a single JVM codegen call per value — no Python in the loop —
+    but md5 costs more cycles than xxhash64, so it's opt-in
+    (``portable=True``) where an external SQL oracle must replay the
+    pipeline, and xxhash64 stays the default production path.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _base_hash(col: str | Column, *, portable: bool = False) -> Column:
+    """Base shingle hash folded into [0, P): ANSI-safe for affine
+    transforms. ``portable=True`` swaps xxhash64 for the md5-prefix
+    hash so SQL oracles can recompute identical signatures."""
+    h = _portable_hash60(col) if portable else F.xxhash64(col)
+    return F.pmod(h, F.lit(MINHASH_PRIME).cast("long"))
 
 
 def minhash_signatures(
@@ -115,6 +147,7 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, array<long> signature): min over shingles per hash fn.
 
@@ -144,15 +177,10 @@ def minhash_signatures(
     # the shuffle entirely. We keep explode+groupBy: the map-side
     # partial min makes its shuffle O(docs), and codegen'd explode
     # beats interpreted higher-order funcs per CPU cycle.
-    import random as _random
-
     sh = shingle_table(df, id_col, text_col, n)
-    base = _base_hash("shingle")
-    rng = _random.Random(0xD0C5EED)
+    base = _base_hash("shingle", portable=portable)
     hash_cols = []
-    for i in range(num_hashes):
-        a = rng.randrange(1, MINHASH_PRIME)
-        b = rng.randrange(0, MINHASH_PRIME)
+    for i, (a, b) in enumerate(minhash_coefficients(num_hashes)):
         h = F.pmod(F.lit(a).cast("long") * base + F.lit(b).cast("long"),
                    F.lit(MINHASH_PRIME).cast("long"))
         hash_cols.append(h.alias(f"_h{i}"))
@@ -231,6 +259,7 @@ def simhash64(
     out: str = "simhash",
     n: int = 3,
     arrow: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """63-bit SimHash over distinct word ``n``-gram shingles.
 
@@ -261,7 +290,11 @@ def simhash64(
     toks = F.array_distinct(
         word_shingles(text_col, n) if n > 1 else F.split(F.col(text_col), " ")
     )
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # portable mode: md5-prefix hashes are 60-bit, so vote lanes
+    # 60-62 see only 0 bits and the fingerprint's top 3 bits come out
+    # 0 — same operator semantics at 60 effective bits, and an
+    # external SQL engine can replay it exactly (see _portable_hash60)
+    th = F.transform(toks, lambda t: _portable_hash60(t) if portable else F.xxhash64(t))
     if arrow:
         import numpy as np
         import pandas as pd
@@ -313,6 +346,7 @@ def simhash_near_pairs(
     num_blocks: int | None = None,
     guaranteed: bool = False,
     arrow: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash within ``max_hamming`` bits.
 
@@ -339,7 +373,7 @@ def simhash_near_pairs(
     """
     if num_blocks is None:
         num_blocks = (max_hamming // 2 + 1) if guaranteed else 4
-    sims = simhash64(df, id_col=id_col, text_col=text_col, arrow=arrow)
+    sims = simhash64(df, id_col=id_col, text_col=text_col, arrow=arrow, portable=portable)
     width = 63 // num_blocks + 1
     block_key = F.transform(
         F.sequence(F.lit(0), F.lit(num_blocks - 1)),

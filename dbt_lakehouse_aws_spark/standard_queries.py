@@ -835,18 +835,125 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, n=3, threshold=0.5)
 
 
-@register("minhash_lsh_pairs", None)  # non-SQL-expressible (xxhash64 base); rows-only check
+def _shingle_hash_ctes(n: int = 3) -> str:
+    """Shared DuckDB CTE prefix: distinct word n-gram shingles per doc
+    + the portable md5-prefix base hash (dedup.py::_portable_hash60,
+    verified bit-identical Spark↔DuckDB including unicode)."""
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tokens) - {n - 2}),
+                                   i -> array_to_string(list_slice(tokens, i, i + {n - 1}), ' '))) AS shingle
+      FROM toks WHERE len(tokens) >= {n}
+    ),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS hv FROM sh)"""
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, num_bands: int = 8,
+                        est_threshold: float = 0.4) -> str:
+    """Exact SQL replay of the portable-hash MinHash+LSH pipeline:
+    same base hash, same seeded affine coefficients (shared source of
+    truth: dedup.py::minhash_coefficients), banding replayed as
+    slice-equality (Spark's xxhash64 band bucket is an internal key —
+    two docs share a bucket iff their band slices are equal)."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import MINHASH_PRIME, minhash_coefficients
+
+    coeffs = minhash_coefficients(num_hashes)
+    mins = ",\n             ".join(
+        f"min(({a} * bh + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // num_bands
+    band_match = "\n            OR ".join(
+        "(" + " AND ".join(
+            f"a.h{band * rpb + j} = b.h{band * rpb + j}" for j in range(rpb)
+        ) + ")"
+        for band in range(num_bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""{_shingle_hash_ctes()},
+    hb AS (SELECT doc_id, hv % {MINHASH_PRIME} AS bh FROM h),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM hb GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(({matches}) / {num_hashes}.0, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE ({band_match})
+      AND ({matches}) / {num_hashes}.0 >= {est_threshold}
+    """
+
+
+def _simhash_fp_ctes(bits: int = 60) -> str:
+    """CTE chain ending in ``fp(doc_id, simhash)``: per-bit ±1 votes
+    over the distinct-shingle hashes, fingerprint bit set iff the
+    vote is positive — the exact simhash64 semantics (portable mode:
+    60-bit hashes, so lanes 60-62 vote 0)."""
+    lanes = ",\n             ".join(
+        f"CASE WHEN sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END AS p{b}"
+        for b in range(bits)
+    )
+    total = " + ".join(f"p{b}" for b in range(bits))
+    return f"""{_shingle_hash_ctes()},
+    votes AS (SELECT doc_id,
+             {lanes}
+            FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, {total} AS simhash FROM votes)"""
+
+
+def _simhash_fingerprints_oracle() -> str:
+    return f"""{_simhash_fp_ctes()}
+    SELECT d.doc_id, CAST(COALESCE(fp.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN fp USING (doc_id)
+    """
+
+
+def _simhash_near_pairs_oracle(max_hamming: int = 12, num_blocks: int = 4) -> str:
+    """Replays the pigeonhole block join: candidate iff some 16-bit
+    block of the fingerprint matches exactly (block 3 is bits 48-62),
+    then the true Hamming check via bit_count(xor)."""
+    width = 63 // num_blocks + 1
+    clauses = []
+    for k in range(num_blocks):
+        mask = (1 << min(width, 63 - k * width)) - 1
+        clauses.append(
+            f"((a.simhash >> {k * width}) & {mask}) = ((b.simhash >> {k * width}) & {mask})"
+        )
+    block_match = "\n           OR ".join(clauses)
+    return f"""{_simhash_fp_ctes()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE ({block_match})
+      AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("minhash_lsh_pairs", _minhash_lsh_oracle())
 def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) + 8-band LSH candidate pairs — the 100 TB dedup path."""
+    """MinHash(32) + 8-band LSH candidate pairs — the 100 TB dedup
+    path. Registered in ``portable=True`` hash mode (md5-prefix base
+    hash instead of xxhash64) so the ENTIRE pipeline — shingling,
+    32 affine min-hashes, banding, candidate join, Jaccard estimate —
+    replays exactly in the DuckDB oracle; production callers keep the
+    xxhash64 default (same plan, cheaper hash), and the two modes
+    share every line of code except the base-hash expression."""
     d = T(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, n=3, num_hashes=32)
+    sigs = minhash_signatures(d, n=3, num_hashes=32, portable=True)
     return lsh_candidate_pairs(sigs, num_bands=8, est_threshold=0.4)
 
 
-@register("simhash_fingerprints", None)  # xxhash64-based; rows-only check
+@register("simhash_fingerprints", _simhash_fingerprints_oracle())
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash fingerprints, portable-hash mode: the md5-prefix
+    base hash lets the oracle recompute every vote lane and the full
+    fingerprint value per document (bits 60-62 provably 0)."""
     d = T(spark, sf_dir, "documents")
-    return simhash64(d)
+    return simhash64(d, portable=True)
 
 
 @register(
@@ -951,15 +1058,19 @@ def s2_path_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_near_pairs", None)  # xxhash64-based; rows-only check
+@register("simhash_near_pairs", _simhash_near_pairs_oracle())
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pigeonhole-blocked SimHash near-dup pairs (llmops/dedup.py):
     block the 63-bit fingerprint, join per block, verify true
-    Hamming distance — never an all-pairs compare."""
+    Hamming distance — never an all-pairs compare. Portable-hash
+    mode: the oracle replays fingerprints, the 4-block pigeonhole
+    join, and the bit_count(xor) Hamming verify exactly."""
     from dbt_lakehouse_aws_spark.llmops.dedup import simhash_near_pairs
 
     d = T(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, max_hamming=12)
+    return simhash_near_pairs(d, max_hamming=12, portable=True).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
 
 
 @register(
@@ -4806,6 +4917,12 @@ DRIVER_WINDOW: list[str] = [
     # -- remaining slots: new round-3 queries --
     "pca_orders_features",  # value-oracled twin of the eigh/projection path
     "delta_log_read_events",  # Delta _delta_log interop (read-only adapter)
+    # -- converted from rows-only to full value oracles this round
+    #    (portable md5-prefix hash replaces xxhash64 in the registered
+    #    variants): green VALUE rows supersede round 1's no_oracle rows --
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
 ]
 
 

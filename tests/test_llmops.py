@@ -993,3 +993,31 @@ def test_cosine_arrow_batch_prune_keeps_rounded_ties(spark):
          for r in cosine_topk_arrow(df, [0], k=2).collect()]
     assert a == b
     assert [n for _, n, _ in sorted(b)] == [1, 2]
+
+
+def test_portable_hash60_matches_duckdb(spark):
+    """The md5-prefix base hash (dedup.py::_portable_hash60) must be
+    bit-identical in DuckDB — it is the foundation of the minhash/
+    simhash value oracles; any repr/encoding drift (unicode, empty
+    string) would silently rot all three."""
+    import duckdb
+
+    from dbt_lakehouse_aws_spark.llmops.dedup import MINHASH_PRIME, _portable_hash60
+
+    vals = ["hello world foo", "a b c", "", "ünïcodé tèst", "x", "the the the"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    h = _portable_hash60(F.col("s"))
+    got = {
+        r["s"]: (r["h"], r["hp"])
+        for r in df.select(
+            "s", h.alias("h"), F.pmod(h, F.lit(MINHASH_PRIME).cast("long")).alias("hp")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        d60, dp = con.sql(
+            "SELECT CAST('0x'||substr(md5(?),1,15) AS BIGINT),"
+            " CAST('0x'||substr(md5(?),1,15) AS BIGINT) % 2147483647",
+            params=[v, v],
+        ).fetchone()
+        assert got[v] == (d60, dp), v
