@@ -6,9 +6,11 @@ as Arrow-batched ``mapInPandas``. IMAGE decode is REAL: pure-numpy
 codecs for uncompressed BMP (24/32 bpp BI_RGB, either row order) and
 binary PPM/PGM parse actual payload bytes into rasters
 (:func:`decode_bmp` / :func:`decode_ppm`, with byte-exact encoders
-for fixtures). Audio/video decode stays honestly stubbed behind
-``NotImplementedError`` — those need ffmpeg-class codec libraries
-this container lacks.
+for fixtures). AUDIO decode is REAL for RIFF/WAVE (PCM 8/16/32 +
+IEEE float, proper chunk walking — :func:`decode_wav` /
+:func:`encode_wav`). Compressed audio and video decode stay honestly
+stubbed behind ``NotImplementedError`` — those need ffmpeg-class
+codec libraries this container lacks.
 
 Scale notes: payload rows are heavy, so the pattern is
 (1) keep payloads out of shuffles — derive features early, drop the
@@ -185,10 +187,120 @@ def decode_image(payload: bytes):
     raise ValueError("unrecognized image payload (expected BMP or binary PPM/PGM)")
 
 
+def decode_wav(data: bytes) -> dict:
+    """Decode a RIFF/WAVE payload (pure struct + numpy — the format
+    is fully public, no codec library involved).
+
+    Supports PCM (format 1: 8-bit unsigned, 16/32-bit signed) and
+    IEEE float (format 3: float32/float64). Walks the chunk list
+    properly — unknown chunks (LIST, fact, cue…) are skipped, odd
+    chunk sizes consume their pad byte — so real-world WAV files with
+    metadata chunks parse, not just minimal fixtures.
+
+    Returns ``{"sample_rate", "channels", "bits", "samples"}`` where
+    ``samples`` is an ``(n_frames, channels)`` numpy array in the
+    container's native dtype (no normalization — features derived
+    from it stay integer-exact for PCM16 oracles).
+    """
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
+    fmt = None
+    raw = None
+    while pos + 8 <= end:
+        cid, csize = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            audio_format, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            fmt = (audio_format, channels, sample_rate, bits)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + csize + (csize & 1)  # odd-sized chunks carry a pad byte
+    if fmt is None or raw is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_format, channels, sample_rate, bits = fmt
+    dtypes = {
+        (1, 8): np.uint8,
+        (1, 16): np.dtype("<i2"),
+        (1, 32): np.dtype("<i4"),
+        (3, 32): np.dtype("<f4"),
+        (3, 64): np.dtype("<f8"),
+    }
+    dt = dtypes.get((audio_format, bits))
+    if dt is None:
+        raise ValueError(
+            f"unsupported WAV encoding format={audio_format} bits={bits} "
+            "(PCM 8/16/32 and IEEE float 32/64 supported)"
+        )
+    frame_bytes = (bits // 8) * channels
+    n_frames = len(raw) // frame_bytes
+    samples = np.frombuffer(raw, dtype=dt, count=n_frames * channels).reshape(
+        n_frames, channels
+    )
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "samples": samples,
+    }
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Encode int16 samples ((n,) mono or (n, ch)) as 16-bit PCM
+    RIFF/WAVE — the byte-exact inverse of :func:`decode_wav`, used to
+    build real payloads for tests and the audio driver query."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, channels = samples.shape
+    body = samples.tobytes()
+    block_align = 2 * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_features(payload: bytes) -> dict:
+    """Deterministic integer-exact features off a decoded WAV:
+    amp_sum = Σ|sample| over all channels (int64 for PCM),
+    zero_crossings = sign flips on channel 0 (x ≥ 0 vs x < 0),
+    duration_ms = floor(n_frames·1000 / rate). All reproducible in
+    closed form by a SQL oracle for synthetic PCM16 payloads."""
+    import numpy as np
+
+    wav = decode_wav(payload)
+    s = wav["samples"]
+    ch0 = s[:, 0].astype(np.float64) if s.dtype.kind == "f" else s[:, 0].astype(np.int64)
+    nonneg = ch0 >= 0
+    return {
+        "sample_rate": int(wav["sample_rate"]),
+        "channels": int(wav["channels"]),
+        "bits": int(wav["bits"]),
+        "n_frames": int(s.shape[0]),
+        "duration_ms": int(s.shape[0] * 1000 // wav["sample_rate"]),
+        "amp_sum": int(np.abs(s.astype(np.int64 if s.dtype.kind != "f" else np.float64)).sum()),
+        "zero_crossings": int((nonneg[1:] != nonneg[:-1]).sum()),
+    }
+
+
 def decode_media(payload: bytes, modality: str) -> dict:
     """Per-payload decode dispatch. Images decode for real (BMP /
-    PPM / PGM, pure numpy); audio/video remain honestly stubbed —
-    those genuinely need codec libraries this container lacks."""
+    PPM / PGM) and so does RIFF/WAVE audio (PCM + IEEE float) — both
+    pure numpy over fully public byte layouts. Compressed audio
+    (mp3/aac/opus) and video remain honestly stubbed: those genuinely
+    need codec libraries this container lacks."""
     if modality == "image":
         px = decode_image(payload)
         return {
@@ -199,9 +311,19 @@ def decode_media(payload: bytes, modality: str) -> dict:
             "channels": int(px.shape[2]),
             "pixel_sum": int(px.sum(dtype="int64")),
         }
-    if modality in ("audio", "video"):
+    if modality == "audio":
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            out = audio_features(payload)
+            out["n_bytes"] = len(payload)
+            out["first_byte"] = payload[0]
+            return out
         raise NotImplementedError(
-            f"decode for modality={modality!r} requires codec libraries not in this container"
+            "compressed audio (mp3/aac/opus) requires codec libraries not in this container; "
+            "RIFF/WAVE PCM decodes for real"
+        )
+    if modality == "video":
+        raise NotImplementedError(
+            "decode for modality='video' requires codec libraries not in this container"
         )
     return {"n_bytes": len(payload), "first_byte": payload[0] if payload else -1}
 
@@ -270,6 +392,47 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+#: schema of the audio-feature frame produced by :func:`extract_audio_features`
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("amp_sum", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode over binary payloads: each
+    payload is parsed as RIFF/WAVE (pure-numpy codec above) and its
+    true rate/channel/duration plus integer-exact amplitude features
+    emitted. Bytes stay out of the output — same no-heavy-shuffle
+    shape as :func:`extract_image_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [audio_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.Series([f["sample_rate"] for f in feats], dtype="int32"),
+                    "channels": pd.Series([f["channels"] for f in feats], dtype="int32"),
+                    "n_frames": pd.Series([f["n_frames"] for f in feats], dtype="int64"),
+                    "duration_ms": pd.Series([f["duration_ms"] for f in feats], dtype="int64"),
+                    "amp_sum": pd.Series([f["amp_sum"] for f in feats], dtype="int64"),
+                    "zero_crossings": pd.Series(
+                        [f["zero_crossings"] for f in feats], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 #: schema of the resized-payload frame produced by :func:`resize_payloads`

@@ -1021,3 +1021,82 @@ def test_portable_hash60_matches_duckdb(spark):
             params=[v, v],
         ).fetchone()
         assert got[v] == (d60, dp), v
+
+
+def test_wav_roundtrip_byte_exact():
+    """encode_wav → decode_wav must return the exact samples, rate,
+    and layout for mono and stereo int16."""
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_wav, encode_wav
+
+    mono = np.array([0, 1, -1, 32767, -32768, 100], dtype=np.int16)
+    wav = decode_wav(encode_wav(mono, 8000))
+    assert wav["sample_rate"] == 8000 and wav["channels"] == 1 and wav["bits"] == 16
+    assert np.array_equal(wav["samples"][:, 0], mono)
+
+    stereo = np.array([[1, -2], [3, -4], [5, -6]], dtype=np.int16)
+    wav = decode_wav(encode_wav(stereo, 44100))
+    assert wav["channels"] == 2
+    assert np.array_equal(wav["samples"], stereo)
+
+    # odd-sized data chunk gets a pad byte and still parses
+    odd = np.array([7], dtype=np.int16)
+    raw = encode_wav(odd, 8000)
+    assert np.array_equal(decode_wav(raw)["samples"][:, 0], odd)
+
+
+def test_wav_chunk_walking_and_formats():
+    """Real-world WAVs carry metadata chunks before/after fmt/data
+    (LIST, fact…) and other sample formats; the parser must walk the
+    chunk list, not assume a fixed layout."""
+    import struct
+
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import audio_features, decode_wav
+
+    def wav_with_chunks(body_chunks):
+        payload = b"".join(body_chunks)
+        return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+    fmt16 = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    samples = np.array([10, -20, 30], dtype="<i2")
+    data = b"data" + struct.pack("<I", 6) + samples.tobytes()
+    info = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size + pad
+    wav = decode_wav(wav_with_chunks([info, fmt16, data]))
+    assert np.array_equal(wav["samples"][:, 0], samples)
+
+    # IEEE float32 (format 3)
+    fmtf = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    fs = np.array([0.5, -0.25], dtype="<f4")
+    dataf = b"data" + struct.pack("<I", 8) + fs.tobytes()
+    wav = decode_wav(wav_with_chunks([fmtf, dataf]))
+    assert wav["bits"] == 32 and np.allclose(wav["samples"][:, 0], fs)
+
+    # PCM8 unsigned (format 1, 8-bit)
+    fmt8 = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data8 = b"data" + struct.pack("<I", 3) + bytes([0, 128, 255]) + b"\x00"
+    wav = decode_wav(wav_with_chunks([fmt8, data8]))
+    assert list(wav["samples"][:, 0]) == [0, 128, 255]
+
+    # integer-exact features on a known waveform
+    f = audio_features(wav_with_chunks([fmt16, data]))
+    assert f["n_frames"] == 3 and f["amp_sum"] == 60 and f["zero_crossings"] == 2
+    assert f["duration_ms"] == 3 * 1000 // 8000
+
+
+def test_audio_decode_media_dispatch():
+    """WAV decodes for real through decode_media; compressed audio
+    and video stay honest NotImplementedError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_media, encode_wav
+
+    out = decode_media(encode_wav(np.array([1, -1], dtype=np.int16), 8000), "audio")
+    assert out["sample_rate"] == 8000 and out["amp_sum"] == 2
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xfb\x90\x00 mp3frame", "audio")
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"anything", "video")
