@@ -1,0 +1,402 @@
+"""Pure-Python Avro Object Container File codec + distributed scan.
+
+Apache Avro is one of the big-three lake file formats (parquet / ORC /
+Avro) and the metadata format of Apache Iceberg (manifest lists and
+manifests are Avro files). Spark reads it only through the external
+``spark-avro`` package, whose jars this environment cannot install —
+so this module implements the PUBLIC Avro 1.11 specification
+(https://avro.apache.org/docs/1.11.1/specification/) directly:
+
+* binary encoding: zigzag-varint ints/longs, length-prefixed
+  bytes/strings, IEEE LE float/double, index-prefixed unions,
+  block-encoded arrays/maps (negative block counts carry a byte size,
+  per spec), enums, fixed;
+* container format: ``Obj\\x01`` magic, file-metadata map
+  (``avro.schema`` JSON + ``avro.codec``), 16-byte sync marker,
+  then (count, size, payload, sync) blocks; codecs ``null`` and
+  ``deflate`` (raw RFC-1951, stdlib zlib with wbits=-15);
+* decoding is driven by the embedded WRITER schema, so any
+  spec-conformant file decodes without pre-registered types (no
+  reader-schema resolution — this is a scan, not an evolution layer).
+
+A minimal writer (:func:`write_container`) exists for fixtures and
+for emitting Iceberg-conformant manifests — the same
+encoder-for-tests pattern as the BMP/PPM/WAV codecs in
+``llmops/multimodal.py``.
+
+Scale design for :func:`read_avro`: the DRIVER never decodes data.
+Files are listed and shipped as whole payloads via Spark's
+``binaryFile`` source; each TASK decodes its files' blocks with this
+codec and yields Arrow batches (``mapInArrow``), so parallelism =
+files and decode cost is spread across executors. Python-side decode
+is inherently slower per-byte than the JVM parquet path — documented
+honestly; Avro at 100 TB is an INGEST format (row-oriented landing
+data) that this scan converts once into parquet/ACID tables, not a
+hot-query format.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any, Iterator
+
+MAGIC = b"Obj\x01"
+
+
+# ---------------------------------------------------------------------------
+# binary decoder (writer-schema driven)
+# ---------------------------------------------------------------------------
+
+
+class _Reader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def read(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        if len(b) != n:
+            raise ValueError("truncated Avro data")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        # zigzag varint (spec: int and long share the encoding)
+        shift, acc = 0, 0
+        while True:
+            (b,) = self.read(1)
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def read_bytes(self) -> bytes:
+        return self.read(self.read_long())
+
+
+def _decode(schema: Any, r: _Reader, named: dict[str, Any]) -> Any:
+    """Decode one datum per the writer ``schema`` (parsed JSON)."""
+    if isinstance(schema, str):
+        if schema in named:
+            return _decode(named[schema], r, named)
+        t = schema
+    elif isinstance(schema, list):  # union: long branch index, then value
+        return _decode(schema[r.read_long()], r, named)
+    else:
+        t = schema["type"]
+        # register named types for by-name references (spec: record,
+        # enum, fixed names are usable as type strings afterwards)
+        if t in ("record", "enum", "fixed") and "name" in schema:
+            named.setdefault(schema["name"], schema)
+
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.read(1) != b"\x00"
+    if t in ("int", "long"):
+        return r.read_long()
+    if t == "float":
+        return struct.unpack("<f", r.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.read(8))[0]
+    if t == "bytes":
+        return r.read_bytes()
+    if t == "string":
+        return r.read_bytes().decode("utf-8")
+    if t == "record":
+        return {f["name"]: _decode(f["type"], r, named) for f in schema["fields"]}
+    if t == "enum":
+        return schema["symbols"][r.read_long()]
+    if t == "fixed":
+        return r.read(schema["size"])
+    if t == "array":
+        out = []
+        while True:
+            count = r.read_long()
+            if count == 0:
+                return out
+            if count < 0:  # spec: negative count is followed by byte size
+                r.read_long()
+                count = -count
+            for _ in range(count):
+                out.append(_decode(schema["items"], r, named))
+    if t == "map":
+        out: dict[str, Any] = {}
+        while True:
+            count = r.read_long()
+            if count == 0:
+                return out
+            if count < 0:
+                r.read_long()
+                count = -count
+            for _ in range(count):
+                k = r.read_bytes().decode("utf-8")
+                out[k] = _decode(schema["values"], r, named)
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def read_container(data: bytes) -> tuple[Any, list[Any]]:
+    """Decode a whole Object Container File → (writer schema, records)."""
+    r = _Reader(data)
+    if r.read(4) != MAGIC:
+        raise ValueError("not an Avro container (missing Obj\\x01 magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = r.read_long()
+        if count == 0:
+            break
+        if count < 0:
+            r.read_long()
+            count = -count
+        for _ in range(count):
+            k = r.read_bytes().decode("utf-8")
+            meta[k] = r.read_bytes()
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec: {codec!r}")
+    sync = r.read(16)
+    records: list[Any] = []
+    named: dict[str, Any] = {}
+    while r.pos < len(r.data):
+        n = r.read_long()
+        size = r.read_long()
+        payload = r.read(size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)  # raw deflate per spec
+        br = _Reader(payload)
+        for _ in range(n):
+            records.append(_decode(schema, br, named))
+        if r.read(16) != sync:
+            raise ValueError("Avro block sync marker mismatch")
+    return schema, records
+
+
+# ---------------------------------------------------------------------------
+# binary encoder (fixtures + Iceberg manifest emission)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> bytes:
+    acc = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = acc & 0x7F
+        acc >>= 7
+        if acc:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode(schema: Any, datum: Any, out: io.BytesIO, named: dict[str, Any]) -> None:
+    if isinstance(schema, str):
+        if schema in named:
+            return _encode(named[schema], datum, out, named)
+        t = schema
+    elif isinstance(schema, list):
+        # pick the first branch the datum fits (null vs not-null is the
+        # only union shape our fixtures use; keep selection simple)
+        for ix, branch in enumerate(schema):
+            bt = branch if isinstance(branch, str) else branch["type"]
+            if (datum is None) == (bt == "null"):
+                out.write(_zigzag(ix))
+                return _encode(branch, datum, out, named)
+        raise ValueError(f"no union branch for {datum!r} in {schema}")
+    else:
+        t = schema["type"]
+        if t in ("record", "enum", "fixed") and "name" in schema:
+            named.setdefault(schema["name"], schema)
+
+    if t == "null":
+        return None
+    if t == "boolean":
+        out.write(b"\x01" if datum else b"\x00")
+    elif t in ("int", "long"):
+        out.write(_zigzag(int(datum)))
+    elif t == "float":
+        out.write(struct.pack("<f", datum))
+    elif t == "double":
+        out.write(struct.pack("<d", datum))
+    elif t == "bytes":
+        out.write(_zigzag(len(datum)) + bytes(datum))
+    elif t == "string":
+        b = datum.encode("utf-8")
+        out.write(_zigzag(len(b)) + b)
+    elif t == "record":
+        for f in schema["fields"]:
+            _encode(f["type"], datum[f["name"]], out, named)
+    elif t == "enum":
+        out.write(_zigzag(schema["symbols"].index(datum)))
+    elif t == "fixed":
+        assert len(datum) == schema["size"]
+        out.write(bytes(datum))
+    elif t == "array":
+        if datum:
+            out.write(_zigzag(len(datum)))
+            for item in datum:
+                _encode(schema["items"], item, out, named)
+        out.write(_zigzag(0))
+    elif t == "map":
+        if datum:
+            out.write(_zigzag(len(datum)))
+            for k, v in datum.items():
+                kb = k.encode("utf-8")
+                out.write(_zigzag(len(kb)) + kb)
+                _encode(schema["values"], v, out, named)
+        out.write(_zigzag(0))
+    else:
+        raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def write_container(
+    schema: Any, records: list[Any], *, codec: str = "null", sync: bytes = b"\x00" * 16
+) -> bytes:
+    """Encode records as a spec-conformant Object Container File."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec: {codec!r}")
+    body = io.BytesIO()
+    named: dict[str, Any] = {}
+    for rec in records:
+        _encode(schema, rec, body, named)
+    payload = body.getvalue()
+    if codec == "deflate":
+        payload = zlib.compress(payload)[2:-4]  # strip zlib header/adler → raw deflate
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    out.write(_zigzag(len(meta)))
+    for k, v in meta.items():
+        kb = k.encode()
+        out.write(_zigzag(len(kb)) + kb + _zigzag(len(v)) + v)
+    out.write(_zigzag(0))
+    out.write(sync)
+    if records:
+        out.write(_zigzag(len(records)) + _zigzag(len(payload)) + payload + sync)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# distributed Avro scan
+# ---------------------------------------------------------------------------
+
+
+def read_avro(spark, path: str, *, columns: list[str] | None = None):
+    """Distributed scan of a directory (or file) of Avro containers.
+
+    The driver reads ONE file's header to learn the writer schema
+    (metadata-sized work); the data decode runs in executor tasks —
+    ``binaryFile`` ships each file's bytes to a task, which decodes
+    its blocks with the pure-Python codec and yields Arrow batches.
+    Parallelism = number of files, the natural Avro unit (the format
+    is row-oriented and block-compressed; there is no intra-file
+    column pruning to exploit — project AFTER the decode via
+    ``columns`` to at least bound the Arrow width).
+
+    Top-level schema must be a record of primitive / nullable-
+    primitive fields (the normal landing-data shape); nested records
+    decode fine but are surfaced as JSON strings so the scan schema
+    stays flat.
+    """
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        BooleanType,
+        BinaryType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    files = []
+    if os.path.isdir(path):
+        for root, _dirs, fnames in os.walk(path):
+            files.extend(
+                os.path.join(root, n) for n in fnames if n.endswith(".avro")
+            )
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    with open(sorted(files)[0], "rb") as fh:
+        head = fh.read()
+    schema, _records = read_container(head[: _header_end(head)])
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise ValueError("read_avro expects a top-level record schema")
+
+    type_pairs = {
+        "boolean": (BooleanType(), pa.bool_()),
+        "int": (IntegerType(), pa.int32()),
+        "long": (LongType(), pa.int64()),
+        "float": (FloatType(), pa.float32()),
+        "double": (DoubleType(), pa.float64()),
+        "bytes": (BinaryType(), pa.binary()),
+        "string": (StringType(), pa.string()),
+    }
+
+    def field_type(ft):
+        if isinstance(ft, list):  # nullable union
+            non_null = [b for b in ft if b != "null"]
+            if len(non_null) == 1:
+                return field_type(non_null[0])
+            return type_pairs["string"]  # multi-branch → JSON string
+        if isinstance(ft, dict):
+            return type_pairs["string"]  # nested complex → JSON string
+        return type_pairs.get(ft, type_pairs["string"])
+
+    fields = schema["fields"]
+    if columns is not None:
+        fields = [f for f in fields if f["name"] in set(columns)]
+    resolved = [(f["name"], *field_type(f["type"])) for f in fields]
+    out_schema = StructType([StructField(n, st) for n, st, _ in resolved])
+    pa_schema = pa.schema([pa.field(n, at) for n, _, at in resolved])
+    names = [f["name"] for f in fields]
+    complex_names = {
+        f["name"]
+        for f in fields
+        if isinstance(f["type"], dict)
+        or (isinstance(f["type"], list) and len([b for b in f["type"] if b != "null"]) > 1)
+    }
+
+    def decode_batches(batches):
+        for batch in batches:
+            for content in batch.column("content").to_pylist():
+                _schema, records = read_container(content)
+                cols = {}
+                for n in names:
+                    vals = [rec.get(n) for rec in records]
+                    if n in complex_names:
+                        vals = [None if v is None else json.dumps(v) for v in vals]
+                    cols[n] = vals
+                yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+
+    scan = spark.read.format("binaryFile").load(sorted(files)).select("content")
+    return scan.mapInArrow(decode_batches, out_schema)
+
+
+def _header_end(data: bytes) -> int:
+    """Byte offset just past the container header (metadata + sync)."""
+    r = _Reader(data)
+    r.read(4)
+    while True:
+        count = r.read_long()
+        if count == 0:
+            break
+        if count < 0:
+            r.read_long()
+            count = -count
+        for _ in range(count):
+            r.read_bytes()
+            r.read_bytes()
+    r.read(16)
+    return r.pos

@@ -2017,6 +2017,130 @@ def delta_log_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_read_events",
+    """
+    SELECT event_id, event_type, value,
+           CAST(event_id % 4 AS INT) AS bucket
+    FROM events
+    WHERE event_id % 4 <> 3
+    """,
+)
+def iceberg_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg interop (sources/iceberg_reader.py): an Iceberg table
+    directory is materialized per the PUBLIC spec — v1 metadata JSON,
+    a manifest LIST and a manifest both written as real Avro
+    container files (sources/avro_io.py, pure-Python codec), two
+    snapshots where the second marks one data file DELETED
+    (status=2). ``IcebergTable.read()`` must resolve
+    current-snapshot-id → manifest list → manifest entries and skip
+    the deleted file; the oracle derives the same surviving rows
+    relationally, so a green row certifies metadata traversal +
+    Avro decode + deletion semantics end-to-end (time travel to the
+    pre-delete snapshot is pinned in tests/test_sources.py)."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from dbt_lakehouse_aws_spark.sources.avro_io import write_container
+    from dbt_lakehouse_aws_spark.sources.iceberg_reader import read_iceberg_table
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.pmod("event_id", F.lit(4)).cast("int").alias("bucket"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_fixture_")
+    data_dir = _os.path.join(root, "data")
+    # one data file per bucket, bucket column IN the data (Iceberg
+    # identity-partitioned tables store source columns in data files;
+    # this fixture is unpartitioned with bucket as a plain column)
+    for b in range(4):
+        ev.filter(F.col("bucket") == b).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(data_dir, f"b{b}")
+        )
+    data_files = {
+        b: _os.path.join(data_dir, f"b{b}", f)
+        for b in range(4)
+        for f in sorted(_os.listdir(_os.path.join(data_dir, f"b{b}")))
+        if f.endswith(".parquet")
+    }
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ]}
+    list_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+        ]}
+
+    meta_dir = _os.path.join(root, "metadata")
+    _os.makedirs(meta_dir, exist_ok=True)
+
+    def entry(status, b):
+        p = data_files[b]
+        return {"status": status, "snapshot_id": 100 if status == 1 else None,
+                "data_file": {"content": 0, "file_path": p, "file_format": "PARQUET",
+                              "record_count": 0,
+                              "file_size_in_bytes": _os.path.getsize(p)}}
+
+    def write_manifest(name, entries, snap_id):
+        mp = _os.path.join(meta_dir, name)
+        blob = write_container(entry_schema, entries, codec="deflate")
+        with open(mp, "wb") as fh:
+            fh.write(blob)
+        lp = _os.path.join(meta_dir, name.replace("m", "ml", 1))
+        with open(lp, "wb") as fh:
+            fh.write(write_container(list_schema, [{
+                "manifest_path": mp, "manifest_length": len(blob),
+                "partition_spec_id": 0, "added_snapshot_id": snap_id}]))
+        return lp
+
+    ml1 = write_manifest("m1.avro", [entry(1, b) for b in range(4)], 100)
+    ml2 = write_manifest(
+        "m2.avro",
+        [entry(0, b) for b in range(3)] + [entry(2, 3)],
+        200,
+    )
+    meta = {
+        "format-version": 1,
+        "table-uuid": "0f3a7e1e-0000-4000-8000-000000000000",
+        "location": root,
+        "last-updated-ms": 0, "last-column-id": 4,
+        "schema": {"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "event_id", "required": False, "type": "long"},
+            {"id": 2, "name": "event_type", "required": False, "type": "string"},
+            {"id": 3, "name": "value", "required": False, "type": "double"},
+            {"id": 4, "name": "bucket", "required": False, "type": "int"},
+        ]},
+        "partition-spec": [], "properties": {},
+        "current-snapshot-id": 200,
+        "snapshots": [
+            {"snapshot-id": 100, "timestamp-ms": 1, "manifest-list": ml1},
+            {"snapshot-id": 200, "timestamp-ms": 2, "manifest-list": ml2,
+             "parent-snapshot-id": 100},
+        ],
+    }
+    with open(_os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(_os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("2")
+
+    return read_iceberg_table(spark, root)
+
+
+@register(
     "acid_change_feed",
     """
     WITH target AS (
@@ -4988,6 +5112,8 @@ DRIVER_WINDOW: list[str] = [
     "simhash_near_pairs",
     # -- real WAV decode round-trip (r3: audio half of the multimodal seam) --
     "audio_decode_features",
+    # -- Iceberg metadata interop via the pure-Python Avro codec (r3) --
+    "iceberg_read_events",
 ]
 
 
