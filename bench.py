@@ -103,6 +103,12 @@ HEADLINE = [
     "pagerank_event_graph",
     "pca_project_embeddings",
     "merge_upsert_events",
+    # round-3 additions (flagged per VERDICT r2 item 8: same basis +
+    # additions called out so round totals stay attributable)
+    "audio_decode_features",
+    "pca_orders_features",
+    "delta_log_read_events",
+    "iceberg_read_events",
 ]
 
 

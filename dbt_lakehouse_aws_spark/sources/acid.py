@@ -338,14 +338,62 @@ class AcidTable:
         shutil.rmtree(stage)
         return out
 
+    _DRIVER_STATS_MAX_FILES = 32
+
     def _stats_for(self, files: Sequence[str], schema: StructType) -> dict[str, dict[str, list]]:
         cols = [f.name for f in schema.fields if f.dataType.simpleString() in _STATS_TYPES]
-        out = {f: _file_stats(os.path.join(self._data, f), cols) for f in files}
+        if len(files) <= self._DRIVER_STATS_MAX_FILES:
+            # footer reads are metadata-sized; below ~32 files the
+            # driver loop beats a Spark job's scheduling overhead
+            out = {f: _file_stats(os.path.join(self._data, f), cols) for f in files}
+        else:
+            out = self._footer_stats_distributed(files, cols)
         bloom_cols = [c for c in self.bloom_cols if c in {f.name for f in schema.fields}]
         if bloom_cols:
             for f, c, bits in self._bloom_bitmaps(files, bloom_cols):
                 out[f][f"__bloom__{c}"] = bits
         return out
+
+    def _footer_stats_distributed(
+        self, files: Sequence[str], cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file footer [min, max] stats, read by executor tasks.
+
+        Same driver-cost bound as the bloom build: at a large commit
+        (OPTIMIZE of thousands of files, bulk load) a driver-side
+        loop over every footer is O(files) serial metadata RTTs; here
+        one Spark job fans the footer reads across the cluster and
+        collects back one small JSON blob per file. Results are
+        byte-identical to :func:`_file_stats` (asserted in
+        test_acid.py)."""
+        import pyarrow as pa
+
+        data_dir = self._data
+
+        def read_footers(batches):
+            for batch in batches:
+                rows = [
+                    {
+                        "f": f,
+                        "stats": json.dumps(
+                            _file_stats(os.path.join(data_dir, f), cols)
+                        ),
+                    }
+                    for f in batch.column("f").to_pylist()
+                ]
+                yield pa.RecordBatch.from_pylist(
+                    rows, schema=pa.schema([("f", pa.string()), ("stats", pa.string())])
+                )
+
+        df = self.spark.createDataFrame(
+            [(f,) for f in files], "f string"
+        ).repartition(min(len(files), 64))
+        return {
+            r["f"]: json.loads(r["stats"])
+            for r in df.mapInArrow(
+                read_footers, StructType.fromDDL("f string, stats string")
+            ).collect()
+        }
 
     def _bloom_bitmaps(
         self, files: Sequence[str], bloom_cols: list[str]

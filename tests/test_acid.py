@@ -578,3 +578,29 @@ def test_distributed_bloom_bitmaps_bit_identical_to_driver_build(spark, tmp_path
     )
     (f2,) = snap2.files
     assert snap2.stats[f2]["__bloom__grp"] == _bloom_build([])
+
+
+def test_distributed_footer_stats_identical_to_driver_loop(spark, tmp_path):
+    """Commits above _DRIVER_STATS_MAX_FILES files collect footer
+    min/max through a Spark job; the result must be byte-identical to
+    the driver-side _file_stats loop (same pruning decisions either
+    way)."""
+    import os
+
+    from dbt_lakehouse_aws_spark.sources.acid import _file_stats
+
+    n_files = AcidTable._DRIVER_STATS_MAX_FILES + 8
+    t = AcidTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 4000, 1, n_files).selectExpr(
+        "id", "cast(id % 7 as string) AS grp", "id * 0.5 AS value"
+    )
+    snap = t.write(df)
+    assert len(snap.files) == n_files
+    for f in snap.files:
+        expected = _file_stats(
+            os.path.join(str(tmp_path / "t"), "data", f), ["id", "grp", "value"]
+        )
+        assert snap.stats[f] == expected
+    # pruning still behaves: a tight id range keeps few files
+    kept = t._prune_files(snap, "id", 0, 50)
+    assert 1 <= len(kept) <= 2

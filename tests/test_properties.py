@@ -221,3 +221,66 @@ def test_acid_table_matches_reference_model(spark, tmp_path_factory, ops):
     for v, expect in enumerate(versions):
         got = {r["id"]: r["value"] for r in t.read(version=v).collect()}
         assert got == expect, f"version {v} diverged"
+
+
+# ---------------------------------------------------------------------------
+# codec properties — pure Python, no Spark, so examples are cheap
+# ---------------------------------------------------------------------------
+
+_avro_record = st.fixed_dictionaries(
+    {
+        "id": st.integers(min_value=-(2**62), max_value=2**62),
+        "name": st.one_of(st.none(), st.text(max_size=40)),
+        "score": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "flag": st.booleans(),
+        "raw": st.binary(max_size=64),
+        "tags": st.lists(st.text(max_size=10), max_size=8),
+        "props": st.dictionaries(st.text(min_size=1, max_size=8), st.integers(-1000, 1000), max_size=5),
+    }
+)
+
+_AVRO_SCHEMA = {
+    "type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+    ]}
+
+
+@settings(max_examples=150, deadline=None)
+@given(records=st.lists(_avro_record, max_size=20), codec=st.sampled_from(["null", "deflate"]))
+def test_avro_container_roundtrip_property(records, codec):
+    """write_container ∘ read_container = identity for arbitrary
+    records over every supported type, both codecs — unicode strings,
+    empty containers, ±2^62 longs, empty arrays/maps included."""
+    from dbt_lakehouse_aws_spark.sources.avro_io import read_container, write_container
+
+    _schema, out = read_container(write_container(_AVRO_SCHEMA, records, codec=codec))
+    assert out == records
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(1, 4),
+)
+def test_wav_roundtrip_property(samples, rate, channels):
+    """encode_wav ∘ decode_wav = identity for arbitrary int16 frames,
+    rates, and channel counts (frame count truncates to whole
+    frames)."""
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_wav, encode_wav
+
+    n_frames = len(samples) // channels
+    arr = np.array(samples[: n_frames * channels], dtype=np.int16).reshape(
+        n_frames, channels
+    )
+    wav = decode_wav(encode_wav(arr, rate))
+    assert wav["sample_rate"] == rate and wav["channels"] == channels
+    assert np.array_equal(wav["samples"], arr)
