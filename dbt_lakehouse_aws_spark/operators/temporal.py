@@ -264,3 +264,72 @@ def ewma_last(
         ).alias("ewma"),
         F.max("_n").cast("long").alias("n_events"),
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    time_col: str = "ts",
+    step: str = "day",
+    aggs: dict[str, "F.Column"] | None = None,
+    fill: str = "locf",
+) -> DataFrame:
+    """Time-bucket + dense-grid gap filling (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf`` shape, relationally).
+
+    1. bucket rows to the ``step`` grid (``date_trunc``) and
+       aggregate per (group, bucket);
+    2. per group, EXPLODE a dense bucket grid between that group's
+       min and max bucket — ``F.sequence`` is generated inside
+       codegen per group row, so the grid is built distributed,
+       never on the driver;
+    3. left-join the aggregates onto the grid, then fill holes:
+       ``fill='locf'`` carries the last observed value forward via a
+       running ``last(ignorenulls=True)`` window, ``'zero'``
+       substitutes 0, ``'null'`` leaves holes NULL.
+
+    A ``_gap`` flag marks synthesized rows. Scale shape: one shuffle
+    for the bucket aggregate, one for the per-group window (grid rows
+    = groups x buckets, the OUTPUT size — nothing quadratic).
+    ``step`` currently maps to ``date_trunc`` units (``day``,
+    ``hour``, ``week``, ``month``) with a 1-unit grid stride.
+    """
+    if fill not in ("locf", "zero", "null"):
+        raise ValueError(f"fill must be locf|zero|null, got {fill!r}")
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    step_interval = {
+        "hour": F.expr("INTERVAL 1 HOUR"),
+        "day": F.expr("INTERVAL 1 DAY"),
+        "week": F.expr("INTERVAL 7 DAY"),
+        "month": F.expr("INTERVAL 1 MONTH"),
+    }
+    if step not in step_interval:
+        raise ValueError(f"step must be one of {sorted(step_interval)}, got {step!r}")
+    gcols = list(group_cols)
+    bucket = F.date_trunc(step, F.col(time_col))
+    agged = df.withColumn("_bucket", bucket).groupBy(*gcols, "_bucket").agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    spans = agged.groupBy(*gcols).agg(
+        F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi")
+    )
+    grid = spans.select(
+        *gcols,
+        F.explode(F.sequence("_lo", "_hi", step_interval[step])).alias("_bucket"),
+    )
+    filled = grid.join(agged, gcols + ["_bucket"], "left").withColumn(
+        "_gap", F.col(next(iter(aggs))).isNull()
+    )
+    if fill == "locf":
+        w = (
+            Window.partitionBy(*gcols)
+            .orderBy("_bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for n in aggs:
+            filled = filled.withColumn(n, F.last(n, ignorenulls=True).over(w))
+    elif fill == "zero":
+        for n in aggs:
+            filled = filled.withColumn(n, F.coalesce(n, F.lit(0).cast(dict(filled.dtypes)[n])))
+    return filled.select(*gcols, F.col("_bucket").alias("bucket"), *aggs, "_gap")

@@ -5037,6 +5037,70 @@ def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gapfill_daily_events",
+    """
+    WITH sparse AS (
+      SELECT * FROM events WHERE event_id % 97 = 0
+    ), agged AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS b,
+             round(sum(value), 4) AS daily_value,
+             count(*) AS n_events
+      FROM sparse GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, min(b) AS lo, max(b) AS hi FROM agged GROUP BY 1
+    ), grid AS (
+      SELECT event_type, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                                     CAST(hi AS TIMESTAMP),
+                                                     INTERVAL 1 DAY)) AS DATE) AS b
+      FROM spans
+    ), joined AS (
+      SELECT g.event_type, g.b, a.daily_value, a.n_events,
+             a.daily_value IS NULL AS _gap
+      FROM grid g LEFT JOIN agged a ON a.event_type = g.event_type AND a.b = g.b
+    )
+    SELECT event_type, b AS bucket,
+           round(last_value(daily_value IGNORE NULLS) OVER w, 4) AS daily_value,
+           CAST(last_value(n_events IGNORE NULLS) OVER w AS BIGINT) AS n_events,
+           _gap
+    FROM joined
+    WINDOW w AS (PARTITION BY event_type ORDER BY b ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid time-bucket gap filling with LOCF
+    (operators/temporal.py::gap_fill — the TimescaleDB
+    time_bucket_gapfill + locf shape): daily per-event-type value
+    sums on a gapless grid, holes carried forward and flagged. The
+    grid is exploded per group inside codegen (F.sequence), never
+    built on the driver; the oracle replays bucket-agg → dense grid →
+    LOCF window relationally."""
+    from dbt_lakehouse_aws_spark.operators.temporal import gap_fill
+
+    # a deterministic sparse slice so the grid actually has holes —
+    # the full event stream is daily-dense and would never exercise
+    # the fill path
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") % 97 == 0)
+    out = gap_fill(
+        ev,
+        group_cols=["event_type"],
+        time_col="ts",
+        step="day",
+        aggs={
+            "daily_value": F.round(F.sum("value"), 4),
+            "n_events": F.count(F.lit(1)),
+        },
+        fill="locf",
+    )
+    return out.select(
+        "event_type",
+        F.to_date("bucket").alias("bucket"),
+        F.round("daily_value", 4).alias("daily_value"),
+        "n_events",
+        "_gap",
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

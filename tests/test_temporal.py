@@ -107,3 +107,64 @@ def test_range_join_plans_as_hash_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert "Join" in plan
+
+
+def test_gap_fill_locf_zero_null_modes(spark):
+    """Planted gaps: group 'a' misses days 2-3, group 'b' is dense.
+    locf carries values forward, zero substitutes, null leaves holes;
+    _gap marks exactly the synthesized rows in every mode."""
+    import datetime as dt
+
+    from dbt_lakehouse_aws_spark.operators.temporal import gap_fill
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 5), 10.0),
+        ("a", dt.datetime(2024, 1, 1, 9), 2.0),
+        ("a", dt.datetime(2024, 1, 4, 1), 7.0),
+        ("b", dt.datetime(2024, 1, 1, 0), 1.0),
+        ("b", dt.datetime(2024, 1, 2, 0), 1.5),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+
+    def run(fill):
+        out = gap_fill(
+            df, group_cols=["g"], time_col="ts", step="day",
+            aggs={"val": F.sum("v")}, fill=fill,
+        )
+        return {
+            (r["g"], r["bucket"].day): (r["val"], r["_gap"]) for r in out.collect()
+        }
+
+    locf = run("locf")
+    assert locf[("a", 1)] == (12.0, False)
+    assert locf[("a", 2)] == (12.0, True)   # carried forward
+    assert locf[("a", 3)] == (12.0, True)
+    assert locf[("a", 4)] == (7.0, False)
+    assert locf[("b", 1)] == (1.0, False) and locf[("b", 2)] == (1.5, False)
+    assert len(locf) == 6  # 4 'a' days + 2 'b' days, no cross-group bleed
+
+    zero = run("zero")
+    assert zero[("a", 2)] == (0.0, True) and zero[("a", 4)] == (7.0, False)
+
+    null = run("null")
+    assert null[("a", 3)] == (None, True)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fill must be"):
+        run("bogus")
+    with _pytest.raises(ValueError, match="step must be"):
+        gap_fill(df, group_cols=["g"], step="fortnight")
+
+
+def test_gap_fill_hourly_grid(spark):
+    """Non-day steps build the right stride."""
+    import datetime as dt
+
+    from dbt_lakehouse_aws_spark.operators.temporal import gap_fill
+
+    rows = [("g", dt.datetime(2024, 1, 1, 0, 30), 1.0),
+            ("g", dt.datetime(2024, 1, 1, 3, 10), 2.0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = gap_fill(df, group_cols=["g"], step="hour", aggs={"val": F.sum("v")})
+    hours = sorted(r["bucket"].hour for r in out.collect())
+    assert hours == [0, 1, 2, 3]
