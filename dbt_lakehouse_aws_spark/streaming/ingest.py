@@ -557,3 +557,109 @@ def stream_ewma(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def read_avro_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema_file: str | None = None,
+) -> DataFrame:
+    """Streaming ingest of an Avro landing directory (SURVEY §2.9 ×
+    the S22 Avro source): a ``binaryFile`` file-source stream ships
+    each newly-landed ``.avro`` container to an executor task, which
+    decodes its blocks with the pure-Python codec
+    (sources/avro_io.py) via ``mapInArrow`` — the same
+    decode-in-tasks shape as the batch :func:`~dbt_lakehouse_aws_spark.
+    sources.avro_io.read_avro`, now with checkpoint-tracked file
+    progress (each run pays O(new files), never O(directory)).
+
+    The output schema is fixed at stream start from ``schema_file``
+    (or the first ``.avro`` file already present): file-source
+    streams need a static schema; files whose writer schema later
+    drifts still decode by field name (missing fields → NULL,
+    extra fields ignored) — the same union-by-name posture as the
+    schema-drift CSV ingester.
+    """
+    import glob as _glob
+    import json as _json
+    import os
+
+    import pyarrow as pa
+
+    from dbt_lakehouse_aws_spark.sources.avro_io import _header_end, read_container
+
+    probe = schema_file or next(
+        iter(sorted(_glob.glob(os.path.join(path, "**", "*.avro"), recursive=True))),
+        None,
+    )
+    if probe is None:
+        raise FileNotFoundError(
+            f"no .avro file under {path} to fix the stream schema; "
+            "pass schema_file= explicitly"
+        )
+    with open(probe, "rb") as fh:
+        head = fh.read()
+    schema, _ = read_container(head[: _header_end(head)])
+
+    type_pairs = {
+        "boolean": (T.BooleanType(), pa.bool_()),
+        "int": (T.IntegerType(), pa.int32()),
+        "long": (T.LongType(), pa.int64()),
+        "float": (T.FloatType(), pa.float32()),
+        "double": (T.DoubleType(), pa.float64()),
+        "bytes": (T.BinaryType(), pa.binary()),
+        "string": (T.StringType(), pa.string()),
+    }
+
+    def field_type(ft):
+        if isinstance(ft, list):
+            non_null = [b for b in ft if b != "null"]
+            if len(non_null) == 1:
+                return field_type(non_null[0])
+            return type_pairs["string"]
+        if isinstance(ft, dict):
+            return type_pairs["string"]
+        return type_pairs.get(ft, type_pairs["string"])
+
+    fields = schema["fields"]
+    resolved = [(f["name"], *field_type(f["type"])) for f in fields]
+    out_schema = T.StructType([T.StructField(n, st) for n, st, _ in resolved])
+    pa_schema = pa.schema([pa.field(n, at) for n, _, at in resolved])
+    names = [f["name"] for f in fields]
+    complex_names = {
+        f["name"]
+        for f in fields
+        if isinstance(f["type"], dict)
+        or (isinstance(f["type"], list) and len([b for b in f["type"] if b != "null"]) > 1)
+    }
+
+    def decode_batches(batches):
+        for batch in batches:
+            for content in batch.column("content").to_pylist():
+                _schema, records = read_container(content)
+                cols = {}
+                for n in names:
+                    vals = [rec.get(n) for rec in records]
+                    if n in complex_names:
+                        vals = [None if v is None else _json.dumps(v) for v in vals]
+                    cols[n] = vals
+                yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+
+    # streaming sources require an explicit schema; binaryFile's is fixed
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    scan = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+    )
+    return scan.mapInArrow(decode_batches, out_schema)

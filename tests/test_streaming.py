@@ -518,3 +518,48 @@ def test_stream_ewma_string_key_and_tiebreak(spark, tmp_path):
     # alice folds 1.0 then 5.0: num = 1*0.7 + 5 = 5.7, wsum = 1.7
     assert got["alice"][1] == 2 and abs(got["alice"][0] - 5.7 / 1.7) < 1e-12
     assert got["bob"] == (7.0, 1)
+
+
+def test_read_avro_stream_decodes_landed_files(spark, tmp_path):
+    """Streaming Avro ingest: two containers landed before start are
+    both processed under Trigger.AvailableNow; a file with a DRIFTED
+    writer schema (extra field, one missing) still decodes by name —
+    missing → NULL, extra ignored."""
+    from dbt_lakehouse_aws_spark.sources.avro_io import write_container
+    from dbt_lakehouse_aws_spark.streaming.ingest import read_avro_stream
+
+    base_schema = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "kind", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+    ]}
+    drift_schema = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "score", "type": "double"},          # kind missing
+        {"name": "extra", "type": "string"},          # new field
+    ]}
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a.avro").write_bytes(write_container(
+        base_schema,
+        [{"id": 1, "kind": "x", "score": 0.5}, {"id": 2, "kind": None, "score": 1.5}],
+        codec="deflate"))
+    (land / "b.avro").write_bytes(write_container(
+        drift_schema, [{"id": 3, "score": 2.5, "extra": "ignored"}]))
+
+    stream = read_avro_stream(spark, str(land))
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("avro_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: r for r in spark.sql("SELECT * FROM avro_stream").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["kind"] == "x" and rows[2]["kind"] is None
+    assert rows[3]["kind"] is None          # drifted file: field absent → NULL
+    assert rows[3]["score"] == 2.5
+    assert "extra" not in stream.columns    # schema fixed at stream start
