@@ -97,8 +97,17 @@ class ModelGraph:
         warehouse_dir: str | None = None,
         only: set[str] | None = None,
         unique_keys: dict[str, list[str]] | None = None,
+        checks: dict[str, dict] | None = None,
     ) -> dict[str, DataFrame]:
-        """Execute the DAG; returns every model's DataFrame by name."""
+        """Execute the DAG; returns every model's DataFrame by name.
+
+        ``checks`` maps model name → a dbt-style check spec
+        (:func:`~dbt_lakehouse_aws_spark.plans.checks.run_checks`);
+        each spec runs right after its model materializes, with every
+        upstream model available as a relationships parent, and a
+        failing check raises :class:`~dbt_lakehouse_aws_spark.plans.
+        checks.CheckFailure` BEFORE any downstream model consumes the
+        bad data — dbt-build semantics."""
         missing = {
             d for deps in self._deps.values() for d in deps if d not in self._models
         }
@@ -141,5 +150,17 @@ class ModelGraph:
                 df = df.persist()
             elif materialize == "checkpoint" and fan[name] > 1 and self._deps[name]:
                 df = df.localCheckpoint(eager=False)
+            if checks and name in checks:
+                from dbt_lakehouse_aws_spark.plans.checks import CheckFailure, run_checks
+
+                report = run_checks(df, checks[name], model=name, parents=out).collect()
+                bad = [r for r in report if not r["passed"]]
+                if bad:
+                    raise CheckFailure(
+                        f"model {name!r} failed checks: "
+                        + "; ".join(
+                            f"{r['check']}({r['column']})={r['failed_rows']}" for r in bad
+                        )
+                    )
             out[name] = df
         return out

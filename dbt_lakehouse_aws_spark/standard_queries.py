@@ -5101,6 +5101,77 @@ def gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_orders_checks",
+    """
+    WITH rep(model, chk, col, failed_rows) AS (
+      SELECT 'orders', 'not_null', 'o_orderkey',
+             CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'orders', 'not_null', 'o_custkey',
+             CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'orders', 'accepted_values', 'o_orderstatus',
+             CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'orders', 'accepted_values', 'o_orderpriority',
+             CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                   AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'expression', 'positive_total',
+             CAST(count(*) FILTER (WHERE NOT COALESCE(o_totalprice > 0, FALSE)) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'unique', 'o_orderkey', CAST(COALESCE(sum(n), 0) AS BIGINT)
+      FROM (SELECT count(*) AS n FROM orders WHERE o_orderkey IS NOT NULL
+            GROUP BY o_orderkey HAVING count(*) > 1) t
+      UNION ALL
+      SELECT 'orders', 'unique', 'o_custkey', CAST(COALESCE(sum(n), 0) AS BIGINT)
+      FROM (SELECT count(*) AS n FROM orders WHERE o_custkey IS NOT NULL
+            GROUP BY o_custkey HAVING count(*) > 1) t
+      UNION ALL
+      SELECT 'orders', 'relationships', 'o_custkey->customer.c_custkey',
+             CAST(count(*) AS BIGINT)
+      FROM orders o WHERE o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT model, chk AS "check", col AS "column", failed_rows,
+           failed_rows = 0 AS passed
+    FROM rep
+    """,
+)
+def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style data-quality suite (plans/checks.py) over orders:
+    all four dbt built-ins + an expression check in one spec, with
+    two checks that genuinely FAIL on TPC-H-shaped data (o_custkey is
+    not unique; order priorities span 5 values, the spec accepts 3) —
+    so the green driver row certifies both violation counting and
+    pass/fail classification, not just the happy path. Columnar
+    checks share one scan (single conditional aggregate); unique is a
+    groupBy count; relationships is a broadcast anti-join count."""
+    from dbt_lakehouse_aws_spark.plans.checks import run_checks
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return run_checks(
+        o,
+        {
+            "not_null": ["o_orderkey", "o_custkey"],
+            "unique": [["o_orderkey"], ["o_custkey"]],
+            "accepted_values": {
+                "o_orderstatus": ["O", "F", "P"],
+                "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+            },
+            "expression": {"positive_total": "o_totalprice > 0"},
+            "relationships": [("o_custkey", "customer", "c_custkey")],
+        },
+        model="orders",
+        parents={"customer": c},
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------

