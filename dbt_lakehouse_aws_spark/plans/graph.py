@@ -164,3 +164,57 @@ class ModelGraph:
                     )
             out[name] = df
         return out
+
+
+def manifest(
+    graph: "ModelGraph",
+    *,
+    frames: dict[str, DataFrame] | None = None,
+    checks: dict[str, dict] | None = None,
+) -> dict:
+    """dbt-docs-style manifest of a model graph (the documentation
+    half of the reference's "Add tests and documentation" roadmap
+    item, README.md:46): every node with its kind (source/model),
+    dependencies, dependents, and — when ``frames`` from a
+    :meth:`ModelGraph.run` are supplied — the resolved column schema,
+    plus any declared check spec. Plain JSON-serializable dict:
+    feed it to docs tooling, diff it in CI to catch accidental
+    schema/dependency drift, or write it next to the warehouse.
+    """
+    fan = graph.fan_out()
+    nodes = {}
+    dependents: dict[str, list[str]] = {n: [] for n in graph._models}
+    for name, deps in graph._deps.items():
+        for d in deps:
+            dependents[d].append(name)
+    for name in graph.topo_order():
+        node = {
+            "kind": "source" if not graph._deps[name] else "model",
+            "depends_on": sorted(graph._deps[name]),
+            "dependents": sorted(dependents[name]),
+            "fan_out": fan[name],
+        }
+        fn = graph._models[name]
+        doc = inspect.getdoc(fn)
+        if doc and node["kind"] == "model":
+            node["description"] = doc.splitlines()[0]
+        if frames and name in frames:
+            node["columns"] = [
+                {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+                for f in frames[name].schema.fields
+            ]
+        if checks and name in checks:
+            node["checks"] = checks[name]
+        nodes[name] = node
+    return {"nodes": nodes, "order": graph.topo_order()}
+
+
+def write_manifest(path: str, graph: "ModelGraph", **kwargs) -> str:
+    """Serialize :func:`manifest` as JSON; returns the path."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(manifest(graph, **kwargs), fh, indent=1, sort_keys=True)
+    return path

@@ -260,3 +260,38 @@ def test_modelgraph_checks_stop_the_dag(spark):
 
     out = g2.run(checks={"staged": {"unique": [["id"]], "not_null": ["id"]}})
     assert out["staged"].count() == 2
+
+
+def test_manifest_structure_and_schemas(spark, tmp_path):
+    """dbt-docs-style manifest: kinds, deps, dependents, resolved
+    column schemas from a run, declared checks, JSON round-trip."""
+    import json
+
+    from dbt_lakehouse_aws_spark.plans.graph import ModelGraph, manifest, write_manifest
+
+    g = ModelGraph()
+    g.add_source("raw", spark.createDataFrame([(1, "a")], "id bigint, s string"))
+
+    @g.model
+    def staged(raw):
+        """First line describes the model."""
+        return raw.selectExpr("id", "upper(s) AS s")
+
+    @g.model
+    def mart(staged):
+        return staged.groupBy("s").count()
+
+    frames = g.run()
+    checks = {"staged": {"not_null": ["id"]}}
+    m = manifest(g, frames=frames, checks=checks)
+    assert m["order"][0] == "raw" and m["order"][-1] == "mart"
+    assert m["nodes"]["raw"]["kind"] == "source"
+    assert m["nodes"]["staged"]["depends_on"] == ["raw"]
+    assert m["nodes"]["staged"]["dependents"] == ["mart"]
+    assert m["nodes"]["staged"]["description"] == "First line describes the model."
+    assert {c["name"]: c["type"] for c in m["nodes"]["mart"]["columns"]} == {
+        "s": "string", "count": "bigint"}
+    assert m["nodes"]["staged"]["checks"] == checks["staged"]
+
+    p = write_manifest(str(tmp_path / "docs" / "manifest.json"), g, frames=frames)
+    assert json.load(open(p))["nodes"]["mart"]["fan_out"] == 0
