@@ -402,6 +402,7 @@ def kmeans_lloyd(
     k: int = 8,
     iters: int = 5,
     out: str = "cluster",
+    portable: bool = False,
 ):
     """Fully distributed Lloyd's k-means over the whole corpus
     (complement of :func:`train_ivf_centroids`, which trains on a
@@ -431,10 +432,21 @@ def kmeans_lloyd(
     from pyspark.sql.functions import pandas_udf
 
     base = df.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    # portable=True orders the init sample by the md5-prefix hash
+    # (dedup.py::_portable_hash60 of the stringified id) instead of
+    # xxhash64 — same seedless-pseudo-random property, but an
+    # external SQL oracle can replay the exact sample and therefore
+    # the exact farthest-point init (see kmeans_orders_wellsep)
+    if portable:
+        from dbt_lakehouse_aws_spark.llmops.dedup import _portable_hash60
+
+        order_hash = _portable_hash60(F.col(id_col).cast("string"))
+    else:
+        order_hash = F.xxhash64(F.col(id_col))
     sample = np.array(
         [
             r[1]
-            for r in base.orderBy(F.xxhash64(F.col(id_col)), id_col)
+            for r in base.orderBy(order_hash, id_col)
             .limit(max(4096, 4 * k))
             .collect()
         ],
