@@ -1516,6 +1516,62 @@ def audio_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_decode_features",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 4 AS BIGINT) AS nf,
+             CAST(4 + doc_id % 5 AS INT) AS w,
+             CAST(2 + doc_id % 3 AS INT) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           w AS width, h AS height, nf AS n_frames,
+           CAST(40000 + (doc_id % 2) * 10000 AS BIGINT) AS us_per_frame,
+           CAST(list_sum(list_transform(range(0, nf * h * w * 3),
+                i -> (doc_id * 13 + i * 3) % 256)) AS BIGINT) AS pixel_sum,
+           CAST(list_sum(list_transform(range(0, h * w * 3),
+                i -> (doc_id * 13 + i * 3) % 256)) AS BIGINT) AS first_frame_sum
+    FROM base
+    """,
+)
+def video_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode round-trip (closes the last multimodal stub
+    for the uncompressed-container case): per doc, deterministic RGB
+    frames (global pixel i = (doc_id·13 + i·3) mod 256, 1 + id%4
+    frames of (4 + id%5) × (2 + id%3)) are ENCODED to genuine
+    RIFF/AVI bytes — LIST hdrl/strl/movi chunk tree, 00db raw-DIB
+    frames with padded bottom-up BGR rows — then DECODED back by the
+    pure-numpy AVI parser inside mapInPandas
+    (llmops/multimodal.py::extract_video_features). The oracle
+    computes dims, frame count, timing, and both the whole-video and
+    FIRST-FRAME pixel checksums in closed form from doc_id (the
+    first-frame sum catches frame-ordering bugs a total can't).
+    Compressed video stays an honest NotImplementedError."""
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        encode_avi,
+        extract_video_features,
+    )
+
+    def make_payloads(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                nf, w, h = 1 + doc_id % 4, 4 + doc_id % 5, 2 + doc_id % 3
+                px = ((doc_id * 13 + np.arange(nf * h * w * 3, dtype=np.int64) * 3) % 256
+                      ).astype(np.uint8).reshape(nf, h, w, 3)
+                payloads.append(encode_avi(px, us_per_frame=40000 + (doc_id % 2) * 10000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads})
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    return extract_video_features(payloads)
+
+
+@register(
     "a10_ratio_of_sums",
     """
     SELECT l_suppkey AS suppkey,
@@ -5397,6 +5453,7 @@ ROUND4_WINDOW_QUEUE = [
     "dq_orders_checks",
     "kmeans_orders_wellsep",
     "ann_lsh_topk",  # converted rows-only -> value oracle after the r3 window froze
+    "video_decode_features",
 ]
 
 

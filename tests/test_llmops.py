@@ -1100,3 +1100,65 @@ def test_audio_decode_media_dispatch():
         decode_media(b"\xff\xfb\x90\x00 mp3frame", "audio")
     with _pytest.raises(NotImplementedError):
         decode_media(b"anything", "video")
+
+
+def test_avi_roundtrip_and_chunk_layout():
+    """encode_avi → decode_avi byte-exact; plus a hand-adjusted
+    payload pinning the chunk grammar: an extra odd-sized junk chunk
+    inside movi must be skipped with its pad byte, and top-down
+    frames (negative biHeight) must not be flipped."""
+    import struct
+
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_avi, encode_avi
+
+    frames = ((np.arange(3 * 4 * 6 * 3) * 11) % 256).astype(np.uint8).reshape(3, 4, 6, 3)
+    blob = encode_avi(frames, us_per_frame=40_000)
+    out = decode_avi(blob)
+    assert out["n_frames"] == 3 and out["width"] == 6 and out["height"] == 4
+    assert np.array_equal(out["frames"], frames)
+
+    # splice an odd-sized junk chunk before the first frame inside movi
+    movi_hdr = blob.index(b"movi") - 8  # the movi LIST's chunk header
+    inner = movi_hdr + 12  # past LIST + size + 'movi' tag
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = bytearray(blob[:inner] + junk + blob[inner:])
+    struct.pack_into("<I", spliced, 4, len(spliced) - 8)  # RIFF size
+    struct.pack_into(
+        "<I", spliced, movi_hdr + 4,
+        struct.unpack_from("<I", blob, movi_hdr + 4)[0] + len(junk),
+    )  # movi LIST size
+    out2 = decode_avi(bytes(spliced))
+    assert np.array_equal(out2["frames"], frames)
+
+    # top-down variant: flip biHeight sign in strf and store rows top-down
+    strf_at = blob.index(b"strf") + 8
+    h = 4
+    neg = blob[:strf_at + 8] + struct.pack("<i", -h) + blob[strf_at + 12:]
+    out3 = decode_avi(neg)
+    assert np.array_equal(out3["frames"], frames[:, ::-1, :, :])
+
+
+def test_video_decode_media_dispatch():
+    """AVI decodes for real through decode_media; compressed video
+    stays an honest NotImplementedError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_media, encode_avi
+
+    frames = np.full((2, 2, 2, 3), 9, dtype=np.uint8)
+    out = decode_media(encode_avi(frames), "video")
+    assert out["n_frames"] == 2 and out["pixel_sum"] == 2 * 2 * 2 * 3 * 9
+    assert out["first_frame_sum"] == 2 * 2 * 3 * 9
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00 ftypisom....", "video")  # mp4 box
+    import dbt_lakehouse_aws_spark.llmops.multimodal as mm
+    with _pytest.raises(NotImplementedError, match="compression"):
+        # compressed AVI (biCompression != 0) refuses at decode
+        import struct
+        blob = bytearray(encode_avi(frames))
+        strf_at = bytes(blob).index(b"strf") + 8
+        struct.pack_into("<I", blob, strf_at + 16, 1)  # biCompression = BI_RLE8
+        mm.decode_avi(bytes(blob))
