@@ -106,9 +106,13 @@ HEADLINE = [
     # round-3 additions (flagged per VERDICT r2 item 8: same basis +
     # additions called out so round totals stay attributable)
     "audio_decode_features",
+    "video_decode_features",
     "pca_orders_features",
     "delta_log_read_events",
     "iceberg_read_events",
+    "gapfill_daily_events",
+    "dq_orders_checks",
+    "kmeans_orders_wellsep",
 ]
 
 
