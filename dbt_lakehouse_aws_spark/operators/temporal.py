@@ -289,7 +289,11 @@ def gap_fill(
        running ``last(ignorenulls=True)`` window, ``'zero'``
        substitutes 0, ``'null'`` leaves holes NULL.
 
-    A ``_gap`` flag marks synthesized rows. Scale shape: one shuffle
+    A ``_gap`` flag marks rows with no observed aggregate value —
+    synthesized grid rows, and also real buckets whose first aggregate
+    came out NULL (e.g. a SUM over all-NULL inputs): both are "holes"
+    from the fill's point of view and both get filled. Scale shape:
+    one shuffle
     for the bucket aggregate, one for the per-group window (grid rows
     = groups x buckets, the OUTPUT size — nothing quadratic).
     ``step`` currently maps to ``date_trunc`` units (``day``,

@@ -284,3 +284,23 @@ def test_wav_roundtrip_property(samples, rate, channels):
     wav = decode_wav(encode_wav(arr, rate))
     assert wav["sample_rate"] == rate and wav["channels"] == channels
     assert np.array_equal(wav["samples"], arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    shape=st.tuples(st.integers(0, 4), st.integers(1, 6), st.integers(1, 7)),
+    seed=st.integers(0, 2**31),
+)
+def test_avi_roundtrip_property(shape, seed):
+    """encode_avi ∘ decode_avi = identity for arbitrary frame counts
+    and dims (incl. widths needing row padding and zero frames)."""
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_avi, encode_avi
+
+    n, h, w = shape
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    out = decode_avi(encode_avi(frames))
+    assert out["n_frames"] == n and out["width"] == w and out["height"] == h
+    assert np.array_equal(out["frames"], frames)
