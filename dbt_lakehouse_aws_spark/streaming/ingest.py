@@ -663,3 +663,47 @@ def read_avro_stream(
         .select("content")
     )
     return scan.mapInArrow(decode_batches, out_schema)
+
+
+def stream_with_checks(
+    stream_df: DataFrame,
+    spec: dict,
+    *,
+    sink: "callable",
+    quarantine_dir: str,
+    model: str = "stream",
+):
+    """Streaming data-quality gate (the checks layer × §2.9): every
+    micro-batch runs the dbt-style check ``spec``
+    (plans/checks.py::run_checks) BEFORE landing. Passing batches go
+    to ``sink(batch_df)``; failing batches are quarantined whole —
+    written as parquet under ``quarantine_dir/data`` with a
+    ``_batch_id`` column, alongside the failing check report under
+    ``quarantine_dir/report`` — instead of poisoning the sink. The
+    stream keeps running either way: bad data is a data problem, not
+    an outage (dbt-build semantics stop a BATCH dag; a stream's
+    equivalent is quarantine-and-continue).
+
+    Returns a ``DataStreamWriter`` (caller picks trigger/checkpoint).
+    Scale: the check aggregates are the same single-scan conditional
+    aggregates as the batch path — per micro-batch cost is one pass;
+    quarantine writes only happen on failure.
+    """
+    import os
+
+    from dbt_lakehouse_aws_spark.plans.checks import run_checks
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        report = run_checks(batch, spec, model=model)
+        rows = report.collect()
+        if any(not r["passed"] for r in rows):
+            batch.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                os.path.join(quarantine_dir, "data")
+            )
+            report.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                os.path.join(quarantine_dir, "report")
+            )
+        else:
+            sink(batch)
+
+    return stream_df.writeStream.foreachBatch(process)

@@ -563,3 +563,53 @@ def test_read_avro_stream_decodes_landed_files(spark, tmp_path):
     assert rows[3]["kind"] is None          # drifted file: field absent → NULL
     assert rows[3]["score"] == 2.5
     assert "extra" not in stream.columns    # schema fixed at stream start
+
+
+def test_stream_with_checks_quarantines_failing_batches(spark, tmp_path):
+    """Two availableNow passes over a landing dir: the clean batch
+    reaches the sink; the later batch with a duplicate key + NULL id
+    is quarantined whole (data + failing-check report) and the sink
+    stays uncontaminated."""
+    import json
+
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_with_checks
+
+    land = tmp_path / "land"
+    land.mkdir()
+    sink_dir = tmp_path / "good"
+    quarantine = tmp_path / "bad"
+    schema = "id bigint, v double"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(land))
+        q = (
+            stream_with_checks(
+                stream,
+                {"not_null": ["id"], "unique": [["id"]]},
+                sink=lambda b: b.write.mode("append").parquet(str(sink_dir)),
+                quarantine_dir=str(quarantine),
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (land / "a.json").write_text("\n".join(
+        json.dumps({"id": i, "v": i / 2}) for i in range(5)))
+    run_once()
+    assert spark.read.parquet(str(sink_dir)).count() == 5
+
+    (land / "b.json").write_text("\n".join([
+        json.dumps({"id": 7, "v": 1.0}),
+        json.dumps({"id": 7, "v": 2.0}),      # duplicate key
+        json.dumps({"id": None, "v": 3.0}),   # NULL id
+    ]))
+    run_once()
+    assert spark.read.parquet(str(sink_dir)).count() == 5  # sink unchanged
+    bad = spark.read.parquet(str(quarantine / "data"))
+    assert bad.count() == 3 and "_batch_id" in bad.columns
+    rep = {r["check"]: r["failed_rows"]
+           for r in spark.read.parquet(str(quarantine / "report")).collect()
+           if not r["passed"]}
+    assert rep == {"not_null": 1, "unique": 2}
