@@ -27,9 +27,27 @@ whose design is the same metadata architecture.
 
 Scale: snapshot resolution is driver-side metadata work proportional
 to manifest count, never data; the scan itself is a multi-file
-parquet read with full pushdown. Row-level deletes (v2 positional /
-equality delete files, ``content != 0``) are detected and REFUSED
-loudly rather than silently returning undeleted rows.
+parquet read with full pushdown.
+
+**v2 merge-on-read deletes** are applied relationally, the same shape
+the iceberg-spark runtime uses:
+
+* POSITION deletes (``content=1``: parquet files of
+  ``(file_path, pos)``) — the data scan exposes Spark's hidden
+  ``_metadata.file_path`` / ``_metadata.row_index`` columns and the
+  delete rows are removed with one LEFT ANTI hash join keyed on
+  (file, position), delete side broadcast (delete files are tiny
+  relative to data). A position delete applies only to data files
+  whose data sequence number is ≤ the delete file's (spec §Scan
+  Planning), enforced as an extra join predicate.
+* EQUALITY deletes (``content=2``: parquet files holding the
+  ``equality_ids`` columns) — one LEFT ANTI join per distinct
+  equality-column set, null-safe on every equality column, applied
+  only to data files with sequence number STRICTLY below the
+  delete's, so rows re-inserted after the delete correctly survive.
+
+Sequence numbers ride a tiny broadcast (file → seq) frame joined on
+``_metadata.file_path``; no Python UDFs anywhere on the row path.
 """
 
 from __future__ import annotations
@@ -104,10 +122,20 @@ def _local_path(file_path: str, table_root: str) -> str:
 
 
 @dataclass(frozen=True)
+class DeleteFile:
+    path: str  # resolved local parquet path
+    seq: int  # data sequence number of the delete file
+    equality_cols: tuple[str, ...]  # empty for position deletes
+
+
+@dataclass(frozen=True)
 class IcebergSnapshot:
     snapshot_id: int
     files: tuple[str, ...]  # resolved local parquet paths
     schema: StructType
+    file_seqs: tuple[tuple[str, int], ...] = ()  # data file → sequence number
+    pos_deletes: tuple[DeleteFile, ...] = ()
+    eq_deletes: tuple[DeleteFile, ...] = ()
 
 
 class IcebergTable:
@@ -151,6 +179,14 @@ class IcebergTable:
             ]
         )
 
+    def _field_names_by_id(self, meta: dict) -> dict[int, str]:
+        if "schemas" in meta:
+            by_id = {s["schema-id"]: s for s in meta["schemas"]}
+            schema = by_id[meta["current-schema-id"]]
+        else:
+            schema = meta["schema"]
+        return {f["id"]: f["name"] for f in schema["fields"] if "id" in f}
+
     def snapshot(self, snapshot_id: int | None = None) -> IcebergSnapshot:
         meta = self._current_metadata()
         snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -160,7 +196,11 @@ class IcebergTable:
                 raise ValueError(f"snapshot {snapshot_id} not in {sorted(snaps)}")
             return IcebergSnapshot(-1, (), self._schema(meta))
         snap = snaps[sid]
+        names_by_id = self._field_names_by_id(meta)
         files: list[str] = []
+        file_seqs: list[tuple[str, int]] = []
+        pos_deletes: list[DeleteFile] = []
+        eq_deletes: list[DeleteFile] = []
         if "manifest-list" in snap:  # v2 (and v1 with manifest lists)
             ml_path = _local_path(snap["manifest-list"], self.path)
             with open(ml_path, "rb") as fh:
@@ -175,28 +215,118 @@ class IcebergTable:
                 if e.get("status") == 2:  # DELETED
                     continue
                 df = e["data_file"]
-                if df.get("content", 0) != 0:
-                    raise NotImplementedError(
-                        "Iceberg v2 row-level delete files present "
-                        f"(content={df['content']}); this read-only adapter "
-                        "handles data files only — refusing rather than "
-                        "returning undeleted rows"
-                    )
                 fmt = str(df.get("file_format", "PARQUET")).upper()
                 if fmt != "PARQUET":
                     raise NotImplementedError(f"data file format {fmt} not supported")
-                files.append(_local_path(df["file_path"], self.path))
-        return IcebergSnapshot(sid, tuple(sorted(files)), self._schema(meta))
+                path = _local_path(df["file_path"], self.path)
+                # ADDED entries may inherit the sequence number from
+                # their snapshot; absent (v1 manifests) it is 0.
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = e.get("data_sequence_number") or 0
+                content = df.get("content", 0)
+                if content == 0:
+                    files.append(path)
+                    file_seqs.append((path, int(seq)))
+                elif content == 1:  # position deletes: (file_path, pos)
+                    pos_deletes.append(DeleteFile(path, int(seq), ()))
+                elif content == 2:  # equality deletes
+                    ids = df.get("equality_ids") or ()
+                    if not ids:
+                        raise NotImplementedError(
+                            "equality delete file without equality_ids; "
+                            "refusing rather than returning undeleted rows"
+                        )
+                    missing = [i for i in ids if i not in names_by_id]
+                    if missing:
+                        raise NotImplementedError(
+                            f"equality_ids {missing} not in the current schema"
+                        )
+                    eq_deletes.append(
+                        DeleteFile(path, int(seq), tuple(names_by_id[i] for i in ids))
+                    )
+                else:
+                    raise NotImplementedError(f"unknown data_file content={content}")
+        return IcebergSnapshot(
+            sid,
+            tuple(sorted(files)),
+            self._schema(meta),
+            tuple(sorted(file_seqs)),
+            tuple(pos_deletes),
+            tuple(eq_deletes),
+        )
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Snapshot-isolated read (time travel via ``snapshot_id``):
         the live file list is resolved now, so the returned plan is
         stable under concurrent commits — later snapshots cannot
-        change it."""
+        change it. v2 position/equality delete files are applied as
+        broadcast LEFT ANTI joins (module docstring) with
+        sequence-number scoping."""
+        from pyspark.sql import functions as F
+
         snap = self.snapshot(snapshot_id)
         if not snap.files:
             return self.spark.createDataFrame([], snap.schema)
-        return self.spark.read.schema(snap.schema).parquet(*snap.files)
+        df = self.spark.read.schema(snap.schema).parquet(*snap.files)
+        if not snap.pos_deletes and not snap.eq_deletes:
+            return df
+
+        cols = [f.name for f in snap.schema.fields]
+        # Spark's hidden parquet metadata gives the per-row identity a
+        # position delete names: (file, row ordinal). file_path comes
+        # back URI-formed (file:///...); normalize both sides to a
+        # plain absolute path JVM-side so writer URI conventions
+        # (file:/, file:///, plain path) all line up.
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        df = df.select(
+            *cols,
+            norm(F.col("_metadata.file_path")).alias("__ib_file"),
+            F.col("_metadata.row_index").alias("__ib_pos"),
+        )
+        seq_df = F.broadcast(
+            self.spark.createDataFrame(
+                list(snap.file_seqs), "__ib_sfile STRING, __ib_seq LONG"
+            )
+        )
+        df = df.join(seq_df, df["__ib_file"] == seq_df["__ib_sfile"], "inner").drop(
+            "__ib_sfile"
+        )
+
+        if snap.pos_deletes:
+            dels = None
+            for d in snap.pos_deletes:
+                part = (
+                    self.spark.read.parquet(d.path)
+                    .select(
+                        norm(F.col("file_path")).alias("__del_file"),
+                        F.col("pos").cast("long").alias("__del_pos"),
+                        F.lit(d.seq).alias("__del_seq"),
+                    )
+                )
+                dels = part if dels is None else dels.unionByName(part)
+            # a position delete applies to data files with seq <= its own
+            df = df.join(
+                F.broadcast(dels),
+                (df["__ib_file"] == dels["__del_file"])
+                & (df["__ib_pos"] == dels["__del_pos"])
+                & (df["__ib_seq"] <= dels["__del_seq"]),
+                "left_anti",
+            )
+
+        for d in snap.eq_deletes:
+            del_df = self.spark.read.parquet(d.path).select(
+                *[F.col(c).alias(f"__eq_{c}") for c in d.equality_cols]
+            )
+            cond = F.lit(True)
+            for c in d.equality_cols:
+                cond = cond & df[c].eqNullSafe(del_df[f"__eq_{c}"])
+            # equality deletes apply only to rows written STRICTLY
+            # before the delete (spec: data seq < delete seq)
+            cond = cond & (df["__ib_seq"] < F.lit(d.seq))
+            df = df.join(F.broadcast(del_df), cond, "left_anti")
+
+        return df.select(*cols)
 
 
 def read_iceberg_table(

@@ -627,28 +627,109 @@ def test_iceberg_read_current_and_time_travel(spark, tmp_path):
     assert [f.name for f in t.read().schema.fields] == ["id", "grp", "v"]
 
 
-def test_iceberg_refuses_row_level_deletes(spark, tmp_path):
-    """v2 delete files (content != 0) must refuse loudly, never return
-    undeleted rows silently."""
+def test_iceberg_refuses_malformed_delete_entries(spark, tmp_path):
+    """Still-refused v2 shapes: equality deletes without equality_ids,
+    and unknown content codes — loud errors, never silent undeleted
+    rows."""
     import pytest as _pytest
 
     from dbt_lakehouse_aws_spark.sources.iceberg_reader import IcebergTable
 
     rows = [(i, f"g{i % 2}", float(i)) for i in range(4)]
     root = str(tmp_path / "t")
-    files = _build_iceberg_fixture(spark, root, rows)
-    # rewrite manifest m2 with a content=1 (position deletes) entry
-    import json
+    _build_iceberg_fixture(spark, root, rows)
     import os
 
     from dbt_lakehouse_aws_spark.sources.avro_io import read_container, write_container
 
     mp = os.path.join(root, "metadata", "m2.avro")
     schema, entries = read_container(open(mp, "rb").read())
-    entries[0]["data_file"]["content"] = 1
+    entries[0]["data_file"]["content"] = 2  # equality delete, no equality_ids
     open(mp, "wb").write(write_container(schema, entries))
-    with _pytest.raises(NotImplementedError, match="delete files"):
+    with _pytest.raises(NotImplementedError, match="equality_ids"):
         IcebergTable(spark, root).read()
+    entries[0]["data_file"]["content"] = 3  # unknown content code
+    open(mp, "wb").write(write_container(schema, entries))
+    with _pytest.raises(NotImplementedError, match="content=3"):
+        IcebergTable(spark, root).read()
+
+
+def _write_one_parquet(df, d):
+    """Write df as a single parquet file under d; return its path."""
+    import os
+
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    [f] = [f for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    return os.path.join(d, f)
+
+
+def test_iceberg_v2_position_deletes(spark, tmp_path):
+    """MoR position deletes: exact (file, row ordinal) rows vanish;
+    a delete file with a LOWER sequence number than the data file
+    does not apply (spec: applies to data seq <= delete seq)."""
+    from dbt_lakehouse_aws_spark.sources.iceberg_reader import IcebergTable
+    from dbt_lakehouse_aws_spark.sources.iceberg_testing import V2File, write_v2_table
+
+    root = str(tmp_path / "t")
+    data = spark.range(10).select(
+        F.col("id"), F.concat(F.lit("g"), (F.col("id") % 2).cast("string")).alias("grp")
+    ).orderBy("id")
+    pa = _write_one_parquet(data, f"{root}/data/a")
+    # delete ordinals 1 and 3 of file a (ids 1, 3: file written id-sorted)
+    dels = spark.createDataFrame(
+        [("file://" + pa, 1), ("file://" + pa, 3)], "file_path STRING, pos LONG"
+    )
+    pd_applies = _write_one_parquet(dels, f"{root}/data/d1")
+    # same delete content but seq 0 < data seq 1: must NOT apply
+    pd_stale = _write_one_parquet(dels, f"{root}/data/d0")
+
+    write_v2_table(
+        root,
+        [("id", "long"), ("grp", "string")],
+        [V2File(pa, 1), V2File(pd_applies, 1, content=1)],
+    )
+    got = {r["id"] for r in IcebergTable(spark, root).read().collect()}
+    assert got == {0, 2, 4, 5, 6, 7, 8, 9}
+
+    write_v2_table(
+        root,
+        [("id", "long"), ("grp", "string")],
+        [V2File(pa, 1), V2File(pd_stale, 0, content=1)],
+    )
+    got = {r["id"] for r in IcebergTable(spark, root).read().collect()}
+    assert got == set(range(10))
+
+
+def test_iceberg_v2_equality_deletes_seq_scoped(spark, tmp_path):
+    """MoR equality deletes apply only to data files with a STRICTLY
+    smaller sequence number: rows re-inserted after the delete
+    survive; NULL equality values match null-safely."""
+    from dbt_lakehouse_aws_spark.sources.iceberg_reader import IcebergTable
+    from dbt_lakehouse_aws_spark.sources.iceberg_testing import V2File, write_v2_table
+
+    root = str(tmp_path / "t")
+    a = spark.createDataFrame(
+        [(1, "g0"), (2, "g1"), (3, None), (4, "g0")], "id LONG, grp STRING"
+    )
+    pa = _write_one_parquet(a, f"{root}/data/a")
+    # equality delete on grp: kills g0 and the NULL group (null-safe)
+    dels = spark.createDataFrame([("g0",), (None,)], "grp STRING")
+    pd = _write_one_parquet(dels, f"{root}/data/d")
+    # re-insert a g0 row AFTER the delete (seq 3 > delete seq 2)
+    b = spark.createDataFrame([(5, "g0")], "id LONG, grp STRING")
+    pb = _write_one_parquet(b, f"{root}/data/b")
+
+    write_v2_table(
+        root,
+        [("id", "long"), ("grp", "string")],
+        [
+            V2File(pa, 1),
+            V2File(pd, 2, content=2, equality_ids=(2,)),  # field id 2 = grp
+            V2File(pb, 3),
+        ],
+    )
+    got = {r["id"] for r in IcebergTable(spark, root).read().collect()}
+    assert got == {2, 5}
 
 
 def test_iceberg_type_mapping():
