@@ -115,6 +115,9 @@ def cmd_table(args) -> int:
         table.row_changes(args.v_from, args.v_to, args.keys.split(",")).show(
             100, truncate=False
         )
+    elif args.table_cmd == "restore":
+        snap = table.restore(args.version)
+        print(f"v{snap.version}\t{snap.operation}")
     return 0
 
 
@@ -142,7 +145,7 @@ def main(argv: list[str] | None = None) -> int:
 
     tablep = sub.add_parser("table", help="ACID table admin")
     tsub = tablep.add_subparsers(dest="table_cmd", required=True)
-    for name in ("history", "optimize", "vacuum", "changes"):
+    for name in ("history", "optimize", "vacuum", "changes", "restore"):
         tp = tsub.add_parser(name)
         tp.add_argument("--path", required=True)
         if name == "optimize":
@@ -154,6 +157,8 @@ def main(argv: list[str] | None = None) -> int:
             tp.add_argument("--from", dest="v_from", type=int, required=True)
             tp.add_argument("--to", dest="v_to", type=int, required=True)
             tp.add_argument("--keys", required=True)
+        elif name == "restore":
+            tp.add_argument("--version", type=int, required=True)
     tablep.set_defaults(fn=cmd_table)
 
     args = p.parse_args(argv)

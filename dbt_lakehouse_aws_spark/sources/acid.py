@@ -742,6 +742,42 @@ class AcidTable:
             base_version=snap.version,
         )
 
+    def restore(self, version: int) -> Snapshot:
+        """``RESTORE TABLE ... TO VERSION AS OF version`` (Delta
+        RESTORE semantics): a METADATA-ONLY commit whose file set is
+        exactly the target version's. History is preserved — restore
+        lands as a new version on top rather than rewinding the log,
+        so concurrent readers, the change feed, and time travel all
+        keep working; no data file is rewritten or copied.
+
+        If any file the target version references has since been
+        VACUUMed, the restore refuses up front (same contract as
+        Delta's RESTORE error) instead of committing a snapshot that
+        cannot be read.
+
+        Scale: O(files in the target snapshot) driver-side metadata
+        and one log write; zero data IO at any table size.
+        """
+        target = self.snapshot(version)  # raises KeyError-ish if absent
+        missing = [
+            f
+            for f in target.files
+            if not os.path.exists(os.path.join(self._data, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {self.path} to version {version}: "
+                f"{len(missing)} referenced data file(s) were vacuumed "
+                f"(first: {missing[0]})"
+            )
+        return self._commit(
+            operation=f"RESTORE to={version}",
+            files=list(target.files),
+            schema_json=target.schema_json,
+            stats=dict(target.stats),
+            base_version=self.latest_version(),
+        )
+
     def optimize(
         self,
         *,

@@ -604,3 +604,41 @@ def test_distributed_footer_stats_identical_to_driver_loop(spark, tmp_path):
     # pruning still behaves: a tight id range keeps few files
     kept = t._prune_files(snap, "id", 0, 50)
     assert 1 <= len(kept) <= 2
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    df0 = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t.write(df0)
+    t.delete("k >= 5")
+    assert t.read().count() == 5
+    snap = t.restore(0)
+    assert snap.operation == "RESTORE to=0"
+    assert snap.version == 2
+    # full original contents are back
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(i, 2 * i) for i in range(10)}
+    # metadata-only: the restored snapshot re-references v0's files
+    assert set(snap.files) == set(t.snapshot(0).files)
+    # history preserved — restore is a new version, not a rewind
+    assert [s.version for s in t.history()] == [0, 1, 2]
+    # time travel to the pre-restore delete still works
+    assert t.read(version=1).count() == 5
+
+
+def test_restore_refuses_when_target_files_are_gone(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(5).select(F.col("id").alias("k")))
+    t.write(spark.range(3).select(F.col("id").alias("k")), mode="overwrite")
+    # simulate external cleanup of a v0-only data file (manifests intact)
+    gone = [f for f in t.snapshot(0).files if f not in set(t.snapshot(1).files)]
+    os.unlink(os.path.join(str(tmp_path / "t"), "data", gone[0]))
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(0)
+    # after a real VACUUM the pre-horizon manifest itself is gone: loud too
+    t2 = AcidTable(spark, str(tmp_path / "t2"))
+    t2.write(spark.range(5).select(F.col("id").alias("k")))
+    t2.write(spark.range(3).select(F.col("id").alias("k")), mode="overwrite")
+    t2.vacuum(retain_last=1)
+    with pytest.raises(FileNotFoundError):
+        t2.restore(0)
