@@ -2241,6 +2241,81 @@ def iceberg_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_v2_mor_events",
+    """
+    SELECT event_id, event_type, value,
+           CAST(event_id % 4 AS INT) AS bucket
+    FROM events
+    WHERE event_type <> 'purchase'
+      AND NOT (event_id % 4 = 0 AND event_id % 10 = 0)
+    """,
+)
+def iceberg_v2_mor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ deletes end-to-end
+    (sources/iceberg_reader.py): a format-version-2 table is laid down
+    per the public spec (sources/iceberg_testing.py — real Avro
+    manifests with sequence numbers) over four data files, plus a
+    POSITION delete file (the row ordinals of bucket-0 rows whose
+    event_id % 10 = 0, written as URI file paths to exercise path
+    normalization) and an EQUALITY delete file on event_type =
+    'purchase' at a higher sequence number. ``IcebergTable.read()``
+    must apply both as broadcast anti-joins over Spark's hidden
+    ``_metadata.file_path`` / ``row_index`` columns; the oracle
+    derives the surviving rows relationally. Scale: delete files are
+    tiny next to data, so both joins broadcast; the data side stays
+    one parquet scan with pushdown — the iceberg-spark runtime's own
+    MoR shape."""
+    import os as _os
+    import tempfile
+
+    from dbt_lakehouse_aws_spark.sources.iceberg_reader import read_iceberg_table
+    from dbt_lakehouse_aws_spark.sources.iceberg_testing import V2File, write_v2_table
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.pmod("event_id", F.lit(4)).cast("int").alias("bucket"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_v2_fixture_")
+
+    def one_file(df, d):
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        [f] = [f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")]
+        return _os.path.join(d, f)
+
+    data_paths = {
+        b: one_file(ev.filter(F.col("bucket") == b), _os.path.join(root, "data", f"b{b}"))
+        for b in range(4)
+    }
+    # position deletes: row ordinals within the bucket-0 file where
+    # event_id % 10 = 0, derived from the file's actual row order
+    pos = (
+        spark.read.parquet(data_paths[0])
+        .select(
+            F.concat(F.lit("file://"), F.lit(data_paths[0])).alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "event_id",
+        )
+        .filter(F.pmod("event_id", F.lit(10)) == 0)
+        .select("file_path", "pos")
+    )
+    pos_path = one_file(pos, _os.path.join(root, "data", "posdel"))
+    eq = spark.createDataFrame([("purchase",)], "event_type STRING")
+    eq_path = one_file(eq, _os.path.join(root, "data", "eqdel"))
+
+    write_v2_table(
+        root,
+        [("event_id", "long"), ("event_type", "string"),
+         ("value", "double"), ("bucket", "int")],
+        [V2File(p, 1) for p in data_paths.values()]
+        + [
+            V2File(pos_path, 1, content=1),
+            V2File(eq_path, 2, content=2, equality_ids=(2,)),  # field 2 = event_type
+        ],
+    )
+    return read_iceberg_table(spark, root)
+
+
+@register(
     "acid_change_feed",
     """
     WITH target AS (
@@ -2281,6 +2356,41 @@ def acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.write(target.repartitionByRange(8, "event_id"))
     table.merge(updates.localCheckpoint(eager=True), ["event_id"])
     return table.row_changes(0, 1, ["event_id"]).select("event_id", "_change_type")
+
+
+@register(
+    "acid_restore_events",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_id % 5 = 0
+    """,
+)
+def acid_restore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE through the driver gate (sources/acid.py::restore): the
+    table is written (v0), HALF its rows are deleted (v1 — a real COW
+    rewrite), then ``restore(0)`` re-references v0's files as a new
+    metadata-only commit (v2) and the read must return the ORIGINAL
+    contents. If restore silently no-opped (or rewound instead of
+    committing), the deleted rows would be missing and the oracle —
+    the untouched source subset — would catch it. Scale: restore is
+    O(snapshot files) metadata with zero data IO, Delta's RESTORE
+    contract."""
+    import tempfile
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.pmod("event_id", F.lit(5)) == 0)
+        .select("event_id", "event_type", "value")
+    )
+    table = AcidTable(spark, tempfile.mkdtemp(prefix="acid_restore_"))
+    table.write(ev.repartitionByRange(8, "event_id"))
+    table.delete("event_id % 2 = 0")
+    snap = table.restore(0)
+    assert snap.operation == "RESTORE to=0"
+    return table.read()
 
 
 @register(
@@ -5373,88 +5483,57 @@ def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 entries of
 # queries() each round (row-count + schema + value-hash vs DuckDB at
-# sf0.01). Rounds 1+2 verified 97 of 138 registrations (90 green);
-# round 3's window = the 2 round-2 red rows (oracle HUGEINT cast
-# fixed this round) + every query that has never had a driver
-# CORRECTNESS row (34 value-oracled + 7 rows-only), so that after
-# round 3 the cumulative board covers ALL registered queries.
-# Everything else keeps registration order behind them and stays
-# covered by the in-repo sf0.001 oracle replica
-# (tests/test_entry_contract.py, which runs ALL queries every pytest
-# session regardless of this ordering).
-DRIVER_WINDOW: list[str] = [
-    # -- round-2 red rows, re-verify with CAST(SUM(..) AS BIGINT) oracles --
-    "pack_sequences_512",
-    "corpus_pipeline_manifest",
-    # -- value-oracled, never driver-checked (rounds 1-2 window overflow) --
-    "a8b_percentile_disc",
-    "session_window_native",
-    "clean_text_normalize",
-    "heavy_hitters_tokens",
-    "edit_distance_pairs",
-    "token_freq_topk",
-    "corpus_mix_sample",
-    "emb_near_dup_pairs",
-    "bigram_topk",
-    "ttr_by_source",
-    "pii_redact_props",
-    "emb_label_centroid_dist",
-    "int8_quant_topk",
-    "time_weekly_revenue",
-    "time_ship_latency",
-    "json_parse_props",
-    "user_event_sequence",
-    "doc_repetition",
-    "decontaminate_docs",
-    "chunk_documents",
-    "hard_negative_mining",
-    "grouped_ols_arrow",
-    "variant_json_props",
-    "frame_sample_docs",
-    "bigram_lm_quality",
-    "weighted_sample_docs",
-    "unigram_entropy_docs",
-    "hybrid_search_rrf",
-    "duplicate_spans_docs",
-    "ewma_user_value",
-    "profile_orders",
-    "chi2_terms_by_lang",
-    "mad_outliers_orders",
-    "interval_union_user_time",
-    # -- rows-only entries, never driver-checked: get their no_oracle
-    #    rows on record (approx/iterative by design) --
-    "pca_project_embeddings",
-    "approx_distinct_users",
-    "kmeans_cluster_sizes",
-    "bpe_merge_table",
-    "bpe_tokenize_docs",
-    "semantic_dedup_survivors",
-    "hll_user_rollup",
-    # -- remaining slots: new round-3 queries --
-    "pca_orders_features",  # value-oracled twin of the eigh/projection path
-    "delta_log_read_events",  # Delta _delta_log interop (read-only adapter)
-    # -- converted from rows-only to full value oracles this round
-    #    (portable md5-prefix hash replaces xxhash64 in the registered
-    #    variants): green VALUE rows supersede round 1's no_oracle rows --
-    "minhash_lsh_pairs",
-    "simhash_fingerprints",
-    "simhash_near_pairs",
-    # -- real WAV decode round-trip (r3: audio half of the multimodal seam) --
-    "audio_decode_features",
-    # -- Iceberg metadata interop via the pure-Python Avro codec (r3) --
-    "iceberg_read_events",
-]
+# sf0.01). Rounds 1-3 cumulatively windowed every query registered at
+# the round-3 freeze. Round 4's window = the 5 queries that arrived
+# after the round-3 freeze (ROUND4_WINDOW_QUEUE in round 3's terms) +
+# the new round-4 registrations + re-verification of the highest-value
+# standing queries (all 22 TPC-H analogues and the heavyweight
+# llmops/ACID pipelines), so regressions in the core surface are
+# caught by the hard gate, not just the local replica. Everything
+# else keeps registration order behind them and stays covered by the
+# in-repo sf0.001 oracle replica (tests/test_entry_contract.py, which
+# runs ALL queries every pytest session regardless of this ordering).
 
-#: queries registered AFTER round 3's window filled (50/50): verified
-#: by the local oracle replica now; they lead the ROUND-4 window so
-#: the driver gate sees them next round.
-ROUND4_WINDOW_QUEUE = [
+#: queries registered after round 3's window froze — lead round 4.
+ROUND4_QUEUE_FROM_R3 = [
     "gapfill_daily_events",
     "dq_orders_checks",
     "kmeans_orders_wellsep",
-    "ann_lsh_topk",  # converted rows-only -> value oracle after the r3 window froze
+    "ann_lsh_topk",  # rows-only -> value oracle upgrade after the r3 freeze
     "video_decode_features",
 ]
+
+#: new round-4 registrations (grown as round 4 builds; every entry
+#: must be in the first 50 so its first driver check is this round).
+ROUND4_NEW: list[str] = [
+    "iceberg_v2_mor_events",
+    "acid_restore_events",
+]
+
+#: standing queries re-verified this round (regression watch on the
+#: core relational surface + the most intricate pipelines).
+ROUND4_REVERIFY = [
+    "q1_pricing_summary", "q2_min_price_per_brand", "q3_top_revenue_orders",
+    "q4_priority_exists", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_nation_balance_share", "q12_late_priority_counts",
+    "q13_order_count_distribution", "q14_promo_revenue_ratio",
+    "q15_top_revenue_supplier", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q19_disjunctive_brackets", "q20_promo_part_suppliers",
+    "q21_waiting_suppliers", "q22_idle_rich_customers",
+    "minhash_dedup_survivors", "corpus_pipeline_manifest",
+    "pack_sequences_512", "cosine_topk_arrow", "paragraph_dedup_docs",
+    "tfidf_topk_docs", "bm25_topk_docs", "nb_classify_docs",
+    "dsir_importance_sample", "pagerank_event_graph",
+    "merge_upsert_events", "acid_change_feed",
+    "asof_purchase_attribution", "range_join_click_views",
+    "sessionize_events",
+]
+
+DRIVER_WINDOW: list[str] = (
+    ROUND4_QUEUE_FROM_R3 + ROUND4_NEW + ROUND4_REVERIFY
+)[:50]
 
 
 def _window_ordered() -> list[QuerySpec]:
