@@ -2117,6 +2117,60 @@ def delta_log_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_write_roundtrip_events",
+    """
+    SELECT CAST(event_id % 3 AS INT) AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE event_id % 7 < 4 OR event_type <> 'click'
+    GROUP BY 1, 2
+    """,
+)
+def delta_write_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta EXPORT round trip (sources/delta_writer.py): events are
+    written to a brand-new partitioned Delta table on the public
+    protocol (commit 0: protocol+metaData+adds with footer stats),
+    a second slice is APPENDED (commit 1), and the result is read
+    back through the independent log-replay reader
+    (sources/delta_reader.py) and aggregated. The oracle computes the
+    same aggregate straight from parquet, so a green row certifies
+    that the writer's commits, partition layout (bucket only in
+    partitionValues, not in data files), and the reader's replay
+    agree with the relational truth — i.e. a delta-spark user could
+    open the exported table and see exactly these rows. Scale: the
+    data write is Spark-parallel; the log commit is O(files)
+    driver-side metadata (delta_writer.py docstring)."""
+    import tempfile
+
+    from dbt_lakehouse_aws_spark.sources.delta_reader import read_delta_table
+    from dbt_lakehouse_aws_spark.sources.delta_writer import write_delta_table
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.pmod("event_id", F.lit(3)).cast("int").alias("bucket"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_export_")
+    write_delta_table(
+        ev.filter(F.pmod("event_id", F.lit(7)) < 4),
+        root, mode="overwrite", partition_by=["bucket"],
+    )
+    write_delta_table(
+        ev.filter((F.pmod("event_id", F.lit(7)) >= 4) & (F.col("event_type") != "click")),
+        root, mode="append", partition_by=["bucket"],
+    )
+    return (
+        read_delta_table(spark, root)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "iceberg_read_events",
     """
     SELECT event_id, event_type, value,
@@ -5508,6 +5562,7 @@ ROUND4_QUEUE_FROM_R3 = [
 ROUND4_NEW: list[str] = [
     "iceberg_v2_mor_events",
     "acid_restore_events",
+    "delta_write_roundtrip_events",
 ]
 
 #: standing queries re-verified this round (regression watch on the

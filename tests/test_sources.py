@@ -457,6 +457,100 @@ def test_delta_log_rejects_checkpoint_pruned_history(spark, tmp_path):
     assert t.versions() == [1]
 
 
+def test_delta_writer_roundtrip_partitioned(spark, tmp_path):
+    """write_delta_table → DeltaLogTable.read round trip on a
+    partitioned table: values survive, partition column is re-typed
+    from partitionValues, and every add carries footer-derived stats
+    (numRecords + min/max) a delta-spark reader could skip on."""
+    import json as _json
+
+    from dbt_lakehouse_aws_spark.sources.delta_reader import DeltaLogTable
+    from dbt_lakehouse_aws_spark.sources.delta_writer import write_delta_table
+
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5, i % 3) for i in range(30)], "id long, v double, y int"
+    )
+    root = str(tmp_path / "t")
+    assert write_delta_table(df, root, partition_by=["y"]) == 0
+
+    t = DeltaLogTable(spark, root)
+    back = {r["id"]: (r["v"], r["y"]) for r in t.read().collect()}
+    assert back == {i: (i * 1.5, i % 3) for i in range(30)}
+    assert t.snapshot().partition_columns == ("y",)
+    assert dict(t.read().dtypes)["y"] == "int"
+
+    # protocol shape: commit 0 has protocol+metaData, adds carry stats
+    actions = [
+        _json.loads(line)
+        for line in open(f"{root}/_delta_log/{0:020d}.json")
+        if line.strip()
+    ]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    add = next(a["add"] for a in actions if "add" in a)
+    st = _json.loads(add["stats"])
+    assert st["numRecords"] > 0 and "id" in st["minValues"]
+    assert "y" not in st["minValues"]  # partition col not in data files
+    assert add["partitionValues"].keys() == {"y"}
+
+
+def test_delta_writer_append_overwrite_time_travel(spark, tmp_path):
+    """append adds files; overwrite removes every live file + adds new
+    ones in ONE commit; old versions stay time-travelable."""
+    from dbt_lakehouse_aws_spark.sources.delta_reader import read_delta_table
+    from dbt_lakehouse_aws_spark.sources.delta_writer import write_delta_table
+
+    root = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, i * 10) for i in range(lo, hi)], "id long, v long"
+    )
+    assert write_delta_table(mk(0, 5), root) == 0
+    assert write_delta_table(mk(5, 8), root, mode="append") == 1
+    assert write_delta_table(mk(100, 102), root, mode="overwrite") == 2
+
+    ids = lambda v: sorted(
+        r["id"] for r in read_delta_table(spark, root, version=v).collect()
+    )
+    assert ids(0) == [0, 1, 2, 3, 4]
+    assert ids(1) == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert ids(2) == [100, 101]
+    assert ids(None) == [100, 101]
+
+
+def test_delta_writer_guards(spark, tmp_path):
+    """mode='error' on an existing table, partition-layout mismatch,
+    and the O_EXCL commit race all fail loudly instead of corrupting."""
+    import os as _os
+
+    from dbt_lakehouse_aws_spark.sources.delta_writer import write_delta_table
+
+    df = spark.createDataFrame([(1, 1)], "id long, y int")
+    root = str(tmp_path / "t")
+    write_delta_table(df, root, partition_by=["y"])
+    with pytest.raises(FileExistsError, match="already a Delta table"):
+        write_delta_table(df, root)
+    with pytest.raises(ValueError, match="does not match existing"):
+        write_delta_table(df, root, mode="append", partition_by=[])
+    # simulate a concurrent writer winning the race: this writer reads
+    # its snapshot, then the rival lands version 1 before the commit —
+    # O_EXCL on the version file must reject, not overwrite
+    from unittest import mock
+
+    from dbt_lakehouse_aws_spark.sources import delta_writer as dw
+    from dbt_lakehouse_aws_spark.sources.delta_reader import DeltaLogTable
+
+    real_snapshot = DeltaLogTable.snapshot
+
+    def racing_snapshot(self, version=None):
+        snap = real_snapshot(self, version)
+        _os.mknod(f"{root}/_delta_log/{snap.version + 1:020d}.json")
+        return snap
+
+    with mock.patch.object(DeltaLogTable, "snapshot", racing_snapshot):
+        with pytest.raises(FileExistsError):
+            dw.write_delta_table(df, root, mode="append", partition_by=["y"])
+
+
 # ---------------------------------------------------------------------------
 # Avro codec + distributed scan (sources/avro_io.py)
 # ---------------------------------------------------------------------------
