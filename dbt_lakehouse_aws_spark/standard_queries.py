@@ -5186,6 +5186,73 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_sketch_rollup(ev, group_col="event_type", value_col="user_id")
 
 
+def _kmv_overlap_oracle(k: int = 64) -> str:
+    """Exact SQL replay of the portable-hash KMV pipeline
+    (operators/sketches.py): same md5-prefix custkey hashes, same
+    per-group bottom-k, same merged-bottom-k Jaccard / union / inter
+    estimators with identical double-precision operation order.
+    Customer sets per priority are ~1-2k distinct at sf0.01 — well
+    past k, so the order-statistic estimator branch (not the
+    exhaustive-sketch shortcut) is what the driver verifies."""
+    space = f"{float(1 << 60):.1f}"
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority AS g,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      FROM orders
+    ),
+    rk AS (SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rk
+           FROM h),
+    sk AS (SELECT g, list_sort(list(hv)) AS kmv
+           FROM rk WHERE rk <= {k} GROUP BY g),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b, a.kmv AS ka, b.kmv AS kb,
+             list_slice(list_sort(list_distinct(list_concat(a.kmv, b.kmv))), 1, {k}) AS u
+      FROM sk a JOIN sk b ON a.g < b.g
+    ),
+    calc AS (
+      SELECT group_a, group_b, u, ka, kb, len(u) AS m,
+             len(list_intersect(list_intersect(u, ka), kb)) AS nboth
+      FROM pairs
+    ),
+    est AS (
+      SELECT group_a, group_b,
+             CAST(nboth AS DOUBLE) / CAST(m AS DOUBLE) AS jac,
+             CASE WHEN m < {k} THEN CAST(m AS DOUBLE)
+                  ELSE ({k - 1} * {space}) / CAST(u[{k}] AS DOUBLE) END AS uni
+      FROM calc
+    )
+    SELECT group_a, group_b,
+           round(jac, 6) AS jaccard_est,
+           round(uni, 2) AS union_est,
+           round(jac * uni, 2) AS intersection_est
+    FROM est ORDER BY group_a, group_b
+    """
+
+
+@register("kmv_custkey_overlap_priority", _kmv_overlap_oracle())
+def kmv_custkey_overlap_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-customer overlap between order-priority
+    segments via KMV bottom-k sketches — union AND intersection
+    distinct estimates from k-sized summaries, the set operation HLL
+    cannot do (operators/sketches.py; Beyer et al. SIGMOD'07).
+    Portable-hash mode so the DuckDB oracle replays every hash, order
+    statistic, and double-precision estimator exactly; per-segment
+    cardinality exceeds k, so this drives the estimator branch."""
+    from dbt_lakehouse_aws_spark.operators.sketches import (
+        kmv_pairwise_overlap,
+        kmv_sketch,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_custkey").cast("string").alias("ck"),
+    )
+    sk = kmv_sketch(keyed, group_col="seg", value_col="ck", k=64, portable=True)
+    return kmv_pairwise_overlap(sk, k=64)
+
+
 def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
     """Unrolled power-iteration oracle: PageRank is only 'not
     SQL-expressible' if the iteration count is dynamic — ours is a
@@ -5618,8 +5685,10 @@ ROUND3_ROWS_ONLY = [
     "hll_user_rollup",
 ]
 
-#: round-4 queue: deferred rows-only siblings + standing re-verifies.
+#: round-4 queue: late round-3 registrations (first), deferred
+#: rows-only siblings, then standing re-verifies.
 ROUND4_QUEUE = [
+    "kmv_custkey_overlap_priority",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",
     "approx_distinct_users",

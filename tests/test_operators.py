@@ -349,3 +349,89 @@ def test_heavy_hitters_exact_on_zipfian(spark):
         df.groupBy("val").count().orderBy(F.desc("count"), F.asc("val")).limit(10).collect()
     )
     assert got == [(r["val"], r["count"]) for r in exact]
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def _kmv_fixture(spark, n_a=600, n_b=600, n_shared=300):
+    """Two groups with a known overlap: A = shared ∪ onlyA,
+    B = shared ∪ onlyB, all values distinct strings."""
+    rows = (
+        [("A", f"shared-{i}") for i in range(n_shared)]
+        + [("B", f"shared-{i}") for i in range(n_shared)]
+        + [("A", f"a-{i}") for i in range(n_a - n_shared)]
+        + [("B", f"b-{i}") for i in range(n_b - n_shared)]
+    )
+    # duplicate every row once: sketches are over DISTINCT values
+    return spark.createDataFrame(rows * 2, "g string, v string")
+
+
+def test_kmv_estimates_within_tolerance(spark):
+    """k=256 bottom-k estimator: relative error ~1/sqrt(k) ≈ 6%;
+    assert within 20% on union=900, intersection=300, jaccard=1/3."""
+    from dbt_lakehouse_aws_spark.operators.sketches import (
+        kmv_pairwise_overlap,
+        kmv_sketch,
+    )
+
+    df = _kmv_fixture(spark)
+    sk = kmv_sketch(df, group_col="g", value_col="v", k=256, portable=True)
+    row = kmv_pairwise_overlap(sk, k=256).collect()[0]
+    assert row["group_a"] == "A" and row["group_b"] == "B"
+    assert abs(row["union_est"] - 900) / 900 < 0.20
+    assert abs(row["intersection_est"] - 300) / 300 < 0.35
+    assert abs(row["jaccard_est"] - 1 / 3) / (1 / 3) < 0.35
+
+
+def test_kmv_exhaustive_groups_are_exact(spark):
+    """Groups smaller than k: the sketch holds every distinct hash,
+    so union/intersection estimates are exact counts."""
+    from dbt_lakehouse_aws_spark.operators.sketches import (
+        kmv_pairwise_overlap,
+        kmv_sketch,
+    )
+
+    df = _kmv_fixture(spark, n_a=30, n_b=40, n_shared=10)
+    sk = kmv_sketch(df, group_col="g", value_col="v", k=256, portable=True)
+    row = kmv_pairwise_overlap(sk, k=256).collect()[0]
+    assert row["union_est"] == 60.0
+    assert row["intersection_est"] == 10.0
+    assert row["jaccard_est"] == round(10 / 60, 6)
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """The defining sketch property: bottom-k of (bottom-k(A) ∪
+    bottom-k(B)) == bottom-k of (A ∪ B) computed from raw data."""
+    from pyspark.sql import functions as F
+
+    from dbt_lakehouse_aws_spark.operators.sketches import kmv_sketch
+
+    df = _kmv_fixture(spark)
+    k = 64
+    sk = kmv_sketch(df, group_col="g", value_col="v", k=k, portable=True)
+    merged_from_sketches = sk.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))), 1, k
+        ).alias("kmv")
+    ).collect()[0]["kmv"]
+    raw_union = kmv_sketch(
+        df.withColumn("g", F.lit("all")), group_col="g", value_col="v", k=k, portable=True
+    ).collect()[0]["kmv"]
+    assert merged_from_sketches == raw_union
+
+
+def test_kmv_default_hash_mode_runs(spark):
+    """xxhash64 mode (production default) produces full-size sketches
+    and deterministic values across two runs."""
+    from dbt_lakehouse_aws_spark.operators.sketches import kmv_sketch
+
+    df = _kmv_fixture(spark)
+    a = kmv_sketch(df, group_col="g", value_col="v", k=32).collect()
+    b = kmv_sketch(df, group_col="g", value_col="v", k=32).collect()
+    assert sorted((r["group_key"], tuple(r["kmv"])) for r in a) == sorted(
+        (r["group_key"], tuple(r["kmv"])) for r in b
+    )
+    assert all(r["n_kept"] == 32 for r in a)
