@@ -191,6 +191,42 @@ def minhash_signatures(
     return mins.select(id_col, F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
+def banded_signatures(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+) -> DataFrame:
+    """(id, signature, band, bucket): each signature row exploded
+    onto its ``num_bands`` LSH keys, bucket = xxhash64 of the band's
+    signature slice. Shared by the one-shot pair join
+    (:func:`lsh_candidate_pairs`) and the persisted incremental index
+    (:mod:`~dbt_lakehouse_aws_spark.llmops.incremental_dedup`), so
+    both produce identical bucket keys for the same corpus."""
+    sig = signatures.select(F.col(id_col), "signature")
+    rows_per_band = (F.size("signature") / num_bands).cast("int")
+    return sig.select(
+        id_col,
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.xxhash64(
+                        F.slice("signature", bnd * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        id_col,
+        "signature",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -206,26 +242,7 @@ def lsh_candidate_pairs(
     occupancy, not corpus size. Estimated Jaccard = fraction of
     matching signature positions.
     """
-    sig = signatures.select(F.col(id_col), "signature")
-    rows_per_band = (F.size("signature") / num_bands).cast("int")
-    banded = (
-        sig.select(
-            id_col,
-            "signature",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                    lambda bnd: F.struct(
-                        bnd.alias("band"),
-                        F.xxhash64(
-                            F.slice("signature", bnd * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        )
-        .select(id_col, "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    )
+    banded = banded_signatures(signatures, id_col=id_col, num_bands=num_bands)
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"), "band", "bucket"
     )

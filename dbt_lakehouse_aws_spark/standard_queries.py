@@ -5186,6 +5186,123 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_sketch_rollup(ev, group_col="event_type", value_col="user_id")
 
 
+_INCREMENTAL_DEDUP_ORACLE = r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tokens) - 1),
+                                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS shingle
+      FROM toks WHERE len(tokens) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), jac_pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i) >= 0.5
+    ),
+    -- phase 1: dedup the even-id batch; its survivors form the index
+    e1 AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+      WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac_pairs
+      WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+    ), reach1(src, dst) AS (
+      SELECT a, b FROM e1
+      UNION
+      SELECT r.src, e.b FROM reach1 r JOIN e1 e ON r.dst = e.a
+    ), b1_surv AS (
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id % 2 = 0
+        AND NOT EXISTS (SELECT 1 FROM reach1
+                        WHERE reach1.src = d.doc_id AND reach1.dst < d.doc_id)
+    ),
+    -- phase 2a: odd-id docs matching an indexed survivor are history dups
+    hist AS (
+      SELECT x.doc_id, min(x.m) AS matched_id FROM (
+        SELECT doc_b AS doc_id, doc_a AS m FROM jac_pairs
+        WHERE doc_b % 2 = 1 AND doc_a IN (SELECT doc_id FROM b1_surv)
+        UNION ALL
+        SELECT doc_a AS doc_id, doc_b AS m FROM jac_pairs
+        WHERE doc_a % 2 = 1 AND doc_b IN (SELECT doc_id FROM b1_surv)
+      ) x GROUP BY x.doc_id
+    ),
+    fresh AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM hist)
+    ),
+    -- phase 2b: connected components among the remaining fresh docs
+    e2 AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+      WHERE doc_a IN (SELECT doc_id FROM fresh)
+        AND doc_b IN (SELECT doc_id FROM fresh)
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac_pairs
+      WHERE doc_a IN (SELECT doc_id FROM fresh)
+        AND doc_b IN (SELECT doc_id FROM fresh)
+    ), reach2(src, dst) AS (
+      SELECT a, b FROM e2
+      UNION
+      SELECT r.src, e.b FROM reach2 r JOIN e2 e ON r.dst = e.a
+    ), batch_dup AS (
+      SELECT src AS doc_id, min(dst) AS matched_id FROM reach2
+      GROUP BY src HAVING min(dst) < src
+    )
+    SELECT doc_id, 'history_dup' AS status, matched_id FROM hist
+    UNION ALL
+    SELECT doc_id, 'batch_dup' AS status, matched_id FROM batch_dup
+    UNION ALL
+    SELECT doc_id, 'survivor' AS status, CAST(NULL AS BIGINT) AS matched_id
+    FROM fresh WHERE doc_id NOT IN (SELECT doc_id FROM batch_dup)
+    ORDER BY doc_id
+    """
+
+
+@register("incremental_dedup_manifest", _INCREMENTAL_DEDUP_ORACLE)
+def incremental_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch dedup against a PERSISTED MinHash band index
+    (llmops/incremental_dedup.py): the even-id half of the corpus is
+    ingested first (seeding an ACID-backed LSH index), then the
+    odd-id half is deduped against that index + within itself.
+    Returns the second batch's outcome manifest — history_dup (with
+    the indexed doc matched), batch_dup (with its component
+    survivor), or survivor.
+
+    The oracle is GROUND TRUTH, not an LSH replay: exact 3-shingle
+    Jaccard >= 0.5 pairs + recursive-CTE components, phased exactly
+    like the ingest (batch-1 survivors form the index; history match
+    wins over batch match). A green row certifies end-to-end
+    recall/precision of the persisted-index path on this corpus."""
+    import tempfile
+
+    from dbt_lakehouse_aws_spark.llmops.incremental_dedup import MinHashDedupIndex
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = MinHashDedupIndex(
+        spark, tempfile.mkdtemp(prefix="mh_idx_"), est_threshold=0.5
+    )
+    idx.ingest_batch(d.filter(F.col("doc_id") % 2 == 0))
+    r = idx.ingest_batch(d.filter(F.col("doc_id") % 2 == 1))
+    hist = r.dup_of_history.select(
+        "doc_id", F.lit("history_dup").alias("status"), "matched_id"
+    )
+    bd = r.batch_dups.select(
+        "doc_id", F.lit("batch_dup").alias("status"), "matched_id"
+    )
+    sv = r.survivors.select(
+        "doc_id",
+        F.lit("survivor").alias("status"),
+        F.lit(None).cast("long").alias("matched_id"),
+    )
+    return hist.unionByName(bd).unionByName(sv).orderBy("doc_id")
+
+
 def _kmv_overlap_oracle(k: int = 64) -> str:
     """Exact SQL replay of the portable-hash KMV pipeline
     (operators/sketches.py): same md5-prefix custkey hashes, same
@@ -5689,6 +5806,7 @@ ROUND3_ROWS_ONLY = [
 #: rows-only siblings, then standing re-verifies.
 ROUND4_QUEUE = [
     "kmv_custkey_overlap_priority",  # registered after the r3 window froze
+    "incremental_dedup_manifest",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",
     "approx_distinct_users",

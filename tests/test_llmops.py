@@ -1162,3 +1162,87 @@ def test_video_decode_media_dispatch():
         strf_at = bytes(blob).index(b"strf") + 8
         struct.pack_into("<I", blob, strf_at + 16, 1)  # biCompression = BI_RLE8
         mm.decode_avi(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted MinHash index
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_two_batches(spark, tmp_path):
+    """Batch 1 seeds the index; batch 2's near/exact dups of batch-1
+    docs are rejected as history-dups, its internal dup collapses to
+    one survivor, and the index grows by batch-2 survivors only."""
+    from dbt_lakehouse_aws_spark.llmops.incremental_dedup import MinHashDedupIndex
+
+    idx = MinHashDedupIndex(
+        spark, str(tmp_path / "mh_index"), est_threshold=0.5
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text about spark engines here now"),
+        ],
+        "doc_id long, text string",
+    )
+    r1 = idx.ingest_batch(b1)
+    assert sorted(r["doc_id"] for r in r1.survivors.collect()) == [1, 3]
+    assert r1.dup_of_history.count() == 0
+    assert idx.index_size() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (11, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (12, "a genuinely new document on window aggregation"),
+            (13, "a genuinely new document on window aggregation"),  # batch-internal dup
+        ],
+        "doc_id long, text string",
+    )
+    r2 = idx.ingest_batch(b2)
+    hist = {r["doc_id"]: r["matched_id"] for r in r2.dup_of_history.collect()}
+    assert hist[10] == 1 and hist.get(11) == 1
+    surv = sorted(r["doc_id"] for r in r2.survivors.collect())
+    assert surv == [12]  # 13 folded into 12 inside the batch
+    assert idx.index_size() == 3
+    assert r2.index_version > r1.index_version
+
+
+def test_incremental_dedup_rejects_param_mismatch(spark, tmp_path):
+    from dbt_lakehouse_aws_spark.llmops.incremental_dedup import MinHashDedupIndex
+
+    path = str(tmp_path / "mh_index2")
+    idx = MinHashDedupIndex(spark, path, num_hashes=32, num_bands=8)
+    idx.ingest_batch(
+        spark.createDataFrame(
+            [(1, "some text here for the index seed words")],
+            "doc_id long, text string",
+        )
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        MinHashDedupIndex(spark, path, num_hashes=32, num_bands=4)
+
+
+def test_incremental_dedup_snapshot_isolation(spark, tmp_path):
+    """A reader pinned to the pre-batch index version never sees the
+    new batch's rows — the property that lets audits replay exactly
+    what any historical batch was deduped against."""
+    from dbt_lakehouse_aws_spark.llmops.incremental_dedup import MinHashDedupIndex
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    path = str(tmp_path / "mh_index3")
+    idx = MinHashDedupIndex(spark, path)
+    r1 = idx.ingest_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+    )
+    idx.ingest_batch(
+        spark.createDataFrame(
+            [(2, "one two three four five six seven eight nine ten")],
+            "doc_id long, text string",
+        )
+    )
+    pinned = AcidTable(spark, path).read(r1.index_version)
+    assert [r["doc_id"] for r in pinned.select("doc_id").distinct().collect()] == [1]
