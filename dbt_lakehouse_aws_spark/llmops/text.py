@@ -338,3 +338,75 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = ("the", "a", "and", "of", "to"),
+) -> DataFrame:
+    """Gopher-style quality rule bundle (Rae et al. 2021 §A.1.1) with
+    per-rule diagnostics: each rule lands as its own 0/1 column plus
+    an overall ``passes_all``, so corpus curation can report WHICH
+    rule rejected how many documents (the per-rule breakdown is the
+    operational artifact; a bare boolean filter hides the reasons).
+
+    Rules: word-count bounds; mean-word-length bounds; symbol-to-word
+    ratio ('#' and '...'); fraction of words containing an alphabetic
+    character; distinct-stopword presence. Defaults are the published
+    thresholds; callers tune per corpus.
+
+    Every expression is a built-in string/array function (split,
+    replace-count trick for symbols, lambda filter for alpha words) —
+    JVM codegen throughout, one pass, no UDFs, and deliberately
+    portable so an external SQL engine can replay the exact flags.
+    """
+    t = F.col(text_col)
+    w = F.split(t, " ")
+    n_words = F.size(w)
+    mean_wlen = F.length(F.regexp_replace(t, " ", "")).cast("double") / n_words
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    alpha_ratio = (
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / n_words
+    )
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    stop_hits = None
+    for s in stopwords:
+        hit = F.when(padded.like(f"% {s} %"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    out = df.withColumns(
+        {
+            "r_word_count": flag((n_words >= min_words) & (n_words <= max_words)),
+            "r_mean_word_len": flag(
+                (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len)
+            ),
+            "r_symbol_ratio": flag(symbol_ratio <= max_symbol_ratio),
+            "r_alpha_words": flag(alpha_ratio >= min_alpha_word_ratio),
+            "r_stopwords": flag(stop_hits >= min_stopword_hits),
+        }
+    )
+    rules = [
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_alpha_words",
+        "r_stopwords",
+    ]
+    passes = None
+    for r in rules:
+        c = F.col(r) == 1
+        passes = c if passes is None else (passes & c)
+    return out.withColumn("passes_all", F.when(passes, 1).otherwise(0).cast("long"))

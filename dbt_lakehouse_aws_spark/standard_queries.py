@@ -5186,6 +5186,62 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_sketch_rollup(ev, group_col="event_type", value_col="user_id")
 
 
+@register(
+    "gopher_quality_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+    ), c AS (
+      SELECT doc_id,
+             len(words) AS nw,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words) AS mwl,
+             CAST((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) / 3
+                  AS DOUBLE) / len(words) AS sym,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE) / len(words) AS alpha,
+             (CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || text || ' ' LIKE '% a %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || text || ' ' LIKE '% to %' THEN 1 ELSE 0 END) AS stops
+      FROM w
+    ), f AS (
+      SELECT doc_id,
+             CAST(CASE WHEN nw >= 30 AND nw <= 90 THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+             CAST(CASE WHEN mwl >= 4.35 AND mwl <= 4.65 THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
+             CAST(CASE WHEN sym <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS r_symbol_ratio,
+             CAST(CASE WHEN alpha >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha_words,
+             CAST(CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords
+      FROM c
+    )
+    SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio,
+           r_alpha_words, r_stopwords,
+           CAST(CASE WHEN r_word_count = 1 AND r_mean_word_len = 1
+                      AND r_symbol_ratio = 1 AND r_alpha_words = 1
+                      AND r_stopwords = 1 THEN 1 ELSE 0 END AS BIGINT) AS passes_all
+    FROM f
+    """,
+)
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (llmops/text.py::gopher_quality_flags)
+    with per-rule 0/1 diagnostics + overall pass flag, thresholds
+    tuned so every data-dependent rule rejects a real fraction of
+    this corpus (word count 351/500 pass, mean word length 290/500,
+    stopwords 317/500 at sf0.01) — the driver verifies both branches
+    of each rule, not a constant column."""
+    from dbt_lakehouse_aws_spark.llmops.text import gopher_quality_flags
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_flags(
+        d,
+        min_words=30,
+        max_words=90,
+        min_mean_word_len=4.35,
+        max_mean_word_len=4.65,
+    ).drop("text")
+
+
 _INCREMENTAL_DEDUP_ORACLE = r"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
@@ -5807,6 +5863,7 @@ ROUND3_ROWS_ONLY = [
 ROUND4_QUEUE = [
     "kmv_custkey_overlap_priority",  # registered after the r3 window froze
     "incremental_dedup_manifest",  # registered after the r3 window froze
+    "gopher_quality_docs",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",
     "approx_distinct_users",

@@ -1246,3 +1246,29 @@ def test_incremental_dedup_snapshot_isolation(spark, tmp_path):
     )
     pinned = AcidTable(spark, path).read(r1.index_version)
     assert [r["doc_id"] for r in pinned.select("doc_id").distinct().collect()] == [1]
+
+
+def test_gopher_quality_flags_each_rule(spark):
+    """Synthetic docs violating exactly one rule each; defaults are
+    the published Gopher thresholds."""
+    from dbt_lakehouse_aws_spark.llmops.text import gopher_quality_flags
+
+    good = " ".join(["the quick brown fox and lazy dog trot home"] * 7)  # 63 words
+    rows = [
+        (1, good),
+        (2, "too short the a"),  # word count
+        (3, " ".join(["supercalifragilistic"] * 60) + " the a of"),  # mean word len
+        (4, " ".join(["#"] * 30) + " " + good),  # symbol ratio + alpha below
+        (5, " ".join(["123", "456"] * 40) + " the a of and to"),  # alpha words
+        (6, " ".join(["zebra quartz vivid jumps"] * 15)),  # no stopwords
+    ]
+    out = gopher_quality_flags(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    r = {row["doc_id"]: row for row in out.collect()}
+    assert r[1]["passes_all"] == 1
+    assert r[2]["r_word_count"] == 0 and r[2]["passes_all"] == 0
+    assert r[3]["r_mean_word_len"] == 0
+    assert r[4]["r_symbol_ratio"] == 0
+    assert r[5]["r_alpha_words"] == 0
+    assert r[6]["r_stopwords"] == 0 and r[6]["r_word_count"] == 1
