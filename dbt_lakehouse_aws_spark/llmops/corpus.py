@@ -233,3 +233,49 @@ def weighted_sample(
         .orderBy(F.desc("_es_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def group_split(
+    df: DataFrame,
+    *,
+    group_col: str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the GROUP key (site, author, source document), so
+    every row of a group lands in the same split — near-duplicate or
+    derived rows can never straddle the train/eval boundary, the
+    standard contamination guard for model training corpora.
+
+    The group hash is the portable 60-bit md5 prefix (shared with
+    dedup's oracle mode) scaled to [0, 1) and cut at the cumulative
+    split weights — deterministic across runs, engines, partition
+    layouts, and cluster sizes, and replayable by an external SQL
+    engine for audit. Plans as one codegen'd projection: no shuffle,
+    no join, no state; adding the column to 100 TB costs one scan.
+
+    ``salt`` versions the assignment: changing it reshuffles every
+    group (e.g. for a fresh fold), keeping it pins membership forever.
+    """
+    weights = [w for _, w in splits]
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {sum(weights)}")
+    from dbt_lakehouse_aws_spark.llmops.dedup import _portable_hash60
+
+    u = _portable_hash60(
+        F.concat(F.lit(salt + ":"), F.col(group_col).cast("string"))
+    ).cast("double") / float(1 << 60)
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

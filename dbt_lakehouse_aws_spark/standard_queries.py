@@ -5187,6 +5187,36 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "group_split_docs",
+    f"""
+    WITH u AS (
+      SELECT doc_id, source,
+             CAST(CAST('0x' || substr(md5('split-v1:' || source), 1, 15) AS BIGINT)
+                  AS DOUBLE) / {float(1 << 60)!r} AS uh
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN uh < {0.8!r} THEN 'train'
+                WHEN uh < {0.8 + 0.1!r} THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def group_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment keyed on the GROUP
+    (source site), so derived/near-dup rows can never straddle the
+    train-eval boundary (llmops/corpus.py::group_split). Pure
+    projection — no shuffle — and the oracle replays the md5-prefix
+    hash, the [0,1) scaling, and the exact float breakpoints
+    (including 0.8+0.1's last-ulp) bit-identically; all three splits
+    are populated at sf0.01."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import group_split
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_split(d, group_col="source")
+
+
+@register(
     "gopher_quality_docs",
     """
     WITH w AS (
@@ -5864,6 +5894,7 @@ ROUND4_QUEUE = [
     "kmv_custkey_overlap_priority",  # registered after the r3 window froze
     "incremental_dedup_manifest",  # registered after the r3 window froze
     "gopher_quality_docs",  # registered after the r3 window froze
+    "group_split_docs",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",
     "approx_distinct_users",

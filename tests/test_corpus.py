@@ -81,3 +81,30 @@ def test_sample_by_rates_per_stratum_and_nested(spark):
     a = {r["doc_id"] for r in got.collect()}
     b = {r["doc_id"] for r in more.collect()}
     assert a < b
+
+
+def test_group_split_no_leakage_and_determinism(spark):
+    """Every row of a group shares one split; assignment is stable
+    across runs; weights must sum to 1."""
+    import pytest
+
+    from dbt_lakehouse_aws_spark.llmops.corpus import group_split
+
+    rows = [(i, f"site{i % 37}") for i in range(600)]
+    df = spark.createDataFrame(rows, "row_id long, site string")
+    out = group_split(df, group_col="site")
+    per_group = (
+        out.groupBy("site").agg(F.countDistinct("split").alias("n")).collect()
+    )
+    assert all(r["n"] == 1 for r in per_group)
+    again = {(r["row_id"], r["split"]) for r in group_split(df, group_col="site").collect()}
+    assert again == {(r["row_id"], r["split"]) for r in out.collect()}
+    splits = {r["split"] for r in out.collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    with pytest.raises(ValueError, match="sum to 1"):
+        group_split(df, group_col="site", splits=(("a", 0.5), ("b", 0.4)))
+    # a different salt re-deals groups
+    resalted = group_split(df, group_col="site", salt="split-v2")
+    pairs_a = {(r["site"], r["split"]) for r in out.select("site", "split").distinct().collect()}
+    pairs_b = {(r["site"], r["split"]) for r in resalted.select("site", "split").distinct().collect()}
+    assert pairs_a != pairs_b
