@@ -5186,6 +5186,23 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_sketch_rollup(ev, group_col="event_type", value_col="user_id")
 
 
+@register("pq_topk_rerank")  # rows-only: PQ codebooks are k-means-trained
+def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou TPAMI'11) with exact-cosine
+    rerank of the ADC shortlist (llmops/similarity.py::pq_search):
+    the corpus is stored as m small centroid ids (32× compression at
+    d=64/m=8), query-time scoring is m table lookups per vector, and
+    the rerank pass restores recall with one narrow exact pass.
+    Approximate by design (k-means codebooks) → rows-only here;
+    recall vs brute force and twin-ranking are pytest-asserted."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import pq_search
+
+    e = T(spark, sf_dir, "embeddings")
+    return pq_search(
+        e, list(range(10)), k=5, n_subspaces=8, n_codes=16, rerank=25
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 @register(
     "group_split_docs",
     f"""
@@ -5895,6 +5912,7 @@ ROUND4_QUEUE = [
     "incremental_dedup_manifest",  # registered after the r3 window froze
     "gopher_quality_docs",  # registered after the r3 window froze
     "group_split_docs",  # registered after the r3 window froze
+    "pq_topk_rerank",  # registered after the r3 window froze (rows-only)
     "pca_project_embeddings",
     "kmeans_cluster_sizes",
     "approx_distinct_users",

@@ -1272,3 +1272,57 @@ def test_gopher_quality_flags_each_rule(spark):
     assert r[4]["r_symbol_ratio"] == 0
     assert r[5]["r_alpha_words"] == 0
     assert r[6]["r_stopwords"] == 0 and r[6]["r_word_count"] == 1
+
+
+def test_pq_encode_shape_and_compression(spark):
+    """Codes are m ids in [0, n_codes); identical vectors get
+    identical codes."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=32).tolist()) for i in range(300)]
+    rows.append((300, rows[0][1]))  # exact dup of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq_codebooks(df, n_subspaces=4, n_codes=8)
+    assert books.shape == (4, 8, 8)
+    enc = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, books).collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in enc.values())
+    assert enc[0] == enc[300]
+
+
+def test_pq_search_recall_with_rerank(spark):
+    """PQ ADC shortlist + exact rerank recovers most of brute-force
+    top-5 on clustered data."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import cosine_topk, pq_search
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(4, 32)) * 5
+    rows = []
+    for i in range(240):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.normal(size=32) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 1, 2, 3]
+    exact = cosine_topk(df, qids, id_col="vec_id", vec_col="embedding", k=5)
+    approx = pq_search(df, qids, k=5, n_subspaces=4, n_codes=16, rerank=25)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.8, len(e & a) / len(e)
+
+
+def test_pq_search_plain_adc_orders_close_neighbors_first(spark):
+    """Without rerank, a vector's planted twin must rank 1 by ADC
+    distance (its code is identical → distance equals the query's
+    own quantization error, minimal)."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import pq_search
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(size=32).tolist()) for i in range(150)]
+    rows.append((150, rows[0][1]))  # twin of 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_search(df, [0], k=3, n_subspaces=4, n_codes=16)
+    top = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert top[0] == 150
