@@ -113,6 +113,12 @@ HEADLINE = [
     "gapfill_daily_events",
     "dq_orders_checks",
     "kmeans_orders_wellsep",
+    # round-3 late additions (new operators this round)
+    "kmv_custkey_overlap_priority",
+    "incremental_dedup_manifest",
+    "gopher_quality_docs",
+    "group_split_docs",
+    "pq_topk_rerank",
 ]
 
 

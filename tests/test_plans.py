@@ -352,3 +352,33 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, queries):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_group_split_is_pure_projection(spark, sf_dir, queries):
+    """Leakage-safe split must add zero exchanges and stay JVM-side —
+    it is one hash + one CASE over the scan."""
+    p = plan(queries["group_split_docs"](spark, sf_dir))
+    tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") == 0
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_gopher_quality_single_pass_no_shuffle(spark, sf_dir, queries):
+    """All five rules compute in one projection over one scan."""
+    p = plan(queries["gopher_quality_docs"](spark, sf_dir))
+    tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") == 0
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_kmv_sketch_bounded_exchanges(spark, sf_dir, queries):
+    """KMV build = (group, hash) distinct + per-group bottom-k +
+    collect; the pair stage joins the tiny sketch table. Budget: the
+    distinct's exchange, the group window/agg exchange, and the
+    sketch-table self-join's (broadcast or tiny hash) — no
+    SinglePartition funnel anywhere."""
+    p = plan(queries["kmv_custkey_overlap_priority"](spark, sf_dir))
+    tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert "SinglePartition" not in tree
+    assert tree.count("Exchange") <= 6
+    assert "BatchEvalPython" not in p
