@@ -279,3 +279,53 @@ def group_split(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    budget_rows: int = 100_000,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing (the multilingual-LM α-sampling
+    recipe, mT5/XLM-R): stratum ``l`` holding share ``p_l`` of the
+    corpus is sampled with probability ``∝ p_l^α``, flattening the
+    head languages and boosting the tail, scaled so the EXPECTED kept
+    rows equal ``budget_rows``. Rates clamp at 1 — no upsampling; a
+    tail stratum whose boost exceeds 1 contributes all its rows and
+    the realized total undershoots accordingly (documented, exact).
+
+    Plan: one tiny per-stratum count aggregate, rate arithmetic on
+    that |strata|-row frame (window-summed normalizer), a broadcast
+    join of the rates, and the same Knuth-hash Bernoulli filter as
+    :func:`deterministic_sample` — deterministic across runs,
+    engines, and partition layouts. Rates are rounded to 12 dp before
+    the hash comparison so cross-engine double summation-order noise
+    in the normalizer cannot flip a boundary row.
+    """
+    n_str = F.col(stratum_col)
+    counts = df.groupBy(n_str.alias("_s")).agg(F.count(F.lit(1)).alias("_c"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    q = F.pow(F.col("_c").cast("double") / F.sum("_c").over(wall), float(alpha))
+    rates = counts.withColumn("_q", q).withColumn(
+        "keep_rate",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_rows))
+                * F.col("_q")
+                / (F.sum("_q").over(wall) * F.col("_c").cast("double")),
+            ),
+            12,
+        ),
+    )
+    joined = df.join(
+        F.broadcast(rates.select(F.col("_s").alias(stratum_col), "keep_rate")),
+        stratum_col,
+    )
+    return joined.filter(
+        portable_hash(F.col(id_col)).cast("double")
+        < F.col("keep_rate") * F.lit(float(MERSENNE31))
+    ).drop("keep_rate")

@@ -5186,6 +5186,46 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_sketch_rollup(ev, group_col="event_type", value_col="user_id")
 
 
+@register(
+    "temperature_mix_docs",
+    """
+    WITH c AS (SELECT lang AS s, count(*) AS c FROM documents GROUP BY 1),
+    r AS (
+      SELECT s, c,
+             power(CAST(c AS DOUBLE) / (SELECT sum(c) FROM c), 0.5) AS q
+      FROM c
+    ),
+    rr AS (
+      SELECT s,
+             round(least(1.0,
+                         300.0 * q / ((SELECT sum(q) FROM r) * CAST(c AS DOUBLE))),
+                   12) AS keep_rate
+      FROM r
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN rr ON rr.s = d.lang
+    WHERE CAST(((d.doc_id % 2147483647) * 506952114) % 2147483647 AS DOUBLE)
+          < rr.keep_rate * 2147483647.0
+    """,
+)
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mixing (mT5/XLM-R α-sampling,
+    llmops/corpus.py::temperature_mix): per-language keep rates
+    ∝ share^0.5 normalized to a 300-row expected budget, applied as
+    the deterministic Knuth-hash Bernoulli filter. The oracle replays
+    the count aggregate, the power/normalizer arithmetic (rates
+    rounded to 12 dp so summation-order noise can't flip a boundary
+    row), and the hash threshold exactly. At sf0.001 the boosted tail
+    rates clamp at 1 — the pytest replica exercises the clamp branch,
+    the sf0.01 driver row the proportional branch."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import temperature_mix
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(
+        d, stratum_col="lang", id_col="doc_id", alpha=0.5, budget_rows=300
+    )
+
+
 @register("pq_topk_rerank")  # rows-only: PQ codebooks are k-means-trained
 def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou TPAMI'11) with exact-cosine
@@ -5913,6 +5953,7 @@ ROUND4_QUEUE = [
     "gopher_quality_docs",  # registered after the r3 window froze
     "group_split_docs",  # registered after the r3 window froze
     "pq_topk_rerank",  # registered after the r3 window froze (rows-only)
+    "temperature_mix_docs",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",
     "approx_distinct_users",

@@ -108,3 +108,40 @@ def test_group_split_no_leakage_and_determinism(spark):
     pairs_a = {(r["site"], r["split"]) for r in out.select("site", "split").distinct().collect()}
     pairs_b = {(r["site"], r["split"]) for r in resalted.select("site", "split").distinct().collect()}
     assert pairs_a != pairs_b
+
+
+def test_temperature_mix_flattens_and_meets_budget(spark):
+    """α<1 boosts the tail stratum's keep-rate above the head's;
+    expected kept ≈ budget; α=1 reduces to proportional sampling;
+    oversized budgets clamp rates at 1 (keep everything)."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import temperature_mix
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(
+        df, stratum_col="lang", id_col="doc_id", alpha=0.5, budget_rows=400
+    )
+    got = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    total = sum(by.values())
+    assert abs(total - 400) / 400 < 0.2, by
+    # α=0.5 boost: tail share 0.1 → q .316 vs head .949; tail keep-rate
+    # ≈ 3× its proportional share, so tail kept count must exceed
+    # proportional (400 * 0.1 = 40) clearly
+    assert by["tail"] > 60, by
+    # clamp: budget larger than corpus keeps every row
+    assert (
+        temperature_mix(
+            df, stratum_col="lang", id_col="doc_id", alpha=0.5, budget_rows=10_000
+        ).count()
+        == 1000
+    )
+    # determinism
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_mix(
+            df, stratum_col="lang", id_col="doc_id", alpha=0.5, budget_rows=400
+        ).collect()
+    }
+    assert a == b
