@@ -307,16 +307,23 @@ def temperature_mix(
     """
     n_str = F.col(stratum_col)
     counts = df.groupBy(n_str.alias("_s")).agg(F.count(F.lit(1)).alias("_c"))
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    q = F.pow(F.col("_c").cast("double") / F.sum("_c").over(wall), float(alpha))
-    rates = counts.withColumn("_q", q).withColumn(
+    # normalizers via scalar aggregates + 1-row broadcast cross joins
+    # (the J5 pattern) — an unpartitioned window here would plan a
+    # SinglePartition funnel the plan linter rightly rejects, even
+    # though this frame is only |strata| rows
+    total_c = counts.agg(F.sum("_c").alias("_n"))
+    with_q = counts.crossJoin(F.broadcast(total_c)).withColumn(
+        "_q", F.pow(F.col("_c").cast("double") / F.col("_n"), float(alpha))
+    )
+    total_q = with_q.agg(F.sum("_q").alias("_z"))
+    rates = with_q.crossJoin(F.broadcast(total_q)).withColumn(
         "keep_rate",
         F.round(
             F.least(
                 F.lit(1.0),
                 F.lit(float(budget_rows))
                 * F.col("_q")
-                / (F.sum("_q").over(wall) * F.col("_c").cast("double")),
+                / (F.col("_z") * F.col("_c").cast("double")),
             ),
             12,
         ),

@@ -153,9 +153,19 @@ class MinHashDedupIndex:
 
         if self.exists():
             idx = self._table.read()
+            # scale lever: the batch's distinct (band, bucket) keys are
+            # bounded by batch size — broadcast them and semi-prune the
+            # index BEFORE the equi-join, so only the index rows that
+            # actually collide with this batch enter the shuffle (the
+            # full index is scanned once but never moved; collisions
+            # are sparse by LSH design).
+            batch_keys = banded_new.select("band", "bucket").distinct()
+            idx_pruned = idx.join(
+                F.broadcast(batch_keys), ["band", "bucket"], "left_semi"
+            )
             hist = (
                 banded_new.alias("n")
-                .join(idx.alias("i"), ["band", "bucket"])
+                .join(idx_pruned.alias("i"), ["band", "bucket"])
                 .filter(F.col(f"n.{self.id_col}") != F.col(f"i.{self.id_col}"))
             )
             est = (
