@@ -34,11 +34,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each oracle-checkable
-    query. 8 of 146 registrations are omitted → rows-only check, each
+    query. 9 of 155 registrations are omitted → rows-only check, each
     with a measured justification in its docstring (HLL sketches are
-    approximate by design; BPE and the embeddings PCA/k-means/IVF/
-    SemDeDup queries are iterative on near-degenerate spectra — their
-    ALGORITHMS are value-oracled via well-conditioned twin queries
-    `pca_orders_features` / `kmeans_orders_wellsep`, and MinHash/
-    SimHash/sign-LSH run fully value-oracled via portable hashing)."""
+    approximate by design; BPE, product-quantization ANN, and the
+    embeddings PCA/k-means/IVF/SemDeDup queries are trained/iterative
+    — their ALGORITHMS are value-oracled via well-conditioned twin
+    queries `pca_orders_features` / `kmeans_orders_wellsep` or
+    recall-asserted in pytest, and MinHash/SimHash/sign-LSH/KMV run
+    fully value-oracled via portable hashing)."""
     return SQ.all_oracles()

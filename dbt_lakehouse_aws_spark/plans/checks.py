@@ -174,3 +174,44 @@ def run_checks(
 class CheckFailure(AssertionError):
     """Raised by ModelGraph when a declared check fails (dbt-build
     semantics: bad data stops the DAG before downstream reads it)."""
+
+
+def freshness_report(
+    df: DataFrame,
+    *,
+    loaded_at_col: str,
+    as_of: str,
+    warn_after_hours: float,
+    error_after_hours: float,
+    group_col: str | None = None,
+) -> DataFrame:
+    """dbt ``source freshness`` semantics: how stale is the newest
+    row, overall or per group (per partition/feed), against warn /
+    error SLAs.
+
+    ``as_of`` is an EXPLICIT timestamp literal, not wall-clock —
+    freshness evaluated in a plan must be reproducible (reruns,
+    backfills, oracles); the orchestrator passes its own now().
+
+    One max() aggregate per group — shuffle O(groups), no row
+    materialization, same scale shape as the other checks. Returns
+    (group?, max_loaded_at, hours_stale, status) with status in
+    pass | warn | error, and NULL max_loaded_at (empty group set →
+    no rows at all) reported as error.
+    """
+    if error_after_hours < warn_after_hours:
+        raise ValueError("error_after_hours must be >= warn_after_hours")
+    keys = [group_col] if group_col else []
+    agg = df.groupBy(*keys).agg(F.max(loaded_at_col).alias("max_loaded_at"))
+    hours = (
+        F.unix_timestamp(F.lit(as_of).cast("timestamp"))
+        - F.unix_timestamp("max_loaded_at")
+    ).cast("double") / 3600.0
+    out = agg.withColumn("hours_stale", F.round(hours, 4)).withColumn(
+        "status",
+        F.when(F.col("hours_stale").isNull(), "error")
+        .when(F.col("hours_stale") > error_after_hours, "error")
+        .when(F.col("hours_stale") > warn_after_hours, "warn")
+        .otherwise("pass"),
+    )
+    return out.orderBy(*keys) if keys else out

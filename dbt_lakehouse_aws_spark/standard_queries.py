@@ -5187,6 +5187,92 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "freshness_events_by_type",
+    """
+    WITH m AS (
+      SELECT event_type, max(ts) AS max_loaded_at FROM events GROUP BY event_type
+    ), h AS (
+      SELECT event_type, max_loaded_at,
+             round(CAST(epoch(TIMESTAMP '2024-01-31 00:00:00')
+                        - floor(epoch(max_loaded_at)) AS DOUBLE) / 3600.0,
+                   4) AS hours_stale
+      FROM m
+    )
+    SELECT event_type, max_loaded_at, hours_stale,
+           CASE WHEN hours_stale IS NULL THEN 'error'
+                WHEN hours_stale > 0.5 THEN 'error'
+                WHEN hours_stale > 0.3 THEN 'warn'
+                ELSE 'pass' END AS status
+    FROM h ORDER BY event_type
+    """,
+)
+def freshness_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `source freshness` semantics per feed
+    (plans/checks.py::freshness_report): newest row per event type vs
+    warn/error staleness SLAs against an EXPLICIT as-of timestamp
+    (reproducible in reruns/backfills — the orchestrator passes its
+    now()). Thresholds tuned so sf0.01 exercises all three statuses
+    (view=pass, click=warn, signup/purchase/error=error). Both sides
+    truncate to whole epoch seconds before the hour arithmetic."""
+    from dbt_lakehouse_aws_spark.plans.checks import freshness_report
+
+    ev = T(spark, sf_dir, "events")
+    return freshness_report(
+        ev,
+        loaded_at_col="ts",
+        as_of="2024-01-31 00:00:00",
+        warn_after_hours=0.3,
+        error_after_hours=0.5,
+        group_col="event_type",
+    )
+
+
+@register(
+    "salted_join_events",
+    """
+    WITH dim AS (
+      SELECT user_id, count(*) AS n_events,
+             round(sum(value), 4) AS user_total
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           count(*) AS n_rows,
+           CAST(sum(d.n_events) AS BIGINT) AS sum_user_events,
+           round(sum(e.value * d.user_total), 2) AS weighted_value
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY e.event_type
+    """,
+)
+def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted equi-join (operators/skew.py::salted_join)
+    verified for CORRECTNESS-NEUTRALITY: the oracle is the PLAIN SQL
+    join + aggregate, so a green row proves salting (probe-side salt
+    from event_id, build side replicated 8x, join on (key, salt))
+    changes the plan's skew profile without changing a single result
+    row. This is the large-large hot-key join shape where neither
+    side broadcasts and one user dominates the key distribution."""
+    from dbt_lakehouse_aws_spark.operators.skew import salted_join
+
+    ev = T(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("user_total"),
+    )
+    joined = salted_join(
+        ev.select("event_id", "user_id", "event_type", "value"),
+        dim,
+        ["user_id"],
+        num_salts=8,
+        salt_on=F.col("event_id"),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_events").cast("long").alias("sum_user_events"),
+        F.round(F.sum(F.col("value") * F.col("user_total")), 2).alias("weighted_value"),
+    )
+
+
+@register(
     "temperature_mix_docs",
     """
     WITH c AS (SELECT lang AS s, count(*) AS c FROM documents GROUP BY 1),
@@ -5954,6 +6040,8 @@ ROUND4_QUEUE = [
     "group_split_docs",  # registered after the r3 window froze
     "pq_topk_rerank",  # registered after the r3 window froze (rows-only)
     "temperature_mix_docs",  # registered after the r3 window froze
+    "salted_join_events",  # registered after the r3 window froze
+    "freshness_events_by_type",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",
     "approx_distinct_users",

@@ -50,22 +50,17 @@ def make_batch(b: int):
         "id", "doc_id"
     )
     # 40 pseudo-random words per doc, seeded by doc id arithmetic
-    # word index mixes doc_id at two scales so texts are unique
-    # across the whole run (id*(2i+3) alone would repeat mod 512)
+    # properly pseudorandom words (xxhash64 of (doc_id, position)):
+    # accidental cross-doc near-dups are statistically negligible
+    # (E[intersection] of two 40-word draws from 512 ~ 3 words)
     txt = F.concat_ws(
         " ",
         *[
             F.element_at(
                 F.array(*[F.lit(w) for w in words]),
-                (
-                    F.pmod(
-                        F.col("doc_id") * (i * 2 + 3)
-                        + (F.col("doc_id") / 512).cast("long") * (i * 5 + 1)
-                        + i,
-                        F.lit(512),
-                    )
-                    + 1
-                ).cast("int"),
+                (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(512)) + 1).cast(
+                    "int"
+                ),
             )
             for i in range(40)
         ],
@@ -81,15 +76,7 @@ def make_batch(b: int):
         *[
             F.element_at(
                 F.array(*[F.lit(w) for w in words]),
-                (
-                    F.pmod(
-                        prev_id * (i * 2 + 3)
-                        + (prev_id / 512).cast("long") * (i * 5 + 1)
-                        + i,
-                        F.lit(512),
-                    )
-                    + 1
-                ).cast("int"),
+                (F.pmod(F.xxhash64(prev_id, F.lit(i)), F.lit(512)) + 1).cast("int"),
             )
             for i in range(40)
         ],

@@ -295,3 +295,52 @@ def test_manifest_structure_and_schemas(spark, tmp_path):
 
     p = write_manifest(str(tmp_path / "docs" / "manifest.json"), g, frames=frames)
     assert json.load(open(p))["nodes"]["mart"]["fan_out"] == 0
+
+
+def test_freshness_report_statuses_and_validation(spark):
+    """pass/warn/error per group against an explicit as-of; inverted
+    thresholds rejected; the hour arithmetic truncates to whole
+    seconds (dbt source-freshness semantics)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbt_lakehouse_aws_spark.plans.checks import freshness_report
+
+    rows = [
+        ("fresh", "2024-01-31 23:30:00"),
+        ("fresh", "2024-01-30 00:00:00"),   # older row must not matter
+        ("warned", "2024-01-31 20:00:00"),
+        ("stale", "2024-01-29 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "feed string, loaded string").withColumn(
+        "loaded", F.col("loaded").cast("timestamp")
+    )
+    out = freshness_report(
+        df,
+        loaded_at_col="loaded",
+        as_of="2024-02-01 00:00:00",
+        warn_after_hours=1.0,
+        error_after_hours=24.0,
+        group_col="feed",
+    )
+    got = {r["feed"]: (r["status"], r["hours_stale"]) for r in out.collect()}
+    assert got["fresh"] == ("pass", 0.5)
+    assert got["warned"] == ("warn", 4.0)
+    assert got["stale"] == ("error", 72.0)
+    with pytest.raises(ValueError, match="error_after_hours"):
+        freshness_report(
+            df,
+            loaded_at_col="loaded",
+            as_of="2024-02-01 00:00:00",
+            warn_after_hours=5.0,
+            error_after_hours=1.0,
+        )
+    # ungrouped: one row, newest overall wins
+    one = freshness_report(
+        df,
+        loaded_at_col="loaded",
+        as_of="2024-02-01 00:00:00",
+        warn_after_hours=1.0,
+        error_after_hours=24.0,
+    ).collect()
+    assert len(one) == 1 and one[0]["status"] == "pass"
