@@ -707,3 +707,65 @@ def stream_with_checks(
             sink(batch)
 
     return stream_df.writeStream.foreachBatch(process)
+
+
+def stream_dedup_into_index(
+    stream: DataFrame,
+    *,
+    index_path: str,
+    survivors_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_threshold: float = 0.5,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+):
+    """Streaming corpus ingestion with dedup-against-history: each
+    micro-batch runs through
+    :class:`~dbt_lakehouse_aws_spark.llmops.incremental_dedup.MinHashDedupIndex`
+    — new docs are checked against every previously accepted doc via
+    the persisted LSH band index, batch-internal dups collapse to one
+    survivor, and the survivors land in their own ACID table, all
+    before downstream consumers see a row. This is the landing-zone
+    shape a continuously-crawled corpus needs: quarantine-by-dedup at
+    ingest time instead of corpus-wide rescans later.
+
+    Crash safety: Spark's checkpoint replays an unacknowledged batch;
+    both writes are ACID commits, and re-running a batch re-matches
+    the same dups (its survivors are already indexed, so replayed
+    docs dedup against *themselves* — re-appending band rows for an
+    already-indexed doc_id is harmless for candidate generation,
+    dup-of-self pairs are filtered by ``id != id``, and the survivors
+    table merge is keyed so rows don't duplicate).
+    """
+    from dbt_lakehouse_aws_spark.llmops.incremental_dedup import MinHashDedupIndex
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    def dedup_batch(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        idx = MinHashDedupIndex(
+            spark,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            est_threshold=est_threshold,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+        )
+        result = idx.ingest_batch(batch.localCheckpoint(eager=True))
+        out = AcidTable(spark, survivors_path)
+        survivors = result.survivors
+        if out.exists():
+            out.merge(survivors, [id_col])
+        else:
+            out.write(survivors)
+
+    return (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -613,3 +613,60 @@ def test_stream_with_checks_quarantines_failing_batches(spark, tmp_path):
            for r in spark.read.parquet(str(quarantine / "report")).collect()
            if not r["passed"]}
     assert rep == {"not_null": 1, "unique": 2}
+
+
+def test_stream_dedup_into_index(spark, tmp_path):
+    """Two landed micro-batches: batch-2 docs that near/exact-dup
+    batch-1 content never reach the survivors table; the persisted
+    index carries both batches' survivors."""
+    import json as _json
+
+    from dbt_lakehouse_aws_spark.llmops.incremental_dedup import MinHashDedupIndex
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_dedup_into_index
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    idx_path = str(tmp_path / "index")
+    surv_path = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def land(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = stream_dedup_into_index(
+            stream,
+            index_path=idx_path,
+            survivors_path=surv_path,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    land(
+        "b1.json",
+        [
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+            {"doc_id": 2, "text": "completely different text about spark engines here now"},
+        ],
+    )
+    run()
+    surv = {r["doc_id"] for r in AcidTable(spark, surv_path).read().collect()}
+    assert surv == {1, 2}
+
+    land(
+        "b2.json",
+        [
+            {"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog"},
+            {"doc_id": 11, "text": "a genuinely new document on window aggregation"},
+        ],
+    )
+    run()
+    surv = {r["doc_id"] for r in AcidTable(spark, surv_path).read().collect()}
+    assert surv == {1, 2, 11}  # 10 rejected as a history dup
+    idx = MinHashDedupIndex(spark, idx_path)
+    assert idx.index_size() == 3
