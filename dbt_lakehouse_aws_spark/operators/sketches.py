@@ -143,3 +143,90 @@ def kmv_pairwise_overlap(sketches: DataFrame, *, k: int) -> DataFrame:
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    *,
+    value_col: str | Column,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | Column | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) as a relational
+    build: ``depth × width`` counters where row ``r`` increments
+    bucket ``h_r(value) mod width``. Returns the sketch as rows
+    ``(row, bucket, cnt)`` — a table of at most depth·width rows that
+    merges across shards/days by simple (row, bucket) summation,
+    which is the whole point of the sketch at 100 TB: per-partition
+    frequency state in KB, mergeable with a groupBy.
+
+    The ``depth`` hash rows reuse one base hash with per-row salts
+    (standard pairwise trick); ``portable=True`` swaps in the
+    md5-prefix hash so an external SQL engine replays every counter.
+    One explode(depth) + one groupBy — shuffle bounded by
+    depth·width after map-side combine, never by data size.
+
+    (Spark also ships a built-in ``count_min_sketch`` aggregate that
+    returns an opaque binary; this relational form exists so the
+    sketch is queryable, mergeable with plain SQL, and oracle-
+    checkable.)
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    wcol = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+            "long"
+        )
+    )
+    salted = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        v.cast("string").alias("_v"),
+        wcol.alias("_w"),
+    )
+    h = _raw_hash(
+        F.concat(F.col("row").cast("string"), F.lit("|"), F.col("_v")),
+        portable=portable,
+    )
+    return (
+        salted.withColumn("bucket", F.pmod(h, F.lit(width)).cast("int"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    values: DataFrame,
+    *,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    portable: bool = False,
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each
+    requested value, ``min`` over its depth counters (missing
+    counter → 0). Never under-estimates; over-estimates by collision
+    mass with probability shrinking as e^-depth.
+
+    The probe side explodes to its depth (row, bucket) keys and joins
+    the sketch — the sketch side is at most depth·width rows, so the
+    join is broadcast-sized no matter how big the original data was.
+    """
+    v = F.col(value_col)
+    probes = values.select(
+        v.alias("value"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    h = _raw_hash(
+        F.concat(F.col("row").cast("string"), F.lit("|"), F.col("value").cast("string")),
+        portable=portable,
+    )
+    probes = probes.withColumn("bucket", F.pmod(h, F.lit(width)).cast("int"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        joined.groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_count"))
+    )

@@ -5187,6 +5187,81 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cms_user_frequencies",
+    """
+    WITH rows_ AS (SELECT unnest(range(0, 4)) AS row),
+    cells AS (
+      SELECT r.row,
+             CAST(CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || '|'
+                                          || CAST(e.user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 64 AS INT) AS bucket
+      FROM events e CROSS JOIN rows_ r
+    ),
+    sketch AS (
+      SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY row, bucket
+    ),
+    probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 20
+    ),
+    probe_cells AS (
+      SELECT p.user_id, r.row,
+             CAST(CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || '|'
+                                          || CAST(p.user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 64 AS INT) AS bucket
+      FROM probes p CROSS JOIN rows_ r
+    ),
+    est AS (
+      SELECT pc.user_id, min(s.cnt) AS est_count
+      FROM probe_cells pc JOIN sketch s USING (row, bucket)
+      GROUP BY pc.user_id
+    ),
+    exact AS (
+      SELECT user_id, count(*) AS exact_count FROM events
+      WHERE user_id < 20 GROUP BY user_id
+    )
+    SELECT e.user_id, est.est_count, e.exact_count,
+           est.est_count - e.exact_count AS overcount
+    FROM exact e JOIN est USING (user_id)
+    ORDER BY e.user_id
+    """,
+)
+def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts
+    (operators/sketches.py::count_min_sketch / cms_estimate): 4×64
+    counters over event user_ids — deliberately narrow so collisions
+    REALLY occur at sf0.01 (150 users on 64 buckets) and the driver
+    verifies genuine never-underestimate overcounts, not a trivially
+    collision-free table. The oracle replays every salted portable
+    hash, counter, and min-over-rows estimate."""
+    from dbt_lakehouse_aws_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    sk = count_min_sketch(ev, value_col="user_id", depth=4, width=64, portable=True)
+    probes = ev.select("user_id").filter(F.col("user_id") < 20).distinct()
+    est = cms_estimate(
+        sk, probes, value_col="user_id", depth=4, width=64, portable=True
+    )
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        exact.join(est.withColumnRenamed("value", "user_id"), "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "freshness_events_by_type",
     """
     WITH m AS (
@@ -6042,6 +6117,7 @@ ROUND4_QUEUE = [
     "temperature_mix_docs",  # registered after the r3 window froze
     "salted_join_events",  # registered after the r3 window froze
     "freshness_events_by_type",  # registered after the r3 window froze
+    "cms_user_frequencies",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",
     "approx_distinct_users",

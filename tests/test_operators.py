@@ -435,3 +435,42 @@ def test_kmv_default_hash_mode_runs(spark):
         (r["group_key"], tuple(r["kmv"])) for r in b
     )
     assert all(r["n_kept"] == 32 for r in a)
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """CMS point estimates are >= exact counts everywhere; summing
+    two shards' sketches equals the sketch of the union (the
+    mergeability that makes it per-partition state at scale)."""
+    from dbt_lakehouse_aws_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rows = [(f"u{i % 40}",) for i in range(1000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "v string")
+    sk = count_min_sketch(df, value_col="v", depth=4, width=32, portable=True)
+    probes = df.select("v").distinct()
+    est = {
+        r["value"]: r["est_count"]
+        for r in cms_estimate(
+            sk, probes, value_col="v", depth=4, width=32, portable=True
+        ).collect()
+    }
+    exact = {r["v"]: r["count"] for r in df.groupBy("v").count().collect()}
+    assert all(est[v] >= c for v, c in exact.items())
+    assert est["hot"] >= 500
+
+    half_a = spark.createDataFrame(rows[:700], "v string")
+    half_b = spark.createDataFrame(rows[700:], "v string")
+    merged = (
+        count_min_sketch(half_a, value_col="v", depth=4, width=32, portable=True)
+        .unionByName(
+            count_min_sketch(half_b, value_col="v", depth=4, width=32, portable=True)
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = count_min_sketch(df, value_col="v", depth=4, width=32, portable=True)
+    a = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    b = {(r["row"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    assert a == b
