@@ -119,6 +119,10 @@ HEADLINE = [
     "gopher_quality_docs",
     "group_split_docs",
     "pq_topk_rerank",
+    "temperature_mix_docs",
+    "salted_join_events",
+    "freshness_events_by_type",
+    "cms_user_frequencies",
 ]
 
 

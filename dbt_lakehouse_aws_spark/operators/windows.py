@@ -169,3 +169,44 @@ def interval_union_length(
         F.sum("_len").alias("union_len"),
         F.count(F.lit(1)).cast("long").alias("n_islands"),
     )
+
+
+def ntile_scalable(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    *,
+    n: int,
+    name: str = "band",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable ``ntile(n) over (order by ...)`` — equi-depth binning
+    with NO single-partition window funnel.
+
+    Built on :func:`global_row_number` (one range shuffle + broadcast
+    offsets) plus the closed-form ntile band formula: with N total
+    rows, ``q = N div n`` and ``m = N mod n``, the first ``m`` bands
+    hold ``q+1`` rows and the rest ``q`` — exactly SQL ntile's
+    remainder rule, so the result is bit-identical to the built-in on
+    any total order. The row count N comes from the same per-partition
+    counts ``global_row_number`` already collected; here it's one
+    extra scalar broadcast.
+
+    ``order_by`` must be a total order (unique tiebreaker) for
+    deterministic band edges.
+    """
+    ranked = global_row_number(
+        df, order_by, name="_gr", num_partitions=num_partitions
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("_N"))
+    r = F.col("_gr")
+    q = F.floor(F.col("_N") / n).cast("long")
+    m = (F.col("_N") % n).cast("long")
+    big_span = (q + 1) * m  # rows covered by the first m (larger) bands
+    band = F.when(
+        r <= big_span, F.ceil(r / (q + 1))
+    ).otherwise(m + F.ceil((r - big_span) / F.nullif(q, F.lit(0))))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(name, band.cast("long"))
+        .drop("_gr", "_N")
+    )

@@ -5187,6 +5187,100 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zipf_slope_tokens",
+    """
+    WITH tf AS (
+      SELECT tok, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY tok
+    ),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk FROM tf
+    ),
+    pts AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+            FROM ranked)
+    SELECT round(
+             (count(*) * sum(x * y) - sum(x) * sum(y))
+             / nullif(count(*) * sum(x * x) - sum(x) * sum(x), 0), 6
+           ) AS zipf_slope,
+           count(*) AS n_types
+    FROM pts
+    """,
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: least-squares slope of log(freq) on
+    log(rank) over the token frequency table — natural language sits
+    near -1 (Zipf's law); synthetic or templated corpora flatten.
+    Pure composition of existing operator pieces: token explode +
+    count, the scalable rank (frequencies are already aggregated to
+    |vocab| rows), and the closed-form regression slope
+    (operators/aggregates.py::regression_slope's sufficient-stats
+    form). One result row; everything map-side-combined."""
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = tf.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+    )
+    pts = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / F.nullif(
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"), F.lit(0)
+    )
+    return pts.agg(
+        F.round(slope, 6).alias("zipf_slope"), n.cast("long").alias("n_types")
+    )
+
+
+@register(
+    "ntile_price_bands",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS band
+      FROM orders
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS band_min,
+           round(max(o_totalprice), 2) AS band_max,
+           round(avg(o_totalprice), 2) AS band_avg
+    FROM b GROUP BY band ORDER BY band
+    """,
+)
+def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning WITHOUT the ntile window funnel:
+    operators/windows.py::ntile_scalable = the scalable two-pass
+    global rank + SQL ntile's exact remainder rule in closed form.
+    The oracle is DuckDB's NATIVE ntile() — a green row proves the
+    scalable formula is bit-identical to the built-in on a total
+    order (price, orderkey), while the plan keeps the no-
+    SinglePartition property the linter enforces engine-wide."""
+    from dbt_lakehouse_aws_spark.operators.windows import ntile_scalable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = ntile_scalable(
+        o, [F.asc("o_totalprice"), F.asc("o_orderkey")], n=10, name="band"
+    )
+    return (
+        b.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("band_min"),
+            F.round(F.max("o_totalprice"), 2).alias("band_max"),
+            F.round(F.avg("o_totalprice"), 2).alias("band_avg"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
     "cms_user_frequencies",
     """
     WITH rows_ AS (SELECT unnest(range(0, 4)) AS row),
@@ -6118,6 +6212,8 @@ ROUND4_QUEUE = [
     "salted_join_events",  # registered after the r3 window froze
     "freshness_events_by_type",  # registered after the r3 window froze
     "cms_user_frequencies",  # registered after the r3 window froze
+    "zipf_slope_tokens",  # registered after the r3 window froze
+    "ntile_price_bands",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",
     "approx_distinct_users",

@@ -474,3 +474,32 @@ def test_cms_never_underestimates_and_merges(spark):
     a = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     b = {(r["row"], r["bucket"]): r["cnt"] for r in whole.collect()}
     assert a == b
+
+
+def test_ntile_scalable_matches_builtin_including_remainder(spark):
+    """The closed-form band formula must equal Window ntile() exactly,
+    including the uneven-remainder rule (N=47, n=10 → bands 1-7 get
+    5 rows, 8-10 get 4)."""
+    from dbt_lakehouse_aws_spark.operators.windows import ntile_scalable
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(47)], "id long, v long"
+    ).repartition(6)
+    fast = ntile_scalable(df, [F.asc("v"), F.asc("id")], n=10, name="band")
+    naive = df.withColumn(
+        "band_ref",
+        F.ntile(10).over(Window.orderBy(F.asc("v"), F.asc("id"))).cast("long"),
+    )
+    j = fast.join(naive, ["id", "v"])
+    assert j.filter(F.col("band") != F.col("band_ref")).count() == 0
+    sizes = sorted(
+        (r["band"], r["count"]) for r in fast.groupBy("band").count().collect()
+    )
+    assert sizes == [(b, 5 if b <= 7 else 4) for b in range(1, 11)]
+    # fewer rows than tiles: every row its own band, no div-by-zero
+    tiny = spark.createDataFrame([(1, 1), (2, 2)], "id long, v long")
+    got = sorted(
+        r["band"]
+        for r in ntile_scalable(tiny, [F.asc("v"), F.asc("id")], n=10).collect()
+    )
+    assert got == [1, 2]
