@@ -51,3 +51,46 @@ def scd2_collapse(
         )
         .drop("_run")
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    keys: Sequence[str],
+    at_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Temporal dimension lookup: enrich each fact with the SCD2
+    dimension row that was valid AT the fact's time —
+    ``key match AND valid_from <= at <= valid_to`` (both bounds
+    inclusive, matching :func:`scd2_collapse`'s observed-period
+    ranges). The classic warehouse "as-was" join: reports must see
+    the attribute a customer HAD when the order shipped, not today's.
+
+    Plan shape: an equi-join on the keys with the validity window as
+    an additional join predicate — Catalyst plans the hash/sort-merge
+    join on the selective keys and evaluates the range condition
+    inside it, so this is never a nested loop (same argument as the
+    engine's as-of join, but SCD2 ranges are non-overlapping per key
+    BY CONSTRUCTION, so each fact matches at most one dimension row
+    and the join can't fan out).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"point_in_time_join supports inner/left, got {how!r}")
+    cond = None
+    for k in keys:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (facts[at_col] >= dim[valid_from])
+        & (facts[at_col] <= dim[valid_to])
+    )
+    joined = facts.join(dim, cond, how)
+    # drop the dim side's duplicated key columns
+    for k in keys:
+        joined = joined.drop(dim[k])
+    return joined

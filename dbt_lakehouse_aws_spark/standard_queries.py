@@ -5187,6 +5187,81 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pit_join_purchases",
+    """
+    WITH st AS (
+      SELECT user_id, day, state FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type AS state,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC) AS _r
+        FROM events
+      ) WHERE _r = 1
+    ), chg AS (
+      SELECT user_id, day, state,
+             CASE WHEN lag(state) OVER (PARTITION BY user_id ORDER BY day)
+                       IS DISTINCT FROM state THEN 1 ELSE 0 END AS _c
+      FROM st
+    ), grp AS (
+      SELECT user_id, day, state,
+             SUM(_c) OVER (PARTITION BY user_id ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS _run
+      FROM chg
+    ), dim AS (
+      SELECT user_id, state, min(day) AS valid_from, max(day) AS valid_to
+      FROM grp GROUP BY user_id, _run, state
+    ), facts AS (
+      SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+             round(value, 4) AS value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.day, f.value,
+           d.state AS state_at_purchase,
+           d.valid_from, d.valid_to
+    FROM facts f LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.day >= d.valid_from AND f.day <= d.valid_to
+    ORDER BY f.event_id
+    """,
+)
+def pit_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time ("as-was") join: each purchase event enriched
+    with the SCD2 state range that was valid on its day
+    (operators/scd.py::point_in_time_join over scd2_collapse output).
+    SCD2 ranges are non-overlapping per key by construction, so each
+    fact matches at most one dimension row — the join is a key
+    equi-join with the validity window as an extra predicate, never
+    a fan-out or nested loop."""
+    from dbt_lakehouse_aws_spark.operators.scd import (
+        point_in_time_join,
+        scd2_collapse,
+    )
+
+    ev = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    w = Window.partitionBy("user_id", "day").orderBy(F.desc("ts"))
+    st = (
+        ev.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "day", F.col("event_type").alias("state"))
+    )
+    dim = scd2_collapse(
+        st, key_cols=["user_id"], state_cols=["state"], order_col="day"
+    ).drop("n_periods")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "day", F.round("value", 4).alias("value")
+    )
+    out = point_in_time_join(facts, dim, keys=["user_id"], at_col="day")
+    return out.select(
+        "event_id",
+        "user_id",
+        "day",
+        "value",
+        F.col("state").alias("state_at_purchase"),
+        "valid_from",
+        "valid_to",
+    ).orderBy("event_id")
+
+
+@register(
     "zipf_slope_tokens",
     """
     WITH tf AS (
@@ -6213,6 +6288,7 @@ ROUND4_QUEUE = [
     "freshness_events_by_type",  # registered after the r3 window froze
     "cms_user_frequencies",  # registered after the r3 window froze
     "zipf_slope_tokens",  # registered after the r3 window froze
+    "pit_join_purchases",  # registered after the r3 window froze
     "ntile_price_bands",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",

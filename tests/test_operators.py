@@ -503,3 +503,33 @@ def test_ntile_scalable_matches_builtin_including_remainder(spark):
         for r in ntile_scalable(tiny, [F.asc("v"), F.asc("id")], n=10).collect()
     )
     assert got == [1, 2]
+
+
+def test_point_in_time_join_as_was_semantics(spark):
+    """Each fact picks the range covering its time; facts outside any
+    range null-pad on left join; inner join drops them; at most one
+    match per fact (no fan-out)."""
+    from dbt_lakehouse_aws_spark.operators.scd import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", 1, 3),
+            (1, "gold", 4, 6),
+            (2, "silver", 2, 5),
+        ],
+        "k long, tier string, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 2), (101, 1, 4), (102, 1, 9), (103, 2, 5), (104, 3, 2)],
+        "fid long, k long, t long",
+    )
+    out = point_in_time_join(facts, dim, keys=["k"], at_col="t")
+    got = {r["fid"]: r["tier"] for r in out.collect()}
+    assert got == {100: "bronze", 101: "gold", 102: None, 103: "silver", 104: None}
+    assert out.count() == 5  # no fan-out
+    inner = point_in_time_join(facts, dim, keys=["k"], at_col="t", how="inner")
+    assert {r["fid"] for r in inner.collect()} == {100, 101, 103}
+    import pytest
+
+    with pytest.raises(ValueError, match="supports inner/left"):
+        point_in_time_join(facts, dim, keys=["k"], at_col="t", how="full")
