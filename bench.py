@@ -123,6 +123,9 @@ HEADLINE = [
     "salted_join_events",
     "freshness_events_by_type",
     "cms_user_frequencies",
+    "zipf_slope_tokens",
+    "ntile_price_bands",
+    "pit_join_purchases",
 ]
 
 
