@@ -1,0 +1,141 @@
+"""Evaluation metrics as engine operators.
+
+A training-data pipeline doesn't stop at producing classifiers,
+retrievers, and indexes — it has to SCORE them, continuously and at
+corpus scale (per-language classifier drift, ANN recall after a
+re-index, retrieval quality per query cohort). These are the two
+standard report shapes, built as plain aggregations so they run
+inside the same plan as the thing they evaluate:
+
+* :func:`classification_report` — per-class precision / recall / F1
+  / support from (label, prediction) pairs. One groupBy on the truth
+  label + one on the prediction + an outer join of the two tiny
+  per-class frames: shuffle O(classes), never O(rows) past the first
+  aggregate.
+* :func:`ranking_metrics` — recall@k, MRR@k, nDCG@k per query from a
+  ranked result list vs a ground-truth list. One join on
+  (query, item) + one groupBy(query); metric arithmetic is
+  closed-form and engine-portable (log2 via ln/ln2), so an external
+  SQL oracle replays it bit-identically.
+
+No reference counterpart (the reference has no model evaluation);
+this mirrors the sklearn/trec-eval conventions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def classification_report(
+    df: DataFrame,
+    *,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1/support, classes = union of
+    observed labels and predictions (a class predicted but never true
+    shows precision with NULL recall and vice versa — hiding those
+    rows is how report bugs ship). Values rounded to 6 dp."""
+    truth = df.groupBy(F.col(label_col).alias("class")).agg(
+        F.count(F.lit(1)).alias("support"),
+        F.sum(
+            F.when(F.col(pred_col) == F.col(label_col), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    pred = df.groupBy(F.col(pred_col).alias("class")).agg(
+        F.count(F.lit(1)).alias("predicted")
+    )
+    j = truth.join(pred, "class", "full_outer").select(
+        "class",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        F.coalesce("predicted", F.lit(0)).cast("long").alias("predicted"),
+    )
+    precision = F.col("tp").cast("double") / F.nullif(
+        F.col("predicted").cast("double"), F.lit(0.0)
+    )
+    recall = F.col("tp").cast("double") / F.nullif(
+        F.col("support").cast("double"), F.lit(0.0)
+    )
+    f1 = (2 * precision * recall) / F.nullif(precision + recall, F.lit(0.0))
+    return j.select(
+        "class",
+        "support",
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("class")
+
+
+def ranking_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    *,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int,
+) -> DataFrame:
+    """Per-query recall@k, MRR@k, nDCG@k of ``results`` (ranked,
+    1-based ``rank_col``) against the ``truth`` item set.
+
+    recall@k = |topk ∩ truth| / |truth|; MRR@k = 1/rank of the first
+    relevant result (0 if none in the top k); nDCG@k with binary
+    gains = Σ_rel 1/log2(rank+1) normalized by the ideal prefix
+    Σ_{i=1..min(k,|truth|)} 1/log2(i+1). log2 is computed as
+    ln(x)/ln(2) on both engines so the doubles agree bit-for-bit;
+    outputs rounded to 6 dp.
+
+    Queries present in ``truth`` but absent from ``results`` score 0
+    on all three (a retriever that returns nothing must not be
+    dropped from its own evaluation).
+    """
+    ln2 = math.log(2.0)
+    res_k = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("q"),
+        F.col(item_col).alias("item"),
+        F.col(rank_col).cast("long").alias("r"),
+    )
+    tr = truth.select(
+        F.col(query_col).alias("q"), F.col(item_col).alias("item")
+    )
+    n_truth = tr.groupBy("q").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = res_k.join(tr, ["q", "item"]).select("q", "r")
+    per_q = hits.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("r").alias("first_hit"),
+        F.sum(1.0 / (F.log(F.col("r") + 1.0) / ln2)).alias("dcg"),
+    )
+    # ideal DCG for m relevant docs in a k-slot list
+    def _idcg(m: int) -> float:
+        return sum(1.0 / (math.log(i + 1.0) / ln2) for i in range(1, min(m, k) + 1))
+
+    idcg_pairs = sorted({r["n_rel"] for r in n_truth.select("n_rel").distinct().collect()})
+    spark = results.sparkSession
+    idcg_df = spark.createDataFrame(
+        [(int(m), _idcg(int(m))) for m in idcg_pairs], "n_rel long, idcg double"
+    )
+    out = (
+        n_truth.join(per_q, "q", "left")
+        .join(F.broadcast(idcg_df), "n_rel")
+        .select(
+            F.col("q").alias(query_col),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_rel").cast("double"),
+                6,
+            ).alias(f"recall_at_{k}"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_hit").cast("double"), F.lit(0.0)), 6
+            ).alias(f"mrr_at_{k}"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6
+            ).alias(f"ndcg_at_{k}"),
+        )
+        .orderBy(query_col)
+    )
+    return out

@@ -5186,6 +5186,119 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_sketch_rollup(ev, group_col="event_type", value_col="user_id")
 
 
+def _classification_report_oracle() -> str:
+    """Wrap the (already value-oracled) NB prediction oracle as a CTE
+    and compute the per-class precision/recall/F1 report on top —
+    the report math verifies against the same predictions the nb
+    query's green row certifies."""
+    by_name = {spec.name: spec for spec in _REGISTRY}
+    nb = by_name["nb_classify_docs"].oracle
+    return f"""
+    WITH preds AS ({nb}),
+    truth AS (
+      SELECT lang AS class, count(*) AS support,
+             sum(CASE WHEN pred_class = lang THEN 1 ELSE 0 END) AS tp
+      FROM preds GROUP BY lang
+    ),
+    pr AS (
+      SELECT pred_class AS class, count(*) AS predicted FROM preds
+      GROUP BY pred_class
+    ),
+    j AS (
+      SELECT coalesce(t.class, p.class) AS class,
+             CAST(coalesce(t.support, 0) AS BIGINT) AS support,
+             CAST(coalesce(t.tp, 0) AS BIGINT) AS tp,
+             CAST(coalesce(p.predicted, 0) AS BIGINT) AS predicted
+      FROM truth t FULL OUTER JOIN pr p ON t.class = p.class
+    ),
+    m AS (
+      SELECT class, support,
+             CAST(tp AS DOUBLE) / nullif(CAST(predicted AS DOUBLE), 0.0) AS precision_,
+             CAST(tp AS DOUBLE) / nullif(CAST(support AS DOUBLE), 0.0) AS recall_
+      FROM j
+    )
+    SELECT class, support,
+           round(precision_, 6) AS precision,
+           round(recall_, 6) AS recall,
+           round((2 * precision_ * recall_) / nullif(precision_ + recall_, 0.0), 6) AS f1
+    FROM m ORDER BY class
+    """
+
+
+@register("classification_report_nb", _classification_report_oracle())
+def classification_report_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1/support of the in-engine NB
+    classifier (llmops/evalmetrics.py::classification_report over
+    nb_classify_docs's predictions) — model evaluation as a plan
+    stage, shuffle O(classes) past the first aggregate. The oracle
+    reuses the NB prediction oracle as a CTE, so the report math is
+    verified against independently recomputed predictions."""
+    from dbt_lakehouse_aws_spark.llmops.evalmetrics import classification_report
+
+    preds = nb_classify_docs(spark, sf_dir)
+    return classification_report(preds, label_col="lang", pred_col="pred_class")
+
+
+def _ir_metrics_oracle(k: int = 5) -> str:
+    """Both retrieval lists' oracles (exact cosine + rp-LSH ANN,
+    each independently value-oracled) become CTEs; the metric math
+    (recall@k, MRR@k, nDCG@k with ln-based log2) runs on top."""
+    by_name = {spec.name: spec for spec in _REGISTRY}
+    exact = by_name["cosine_topk"].oracle
+    # wider buckets (4 bits) than the ann_lsh_topk query's 6: the
+    # metrics row should exercise the full metric range, not an
+    # all-zeros report on a deliberately-tight index
+    ann = _ann_lsh_oracle(num_bits=4)
+    ln2 = "0.6931471805599453"
+    return f"""
+    WITH truth AS ({exact}),
+    results AS ({ann}),
+    nt AS (SELECT query_id AS q, count(*) AS n_rel FROM truth GROUP BY query_id),
+    hits AS (
+      SELECT r.query_id AS q, r.rank AS r FROM results r
+      JOIN truth t ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+      WHERE r.rank <= {k}
+    ),
+    per_q AS (
+      SELECT q, count(*) AS n_hits, min(r) AS first_hit,
+             sum(1.0 / (ln(r + 1.0) / {ln2})) AS dcg
+      FROM hits GROUP BY q
+    ),
+    idcg AS (
+      SELECT n_rel,
+             (SELECT sum(1.0 / (ln(i + 1.0) / {ln2}))
+              FROM unnest(range(1, least(n_rel, {k}) + 1)) AS t(i)) AS idcg
+      FROM (SELECT DISTINCT n_rel FROM nt)
+    )
+    SELECT nt.q AS query_id,
+           round(CAST(coalesce(p.n_hits, 0) AS DOUBLE) / CAST(nt.n_rel AS DOUBLE), 6)
+             AS recall_at_{k},
+           round(coalesce(1.0 / CAST(p.first_hit AS DOUBLE), 0.0), 6) AS mrr_at_{k},
+           round(coalesce(p.dcg, 0.0) / i.idcg, 6) AS ndcg_at_{k}
+    FROM nt LEFT JOIN per_q p ON p.q = nt.q
+    JOIN idcg i ON i.n_rel = nt.n_rel
+    ORDER BY query_id
+    """
+
+
+@register("ir_metrics_ann", _ir_metrics_oracle())
+def ir_metrics_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report: recall@5 / MRR@5 / nDCG@5 of the
+    rp-LSH ANN against exact brute-force cosine as ground truth
+    (llmops/evalmetrics.py::ranking_metrics) — the continuous
+    index-quality monitoring a production ANN deployment runs after
+    every re-index. Both input lists are themselves value-oracled
+    queries; the oracle composes their SQL and replays the metric
+    arithmetic (ln-based log2) bit-identically."""
+    from dbt_lakehouse_aws_spark.llmops.evalmetrics import ranking_metrics
+    from dbt_lakehouse_aws_spark.llmops.similarity import ann_search_lsh
+
+    e = T(spark, sf_dir, "embeddings")
+    truth = cosine_topk(e, query_ids=range(10), k=5)
+    results = ann_search_lsh(e, query_ids=range(10), k=5, num_bits=4)
+    return ranking_metrics(results, truth, k=5)
+
+
 @register(
     "pit_join_purchases",
     """
@@ -6289,6 +6402,8 @@ ROUND4_QUEUE = [
     "cms_user_frequencies",  # registered after the r3 window froze
     "zipf_slope_tokens",  # registered after the r3 window froze
     "pit_join_purchases",  # registered after the r3 window froze
+    "classification_report_nb",  # registered after the r3 window froze
+    "ir_metrics_ann",  # registered after the r3 window froze
     "ntile_price_bands",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",

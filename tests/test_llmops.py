@@ -1326,3 +1326,51 @@ def test_pq_search_plain_adc_orders_close_neighbors_first(spark):
     out = pq_search(df, [0], k=3, n_subspaces=4, n_codes=16)
     top = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
     assert top[0] == 150
+
+
+def test_classification_report_hand_computed(spark):
+    """3-class report incl. a class never predicted (NULL precision)
+    and a prediction never true (NULL recall)."""
+    from dbt_lakehouse_aws_spark.llmops.evalmetrics import classification_report
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),   # a: support 3, tp 2
+        ("b", "b"),                            # b: support 1, tp 1
+        ("c", "b"),                            # c: support 1, tp 0
+        ("a", "d"),                            # d predicted, never true
+    ]
+    df = spark.createDataFrame(rows, "y string, yhat string")
+    got = {
+        r["class"]: (r["support"], r["precision"], r["recall"], r["f1"])
+        for r in classification_report(df, label_col="y", pred_col="yhat").collect()
+    }
+    assert got["a"] == (4, 1.0, 0.5, round(2 * 1.0 * 0.5 / 1.5, 6))
+    assert got["b"][0] == 1 and got["b"][1] == pytest.approx(1 / 3)
+    assert got["b"][2] == 1.0
+    assert got["c"] == (1, None, 0.0, None)
+    assert got["d"] == (0, 0.0, None, None)
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """recall/MRR/nDCG against a 3-item truth set, including a query
+    with no results at all (scores 0, not dropped)."""
+    import math
+
+    from dbt_lakehouse_aws_spark.llmops.evalmetrics import ranking_metrics
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20)],
+        "query_id long, neighbor_id long",
+    )
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    got = {
+        r["query_id"]: (r["recall_at_3"], r["mrr_at_3"], r["ndcg_at_3"])
+        for r in ranking_metrics(results, truth, k=3).collect()
+    }
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    assert got[1] == (round(2 / 3, 6), 1.0, round(dcg / idcg, 6))
+    assert got[2] == (0.0, 0.0, 0.0)
