@@ -5404,15 +5404,18 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocab| rows), and the closed-form regression slope
     (operators/aggregates.py::regression_slope's sufficient-stats
     form). One result row; everything map-side-combined."""
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
     d = T(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = tf.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
-    )
+    # scalable global rank (W4 two-pass), not Window.orderBy — the
+    # frequency table is |vocab|-sized, which is millions of rows on
+    # a real corpus; the plan linter rejects the one-task funnel
+    ranked = global_row_number(tf, [F.desc("freq"), F.asc("tok")], name="rnk")
     pts = ranked.select(
         F.log(F.col("rnk").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
