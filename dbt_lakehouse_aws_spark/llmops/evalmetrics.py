@@ -139,3 +139,49 @@ def ranking_metrics(
         .orderBy(query_col)
     )
     return out
+
+
+def psi_drift(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population stability index between two snapshots of a
+    categorical column — the standard drift monitor between a
+    reference corpus/feature distribution and a new batch (PSI < 0.1
+    stable, 0.1–0.25 moderate shift, > 0.25 investigate).
+
+    Per category: ``psi_term = (p - q) · ln(p / q)`` with both shares
+    clipped at ``eps`` so categories present in only one snapshot
+    contribute a large-but-finite term instead of ±inf. Total PSI is
+    the sum of terms. Two tiny count aggregates + scalar-total
+    broadcast cross joins + a full outer join on category — shuffle
+    O(categories) past the first aggregates, and every expression
+    replays in an external SQL engine (ln, not log10, for parity).
+    """
+    def shares(df: DataFrame, out: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("category")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        total = counts.agg(F.sum("_c").alias("_n"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "category",
+            (F.col("_c").cast("double") / F.col("_n")).alias(out),
+        )
+
+    pa = shares(a, "p")
+    pb = shares(b, "q")
+    j = pa.join(pb, "category", "full_outer").select(
+        "category",
+        F.greatest(F.coalesce("p", F.lit(0.0)), F.lit(eps)).alias("p"),
+        F.greatest(F.coalesce("q", F.lit(0.0)), F.lit(eps)).alias("q"),
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return j.select(
+        "category",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round(term, 6).alias("psi_term"),
+    ).orderBy("category")

@@ -5186,6 +5186,45 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_sketch_rollup(ev, group_col="event_type", value_col="user_id")
 
 
+@register(
+    "psi_drift_event_types",
+    """
+    WITH a AS (
+      SELECT event_type AS category, count(*) AS c FROM events
+      WHERE CAST(ts AS DATE) < DATE '2024-01-15' GROUP BY 1
+    ), b AS (
+      SELECT event_type AS category, count(*) AS c FROM events
+      WHERE CAST(ts AS DATE) >= DATE '2024-01-15' GROUP BY 1
+    ), pa AS (
+      SELECT category, CAST(c AS DOUBLE) / (SELECT sum(c) FROM a) AS p FROM a
+    ), pb AS (
+      SELECT category, CAST(c AS DOUBLE) / (SELECT sum(c) FROM b) AS q FROM b
+    ), j AS (
+      SELECT coalesce(pa.category, pb.category) AS category,
+             greatest(coalesce(p, 0.0), 1e-6) AS p,
+             greatest(coalesce(q, 0.0), 1e-6) AS q
+      FROM pa FULL OUTER JOIN pb ON pa.category = pb.category
+    )
+    SELECT category, round(p, 6) AS p, round(q, 6) AS q,
+           round((p - q) * ln(p / q), 6) AS psi_term
+    FROM j ORDER BY category
+    """,
+)
+def psi_drift_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (llmops/evalmetrics.py::psi_drift):
+    PSI of the event-type mix, first half of January vs second. The
+    generator is stationary, so the healthy near-zero terms are the
+    EXPECTED output — the oracle verifies the share/clip/ln
+    arithmetic either way, and the synthetic pytest fixture drives
+    the genuine-drift and one-sided-category (eps-clip) branches."""
+    from dbt_lakehouse_aws_spark.llmops.evalmetrics import psi_drift
+
+    ev = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    a = ev.filter(F.col("day") < F.lit("2024-01-15").cast("date"))
+    b = ev.filter(F.col("day") >= F.lit("2024-01-15").cast("date"))
+    return psi_drift(a, b, col="event_type")
+
+
 def _classification_report_oracle() -> str:
     """Wrap the (already value-oracled) NB prediction oracle as a CTE
     and compute the per-class precision/recall/F1 report on top —
@@ -6407,6 +6446,7 @@ ROUND4_QUEUE = [
     "pit_join_purchases",  # registered after the r3 window froze
     "classification_report_nb",  # registered after the r3 window froze
     "ir_metrics_ann",  # registered after the r3 window froze
+    "psi_drift_event_types",  # registered after the r3 window froze
     "ntile_price_bands",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",

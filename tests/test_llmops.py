@@ -1374,3 +1374,28 @@ def test_ranking_metrics_hand_computed(spark):
     idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
     assert got[1] == (round(2 / 3, 6), 1.0, round(dcg / idcg, 6))
     assert got[2] == (0.0, 0.0, 0.0)
+
+
+def test_psi_drift_detects_shift_and_clips_one_sided(spark):
+    """Genuine mix shift produces a large total PSI; a category in
+    only one snapshot clips at eps instead of inf; identical
+    snapshots score ~0."""
+    from dbt_lakehouse_aws_spark.llmops.evalmetrics import psi_drift
+
+    a = spark.createDataFrame(
+        [("x",)] * 80 + [("y",)] * 20, "c string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 20 + [("y",)] * 70 + [("z",)] * 10, "c string"
+    )
+    out = {r["category"]: r["psi_term"] for r in psi_drift(a, b, col="c").collect()}
+    total = sum(out.values())
+    assert total > 0.25, out           # flagged as real drift
+    assert out["z"] > 0                 # one-sided category, finite
+    import math
+
+    assert out["z"] == round((1e-6 - 0.1) * math.log(1e-6 / 0.1), 6)
+    same = sum(
+        r["psi_term"] for r in psi_drift(a, a, col="c").collect()
+    )
+    assert abs(same) < 1e-9
