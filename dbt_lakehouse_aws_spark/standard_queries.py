@@ -5187,6 +5187,40 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w10_price_distribution_ranks",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    ORDER BY o_orderkey
+    """,
+)
+def w10_price_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions — percent_rank, cume_dist,
+    and ntile — PARTITIONED by priority (bounded partitions: no
+    global funnel, the linter-approved use of these functions; the
+    unpartitioned case is what ntile_scalable exists for). Completes
+    the W-family: every SQL ranking function is now driver-verified."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "psi_drift_event_types",
     """
     WITH a AS (
@@ -6447,6 +6481,7 @@ ROUND4_QUEUE = [
     "classification_report_nb",  # registered after the r3 window froze
     "ir_metrics_ann",  # registered after the r3 window froze
     "psi_drift_event_types",  # registered after the r3 window froze
+    "w10_price_distribution_ranks",  # registered after the r3 window froze
     "ntile_price_bands",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",
