@@ -382,3 +382,30 @@ def test_kmv_sketch_bounded_exchanges(spark, sf_dir, queries):
     assert "SinglePartition" not in tree
     assert tree.count("Exchange") <= 6
     assert "BatchEvalPython" not in p
+
+
+def test_pit_join_is_hash_join_not_nested_loop(spark, sf_dir, queries):
+    """The SCD2 point-in-time join must plan as a key equi-join with
+    the validity window as a residual condition — never a nested
+    loop or cartesian product."""
+    p = plan(queries["pit_join_purchases"](spark, sf_dir))
+    assert "NestedLoop" not in p
+    assert "Cartesian" not in p
+
+
+def test_salted_join_no_single_partition(spark, sf_dir, queries):
+    """Salting exists to spread hot keys; the plan must show the
+    (key, salt) shuffle and no one-task funnel."""
+    p = plan(queries["salted_join_events"](spark, sf_dir))
+    tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert "SinglePartition" not in tree
+    assert "BatchEvalPython" not in p
+
+
+def test_cms_build_single_bounded_shuffle(spark, sf_dir, queries):
+    """Sketch build aggregates to depth*width rows with map-side
+    combine; the probe join broadcasts the sketch side. No Python
+    eval anywhere."""
+    p = plan(queries["cms_user_frequencies"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SinglePartition" not in p.split("== Physical Plan ==")[1].split("(1) ")[0]
