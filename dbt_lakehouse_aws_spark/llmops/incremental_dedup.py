@@ -225,11 +225,17 @@ class MinHashDedupIndex:
                 survivors.select(self.id_col), self.id_col, "left_semi"
             )
         )
+        # the index is joined on hashed (band, bucket) keys — min/max
+        # footer stats can never prune it, so skip the stats job on
+        # every append (collect_stats=False is read-safe: statless
+        # files are simply unprunable)
         if not self.exists():
             self._persist_params()
-            snap = self._table.write(surv_banded)
+            snap = self._table.write(surv_banded, collect_stats=False)
         else:
-            snap = self._table.write(surv_banded, mode="append")
+            snap = self._table.write(
+                surv_banded, mode="append", collect_stats=False
+            )
         return BatchDedupResult(
             survivors=survivors,
             dup_of_history=dup_of_history,

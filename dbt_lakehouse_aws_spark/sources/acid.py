@@ -481,14 +481,24 @@ class AcidTable:
                 )
         return StructType(out)
 
-    def write(self, df: DataFrame, mode: str = "overwrite") -> Snapshot:
+    def write(
+        self, df: DataFrame, mode: str = "overwrite", *, collect_stats: bool = True
+    ) -> Snapshot:
         """CTAS / INSERT: ``overwrite`` replaces the file list,
         ``append`` extends it (with union-by-name schema evolution).
-        Both are single atomic commits."""
+        Both are single atomic commits.
+
+        ``collect_stats=False`` skips per-file min/max (and bloom)
+        harvesting for this write — for append-heavy tables whose
+        reads never range-prune (e.g. the LSH band index, joined on
+        hashed keys), the footer-stats job per append is pure cost.
+        Reads treat a file with no stats entry as unprunable, so the
+        trade is always safe; MERGE on such files simply rewrites
+        conservatively."""
         base = self.latest_version() if self.exists() else None
         hint = 0 if base is None else base + 1
         new_files = self._write_data_files(df, hint)
-        stats = self._stats_for(new_files, df.schema)
+        stats = self._stats_for(new_files, df.schema) if collect_stats else {}
         schema_json = df.schema.json()
         if mode == "append" and base is not None:
             snap = self.snapshot(base)

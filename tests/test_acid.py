@@ -642,3 +642,29 @@ def test_restore_refuses_when_target_files_are_gone(spark, tmp_path):
     t2.vacuum(retain_last=1)
     with pytest.raises(FileNotFoundError):
         t2.restore(0)
+
+
+def test_write_without_stats_is_read_safe_and_unprunable(spark, tmp_path):
+    """collect_stats=False commits no per-file stats; reads return
+    every row, pruned reads keep statless files conservatively, and
+    a later stats-bearing append coexists in one snapshot."""
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "nostats"))
+    a = spark.range(0, 100).withColumnRenamed("id", "k")
+    snap = t.write(a, collect_stats=False)
+    assert all(v == {} for v in snap.stats.values())
+    assert t.read().count() == 100
+    # prune on k must keep the statless files (no false negatives)
+    assert t.read(prune={"k": (990, 999)}).count() == 100
+    b = spark.range(1000, 1100).withColumnRenamed("id", "k")
+    t.write(b, mode="append")  # stats collected for the new files only
+    snap2 = t.snapshot()
+    assert t.read().count() == 200
+    with_stats = [f for f in snap2.files if snap2.stats.get(f, {}).get("k")]
+    without = [f for f in snap2.files if not snap2.stats.get(f)]
+    assert with_stats and without
+    # pruned read: statless files kept, stats-bearing files outside
+    # the range dropped — only rows 0-99 + none of 1000+ qualify
+    pruned = t.read(prune={"k": (0, 50)})
+    assert pruned.count() == 100  # statless batch kept whole, b pruned out
