@@ -117,3 +117,44 @@ def profile_columns(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def table_digest(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    portable: bool = False,
+) -> DataFrame:
+    """Order-insensitive content digest of a relation: one row with
+    ``(n_rows, digest)`` where digest = Σ hash(row) mod 2^61-1 over
+    the canonical string form of the selected columns.
+
+    This is the migration/replication equality check at 100 TB: two
+    tables hold the same multiset of rows iff (count, digest) match
+    (up to hash collision odds ~n²/2^60) — verified with one scan per
+    side, no global sort, no shuffle beyond the final scalar
+    aggregate, and partition layout can't affect the result because
+    addition commutes. ``portable=True`` (md5-prefix hash) lets an
+    external SQL engine compute the identical digest for cross-engine
+    migration sign-off; the default xxhash64 is the cheap
+    same-engine path.
+
+    NULLs are canonicalized to a sentinel before hashing (concat_ws
+    silently drops them, which would make (NULL, 'x') collide with
+    ('x', NULL) across columns).
+    """
+    from dbt_lakehouse_aws_spark.llmops.dedup import _portable_hash60
+
+    use = list(cols) if cols is not None else list(df.columns)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in use
+    ]
+    row_repr = F.concat_ws("\x1f", *parts)
+    h = _portable_hash60(row_repr) if portable else F.xxhash64(row_repr)
+    m = (1 << 61) - 1
+    return df.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.pmod(F.sum(F.col("_h").cast("decimal(38,0)")), F.lit(m))
+        .cast("long")
+        .alias("digest"),
+    )

@@ -5187,6 +5187,61 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "digest_core_tables",
+    f"""
+    WITH o AS (
+      SELECT CAST('0x' || substr(md5(
+               concat_ws(chr(31),
+                 coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'NULL'),
+                 coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'NULL'),
+                 coalesce(o_orderstatus, chr(0) || 'NULL'),
+                 coalesce(o_orderpriority, chr(0) || 'NULL'))), 1, 15) AS BIGINT) AS h
+      FROM orders
+    ), l AS (
+      SELECT CAST('0x' || substr(md5(
+               concat_ws(chr(31),
+                 coalesce(CAST(l_orderkey AS VARCHAR), chr(0) || 'NULL'),
+                 coalesce(CAST(l_partkey AS VARCHAR), chr(0) || 'NULL'),
+                 coalesce(CAST(l_suppkey AS VARCHAR), chr(0) || 'NULL'))), 1, 15) AS BIGINT) AS h
+      FROM lineitem
+    )
+    SELECT 'orders' AS table_name, count(*) AS n_rows,
+           CAST(sum(h) % {(1 << 61) - 1} AS BIGINT) AS digest FROM o
+    UNION ALL
+    SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+           CAST(sum(h) % {(1 << 61) - 1} AS BIGINT) AS digest FROM l
+    ORDER BY table_name
+    """,
+)
+def digest_core_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content digests
+    (operators/relational.py::table_digest, portable mode): one scan
+    per table, no sort, partition-layout-independent — the
+    migration/replication sign-off primitive (two tables hold the
+    same row multiset iff (count, digest) match). Digest columns are
+    ints/strings only: float→string rendering differs across engines,
+    so cross-engine digests canonicalize or exclude floats (the
+    docstring rule)."""
+    from dbt_lakehouse_aws_spark.operators.relational import table_digest
+
+    o = table_digest(
+        T(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        portable=True,
+    ).withColumn("table_name", F.lit("orders"))
+    l = table_digest(
+        T(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+        portable=True,
+    ).withColumn("table_name", F.lit("lineitem"))
+    return (
+        o.unionByName(l)
+        .select("table_name", "n_rows", "digest")
+        .orderBy("table_name")
+    )
+
+
+@register(
     "w10_price_distribution_ranks",
     """
     SELECT o_orderkey,
@@ -6482,6 +6537,7 @@ ROUND4_QUEUE = [
     "ir_metrics_ann",  # registered after the r3 window froze
     "psi_drift_event_types",  # registered after the r3 window froze
     "w10_price_distribution_ranks",  # registered after the r3 window froze
+    "digest_core_tables",  # registered after the r3 window froze
     "ntile_price_bands",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",

@@ -533,3 +533,33 @@ def test_point_in_time_join_as_was_semantics(spark):
 
     with pytest.raises(ValueError, match="supports inner/left"):
         point_in_time_join(facts, dim, keys=["k"], at_col="t", how="full")
+
+
+def test_table_digest_order_insensitive_and_change_sensitive(spark):
+    """Same multiset under any partitioning → same digest; any
+    single-row change, row swap-for-duplicate, or NULL-position swap
+    → different digest."""
+    from dbt_lakehouse_aws_spark.operators.relational import table_digest
+
+    rows = [(i, f"v{i % 13}") for i in range(500)]
+    a = spark.createDataFrame(rows, "k long, v string").repartition(7)
+    b = spark.createDataFrame(list(reversed(rows)), "k long, v string").repartition(3)
+    da = table_digest(a).collect()[0]
+    db = table_digest(b).collect()[0]
+    assert (da["n_rows"], da["digest"]) == (db["n_rows"], db["digest"])
+
+    changed = spark.createDataFrame(
+        rows[:-1] + [(499, "TAMPERED")], "k long, v string"
+    )
+    assert table_digest(changed).collect()[0]["digest"] != da["digest"]
+    # duplicate-swap keeps the count but must change the digest
+    dup = spark.createDataFrame(rows[:-1] + [rows[0]], "k long, v string")
+    dd = table_digest(dup).collect()[0]
+    assert dd["n_rows"] == 500 and dd["digest"] != da["digest"]
+    # NULL canonicalization: (NULL,'x') vs ('x',NULL) differ
+    n1 = spark.createDataFrame([(None, "x")], "a string, b string")
+    n2 = spark.createDataFrame([("x", None)], "a string, b string")
+    assert (
+        table_digest(n1).collect()[0]["digest"]
+        != table_digest(n2).collect()[0]["digest"]
+    )
