@@ -126,6 +126,11 @@ HEADLINE = [
     "zipf_slope_tokens",
     "ntile_price_bands",
     "pit_join_purchases",
+    "classification_report_nb",
+    "ir_metrics_ann",
+    "psi_drift_event_types",
+    "w10_price_distribution_ranks",
+    "digest_core_tables",
 ]
 
 
