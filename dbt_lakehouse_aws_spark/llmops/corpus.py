@@ -336,3 +336,74 @@ def temperature_mix(
         portable_hash(F.col(id_col)).cast("double")
         < F.col("keep_rate") * F.lit(float(MERSENNE31))
     ).drop("keep_rate")
+
+
+def shard_assignment(
+    df: DataFrame, *, id_col: str, n_shards: int, out: str = "shard"
+) -> DataFrame:
+    """Deterministic shard id in [0, n_shards) from the portable row
+    hash — stable across runs, engines, and partition layouts, so a
+    re-export after a crash produces byte-identical shard membership
+    (the property downstream training-resume logic depends on)."""
+    return df.withColumn(
+        out, F.pmod(portable_hash(F.col(id_col)), F.lit(n_shards)).cast("int")
+    )
+
+
+def shard_manifest(
+    df: DataFrame, *, id_col: str, n_shards: int, digest_cols: Sequence[str]
+) -> DataFrame:
+    """Per-shard (n_rows, content digest) manifest — the audit object
+    a shard export ships with: a reader re-derives the digest from
+    the files it received and any mismatch pinpoints WHICH shard is
+    short or corrupt without comparing rows. Digest = Σ row-hash mod
+    2^61-1 per shard (same construction as
+    operators/relational.py::table_digest, grouped), so it is
+    order-insensitive and partition-layout-independent."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import _portable_hash60
+
+    assigned = shard_assignment(df, id_col=id_col, n_shards=n_shards)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in digest_cols
+    ]
+    h = _portable_hash60(F.concat_ws("\x1f", *parts))
+    m = (1 << 61) - 1
+    return (
+        assigned.withColumn("_h", h)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.pmod(F.sum(F.col("_h").cast("decimal(38,0)")), F.lit(m))
+            .cast("long")
+            .alias("digest"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    n_shards: int,
+    digest_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Export the corpus as ``n_shards`` hash-assigned parquet shard
+    directories (``shard=K/``) plus a ``_manifest`` parquet of
+    per-shard row counts and content digests. Returns the manifest.
+
+    The write is one ``partitionBy(shard)`` parquet job — Spark lays
+    each shard down in parallel — and the manifest is computed from
+    the SOURCE frame with the same deterministic assignment, so a
+    verifier can recompute digests from the landed files and match
+    them 1:1 (test does exactly that round trip).
+    """
+    cols = list(digest_cols) if digest_cols is not None else [id_col]
+    assigned = shard_assignment(df, id_col=id_col, n_shards=n_shards)
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(path)
+    manifest = shard_manifest(
+        df, id_col=id_col, n_shards=n_shards, digest_cols=cols
+    )
+    manifest.write.mode("overwrite").parquet(path.rstrip("/") + "_manifest")
+    return manifest

@@ -5187,6 +5187,39 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shard_manifest_docs",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CAST(((doc_id % 2147483647) * 506952114) % 2147483647 % 8 AS INT) AS shard,
+             CAST('0x' || substr(md5(
+               concat_ws(chr(31),
+                 coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'NULL'),
+                 coalesce(lang, chr(0) || 'NULL'))), 1, 15) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_rows,
+           CAST(sum(h) % {(1 << 61) - 1} AS BIGINT) AS digest
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+)
+def shard_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest (llmops/corpus.py::
+    shard_manifest): deterministic hash assignment of every doc to
+    one of 8 shards + per-shard row count and order-insensitive
+    content digest — the audit object a shard export ships with, so
+    a receiving trainer can verify each shard independently. The
+    oracle replays the Knuth shard hash, the md5-prefix row hash,
+    and the mod-2^61-1 digest sum exactly."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import shard_manifest
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shard_manifest(
+        d, id_col="doc_id", n_shards=8, digest_cols=["doc_id", "lang"]
+    )
+
+
+@register(
     "digest_core_tables",
     f"""
     WITH o AS (
@@ -6538,6 +6571,7 @@ ROUND4_QUEUE = [
     "psi_drift_event_types",  # registered after the r3 window froze
     "w10_price_distribution_ranks",  # registered after the r3 window froze
     "digest_core_tables",  # registered after the r3 window froze
+    "shard_manifest_docs",  # registered after the r3 window froze
     "ntile_price_bands",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",

@@ -145,3 +145,60 @@ def test_temperature_mix_flattens_and_meets_budget(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_write_training_shards_roundtrip_verifies(spark, tmp_path):
+    """Export → independent re-read → recomputed per-shard digests
+    match the shipped manifest; tampering one shard's data is caught
+    by exactly that shard's digest."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(500)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        df, path, id_col="doc_id", n_shards=4, digest_cols=["doc_id", "text"]
+    )
+    shipped = {r["shard"]: (r["n_rows"], r["digest"]) for r in manifest.collect()}
+    assert set(shipped) == {0, 1, 2, 3}
+    assert sum(n for n, _ in shipped.values()) == 500
+
+    landed = spark.read.parquet(path)
+    recomputed = shard_manifest(
+        landed.select("doc_id", "text"),
+        id_col="doc_id",
+        n_shards=4,
+        digest_cols=["doc_id", "text"],
+    )
+    assert {
+        r["shard"]: (r["n_rows"], r["digest"]) for r in recomputed.collect()
+    } == shipped
+    # persisted manifest matches too
+    stored = spark.read.parquet(path + "_manifest")
+    assert {
+        r["shard"]: (r["n_rows"], r["digest"]) for r in stored.collect()
+    } == shipped
+
+    # tamper one row in shard 0's data → only shard 0's digest moves
+    tampered = landed.withColumn(
+        "text",
+        F.when(
+            (F.col("shard") == 0) & (F.col("doc_id") == landed.filter("shard = 0").agg(F.min("doc_id")).collect()[0][0]),
+            F.lit("TAMPERED"),
+        ).otherwise(F.col("text")),
+    )
+    bad = {
+        r["shard"]: r["digest"]
+        for r in shard_manifest(
+            tampered.select("doc_id", "text"),
+            id_col="doc_id",
+            n_shards=4,
+            digest_cols=["doc_id", "text"],
+        ).collect()
+    }
+    assert bad[0] != shipped[0][1]
+    assert all(bad[s] == shipped[s][1] for s in (1, 2, 3))
