@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -337,3 +337,44 @@ def gap_fill(
         for n in aggs:
             filled = filled.withColumn(n, F.coalesce(n, F.lit(0).cast(dict(filled.dtypes)[n])))
     return filled.select(*gcols, F.col("_bucket").alias("bucket"), *aggs, "_gap")
+
+
+def date_spine(
+    spark: SparkSession,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Contiguous daily calendar dimension over [start, end] — the
+    dbt-utils ``date_spine`` shape (the reference's package dep,
+    ``packages.yml:2-3``) as a generated relation: no source scan, no
+    seed file, deterministic. One ``sequence`` + ``explode`` over a
+    single literal row, then derived calendar attributes; Catalyst
+    folds the whole thing to a local relation at toy ranges and a
+    one-task generate at century ranges (a 100-year spine is 36 525
+    rows — never a scale concern; the JOINS against it are, and those
+    are ordinary broadcast joins).
+
+    ``iso_dow`` is ISO (Mon=1..Sun=7) — Spark's ``dayofweek`` is
+    Sunday-first while other engines' ``dow`` is 0-based, so the ISO
+    form is the only convention that ports cleanly.
+    """
+    row = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("date_day")
+    )
+    iso_dow = F.weekday("date_day") + 1
+    return row.select(
+        "date_day",
+        F.year("date_day").cast("long").alias("year"),
+        F.quarter("date_day").cast("long").alias("quarter"),
+        F.month("date_day").cast("long").alias("month"),
+        F.dayofmonth("date_day").cast("long").alias("day_of_month"),
+        iso_dow.cast("long").alias("iso_dow"),
+        (iso_dow >= 6).cast("long").alias("is_weekend"),
+        (F.dayofmonth("date_day") == 1).cast("long").alias("is_month_start"),
+    )

@@ -5187,6 +5187,32 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "date_spine_q1_2024",
+    """
+    SELECT CAST(d AS DATE) AS date_day,
+           CAST(year(d) AS BIGINT) AS year,
+           CAST(quarter(d) AS BIGINT) AS quarter,
+           CAST(month(d) AS BIGINT) AS month,
+           CAST(day(d) AS BIGINT) AS day_of_month,
+           CAST(isodow(d) AS BIGINT) AS iso_dow,
+           CAST(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS BIGINT) AS is_weekend,
+           CAST(CASE WHEN day(d) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_month_start
+    FROM generate_series(DATE '2023-12-01', DATE '2024-02-29', INTERVAL 1 DAY) AS t(d)
+    """,
+)
+def date_spine_q1_2024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated daily calendar dimension (dbt-utils date_spine
+    parity — the reference's package dep, packages.yml:2-3;
+    operators/temporal.py::date_spine) with ISO day-of-week — the
+    only cross-engine-portable dow convention. Spans a leap February
+    so the month-boundary attributes are exercised. The oracle
+    generates the identical spine with DuckDB's generate_series."""
+    from dbt_lakehouse_aws_spark.operators.temporal import date_spine
+
+    return date_spine(spark, "2023-12-01", "2024-02-29")
+
+
+@register(
     "shard_manifest_docs",
     f"""
     WITH assigned AS (
@@ -6572,6 +6598,7 @@ ROUND4_QUEUE = [
     "w10_price_distribution_ranks",  # registered after the r3 window froze
     "digest_core_tables",  # registered after the r3 window froze
     "shard_manifest_docs",  # registered after the r3 window froze
+    "date_spine_q1_2024",  # registered after the r3 window froze
     "ntile_price_bands",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",

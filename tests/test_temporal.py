@@ -168,3 +168,20 @@ def test_gap_fill_hourly_grid(spark):
     out = gap_fill(df, group_cols=["g"], step="hour", aggs={"val": F.sum("v")})
     hours = sorted(r["bucket"].hour for r in out.collect())
     assert hours == [0, 1, 2, 3]
+
+
+def test_date_spine_attributes_and_bounds(spark):
+    """Inclusive bounds, contiguous days, leap-day present, ISO dow
+    (2024-01-01 is a Monday → 1), weekend and month-start flags."""
+    from dbt_lakehouse_aws_spark.operators.temporal import date_spine
+
+    out = date_spine(spark, "2024-01-01", "2024-03-01").collect()
+    days = [r["date_day"].isoformat() for r in out]
+    assert days[0] == "2024-01-01" and days[-1] == "2024-03-01"
+    assert len(days) == 61 and "2024-02-29" in days
+    by = {r["date_day"].isoformat(): r for r in out}
+    assert by["2024-01-01"]["iso_dow"] == 1  # Monday
+    assert by["2024-01-06"]["iso_dow"] == 6 and by["2024-01-06"]["is_weekend"] == 1
+    assert by["2024-01-07"]["iso_dow"] == 7 and by["2024-01-07"]["is_weekend"] == 1
+    assert by["2024-01-08"]["is_weekend"] == 0
+    assert by["2024-02-01"]["is_month_start"] == 1 and by["2024-02-01"]["quarter"] == 1
