@@ -291,3 +291,50 @@ def heavy_hitters(
         .orderBy(F.desc("n"), F.asc(value_col))
         .limit(k)
     )
+
+
+def rollup_tree(
+    df: DataFrame,
+    *,
+    time_col: str,
+    measures: dict[str, Column],
+    grains: Sequence[str] = ("day", "week", "month"),
+) -> DataFrame:
+    """Multi-granularity aggregate tree: the FINEST grain aggregates
+    the raw rows once; every coarser grain re-aggregates the finer
+    grain's rows instead of rescanning raw. At 100 TB that's the
+    difference between one full scan and |grains| of them — the
+    daily frame is ~5 orders of magnitude smaller than the raw
+    events, so the week/month passes are effectively free.
+
+    ``measures`` maps output name → aggregate over the RAW rows; the
+    same measures must be re-aggregable by SUM/MIN/MAX/COUNT
+    composition (sums of sums). Averages and distincts are NOT
+    (avg of avgs is wrong; use sum+count pairs, or a mergeable
+    sketch — see ``distinct_sketch_rollup``); this function does not
+    try to detect that, the caller picks algebraic measures.
+
+    Every coarser grain re-aggregates the FINEST grain's rows (not
+    the previous grain's): calendar grains don't all nest — a week
+    straddles month boundaries, so month-from-week would misassign
+    up to six days; month-from-day is exact, and the day frame is
+    already the small one.
+
+    Returns one frame: (grain, bucket, <measures...>), bucket =
+    ``date_trunc(grain)`` cast to DATE (Monday-start weeks — the
+    cross-engine convention).
+    """
+    finest, *coarser = list(grains)
+    base = df.groupBy(
+        F.date_trunc(finest, F.col(time_col)).cast("date").alias("bucket")
+    ).agg(*[expr.alias(name) for name, expr in measures.items()])
+    names = list(measures)
+    out = base.select(F.lit(finest).alias("grain"), "bucket", *names)
+    for g in coarser:
+        rolled = base.groupBy(
+            F.date_trunc(g, F.col("bucket")).cast("date").alias("bucket")
+        ).agg(*[F.sum(n).alias(n) for n in names])
+        out = out.unionByName(
+            rolled.select(F.lit(g).alias("grain"), "bucket", *names)
+        )
+    return out

@@ -5187,6 +5187,76 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_tree_revenue",
+    """
+    WITH raw AS (
+      SELECT l_shipdate,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+    ),
+    d AS (
+      SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS bucket,
+             sum(rev) AS revenue, count(*) AS n_items
+      FROM raw GROUP BY 1
+    ),
+    w AS (
+      SELECT CAST(date_trunc('week', bucket) AS DATE) AS bucket,
+             sum(revenue) AS revenue, sum(n_items) AS n_items
+      FROM d GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(date_trunc('month', bucket) AS DATE) AS bucket,
+             sum(revenue) AS revenue, sum(n_items) AS n_items
+      FROM d GROUP BY 1
+    )
+    SELECT grain, bucket,
+           round(CAST(revenue AS DOUBLE), 2) AS revenue,
+           CAST(n_items AS BIGINT) AS n_items
+    FROM (
+      SELECT 'day' AS grain, * FROM d
+      UNION ALL SELECT 'week', * FROM w
+      UNION ALL SELECT 'month', * FROM m
+    ) ORDER BY grain, bucket
+    """,
+)
+def rollup_tree_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregation tree (operators/aggregates.py::
+    rollup_tree): daily revenue aggregates the raw rows ONCE; weekly
+    and monthly re-aggregate the daily frame — one full scan instead
+    of three, the rollup-materialization pattern that matters when
+    raw is 10^5x the daily grain. Measures go through DECIMAL(18,4)
+    so re-aggregation is exactly associative (sums of sums equal the
+    direct sums bit-for-bit; the oracle computes every grain the
+    same way and the value hash proves the tree introduces no
+    drift)."""
+    from dbt_lakehouse_aws_spark.operators.aggregates import rollup_tree
+
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    tree = rollup_tree(
+        l,
+        time_col="l_shipdate",
+        measures={
+            "revenue": F.sum(rev),
+            "n_items": F.count(F.lit(1)),
+        },
+    )
+    return tree.select(
+        "grain",
+        "bucket",
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.col("n_items").cast("long").alias("n_items"),
+    ).orderBy("grain", "bucket")
+
+
+@register(
     "date_spine_q1_2024",
     """
     SELECT CAST(d AS DATE) AS date_day,
@@ -6599,6 +6669,7 @@ ROUND4_QUEUE = [
     "digest_core_tables",  # registered after the r3 window froze
     "shard_manifest_docs",  # registered after the r3 window froze
     "date_spine_q1_2024",  # registered after the r3 window froze
+    "rollup_tree_revenue",  # registered after the r3 window froze
     "ntile_price_bands",  # registered after the r3 window froze
     "pca_project_embeddings",
     "kmeans_cluster_sizes",

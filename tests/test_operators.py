@@ -563,3 +563,45 @@ def test_table_digest_order_insensitive_and_change_sensitive(spark):
         table_digest(n1).collect()[0]["digest"]
         != table_digest(n2).collect()[0]["digest"]
     )
+
+
+def test_rollup_tree_exact_reaggregation_and_nonnesting_grains(spark):
+    """Week/month derive from the DAY frame: totals per grain all
+    equal the raw total exactly (decimal measures), and a week that
+    straddles a month boundary does not leak rows into the wrong
+    month (the month-from-week bug this operator refuses to have)."""
+    from datetime import datetime
+
+    from dbt_lakehouse_aws_spark.operators.aggregates import rollup_tree
+
+    # Jan 29 - Feb 4 2024 is one Monday-start week across the boundary
+    from datetime import timedelta
+
+    rows = [
+        (datetime(2024, 1, 28, 12, 0) + timedelta(days=i), float(10 + i))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, amount double")
+    tree = rollup_tree(
+        df,
+        time_col="ts",
+        measures={
+            "total": F.sum(F.col("amount").cast("decimal(18,4)")),
+            "n": F.count(F.lit(1)),
+        },
+    ).collect()
+    by = {}
+    for r in tree:
+        by.setdefault(r["grain"], {})[r["bucket"].isoformat()] = (
+            float(r["total"]),
+            r["n"],
+        )
+    raw_total = sum(10 + i for i in range(8))
+    for g in ("day", "week", "month"):
+        assert sum(t for t, _ in by[g].values()) == raw_total, g
+        assert sum(n for _, n in by[g].values()) == 8, g
+    # Jan gets Jan 28-31 (10+11+12+13), Feb gets Feb 1-4 (14+15+16+17)
+    assert by["month"]["2024-01-01"] == (46.0, 4)
+    assert by["month"]["2024-02-01"] == (62.0, 4)
+    # the straddling week (Mon Jan 29) holds 7 of the 8 days
+    assert by["week"]["2024-01-29"][1] == 7
