@@ -131,6 +131,9 @@ HEADLINE = [
     "psi_drift_event_types",
     "w10_price_distribution_ranks",
     "digest_core_tables",
+    "shard_manifest_docs",
+    "date_spine_q1_2024",
+    "rollup_tree_revenue",
 ]
 
 

@@ -304,3 +304,59 @@ def test_avi_roundtrip_property(shape, seed):
     out = decode_avi(encode_avi(frames))
     assert out["n_frames"] == n and out["width"] == w and out["height"] == h
     assert np.array_equal(out["frames"], frames)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.text(min_size=0, max_size=12)),
+        min_size=1,
+        max_size=120,
+    ),
+    seed=st.integers(0, 2**31),
+)
+def test_table_digest_permutation_invariant_multiset_sensitive(spark, rows, seed):
+    """For ANY multiset: digest is identical under permutation and
+    repartitioning; appending one extra arbitrary row changes it."""
+    import random
+
+    from dbt_lakehouse_aws_spark.operators.relational import table_digest
+
+    df1 = spark.createDataFrame(rows, "k long, v string").repartition(3)
+    shuffled = list(rows)
+    random.Random(seed).shuffle(shuffled)
+    df2 = spark.createDataFrame(shuffled, "k long, v string").repartition(5)
+    d1 = table_digest(df1).collect()[0]
+    d2 = table_digest(df2).collect()[0]
+    assert (d1["n_rows"], d1["digest"]) == (d2["n_rows"], d2["digest"])
+
+    extra = spark.createDataFrame(rows + [rows[0]], "k long, v string")
+    d3 = table_digest(extra).collect()[0]
+    assert d3["n_rows"] == d1["n_rows"] + 1
+    assert d3["digest"] != d1["digest"] or d1["digest"] == 0  # hash-sum moved
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=200),
+)
+def test_cms_point_estimates_never_under_any_input(spark, vals):
+    """CMS never underestimates, for arbitrary value multisets."""
+    from dbt_lakehouse_aws_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    sk = count_min_sketch(df, value_col="v", depth=3, width=16, portable=True)
+    est = {
+        r["value"]: r["est_count"]
+        for r in cms_estimate(
+            sk, df.select("v").distinct(), value_col="v", depth=3, width=16,
+            portable=True,
+        ).collect()
+    }
+    from collections import Counter
+
+    exact = Counter(vals)
+    assert all(est[v] >= c for v, c in exact.items())
