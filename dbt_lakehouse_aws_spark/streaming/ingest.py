@@ -769,3 +769,41 @@ def stream_dedup_into_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_pit_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    keys: list[str],
+    at_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Streaming point-in-time ("as-was") enrichment: each arriving
+    fact joins the STATIC SCD2 dimension row valid at the fact's own
+    timestamp — the streaming twin of
+    :func:`~dbt_lakehouse_aws_spark.operators.scd.point_in_time_join`,
+    and the correct version of the stream-static enrich when the
+    dimension has history (joining "today's" dim row against late
+    events silently rewrites the past).
+
+    Stream-static left joins with range predicates are natively
+    supported (the static side is re-broadcast per micro-batch, so a
+    dimension refresh between batches is picked up automatically);
+    ranges are disjoint per key by SCD2 construction, so the join
+    cannot fan out and needs no watermark state.
+    """
+    cond = None
+    for k in keys:
+        c = stream[k] == dim[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (stream[at_col] >= dim[valid_from])
+        & (stream[at_col] <= dim[valid_to])
+    )
+    joined = stream.join(dim, cond, "left")
+    for k in keys:
+        joined = joined.drop(dim[k])
+    return joined

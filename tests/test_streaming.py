@@ -670,3 +670,52 @@ def test_stream_dedup_into_index(spark, tmp_path):
     assert surv == {1, 2, 11}  # 10 rejected as a history dup
     idx = MinHashDedupIndex(spark, idx_path)
     assert idx.index_size() == 3
+
+
+def test_stream_pit_enrich_as_was(spark, tmp_path):
+    """Arriving facts pick the dimension row valid at their OWN
+    timestamp — a late event maps to the historical tier, not the
+    current one; keys outside every range null-pad."""
+    import json as _json
+
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_pit_enrich
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", "2024-01-01", "2024-01-31"),
+            (1, "gold", "2024-02-01", "2024-12-31"),
+        ],
+        "user_id long, tier string, valid_from string, valid_to string",
+    ).select(
+        "user_id",
+        "tier",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    src = tmp_path / "facts"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for r in [
+            {"fid": 100, "user_id": 1, "day": "2024-01-15"},  # late → bronze
+            {"fid": 101, "user_id": 1, "day": "2024-03-01"},  # current → gold
+            {"fid": 102, "user_id": 2, "day": "2024-03-01"},  # unknown key
+        ]:
+            f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("fid long, user_id long, day string")
+        .json(str(src))
+        .withColumn("day", F.col("day").cast("date"))
+    )
+    out = stream_pit_enrich(stream, dim, keys=["user_id"], at_col="day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pit_enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["fid"]: r["tier"] for r in spark.sql("SELECT * FROM pit_enriched").collect()
+    }
+    assert got == {100: "bronze", 101: "gold", 102: None}
