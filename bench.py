@@ -247,14 +247,32 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     # stop Spark BEFORE printing so no JVM shutdown chatter lands
-    # after (and tail-truncates) the driver-parsed line; compact
-    # separators + 2dp keep the line itself short.
+    # after (and tail-truncates) the driver-parsed line.
     spark.stop()
-    line = json.dumps(
-        {**payload, "queries": {n: round(v, 2) for n, v in timings.items()}},
-        separators=(",", ":"),
-    )
     sys.stdout.flush()
+    # Per-query detail goes FIRST on its own line (and lives in
+    # BENCH_full.json); the FINAL stdout line is <200 bytes carrying
+    # only the headline totals. BENCH_r01–r03 all arrived
+    # `"parsed": null` because a ~2.5 KB final line overflowed the
+    # driver's tail capture, cutting off metric/value at the front
+    # (VERDICT r3 item 2) — the parse-critical line must stay short.
+    print(
+        json.dumps(
+            {"detail_queries": {n: round(v, 2) for n, v in timings.items()}},
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "runs": runs,
+        "n_queries": len(timings),
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 200, f"summary line too long ({len(line)}B): {line}"
     print(line, flush=True)
 
 

@@ -188,8 +188,21 @@ class MinHashDedupIndex:
                 .localCheckpoint()
             )
         else:
+            # derive the id type from the incoming docs — corpora
+            # with string doc ids must not get a long-typed empty
+            # frame feeding the left_anti join (ADVICE r3)
+            from pyspark.sql.types import StructField, StructType, DoubleType
+
+            id_type = docs.schema[self.id_col].dataType
             dup_of_history = self.spark.createDataFrame(
-                [], f"{self.id_col} long, matched_id long, est_jaccard double"
+                [],
+                StructType(
+                    [
+                        StructField(self.id_col, id_type),
+                        StructField("matched_id", id_type),
+                        StructField("est_jaccard", DoubleType()),
+                    ]
+                ),
             )
 
         # plain left_anti (no forced broadcast): the dup set is

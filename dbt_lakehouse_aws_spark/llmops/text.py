@@ -378,8 +378,13 @@ def gopher_quality_flags(
         F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
     ) / F.lit(3)
     symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    # \p{L} (any Unicode letter) rather than [a-z]: the published
+    # Gopher rule is "contains at least one alphabetic character" —
+    # lowercase-ASCII-only would zero out all-caps tokens and every
+    # non-Latin-script document (ADVICE r3). Java and RE2 share the
+    # \p{L} class, so the DuckDB oracle replays it identically.
     alpha_ratio = (
-        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / n_words
+        F.size(F.filter(w, lambda x: x.rlike(r"\p{L}"))).cast("double") / n_words
     )
     padded = F.concat(F.lit(" "), t, F.lit(" "))
     stop_hits = None

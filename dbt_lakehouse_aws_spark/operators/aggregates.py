@@ -7,7 +7,7 @@ that makes them hold at 100 TB.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -299,6 +299,7 @@ def rollup_tree(
     time_col: str,
     measures: dict[str, Column],
     grains: Sequence[str] = ("day", "week", "month"),
+    reagg: dict[str, Callable[[str], Column]] | None = None,
 ) -> DataFrame:
     """Multi-granularity aggregate tree: the FINEST grain aggregates
     the raw rows once; every coarser grain re-aggregates the finer
@@ -307,12 +308,16 @@ def rollup_tree(
     daily frame is ~5 orders of magnitude smaller than the raw
     events, so the week/month passes are effectively free.
 
-    ``measures`` maps output name → aggregate over the RAW rows; the
-    same measures must be re-aggregable by SUM/MIN/MAX/COUNT
-    composition (sums of sums). Averages and distincts are NOT
-    (avg of avgs is wrong; use sum+count pairs, or a mergeable
-    sketch — see ``distinct_sketch_rollup``); this function does not
-    try to detect that, the caller picks algebraic measures.
+    ``measures`` maps output name → aggregate over the RAW rows.
+    Coarser grains re-aggregate each measure with ``F.sum`` by
+    default, which is only correct for sum-composable measures
+    (sums and counts — a count of raws re-aggregates as a SUM of
+    the daily counts). For min/max measures pass ``reagg``: output
+    name → (colname → Column), e.g. ``{"peak": F.max}``, and that
+    function is used at the coarser grains instead (ADVICE r3 —
+    summing daily maxes is silently wrong). Averages and distincts
+    compose under NO per-measure re-aggregation: use sum+count
+    pairs, or a mergeable sketch (``distinct_sketch_rollup``).
 
     Every coarser grain re-aggregates the FINEST grain's rows (not
     the previous grain's): calendar grains don't all nest — a week
@@ -329,11 +334,15 @@ def rollup_tree(
         F.date_trunc(finest, F.col(time_col)).cast("date").alias("bucket")
     ).agg(*[expr.alias(name) for name, expr in measures.items()])
     names = list(measures)
+    reagg = reagg or {}
+    unknown = set(reagg) - set(names)
+    if unknown:
+        raise ValueError(f"reagg keys not in measures: {sorted(unknown)}")
     out = base.select(F.lit(finest).alias("grain"), "bucket", *names)
     for g in coarser:
         rolled = base.groupBy(
             F.date_trunc(g, F.col("bucket")).cast("date").alias("bucket")
-        ).agg(*[F.sum(n).alias(n) for n in names])
+        ).agg(*[reagg.get(n, F.sum)(n).alias(n) for n in names])
         out = out.unionByName(
             rolled.select(F.lit(g).alias("grain"), "bucket", *names)
         )

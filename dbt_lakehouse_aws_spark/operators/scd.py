@@ -77,6 +77,13 @@ def point_in_time_join(
     engine's as-of join, but SCD2 ranges are non-overlapping per key
     BY CONSTRUCTION, so each fact matches at most one dimension row
     and the join can't fan out).
+
+    A NULL ``valid_to`` is treated as the open-ended CURRENT row
+    (the common external-SCD2 convention): the upper bound is
+    ``at <= coalesce(valid_to, +inf)``, so current rows match
+    instead of silently never matching (ADVICE r3).
+    ``scd2_collapse`` itself always closes rows, but external SCD2
+    sources routinely don't.
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"point_in_time_join supports inner/left, got {how!r}")
@@ -87,7 +94,10 @@ def point_in_time_join(
     cond = (
         cond
         & (facts[at_col] >= dim[valid_from])
-        & (facts[at_col] <= dim[valid_to])
+        & (
+            dim[valid_to].isNull()
+            | (facts[at_col] <= dim[valid_to])
+        )
     )
     joined = facts.join(dim, cond, how)
     # drop the dim side's duplicated key columns

@@ -79,11 +79,18 @@ def kmv_sketch(
         _raw_hash(value_col, portable=portable).alias("hv"),
     ).distinct()
     w = Window.partitionBy("group_key").orderBy("hv")
+    mode = "portable60" if portable else "xxhash64"
     return (
         hashed.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .groupBy("group_key")
-        .agg(F.sort_array(F.collect_list("hv")).alias("kmv"))
+        .agg(
+            F.sort_array(F.collect_list("hv")).alias(
+                # hash mode rides in column metadata so consumers that
+                # need a specific space size can verify without a job
+                "kmv", metadata={"hash_mode": mode}
+            )
+        )
         .withColumn("n_kept", F.size("kmv").cast("long"))
     )
 
@@ -106,7 +113,23 @@ def kmv_pairwise_overlap(sketches: DataFrame, *, k: int) -> DataFrame:
     The self-join is over the *sketch* table — tiny by construction —
     and every expression is a JVM array function; Spark broadcasts
     the build side automatically under AQE.
+
+    Raises ``ValueError`` unless the sketches carry the
+    ``hash_mode=portable60`` metadata stamped by
+    ``kmv_sketch(portable=True)``: default xxhash64 sketches have
+    signed 64-bit hashes, so dividing the 2^60 portable space by a
+    possibly-negative k-th order statistic would silently yield
+    negative/nonsense cardinality estimates (ADVICE r3).
     """
+    mode = sketches.schema["kmv"].metadata.get("hash_mode")
+    if mode != "portable60":
+        raise ValueError(
+            "kmv_pairwise_overlap requires kmv_sketch(portable=True) "
+            f"sketches (hash_mode metadata is {mode!r}); the cardinality "
+            "estimator divides the 60-bit portable hash space by the "
+            "k-th order statistic, which is meaningless for signed "
+            "xxhash64 sketches"
+        )
     a = sketches.select(
         F.col("group_key").alias("group_a"),
         F.col("kmv").alias("kmv_a"),

@@ -5041,19 +5041,19 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     UNION ALL
     SELECT 'o_custkey', count(*),
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_custkey),
            CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', count(*),
-           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderstatus),
            min(o_orderstatus), max(o_orderstatus)
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority', count(*),
-           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderpriority),
            min(o_orderpriority), max(o_orderpriority)
     FROM orders
@@ -5988,7 +5988,7 @@ def group_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST((length(text) - length(replace(text, '#', '')))
                   + (length(text) - length(replace(text, '...', ''))) / 3
                   AS DOUBLE) / len(words) AS sym,
-             CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+             CAST(len(list_filter(words, x -> regexp_matches(x, '\\p{L}')))
                   AS DOUBLE) / len(words) AS alpha,
              (CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END
             + CASE WHEN ' ' || text || ' ' LIKE '% a %' THEN 1 ELSE 0 END
@@ -6678,11 +6678,21 @@ ROUND4_QUEUE = [
     "ann_lsh_topk",  # rows-only -> value-oracle upgrade, re-check
     "minhash_lsh_pairs",  # rows-only -> value-oracle upgrade, re-check
     "simhash_near_pairs",  # rows-only -> value-oracle upgrade, re-check
+    # VERDICT r3 item 1c: the two omissions the judge flagged.
+    "profile_orders",  # r3 red (oracle-side HUGEINT, now cast) — re-verify
+    "simhash_fingerprints",  # stale r1 no_oracle; value oracle since r3
 ]
 
-DRIVER_WINDOW: list[str] = (
-    ROUND3_REVERIFY_RED + ROUND3_NEVER_CHECKED + ROUND3_ROWS_ONLY
-)[:50]
+#: queries registered DURING round 4 — appended here at registration
+#: time, then the list is FROZEN before the driver pass (VERDICT r3
+#: item 3: land new operators early; post-freeze work waits for r5).
+ROUND4_NEW: list[str] = []
+
+# Round-4 window: the 27-deep queue of late-r3 registrations +
+# re-checks, the two judge-flagged omissions, then round-4's own
+# registrations — 50 slots exactly; CORRECTNESS_r03.json exists on
+# disk, so rotation is safe (see memory: driver-window-rotation).
+DRIVER_WINDOW: list[str] = (ROUND4_QUEUE + ROUND4_NEW)[:50]
 
 
 def _window_ordered() -> list[QuerySpec]:

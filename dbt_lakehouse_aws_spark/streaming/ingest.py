@@ -801,7 +801,9 @@ def stream_pit_enrich(
     cond = (
         cond
         & (stream[at_col] >= dim[valid_from])
-        & (stream[at_col] <= dim[valid_to])
+        # NULL valid_to = open-ended current row (external-SCD2
+        # convention) — must match, not silently drop (ADVICE r3)
+        & (dim[valid_to].isNull() | (stream[at_col] <= dim[valid_to]))
     )
     joined = stream.join(dim, cond, "left")
     for k in keys:

@@ -46,6 +46,30 @@ def test_readme_query_count():
     assert f"SQL-expressible, {len(ORACLES)} of them" in text
 
 
+def test_no_widened_numeric_oracle_types(duck):
+    """No oracle may yield HUGEINT/DECIMAL columns (VERDICT r3 §wrong-1).
+
+    DuckDB widens sum(int) to HUGEINT and sum(decimal)/avg to DECIMAL;
+    the driver's value hash is type-sensitive, so an uncast aggregate
+    diverges from Spark's BIGINT/DOUBLE even when values match. This
+    cost a red row three rounds running (f_json_props r1, pack/corpus
+    r2, profile_orders r3) — kill the class: bind every oracle and
+    reject widened result types. Binding only, no execution, so the
+    whole registry checks in <1s.
+    """
+    bad = {}
+    for name, sql in sorted(ORACLES.items()):
+        rel = duck.sql(sql)
+        widened = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+        ]
+        if widened:
+            bad[name] = widened
+    assert not bad, f"oracles with HUGEINT/DECIMAL result columns: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_against_oracle(spark, duck, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)

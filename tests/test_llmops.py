@@ -1274,6 +1274,57 @@ def test_gopher_quality_flags_each_rule(spark):
     assert r[6]["r_stopwords"] == 0 and r[6]["r_word_count"] == 1
 
 
+def test_gopher_alpha_rule_is_unicode_and_caps_aware(spark):
+    """The alpha-word rule counts ANY Unicode letter (published
+    Gopher: 'contains at least one alphabetic character') — all-caps
+    and non-Latin-script tokens must count as alphabetic, digits must
+    not (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    from dbt_lakehouse_aws_spark.llmops.text import gopher_quality_flags
+
+    caps = " ".join(["THE QUICK BROWN FOX AND LAZY DOG TROT HOME"] * 7)
+    cyr = " ".join(["москва held данные the a of and to"] * 8)
+    digits = " ".join(["123", "456"] * 40) + " the a of and to"
+    out = gopher_quality_flags(
+        spark.createDataFrame(
+            [(1, caps), (2, cyr), (3, digits)], "doc_id long, text string"
+        )
+    )
+    r = {row["doc_id"]: row["r_alpha_words"] for row in out.collect()}
+    assert r[1] == 1  # all-caps is alphabetic
+    assert r[2] == 1  # Cyrillic is alphabetic
+    assert r[3] == 0  # digit tokens are not
+
+
+def test_incremental_dedup_string_doc_ids(spark, tmp_path):
+    """First-batch empty dup_of_history frame must derive the id type
+    from the corpus — string doc ids previously hit a long-typed
+    empty frame in the left_anti join (ADVICE r3)."""
+    from dbt_lakehouse_aws_spark.llmops.incremental_dedup import MinHashDedupIndex
+
+    idx = MinHashDedupIndex(
+        spark, str(tmp_path / "mh_sid"), est_threshold=0.5, id_col="doc_id"
+    )
+    b1 = spark.createDataFrame(
+        [
+            ("doc-a", "the quick brown fox jumps over the lazy dog"),
+            ("doc-b", "completely different text about spark engines here now"),
+        ],
+        "doc_id string, text string",
+    )
+    r1 = idx.ingest_batch(b1)
+    assert sorted(r["doc_id"] for r in r1.survivors.collect()) == ["doc-a", "doc-b"]
+    assert r1.dup_of_history.count() == 0
+    b2 = spark.createDataFrame(
+        [("doc-c", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string",
+    )
+    r2 = idx.ingest_batch(b2)
+    hist = {r["doc_id"]: r["matched_id"] for r in r2.dup_of_history.collect()}
+    assert hist == {"doc-c": "doc-a"}
+
+
 def test_pq_encode_shape_and_compression(spark):
     """Codes are m ids in [0, n_codes); identical vectors get
     identical codes."""

@@ -535,6 +535,26 @@ def test_point_in_time_join_as_was_semantics(spark):
         point_in_time_join(facts, dim, keys=["k"], at_col="t", how="full")
 
 
+def test_point_in_time_join_null_valid_to_matches_current_row(spark):
+    """External SCD2 sources commonly leave the current row open with
+    valid_to NULL — it must match facts at/after valid_from instead
+    of silently never matching (ADVICE r3)."""
+    from dbt_lakehouse_aws_spark.operators.scd import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [(1, "bronze", 1, 3), (1, "gold", 4, None)],
+        "k long, tier string, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 2), (101, 1, 4), (102, 1, 999)], "fid long, k long, t long"
+    )
+    got = {
+        r["fid"]: r["tier"]
+        for r in point_in_time_join(facts, dim, keys=["k"], at_col="t").collect()
+    }
+    assert got == {100: "bronze", 101: "gold", 102: "gold"}
+
+
 def test_table_digest_order_insensitive_and_change_sensitive(spark):
     """Same multiset under any partitioning → same digest; any
     single-row change, row swap-for-duplicate, or NULL-position swap
@@ -605,3 +625,57 @@ def test_rollup_tree_exact_reaggregation_and_nonnesting_grains(spark):
     assert by["month"]["2024-02-01"] == (62.0, 4)
     # the straddling week (Mon Jan 29) holds 7 of the 8 days
     assert by["week"]["2024-01-29"][1] == 7
+
+
+def test_rollup_tree_per_measure_reagg_for_min_max(spark):
+    """A max measure re-aggregated with the default F.sum would report
+    the SUM of daily maxes at week/month grain (ADVICE r3); the
+    ``reagg`` map must carry F.max through the coarser grains, and an
+    unknown reagg key must raise."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from dbt_lakehouse_aws_spark.operators.aggregates import rollup_tree
+
+    rows = [
+        (datetime(2024, 1, 1, 12, 0) + timedelta(days=i), float(10 * (i + 1)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, amount double")
+    tree = rollup_tree(
+        df,
+        time_col="ts",
+        measures={"peak": F.max("amount"), "total": F.sum("amount")},
+        grains=("day", "month"),
+        reagg={"peak": F.max},
+    ).collect()
+    month = next(r for r in tree if r["grain"] == "month")
+    assert month["peak"] == 40.0  # max of daily maxes, not 10+20+30+40
+    assert month["total"] == 100.0  # sums still sum
+    with pytest.raises(ValueError, match="reagg keys not in measures"):
+        rollup_tree(
+            df,
+            time_col="ts",
+            measures={"total": F.sum("amount")},
+            reagg={"typo": F.max},
+        )
+
+
+def test_kmv_pairwise_overlap_rejects_nonportable_sketches(spark):
+    """Default xxhash64 sketches have signed hashes — the 2^60-space
+    cardinality estimator would silently produce negative/nonsense
+    estimates, so kmv_pairwise_overlap must refuse them (ADVICE r3)."""
+    import pytest
+
+    from dbt_lakehouse_aws_spark.operators.sketches import (
+        kmv_pairwise_overlap,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in range(50)], "g string, v long"
+    )
+    sk = kmv_sketch(df, group_col="g", value_col="v", k=16)  # portable=False
+    with pytest.raises(ValueError, match="portable=True"):
+        kmv_pairwise_overlap(sk, k=16)
