@@ -6560,6 +6560,351 @@ def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANKINGS_MART_SQL = """
+      SELECT c.c_custkey AS id,
+             c.c_name AS name,
+             c.c_mktsegment AS team,
+             CASE CAST(c.c_nationkey % 3 AS INT)
+               WHEN 0 THEN 'C,1B' WHEN 1 THEN 'OF' ELSE 'SS,2B' END AS pos,
+             CASE WHEN c.c_custkey % 4 = 0 THEN 'IL' ELSE 'Healthy' END
+               AS projected_opening_day_status,
+             round(sum(o.o_totalprice) / 1000, 4) AS value,
+             CASE WHEN c.c_custkey % 5 = 0 THEN NULL
+                  ELSE round(avg(CAST(substr(o.o_orderpriority, 1, 1) AS INT)) * 40, 4)
+             END AS adp,
+             CASE WHEN c.c_custkey % 5 = 0 THEN NULL
+                  ELSE CAST(min(CAST(substr(o.o_orderpriority, 1, 1) AS INT)) * 30 AS DOUBLE)
+             END AS min_pick,
+             CASE WHEN c.c_custkey % 5 = 0 THEN NULL
+                  ELSE CAST(max(CAST(substr(o.o_orderpriority, 1, 1) AS INT)) * 60 AS DOUBLE)
+             END AS max_pick,
+             CAST(count(*) * 3 AS DOUBLE) AS ab,
+             CAST(count(*) AS DOUBLE) AS r,
+             CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS hr,
+             CAST(floor(sum(o.o_totalprice) / 10000) AS DOUBLE) AS rbi,
+             CAST(sum(CASE WHEN o.o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS DOUBLE) AS sb,
+             CAST(sum(CASE WHEN o.o_orderpriority LIKE '2%' THEN 1 ELSE 0 END) AS DOUBLE) AS k,
+             CAST(sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS w,
+             CAST(sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS DOUBLE) AS sv,
+             round(avg(o.o_totalprice) / 1000000, 6) AS avg,
+             round(sum(o.o_totalprice) / 50000, 4) AS ip,
+             round(avg(CAST(substr(o.o_orderpriority, 1, 1) AS INT)), 6) AS era,
+             round(avg(o.o_totalprice) / 200000, 6) AS whip
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_name, c.c_mktsegment, c.c_nationkey
+"""
+
+
+@register(
+    "serving_rankings_page",
+    f"""
+    WITH mart AS ({_RANKINGS_MART_SQL}),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY value DESC, id) AS BIGINT) AS rank
+      FROM mart
+    ),
+    page AS (
+      SELECT * FROM ranked
+      WHERE name LIKE '%9%'
+        AND list_has_any(string_split(pos, ','), ['OF', 'SS'])
+        AND team IN ('AUTOMOBILE', 'MACHINERY', 'BUILDING')
+        AND projected_opening_day_status IN ('Healthy')
+        AND adp IS NOT NULL AND min_pick IS NOT NULL AND max_pick IS NOT NULL
+      ORDER BY rank LIMIT 50
+    )
+    SELECT team,
+           CAST(count(*) AS BIGINT) AS n_players,
+           round(sum(r), 2) AS r, round(sum(hr), 2) AS hr,
+           round(sum(rbi), 2) AS rbi, round(sum(sb), 2) AS sb,
+           round(sum(k), 2) AS k, round(sum(w), 2) AS w,
+           round(sum(sv), 2) AS sv,
+           round(sum(ab * avg) / sum(ab), 6) AS avg,
+           round(sum(era * ip) / sum(ip), 6) AS era,
+           round(sum(whip * ip) / sum(ip), 6) AS whip
+    FROM page GROUP BY team
+    """,
+)
+def serving_rankings_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving plane end-to-end under the driver gate (VERDICT r3
+    item 6): a rankings mart derived from customer×orders, served
+    through the REAL serving expressions — ``rankings_scan``
+    (column projection + rank order, reference app/app.py:406-443) →
+    ``apply_filters`` (search substring + position eligibility +
+    team/status IN-lists + require_adp, app/app.py:596-625) → a
+    50-row page → ``team_aggregates`` grouped by team
+    (ratio-of-sums AVG, IP-weighted ERA/WHIP, app/app.py:909-937).
+
+    Scale shape: the mart aggregate is one hash-agg shuffle of
+    orders; every filter is a pushed-down codegen predicate over the
+    mart; the page is TakeOrderedAndProject (no global sort
+    materialization); team_aggregates is a partial+final hash agg
+    over 50 rows.
+    """
+    from dbt_lakehouse_aws_spark.serving.api import (
+        apply_filters,
+        rankings_scan,
+        team_aggregates,
+    )
+
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    prio = F.substring("o_orderpriority", 1, 1).cast("int")
+    nullable5 = lambda col: F.when(  # noqa: E731
+        F.col("id") % 5 == 0, F.lit(None).cast("double")
+    ).otherwise(col)
+    mart = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("team"),
+            "c_nationkey",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice") / 1000, 4).alias("value"),
+            F.round(F.avg(prio) * 40, 4).alias("_adp"),
+            (F.min(prio) * 30).cast("double").alias("_minp"),
+            (F.max(prio) * 60).cast("double").alias("_maxp"),
+            (F.count(F.lit(1)) * 3).cast("double").alias("ab"),
+            F.count(F.lit(1)).cast("double").alias("r"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("double").alias("hr"),
+            F.floor(F.sum("o_totalprice") / 10000).cast("double").alias("rbi"),
+            F.sum(F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0))
+            .cast("double").alias("sb"),
+            F.sum(F.when(F.col("o_orderpriority").like("2%"), 1).otherwise(0))
+            .cast("double").alias("k"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            .cast("double").alias("w"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+            .cast("double").alias("sv"),
+            F.round(F.avg("o_totalprice") / 1000000, 6).alias("avg"),
+            F.round(F.sum("o_totalprice") / 50000, 4).alias("ip"),
+            F.round(F.avg(prio), 6).alias("era"),
+            F.round(F.avg("o_totalprice") / 200000, 6).alias("whip"),
+        )
+        .select(
+            "*",
+            (F.col("c_nationkey") % 3).cast("int").alias("_p3"),
+        )
+        .withColumn(
+            "pos",
+            F.when(F.col("_p3") == 0, F.lit("C,1B"))
+            .when(F.col("_p3") == 1, F.lit("OF"))
+            .otherwise(F.lit("SS,2B")),
+        )
+        .withColumn(
+            "projected_opening_day_status",
+            F.when(F.col("id") % 4 == 0, F.lit("IL")).otherwise(F.lit("Healthy")),
+        )
+        .withColumn("adp", nullable5(F.col("_adp")))
+        .withColumn("min_pick", nullable5(F.col("_minp")))
+        .withColumn("max_pick", nullable5(F.col("_maxp")))
+    )
+    # global rank WITHOUT the Window.orderBy single-partition funnel
+    # (operators/windows.py::global_row_number, two-pass range scheme)
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
+    mart = global_row_number(
+        mart, [F.desc("value"), F.asc("id")], name="rank"
+    )
+    page = (
+        apply_filters(
+            rankings_scan(mart),
+            search="9",
+            positions=["OF", "SS"],
+            teams=["AUTOMOBILE", "MACHINERY", "BUILDING"],
+            statuses=["Healthy"],
+            require_adp=True,
+        )
+        .orderBy("rank")
+        .limit(50)
+    )
+    agg = team_aggregates(page, group_cols=["team"])
+    counts = page.groupBy("team").agg(
+        F.count(F.lit(1)).cast("long").alias("n_players")
+    )
+    return counts.join(agg, "team").select(
+        "team",
+        "n_players",
+        *[
+            F.round(c2, 2).alias(c2)
+            for c2 in ("r", "hr", "rbi", "sb", "k", "w", "sv")
+        ],
+        F.round("avg", 6).alias("avg"),
+        F.round("era", 6).alias("era"),
+        F.round("whip", 6).alias("whip"),
+    )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream twin of ``T(spark, sf_dir, "events")``: same
+    nanos-as-long handling, same ts normalization, but as a file
+    stream (the whole parquet file arrives as one micro-batch under
+    Trigger.AvailableNow)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # file-stream sources take a DIRECTORY; pathGlobFilter narrows it
+    # to the one table file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@register(
+    "stream_pit_equivalence",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_stream,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def stream_pit_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream/batch equivalence under the driver gate (VERDICT r3
+    item 7): run the STREAMING point-in-time enrichment
+    (streaming/ingest.py::stream_pit_enrich, Trigger.AvailableNow
+    over the sf_dir events file) and the already-driver-oracled batch
+    twin (``pit_join_purchases`` — green r4 queue) over the SAME
+    inputs, and return the symmetric multiset difference counts. The
+    oracle pins the invariant: row counts equal the purchase-fact
+    count (left PIT join cannot fan out) and both exceptAll
+    directions are empty — so a green row certifies the streaming
+    path produces exactly the batch relation, not merely "some
+    rows"."""
+    import uuid
+
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_pit_enrich
+
+    batch = pit_join_purchases(spark, sf_dir)
+
+    # same dim construction as the batch twin
+    from dbt_lakehouse_aws_spark.operators.scd import scd2_collapse
+
+    ev = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    w = Window.partitionBy("user_id", "day").orderBy(F.desc("ts"))
+    st = (
+        ev.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "day", F.col("event_type").alias("state"))
+    )
+    dim = scd2_collapse(
+        st, key_cols=["user_id"], state_cols=["state"], order_col="day"
+    ).drop("n_periods")
+
+    facts_stream = (
+        _events_stream(spark, sf_dir)
+        .withColumn("day", F.to_date("ts"))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "day", F.round("value", 4).alias("value"))
+    )
+    enriched = stream_pit_enrich(
+        facts_stream, dim, keys=["user_id"], at_col="day"
+    ).select(
+        "event_id",
+        "user_id",
+        "day",
+        "value",
+        F.col("state").alias("state_at_purchase"),
+        "valid_from",
+        "valid_to",
+    )
+    sink = f"pit_eq_{uuid.uuid4().hex[:12]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.table(sink).localCheckpoint(eager=True)
+    cols = batch.columns
+    b = batch.select(*cols)
+    s = streamed.select(*cols)
+    return spark.createDataFrame(
+        [
+            (
+                s.count(),
+                b.count(),
+                s.exceptAll(b).count(),
+                b.exceptAll(s).count(),
+            )
+        ],
+        "n_stream long, n_batch long, n_only_stream long, n_only_batch long",
+    )
+
+
+@register(
+    "stream_dedup_equivalence",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch,
+           TRUE AS counts_equal
+    """,
+)
+def stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream/batch equivalence for dedup-at-ingest (VERDICT r3
+    item 7): land the sf_dir documents corpus through the STREAMING
+    landing zone (streaming/ingest.py::stream_dedup_into_index —
+    foreachBatch → MinHashDedupIndex → ACID survivors table) and run
+    the same corpus through a fresh BATCH MinHashDedupIndex with
+    identical parameters; the survivor id sets must be exactly equal
+    (the streaming path is the same per-batch algorithm, so one
+    availableNow batch must reproduce the batch result bit-for-bit).
+    The code path's values are driver-oracled via
+    ``incremental_dedup_manifest`` (ground-truth exact-Jaccard
+    oracle); this row certifies the STREAMING wrapper adds/loses
+    nothing."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.llmops.incremental_dedup import MinHashDedupIndex
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_dedup_into_index
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    root = tempfile.mkdtemp(prefix=f"stream_dedup_eq_{uuid.uuid4().hex[:8]}_")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = stream_dedup_into_index(
+        stream.select("doc_id", "text"),
+        index_path=f"{root}/index",
+        survivors_path=f"{root}/survivors",
+        checkpoint_dir=f"{root}/ckpt",
+        est_threshold=0.5,
+    )
+    q.awaitTermination(600)
+    stream_surv = AcidTable(spark, f"{root}/survivors").read().select("doc_id")
+
+    batch_idx = MinHashDedupIndex(
+        spark, f"{root}/batch_index", est_threshold=0.5
+    )
+    batch_surv = (
+        batch_idx.ingest_batch(
+            spark.read.parquet(docs_path).select("doc_id", "text")
+        ).survivors.select("doc_id")
+    )
+    only_s = stream_surv.exceptAll(batch_surv).count()
+    only_b = batch_surv.exceptAll(stream_surv).count()
+    eq = stream_surv.count() == batch_surv.count()
+    return spark.createDataFrame(
+        [(only_s, only_b, eq)],
+        "n_only_stream long, n_only_batch long, counts_equal boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
@@ -6686,7 +7031,11 @@ ROUND4_QUEUE = [
 #: queries registered DURING round 4 — appended here at registration
 #: time, then the list is FROZEN before the driver pass (VERDICT r3
 #: item 3: land new operators early; post-freeze work waits for r5).
-ROUND4_NEW: list[str] = []
+ROUND4_NEW: list[str] = [
+    "serving_rankings_page",
+    "stream_pit_equivalence",
+    "stream_dedup_equivalence",
+]
 
 # Round-4 window: the 27-deep queue of late-r3 registrations +
 # re-checks, the two judge-flagged omissions, then round-4's own
