@@ -233,19 +233,43 @@ def ivf_assign(
     *,
     vec_col: str = "embedding",
     out: str = "cell",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (cosine argmax)
-    via an Arrow-batched pandas UDF — one numpy matmul per batch,
-    no shuffle, scales linearly with executors."""
+    """Assign each vector to its nearest centroid via an
+    Arrow-batched pandas UDF — one numpy matmul per batch, no
+    shuffle, scales linearly with executors.
+
+    ``metric="cosine"`` (default) is argmax of normalized dot;
+    ``metric="l2"`` is argmin of squared euclidean distance with a
+    deterministic lowest-cell-id tie-break. The l2 mode exists for
+    exact cross-engine replay: with integer-valued vectors and
+    centroids every distance is exact in float64 (no rounding, any
+    summation order), so an external SQL engine reproduces the
+    assignment bit-for-bit — that is what upgrades the IVF driver
+    query from rows-only to a full value oracle."""
     from pyspark.sql.functions import pandas_udf
 
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    cents = np.asarray(centroids, dtype=np.float64)
+    if metric == "cosine":
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
-    @pandas_udf("int")
-    def nearest(v: pd.Series) -> pd.Series:
-        m = np.array(v.tolist(), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.Series(np.argmax(m @ cn.T, axis=1).astype("int32"))
+        @pandas_udf("int")
+        def nearest(v: pd.Series) -> pd.Series:
+            m = np.array(v.tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return pd.Series(np.argmax(m @ cn.T, axis=1).astype("int32"))
+
+    else:
+
+        @pandas_udf("int")
+        def nearest(v: pd.Series) -> pd.Series:
+            m = np.array(v.tolist(), dtype=np.float64)
+            d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # np.argmin already takes the FIRST (lowest cell id) min —
+            # the deterministic tie-break SQL replays as (d2, cell)
+            return pd.Series(np.argmin(d2, axis=1).astype("int32"))
 
     return df.withColumn(out, nearest(F.col(vec_col)))
 
@@ -259,6 +283,8 @@ def ann_search_ivf(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    centroids=None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """IVF approximate top-k: score queries only against the
     ``nprobe`` nearest cells' members.
@@ -268,14 +294,24 @@ def ann_search_ivf(
     persisted index); each query then touches ~``nprobe/n_cells`` of
     the data. Compared with rp-LSH this trades a training pass for
     much better cell balance on clustered data.
+
+    ``centroids`` (optional ``(n_cells, dim)`` array) skips the
+    k-means training pass and uses the given coarse quantizer —
+    e.g. a previously persisted one, or closed-form deterministic
+    centroids so an external SQL oracle can replay the cell
+    assignment exactly (with ``metric="l2"``; see
+    :func:`ivf_assign`). Final scoring is cosine in either mode.
     """
     from pyspark.sql import Window
 
-    cents = train_ivf_centroids(df, vec_col=vec_col, n_cells=n_cells)
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_centroids(df, vec_col=vec_col, n_cells=n_cells)
+    )
 
     v = _as_double(vec_col)
-    assigned = ivf_assign(df, cents, vec_col=vec_col).withColumn(
+    assigned = ivf_assign(df, cents, vec_col=vec_col, metric=metric).withColumn(
         "_norm", safe_norm(v)
     )
 
@@ -288,10 +324,20 @@ def ann_search_ivf(
         .collect()
     }
     probe_rows = []
-    for qid, qv in qvecs.items():
-        sims = (qv / np.linalg.norm(qv)) @ cn.T
-        for cell in np.argsort(-sims)[:nprobe]:
-            probe_rows.append((qid, int(cell)))
+    if metric == "cosine":
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        for qid, qv in qvecs.items():
+            sims = (qv / np.linalg.norm(qv)) @ cn.T
+            for cell in np.argsort(-sims)[:nprobe]:
+                probe_rows.append((qid, int(cell)))
+    else:
+        for qid, qv in qvecs.items():
+            d2 = ((qv[None, :] - cents) ** 2).sum(axis=1)
+            # lexsort on (cell implicit ascending, d2 primary) —
+            # deterministic under exact-integer ties, replayed in SQL
+            # as ORDER BY d2, cell
+            for cell in np.argsort(d2, kind="stable")[:nprobe]:
+                probe_rows.append((qid, int(cell)))
     spark = df.sparkSession
     probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
 
@@ -768,6 +814,7 @@ def pq_search(
     n_subspaces: int = 8,
     n_codes: int = 16,
     rerank: int = 0,
+    codebooks=None,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k: each query precomputes an
     ``m × n_codes`` table of subspace distances to every centroid,
@@ -777,6 +824,13 @@ def pq_search(
     re-scored with exact cosine (the standard PQ+rerank recipe that
     restores most recall for one extra narrow pass).
 
+    ``codebooks`` (optional ``(m, n_codes, d/m)`` array) skips the
+    k-means training and quantizes against the given codebooks —
+    a persisted production codebook, or closed-form deterministic
+    ones so an external SQL oracle can replay encode + ADC exactly
+    (with integer-valued vectors and codebooks every distance is
+    exact in float64, so the replay is bit-identical).
+
     100 TB shape: the index is the encoded corpus (m ints/vector);
     queries + their lookup tables broadcast; scoring is an
     Arrow-batched gather-sum per partition with a per-partition
@@ -784,8 +838,12 @@ def pq_search(
     """
     from pyspark.sql import Window
 
-    books = train_pq_codebooks(
-        df, vec_col=vec_col, n_subspaces=n_subspaces, n_codes=n_codes
+    books = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else train_pq_codebooks(
+            df, vec_col=vec_col, n_subspaces=n_subspaces, n_codes=n_codes
+        )
     )
     encoded = pq_encode(df, books, vec_col=vec_col)
 
