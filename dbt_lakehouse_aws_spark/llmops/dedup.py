@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_lakehouse_aws_spark.llmops.text import word_shingles
@@ -527,6 +527,42 @@ def dedup_survivors(
     comps = connected_components(pairs, a_col=a_col, b_col=b_col)
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    quality_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware duplicate resolution: within each near-duplicate
+    connected component keep the HIGHEST-``quality_col`` member
+    (ties → min id), not the arbitrary min-id member — the survivor
+    rule real training pipelines want, since near-dup clusters mix
+    clean originals with mangled scrapes and :func:`dedup_survivors`
+    would keep whichever has the smaller id.
+
+    Plan: components (iterative min-label propagation, O(edges) per
+    round) → per-component ``row_number`` over (quality desc, id) —
+    one hash exchange of the component table, which is bounded by
+    the number of DUPLICATED docs, not the corpus → anti-join the
+    losers back. Singletons (no pair) pass through untouched.
+    """
+    comps = connected_components(pairs, a_col=a_col, b_col=b_col)
+    scored = comps.join(
+        df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q")),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("_q"), F.asc("node"))
+    losers = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("node").alias(id_col))
     )
     return df.join(F.broadcast(losers), id_col, "left_anti")
 

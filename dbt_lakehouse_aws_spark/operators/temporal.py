@@ -186,6 +186,92 @@ def funnel_counts(
     return out
 
 
+def funnel_counts_windowed(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel with a conversion window (the windowFunnel
+    shape of telemetry engines): a user converts at step k only if
+    steps 1..k happen in order AND all within ``window_seconds`` of
+    that user's funnel anchor — the earliest step-1 event (anchored
+    earliest-qualifying semantics, deterministic and replayable;
+    engines that slide the anchor trade determinism for recall).
+
+    Same scale plan as :func:`funnel_counts` — the survivor set
+    (one row per user, monotonically shrinking, carrying the anchor
+    and the previous step's time) joins the pre-filtered next-step
+    events; never a shuffle of the raw log per step.
+
+    Returns (step_idx, step, n_users).
+    """
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+    )
+    survivors = (
+        ev.filter(F.col("_ty") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_anchor"))
+        .withColumn("_t", F.col("_anchor"))
+    )
+    counts = [survivors.agg(F.count(F.lit(1)).alias("n_users"))]
+    deadline = F.col("_anchor") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+    for s in steps[1:]:
+        survivors = (
+            ev.filter(F.col("_ty") == s)
+            .join(survivors, "_u")
+            .filter((F.col("_ts") > F.col("_t")) & (F.col("_ts") <= deadline))
+            .groupBy("_u", "_anchor")
+            .agg(F.min("_ts").alias("_t"))
+        )
+        counts.append(survivors.agg(F.count(F.lit(1)).alias("n_users")))
+    out = None
+    for i, (s, c) in enumerate(zip(steps, counts), start=1):
+        row = c.select(
+            F.lit(i).cast("long").alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col("n_users").cast("long"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def interevent_stats(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-user inter-event-time statistics: number of events, mean /
+    min / max gap in seconds between consecutive events (ordered by
+    time, ties by nothing — gaps are order statistics of the
+    timestamp multiset, so tie order is irrelevant). The standard
+    telemetry health signal (burstiness, bot cadence, session
+    density).
+
+    One window sort per user partition (a single hash exchange), one
+    aggregate. Users with a single event emit NULL gaps.
+
+    Returns (user, n_events, mean_gap_s, min_gap_s, max_gap_s).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double")
+    g = events.select(F.col(user_col), F.col(ts_col)).withColumn("_gap", gap)
+    return g.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.avg("_gap"), decimals).alias("mean_gap_s"),
+        F.round(F.min("_gap"), decimals).alias("min_gap_s"),
+        F.round(F.max("_gap"), decimals).alias("max_gap_s"),
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     *,

@@ -7127,6 +7127,282 @@ def stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 widener: ML feature engineering (llmops/features.py),
+# windowed funnels, quality-aware dedup, inter-event telemetry.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "target_encode_loo_orders",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_orderdate, round(o_totalprice * 100) AS cents
+      FROM orders
+    ), g AS (
+      SELECT o_orderkey, o_orderdate, cents,
+             sum(cents) OVER (PARTITION BY o_orderdate) AS gsum,
+             count(*) OVER (PARTITION BY o_orderdate) AS gn
+      FROM c
+    ),
+    tot AS (SELECT sum(cents) AS tsum, count(*) AS tn FROM c)
+    SELECT o_orderkey, o_orderdate,
+           CASE WHEN gn > 1 THEN (gsum - cents) / (gn - 1)
+                ELSE (tot.tsum - cents) / (tot.tn - 1) END / 100 AS te_loo
+    FROM g CROSS JOIN tot
+    """,
+)
+def target_encode_loo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order DATE by total price
+    (llmops/features.py::target_encode_loo): each order's date is
+    encoded as the mean price of the OTHER orders that day —
+    leakage-safe (a row never sees its own label), with singleton
+    dates falling back to the corpus-level leave-one-out mean (both
+    branches populated at sf0.01: ~3 orders/day with singletons).
+    One window exchange + a broadcast 1-row global aggregate.
+
+    The target is pre-scaled to integer CENTS (round(price·100)):
+    sums of integer-valued doubles are exact in float64 regardless
+    of summation order, so every encoding is the SAME binary double
+    in both engines and needs no final lossy rounding (a raw double
+    sum drifted at the 4th decimal, and a final round(…, 4) hit
+    Spark's decimal-string-vs-binary half-way divergence — both
+    caught by this gate; exact integer arithmetic retires the class)."""
+    from dbt_lakehouse_aws_spark.llmops.features import target_encode_loo
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).alias("cents"),
+    )
+    return target_encode_loo(
+        o, cat_col="o_orderdate", target_col="cents", decimals=None
+    ).select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("te_loo") / 100).alias("te_loo"),
+    )
+
+
+@register(
+    "funnel_windowed_3d",
+    """
+    WITH e AS (SELECT user_id AS u, ts, event_type AS ty FROM events),
+    s1 AS (SELECT u, min(ts) AS anchor, min(ts) AS t FROM e WHERE ty = 'signup' GROUP BY u),
+    s2 AS (SELECT e.u, s1.anchor, min(e.ts) AS t FROM e JOIN s1 ON e.u = s1.u
+           WHERE ty = 'view' AND e.ts > s1.t
+             AND e.ts <= s1.anchor + INTERVAL 3 DAYS GROUP BY e.u, s1.anchor),
+    s3 AS (SELECT e.u, s2.anchor, min(e.ts) AS t FROM e JOIN s2 ON e.u = s2.u
+           WHERE ty = 'click' AND e.ts > s2.t
+             AND e.ts <= s2.anchor + INTERVAL 3 DAYS GROUP BY e.u, s2.anchor),
+    s4 AS (SELECT e.u, s3.anchor, min(e.ts) AS t FROM e JOIN s3 ON e.u = s3.u
+           WHERE ty = 'purchase' AND e.ts > s3.t
+             AND e.ts <= s3.anchor + INTERVAL 3 DAYS GROUP BY e.u, s3.anchor)
+    SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL SELECT 2, 'view', count(*) FROM s2
+    UNION ALL SELECT 3, 'click', count(*) FROM s3
+    UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+    """,
+)
+def funnel_windowed_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (operators/temporal.py::
+    funnel_counts_windowed, the windowFunnel shape): signup → view →
+    click → purchase, every step within 3 days of the user's
+    earliest signup — anchored earliest-qualifying semantics, so the
+    window genuinely bites vs the unbounded funnel_signup_purchase
+    twin on this corpus."""
+    from dbt_lakehouse_aws_spark.operators.temporal import funnel_counts_windowed
+
+    ev = T(spark, sf_dir, "events")
+    return funnel_counts_windowed(
+        ev, ["signup", "view", "click", "purchase"], window_seconds=3 * 86400
+    )
+
+
+@register(
+    "interevent_stats_users",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS DOUBLE) / 1000000
+             - lag(CAST(epoch_us(ts) AS DOUBLE) / 1000000)
+               OVER (PARTITION BY user_id ORDER BY ts) AS gap
+      FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(gap), 4) AS mean_gap_s,
+           round(min(gap), 4) AS min_gap_s,
+           round(max(gap), 4) AS max_gap_s
+    FROM g GROUP BY user_id
+    """,
+)
+def interevent_stats_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event-time statistics (operators/temporal.py::
+    interevent_stats): mean/min/max gap seconds between consecutive
+    events — burstiness / bot-cadence telemetry. One window sort per
+    user partition, one aggregate."""
+    from dbt_lakehouse_aws_spark.operators.temporal import interevent_stats
+
+    ev = T(spark, sf_dir, "events")
+    return interevent_stats(ev)
+
+
+@register(
+    "temporal_split_purged_events",
+    """
+    SELECT CAST(CASE WHEN ts < TIMESTAMP '2024-01-22' - INTERVAL 3 DAYS
+                     THEN 'train'
+                     WHEN ts >= TIMESTAMP '2024-01-22' THEN 'test'
+                     ELSE 'purged' END AS VARCHAR) AS split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def temporal_split_purged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal train/test split (llmops/features.py::
+    temporal_split_purged): test period from Jan 22, a 3-day purge
+    gap before it that neither side may use — the backtest-hygiene
+    boundary that stops lookback features leaking test-period
+    information into training. Pure projection; all three splits
+    populated on this corpus."""
+    from dbt_lakehouse_aws_spark.llmops.features import temporal_split_purged
+
+    ev = T(spark, sf_dir, "events")
+    split = temporal_split_purged(
+        ev,
+        ts_col="ts",
+        test_start="2024-01-22 00:00:00",
+        purge=F.expr("INTERVAL 3 DAYS"),
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@register(
+    "feature_hash_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5('fh-v1:' || tok), 1, 15) AS BIGINT)
+                % 64 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM toks WHERE length(tok) > 0
+    GROUP BY 1, 2
+    """,
+)
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-tokens features (llmops/features.py::
+    feature_hash_tokens, Weinberger ICML'09): 64 fixed buckets via
+    the portable md5-prefix hash — no vocabulary to build or ship,
+    bucket ids replayed bit-identically by the oracle. One explode +
+    hash-agg."""
+    from dbt_lakehouse_aws_spark.llmops.features import feature_hash_tokens
+
+    d = T(spark, sf_dir, "documents")
+    return feature_hash_tokens(d, n_buckets=64).select(
+        "doc_id", "bucket", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+@register(
+    "kfold_assign_docs",
+    """
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5('fold-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 5 AS INT) AS fold
+      FROM documents
+    ) GROUP BY fold
+    """,
+)
+def kfold_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment
+    (llmops/features.py::kfold_split): fold = portable-hash(id) mod
+    k, stable across runs/engines/partitionings; the oracle replays
+    every assignment and the per-fold census proves the partition is
+    total and near-uniform. Pure projection, no shuffle."""
+    from dbt_lakehouse_aws_spark.llmops.features import kfold_split
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    return (
+        kfold_split(d, id_col="doc_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "dedup_keep_best_docs",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tokens) - 1),
+                                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS shingle
+      FROM toks WHERE len(tokens) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), jac_pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+      UNION ALL SELECT doc_b, doc_a FROM jac_pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), q AS (SELECT doc_id, length(text) AS qual FROM documents)
+    SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS quality
+    FROM documents d JOIN q mine ON mine.doc_id = d.doc_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM reach JOIN q other ON other.doc_id = reach.dst
+      WHERE reach.src = d.doc_id
+        AND (other.qual > mine.qual
+             OR (other.qual = mine.qual AND reach.dst < d.doc_id))
+    )
+    """,
+)
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution (llmops/dedup.py::
+    dedup_keep_best): MinHash-LSH pairs → connected components →
+    keep the LONGEST-text member per duplicate group (tie → min id)
+    instead of the arbitrary min-id survivor — the rule that keeps
+    clean originals over truncated scrapes. The oracle is GROUND
+    TRUTH: exact 3-shingle Jaccard ≥ 0.5 pairs, recursive-CTE
+    transitive closure, and the same (quality desc, id) survivor
+    rule."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import dedup_keep_best
+
+    d = T(spark, sf_dir, "documents").withColumn(
+        "quality", F.length("text").cast("long")
+    )
+    sigs = minhash_signatures(d, num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, num_bands=8, est_threshold=0.5)
+    return dedup_keep_best(d, pairs, quality_col="quality").select(
+        "doc_id", "lang", "quality"
+    )
+
+
+# ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
 
@@ -7257,6 +7533,13 @@ ROUND4_NEW: list[str] = [
     "stream_pit_equivalence",
     "stream_dedup_equivalence",
     "ann_ivf_topk",  # rows-only -> value-oracle upgrade (fixed int centroids)
+    "target_encode_loo_orders",
+    "funnel_windowed_3d",
+    "interevent_stats_users",
+    "temporal_split_purged_events",
+    "feature_hash_docs",
+    "kfold_assign_docs",
+    "dedup_keep_best_docs",
 ]
 
 # Round-4 window: the 27-deep queue of late-r3 registrations +

@@ -1450,3 +1450,101 @@ def test_psi_drift_detects_shift_and_clips_one_sided(spark):
         r["psi_term"] for r in psi_drift(a, a, col="c").collect()
     )
     assert abs(same) < 1e-9
+
+
+def test_target_encode_loo_hand_computed(spark):
+    """Group x: targets 10, 20, 40 -> row encodings are the means of
+    the OTHER two; singleton group y falls back to the global
+    leave-one-out mean, never its own target."""
+    from dbt_lakehouse_aws_spark.llmops.features import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "x", 20.0), (3, "x", 40.0), (4, "y", 100.0)],
+        "id long, cat string, t double",
+    )
+    got = {
+        r["id"]: r["te_loo"]
+        for r in target_encode_loo(df, cat_col="cat", target_col="t").collect()
+    }
+    assert got[1] == 30.0  # (20+40)/2
+    assert got[2] == 25.0  # (10+40)/2
+    assert got[3] == 15.0  # (10+20)/2
+    assert got[4] == round((10 + 20 + 40) / 3, 6)  # global LOO, not 100
+
+
+def test_kfold_split_total_and_stable(spark):
+    """Every row gets a fold in [0, k); assignment is identical
+    across two runs and changes with the salt."""
+    from dbt_lakehouse_aws_spark.llmops.features import kfold_split
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    a = {r["id"]: r["fold"] for r in kfold_split(df, id_col="id", k=5).collect()}
+    b = {r["id"]: r["fold"] for r in kfold_split(df, id_col="id", k=5).collect()}
+    c = {r["id"]: r["fold"] for r in kfold_split(df, id_col="id", k=5, salt="v2").collect()}
+    assert a == b
+    assert all(0 <= f < 5 for f in a.values())
+    assert len(set(a.values())) == 5
+    assert a != c
+
+
+def test_feature_hash_tokens_counts(spark):
+    """Same token always lands in the same bucket; counts aggregate
+    per (doc, bucket); empty tokens are dropped."""
+    from dbt_lakehouse_aws_spark.llmops.features import feature_hash_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a  c")], "doc_id long, text string"
+    )
+    rows = feature_hash_tokens(df, n_buckets=8).collect()
+    by = {(r["doc_id"], r["bucket"]): r["cnt"] for r in rows}
+    # token 'a' has one bucket: doc 1 counts 2, doc 2 counts 1
+    a_buckets = [b for (d, b), c in by.items() if d == 1 and c == 2]
+    assert len(a_buckets) == 1
+    assert by[(2, a_buckets[0])] == 1
+    assert sum(c for (d, _), c in by.items() if d == 1) == 3  # a,b,a
+    assert sum(c for (d, _), c in by.items() if d == 2) == 2  # a,c (empty dropped)
+
+
+def test_temporal_split_purged_boundaries(spark):
+    """train strictly before test_start - purge; purged inside the
+    gap (inclusive of the gap start, exclusive of test_start); test
+    from test_start on."""
+    from datetime import datetime
+
+    from dbt_lakehouse_aws_spark.llmops.features import temporal_split_purged
+
+    rows = [
+        (1, datetime(2024, 1, 10)),   # train
+        (2, datetime(2024, 1, 19)),   # purged (gap start, inclusive)
+        (3, datetime(2024, 1, 21, 23, 59)),  # purged
+        (4, datetime(2024, 1, 22)),   # test (boundary inclusive)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = {
+        r["id"]: r["split"]
+        for r in temporal_split_purged(
+            df,
+            ts_col="ts",
+            test_start="2024-01-22 00:00:00",
+            purge=F.expr("INTERVAL 3 DAYS"),
+        ).collect()
+    }
+    assert got == {1: "train", 2: "purged", 3: "purged", 4: "test"}
+
+
+def test_dedup_keep_best_prefers_quality_then_min_id(spark):
+    """Component {1,2,3}: doc 2 has the best quality and survives
+    (not min-id 1); ties fall back to min id; singleton 9 passes."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 5), (7, 4), (8, 4), (9, 2)],
+        "doc_id long, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    surv = sorted(
+        r["doc_id"] for r in dedup_keep_best(docs, pairs, quality_col="q").collect()
+    )
+    assert surv == [2, 7, 9]  # 2 beats 1/3 on quality; 7 ties 8 -> min id; 9 untouched

@@ -185,3 +185,59 @@ def test_date_spine_attributes_and_bounds(spark):
     assert by["2024-01-07"]["iso_dow"] == 7 and by["2024-01-07"]["is_weekend"] == 1
     assert by["2024-01-08"]["is_weekend"] == 0
     assert by["2024-02-01"]["is_month_start"] == 1 and by["2024-02-01"]["quarter"] == 1
+
+
+def test_funnel_counts_windowed_anchor_deadline(spark):
+    """User A completes within the window; user B's step-2 falls
+    outside anchor+window and is cut even though the ORDER is right;
+    user C re-signs up later but the anchor stays at the EARLIEST
+    signup."""
+    from datetime import datetime
+
+    from dbt_lakehouse_aws_spark.operators.temporal import funnel_counts_windowed
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(mins):
+        from datetime import timedelta
+
+        return t0 + timedelta(minutes=mins)
+
+    rows = [
+        # A: signup@0, view@10 — inside 30-min window
+        (1, ts(0), "signup"), (1, ts(10), "view"),
+        # B: signup@0, view@40 — ordered but past the deadline
+        (2, ts(0), "signup"), (2, ts(40), "view"),
+        # C: signup@0 and @35, view@40 — anchor pinned at the EARLIEST
+        # signup, so the later signup does not re-open the window
+        (3, ts(0), "signup"), (3, ts(35), "signup"), (3, ts(40), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts_windowed(
+            ev, ["signup", "view"], window_seconds=30 * 60
+        ).collect()
+    }
+    assert out == {"signup": 3, "view": 1}
+
+
+def test_interevent_stats_gaps(spark):
+    """Gaps 10s and 30s -> mean 20, min 10, max 30; single-event user
+    emits NULL gaps with n_events=1."""
+    from datetime import datetime, timedelta
+
+    from dbt_lakehouse_aws_spark.operators.temporal import interevent_stats
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0), (1, t0 + timedelta(seconds=10)), (1, t0 + timedelta(seconds=40)),
+        (2, t0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["user_id"]: r for r in interevent_stats(ev).collect()}
+    assert got[1]["n_events"] == 3
+    assert got[1]["mean_gap_s"] == 20.0
+    assert got[1]["min_gap_s"] == 10.0
+    assert got[1]["max_gap_s"] == 30.0
+    assert got[2]["n_events"] == 1 and got[2]["mean_gap_s"] is None
