@@ -793,6 +793,7 @@ class AcidTable:
         *,
         target_file_bytes: int = 128 << 20,
         zorder_by: Sequence[str] | None = None,
+        max_retries: int = 3,
     ) -> Snapshot:
         """Transactional compaction (the lakehouse ``OPTIMIZE``):
         rewrite the current snapshot at ~``target_file_bytes`` per
@@ -801,11 +802,36 @@ class AcidTable:
         the old snapshot are untouched; streaming writers that lose
         the version race simply rebase (their merge retries).
 
+        If OPTIMIZE itself loses the race (a merge committed between
+        its snapshot read and its commit), committing the stale
+        rewrite would resurrect pre-merge rows — so it REBASES: the
+        whole compaction re-reads the new snapshot and re-runs, up to
+        ``max_retries`` times, then propagates :class:`CommitConflict`
+        (abort, never silent data loss). Raced by
+        test_acid.py::test_optimize_concurrent_with_merge.
+
         Incremental writers leave one small file per touched-set per
         commit; at 100 TB that's manifest pressure and a task per
         tiny file. OPTIMIZE is the periodic counterweight: one
         commit, same rows, bounded file count, better clustering.
         """
+        for _ in range(max_retries):
+            try:
+                return self._optimize_once(
+                    target_file_bytes=target_file_bytes, zorder_by=zorder_by
+                )
+            except CommitConflict:
+                continue
+        return self._optimize_once(
+            target_file_bytes=target_file_bytes, zorder_by=zorder_by
+        )
+
+    def _optimize_once(
+        self,
+        *,
+        target_file_bytes: int,
+        zorder_by: Sequence[str] | None,
+    ) -> Snapshot:
         import math
 
         snap = self.snapshot()

@@ -513,6 +513,87 @@ def test_concurrent_merges_from_two_processes(spark, tmp_path):
     assert all(got[i] == ("base", float(i)) for i in range(30, 100))
 
 
+def test_optimize_concurrent_with_merge(spark, tmp_path):
+    """OPTIMIZE raced against a concurrent MERGE from a separate
+    Spark driver (VERDICT r3 item 5): the put-if-absent commit admits
+    one winner per version and BOTH sides rebase on conflict, so the
+    loser lands on the next version. The dangerous failure is a stale
+    OPTIMIZE committing a pre-merge rewrite (resurrecting overwritten
+    rows) — afterwards the table must hold exactly the merged state,
+    every row exactly once, with a linear parent chain."""
+    import subprocess
+    import sys as _sys
+
+    rows = [(i, "base", float(i)) for i in range(200)]
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, rows).repartitionByRange(4, "id"))
+
+    worker = os.path.join(os.path.dirname(__file__), "acid_race_worker.py")
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(tmp_path / "t"), tag, peer,
+             str(lo), str(hi), str(barrier), op],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        for tag, peer, lo, hi, op in [
+            ("A", "B", 0, 30, "merge"),
+            ("B", "A", 0, 0, "optimize"),
+        ]
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    versions = sorted(
+        int(line.split("version=")[1])
+        for out in outs for line in out.splitlines() if "COMMITTED" in line
+    )
+    assert versions == [1, 2], outs
+
+    hist = t.history()
+    assert [s.version for s in hist] == [0, 1, 2]
+    assert [s.parent for s in hist] == [None, 0, 1]
+    got = {r["id"]: (r["grp"], r["value"]) for r in t.read().collect()}
+    assert len(got) == 200  # no duplicated rows from a stale compaction
+    assert all(got[i] == ("A", float(-i)) for i in range(0, 30))  # merge survives
+    assert all(got[i] == ("base", float(i)) for i in range(30, 200))
+    # whichever side committed last, an OPTIMIZE ran: its snapshot
+    # must carry the same rows it compacted (operation strings prove
+    # both ops are in the history)
+    ops = [s.operation for s in hist]
+    assert any(o.startswith("OPTIMIZE") for o in ops), ops
+    assert any(o.startswith("MERGE") for o in ops), ops
+
+
+def test_snapshot_reads_bounded_log_files(spark, tmp_path):
+    """Snapshot reconstruction is O(checkpoint + tail), never O(all
+    versions): after many commits, snapshot() may read at most
+    CHECKPOINT_EVERY delta files plus one checkpoint (the adversarial
+    log-scale guarantee; scripts/probe_acid_log_scale.py measures the
+    same property at 1,000+ commits)."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, [(i, "g", float(i)) for i in range(20)]))
+    for j in range(25):  # versions 1..25, checkpoints at 10 and 20
+        t.merge(_mkdf(spark, [(j % 20, "g", float(-j))]), ["id"])
+
+    reads = []
+    orig = t._read_json
+
+    def counting(name):
+        reads.append(name)
+        return orig(name)
+
+    t._read_json = counting
+    snap = t.snapshot()
+    t._read_json = orig
+    assert snap.version == 25
+    deltas = [n for n in reads if n.endswith(".json") and "checkpoint" not in n]
+    cps = [n for n in reads if "checkpoint" in n]
+    assert len(cps) == 1 and cps[0].startswith("%020d" % 20)
+    assert len(deltas) <= t.CHECKPOINT_EVERY  # the tail: v21..v25 only
+    assert len(deltas) == 5
+
+
 def test_vacuum_spares_concurrent_reader_of_retained_snapshot(spark, tmp_path):
     """VACUUM must never delete a file referenced by a retained
     manifest: a reader that resolved its file list before a
