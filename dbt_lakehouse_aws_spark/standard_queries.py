@@ -7402,6 +7402,269 @@ def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rfm_customer_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS cust,
+             datediff('day', max(o_orderdate),
+                      (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT cust, recency_days, frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY recency_days, cust) AS r_band,
+             ntile(5) OVER (ORDER BY frequency DESC, cust) AS f_band,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, cust) AS m_band
+      FROM cust
+    )
+    SELECT CAST(r_band AS BIGINT) AS r_band, CAST(f_band AS BIGINT) AS f_band,
+           CAST(m_band AS BIGINT) AS m_band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(cust) AS BIGINT) AS min_cust,
+           CAST(sum(monetary_cents) AS BIGINT) AS cents_total
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the classic CRM scoring grid — built on the SCALABLE two-pass
+    ntile (operators/windows.py::ntile_scalable, bit-identical to SQL
+    ntile, no single-partition window funnel; three range shuffles of
+    the per-customer frame, each O(customers) not O(orders)). Ties
+    broken by customer key on both sides, so every band is
+    deterministic; monetary is exact integer cents."""
+    from dbt_lakehouse_aws_spark.operators.windows import ntile_scalable
+
+    o = T(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("_maxd"))
+    cust = (
+        o.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .withColumn("recency_days", F.datediff("_maxd", "_last"))
+        .drop("_last", "_maxd")
+    )
+    scored = ntile_scalable(
+        cust, [F.asc("recency_days"), F.asc("cust")], n=5, name="r_band"
+    )
+    scored = ntile_scalable(
+        scored, [F.desc("frequency"), F.asc("cust")], n=5, name="f_band"
+    )
+    scored = ntile_scalable(
+        scored, [F.desc("monetary_cents"), F.asc("cust")], n=5, name="m_band"
+    )
+    return scored.groupBy(
+        F.col("r_band").cast("long").alias("r_band"),
+        F.col("f_band").cast("long").alias("f_band"),
+        F.col("m_band").cast("long").alias("m_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("cust").cast("long").alias("min_cust"),
+        F.sum("monetary_cents").cast("long").alias("cents_total"),
+    )
+
+
+@register(
+    "abtest_conversion_ztest",
+    """
+    WITH assign AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT variant, count(*) AS n, sum(converted) AS conv FROM assign GROUP BY variant
+    ), wide AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 0 THEN conv END) AS c0,
+             max(CASE WHEN variant = 1 THEN n END) AS n1,
+             max(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM arms
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treatment, CAST(c1 AS BIGINT) AS conv_treatment,
+           round(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6) AS rate_diff,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+    FROM wide
+    """,
+)
+def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment (pooled standard
+    error) — the experimentation-platform primitive: deterministic
+    variant assignment (user_id parity stands in for the hash
+    bucketing of kfold_split), per-user conversion = any purchase,
+    then one 2-row aggregate pivoted wide. All counting is exact
+    integers; the z arithmetic is identical single-op double math on
+    both engines. Scale: one user-keyed aggregate + a 2-row pivot."""
+    ev = T(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14, 1
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (1 - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return wide.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.col("c1").cast("long").alias("conv_treatment"),
+        F.round(p1 - p0, 6).alias("rate_diff"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral-model /
+    anomaly-baseline primitive. One lag window per user partition,
+    one hash agg over type pairs (≤ |types|² rows), and the
+    normalizing sum runs over that tiny pair table. Exact integer
+    counts; identical single-division probabilities."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+@register(
+    "mom_revenue_change",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month, cents,
+           round((CAST(cents AS DOUBLE) - lag(cents) OVER (ORDER BY month))
+                 / lag(cents) OVER (ORDER BY month), 6) AS mom_change
+    FROM m
+    """,
+)
+def mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change: month grain aggregate (exact
+    integer cents) + lag + relative delta — the reporting-layer
+    navigation-window staple. The ORDER BY window runs over the
+    ~|months| aggregate rows, never the raw orders, so the global
+    window is bounded-size by construction (the same argument as
+    rollup_tree's coarser grains)."""
+    o = T(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents"))
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "cents",
+        F.round(
+            (F.col("cents").cast("double") - F.lag("cents").over(w))
+            / F.lag("cents").over(w),
+            6,
+        ).alias("mom_change"),
+    )
+
+
+@register(
+    "robust_scale_orders",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority, round(o_totalprice * 100) AS cents
+      FROM orders
+    ), st AS (
+      SELECT o_orderpriority,
+             quantile_disc(cents, 0.5) AS med,
+             quantile_disc(cents, 0.75) - quantile_disc(cents, 0.25) AS iqr
+      FROM c GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderkey, c.o_orderpriority,
+           round((c.cents - st.med) / st.iqr, 6) AS robust_scaled
+    FROM c JOIN st USING (o_orderpriority)
+    """,
+)
+def robust_scale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature scaling per group: (x − median) / IQR with
+    DISCRETE percentiles (actual data values — exact and
+    bit-comparable across engines, unlike interpolated quantiles) on
+    integer cents. The outlier-resistant scaler for skewed monetary
+    features. One per-group percentile aggregate broadcast-joined
+    back onto the rows; no window over the raw table."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).alias("cents"),
+    )
+    st = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").alias("med"),
+        (
+            F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+            - F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+        ).alias("iqr"),
+    )
+    return o.join(F.broadcast(st), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round((F.col("cents") - F.col("med")) / F.col("iqr"), 6).alias(
+            "robust_scaled"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
@@ -7540,6 +7803,11 @@ ROUND4_NEW: list[str] = [
     "feature_hash_docs",
     "kfold_assign_docs",
     "dedup_keep_best_docs",
+    "rfm_customer_segments",
+    "abtest_conversion_ztest",
+    "event_transition_matrix",
+    "mom_revenue_change",
+    "robust_scale_orders",
 ]
 
 # Round-4 window: the 27-deep queue of late-r3 registrations +
