@@ -7665,6 +7665,60 @@ def robust_scale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "iceberg_write_roundtrip_events",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_id % 5 < 3 OR event_type = 'purchase'
+    GROUP BY event_type
+    """,
+)
+def iceberg_write_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg EXPORT round trip (sources/iceberg_writer.py): events
+    are written to a brand-new Iceberg v2 table on the public spec —
+    v1.metadata.json + manifest + manifest list as real Avro
+    container files with the spec's reserved field-ids, O_EXCL
+    metadata commit — then a second slice is APPENDED (v2 metadata,
+    second snapshot carrying the first snapshot's manifest forward),
+    and the result is read back through the independent spec-walking
+    reader (sources/iceberg_reader.py) and aggregated. The oracle
+    computes the same aggregate straight from parquet, so a green
+    row certifies writer + reader + append/manifest-carry agree with
+    the relational truth. Scale: the data write is Spark-parallel;
+    the commit is O(files) driver-side metadata."""
+    import tempfile
+
+    from dbt_lakehouse_aws_spark.sources.iceberg_reader import IcebergTable
+    from dbt_lakehouse_aws_spark.sources.iceberg_writer import write_iceberg_table
+
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="iceberg_export_")
+    write_iceberg_table(ev.filter(F.pmod("event_id", F.lit(5)) < 3), root)
+    write_iceberg_table(
+        ev.filter(
+            (F.pmod("event_id", F.lit(5)) >= 3) & (F.col("event_type") == "purchase")
+        ),
+        root,
+        mode="append",
+    )
+    return (
+        IcebergTable(spark, root)
+        .read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("event_id").cast("bigint").alias("min_id"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
@@ -7808,6 +7862,7 @@ ROUND4_NEW: list[str] = [
     "event_transition_matrix",
     "mom_revenue_change",
     "robust_scale_orders",
+    "iceberg_write_roundtrip_events",
 ]
 
 # Round-4 window: the 27-deep queue of late-r3 registrations +

@@ -840,3 +840,94 @@ def test_iceberg_type_mapping():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported"):
         _spark_type({"type": "list", "element": "int"})
+
+
+# ---------------------------------------------------------------------------
+# Iceberg writer (sources/iceberg_writer.py)
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_write_create_append_time_travel(spark, tmp_path):
+    """Create (v1) + append (v2): current read sees both slices;
+    time travel to the first snapshot sees only the first; metadata
+    carries explicit sequence numbers and a linear parent link."""
+    import json as _json
+    import os as _os
+
+    from dbt_lakehouse_aws_spark.sources.iceberg_reader import IcebergTable
+    from dbt_lakehouse_aws_spark.sources.iceberg_writer import write_iceberg_table
+
+    root = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "x", 1.5), (2, "y", 2.5)], "id long, s string, v double")
+    b = spark.createDataFrame([(3, "z", 3.5)], "id long, s string, v double")
+    assert write_iceberg_table(a, root) == 1
+    assert write_iceberg_table(b, root, mode="append") == 2
+
+    t = IcebergTable(spark, root)
+    got = {r["id"]: (r["s"], r["v"]) for r in t.read().collect()}
+    assert got == {1: ("x", 1.5), 2: ("y", 2.5), 3: ("z", 3.5)}
+
+    with open(_os.path.join(root, "metadata", "v2.metadata.json")) as fh:
+        meta = _json.load(fh)
+    snaps = meta["snapshots"]
+    assert [s["sequence-number"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent-snapshot-id"] == snaps[0]["snapshot-id"]
+    first = {r["id"] for r in t.read(snaps[0]["snapshot-id"]).collect()}
+    assert first == {1, 2}
+
+
+def test_iceberg_write_mode_and_schema_guards(spark, tmp_path):
+    """mode='error' refuses an existing table; append refuses a
+    schema mismatch (silently writing it would corrupt the table for
+    other engines)."""
+    import pytest as _pytest
+
+    from dbt_lakehouse_aws_spark.sources.iceberg_writer import write_iceberg_table
+
+    root = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "x")], "id long, s string")
+    write_iceberg_table(a, root)
+    with _pytest.raises(FileExistsError):
+        write_iceberg_table(a, root)
+    bad = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with _pytest.raises(ValueError, match="does not match table schema"):
+        write_iceberg_table(bad, root, mode="append")
+
+
+def test_iceberg_write_commit_is_put_if_absent(spark, tmp_path):
+    """Two writers racing the same metadata version: the loser's
+    O_EXCL open must raise, never overwrite the winner's commit."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from dbt_lakehouse_aws_spark.sources.iceberg_writer import write_iceberg_table
+
+    from dbt_lakehouse_aws_spark.sources import iceberg_writer as W
+
+    root = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "x")], "id long, s string")
+    write_iceberg_table(a, root)
+    # simulate the race: the peer's v2 commit lands AFTER this writer
+    # picked version 2 (post-listing, pre-commit) — inject it inside
+    # the staging step, then the O_EXCL open must lose loudly
+    v2 = _os.path.join(root, "metadata", "v2.metadata.json")
+    orig_stage = W._stage_parquet
+    peer_payload = open(
+        _os.path.join(root, "metadata", "v1.metadata.json")
+    ).read()
+
+    def racing_stage(df, table_path):
+        out = orig_stage(df, table_path)
+        with open(v2, "w") as fh:
+            fh.write(peer_payload)
+        return out
+
+    W._stage_parquet = racing_stage
+    try:
+        with _pytest.raises(FileExistsError):
+            write_iceberg_table(a, root, mode="append")
+    finally:
+        W._stage_parquet = orig_stage
+    # the peer's commit is untouched (never overwritten)
+    assert open(v2).read() == peer_payload
