@@ -104,3 +104,60 @@ def point_in_time_join(
     for k in keys:
         joined = joined.drop(dim[k])
     return joined
+
+
+def scd2_apply_changes(
+    initial: DataFrame,
+    changes: DataFrame,
+    *,
+    keys: Sequence[str],
+    state_cols: Sequence[str],
+    version_col: str = "_version",
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Build SCD2 validity ranges from an INITIAL snapshot plus a CDC
+    change feed (the Delta-CDF/``row_changes`` shape: rows carrying
+    ``_change_type`` ∈ {insert, update, delete} and a commit version)
+    — dimension-history maintenance from a change stream, the
+    composition every warehouse needs between its CDC source and its
+    point-in-time joins.
+
+    Semantics: the initial rows open ranges at version 0; each
+    insert/update opens a new range at its version and closes the
+    key's previous range at ``version - 1``; a delete closes the
+    previous range without opening one (the tombstone emits no state
+    row). The current range's ``valid_to`` is NULL — the open-ended
+    convention ``point_in_time_join`` accepts directly.
+
+    One shuffle: union → per-key window (lead over version) → filter.
+    Change feeds are deltas (bounded by activity, not dimension
+    size), so the union is dominated by the initial snapshot scan.
+    ``version_col`` must be unique per key (one change per key per
+    commit — guaranteed by MERGE's duplicate-key guard).
+    """
+    keys = list(keys)
+    states = list(state_cols)
+    base = initial.select(
+        *keys,
+        *states,
+        F.lit(0).cast("long").alias(version_col),
+        F.lit("insert").alias(change_col),
+    )
+    feed = changes.select(
+        *keys,
+        *states,
+        F.col(version_col).cast("long").alias(version_col),
+        F.col(change_col),
+    )
+    allrows = base.unionByName(feed)
+    w = Window.partitionBy(*keys).orderBy(version_col)
+    nxt = F.lead(version_col).over(w)
+    return (
+        allrows.withColumn("valid_from", F.col(version_col))
+        .withColumn(
+            "valid_to",
+            F.when(nxt.isNotNull(), nxt - 1).otherwise(F.lit(None).cast("long")),
+        )
+        .filter(F.col(change_col) != "delete")
+        .select(*keys, *states, "valid_from", "valid_to")
+    )

@@ -7719,6 +7719,223 @@ def iceberg_write_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "cdc_scd2_user_dim",
+    """
+    WITH wk1 AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events
+      WHERE CAST(ts AS DATE) < DATE '2024-01-08' GROUP BY 1
+    ), wk2 AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events
+      WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+        AND CAST(ts AS DATE) < DATE '2024-01-15' GROUP BY 1
+    ), v0 AS (
+      SELECT user_id,
+             CASE WHEN cnt >= 20 THEN 'high' WHEN cnt >= 10 THEN 'mid'
+                  ELSE 'low' END AS tier,
+             cnt AS wk_cnt
+      FROM wk1
+    ), upd AS (
+      SELECT user_id,
+             CASE WHEN cnt >= 20 THEN 'high' WHEN cnt >= 10 THEN 'mid'
+                  ELSE 'low' END AS tier,
+             cnt AS wk_cnt
+      FROM wk2
+    ), feed1 AS (
+      SELECT u.user_id, u.tier, u.wk_cnt, CAST(1 AS BIGINT) AS v,
+             CASE WHEN t.user_id IS NULL THEN 'insert' ELSE 'update' END AS ty
+      FROM upd u LEFT JOIN v0 t USING (user_id)
+      WHERE t.user_id IS NULL
+         OR u.tier IS DISTINCT FROM t.tier
+         OR u.wk_cnt IS DISTINCT FROM t.wk_cnt
+    ), state_v1 AS (
+      SELECT coalesce(u.user_id, t.user_id) AS user_id,
+             coalesce(u.tier, t.tier) AS tier,
+             coalesce(u.wk_cnt, t.wk_cnt) AS wk_cnt
+      FROM v0 t FULL JOIN upd u USING (user_id)
+    ), feed2 AS (
+      SELECT user_id, tier, wk_cnt, CAST(2 AS BIGINT) AS v, 'delete' AS ty
+      FROM state_v1 WHERE wk_cnt < 10
+    ), rows_all AS (
+      SELECT user_id, tier, wk_cnt, CAST(0 AS BIGINT) AS v, 'insert' AS ty FROM v0
+      UNION ALL SELECT * FROM feed1
+      UNION ALL SELECT * FROM feed2
+    )
+    SELECT user_id, tier, wk_cnt, v AS valid_from,
+           lead(v) OVER (PARTITION BY user_id ORDER BY v) - 1 AS valid_to
+    FROM rows_all QUALIFY ty != 'delete'
+    """,
+)
+def cdc_scd2_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → SCD2 dimension maintenance end-to-end through the REAL
+    storage layer: a user-tier dimension is written to an ACID table
+    (v0 = week-1 activity tiers), MERGEd with week-2 tiers (v1), and
+    pruned with a DELETE of low-activity users (v2); then the two
+    CHANGE FEEDS (sources/acid.py::row_changes — manifest-diff CDC
+    with identical-row cancellation) are folded into validity ranges
+    by operators/scd.py::scd2_apply_changes. The oracle replays the
+    whole story relationally (including the only-changed-rows-feed
+    rule and the delete-closes-without-opening rule), so a green row
+    certifies storage CDC and the SCD2 fold agree. NULL valid_to =
+    open current row, exactly what point_in_time_join consumes."""
+    import tempfile
+
+    from dbt_lakehouse_aws_spark.operators.scd import scd2_apply_changes
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    ev = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    tier = lambda c: (  # noqa: E731
+        F.when(F.col(c) >= 20, "high").when(F.col(c) >= 10, "mid").otherwise("low")
+    )
+    wk1 = (
+        ev.filter(F.col("day") < F.lit("2024-01-08").cast("date"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("wk_cnt"))
+        .select("user_id", tier("wk_cnt").alias("tier"), "wk_cnt")
+    )
+    wk2 = (
+        ev.filter(
+            (F.col("day") >= F.lit("2024-01-08").cast("date"))
+            & (F.col("day") < F.lit("2024-01-15").cast("date"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("wk_cnt"))
+        .select("user_id", tier("wk_cnt").alias("tier"), "wk_cnt")
+    )
+    dim = AcidTable(spark, tempfile.mkdtemp(prefix="cdc_scd2_"))
+    dim.write(wk1.repartitionByRange(4, "user_id"))            # v0
+    dim.merge(wk2.localCheckpoint(eager=True), ["user_id"])    # v1
+    dim.delete("wk_cnt < 10")                                  # v2
+    feed = (
+        dim.row_changes(0, 1, ["user_id"]).withColumn("_version", F.lit(1))
+        .unionByName(
+            dim.row_changes(1, 2, ["user_id"]).withColumn("_version", F.lit(2))
+        )
+    )
+    return scd2_apply_changes(
+        wk1, feed, keys=["user_id"], state_cols=["tier", "wk_cnt"]
+    )
+
+
+@register(
+    "balanced_sample_docs",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5('bal-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def balanced_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced sampling: exactly k docs per language, chosen
+    by per-group rank over the portable hash — the training-mix
+    balancer (equal-representation sampling without a shuffle-heavy
+    stratified join; head languages are downsampled, tail languages
+    keep everything they have). Deterministic across engines/runs;
+    one per-group window with partial WindowGroupLimit pre-prune."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import _portable_hash60
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        _portable_hash60(F.concat(F.lit("bal-v1:"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "benford_first_digit_orders",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / tot.total, 6) AS observed_p,
+           round(log10(1 + 1.0 / digit), 6) AS benford_p
+    FROM obs CROSS JOIN tot
+    """,
+)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals — the classic
+    fraud / synthetic-data smell test: observed leading-digit shares
+    next to the Benford expectation log10(1 + 1/d). One scan + a
+    9-row aggregate; exact integer counts, identical single-op
+    probability arithmetic."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed_p"),
+        F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+    )
+
+
+@register(
+    "seasonal_weekday_index",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day, isodow(o_orderdate) AS wd,
+             CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ), wk AS (
+      SELECT wd, sum(cents) AS wd_cents, count(*) AS wd_days FROM daily GROUP BY wd
+    ), tot AS (
+      SELECT sum(cents) AS all_cents, count(*) AS all_days FROM daily
+    )
+    SELECT CAST(wd AS INT) AS weekday,
+           CAST(wd_days AS BIGINT) AS n_days,
+           round((CAST(wd_cents AS DOUBLE) / wd_days)
+                 / (CAST(tot.all_cents AS DOUBLE) / tot.all_days), 6) AS seasonal_index
+    FROM wk CROSS JOIN tot
+    """,
+)
+def seasonal_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality index: average daily revenue per ISO
+    weekday relative to the overall daily average — the
+    decomposition primitive behind day-of-week normalization in
+    forecasting. Two tiny aggregates over the daily grain (exact
+    integer cents); ISO weekday (1=Monday) on both engines."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").alias("day"),
+        (F.weekday("o_orderdate") + 1).alias("wd"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents"))
+    wk = daily.groupBy("wd").agg(
+        F.sum("cents").alias("wd_cents"), F.count(F.lit(1)).alias("wd_days")
+    )
+    tot = daily.agg(
+        F.sum("cents").alias("all_cents"), F.count(F.lit(1)).alias("all_days")
+    )
+    return wk.crossJoin(F.broadcast(tot)).select(
+        F.col("wd").cast("int").alias("weekday"),
+        F.col("wd_days").cast("long").alias("n_days"),
+        F.round(
+            (F.col("wd_cents").cast("double") / F.col("wd_days"))
+            / (F.col("all_cents").cast("double") / F.col("all_days")),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry API
 # ---------------------------------------------------------------------------
@@ -7863,6 +8080,10 @@ ROUND4_NEW: list[str] = [
     "mom_revenue_change",
     "robust_scale_orders",
     "iceberg_write_roundtrip_events",
+    "cdc_scd2_user_dim",
+    "balanced_sample_docs",
+    "benford_first_digit_orders",
+    "seasonal_weekday_index",
 ]
 
 # Round-4 window: the 27-deep queue of late-r3 registrations +
