@@ -134,6 +134,31 @@ HEADLINE = [
     "shard_manifest_docs",
     "date_spine_q1_2024",
     "rollup_tree_revenue",
+    # round-4 additions (same basis + additions called out, VERDICT r2
+    # item 8). Excluded: stream_pit_equivalence / stream_dedup_equivalence
+    # — correctness fixtures that run a full streaming job AND its batch
+    # twin twice each; they gate in CORRECTNESS, not the throughput bench.
+    "serving_rankings_page",
+    "ann_ivf_topk",
+    "pq_topk_rerank",
+    "bpe_tokenize_docs",
+    "target_encode_loo_orders",
+    "funnel_windowed_3d",
+    "interevent_stats_users",
+    "temporal_split_purged_events",
+    "feature_hash_docs",
+    "kfold_assign_docs",
+    "dedup_keep_best_docs",
+    "rfm_customer_segments",
+    "abtest_conversion_ztest",
+    "event_transition_matrix",
+    "mom_revenue_change",
+    "robust_scale_orders",
+    "iceberg_write_roundtrip_events",
+    "cdc_scd2_user_dim",
+    "balanced_sample_docs",
+    "benford_first_digit_orders",
+    "seasonal_weekday_index",
 ]
 
 

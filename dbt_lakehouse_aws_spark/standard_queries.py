@@ -7587,36 +7587,43 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mom_revenue_change",
     """
     WITH m AS (
-      SELECT date_trunc('month', o_orderdate) AS month,
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
              CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
       FROM orders GROUP BY 1
     )
-    SELECT CAST(month AS DATE) AS month, cents,
-           round((CAST(cents AS DOUBLE) - lag(cents) OVER (ORDER BY month))
-                 / lag(cents) OVER (ORDER BY month), 6) AS mom_change
-    FROM m
+    SELECT cur.month, cur.cents,
+           round((CAST(cur.cents AS DOUBLE) - prev.cents) / prev.cents, 6)
+             AS mom_change
+    FROM m cur LEFT JOIN m prev ON prev.month = cur.month - INTERVAL 1 MONTH
     """,
 )
 def mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue change: month grain aggregate (exact
-    integer cents) + lag + relative delta — the reporting-layer
-    navigation-window staple. The ORDER BY window runs over the
-    ~|months| aggregate rows, never the raw orders, so the global
-    window is bounded-size by construction (the same argument as
-    rollup_tree's coarser grains)."""
+    integer cents) + CALENDAR self-join to the previous month +
+    relative delta. A lag window would be an ORDER BY over the whole
+    aggregate — a single-partition exchange the plan linter hard
+    errors on (bounded here, but the linter can't know that); the
+    broadcast self-join on month = month−1 keeps the plan fully
+    partitioned AND gives the more correct semantics (a gap month
+    yields NULL change, not a delta against the last month that
+    happened to exist)."""
     o = T(spark, sf_dir, "orders")
     m = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
     ).agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents"))
-    w = Window.orderBy("month")
-    return m.select(
-        "month",
-        "cents",
-        F.round(
-            (F.col("cents").cast("double") - F.lag("cents").over(w))
-            / F.lag("cents").over(w),
-            6,
-        ).alias("mom_change"),
+    cur = m.alias("cur")
+    prev = m.select(
+        F.add_months("month", 1).alias("_pm"), F.col("cents").alias("_pc")
+    ).alias("prev")
+    return (
+        cur.join(F.broadcast(prev), F.col("month") == F.col("_pm"), "left")
+        .select(
+            "month",
+            "cents",
+            F.round(
+                (F.col("cents").cast("double") - F.col("_pc")) / F.col("_pc"), 6
+            ).alias("mom_change"),
+        )
     )
 
 

@@ -409,3 +409,36 @@ def test_cms_build_single_bounded_shuffle(spark, sf_dir, queries):
     p = plan(queries["cms_user_frequencies"](spark, sf_dir))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SinglePartition" not in p.split("== Physical Plan ==")[1].split("(1) ")[0]
+
+
+def test_round4_queries_no_funnels_or_row_udfs(spark, sf_dir, queries):
+    """Plan-lint sweep over the round-4 declarative additions: no
+    single-partition exchanges (window funnels), no row-pickling
+    Python UDFs. (mom_revenue_change originally used a bounded lag
+    window here — the registry-wide linter correctly flagged it, and
+    it now self-joins on the month calendar instead.)
+    Eagerly-executing fixtures (streaming equivalence, ACID/iceberg
+    round trips) are exercised by their own tests."""
+    from dbt_lakehouse_aws_spark.plans.lint import plan_report
+
+    names = [
+        "serving_rankings_page",
+        "target_encode_loo_orders",
+        "funnel_windowed_3d",
+        "interevent_stats_users",
+        "temporal_split_purged_events",
+        "feature_hash_docs",
+        "kfold_assign_docs",
+        "rfm_customer_segments",
+        "abtest_conversion_ztest",
+        "event_transition_matrix",
+        "mom_revenue_change",
+        "benford_first_digit_orders",
+        "seasonal_weekday_index",
+        "balanced_sample_docs",
+        "robust_scale_orders",
+    ]
+    for n in names:
+        rep = plan_report(queries[n](spark, sf_dir))
+        assert not rep.smells.get("single_partition_exchange"), (n, rep.smells)
+        assert not rep.smells.get("python_row_udf"), (n, rep.smells)
