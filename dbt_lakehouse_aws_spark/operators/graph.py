@@ -46,14 +46,33 @@ def pagerank(
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    # the dangling NODE SET is static across iterations — only its
-    # rank mass moves. Materialize it once; when it's empty (every
-    # node has out-edges) the per-round driver round-trip disappears
-    # entirely (8-round bipartite probe: 14.4 s → 6.6 s cold).
+    # everything static across iterations is materialized ONCE, so
+    # the loop body touches only (edges_w ⋈ ranks → per-dst sum):
+    #
+    # * edges_w — the edge list with the source's out-degree folded
+    #   in, so no per-iteration out_deg join;
+    # * dangling_nodes — only their rank MASS moves. When empty
+    #   (every node has out-edges) the per-round driver round-trip
+    #   disappears entirely (8-round bipartite probe: 14.4 s → 6.6 s
+    #   cold);
+    # * no_inedge — nodes no edge points at have a zero contribution
+    #   sum every round, so their rank is the same closed-form
+    #   constant for all of them: union a literal instead of
+    #   left-joining contribs back onto the full node set each
+    #   iteration.
+    edges_w = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+        .join(out_deg, "node")
+        .localCheckpoint(eager=True)
+    )
     dangling_nodes = nodes.join(out_deg, "node", "left_anti").localCheckpoint(
         eager=True
     )
     has_dangling = dangling_nodes.limit(1).count() > 0
+    no_inedge = nodes.join(
+        edges.select(F.col(dst).alias("node")).distinct(), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+    has_no_inedge = no_inedge.limit(1).count() > 0
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
@@ -66,9 +85,7 @@ def pagerank(
                 or 0.0
             )
         contribs = (
-            edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
-            .join(ranks, "node")
-            .join(out_deg, "node")
+            edges_w.join(ranks, "node")
             .select(
                 F.col("_dst").alias("node"),
                 (F.col("rank") / F.col("deg")).alias("_c"),
@@ -76,14 +93,22 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        # op order mirrors the pre-refactor expression bit-for-bit:
+        # (1-d)/n + d*(_s + dangling/n), with _s = 0.0 for no-inedge
+        # nodes (their constant is folded in Python — same IEEE-754
+        # double sequence, so identical bits).
+        ranks = contribs.select(
             "node",
             (
                 F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce("_s", F.lit(0.0)) + F.lit(dangling / n))
+                + F.lit(damping) * (F.col("_s") + F.lit(dangling / n))
             ).alias("rank"),
         )
+        if has_no_inedge:
+            zero_sum_rank = (1.0 - damping) / n + damping * (0.0 + dangling / n)
+            ranks = ranks.unionByName(
+                no_inedge.select("node", F.lit(zero_sum_rank).alias("rank"))
+            )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
