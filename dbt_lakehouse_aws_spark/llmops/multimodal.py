@@ -6,13 +6,16 @@ as Arrow-batched ``mapInPandas``. IMAGE decode is REAL: pure-numpy
 codecs for uncompressed BMP (24/32 bpp BI_RGB, either row order) and
 binary PPM/PGM parse actual payload bytes into rasters
 (:func:`decode_bmp` / :func:`decode_ppm`, with byte-exact encoders
-for fixtures). AUDIO decode is REAL for RIFF/WAVE (PCM 8/16/32 +
-IEEE float, proper chunk walking — :func:`decode_wav` /
-:func:`encode_wav`). VIDEO decode is REAL for uncompressed RIFF/AVI
-(raw 24-bpp DIB frames — :func:`decode_avi` / :func:`encode_avi`).
-COMPRESSED audio/video (mp3/aac/h264/vp9/…) stay honestly stubbed
-behind ``NotImplementedError`` — those genuinely need ffmpeg-class
-codec libraries this container lacks.
+for fixtures), and PNG decodes for real too — stdlib ``zlib``
+inflate + CRC with numpy unfiltering, all five scanline filters and
+color types 0/2/3/4/6 (:func:`decode_png` / :func:`encode_png`).
+AUDIO decode is REAL for RIFF/WAVE (PCM 8/16/32 + IEEE float, proper
+chunk walking — :func:`decode_wav` / :func:`encode_wav`). VIDEO
+decode is REAL for uncompressed RIFF/AVI (raw 24-bpp DIB frames —
+:func:`decode_avi` / :func:`encode_avi`). Codecs needing entropy/
+transform machinery beyond the stdlib (jpeg/mp3/aac/h264/vp9/…)
+stay honestly stubbed behind ``NotImplementedError`` — those
+genuinely need ffmpeg-class codec libraries this container lacks.
 
 Scale notes: payload rows are heavy, so the pattern is
 (1) keep payloads out of shuffles — derive features early, drop the
@@ -179,14 +182,156 @@ def encode_ppm(pixels) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
 
 
+#: PNG 8-byte file signature
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → raw channel count (palette counts as 1 index byte)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes):
+    """Baseline PNG decode → uint8 (h, w, c) — pure stdlib ``zlib``
+    (inflate + CRC-32) and numpy; the format is fully public (RFC
+    2083), no codec library involved.
+
+    Supports bit depth 8 with color types 0 (gray), 2 (RGB),
+    3 (palette, expanded to RGB), 4 (gray+alpha), 6 (RGBA) and all
+    five scanline filters (none/sub/up/average/paeth). Every chunk's
+    CRC is verified. Interlaced (Adam7) and non-8-bit depths raise
+    ``ValueError`` — rare variants, rejected rather than mis-decoded.
+
+    Filters up(2)/none(0) unfilter as whole-row numpy ops; sub(1)/
+    average(3)/paeth(4) carry a left-neighbor dependency, so those
+    rows fall back to a per-byte loop — encoders targeting this
+    pipeline (``encode_png``) emit filter 0 and stay on the
+    vectorized path.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} fails CRC")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT chunk")
+    w, h, depth, ctype_code, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 supported)")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    ch = _PNG_CHANNELS.get(ctype_code)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {ctype_code}")
+    if ctype_code == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+
+    raw = zlib.decompress(b"".join(idat))
+    rowbytes = w * ch
+    if len(raw) != h * (1 + rowbytes):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((h, rowbytes), np.uint8)
+    prev = np.zeros(rowbytes, np.uint8)
+    for y in range(h):
+        off = y * (1 + rowbytes)
+        ft = raw[off]
+        cur = np.frombuffer(raw, np.uint8, rowbytes, off + 1).copy()
+        if ft == 0:
+            pass
+        elif ft == 2:  # up — whole-row vector add (mod 256)
+            cur += prev
+        elif ft == 1:  # sub
+            for i in range(ch, rowbytes):
+                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
+        elif ft == 3:  # average
+            for i in range(rowbytes):
+                a = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # paeth
+            for i in range(rowbytes):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG scanline filter {ft}")
+        out[y] = cur
+        prev = out[y]
+    px = out.reshape(h, w, ch)
+    if ctype_code == 3:
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def encode_png(pixels) -> bytes:
+    """uint8 (h, w, c) → PNG bytes (filter 0, one zlib stream).
+    c = 1 → grayscale, 2 → gray+alpha, 3 → RGB, 4 → RGBA."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    ctype_code = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_code, 0, 0, 0)
+    scan = np.concatenate(
+        [np.zeros((h, 1), np.uint8), px.reshape(h, w * c)], axis=1
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes):
-    """Magic-sniffing image decode: BMP ('BM') or binary PPM/PGM
-    (P5/P6) → uint8 (h, w, c)."""
+    """Magic-sniffing image decode: BMP ('BM'), binary PPM/PGM
+    (P5/P6), or PNG (RFC 2083 signature) → uint8 (h, w, c)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
-    raise ValueError("unrecognized image payload (expected BMP or binary PPM/PGM)")
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
+    raise ValueError(
+        "unrecognized image payload (expected BMP, binary PPM/PGM, or PNG)"
+    )
 
 
 def decode_wav(data: bytes) -> dict:
@@ -429,10 +574,11 @@ def video_features(payload: bytes) -> dict:
 
 def decode_media(payload: bytes, modality: str) -> dict:
     """Per-payload decode dispatch. Images decode for real (BMP /
-    PPM / PGM) and so does RIFF/WAVE audio (PCM + IEEE float) — both
-    pure numpy over fully public byte layouts. Compressed audio
-    (mp3/aac/opus) and video remain honestly stubbed: those genuinely
-    need codec libraries this container lacks."""
+    PPM / PGM, plus PNG via stdlib zlib) and so does RIFF/WAVE audio
+    (PCM + IEEE float) — pure numpy over fully public byte layouts.
+    Compressed audio (mp3/aac/opus) and inter-frame video codecs
+    remain honestly stubbed: those genuinely need codec libraries
+    this container lacks."""
     if modality == "image":
         px = decode_image(payload)
         return {

@@ -1548,3 +1548,157 @@ def test_dedup_keep_best_prefers_quality_then_min_id(spark):
         r["doc_id"] for r in dedup_keep_best(docs, pairs, quality_col="q").collect()
     )
     assert surv == [2, 7, 9]  # 2 beats 1/3 on quality; 7 ties 8 -> min id; 9 untouched
+
+
+def test_png_roundtrip_all_channel_counts():
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    for h, w, c in [(1, 1, 1), (3, 5, 2), (4, 4, 3), (2, 7, 4)]:
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        data = encode_png(px)
+        assert np.array_equal(decode_png(data), px)
+        # decode_image magic-dispatches PNG too
+        assert np.array_equal(decode_image(data), px)
+
+
+def test_png_unfilters_all_five_filter_types():
+    """Fixture built by FORWARD-filtering rows per the PNG spec
+    (independent arithmetic from the decoder's unfilter), cycling
+    through filter types 0..4 — pins sub/up/average/paeth byte math,
+    not just the filter-0 fast path encode_png emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_png
+
+    rng = np.random.default_rng(17)
+    h, w, c = 10, 6, 3
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    rb = w * c
+    flat = px.reshape(h, rb).astype(int)
+    prev = [0] * rb
+    stream = b""
+    for y in range(h):
+        ft = y % 5
+        cur = flat[y]
+        row = [ft]
+        for i in range(rb):
+            a = int(cur[i - c]) if i >= c else 0
+            b = int(prev[i])
+            cc = int(prev[i - c]) if i >= c else 0
+            if ft == 0:
+                v = cur[i]
+            elif ft == 1:
+                v = cur[i] - a
+            elif ft == 2:
+                v = cur[i] - b
+            elif ft == 3:
+                v = cur[i] - ((a + b) >> 1)
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                v = cur[i] - pred
+            row.append(v & 0xFF)
+        stream += bytes(row)
+        prev = cur
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), px)
+
+
+def test_png_palette_multiple_idat_and_rejects():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_png, encode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # 2x2 palette image: indices (0,1 / 2,0), 3-entry palette; pixel
+    # stream split across TWO IDAT chunks (spec allows arbitrary splits)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    stream = zlib.compress(b"\x00\x00\x01" + b"\x00\x02\x00")
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", stream[:5])
+        + chunk(b"IDAT", stream[5:])
+        + chunk(b"IEND", b"")
+    )
+    px = decode_png(data)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]], np.uint8
+    )
+    assert np.array_equal(px, expect)
+
+    good = encode_png(np.zeros((2, 2, 3), np.uint8))
+    # corrupt one IDAT byte -> CRC failure must raise, not mis-decode
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # interlaced and 16-bit depth are rejected, not mis-decoded
+    ihdr16 = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + ihdr16 + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + chunk(b"IEND", b""))
+    ihdr_i = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + ihdr_i + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b""))
+
+
+def test_png_payloads_flow_through_image_features(spark):
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        encode_png,
+        extract_image_features,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i, (h, w) in enumerate([(2, 3), (4, 1), (3, 3)]):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, encode_png(px), int(px.sum()), w, h))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, *_ in rows], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in extract_image_features(df).collect()
+    }
+    for i, _, psum, w, h in rows:
+        assert (got[i]["width"], got[i]["height"], got[i]["pixel_sum"]) == (w, h, psum)
