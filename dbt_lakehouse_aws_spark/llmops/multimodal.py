@@ -6,9 +6,12 @@ as Arrow-batched ``mapInPandas``. IMAGE decode is REAL: pure-numpy
 codecs for uncompressed BMP (24/32 bpp BI_RGB, either row order) and
 binary PPM/PGM parse actual payload bytes into rasters
 (:func:`decode_bmp` / :func:`decode_ppm`, with byte-exact encoders
-for fixtures), and PNG decodes for real too — stdlib ``zlib``
-inflate + CRC with numpy unfiltering, all five scanline filters and
-color types 0/2/3/4/6 (:func:`decode_png` / :func:`encode_png`).
+for fixtures), and the two stdlib-decompressible compressed formats
+decode for real too: PNG — ``zlib`` inflate + CRC with numpy
+unfiltering, all five scanline filters, color types 0/2/3/4/6
+(:func:`decode_png` / :func:`encode_png`) — and GIF87a/89a with a
+full pure-Python LZW decompressor, local/global palettes and
+interlacing (:func:`decode_gif` / :func:`encode_gif`).
 AUDIO decode is REAL for RIFF/WAVE (PCM 8/16/32 + IEEE float, proper
 chunk walking — :func:`decode_wav` / :func:`encode_wav`). VIDEO
 decode is REAL for uncompressed RIFF/AVI (raw 24-bpp DIB frames —
@@ -320,17 +323,195 @@ def encode_png(pixels) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/END codes,
+    table-driven code widths 3..12 bits) → ``expected`` index bytes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte, bit = bitpos >> 3, bitpos & 7
+        window = int.from_bytes(data[byte : byte + 3], "little")
+        code = (window >> bit) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW stream opens with an undefined code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("LZW code beyond table end")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("LZW stream ended short of the raster size")
+    return bytes(out[:expected])
+
+
+#: row emission order of the four GIF interlace passes: (start, step)
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes):
+    """GIF87a/89a decode → uint8 (h, w, 3) — pure stdlib + numpy; the
+    format is fully public. Full LZW decompression (code-width growth,
+    CLEAR/END, the KwKwK case), global and local color tables,
+    interlaced row order, and 89a extension blocks (skipped). Animated
+    GIFs yield their FIRST frame, composed onto the logical screen's
+    background; frame-level features over animations belong in the
+    AVI-style per-frame path."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    sw, sh, packed, bg, _ = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor — decode this frame
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(lzw), min_code, w * h), np.uint8
+            ).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: reorder pass rows
+                deinter = np.empty_like(idx)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    n_rows = len(range(start, h, step))
+                    deinter[start::step] = idx[src : src + n_rows]
+                    src += n_rows
+                idx = deinter
+            frame = pal[np.minimum(idx, len(pal) - 1)]
+            # compose onto the logical screen (frames may be offset)
+            if (left, top, w, h) == (0, 0, sw, sh):
+                return frame
+            screen = np.broadcast_to(
+                (gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)),
+                (sh, sw, 3),
+            ).copy()
+            screen[top : top + h, left : left + w] = frame
+            return screen
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF payload contains no image frame")
+
+
+def encode_gif(pixels) -> bytes:
+    """uint8 (h, w, 3) → single-frame GIF87a for fixtures. Palette is
+    built from the distinct colors (≤256 required); the LZW stream
+    uses the classic 'uncompressed GIF' form — a CLEAR before every
+    pixel code pins both code widths, which keeps the encoder trivial
+    and byte-deterministic (fixtures, not a production compressor)."""
+    import struct
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    colors, idx = np.unique(px.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif fixtures support at most 256 distinct colors")
+    pal_bits = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros((2**pal_bits, 3), np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(2, pal_bits)
+    clear, end_code = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    # bit-pack LSB-first: CLEAR, pixel, CLEAR, pixel, ..., END
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    for i in idx.ravel():
+        emit(clear)
+        emit(int(i))
+    emit(end_code)
+    if nbits:
+        stream.append(acc & 0xFF)
+    out = bytearray()
+    out += b"GIF87a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    for off in range(0, len(stream), 255):
+        chunk = stream[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes):
     """Magic-sniffing image decode: BMP ('BM'), binary PPM/PGM
-    (P5/P6), or PNG (RFC 2083 signature) → uint8 (h, w, c)."""
+    (P5/P6), PNG (RFC 2083 signature), or GIF87a/89a → uint8
+    (h, w, c)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise ValueError(
-        "unrecognized image payload (expected BMP, binary PPM/PGM, or PNG)"
+        "unrecognized image payload (expected BMP, binary PPM/PGM, PNG, or GIF)"
     )
 
 
@@ -574,7 +755,8 @@ def video_features(payload: bytes) -> dict:
 
 def decode_media(payload: bytes, modality: str) -> dict:
     """Per-payload decode dispatch. Images decode for real (BMP /
-    PPM / PGM, plus PNG via stdlib zlib) and so does RIFF/WAVE audio
+    PPM / PGM, PNG via stdlib zlib, GIF via pure-Python LZW) and so
+    does RIFF/WAVE audio
     (PCM + IEEE float) — pure numpy over fully public byte layouts.
     Compressed audio (mp3/aac/opus) and inter-frame video codecs
     remain honestly stubbed: those genuinely need codec libraries

@@ -1702,3 +1702,120 @@ def test_png_payloads_flow_through_image_features(spark):
     }
     for i, _, psum, w, h in rows:
         assert (got[i]["width"], got[i]["height"], got[i]["pixel_sum"]) == (w, h, psum)
+
+
+def test_gif_roundtrip_and_dispatch():
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(29)
+    for h, w, ncol in [(1, 1, 1), (3, 4, 5), (6, 6, 256)]:
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, ncol, size=(h, w))]
+        data = encode_gif(px)
+        assert np.array_equal(decode_gif(data), px)
+        assert np.array_equal(decode_image(data), px)
+
+
+def test_gif_real_lzw_with_table_growth_interlace_and_89a():
+    """Fixture compressed by an independent dictionary-building LZW
+    encoder (standard GIF variant) — exercises decoder code-width
+    growth through 3→9 bits, the KwKwK case, interlaced row order,
+    and 89a graphic-control extension skipping."""
+    import struct
+
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_gif
+
+    def lzw_encode(indices, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        code_size = min_code + 1
+        acc = nbits = 0
+        out = bytearray()
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        run = b""
+        for i in indices:
+            nxt = run + bytes([i])
+            if nxt in table:
+                run = nxt
+                continue
+            emit(table[run])
+            table[nxt] = next_code
+            next_code += 1
+            # decoder widens when ITS table (one entry behind the
+            # encoder's) fills the current width
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+            run = bytes([i])
+        if run:
+            emit(table[run])
+        emit(end)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(31)
+    h, w = 13, 11  # odd sizes exercise every interlace pass length
+    idx = rng.integers(0, 4, size=(h, w)).astype(np.uint8)
+    # repetitive runs so the dictionary actually builds deep entries
+    idx[::3] = 2
+    pal = np.array([[10, 0, 0], [0, 20, 0], [0, 0, 30], [7, 7, 7]], np.uint8)
+
+    # interlace: store rows in pass order
+    order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(s, h, st)]
+    stored = idx[order]
+    stream = lzw_encode(stored.ravel(), 2)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)  # 4-entry GCT
+    out += pal.tobytes()
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+    out += b"\x21\xfe\x05hello\x00"  # comment ext
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(2)  # min code size
+    for off in range(0, len(stream), 255):
+        chunk = stream[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+
+    got = decode_gif(bytes(out))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_gif_rejects_and_lzw_guards():
+    import numpy as np
+    import pytest
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        _gif_lzw_decode,
+        decode_gif,
+        encode_gif,
+    )
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
+    # truncated LZW stream: expected more index bytes than decodable
+    good = encode_gif(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(ValueError, match="short"):
+        _gif_lzw_decode(b"\x00", 2, 100)
+    assert decode_gif(good).shape == (2, 2, 3)
