@@ -6,19 +6,22 @@ as Arrow-batched ``mapInPandas``. IMAGE decode is REAL: pure-numpy
 codecs for uncompressed BMP (24/32 bpp BI_RGB, either row order) and
 binary PPM/PGM parse actual payload bytes into rasters
 (:func:`decode_bmp` / :func:`decode_ppm`, with byte-exact encoders
-for fixtures), and the two stdlib-decompressible compressed formats
-decode for real too: PNG — ``zlib`` inflate + CRC with numpy
-unfiltering, all five scanline filters, color types 0/2/3/4/6
-(:func:`decode_png` / :func:`encode_png`) — and GIF87a/89a with a
-full pure-Python LZW decompressor, local/global palettes and
-interlacing (:func:`decode_gif` / :func:`encode_gif`).
+for fixtures), and the COMPRESSED image formats decode for real too:
+PNG — ``zlib`` inflate + CRC with numpy unfiltering, all five
+scanline filters, color types 0/2/3/4/6 (:func:`decode_png` /
+:func:`encode_png`); GIF87a/89a with a full pure-Python LZW
+decompressor, local/global palettes and interlacing
+(:func:`decode_gif` / :func:`encode_gif`); and baseline JPEG —
+Huffman entropy decode, dequantize + batched IDCT, 4:2:0
+upsampling, restart markers (:mod:`.jpeg`, with a fixture encoder).
 AUDIO decode is REAL for RIFF/WAVE (PCM 8/16/32 + IEEE float, proper
 chunk walking — :func:`decode_wav` / :func:`encode_wav`). VIDEO
 decode is REAL for uncompressed RIFF/AVI (raw 24-bpp DIB frames —
-:func:`decode_avi` / :func:`encode_avi`). Codecs needing entropy/
-transform machinery beyond the stdlib (jpeg/mp3/aac/h264/vp9/…)
-stay honestly stubbed behind ``NotImplementedError`` — those
-genuinely need ffmpeg-class codec libraries this container lacks.
+:func:`decode_avi` / :func:`encode_avi`). Compressed AUDIO/VIDEO
+(mp3/aac/h264/vp9/…) stay honestly stubbed behind
+``NotImplementedError`` — perceptual filterbanks and inter-frame
+prediction genuinely need ffmpeg-class libraries this container
+lacks.
 
 Scale notes: payload rows are heavy, so the pattern is
 (1) keep payloads out of shuffles — derive features early, drop the
@@ -500,8 +503,8 @@ def encode_gif(pixels) -> bytes:
 
 def decode_image(payload: bytes):
     """Magic-sniffing image decode: BMP ('BM'), binary PPM/PGM
-    (P5/P6), PNG (RFC 2083 signature), or GIF87a/89a → uint8
-    (h, w, c)."""
+    (P5/P6), PNG (RFC 2083 signature), GIF87a/89a, or baseline JPEG
+    (SOI marker) → uint8 (h, w, c)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
@@ -510,8 +513,13 @@ def decode_image(payload: bytes):
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from dbt_lakehouse_aws_spark.llmops.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(
-        "unrecognized image payload (expected BMP, binary PPM/PGM, PNG, or GIF)"
+        "unrecognized image payload (expected BMP, binary PPM/PGM, PNG, GIF, "
+        "or baseline JPEG)"
     )
 
 
@@ -755,7 +763,8 @@ def video_features(payload: bytes) -> dict:
 
 def decode_media(payload: bytes, modality: str) -> dict:
     """Per-payload decode dispatch. Images decode for real (BMP /
-    PPM / PGM, PNG via stdlib zlib, GIF via pure-Python LZW) and so
+    PPM / PGM, PNG via stdlib zlib, GIF via pure-Python LZW, baseline
+    JPEG via the pure-numpy codec in :mod:`.jpeg`) and so
     does RIFF/WAVE audio
     (PCM + IEEE float) — pure numpy over fully public byte layouts.
     Compressed audio (mp3/aac/opus) and inter-frame video codecs
