@@ -1492,29 +1492,51 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_decode_features",
     """
     SELECT doc_id,
-           CAST(4 + doc_id % 13 AS INT) AS width,
-           CAST(3 + doc_id % 7 AS INT) AS height,
-           CAST(3 AS INT) AS channels,
-           CAST(list_sum(list_transform(
-                   range(0, (4 + doc_id % 13) * (3 + doc_id % 7) * 3),
-                   i -> (doc_id * 31 + i) % 256)) AS BIGINT) AS pixel_sum
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 8 * (1 + doc_id % 3)
+                     ELSE 4 + doc_id % 13 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 8 * (1 + doc_id % 2)
+                     ELSE 3 + doc_id % 7 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN
+                  64 * list_sum(list_transform(
+                        range(0, (1 + doc_id % 2) * (1 + doc_id % 3)),
+                        b -> (doc_id * 17
+                              + (b // (1 + doc_id % 3)) * 5
+                              + (b % (1 + doc_id % 3)) * 11) % 256))
+                ELSE
+                  list_sum(list_transform(
+                        range(0, (4 + doc_id % 13) * (3 + doc_id % 7) * 3),
+                        i -> (doc_id * 31 + i) % 256))
+                END AS BIGINT) AS pixel_sum
     FROM documents
     """,
 )
 def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode round-trip (VERDICT r1 item 5): per doc, a
-    deterministic RGB raster (pixel i = (doc_id·31 + i) mod 256,
-    dims (4 + id%13) × (3 + id%7)) is ENCODED to genuine 24-bpp BMP
-    bytes — padded rows, bottom-up BGR, the lot — then the payload is
-    DECODED back by the pure-numpy BMP parser inside mapInPandas
-    (llmops/multimodal.py::extract_image_features) and the decoded
-    width/height/channels/pixel-checksum emitted. The oracle computes
-    the same quantities in closed form from doc_id, so a green row
-    proves the decoder read real dimensions and pixels out of the
-    payload bytes (codec byte-layout itself is pinned against
-    hand-built fixtures in tests/test_llmops.py)."""
+    """REAL image decode round-trip (VERDICT r1 item 5), now across
+    all four in-repo codecs, rotated by doc_id % 4:
+
+    * 0 → 24-bpp BMP, 1 → PNG, 2 → GIF (all lossless): the
+      deterministic RGB raster (pixel i = (doc_id·31 + i) mod 256,
+      dims (4 + id%13) × (3 + id%7)) encodes to genuine format bytes
+      — BMP row padding, PNG zlib streams, GIF LZW codes — and is
+      decoded back by the pure-numpy/stdlib codecs;
+    * 3 → baseline JPEG, grayscale with UNIFORM 8×8 blocks (block
+      (by,bx) value = (id·17 + by·5 + bx·11) mod 256) at all-ones
+      quant: a constant block has a DC-only, integer-exact DCT, so
+      the lossy codec round-trips BIT-EXACTLY and stays oracle-able
+      — the full Huffman/entropy/IDCT path runs for real.
+
+    The decode happens inside Arrow-batched mapInPandas
+    (llmops/multimodal.py::extract_image_features); the oracle
+    computes width/height/channels/pixel-checksum in closed form from
+    doc_id, so a green row proves real bytes were parsed. Codec byte
+    layouts are additionally pinned against hand-built fixtures
+    (tests/test_llmops.py, tests/test_jpeg.py)."""
+    from dbt_lakehouse_aws_spark.llmops.jpeg import encode_jpeg
     from dbt_lakehouse_aws_spark.llmops.multimodal import (
         encode_bmp,
+        encode_gif,
+        encode_png,
         extract_image_features,
     )
 
@@ -1525,11 +1547,27 @@ def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                codec = doc_id % 4
+                if codec == 3:
+                    nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
+                    vals = (
+                        doc_id * 17
+                        + np.arange(nby)[:, None] * 5
+                        + np.arange(nbx)[None, :] * 11
+                    ) % 256
+                    px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+                    payloads.append(
+                        encode_jpeg(px[:, :, None], quant=np.ones((8, 8)))
+                    )
+                    continue
                 w, h = 4 + doc_id % 13, 3 + doc_id % 7
                 px = ((doc_id * 31 + np.arange(w * h * 3, dtype=np.int64)) % 256).astype(
                     np.uint8
                 ).reshape(h, w, 3)
-                payloads.append(encode_bmp(px))
+                payloads.append(
+                    [encode_bmp, encode_png, encode_gif][codec](px)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads})
 
     d = T(spark, sf_dir, "documents").select("doc_id")
@@ -8091,6 +8129,16 @@ ROUND4_NEW: list[str] = [
     "balanced_sample_docs",
     "benford_first_digit_orders",
     "seasonal_weekday_index",
+]
+
+#: queries whose SEMANTICS changed after the round-4 window froze —
+#: they already have green driver rows from earlier rounds but must
+#: lead round 5's window for re-verification under the new
+#: definition (the in-repo replica covers them every session
+#: meanwhile). Keep appending here; rotate into DRIVER_WINDOW only
+#: once CORRECTNESS_r04.json exists (memory: driver-window-rotation).
+ROUND5_QUEUE: list[str] = [
+    "image_decode_features",  # r4: BMP-only -> BMP/PNG/GIF/JPEG codec rotation
 ]
 
 # Round-4 window: the 27-deep queue of late-r3 registrations +
