@@ -1,0 +1,167 @@
+"""Fuzzy record linkage: blocked Jaro-Winkler candidate pairs.
+
+Complements the dedup family (llmops/dedup.py): Levenshtein covers
+edit-distance near-dups of comparable strings; Jaro-Winkler is the
+record-linkage standard for SHORT identity strings (names, phones,
+addresses) where transpositions are common and shared prefixes are
+strong evidence. No reference parity — the reference warehouse has
+no fuzzy matching; this is engine-native infrastructure.
+
+Scale shape — the classic blocking design:
+
+* candidate generation is an equi-join on a caller-chosen blocking
+  key (phonetic bucket, prefix, country code…): shuffle is
+  O(block collisions), never |A|×|B|;
+* within-block pairs are scored by an Arrow-batched ``pandas_udf``
+  (per-pair Python over short strings; batch transfer amortized) —
+  the plan linter's no-row-UDF rule holds, this is ArrowEvalPython;
+* a ``threshold`` filter keeps the survivor set sparse before any
+  downstream shuffle.
+
+Skewed blocks (one giant bucket) are the caller's lever: pick a
+finer blocking key or pre-salt; the operator itself stays a single
+equi-join so AQE's skew-join splitting applies.
+
+The similarity definition matches DuckDB's
+``jaro_winkler_similarity`` bit-for-bit (verified on 3k randomized
+cases in tests): match window ``max(⌊max(|a|,|b|)/2⌋-1, 0)``,
+transpositions FLOORED to ``out_of_order // 2`` (the rapidfuzz
+convention DuckDB vendors — strcmp95's half-count differs), either
+string empty → 0.0, Winkler prefix bonus (≤4 chars, scale 0.1)
+applied ONLY when the Jaro score exceeds the 0.7 boost threshold.
+That exactness is what lets a blocked-linkage query carry a full
+value oracle instead of a tolerance band.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def jaro_winkler(a: str, b: str, *, prefix_scale: float = 0.1, boost_threshold: float = 0.7) -> float:
+    """Jaro-Winkler similarity in [0, 1] (pure Python — the per-pair
+    kernel under the Arrow batching), bit-identical to DuckDB's
+    ``jaro_winkler_similarity`` (rapidfuzz convention, calibrated on
+    3k randomized cases): either string empty → 0.0 (including
+    both-empty), transpositions are FLOORED to an integer
+    (``mismatched_flagged_pairs // 2``) rather than strcmp95's half
+    count, Winkler bonus only above the 0.7 boost threshold."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    window = max(max(la, lb) // 2 - 1, 0)
+    match_a = [False] * la
+    match_b = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = True
+                match_b[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    bs = [b[j] for j in range(lb) if match_b[j]]
+    raw = sum(1 for ca, cb in zip((a[i] for i in range(la) if match_a[i]), bs) if ca != cb)
+    t = raw // 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    if jaro <= boost_threshold:
+        return jaro
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_scale * (1.0 - jaro)
+
+
+def jaro_winkler_col(a: Column | str, b: Column | str) -> Column:
+    """Arrow-batched Jaro-Winkler column (ArrowEvalPython, not a row
+    UDF): per-pair Python over short identity strings."""
+
+    @F.pandas_udf(DoubleType())
+    def _jw(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                jaro_winkler(x, y) if x is not None and y is not None else None
+                for x, y in zip(sa, sb)
+            ],
+            dtype="float64",
+        )
+
+    return _jw(F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b)
+
+
+def jw_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    block_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """A-to-B linkage (clean catalog vs dirty feed): candidates from
+    an equi-join on ``block_col`` (present in BOTH frames — phonetic
+    bucket, brand, country code…), scored with Arrow-batched
+    Jaro-Winkler, kept at ``sim ≥ threshold`` (rounded to 6 dp).
+    Shuffle is O(block collisions); a skewed block is the caller's
+    blocking-key choice, and AQE skew-join splitting applies to the
+    single equi-join."""
+    a = left.select(
+        F.col(left_id).alias("_lid"),
+        F.col(left_text).alias("_ltxt"),
+        F.col(block_col).alias("_blk"),
+    )
+    b = right.select(
+        F.col(right_id).alias("_rid"),
+        F.col(right_text).alias("_rtxt"),
+        F.col(block_col).alias("_blk"),
+    )
+    return (
+        a.join(b, ["_blk"])
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            F.round(jaro_winkler_col(F.col("_ltxt"), F.col("_rtxt")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def jw_blocked_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    block_col: Column | str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Self-linkage: (id_a, id_b, sim) for within-block pairs with
+    Jaro-Winkler ≥ ``threshold``; id_a < id_b, sim rounded to 6 dp
+    (cross-engine float stability)."""
+    blocked = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        (F.col(block_col) if isinstance(block_col, str) else block_col).alias("_blk"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(b, ["_blk"]).filter(F.col("a._id") < F.col("b._id"))
+    return (
+        pairs.select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(jaro_winkler_col(F.col("a._txt"), F.col("b._txt")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,34 @@
+"""Round-5 staged queries run against their oracles every session —
+the same count/schema-family/value-multiset compare as the driver
+gate — so they arrive at registration pre-verified."""
+
+import duckdb
+import pytest
+
+from dbt_lakehouse_aws_spark.oracle import compare_frames
+from dbt_lakehouse_aws_spark.sources.catalog import STAR_TABLES
+from dbt_lakehouse_aws_spark.staged_r5 import STAGED_ORACLES, STAGED_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_every_staged_query_has_an_oracle():
+    assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
+    assert STAGED_QUERIES  # non-empty while anything is staged
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_query_against_oracle(spark, name):
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    sdf = STAGED_QUERIES[name](spark, SF_DIR)
+    srows = sdf.collect()
+    rel = con.sql(STAGED_ORACLES[name])
+    problems = compare_frames(
+        sdf.columns, srows, [c.lower() for c in rel.columns], rel.fetchall()
+    )
+    assert not problems, f"{name}: {problems}"
+    assert srows  # a degenerate empty result would vacuously 'match'
