@@ -90,3 +90,35 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="p_brand",
         threshold=0.92,
     )
+
+
+@_staged(
+    "orc_roundtrip_events",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(round(value, 2)), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC storage roundtrip: the events table is written to ORC
+    (Spark-native columnar writer — zlib striped, predicate-pushdown
+    capable like parquet) and read back, and the aggregate over the
+    READ-BACK copy must match the oracle computed over the original
+    parquet — value-proving the format conversion end to end. DuckDB
+    cannot read ORC, which is exactly why the oracle aggregates the
+    source instead: lossless roundtrip ⇒ identical aggregates."""
+    import tempfile
+
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/events_orc"
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.round("value", 2)), 2).alias("total_value"),
+    )
