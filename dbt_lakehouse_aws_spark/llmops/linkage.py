@@ -38,7 +38,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 
 def jaro_winkler(a: str, b: str, *, prefix_scale: float = 0.1, boost_threshold: float = 0.7) -> float:
@@ -100,6 +100,89 @@ def jaro_winkler_col(a: Column | str, b: Column | str) -> Column:
     return _jw(F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b)
 
 
+def _jw_length_band(a: Column, b: Column, threshold: float) -> Column:
+    """JVM-side pre-filter with a PROVABLE Jaro-Winkler upper bound:
+    matches m ≤ min(|a|,|b|), so jaro ≤ (min/max + 2)/3, and the
+    Winkler boost maps that to jw ≤ 0.6·jaro + 0.4. jw ≥ t therefore
+    requires min/max ≥ 5t − 4 — free codegen pruning before any pair
+    reaches Python (only bites when t > 0.8; below that every pair
+    passes and the filter folds away)."""
+    ratio_bound = 5.0 * threshold - 4.0
+    if ratio_bound <= 0:
+        return F.lit(True)
+    la, lb = F.length(a).cast("double"), F.length(b).cast("double")
+    return F.least(la, lb) >= F.greatest(la, lb) * F.lit(ratio_bound)
+
+
+def _scored(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Shared scoring tail: length-band prune (JVM) → round-robin
+    repartition → ``mapInPandas`` JW scoring → exact JVM threshold.
+
+    Two plan hazards are engineered out here, both measured on a 16M
+    candidate-pair probe at sf0.1:
+
+    * **single-task scoring** — candidate generation is a block-key
+      equi-join, and when the dimension side broadcasts, the pair
+      frame inherits the PROBE side's input partitioning: a compact
+      catalog read as one file scores every pair in ONE task (157 s
+      vs ~6 s rebalanced). The round-robin repartition spreads pairs
+      (and any skewed block) across the cluster before Python runs.
+    * **filter pushdown re-serializing the plan** — expressing the
+      score as a ``pandas_udf`` column + filter lets Catalyst push
+      the threshold filter (UDF and all) back BELOW the exchange,
+      re-pinning the work to the single pre-shuffle task and
+      evaluating the UDF twice. ``mapInPandas`` is opaque to
+      pushdown, so the exchange → score order is load-bearing and
+      survives optimization.
+
+    Python emits raw sims with a loosened cut (``threshold − 1e-9``)
+    to bound Arrow return volume; the EXACT cut happens JVM-side as
+    ``round(sim, 6) ≥ threshold`` — the same half-up rounding the
+    DuckDB oracles use, keeping cross-engine value parity."""
+    spark = pairs.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pruned = (
+        pairs.filter(_jw_length_band(F.col("_ltxt"), F.col("_rtxt"), threshold))
+        .select("_lid", "_rid", "_ltxt", "_rtxt")
+        .repartition(n)
+    )
+    out_schema = StructType(
+        [
+            pruned.schema["_lid"],
+            pruned.schema["_rid"],
+            StructField("_sim_raw", DoubleType()),
+        ]
+    )
+    loose = threshold - 1e-9
+
+    def score(batches):
+        for pdf in batches:
+            sims = pd.Series(
+                [
+                    jaro_winkler(x, y)
+                    if x is not None and y is not None
+                    else None
+                    for x, y in zip(pdf["_ltxt"], pdf["_rtxt"])
+                ],
+                dtype="float64",
+            )
+            out = pd.DataFrame(
+                {
+                    "_lid": pdf["_lid"],
+                    "_rid": pdf["_rid"],
+                    "_sim_raw": sims,
+                }
+            )
+            yield out[out["_sim_raw"] >= loose]
+
+    return (
+        pruned.mapInPandas(score, out_schema)
+        .withColumn("sim", F.round("_sim_raw", 6))
+        .filter(F.col("sim") >= threshold)
+        .drop("_sim_raw")
+    )
+
+
 def jw_linkage(
     left: DataFrame,
     right: DataFrame,
@@ -113,11 +196,10 @@ def jw_linkage(
 ) -> DataFrame:
     """A-to-B linkage (clean catalog vs dirty feed): candidates from
     an equi-join on ``block_col`` (present in BOTH frames — phonetic
-    bucket, brand, country code…), scored with Arrow-batched
-    Jaro-Winkler, kept at ``sim ≥ threshold`` (rounded to 6 dp).
-    Shuffle is O(block collisions); a skewed block is the caller's
-    blocking-key choice, and AQE skew-join splitting applies to the
-    single equi-join."""
+    bucket, brand, country code…), length-band pruned, rebalanced,
+    then scored with Arrow-batched Jaro-Winkler and kept at
+    ``sim ≥ threshold`` (rounded to 6 dp). Shuffle is O(block
+    collisions), never |A|×|B|."""
     a = left.select(
         F.col(left_id).alias("_lid"),
         F.col(left_text).alias("_ltxt"),
@@ -128,14 +210,10 @@ def jw_linkage(
         F.col(right_text).alias("_rtxt"),
         F.col(block_col).alias("_blk"),
     )
-    return (
-        a.join(b, ["_blk"])
-        .select(
-            F.col("_lid").alias(left_id),
-            F.col("_rid").alias(right_id),
-            F.round(jaro_winkler_col(F.col("_ltxt"), F.col("_rtxt")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
+    return _scored(a.join(b, ["_blk"]), threshold).select(
+        F.col("_lid").alias(left_id),
+        F.col("_rid").alias(right_id),
+        "sim",
     )
 
 
@@ -155,13 +233,15 @@ def jw_blocked_pairs(
         F.col(text_col).alias("_txt"),
         (F.col(block_col) if isinstance(block_col, str) else block_col).alias("_blk"),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = a.join(b, ["_blk"]).filter(F.col("a._id") < F.col("b._id"))
-    return (
-        pairs.select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(jaro_winkler_col(F.col("a._txt"), F.col("b._txt")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
+    a = blocked.select(
+        F.col("_id").alias("_lid"), F.col("_txt").alias("_ltxt"), "_blk"
+    )
+    b = blocked.select(
+        F.col("_id").alias("_rid"), F.col("_txt").alias("_rtxt"), "_blk"
+    )
+    pairs = a.join(b, ["_blk"]).filter(F.col("_lid") < F.col("_rid"))
+    return _scored(pairs, threshold).select(
+        F.col("_lid").alias("id_a"),
+        F.col("_rid").alias("id_b"),
+        "sim",
     )

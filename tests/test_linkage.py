@@ -55,7 +55,10 @@ def test_blocked_pairs_plan_and_values(spark):
     assert all(a != 4 and b != 4 for a, b in out)  # blocking respected
     expected = round(jaro_winkler("25-989-741-2988", "25-989-741-2989"), 6)
     assert out[(1, 2)] == pytest.approx(expected)
-    # plan: one equi-join on the block key, no cartesian, Arrow eval
+    # plan: one equi-join on the block key, no cartesian, Arrow-batched
+    # Python, and the rebalance exchange BELOW the scoring stage (the
+    # single-task / filter-pushdown hazards _scored documents)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+    assert plan.index("MapInPandas") < plan.index("RoundRobinPartitioning")
