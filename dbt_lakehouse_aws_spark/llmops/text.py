@@ -13,6 +13,7 @@ identical integer semantics.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -415,3 +416,36 @@ def gopher_quality_flags(
         c = F.col(r) == 1
         passes = c if passes is None else (passes & c)
     return out.withColumn("passes_all", F.when(passes, 1).otherwise(0).cast("long"))
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", out: str = "zlib_ratio", *, level: int = 6
+) -> DataFrame:
+    """CCNet-style compressibility quality signal: per-doc
+    ``len(zlib(text)) / len(text)`` rounded to 6 dp (NULL for empty
+    or null text). Highly repetitive or boilerplate documents
+    compress far below prose (~0.3 vs ~0.6), making this a cheap
+    one-pass complement to the Gopher repetition rules.
+
+    Runs as an Arrow-batched ``pandas_udf`` (stdlib zlib per row —
+    no SQL-replayable form exists, so this signal is pytest-pinned
+    against directly computed ratios rather than a DuckDB oracle).
+    Level is DEFLATE's 1-9 knob; the default 6 matches zlib's.
+    """
+    import zlib
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _ratio(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                round(len(zlib.compress(t.encode("utf-8"), level)) / len(t.encode("utf-8")), 6)
+                if t
+                else None
+                for t in texts
+            ],
+            dtype="float64",
+        )
+
+    return df.withColumn(out, _ratio(F.col(text_col)))

@@ -1819,3 +1819,24 @@ def test_gif_rejects_and_lzw_guards():
     with pytest.raises(ValueError, match="short"):
         _gif_lzw_decode(b"\x00", 2, 100)
     assert decode_gif(good).shape == (2, 2, 3)
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    from dbt_lakehouse_aws_spark.llmops.text import compression_ratio
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "spam spam spam spam spam spam spam spam spam spam " * 10),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["zlib_ratio"] for r in compression_ratio(df).collect()}
+    for doc_id, text in rows[:2]:
+        expect = round(len(zlib.compress(text.encode(), 6)) / len(text.encode()), 6)
+        assert out[doc_id] == expect
+    # repetitive text compresses materially harder than prose
+    assert out[2] < out[1]
+    assert out[3] is None and out[4] is None
