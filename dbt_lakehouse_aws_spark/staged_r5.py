@@ -122,3 +122,108 @@ def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum(F.round("value", 2)), 2).alias("total_value"),
     )
+
+
+@_staged(
+    "golden_record_parts",
+    f"""
+    WITH RECURSIVE dirty AS (
+      SELECT p_partkey AS dirty_key, p_brand, {_DIRTY_NAME_SQL} AS dirty_name,
+             p_retailprice
+      FROM part
+    ),
+    matches AS (
+      SELECT p.p_partkey, d.dirty_key
+      FROM part p JOIN dirty d ON p.p_brand = d.p_brand
+      WHERE round(jaro_winkler_similarity(p.p_name, d.dirty_name), 6) >= 0.92
+    ),
+    edges AS (
+      SELECT 2 * p_partkey AS a, 2 * dirty_key + 1 AS b FROM matches
+      UNION ALL
+      SELECT 2 * dirty_key + 1, 2 * p_partkey FROM matches
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    records AS (
+      SELECT 2 * p_partkey AS node, p_name AS name,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+      UNION ALL
+      SELECT 2 * dirty_key + 1, dirty_name,
+             CAST(round(p_retailprice * 100) AS BIGINT)
+      FROM dirty
+    ),
+    labeled AS (
+      SELECT node, name, cents,
+             least(node, coalesce((SELECT min(dst) FROM reach WHERE src = node),
+                                  node)) AS component
+      FROM records
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS n_records,
+           min_by(name, node) AS golden_name,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM labeled
+    GROUP BY component
+    """,
+)
+def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship capstone over the linkage family: clean
+    catalog + dirty feed → blocked JW matches → connected components
+    (llmops/dedup.py::connected_components, the same iterated
+    min-propagation used by the dedup pipelines) → one golden record
+    per entity cluster. Survivorship is deterministic "trust the
+    catalog, then lowest key": clean records get EVEN node ids and
+    dirty ones ODD, so the min-node rule prefers a catalog name
+    whenever the cluster has one — replayed in SQL as min_by over a
+    recursive-CTE closure. Money is summed in integer cents (exact
+    across engines)."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import connected_components
+    from dbt_lakehouse_aws_spark.llmops.linkage import jw_linkage
+
+    p = T(spark, sf_dir, "part")
+    clean = p.select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    dirty = p.select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.expr(_DIRTY_NAME_SQL).alias("dirty_name"),
+        "p_brand",
+        "p_retailprice",
+    )
+    matches = jw_linkage(
+        clean,
+        dirty,
+        left_id="p_partkey",
+        right_id="dirty_key",
+        left_text="p_name",
+        right_text="dirty_name",
+        block_col="p_brand",
+        threshold=0.92,
+    )
+    edges = matches.select(
+        (2 * F.col("p_partkey")).alias("a"),
+        (2 * F.col("dirty_key") + 1).alias("b"),
+    )
+    comps = connected_components(edges, a_col="a", b_col="b")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    records = clean.select(
+        (2 * F.col("p_partkey")).alias("node"),
+        F.col("p_name").alias("name"),
+        cents.alias("cents"),
+    ).unionByName(
+        dirty.select(
+            (2 * F.col("dirty_key") + 1).alias("node"),
+            F.col("dirty_name").alias("name"),
+            cents.alias("cents"),
+        )
+    )
+    labeled = records.join(comps, "node", "left").withColumn(
+        "component", F.least("node", F.coalesce("component", "node"))
+    )
+    return labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min_by("name", "node").alias("golden_name"),
+        F.sum("cents").alias("total_cents"),
+    )
