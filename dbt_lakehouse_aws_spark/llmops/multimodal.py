@@ -195,22 +195,77 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_PNG_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, offset: int, h: int, w: int, bpp: int):
+    """Unfilter one (sub-)image of ``h`` scanlines × ``w`` pixels of
+    ``bpp`` bytes each, starting at ``offset`` in the inflated
+    stream. Returns (rows as uint8 (h, w·bpp), bytes consumed).
+    Filters up(2)/none(0) are whole-row numpy ops; sub(1)/average(3)/
+    paeth(4) carry a left-neighbor byte dependency and loop."""
+    import numpy as np
+
+    rowbytes = w * bpp
+    need = h * (1 + rowbytes)
+    if offset + need > len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((h, rowbytes), np.uint8)
+    prev = np.zeros(rowbytes, np.uint8)
+    for y in range(h):
+        off = offset + y * (1 + rowbytes)
+        ft = raw[off]
+        cur = np.frombuffer(raw, np.uint8, rowbytes, off + 1).copy()
+        if ft == 0:
+            pass
+        elif ft == 2:  # up — whole-row vector add (mod 256)
+            cur += prev
+        elif ft == 1:  # sub
+            for i in range(bpp, rowbytes):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif ft == 3:  # average
+            for i in range(rowbytes):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # paeth
+            for i in range(rowbytes):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG scanline filter {ft}")
+        out[y] = cur
+        prev = out[y]
+    return out, need
+
+
 def decode_png(data: bytes):
-    """Baseline PNG decode → uint8 (h, w, c) — pure stdlib ``zlib``
+    """PNG decode → (h, w, c) numpy raster — pure stdlib ``zlib``
     (inflate + CRC-32) and numpy; the format is fully public (RFC
     2083), no codec library involved.
 
-    Supports bit depth 8 with color types 0 (gray), 2 (RGB),
-    3 (palette, expanded to RGB), 4 (gray+alpha), 6 (RGBA) and all
-    five scanline filters (none/sub/up/average/paeth). Every chunk's
-    CRC is verified. Interlaced (Adam7) and non-8-bit depths raise
-    ``ValueError`` — rare variants, rejected rather than mis-decoded.
-
-    Filters up(2)/none(0) unfilter as whole-row numpy ops; sub(1)/
-    average(3)/paeth(4) carry a left-neighbor dependency, so those
-    rows fall back to a per-byte loop — encoders targeting this
-    pipeline (``encode_png``) emit filter 0 and stay on the
-    vectorized path.
+    Supports bit depths 8 (→ uint8) and 16 (→ uint16, big-endian
+    samples per spec) with color types 0 (gray), 2 (RGB), 3 (palette
+    at depth 8, expanded to RGB), 4 (gray+alpha), 6 (RGBA); all five
+    scanline filters (the byte-level filter stride is the full pixel,
+    2·c bytes at depth 16); BOTH interlace methods — null and Adam7,
+    where each of the seven passes is an independently filtered
+    sub-image scattered back onto the pixel grid. Every chunk's CRC
+    is verified. Sub-byte depths (1/2/4) raise ``ValueError`` —
+    rejected rather than mis-decoded.
     """
     import struct
     import zlib
@@ -242,53 +297,49 @@ def decode_png(data: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG payload missing IHDR/IDAT chunk")
     w, h, depth, ctype_code, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (8 supported)")
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported PNG bit depth {depth} (8/16 supported)")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     ch = _PNG_CHANNELS.get(ctype_code)
     if ch is None:
         raise ValueError(f"unsupported PNG color type {ctype_code}")
     if ctype_code == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
+    if ctype_code == 3 and depth == 16:
+        raise ValueError("palette PNG is 8-bit by definition")
 
     raw = zlib.decompress(b"".join(idat))
-    rowbytes = w * ch
-    if len(raw) != h * (1 + rowbytes):
-        raise ValueError("PNG pixel data length mismatch")
-    out = np.empty((h, rowbytes), np.uint8)
-    prev = np.zeros(rowbytes, np.uint8)
-    for y in range(h):
-        off = y * (1 + rowbytes)
-        ft = raw[off]
-        cur = np.frombuffer(raw, np.uint8, rowbytes, off + 1).copy()
-        if ft == 0:
-            pass
-        elif ft == 2:  # up — whole-row vector add (mod 256)
-            cur += prev
-        elif ft == 1:  # sub
-            for i in range(ch, rowbytes):
-                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
-        elif ft == 3:  # average
-            for i in range(rowbytes):
-                a = int(cur[i - ch]) if i >= ch else 0
-                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif ft == 4:  # paeth
-            for i in range(rowbytes):
-                a = int(cur[i - ch]) if i >= ch else 0
-                b = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[i] = (int(cur[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG scanline filter {ft}")
-        out[y] = cur
-        prev = out[y]
-    px = out.reshape(h, w, ch)
+    nbytes = depth // 8
+    bpp = ch * nbytes
+
+    if interlace == 0:
+        rows, used = _png_unfilter(raw, 0, h, w, bpp)
+        if used != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        grid_bytes = rows
+    else:
+        grid_bytes = np.zeros((h, w * bpp), np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = len(range(x0, w, dx))
+            ph = len(range(y0, h, dy))
+            if pw == 0 or ph == 0:
+                continue
+            rows, used = _png_unfilter(raw, offset, ph, pw, bpp)
+            offset += used
+            sub = rows.reshape(ph, pw, bpp)
+            grid_bytes.reshape(h, w, bpp)[y0::dy, x0::dx] = sub
+        if offset != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+
+    if depth == 16:
+        b = grid_bytes.reshape(h, w, ch, 2).astype(np.uint16)
+        px = (b[..., 0] << 8) | b[..., 1]  # big-endian samples per spec
+    else:
+        px = grid_bytes.reshape(h, w, ch)
     if ctype_code == 3:
         px = plte[px[:, :, 0]]
     return px

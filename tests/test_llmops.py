@@ -1671,12 +1671,13 @@ def test_png_palette_multiple_idat_and_rejects():
     bad[idat_at + 4] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    # interlaced and 16-bit depth are rejected, not mis-decoded
-    ihdr16 = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+    # sub-byte depths and unknown interlace methods are rejected,
+    # not mis-decoded (8/16-bit and Adam7 decode for real)
+    ihdr4 = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0))
     with pytest.raises(ValueError, match="bit depth"):
-        decode_png(b"\x89PNG\r\n\x1a\n" + ihdr16 + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + chunk(b"IEND", b""))
-    ihdr_i = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
-    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + ihdr4 + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b""))
+    ihdr_i = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2))
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(b"\x89PNG\r\n\x1a\n" + ihdr_i + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b""))
 
 
@@ -1840,3 +1841,98 @@ def test_compression_ratio_signal(spark):
     # repetitive text compresses materially harder than prose
     assert out[2] < out[1]
     assert out[3] is None and out[4] is None
+
+
+def test_png_adam7_interlace_decode():
+    """Adam7 fixture: seven independently-filtered pass sub-images
+    (filters cycled per row) assembled by the test, scattered back by
+    the decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(43)
+    h, w, c = 11, 9, 3  # odd dims: passes have ragged sizes, some tiny
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    stream = b""
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        flat = sub.reshape(ph, pw * c).astype(int)
+        prev = [0] * (pw * c)
+        for y in range(ph):
+            ft = y % 3  # none / sub / up
+            cur = flat[y]
+            row = [ft]
+            for i in range(pw * c):
+                if ft == 0:
+                    v = cur[i]
+                elif ft == 1:
+                    v = cur[i] - (cur[i - c] if i >= c else 0)
+                else:
+                    v = cur[i] - prev[i]
+                row.append(v & 0xFF)
+            stream += bytes(row)
+            prev = cur
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), px)
+
+
+def test_png_16bit_depth_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(47)
+    h, w = 4, 3
+    px = rng.integers(0, 65536, size=(h, w, 3), dtype=np.uint16)
+    # scanlines: filter 0 then filter 2 (up) on raw big-endian bytes
+    be = px.astype(">u2").tobytes()
+    rowbytes = w * 3 * 2
+    rows = [be[i * rowbytes : (i + 1) * rowbytes] for i in range(h)]
+    stream = b"\x00" + rows[0]
+    prev = np.frombuffer(rows[0], np.uint8)
+    for r in rows[1:]:
+        cur = np.frombuffer(r, np.uint8)
+        stream += b"\x02" + (cur - prev).tobytes()
+        prev = cur
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(data)
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, px)
