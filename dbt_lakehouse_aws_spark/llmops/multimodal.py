@@ -8,8 +8,9 @@ binary PPM/PGM parse actual payload bytes into rasters
 (:func:`decode_bmp` / :func:`decode_ppm`, with byte-exact encoders
 for fixtures), and the COMPRESSED image formats decode for real too:
 PNG — ``zlib`` inflate + CRC with numpy unfiltering, all five
-scanline filters, color types 0/2/3/4/6 (:func:`decode_png` /
-:func:`encode_png`); GIF87a/89a with a full pure-Python LZW
+scanline filters, color types 0/2/3/4/6, 8/16-bit depths, Adam7
+interlace (:func:`decode_png` / :func:`encode_png`); GIF87a/89a
+with a full pure-Python LZW
 decompressor, local/global palettes and interlacing
 (:func:`decode_gif` / :func:`encode_gif`); and baseline JPEG —
 Huffman entropy decode, dequantize + batched IDCT, 4:2:0
