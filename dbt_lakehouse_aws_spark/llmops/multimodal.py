@@ -14,7 +14,10 @@ with a full pure-Python LZW
 decompressor, local/global palettes and interlacing
 (:func:`decode_gif` / :func:`encode_gif`); and baseline JPEG —
 Huffman entropy decode, dequantize + batched IDCT, 4:2:0
-upsampling, restart markers (:mod:`.jpeg`, with a fixture encoder).
+upsampling, restart markers (:mod:`.jpeg`, with a fixture encoder);
+and TIFF 6.0 — strip-organized, II/MM byte orders, none/PackBits/
+TIFF-LZW (early-change) compressions, horizontal predictor
+(:mod:`.tiff`).
 AUDIO decode is REAL for RIFF/WAVE (PCM 8/16/32 + IEEE float, proper
 chunk walking — :func:`decode_wav` / :func:`encode_wav`). VIDEO
 decode is REAL for uncompressed RIFF/AVI (raw 24-bpp DIB frames —
@@ -555,8 +558,8 @@ def encode_gif(pixels) -> bytes:
 
 def decode_image(payload: bytes):
     """Magic-sniffing image decode: BMP ('BM'), binary PPM/PGM
-    (P5/P6), PNG (RFC 2083 signature), GIF87a/89a, or baseline JPEG
-    (SOI marker) → uint8 (h, w, c)."""
+    (P5/P6), PNG (RFC 2083 signature), GIF87a/89a, baseline JPEG
+    (SOI marker), or TIFF (II*/MM* headers) → (h, w, c) raster."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
@@ -569,9 +572,13 @@ def decode_image(payload: bytes):
         from dbt_lakehouse_aws_spark.llmops.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from dbt_lakehouse_aws_spark.llmops.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise ValueError(
         "unrecognized image payload (expected BMP, binary PPM/PGM, PNG, GIF, "
-        "or baseline JPEG)"
+        "baseline JPEG, or TIFF)"
     )
 
 
