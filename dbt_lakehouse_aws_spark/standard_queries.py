@@ -1492,12 +1492,12 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_decode_features",
     """
     SELECT doc_id,
-           CAST(CASE WHEN doc_id % 4 = 3 THEN 8 * (1 + doc_id % 3)
+           CAST(CASE WHEN doc_id % 6 = 3 THEN 8 * (1 + doc_id % 3)
                      ELSE 4 + doc_id % 13 END AS INT) AS width,
-           CAST(CASE WHEN doc_id % 4 = 3 THEN 8 * (1 + doc_id % 2)
+           CAST(CASE WHEN doc_id % 6 = 3 THEN 8 * (1 + doc_id % 2)
                      ELSE 3 + doc_id % 7 END AS INT) AS height,
-           CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 3 END AS INT) AS channels,
-           CAST(CASE WHEN doc_id % 4 = 3 THEN
+           CAST(CASE WHEN doc_id % 6 = 3 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 6 = 3 THEN
                   64 * list_sum(list_transform(
                         range(0, (1 + doc_id % 2) * (1 + doc_id % 3)),
                         b -> (doc_id * 17
@@ -1513,12 +1513,13 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode round-trip (VERDICT r1 item 5), now across
-    all four in-repo codecs, rotated by doc_id % 4:
+    all SIX in-repo codecs, rotated by doc_id % 6:
 
-    * 0 → 24-bpp BMP, 1 → PNG, 2 → GIF (all lossless): the
-      deterministic RGB raster (pixel i = (doc_id·31 + i) mod 256,
-      dims (4 + id%13) × (3 + id%7)) encodes to genuine format bytes
-      — BMP row padding, PNG zlib streams, GIF LZW codes — and is
+    * 0 → 24-bpp BMP, 1 → PNG, 2 → GIF, 4 → TIFF, 5 → binary PPM
+      (all lossless): the deterministic RGB raster (pixel i =
+      (doc_id·31 + i) mod 256, dims (4 + id%13) × (3 + id%7))
+      encodes to genuine format bytes — BMP row padding, PNG zlib
+      streams, GIF LZW codes, TIFF IFDs, PPM headers — and is
       decoded back by the pure-numpy/stdlib codecs;
     * 3 → baseline JPEG, grayscale with UNIFORM 8×8 blocks (block
       (by,bx) value = (id·17 + by·5 + bx·11) mod 256) at all-ones
@@ -1531,24 +1532,28 @@ def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes width/height/channels/pixel-checksum in closed form from
     doc_id, so a green row proves real bytes were parsed. Codec byte
     layouts are additionally pinned against hand-built fixtures
-    (tests/test_llmops.py, tests/test_jpeg.py)."""
+    (tests/test_llmops.py, tests/test_jpeg.py, tests/test_tiff.py)."""
     from dbt_lakehouse_aws_spark.llmops.jpeg import encode_jpeg
     from dbt_lakehouse_aws_spark.llmops.multimodal import (
         encode_bmp,
         encode_gif,
         encode_png,
+        encode_ppm,
         extract_image_features,
     )
+    from dbt_lakehouse_aws_spark.llmops.tiff import encode_tiff
 
     def make_payloads(batches):
         import numpy as np
         import pandas as pd
 
+        encoders = {0: encode_bmp, 1: encode_png, 2: encode_gif,
+                    4: encode_tiff, 5: encode_ppm}
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                codec = doc_id % 4
+                codec = doc_id % 6
                 if codec == 3:
                     nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
                     vals = (
@@ -1565,9 +1570,7 @@ def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = ((doc_id * 31 + np.arange(w * h * 3, dtype=np.int64)) % 256).astype(
                     np.uint8
                 ).reshape(h, w, 3)
-                payloads.append(
-                    [encode_bmp, encode_png, encode_gif][codec](px)
-                )
+                payloads.append(encoders[codec](px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads})
 
     d = T(spark, sf_dir, "documents").select("doc_id")
@@ -8138,7 +8141,7 @@ ROUND4_NEW: list[str] = [
 #: meanwhile). Keep appending here; rotate into DRIVER_WINDOW only
 #: once CORRECTNESS_r04.json exists (memory: driver-window-rotation).
 ROUND5_QUEUE: list[str] = [
-    "image_decode_features",  # r4: BMP-only -> BMP/PNG/GIF/JPEG codec rotation
+    "image_decode_features",  # r4: BMP-only -> BMP/PNG/GIF/JPEG/TIFF/PPM rotation
 ]
 
 # Round-4 window: the 27-deep queue of late-r3 registrations +
