@@ -19,9 +19,12 @@ and TIFF 6.0 — strip-organized, II/MM byte orders, none/PackBits/
 TIFF-LZW (early-change) compressions, horizontal predictor
 (:mod:`.tiff`).
 AUDIO decode is REAL for RIFF/WAVE (PCM 8/16/32 + IEEE float, proper
-chunk walking — :func:`decode_wav` / :func:`encode_wav`). VIDEO
+chunk walking — :func:`decode_wav` / :func:`encode_wav`) and for
+FLAC — Rice residuals, fixed + LPC predictors, stereo
+decorrelation, CRC-verified frames, pure integer math
+(:mod:`.flac`). VIDEO
 decode is REAL for uncompressed RIFF/AVI (raw 24-bpp DIB frames —
-:func:`decode_avi` / :func:`encode_avi`). Compressed AUDIO/VIDEO
+:func:`decode_avi` / :func:`encode_avi`). LOSSY compressed audio/video
 (mp3/aac/h264/vp9/…) stay honestly stubbed behind
 ``NotImplementedError`` — perceptual filterbanks and inter-frame
 prediction genuinely need ffmpeg-class libraries this container
@@ -668,14 +671,21 @@ def encode_wav(samples, sample_rate: int) -> bytes:
 
 
 def audio_features(payload: bytes) -> dict:
-    """Deterministic integer-exact features off a decoded WAV:
+    """Deterministic integer-exact features off decoded audio (WAV,
+    or FLAC via the pure-Python decoder in :mod:`.flac` — lossless,
+    so features are identical to the same PCM carried as WAV):
     amp_sum = Σ|sample| over all channels (int64 for PCM),
     zero_crossings = sign flips on channel 0 (x ≥ 0 vs x < 0),
     duration_ms = floor(n_frames·1000 / rate). All reproducible in
     closed form by a SQL oracle for synthetic PCM16 payloads."""
     import numpy as np
 
-    wav = decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from dbt_lakehouse_aws_spark.llmops.flac import decode_flac
+
+        wav = decode_flac(payload)
+    else:
+        wav = decode_wav(payload)
     s = wav["samples"]
     ch0 = s[:, 0].astype(np.float64) if s.dtype.kind == "f" else s[:, 0].astype(np.int64)
     nonneg = ch0 >= 0
@@ -840,14 +850,17 @@ def decode_media(payload: bytes, modality: str) -> dict:
             "pixel_sum": int(px.sum(dtype="int64")),
         }
     if modality == "audio":
-        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE") or payload[
+            :4
+        ] == b"fLaC":
             out = audio_features(payload)
             out["n_bytes"] = len(payload)
             out["first_byte"] = payload[0]
             return out
         raise NotImplementedError(
-            "compressed audio (mp3/aac/opus) requires codec libraries not in this container; "
-            "RIFF/WAVE PCM decodes for real"
+            "lossy compressed audio (mp3/aac/opus) requires perceptual codec "
+            "libraries not in this container; RIFF/WAVE PCM and FLAC decode "
+            "for real"
         )
     if modality == "video":
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":

@@ -1610,11 +1610,15 @@ def audio_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the pure-numpy WAV parser inside mapInPandas
     (llmops/multimodal.py::extract_audio_features) and the true
     rate/frames/duration plus integer-exact amplitude-sum and
-    zero-crossing features emitted. The oracle computes the same
-    quantities in closed form from doc_id, so a green row proves the
-    decoder read real sample data out of the payload bytes (chunk
-    layout itself is pinned against hand-built fixtures in
-    tests/test_llmops.py::test_wav_*)."""
+    zero-crossing features emitted. Odd doc_ids carry the SAME
+    waveform as FLAC instead (r4) — Rice-coded fixed-predictor
+    frames decoded by the pure-Python decoder in llmops/flac.py;
+    FLAC is lossless, so the one closed-form oracle covers both
+    containers unchanged. A green row proves the decoders read real
+    sample data out of the payload bytes (chunk/frame layouts are
+    pinned against hand-built fixtures in
+    tests/test_llmops.py::test_wav_* and tests/test_flac.py)."""
+    from dbt_lakehouse_aws_spark.llmops.flac import encode_flac
     from dbt_lakehouse_aws_spark.llmops.multimodal import (
         encode_wav,
         extract_audio_features,
@@ -1625,15 +1629,17 @@ def audio_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            payloads, rates = [], []
+            payloads = []
             for doc_id in pdf["doc_id"]:
                 n = 20 + doc_id % 50
                 sam = ((doc_id * 37 + np.arange(n, dtype=np.int64) * 101) % 65536 - 32768).astype(
                     "<i2"
                 )
                 rate = 8000 + (doc_id % 3) * 4000
-                payloads.append(encode_wav(sam, rate))
-                rates.append(rate)
+                if doc_id % 2:
+                    payloads.append(encode_flac(sam.astype(np.int64), rate, block=64))
+                else:
+                    payloads.append(encode_wav(sam, rate))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads})
 
     d = T(spark, sf_dir, "documents").select("doc_id")
@@ -8142,6 +8148,7 @@ ROUND4_NEW: list[str] = [
 #: once CORRECTNESS_r04.json exists (memory: driver-window-rotation).
 ROUND5_QUEUE: list[str] = [
     "image_decode_features",  # r4: BMP-only -> BMP/PNG/GIF/JPEG/TIFF/PPM rotation
+    "audio_decode_features",  # r4: WAV-only -> WAV/FLAC rotation
 ]
 
 # Round-4 window: the 27-deep queue of late-r3 registrations +
