@@ -91,9 +91,10 @@ def attach_binary_payload(
 #
 # BMP (Windows DIB, uncompressed BI_RGB, 24/32 bpp, bottom-up or
 # top-down) and binary PPM/PGM (P6/P5) are fully specified public
-# formats decodable with byte arithmetic alone, so the decode seam is
-# REAL for images; only audio/video (which genuinely need ffmpeg-class
-# codecs) remain honestly stubbed.
+# formats decodable with byte arithmetic alone; PNG/GIF/TIFF decode
+# below via stdlib zlib / pure-Python LZW, and baseline JPEG + FLAC
+# live in their own modules (.jpeg / .flac). Only LOSSY audio/video
+# (which genuinely need ffmpeg-class codecs) remain honestly stubbed.
 
 
 def decode_bmp(data: bytes):
