@@ -23,12 +23,13 @@ chunk walking — :func:`decode_wav` / :func:`encode_wav`) and for
 FLAC — Rice residuals, fixed + LPC predictors, stereo
 decorrelation, CRC-verified frames, pure integer math
 (:mod:`.flac`). VIDEO
-decode is REAL for uncompressed RIFF/AVI (raw 24-bpp DIB frames —
-:func:`decode_avi` / :func:`encode_avi`). LOSSY compressed audio/video
-(mp3/aac/h264/vp9/…) stay honestly stubbed behind
-``NotImplementedError`` — perceptual filterbanks and inter-frame
-prediction genuinely need ffmpeg-class libraries this container
-lacks.
+decode is REAL for RIFF/AVI in both the raw 24-bpp DIB and
+Motion-JPEG (per-frame baseline JPEG) handlers
+(:func:`decode_avi` / :func:`encode_avi`). What remains stubbed
+behind ``NotImplementedError`` is exactly the genuinely
+library-bound set: perceptual audio (mp3/aac/opus) and inter-frame
+video prediction (h264/vp9/…) — ffmpeg-class dependencies this
+container lacks.
 
 Scale notes: payload rows are heavy, so the pattern is
 (1) keep payloads out of shuffles — derive features early, drop the
@@ -749,20 +750,31 @@ def decode_avi(data: bytes) -> dict:
     # [8]=Width, [9]=Height
     us_per_frame, width, height = avih[0], avih[8], avih[9]
     _sz, _w, bi_height, _planes, bpp, compression = bmih
-    if compression != 0 or bpp != 24:
+    if compression == 0x47504A4D:  # 'MJPG': each frame is a JPEG
+        from dbt_lakehouse_aws_spark.llmops.jpeg import decode_jpeg
+
+        out = []
+        for raw in frames_raw:
+            px = decode_jpeg(raw)
+            if px.shape[2] == 1:
+                px = np.repeat(px, 3, axis=2)
+            out.append(px)
+    elif compression != 0 or bpp != 24:
         raise NotImplementedError(
-            f"only uncompressed 24-bpp DIB AVI supported (got bpp={bpp}, "
-            f"compression={compression}); compressed video needs codec libraries"
+            f"only uncompressed 24-bpp DIB and MJPG AVI supported (got "
+            f"bpp={bpp}, compression={compression}); inter-frame codecs "
+            "(h264/vp9/...) need codec libraries"
         )
-    stride = (width * 3 + 3) & ~3
-    out = []
-    for raw in frames_raw:
-        px = np.frombuffer(raw, dtype=np.uint8, count=stride * height).reshape(
-            height, stride
-        )[:, : width * 3].reshape(height, width, 3)
-        if bi_height > 0:  # bottom-up, like BMP
-            px = px[::-1]
-        out.append(px[..., ::-1])  # BGR → RGB
+    else:
+        stride = (width * 3 + 3) & ~3
+        out = []
+        for raw in frames_raw:
+            px = np.frombuffer(raw, dtype=np.uint8, count=stride * height).reshape(
+                height, stride
+            )[:, : width * 3].reshape(height, width, 3)
+            if bi_height > 0:  # bottom-up, like BMP
+                px = px[::-1]
+            out.append(px[..., ::-1])  # BGR → RGB
     frames = np.stack(out) if out else np.zeros((0, height, width, 3), dtype=np.uint8)
     return {
         "width": int(width),
@@ -773,11 +785,12 @@ def decode_avi(data: bytes) -> dict:
     }
 
 
-def encode_avi(frames, us_per_frame: int = 40_000) -> bytes:
-    """Encode uint8 (n, h, w, 3) RGB frames as an uncompressed
-    24-bpp DIB RIFF/AVI — the byte-exact inverse of
-    :func:`decode_avi`, used for fixtures and the video driver
-    query."""
+def encode_avi(frames, us_per_frame: int = 40_000, *, codec: str = "DIB") -> bytes:
+    """Encode uint8 (n, h, w, 3) RGB frames as RIFF/AVI: ``codec``
+    "DIB" writes uncompressed 24-bpp rasters (the byte-exact inverse
+    of :func:`decode_avi`); "MJPG" writes each frame as a baseline
+    JPEG (``.jpeg.encode_jpeg``) under the MJPG fourcc — used for
+    fixtures and the video driver query."""
     import struct
 
     import numpy as np
@@ -786,6 +799,8 @@ def encode_avi(frames, us_per_frame: int = 40_000) -> bytes:
     n, h, w, c = frames.shape
     if c != 3:
         raise ValueError("encode_avi expects (n, h, w, 3) RGB")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError("codec must be 'DIB' or 'MJPG'")
     stride = (w * 3 + 3) & ~3
 
     def chunk(cid: bytes, body: bytes) -> bytes:
@@ -800,15 +815,25 @@ def encode_avi(frames, us_per_frame: int = 40_000) -> bytes:
     )
     # 56-byte AVISTREAMHEADER: type/handler + zeroed scheduling fields
     # (the reader takes timing from avih and raster layout from strf)
-    strh = struct.pack("<4s4s48x", b"vids", b"DIB ")
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    handler = b"DIB " if codec == "DIB" else b"MJPG"
+    compression = 0 if codec == "DIB" else 0x47504A4D
+    strh = struct.pack("<4s4s48x", b"vids", handler)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, stride * h, 0, 0, 0, 0
+    )
     hdrl = list_chunk(b"hdrl", chunk(b"avih", avih)
                       + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi_body = b""
-    for f in frames:
-        body = np.zeros((h, stride), dtype=np.uint8)
-        body[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, bottom-up
-        movi_body += chunk(b"00db", body.tobytes())
+    if codec == "MJPG":
+        from dbt_lakehouse_aws_spark.llmops.jpeg import encode_jpeg
+
+        for f in frames:
+            movi_body += chunk(b"00dc", encode_jpeg(f, quant=np.ones((8, 8))))
+    else:
+        for f in frames:
+            body = np.zeros((h, stride), dtype=np.uint8)
+            body[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, bottom-up
+            movi_body += chunk(b"00db", body.tobytes())
     movi = list_chunk(b"movi", movi_body)
     payload = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
@@ -870,8 +895,8 @@ def decode_media(payload: bytes, modality: str) -> dict:
             out["first_byte"] = payload[0]
             return out
         raise NotImplementedError(
-            "compressed video (h264/vp9/...) requires codec libraries not in this "
-            "container; uncompressed RIFF/AVI DIB decodes for real"
+            "inter-frame video (h264/vp9/...) requires codec libraries not in "
+            "this container; RIFF/AVI DIB and Motion-JPEG decode for real"
         )
     return {"n_bytes": len(payload), "first_byte": payload[0] if payload else -1}
 

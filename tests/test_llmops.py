@@ -1936,3 +1936,38 @@ def test_png_16bit_depth_decode():
     got = decode_png(data)
     assert got.dtype == np.uint16
     assert np.array_equal(got, px)
+
+
+def test_mjpg_avi_decode():
+    """Motion-JPEG AVI: each frame a baseline JPEG. Uniform-8x8-block
+    frames at all-ones quant are DC-only and round-trip bit-exactly;
+    a smooth frame round-trips within JPEG's transform rounding."""
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        decode_avi,
+        encode_avi,
+        video_features,
+    )
+
+    # bit-exact lane: constant 8x8 blocks per frame
+    vals = np.array([[10, 200], [77, 140]], np.uint8)
+    frames = []
+    for k in range(3):
+        px = np.repeat(np.repeat((vals + 7 * k) % 256, 8, 0), 8, 1)
+        frames.append(np.stack([px, px, px], axis=2))
+    frames = np.stack(frames)
+    data = encode_avi(frames, 50_000, codec="MJPG")
+    got = decode_avi(data)
+    assert got["n_frames"] == 3 and got["us_per_frame"] == 50_000
+    assert np.array_equal(got["frames"], frames)
+    # feature path dispatches too
+    feats = video_features(data)
+    assert feats["n_frames"] == 3
+
+    # lossy lane: smooth frame within rounding tolerance
+    yy, xx = np.mgrid[0:16, 0:16]
+    smooth = np.clip(128 + 60 * np.cos(xx / 4) + 40 * np.sin(yy / 5), 0, 255)
+    rgb = np.stack([smooth, smooth[::-1], 255 - smooth], axis=2).astype(np.uint8)
+    got = decode_avi(encode_avi(rgb[None], codec="MJPG"))
+    assert np.max(np.abs(got["frames"][0].astype(int) - rgb.astype(int))) <= 4
