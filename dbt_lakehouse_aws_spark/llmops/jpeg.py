@@ -1,28 +1,35 @@
-"""Baseline JPEG (ITU T.81) codec — pure stdlib + numpy.
+"""JPEG (ITU T.81) codec — pure stdlib + numpy.
 
 Closes the compressed-image boundary for real: no codec library, just
-the public interchange format. Scope is what baseline sequential DCT
-covers —
+the public interchange format. Scope —
 
-* markers: SOI/APPn/COM/DQT (8- and 16-bit precision)/SOF0/DHT/DRI/
-  SOS/RSTn/EOI;
+* markers: SOI/APPn/COM/DQT (8- and 16-bit precision)/SOF0/SOF1/
+  SOF2/DHT/DRI/SOS/RSTn/EOI;
 * entropy: canonical Huffman per T.81 C.2 (BITS/HUFFVAL), byte
   stuffing (FF 00), restart intervals resetting DC predictors;
-* per-block: DC prediction + magnitude-category extend, AC
-  run/size with ZRL and EOB, dequantize, zigzag, orthonormal 8x8
-  IDCT as two matrix products (numpy, batched over all blocks of a
-  component at once);
+* sequential scans: DC prediction + magnitude-category extend, AC
+  run/size with ZRL and EOB;
+* PROGRESSIVE scans (SOF2): coefficients accumulate across scans —
+  spectral-selection bands (interleaved DC scans, non-interleaved
+  per-component AC bands), EOB runs, and successive approximation
+  with both first and refinement passes (G.1.2 / libjpeg semantics:
+  the EOB run includes the current block, whose nonzero-history
+  coefficients still receive correction bits);
+* finish: dequantize, zigzag scatter, orthonormal 8x8 IDCT as two
+  matrix products (numpy, batched over all blocks of a component);
 * color: grayscale (1 comp) and YCbCr (3 comp, JFIF matrix) with
   arbitrary h×v sampling factors, replicate upsampling.
 
-Progressive (SOF2), arithmetic coding, and hierarchical modes raise
+Arithmetic coding, hierarchical, and lossless modes raise
 ``ValueError`` — rejected, not mis-decoded.
 
 ``encode_jpeg`` exists for fixtures and round-trips: 4:4:4 or 4:2:0,
 Annex-K example quantization tables scaled by a quality knob (or
 caller-supplied tables — all-ones gives a near-lossless round-trip
 that pins the transform path to ±2/pixel), the Annex-K "typical"
-Huffman tables, optional restart intervals.
+Huffman tables, optional restart intervals, and a
+spectral-selection progressive mode (the successive-approximation
+decode paths are pinned by hand-built multi-scan fixtures).
 
 Speed note: entropy decode is per-bit Python (the IDCT and color
 path are vectorized numpy). That is fine for the Arrow-batched
@@ -242,20 +249,26 @@ def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes):
-    """Baseline sequential JPEG → uint8 (h, w, c); c is 1 (grayscale)
-    or 3 (RGB via the JFIF YCbCr matrix)."""
+    """Baseline sequential (SOF0/SOF1) and progressive (SOF2) JPEG →
+    uint8 (h, w, c); c is 1 (grayscale) or 3 (RGB via the JFIF YCbCr
+    matrix). Progressive streams accumulate coefficients across
+    scans — spectral selection bands, successive-approximation
+    first + refinement passes, EOB runs — then dequantize/IDCT once
+    at EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → lut
     frame = None
+    progressive = False
     restart_interval = 0
+    store = None  # per-component zigzag coefficient grids
     i = 2
     while i < len(data):
         if data[i] != 0xFF:
             raise ValueError(f"expected marker at byte {i}")
         marker = data[i + 1]
-        if marker == 0xD8:
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
         if marker == 0xD9:  # EOI
@@ -285,7 +298,8 @@ def decode_jpeg(data: bytes):
                 huffval = list(body[p + 17 : p + 17 + n])
                 huff[(cls, tid)] = _build_huffman(bits, huffval)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for c in range(ncomp):
@@ -296,73 +310,215 @@ def decode_jpeg(data: bytes):
                     {"id": cid, "h": sampling >> 4, "v": sampling & 15, "q": qid}
                 )
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode SOF{marker - 0xC0} "
-                "(baseline sequential SOF0 supported)"
+                "(sequential SOF0/SOF1 and progressive SOF2 supported)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
+            if store is None:
+                store = _init_store(frame)
             ns = body[0]
-            scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cid, tids = body[1 + 2 * c], body[2 + 2 * c]
-                scan_tables[cid] = (tids >> 4, tids & 15)
-            segs, _end = _split_entropy(data, i + 2 + seglen)
-            return _decode_scan(frame, qt, huff, scan_tables, segs, restart_interval)
+                idx = next(
+                    j for j, cc in enumerate(frame["comps"]) if cc["id"] == cid
+                )
+                scan_comps.append((idx, tids >> 4, tids & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            segs, end = _split_entropy(data, i + 2 + seglen)
+            _run_scan(
+                frame, store, huff, scan_comps, ss, se, ah, al,
+                segs, restart_interval, progressive,
+            )
+            i = end
+            continue
         i += 2 + seglen
-    raise ValueError("JPEG payload has no SOS scan")
+    if store is None:
+        raise ValueError("JPEG payload has no SOS scan")
+    return _finish(frame, qt, store)
 
 
-def _decode_scan(frame, qt, huff, scan_tables, segs, restart_interval):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+def _geometry(frame):
+    comps = frame["comps"]
     max_h = max(c["h"] for c in comps)
     max_v = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * max_h))
-    mcuy = -(-h // (8 * max_v))
-    # per component: coefficient planes in block units
-    planes = {
-        c["id"]: np.zeros(
-            (mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64
-        )
-        for c in comps
-    }
-    preds = {c["id"]: 0 for c in comps}
-    seg_idx = 0
+    mcux = -(-frame["w"] // (8 * max_h))
+    mcuy = -(-frame["h"] // (8 * max_v))
+    return max_h, max_v, mcux, mcuy
+
+
+def _init_store(frame):
+    _mh, _mv, mcux, mcuy = _geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _run_scan(frame, store, huff, scan_comps, ss, se, ah, al, segs, ri, progressive):
+    max_h, max_v, mcux, mcuy = _geometry(frame)
+    comps = frame["comps"]
+    if progressive and ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
     reader = _BitReader(segs[0])
-    n_mcus = mcux * mcuy
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
+    seg_idx = 0
+    preds = {idx: 0 for idx, _, _ in scan_comps}
+    eobrun = 0
+
+    def tables(idx, dc_id, ac_id):
+        dc = huff.get((0, dc_id))
+        ac = huff.get((1, ac_id))
+        return dc, ac
+
+    if len(scan_comps) == 1:
+        # a one-component scan is non-interleaved by definition
+        # (T.81 §A.2): iterate the component's OWN block grid
+        idx, dc_id, ac_id = scan_comps[0]
+        c = comps[idx]
+        cw = -(-frame["w"] * c["h"] // max_h)
+        chh = -(-frame["h"] * c["v"] // max_v)
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        dc_lut, ac_lut = tables(idx, dc_id, ac_id)
+        for u in range(bw * bh):
+            if ri and u and u % ri == 0:
+                seg_idx += 1
+                reader = _BitReader(segs[seg_idx])
+                preds = {k: 0 for k in preds}
+                eobrun = 0
+            by, bx = divmod(u, bw)
+            eobrun = _scan_block(
+                reader, store[idx][by, bx], dc_lut, ac_lut,
+                ss, se, ah, al, preds, idx, progressive, eobrun,
+            )
+        return
+    for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:
             seg_idx += 1
-            if seg_idx >= len(segs):
-                raise ValueError("JPEG scan missing expected restart segment")
             reader = _BitReader(segs[seg_idx])
-            preds = {c["id"]: 0 for c in comps}
+            preds = {k: 0 for k in preds}
+            eobrun = 0
         my, mx = divmod(m, mcux)
-        for c in comps:
-            dc_lut = huff.get((0, scan_tables[c["id"]][0]))
-            ac_lut = huff.get((1, scan_tables[c["id"]][1]))
-            q = qt[c["q"]]
-            if dc_lut is None or ac_lut is None:
-                raise ValueError("JPEG scan references undefined Huffman table")
+        for idx, dc_id, ac_id in scan_comps:
+            c = comps[idx]
+            dc_lut, ac_lut = tables(idx, dc_id, ac_id)
             for by in range(c["v"]):
                 for bx in range(c["h"]):
-                    block = _decode_block(reader, dc_lut, ac_lut, q, preds, c["id"])
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-    # batched IDCT per component, then upsample + crop
+                    eobrun = _scan_block(
+                        reader,
+                        store[idx][my * c["v"] + by, mx * c["h"] + bx],
+                        dc_lut, ac_lut, ss, se, ah, al,
+                        preds, idx, progressive, eobrun,
+                    )
+
+
+def _scan_block(reader, block, dc_lut, ac_lut, ss, se, ah, al, preds, cid, progressive, eobrun):
+    """Decode one block's share of one scan into its zigzag
+    coefficient vector. Returns the updated EOB run."""
+    k = ss
+    if ss == 0:
+        if ah == 0:  # DC first (or the DC part of a sequential scan)
+            if dc_lut is None:
+                raise ValueError("JPEG scan references undefined DC table")
+            s = reader.read_symbol(dc_lut)
+            diff = _extend(reader.read_bits(s), s) if s else 0
+            preds[cid] += diff
+            block[0] = preds[cid] << al
+        else:  # DC refinement: append the next lower bit
+            if reader.read_bit():
+                block[0] |= 1 << al
+        if se == 0:
+            return eobrun
+        k = 1
+    if ac_lut is None:
+        raise ValueError("JPEG scan references undefined AC table")
+    if ah == 0:  # AC first pass (covers sequential AC too)
+        if eobrun > 0:
+            return eobrun - 1
+        while k <= se:
+            sym = reader.read_symbol(ac_lut)
+            r, s = sym >> 4, sym & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r and progressive:
+                    eobrun += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflows the band")
+            block[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        return eobrun
+    # AC refinement (G.1.2.3 / libjpeg semantics: EOBRUN includes the
+    # current block, whose nonzero-history coefficients still receive
+    # correction bits)
+    p1 = 1 << al
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.read_symbol(ac_lut)
+            r, s = sym >> 4, sym & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                newval = p1 if reader.read_bit() else -p1
+            while k <= se:
+                v = int(block[k])
+                if v != 0:
+                    if reader.read_bit() and (v & p1) == 0:
+                        block[k] = v + (p1 if v > 0 else -p1)
+                else:
+                    if r == 0:
+                        if newval:
+                            block[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(block[k])
+            if v != 0 and reader.read_bit() and (v & p1) == 0:
+                block[k] = v + (p1 if v > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish(frame, qt, store):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    max_h, max_v, _mcux, _mcuy = _geometry(frame)
     out_planes = []
-    for c in comps:
-        plane = planes[c["id"]]
-        ph, pw = plane.shape
-        blocks = plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    for idx, c in enumerate(comps):
+        grid = store[idx]
+        q = qt.get(c["q"])
+        if q is None:
+            raise ValueError("JPEG frame references undefined quant table")
+        bh, bw = grid.shape[:2]
+        blocks = np.zeros((bh, bw, 8, 8), np.float64)
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = grid
+        blocks *= q[None, None]
         spatial = np.einsum("km,ijkl,ln->ijmn", _DCT_T, blocks, _DCT_T)
-        pix = spatial.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
-        pix = np.repeat(np.repeat(pix, max_v // c["v"], axis=0), max_h // c["h"], axis=1)
+        pix = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        pix = np.repeat(
+            np.repeat(pix, max_v // c["v"], axis=0), max_h // c["h"], axis=1
+        )
         out_planes.append(pix[:h, :w])
     if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)[:, :, None]
@@ -376,31 +532,6 @@ def _decode_scan(frame, qt, huff, scan_tables, segs, restart_interval):
         axis=2,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-
-
-def _decode_block(reader, dc_lut, ac_lut, q, preds, cid):
-    coef = np.zeros(64, np.float64)
-    s = reader.read_symbol(dc_lut)
-    diff = _extend(reader.read_bits(s), s) if s else 0
-    preds[cid] += diff
-    coef[0] = preds[cid] * q[0, 0]
-    k = 1
-    while k < 64:
-        sym = reader.read_symbol(ac_lut)
-        r, s = sym >> 4, sym & 15
-        if s == 0:
-            if r == 15:  # ZRL: sixteen zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("JPEG AC run overflows the block")
-        coef[k] = _extend(reader.read_bits(s), s) * q[_ZZ_ROWS[k], _ZZ_COLS[k]]
-        k += 1
-    block = np.zeros((8, 8), np.float64)
-    block[_ZZ_ROWS, _ZZ_COLS] = coef
-    return block
 
 
 # ---------------------------------------------------------------------------
@@ -443,7 +574,7 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def _encode_block(writer, block, q, dc_tbl, ac_tbl, pred: int) -> int:
+def _quantized_zz(block, q):
     coefs = np.round(
         (_DCT_T @ (block - 128.0) @ _DCT_T.T) / q
     ).astype(np.int64)
@@ -452,13 +583,20 @@ def _encode_block(writer, block, q, dc_tbl, ac_tbl, pred: int) -> int:
     # pathological block (max-contrast pattern at quant=1) rather
     # than emit an unencodable symbol
     zz[1:] = np.clip(zz[1:], -1023, 1023)
-    dc = int(zz[0])
+    return zz
+
+
+def _write_dc(writer, dc: int, pred: int, dc_tbl) -> int:
     diff = dc - pred
     s = _category(diff)
     code, ln = dc_tbl[s]
     writer.write(code, ln)
     if s:
         writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return dc
+
+
+def _write_ac_band(writer, zz, ac_tbl) -> None:
     run = 0
     last_nz = max(np.nonzero(zz)[0]) if np.any(zz[1:]) else 0
     for k in range(1, 64):
@@ -480,6 +618,12 @@ def _encode_block(writer, block, q, dc_tbl, ac_tbl, pred: int) -> int:
     if last_nz < 63:
         code, ln = ac_tbl[0x00]  # EOB
         writer.write(code, ln)
+
+
+def _encode_block(writer, block, q, dc_tbl, ac_tbl, pred: int) -> int:
+    zz = _quantized_zz(block, q)
+    dc = _write_dc(writer, int(zz[0]), pred, dc_tbl)
+    _write_ac_band(writer, zz, ac_tbl)
     return dc
 
 
@@ -490,11 +634,22 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (h, w, 1|3) → baseline JFIF bytes. ``quant`` overrides
-    the quality-scaled Annex-K tables (pass all-ones for a near-
-    lossless transform round-trip); ``subsample`` switches 4:4:4 →
-    4:2:0; ``restart_interval`` (in MCUs) emits DRI + RSTn markers."""
+    """uint8 (h, w, 1|3) → JFIF bytes. ``quant`` overrides the
+    quality-scaled Annex-K tables (pass all-ones for a near-lossless
+    transform round-trip); ``subsample`` switches 4:4:4 → 4:2:0;
+    ``restart_interval`` (in MCUs) emits DRI + RSTn markers.
+    ``progressive`` writes an SOF2 stream with spectral-selection
+    scans (an interleaved DC scan, then one full AC band per
+    component) — 4:4:4/grayscale, no restarts; the
+    successive-approximation decode paths are pinned by hand-built
+    fixtures instead."""
+    if progressive and (subsample or restart_interval):
+        raise ValueError(
+            "progressive fixture encoder supports 4:4:4/grayscale "
+            "without restart intervals"
+        )
     px = np.asarray(pixels, dtype=np.float64)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -566,7 +721,9 @@ def encode_jpeg(
     for ci in range(nch):
         sh, sv = samplings[ci]
         sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1)
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
 
     def dht(cls, tid, bits, huffval):
         body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(huffval)
@@ -578,6 +735,49 @@ def encode_jpeg(
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    if progressive:
+        # precompute every block's quantized zigzag vector (4:4:4 —
+        # sampling is 1x1, so MCU order == each component's raster
+        # block order)
+        comp_zz = []
+        for ci in range(nch):
+            q = ql if ci == 0 else qc
+            blocks = []
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    blocks.append(_quantized_zz(block, q))
+            comp_zz.append(blocks)
+        # scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+        sos = bytes([nch])
+        for ci in range(nch):
+            sos += struct.pack(">BB", ci + 1, 0x00 if ci == 0 else 0x10)
+        sos += b"\x00\x00\x00"
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        writer = _BitWriter()
+        preds = [0] * nch
+        for m in range(mcux * mcuy):
+            for ci in range(nch):
+                dc_tbl = dc_l if ci == 0 else dc_c
+                preds[ci] = _write_dc(
+                    writer, int(comp_zz[ci][m][0]), preds[ci], dc_tbl
+                )
+        writer.pad_to_byte()
+        out += writer.out
+        # one AC scan per component: Ss=1, Se=63, Ah=Al=0
+        for ci in range(nch):
+            sos = bytes([1]) + struct.pack(">BB", ci + 1, 0x00 if ci == 0 else 0x01)
+            sos += b"\x01\x3f\x00"
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            writer = _BitWriter()
+            ac_tbl = ac_l if ci == 0 else ac_c
+            for zz in comp_zz[ci]:
+                _write_ac_band(writer, zz, ac_tbl)
+            writer.pad_to_byte()
+            out += writer.out
+        out += b"\xff\xd9"
+        return bytes(out)
 
     sos = bytes([nch])
     for ci in range(nch):

@@ -139,17 +139,104 @@ def test_roundtrip_quality_subsample_restarts_odd_dims():
     assert np.array_equal(decode_image(data), got)
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_arithmetic_lossless_and_garbage():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"NOPE")
-    # progressive SOF2 must raise, not mis-decode
+    # arithmetic-coded (SOF9) and lossless (SOF3) must raise, not
+    # mis-decode (progressive SOF2 decodes for real since r4)
     sof = struct.pack(">BHHB", 8, 8, 8, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    for marker, name in ((b"\xff\xc9", "SOF9"), (b"\xff\xc3", "SOF3")):
+        data = (
+            b"\xff\xd8"
+            + marker
+            + struct.pack(">H", 2 + len(sof))
+            + sof
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match=name):
+            decode_jpeg(data)
+
+
+def test_progressive_matches_baseline_decode():
+    """SOF2 spectral-selection stream: same quantized coefficients as
+    the baseline encoding, so the decoded rasters must be IDENTICAL
+    byte-for-byte (gray and RGB, odd dims)."""
+    rng = np.random.default_rng(83)
+    yy, xx = np.mgrid[0:21, 0:13]
+    base = np.clip(128 + 70 * np.cos(xx / 3.5) + 40 * np.sin(yy / 5.0)
+                   + rng.normal(0, 2, (21, 13)), 0, 255)
+    gray = base.astype(np.uint8)[:, :, None]
+    for q in (np.ones((8, 8)), None):
+        kw = {"quant": q} if q is not None else {"quality": 85}
+        seq = decode_jpeg(encode_jpeg(gray, **kw))
+        pro = decode_jpeg(encode_jpeg(gray, progressive=True, **kw))
+        assert np.array_equal(seq, pro)
+    rgb = np.stack([base, base[::-1], 255 - base], axis=2).astype(np.uint8)
+    seq = decode_jpeg(encode_jpeg(rgb, quality=85))
+    pro = decode_jpeg(encode_jpeg(rgb, quality=85, progressive=True))
+    assert np.array_equal(seq, pro)
+
+
+def test_progressive_successive_approximation_hand_built():
+    """Four hand-written scans over one 8x8 gray block: DC first at
+    Al=1, DC refinement to Al=0, AC first at Al=1, AC refinement to
+    Al=0 — the final coefficients must equal the originals exactly
+    (verified through the pixel output of a DC+single-AC block)."""
+    from dbt_lakehouse_aws_spark.llmops.jpeg import (
+        _K_DC_LUMA as DCL,
+        _K_AC_LUMA as ACL,
+    )
+
+    dc_len = {s: ln for (ln, c), s in _build_huffman(*DCL).items()}
+    dc_code = {s: c for (ln, c), s in _build_huffman(*DCL).items()}
+    ac_len = {s: ln for (ln, c), s in _build_huffman(*ACL).items()}
+    ac_code = {s: c for (ln, c), s in _build_huffman(*ACL).items()}
+
+    dc_val, ac1_val = -224, 41  # DC -> uniform 100; AC odd so Al=0 bit matters
+    # scan 1: DC first, Al=1 -> send dc_val >> 1 = -112 (category 7)
+    w1 = _Bits()
+    hi = dc_val >> 1
+    s = 7
+    w1.put(dc_code[s], dc_len[s])
+    w1.put(hi + (1 << s) - 1 if hi < 0 else hi, s)
+    # scan 2: DC refinement Al=0 -> one bit (dc_val & 1 = 0)
+    w2 = _Bits()
+    w2.put(dc_val & 1, 1)
+    # scan 3: AC first, band 1..63, Al=1 -> send ac1 >> 1 = 20 at k=1
+    w3 = _Bits()
+    hi = ac1_val >> 1  # 20, category 5
+    w3.put(ac_code[0x05], ac_len[0x05])
+    w3.put(hi, 5)
+    w3.put(ac_code[0x00], ac_len[0x00])  # EOB
+    # scan 4: AC refinement Al=0: EOB0 covers the block; the nonzero-
+    # history coefficient at k=1 receives its correction bit (1)
+    w4 = _Bits()
+    w4.put(ac_code[0x00], ac_len[0x00])
+    w4.put(ac1_val & 1, 1)
+
+    def sos(entropy, ss, se, ah, al):
+        hdr = bytes([1]) + struct.pack(">BB", 1, 0x00) + bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + entropy
+
+    zz_ones = bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + struct.pack(">BBB", 1, 0x11, 0)
+
+    def dht(cls, tid, bits, huffval):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(huffval)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
     data = (
         b"\xff\xd8"
-        + b"\xff\xc2"
-        + struct.pack(">H", 2 + len(sof))
-        + sof
+        + b"\xff\xdb" + struct.pack(">HB", 67, 0) + zz_ones
+        + b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+        + dht(0, 0, *DCL) + dht(1, 0, *ACL)
+        + sos(w1.bytes(), 0, 0, 0, 1)
+        + sos(w2.bytes(), 0, 0, 1, 0)
+        + sos(w3.bytes(), 1, 63, 0, 1)
+        + sos(w4.bytes(), 1, 63, 1, 0)
         + b"\xff\xd9"
     )
-    with pytest.raises(ValueError, match="SOF2"):
-        decode_jpeg(data)
+    got = decode_jpeg(data)[:, :, 0].astype(float)
+    basis = np.array([0.5 * np.cos((2 * n + 1) * np.pi / 16) for n in range(8)])
+    expect = 100.0 + ac1_val * np.outer(np.full(8, np.sqrt(1 / 8)), basis)
+    assert np.max(np.abs(got - np.clip(np.round(expect), 0, 255))) <= 1
