@@ -227,3 +227,36 @@ def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("name", "node").alias("golden_name"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@_staged(
+    "jsonl_bz2_roundtrip_docs",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def jsonl_bz2_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed text-landing ingest: documents are re-exported as
+    bz2-compressed JSON Lines with Spark's DISTRIBUTED json writer
+    (bzip2 is a splittable codec, so reads parallelize block-wise at
+    scale too) and read back through the native json reader; the
+    aggregate over the READ-BACK copy must match the oracle over the
+    source parquet — proving the ingest path end to end, the same
+    shape as the ORC roundtrip. No driver-side materialization in
+    either direction."""
+    import tempfile
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="jsonl_bz2_") + "/docs"
+    d.write.mode("overwrite").option("compression", "bzip2").json(root)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(root)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )

@@ -1521,11 +1521,14 @@ def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       encodes to genuine format bytes — BMP row padding, PNG zlib
       streams, GIF LZW codes, TIFF IFDs, PPM headers — and is
       decoded back by the pure-numpy/stdlib codecs;
-    * 3 → baseline JPEG, grayscale with UNIFORM 8×8 blocks (block
-      (by,bx) value = (id·17 + by·5 + bx·11) mod 256) at all-ones
-      quant: a constant block has a DC-only, integer-exact DCT, so
-      the lossy codec round-trips BIT-EXACTLY and stays oracle-able
-      — the full Huffman/entropy/IDCT path runs for real.
+    * 3 → JPEG, grayscale with UNIFORM 8×8 blocks (block (by,bx)
+      value = (id·17 + by·5 + bx·11) mod 256) at all-ones quant: a
+      constant block has a DC-only, integer-exact DCT, so the lossy
+      codec round-trips BIT-EXACTLY and stays oracle-able — and the
+      lane alternates BASELINE (SOF0) with PROGRESSIVE (SOF2,
+      multi-scan spectral selection) by doc_id % 12, both decoding
+      to identical pixels, so the full Huffman/entropy/IDCT path
+      runs for real in both scan architectures.
 
     The decode happens inside Arrow-batched mapInPandas
     (llmops/multimodal.py::extract_image_features); the oracle
@@ -1563,7 +1566,11 @@ def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ) % 256
                     px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
                     payloads.append(
-                        encode_jpeg(px[:, :, None], quant=np.ones((8, 8)))
+                        encode_jpeg(
+                            px[:, :, None],
+                            quant=np.ones((8, 8)),
+                            progressive=doc_id % 12 >= 6,
+                        )
                     )
                     continue
                 w, h = 4 + doc_id % 13, 3 + doc_id % 7
