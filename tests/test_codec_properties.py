@@ -111,3 +111,21 @@ def test_jpeg_dc_only_exactness_property(nbx, nby, seed):
     px = np.repeat(np.repeat(vals, 8, 0), 8, 1)[:, :, None]
     got = decode_jpeg(encode_jpeg(px, quant=np.ones((8, 8))))
     assert np.array_equal(got, px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    dims=st.tuples(st.integers(1, 20), st.integers(1, 20)),
+    c=st.sampled_from([1, 3]),
+    quality=st.sampled_from([35, 60, 85]),
+    seed=st.integers(0, 2**31),
+)
+def test_progressive_equals_baseline_property(dims, c, quality, seed):
+    """SOF2 spectral-selection streams carry the same quantized
+    coefficients as SOF0 — decode must be byte-identical on ANY
+    input, not just smooth fixtures."""
+    h, w = dims
+    px = _raster(h, w, c, seed)
+    seq = decode_jpeg(encode_jpeg(px, quality=quality))
+    pro = decode_jpeg(encode_jpeg(px, quality=quality, progressive=True))
+    assert np.array_equal(seq, pro)
