@@ -449,3 +449,65 @@ def compression_ratio(
         )
 
     return df.withColumn(out, _ratio(F.col(text_col)))
+
+
+def kneser_ney_bigram_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the classic LM
+    smoothing, and (unlike backoff tables) fully relational:
+
+    ``P_KN(w2|w1) = max(c(w1,w2) − d, 0)/c(w1)
+                    + d·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)``
+
+    where every term is a hash aggregate over the bigram table:
+    ``N1+(w1,·)`` = distinct continuations of w1 (row count of the
+    count table grouped by w1), ``N1+(·,w2)`` = distinct left
+    contexts (grouped by w2), ``N1+(·,·)`` = total bigram types (a
+    1-row broadcast). Compared to :func:`bigram_lm_scores`'s
+    unsmoothed MLE, the continuation-probability term rewards words
+    that appear in MANY contexts — the signature KN behavior.
+
+    Plan: the same arrays_zip bigram explode, three hash aggregates
+    for the model, one scalar broadcast, one scoring join. O(bigram
+    types) model rows, partial-agg combined; AQE picks the scoring
+    join strategy. Returns (id, avg_kn_logprob, n_bigrams).
+    """
+    toks = tokens_col(text_col)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    big = df.select(id_col, F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("_c2").alias("_c1"), F.count(F.lit(1)).alias("_n1r")
+    )
+    left = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("_n1l"))
+    total = c2.agg(F.count(F.lit(1)).alias("_tot"))
+    d = F.lit(discount)
+    p_kn = (
+        F.greatest(F.col("_c2") - d, F.lit(0.0)) / F.col("_c1")
+        + d * F.col("_n1r") / F.col("_c1") * (F.col("_n1l") / F.col("_tot"))
+    )
+    model = (
+        c2.join(c1, "w1")
+        .join(left, "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_lp", F.log(p_kn))
+        .select("w1", "w2", "_lp")
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("_lp"), 6).alias("avg_kn_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

@@ -260,3 +260,44 @@ def jsonl_bz2_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+@_staged(
+    "kneser_ney_quality_docs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b2 AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+        FROM toks)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM b2 GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c2) AS c1, count(*) AS n1r FROM c2 GROUP BY w1),
+    lft AS (SELECT w2, count(*) AS n1l FROM c2 GROUP BY w2),
+    tot AS (SELECT count(*) AS tot FROM c2),
+    model AS (
+      SELECT w1, w2,
+             ln(greatest(c2 - 0.75, 0.0) / c1
+                + 0.75 * n1r / c1 * (n1l / tot)) AS lp
+      FROM c2 JOIN c1 USING (w1) JOIN lft USING (w2) CROSS JOIN tot
+    )
+    SELECT doc_id, round(avg(lp), 6) AS avg_kn_logprob,
+           count(*) AS n_bigrams
+    FROM b2 JOIN model USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def kneser_ney_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram quality scoring over the
+    corpus (llmops/text.py::kneser_ney_bigram_scores) — the classic
+    smoothing, expressed as three hash aggregates + one scalar
+    broadcast + one scoring join; the continuation-probability term
+    is what distinguishes it from the MLE `bigram_lm_quality`
+    already in the registry. Identical double-precision operation
+    order on both engines keeps the 6-dp rounding exact."""
+    from dbt_lakehouse_aws_spark.llmops.text import kneser_ney_bigram_scores
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return kneser_ney_bigram_scores(d)
