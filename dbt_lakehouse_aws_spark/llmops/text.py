@@ -511,3 +511,112 @@ def kneser_ney_bigram_scores(
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 2000.0,
+    k: int = 20,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (the language-
+    modeling IR baseline alongside :func:`bm25_topk`):
+
+    ``score(d) = Σ_{w ∈ q} ln( (c(w,d) + μ·P(w|C)) / (|d| + μ) )``
+
+    with ``P(w|C)`` the corpus unigram MLE. Unlike BM25, every doc
+    scores against every query term (smoothing gives absent terms
+    mass), so the plan LEFT-joins the per-(doc, term) counts onto
+    the doc × query-term grid: doc lengths are codegen
+    (``size(split(...))``), per-term corpus stats are a tiny
+    broadcast (|q| rows), and the only shuffle is the (doc, term)
+    count aggregate filtered to the query terms first.
+    """
+    toks = tokens_col(text_col)
+    base = docs.select(F.col(id_col), F.explode(toks).alias("_w"))
+    # corpus stats for the query terms + total token count (1 row)
+    total = docs.select(F.sum(F.size(toks)).alias("_ctot"))
+    cterm = (
+        base.filter(F.col("_w").isin(query_terms))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_cw"))
+    )
+    qgrid = docs.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "_w string"
+    )
+    cterm = qgrid.join(cterm, "_w", "left").fillna(0, ["_cw"])
+    tf = (
+        base.filter(F.col("_w").isin(query_terms))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dlen = docs.select(F.col(id_col), F.size(toks).alias("_dl"))
+    grid = dlen.crossJoin(F.broadcast(cterm)).crossJoin(F.broadcast(total))
+    scored = (
+        grid.join(tf, [id_col, "_w"], "left")
+        .fillna(0, ["_tf"])
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.col("_tf") + F.lit(mu) * (F.col("_cw") / F.col("_ctot")))
+                / (F.col("_dl") + F.lit(mu))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_lp"), 6).alias("ql_score"))
+        .orderBy(F.desc("ql_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual
+    information: ``PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) )``
+    with bigram/unigram MLEs over the corpus and a count floor
+    (PMI's classic low-count instability guard).
+
+    Fully relational: one bigram explode + three hash aggregates +
+    two model joins; top-k compiles to TakeOrderedAndProject."""
+    toks = tokens_col(text_col)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    big = docs.select(F.explode(pairs).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("_cu")
+    )
+    tot2 = c2.agg(F.sum("_c2").alias("_t2"))
+    totu = uni.agg(F.sum("_cu").alias("_tu"))
+    pmi = F.log(
+        (F.col("_c2") / F.col("_t2"))
+        / ((F.col("_c1u") / F.col("_tu")) * (F.col("_c2u") / F.col("_tu")))
+    )
+    return (
+        c2.filter(F.col("_c2") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("_cu").alias("_c1u")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("_cu").alias("_c2u")), "w2")
+        .crossJoin(F.broadcast(tot2))
+        .crossJoin(F.broadcast(totu))
+        .select(
+            "w1", "w2",
+            F.col("_c2").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

@@ -301,3 +301,81 @@ def kneser_ney_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     return kneser_ney_bigram_scores(d)
+
+
+@_staged(
+    "ql_dirichlet_topk_docs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    flat AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    total AS (SELECT CAST(sum(dl) AS DOUBLE) AS ctot FROM dl),
+    q(t) AS (VALUES ('spark'), ('join'), ('window')),
+    cterm AS (
+      SELECT q.t, CAST(coalesce(c.cw, 0) AS BIGINT) AS cw
+      FROM q LEFT JOIN (SELECT t, count(*) AS cw FROM flat
+                        WHERE t IN ('spark','join','window') GROUP BY t) c
+        USING (t)
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM flat
+           WHERE t IN ('spark','join','window') GROUP BY doc_id, t),
+    grid AS (SELECT dl.doc_id, dl.dl, ct.t, ct.cw, total.ctot
+             FROM dl CROSS JOIN cterm ct CROSS JOIN total),
+    scored AS (
+      SELECT g.doc_id,
+             ln((coalesce(tf.tf, 0) + 2000.0 * (g.cw / g.ctot))
+                / (g.dl + 2000.0)) AS lp
+      FROM grid g LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.t = g.t
+    )
+    SELECT doc_id, round(sum(lp), 6) AS ql_score
+    FROM scored GROUP BY doc_id
+    ORDER BY ql_score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def ql_dirichlet_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (llmops/
+    text.py::query_likelihood_topk) — the language-modeling IR
+    baseline joining BM25 and TF-IDF in the retrieval family; mu =
+    2000, query = {spark, join, window} (same bag as the hybrid-RRF
+    query, so the scorers are comparable)."""
+    from dbt_lakehouse_aws_spark.llmops.text import query_likelihood_topk
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return query_likelihood_topk(d, ["spark", "join", "window"], mu=2000.0, k=20)
+
+
+@_staged(
+    "pmi_collocations_docs",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+    b2 AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2 FROM (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+        FROM toks)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM b2 GROUP BY w1, w2),
+    uni AS (SELECT t AS w, count(*) AS cu
+            FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+    t2 AS (SELECT CAST(sum(c2) AS DOUBLE) AS t2 FROM c2),
+    tu AS (SELECT CAST(sum(cu) AS DOUBLE) AS tu FROM uni)
+    SELECT c2.w1, c2.w2, CAST(c2.c2 AS BIGINT) AS n_pair,
+           round(ln((c2.c2 / t2.t2)
+                    / ((u1.cu / tu.tu) * (u2.cu / tu.tu))), 6) AS pmi
+    FROM c2
+    JOIN uni u1 ON u1.w = c2.w1
+    JOIN uni u2 ON u2.w = c2.w2
+    CROSS JOIN t2 CROSS JOIN tu
+    WHERE c2.c2 >= 5
+    ORDER BY pmi DESC, c2.w1 ASC, c2.w2 ASC LIMIT 30
+    """,
+)
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent-word collocations by PMI with a count floor
+    of 5 (llmops/text.py::pmi_collocations) — classic corpus
+    analysis; fully relational (bigram explode + three hash
+    aggregates + two model joins + TakeOrderedAndProject)."""
+    from dbt_lakehouse_aws_spark.llmops.text import pmi_collocations
+
+    d = T(spark, sf_dir, "documents").select("text")
+    return pmi_collocations(d, min_count=5, k=30)
