@@ -32,3 +32,14 @@ def test_staged_query_against_oracle(spark, name):
     )
     assert not problems, f"{name}: {problems}"
     assert srows  # a degenerate empty result would vacuously 'match'
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_query_plan_is_scalable(spark, name):
+    """The registry-wide linter (test_plan_lint) only sees registered
+    queries; staged ones must arrive at round-5 registration already
+    plan-clean (no cartesian, no row UDFs, no single-partition
+    funnels)."""
+    from dbt_lakehouse_aws_spark.plans.lint import assert_scalable
+
+    assert_scalable(STAGED_QUERIES[name](spark, SF_DIR))
