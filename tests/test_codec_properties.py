@@ -129,3 +129,35 @@ def test_progressive_equals_baseline_property(dims, c, quality, seed):
     seq = decode_jpeg(encode_jpeg(px, quality=quality))
     pro = decode_jpeg(encode_jpeg(px, quality=quality, progressive=True))
     assert np.array_equal(seq, pro)
+
+
+@settings(max_examples=60, deadline=2000)
+@given(
+    codec=st.sampled_from(["png", "gif", "tiff", "bmp", "jpeg", "flac", "wav"]),
+    cut=st.floats(0.01, 0.99),
+    seed=st.integers(0, 2**31),
+)
+def test_truncated_payloads_fail_fast_never_hang(codec, cut, seed):
+    """Corpus decode runs over untrusted bytes: truncating a payload
+    anywhere must raise promptly (ValueError or a stdlib parse error)
+    — never hang, crash the interpreter, or loop unbounded. The
+    hypothesis deadline doubles as the no-hang guard."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(6, 7, 3), dtype=np.uint8)
+    pcm = rng.integers(-3000, 3000, size=(200, 1), dtype=np.int64)
+    payloads = {
+        "png": (encode_png, decode_png, px),
+        "gif": (encode_gif, decode_gif, px),
+        "tiff": (encode_tiff, decode_tiff, px),
+        "bmp": (encode_bmp, decode_bmp, px),
+        "jpeg": (lambda p: encode_jpeg(p, quality=80), decode_jpeg, px),
+        "flac": (lambda p: encode_flac(p, 8000), decode_flac, pcm),
+        "wav": (lambda p: encode_wav(p.astype("<i2"), 8000), decode_wav, pcm),
+    }
+    enc, dec, src = payloads[codec]
+    data = enc(src)
+    trunc = data[: max(1, int(len(data) * cut))]
+    try:
+        dec(trunc)
+    except Exception:
+        pass  # any prompt parse error is the acceptable outcome
