@@ -943,13 +943,28 @@ IMAGE_FEATURES_SCHEMA = StructType(
     ]
 )
 
+#: permissive-mode schema: nullable features + a decode_error column
+IMAGE_FEATURES_PERMISSIVE_SCHEMA = StructType(
+    list(IMAGE_FEATURES_SCHEMA) + [StructField("decode_error", StringType())]
+)
 
-def extract_image_features(df: DataFrame) -> DataFrame:
+
+def extract_image_features(df: DataFrame, *, mode: str = "failfast") -> DataFrame:
     """Arrow-batched REAL image decode over binary payloads: each
-    payload is parsed as BMP/PPM/PGM (pure-numpy codecs above) and
-    its true raster dimensions + pixel checksum emitted. Same
-    ``mapInPandas`` shape as :func:`extract_binary_features` — bytes
-    stay out of the output, so nothing heavy is shuffled."""
+    payload is parsed by the magic-sniffing codecs above and its true
+    raster dimensions + pixel checksum emitted. Same ``mapInPandas``
+    shape as :func:`extract_binary_features` — bytes stay out of the
+    output, so nothing heavy is shuffled.
+
+    ``mode="failfast"`` (default) propagates decode errors and kills
+    the task — right for trusted payloads where corruption means a
+    pipeline bug. ``mode="permissive"`` mirrors Spark's JSON-reader
+    semantics for UNTRUSTED corpora: a payload that fails to parse
+    yields NULL features plus a ``decode_error`` message instead of
+    failing the task, so one corrupt blob in a billion-row scan
+    costs one row, not a stage retry loop."""
+    if mode not in ("failfast", "permissive"):
+        raise ValueError("mode must be 'failfast' or 'permissive'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -964,6 +979,29 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                 }
             )
 
+    def run_permissive(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    f = decode_media(payload, "image")
+                    rows.append(
+                        (int(doc_id), f["width"], f["height"], f["channels"],
+                         f["pixel_sum"], None)
+                    )
+                except Exception as e:  # noqa: BLE001 — untrusted bytes
+                    rows.append(
+                        (int(doc_id), None, None, None, None,
+                         f"{type(e).__name__}: {e}"[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels",
+                         "pixel_sum", "decode_error"],
+            )
+
+    if mode == "permissive":
+        return df.mapInPandas(run_permissive, IMAGE_FEATURES_PERMISSIVE_SCHEMA)
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 

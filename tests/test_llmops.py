@@ -1971,3 +1971,24 @@ def test_mjpg_avi_decode():
     rgb = np.stack([smooth, smooth[::-1], 255 - smooth], axis=2).astype(np.uint8)
     got = decode_avi(encode_avi(rgb[None], codec="MJPG"))
     assert np.max(np.abs(got["frames"][0].astype(int) - rgb.astype(int))) <= 4
+
+
+def test_permissive_image_decode_survives_corrupt_payloads(spark):
+    import numpy as np
+    import pytest
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        encode_png,
+        extract_image_features,
+    )
+
+    good = encode_png(np.full((2, 3, 3), 9, np.uint8))
+    rows = [(1, good), (2, b"\x89PNG\r\n\x1a\nGARBAGE"), (3, b"not an image")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in extract_image_features(df, mode="permissive").collect()}
+    assert out[1]["pixel_sum"] == 9 * 2 * 3 * 3 and out[1]["decode_error"] is None
+    assert out[2]["width"] is None and "CRC" in out[2]["decode_error"] or out[2]["decode_error"]
+    assert out[3]["decode_error"] and out[3]["pixel_sum"] is None
+    # failfast (default) still propagates
+    with pytest.raises(Exception):
+        extract_image_features(df).collect()
