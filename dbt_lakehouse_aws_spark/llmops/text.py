@@ -544,10 +544,15 @@ def query_likelihood_topk(
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_cw"))
     )
+    # a term with ZERO corpus frequency has P(w|C)=0, which would
+    # contribute ln(0) = -inf to every document — standard LM-IR
+    # practice drops such terms (they carry no ranking signal)
     qgrid = docs.sparkSession.createDataFrame(
         [(t,) for t in query_terms], "_w string"
     )
-    cterm = qgrid.join(cterm, "_w", "left").fillna(0, ["_cw"])
+    cterm = qgrid.join(cterm, "_w", "left").fillna(0, ["_cw"]).filter(
+        F.col("_cw") > 0
+    )
     tf = (
         base.filter(F.col("_w").isin(query_terms))
         .groupBy(id_col, "_w")

@@ -1992,3 +1992,35 @@ def test_permissive_image_decode_survives_corrupt_payloads(spark):
     # failfast (default) still propagates
     with pytest.raises(Exception):
         extract_image_features(df).collect()
+
+
+def test_query_likelihood_absent_term_and_hand_values(spark):
+    """Hand-computed Dirichlet QL on a tiny corpus, plus the
+    absent-term contract: a query term with zero corpus frequency
+    has P(w|C)=0 and would contribute ln(0) = -inf to every score —
+    the operator drops such terms, so scores match the same query
+    without them."""
+    import math
+
+    from dbt_lakehouse_aws_spark.llmops.text import query_likelihood_topk
+
+    rows = [(1, "a b a c"), (2, "b b d"), (3, "c c c a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mu = 10.0
+    got = {r["doc_id"]: r["ql_score"] for r in
+           query_likelihood_topk(df, ["a", "d"], mu=mu, k=10).collect()}
+    ctot = 4 + 3 + 4
+    cw = {"a": 3, "d": 1}
+    tf = {1: {"a": 2, "d": 0}, 2: {"a": 0, "d": 1}, 3: {"a": 1, "d": 0}}
+    dl = {1: 4, 2: 3, 3: 4}
+    for doc in (1, 2, 3):
+        expect = round(sum(
+            math.log((tf[doc][t] + mu * (cw[t] / ctot)) / (dl[doc] + mu))
+            for t in ("a", "d")
+        ), 6)
+        assert got[doc] == expect, doc
+    # absent-term contract: adding a nonsense term changes nothing
+    from dbt_lakehouse_aws_spark.llmops.text import query_likelihood_topk as ql
+    with_junk = {r["doc_id"]: r["ql_score"] for r in
+                 ql(df, ["a", "d", "zzzznope"], mu=mu, k=10).collect()}
+    assert with_junk == got
