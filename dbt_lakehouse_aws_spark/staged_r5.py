@@ -312,10 +312,13 @@ def kneser_ney_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT CAST(sum(dl) AS DOUBLE) AS ctot FROM dl),
     q(t) AS (VALUES ('spark'), ('join'), ('window')),
     cterm AS (
+      -- zero-corpus-frequency terms are DROPPED (P(w|C)=0 would be
+      -- ln(0) for every doc) — mirrors the engine exactly
       SELECT q.t, CAST(coalesce(c.cw, 0) AS BIGINT) AS cw
       FROM q LEFT JOIN (SELECT t, count(*) AS cw FROM flat
                         WHERE t IN ('spark','join','window') GROUP BY t) c
         USING (t)
+      WHERE coalesce(c.cw, 0) > 0
     ),
     tf AS (SELECT doc_id, t, count(*) AS tf FROM flat
            WHERE t IN ('spark','join','window') GROUP BY doc_id, t),
