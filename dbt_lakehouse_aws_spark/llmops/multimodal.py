@@ -1019,12 +1019,27 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def extract_audio_features(df: DataFrame) -> DataFrame:
+#: permissive-mode schema: nullable features + a decode_error column
+AUDIO_FEATURES_PERMISSIVE_SCHEMA = StructType(
+    list(AUDIO_FEATURES_SCHEMA) + [StructField("decode_error", StringType())]
+)
+
+_AUDIO_FEATURE_KEYS = (
+    "sample_rate", "channels", "n_frames", "duration_ms", "amp_sum",
+    "zero_crossings",
+)
+
+
+def extract_audio_features(df: DataFrame, *, mode: str = "failfast") -> DataFrame:
     """Arrow-batched REAL audio decode over binary payloads: each
-    payload is parsed as RIFF/WAVE (pure-numpy codec above) and its
-    true rate/channel/duration plus integer-exact amplitude features
-    emitted. Bytes stay out of the output — same no-heavy-shuffle
-    shape as :func:`extract_image_features`."""
+    payload is parsed as RIFF/WAVE or FLAC (pure-numpy codecs) and
+    its true rate/channel/duration plus integer-exact amplitude
+    features emitted. Bytes stay out of the output — same
+    no-heavy-shuffle shape as :func:`extract_image_features`, and
+    the same ``mode="permissive"`` contract: corrupt payloads yield
+    NULL features + ``decode_error`` instead of failing the task."""
+    if mode not in ("failfast", "permissive"):
+        raise ValueError("mode must be 'failfast' or 'permissive'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1043,6 +1058,27 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 }
             )
 
+    def run_permissive(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    f = audio_features(payload)
+                    rows.append(
+                        (int(doc_id), *[f[k] for k in _AUDIO_FEATURE_KEYS], None)
+                    )
+                except Exception as e:  # noqa: BLE001 — untrusted bytes
+                    rows.append(
+                        (int(doc_id), *([None] * len(_AUDIO_FEATURE_KEYS)),
+                         f"{type(e).__name__}: {e}"[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", *_AUDIO_FEATURE_KEYS, "decode_error"],
+            )
+
+    if mode == "permissive":
+        return df.mapInPandas(run_permissive, AUDIO_FEATURES_PERMISSIVE_SCHEMA)
     return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 

@@ -184,3 +184,27 @@ def test_flac_flows_through_audio_features():
     wav_feats = audio_features(encode_wav(pcm.astype(np.int16), 16000))
     for k in ("sample_rate", "channels", "n_frames", "duration_ms", "amp_sum", "zero_crossings"):
         assert flac_feats[k] == wav_feats[k], k
+
+
+def test_permissive_audio_decode_survives_corrupt_payloads(spark):
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    pcm = np.arange(-50, 50, dtype=np.int64)[:, None]
+    rows = [
+        (1, encode_wav(pcm.astype("<i2"), 8000)),
+        (2, encode_flac(pcm, 8000)),
+        (3, b"fLaC" + b"\x00" * 10),     # truncated FLAC
+        (4, b"RIFFxxxxWAVE"),            # header-only WAV
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in
+           extract_audio_features(df, mode="permissive").collect()}
+    assert out[1]["amp_sum"] == out[2]["amp_sum"] == int(np.abs(pcm).sum())
+    assert out[1]["decode_error"] is None and out[2]["decode_error"] is None
+    assert out[3]["decode_error"] and out[3]["n_frames"] is None
+    assert out[4]["decode_error"] and out[4]["amp_sum"] is None
