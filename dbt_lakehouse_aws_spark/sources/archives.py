@@ -1,0 +1,105 @@
+"""Archive-member explosion: zip/tar payload columns → member rows.
+
+Web corpora and data drops routinely land as archives (a zip of
+HTML files, a tar.gz shard of documents). This operator turns a
+binary archive column into one row per member — (archive id, member
+name, member bytes, size) — entirely with stdlib ``zipfile`` /
+``tarfile`` over in-memory buffers, Arrow-batched like the codec
+extractors, so downstream decode/dedup/quality operators see plain
+rows.
+
+Scale shape: archives are heavy rows — the same rules as multimodal
+payloads apply (repartition by size class first if a few huge
+archives would skew tasks; drop ``member_bytes`` as soon as features
+are derived). Member explosion happens inside the task, so nothing
+is shuffled until the caller asks for it.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: schema of the member rows produced by :func:`explode_archive_members`
+ARCHIVE_MEMBERS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("member_name", StringType()),
+        StructField("member_bytes", BinaryType()),
+        StructField("member_size", LongType()),
+        StructField("archive_format", StringType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def iter_archive_members(payload: bytes):
+    """Yield (name, bytes) for each regular member of a zip or tar
+    (plain/gz/bz2/xz — tarfile sniffs) payload; raises ValueError on
+    an unrecognized container."""
+    if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            for info in zf.infolist():
+                if not info.is_dir():
+                    yield "zip", info.filename, zf.read(info)
+        return
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload)) as tf:
+            for member in tf.getmembers():
+                if member.isfile():
+                    f = tf.extractfile(member)
+                    yield "tar", member.name, f.read() if f else b""
+        return
+    except tarfile.TarError:
+        raise ValueError(
+            "unrecognized archive payload (zip and tar/tar.gz/tar.bz2/"
+            "tar.xz supported)"
+        ) from None
+
+
+def explode_archive_members(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload",
+    mode: str = "permissive",
+) -> DataFrame:
+    """One row per archive member. ``mode="permissive"`` (default —
+    archives come from outside) emits a single NULL-member row with
+    ``decode_error`` for an unreadable archive; ``"failfast"``
+    propagates."""
+    if mode not in ("failfast", "permissive"):
+        raise ValueError("mode must be 'failfast' or 'permissive'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    for fmt, name, body in iter_archive_members(payload):
+                        rows.append(
+                            (int(doc_id), name, body, len(body), fmt, None)
+                        )
+                except Exception as e:  # noqa: BLE001 — untrusted bytes
+                    if mode == "failfast":
+                        raise
+                    rows.append(
+                        (int(doc_id), None, None, None, None,
+                         f"{type(e).__name__}: {e}"[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "member_name", "member_bytes",
+                         "member_size", "archive_format", "decode_error"],
+            )
+
+    return df.mapInPandas(run, ARCHIVE_MEMBERS_SCHEMA)

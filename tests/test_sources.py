@@ -931,3 +931,34 @@ def test_iceberg_write_commit_is_put_if_absent(spark, tmp_path):
         W._stage_parquet = orig_stage
     # the peer's commit is untouched (never overwritten)
     assert open(v2).read() == peer_payload
+
+
+def test_explode_archive_members_zip_and_tar(spark):
+    import io
+    import tarfile
+    import zipfile
+
+    from dbt_lakehouse_aws_spark.sources.archives import explode_archive_members
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("a.txt", b"hello")
+        zf.writestr("sub/b.txt", b"world!!")
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        data = b"tar member"
+        info = tarfile.TarInfo("c.txt")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+
+    rows = [(1, zbuf.getvalue()), (2, tbuf.getvalue()), (3, b"not an archive")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = explode_archive_members(df).collect()
+    by_member = {(r["doc_id"], r["member_name"]): r for r in out}
+    assert bytes(by_member[(1, "a.txt")]["member_bytes"]) == b"hello"
+    assert by_member[(1, "sub/b.txt")]["member_size"] == 7
+    assert by_member[(1, "a.txt")]["archive_format"] == "zip"
+    assert bytes(by_member[(2, "c.txt")]["member_bytes"]) == b"tar member"
+    assert by_member[(2, "c.txt")]["archive_format"] == "tar"
+    bad = [r for r in out if r["doc_id"] == 3]
+    assert len(bad) == 1 and bad[0]["decode_error"] and bad[0]["member_name"] is None
