@@ -737,3 +737,47 @@ def duplicate_spans(
     if k is None:
         return dup
     return dup.orderBy(F.desc("n_docs"), F.asc("span")).limit(k)
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs — the asymmetric complement of
+    :func:`ngram_jaccard_pairs`: ``containment(A→B) = |A∩B| / |A|``
+    over distinct shingle sets. A short document quoted inside a long
+    one scores near 1.0 here while its Jaccard stays tiny — the
+    quote/subset-detection signal (Broder's containment, the basis of
+    suffix-style dedup policies that Jaccard thresholds miss).
+
+    Emits BOTH directions per intersecting pair (containment is not
+    symmetric): (doc_src, doc_dst, containment = |src∩dst|/|src|).
+    Same plan as the Jaccard variant — shingle self-join for
+    intersections (map-side combinable), one groupBy for set sizes,
+    optional stop-shingle pruning via ``max_doc_freq``.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.filter(F.col("_df") <= max_doc_freq).select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_src"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_dst"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_src") != F.col("doc_dst"))
+        .groupBy("doc_src", "doc_dst")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ssrc = sizes.select(F.col(id_col).alias("doc_src"), F.col("n_shingles").alias("n_src"))
+    return (
+        inter.join(ssrc, "doc_src")
+        .withColumn("containment", F.col("inter").cast("double") / F.col("n_src"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_src", "doc_dst", F.round("containment", 6).alias("containment"))
+    )

@@ -382,3 +382,37 @@ def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents").select("text")
     return pmi_collocations(d, min_count=5, k=30)
+
+
+@_staged(
+    "containment_pairs_docs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_src, doc_dst,
+           round(CAST(i AS DOUBLE) / s.n_sh, 6) AS containment
+    FROM inter JOIN sizes s ON s.doc_id = doc_src
+    WHERE CAST(i AS DOUBLE) / s.n_sh >= 0.8
+    """,
+)
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment (llmops/dedup.py::
+    containment_pairs): |A∩B|/|A| over distinct 3-shingle sets, both
+    directions, threshold 0.8 — the quote/subset-detection signal
+    Jaccard thresholds miss. Exact (no LSH), so the oracle is the
+    same relational computation."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import containment_pairs
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return containment_pairs(d, n=3, threshold=0.8)
