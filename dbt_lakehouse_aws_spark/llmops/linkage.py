@@ -135,14 +135,20 @@ def _scored(pairs: DataFrame, threshold: float) -> DataFrame:
       pushdown, so the exchange → score order is load-bearing and
       survives optimization.
 
-    Python emits raw sims with a loosened cut (``threshold − 1e-9``)
-    to bound Arrow return volume; the EXACT cut happens JVM-side as
-    ``round(sim, 6) ≥ threshold`` — the same half-up rounding the
-    DuckDB oracles use, keeping cross-engine value parity."""
+    Python emits raw sims with a loosened cut to bound Arrow return
+    volume; the EXACT cut happens JVM-side as ``round(sim, 6) ≥
+    threshold`` — the same half-up rounding the DuckDB oracles use,
+    keeping cross-engine value parity. Both the Python pre-cut and
+    the length band are loosened by the 6-dp rounding half-step
+    (5e-7): a raw sim in ``[t − 5e-7, t)`` rounds UP to the
+    threshold and must survive the pre-filters, or the keep rule and
+    the pre-cut disagree on near-threshold pairs (ADVICE r4)."""
     spark = pairs.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pruned = (
-        pairs.filter(_jw_length_band(F.col("_ltxt"), F.col("_rtxt"), threshold))
+        pairs.filter(
+            _jw_length_band(F.col("_ltxt"), F.col("_rtxt"), threshold - 5e-7)
+        )
         .select("_lid", "_rid", "_ltxt", "_rtxt")
         .repartition(n)
     )
@@ -153,7 +159,7 @@ def _scored(pairs: DataFrame, threshold: float) -> DataFrame:
             StructField("_sim_raw", DoubleType()),
         ]
     )
-    loose = threshold - 1e-9
+    loose = threshold - 5e-7 - 1e-9
 
     def score(batches):
         for pdf in batches:

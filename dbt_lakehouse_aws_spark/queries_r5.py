@@ -1,13 +1,13 @@
-"""Round-5 STAGED queries — implemented and pytest-verified in round
-4, NOT yet in ``queries()``.
+"""Round-5 queries, promoted from staging into the main registry.
 
-The round-4 driver window froze at 50 slots before these existed
-(VERDICT r3 item 3: zero registered-but-unwindowed queries at round
-end). Registering them now would recreate exactly that gap, so they
-live here with their oracles until round 5 opens, then move into
-``standard_queries`` with a plain ``@register`` — a two-line change
-per query. ``tests/test_staged_r5.py`` runs each one against its
-oracle every session meanwhile, same compare as the driver gate.
+These were implemented and pytest-verified during round 4 while the
+round-4 driver window was frozen (VERDICT r3 item 3), then promoted
+here at the start of round 5: each ``@register`` call below appends
+to ``standard_queries._REGISTRY`` exactly like an in-file
+registration — ``standard_queries`` imports this module before it
+builds the driver window, so the names participate in ``queries()`` /
+``oracle_sql()`` and the entry-contract/plan-lint suites like any
+other query.
 """
 
 from __future__ import annotations
@@ -15,22 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbt_lakehouse_aws_spark.standard_queries import T
-
-#: name → oracle SQL, mirrors standard_queries' registry shape
-STAGED_ORACLES: dict[str, str] = {}
-#: name → (spark, sf_dir) -> DataFrame
-STAGED_QUERIES: dict[str, object] = {}
-
-
-def _staged(name: str, oracle: str):
-    def deco(fn):
-        STAGED_ORACLES[name] = oracle
-        STAGED_QUERIES[name] = fn
-        return fn
-
-    return deco
-
+from dbt_lakehouse_aws_spark.standard_queries import T, register
 
 #: deterministic "dirty feed" of part names — char dropped or
 #: transposed at a p_partkey-derived position; same expression runs
@@ -48,7 +33,7 @@ _DIRTY_NAME_SQL = """
 """
 
 
-@_staged(
+@register(
     "record_linkage_parts",
     f"""
     WITH dirty AS (
@@ -92,7 +77,7 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@register(
     "orc_roundtrip_events",
     """
     SELECT event_type,
@@ -124,7 +109,7 @@ def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@register(
     "golden_record_parts",
     f"""
     WITH RECURSIVE dirty AS (
@@ -229,7 +214,7 @@ def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@register(
     "jsonl_bz2_roundtrip_docs",
     """
     SELECT lang,
@@ -262,7 +247,7 @@ def jsonl_bz2_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@register(
     "kneser_ney_quality_docs",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -303,7 +288,7 @@ def kneser_ney_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_bigram_scores(d)
 
 
-@_staged(
+@register(
     "ql_dirichlet_topk_docs",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -347,7 +332,7 @@ def ql_dirichlet_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_likelihood_topk(d, ["spark", "join", "window"], mu=2000.0, k=20)
 
 
-@_staged(
+@register(
     "pmi_collocations_docs",
     """
     WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
@@ -384,7 +369,7 @@ def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(d, min_count=5, k=30)
 
 
-@_staged(
+@register(
     "containment_pairs_docs",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

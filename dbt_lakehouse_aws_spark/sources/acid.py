@@ -815,7 +815,10 @@ class AcidTable:
         tiny file. OPTIMIZE is the periodic counterweight: one
         commit, same rows, bounded file count, better clustering.
         """
-        for _ in range(max_retries):
+        # total attempts == max_retries: the first max_retries - 1
+        # swallow CommitConflict and rebase, the final one propagates
+        # (ADVICE r4: the old loop ran max_retries + 1 attempts)
+        for _ in range(max_retries - 1):
             try:
                 return self._optimize_once(
                     target_file_bytes=target_file_bytes, zorder_by=zorder_by

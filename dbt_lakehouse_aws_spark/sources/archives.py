@@ -45,22 +45,65 @@ ARCHIVE_MEMBERS_SCHEMA = StructType(
 )
 
 
-def iter_archive_members(payload: bytes):
+#: decompression-bomb guards: an archive member whose DECLARED
+#: decompressed size exceeds this, or an archive with more members
+#: than this, raises ValueError BEFORE any bytes are inflated — a
+#: small zip/tar bomb must cost one ``decode_error`` row (permissive
+#: mode), never an executor OOM (ADVICE r4).
+DEFAULT_MAX_MEMBER_BYTES = 256 * 1024 * 1024
+DEFAULT_MAX_MEMBERS = 100_000
+
+
+def iter_archive_members(
+    payload: bytes,
+    *,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+    max_members: int = DEFAULT_MAX_MEMBERS,
+):
     """Yield (name, bytes) for each regular member of a zip or tar
     (plain/gz/bz2/xz — tarfile sniffs) payload; raises ValueError on
-    an unrecognized container."""
+    an unrecognized container, an over-``max_member_bytes`` member
+    (size checked from archive metadata before decompression), or an
+    over-``max_members`` member count."""
     if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-            for info in zf.infolist():
-                if not info.is_dir():
-                    yield "zip", info.filename, zf.read(info)
+            infos = [i for i in zf.infolist() if not i.is_dir()]
+            if len(infos) > max_members:
+                raise ValueError(
+                    f"zip has {len(infos)} members > cap {max_members}"
+                )
+            for info in infos:
+                if info.file_size > max_member_bytes:
+                    raise ValueError(
+                        f"zip member {info.filename!r} declares "
+                        f"{info.file_size} bytes > cap {max_member_bytes}"
+                    )
+                body = zf.read(info)
+                if len(body) > max_member_bytes:  # lying local header
+                    raise ValueError(
+                        f"zip member {info.filename!r} inflated past cap "
+                        f"{max_member_bytes}"
+                    )
+                yield "zip", info.filename, body
         return
     try:
         with tarfile.open(fileobj=io.BytesIO(payload)) as tf:
-            for member in tf.getmembers():
-                if member.isfile():
-                    f = tf.extractfile(member)
-                    yield "tar", member.name, f.read() if f else b""
+            n = 0
+            for member in tf:
+                if not member.isfile():
+                    continue
+                n += 1
+                if n > max_members:
+                    raise ValueError(
+                        f"tar exceeds member cap {max_members}"
+                    )
+                if member.size > max_member_bytes:
+                    raise ValueError(
+                        f"tar member {member.name!r} declares "
+                        f"{member.size} bytes > cap {max_member_bytes}"
+                    )
+                f = tf.extractfile(member)
+                yield "tar", member.name, f.read() if f else b""
         return
     except tarfile.TarError:
         raise ValueError(
@@ -72,11 +115,15 @@ def iter_archive_members(payload: bytes):
 def explode_archive_members(
     df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload",
     mode: str = "permissive",
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+    max_members: int = DEFAULT_MAX_MEMBERS,
 ) -> DataFrame:
     """One row per archive member. ``mode="permissive"`` (default —
     archives come from outside) emits a single NULL-member row with
-    ``decode_error`` for an unreadable archive; ``"failfast"``
-    propagates."""
+    ``decode_error`` for an unreadable OR bomb-capped archive;
+    ``"failfast"`` propagates. The caps bound decompressed size per
+    member and member count per archive so a crafted payload cannot
+    OOM the executor."""
     if mode not in ("failfast", "permissive"):
         raise ValueError("mode must be 'failfast' or 'permissive'")
 
@@ -84,18 +131,27 @@ def explode_archive_members(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                # buffer per archive: a cap/parse error mid-stream
+                # (tar members stream) must not leave partial member
+                # rows behind — one corrupt blob costs exactly one row
+                this = []
                 try:
-                    for fmt, name, body in iter_archive_members(payload):
-                        rows.append(
+                    for fmt, name, body in iter_archive_members(
+                        payload,
+                        max_member_bytes=max_member_bytes,
+                        max_members=max_members,
+                    ):
+                        this.append(
                             (int(doc_id), name, body, len(body), fmt, None)
                         )
                 except Exception as e:  # noqa: BLE001 — untrusted bytes
                     if mode == "failfast":
                         raise
-                    rows.append(
+                    this = [
                         (int(doc_id), None, None, None, None,
                          f"{type(e).__name__}: {e}"[:200])
-                    )
+                    ]
+                rows.extend(this)
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "member_name", "member_bytes",

@@ -73,6 +73,19 @@ def test_no_widened_numeric_oracle_types(duck):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_against_oracle(spark, duck, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
+    # No array/map/struct result columns anywhere in the registry —
+    # the driver's canonicalizer sorts/hashes with pandas, which
+    # cannot hash Python lists/dicts, so a complex-typed column
+    # crashes even the rows-only check (r4's one red row,
+    # pca_project_embeddings). Flatten to scalars before returning.
+    complex_cols = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, (
+        f"{name}: driver-unhashable result columns {complex_cols}"
+    )
     srows = sdf.collect()
     if name not in ORACLES:
         # rows-only check (non-SQL-expressible op) — must still run

@@ -62,3 +62,27 @@ def test_blocked_pairs_plan_and_values(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
     assert plan.index("MapInPandas") < plan.index("RoundRobinPartitioning")
+
+
+def test_precut_keeps_round_up_sims(spark):
+    """ADVICE r4 regression: a raw sim in [t − 5e-7, t) rounds UP to
+    the threshold at 6dp, so the JVM keep rule (round(sim,6) >= t)
+    keeps it — the Python pre-cut and the length band must not drop
+    it first. embedding/embeddnig has raw JW 0.97777…(repeating),
+    which rounds to 0.977778 > raw."""
+    from dbt_lakehouse_aws_spark.llmops.linkage import jaro_winkler, jw_linkage
+
+    raw = jaro_winkler("embedding", "embeddnig")
+    t = 0.977778
+    assert raw < t  # strictly below the threshold…
+    assert round(raw, 6) >= t  # …but rounds up to it
+
+    left = spark.createDataFrame([(1, "embedding", "B")], "lid long, ltxt string, blk string")
+    right = spark.createDataFrame([(2, "embeddnig", "B")], "rid long, rtxt string, blk string")
+    got = jw_linkage(
+        left, right,
+        left_id="lid", right_id="rid",
+        left_text="ltxt", right_text="rtxt",
+        block_col="blk", threshold=t,
+    ).collect()
+    assert len(got) == 1 and got[0]["sim"] == t

@@ -962,3 +962,53 @@ def test_explode_archive_members_zip_and_tar(spark):
     assert by_member[(2, "c.txt")]["archive_format"] == "tar"
     bad = [r for r in out if r["doc_id"] == 3]
     assert len(bad) == 1 and bad[0]["decode_error"] and bad[0]["member_name"] is None
+
+
+def test_explode_archive_members_bomb_caps(spark):
+    """Decompression-bomb guards (ADVICE r4): an over-cap member or
+    member count costs exactly ONE decode_error row in permissive
+    mode — never partial member rows, never an inflate."""
+    import io
+    import tarfile
+    import zipfile
+
+    from dbt_lakehouse_aws_spark.sources.archives import explode_archive_members
+
+    fat = io.BytesIO()
+    with zipfile.ZipFile(fat, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("zeros.bin", b"\x00" * 4096)  # tiny compressed, 4 KiB inflated
+    many = io.BytesIO()
+    with tarfile.open(fileobj=many, mode="w") as tf:
+        for i in range(5):
+            data = b"x"
+            info = tarfile.TarInfo(f"m{i}.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    ok = io.BytesIO()
+    with zipfile.ZipFile(ok, "w") as zf:
+        zf.writestr("fine.txt", b"fine")
+
+    rows = [(1, fat.getvalue()), (2, many.getvalue()), (3, ok.getvalue())]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = explode_archive_members(
+        df, max_member_bytes=1024, max_members=3
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: declared size 4096 > 1024 cap -> one error row, no members
+    assert len(by_doc[1]) == 1 and "cap" in by_doc[1][0]["decode_error"]
+    # doc 2: 5 members > 3 cap -> one error row, NO partial member rows
+    assert len(by_doc[2]) == 1 and "cap" in by_doc[2][0]["decode_error"]
+    assert by_doc[2][0]["member_name"] is None
+    # doc 3: under both caps, unaffected
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["decode_error"] is None
+
+    # failfast propagates the bomb as a stage error
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        explode_archive_members(
+            df, mode="failfast", max_member_bytes=1024, max_members=3
+        ).collect()

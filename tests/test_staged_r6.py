@@ -1,20 +1,29 @@
-"""Round-5 staged queries run against their oracles every session —
+"""Round-6 staged queries run against their oracles every session —
 the same count/schema-family/value-multiset compare as the driver
-gate — so they arrive at registration pre-verified."""
+gate — so they arrive at registration pre-verified. Empty staging is
+fine (round freshly opened); the parametrized tests simply collect
+zero cases then."""
 
 import duckdb
 import pytest
 
 from dbt_lakehouse_aws_spark.oracle import compare_frames
 from dbt_lakehouse_aws_spark.sources.catalog import STAR_TABLES
-from dbt_lakehouse_aws_spark.staged_r5 import STAGED_ORACLES, STAGED_QUERIES
+from dbt_lakehouse_aws_spark.staged_r6 import STAGED_ORACLES, STAGED_QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_every_staged_query_has_an_oracle():
     assert set(STAGED_ORACLES) == set(STAGED_QUERIES)
-    assert STAGED_QUERIES  # non-empty while anything is staged
+
+
+def test_staged_names_not_already_registered():
+    from dbt_lakehouse_aws_spark import standard_queries as sq
+
+    registered = {spec.name for spec in sq._REGISTRY}
+    clash = registered & set(STAGED_QUERIES)
+    assert not clash, f"staged names shadow registered queries: {clash}"
 
 
 @pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
@@ -37,7 +46,7 @@ def test_staged_query_against_oracle(spark, name):
 @pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
 def test_staged_query_plan_is_scalable(spark, name):
     """The registry-wide linter (test_plan_lint) only sees registered
-    queries; staged ones must arrive at round-5 registration already
+    queries; staged ones must arrive at round-6 registration already
     plan-clean (no cartesian, no row UDFs, no single-partition
     funnels)."""
     from dbt_lakehouse_aws_spark.plans.lint import assert_scalable
