@@ -204,3 +204,48 @@ def chi2_terms(
         .orderBy(F.desc("chi2"), F.asc("term"))
         .limit(k)
     )
+
+
+def mutual_information_terms(
+    docs: DataFrame,
+    *,
+    label_col: str,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Mutual information between terms and class labels — the
+    information-theoretic sibling of :func:`chi2_terms` for feature
+    selection: ``MI(t) = Σ_c (o_tc/N) · ln( (o_tc/N) / ((rt_t/N)·(ct_c/N)) )``
+    over token counts.
+
+    Zero-observed cells contribute exactly 0 (lim x→0 of x·ln x), so
+    unlike χ² no grid densification is needed — the sum runs over the
+    SPARSE observed (term, class) cells only, one map-side-combinable
+    aggregate + a vocab-sized join + a broadcast of the classes-sized
+    column totals. Shuffle O(observed cells), never O(tokens) past
+    the first aggregate.
+    """
+    tc = (
+        docs.select(
+            F.col(label_col).alias("class"),
+            F.explode(tokens_col(text_col)).alias("term"),
+        )
+        .groupBy("term", "class")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_tot = tc.groupBy("term").agg(F.sum("o").alias("rt"))
+    col_tot = tc.groupBy("class").agg(F.sum("o").alias("ct"))
+    n = tc.agg(F.sum("o").alias("n"))
+    o = F.col("o").cast("double")
+    term = (o / F.col("n")) * F.log(
+        (o * F.col("n")) / (F.col("rt").cast("double") * F.col("ct"))
+    )
+    return (
+        tc.join(row_tot, "term")
+        .join(F.broadcast(col_tot), "class")
+        .crossJoin(F.broadcast(n))
+        .groupBy("term")
+        .agg(F.round(F.sum(term), 6).alias("mi"))
+        .orderBy(F.desc("mi"), F.asc("term"))
+        .limit(k)
+    )

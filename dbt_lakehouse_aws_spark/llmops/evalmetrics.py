@@ -185,3 +185,52 @@ def psi_drift(
         F.round("q", 6).alias("q"),
         F.round(term, 6).alias("psi_term"),
     ).orderBy("category")
+
+
+def auc_roc(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """One-row ROC-AUC via the tie-aware Mann-Whitney rank-sum —
+    exact, distributed, no per-row window funnel.
+
+    ``AUC = (R⁺ − P(P+1)/2) / (P·N)`` where R⁺ is the positive
+    class's rank-sum under AVERAGE ranks for tied scores. The plan:
+    one groupBy collapses rows to per-distinct-score cells
+    ``(n_i, p_i)``; a scalable prefix sum (operators/windows.py::
+    prefix_sum — range partition + per-partition offsets, never a
+    single-partition window) orders the cells by score and gives
+    cumulative counts, from which each cell's average rank is
+    closed-form: ``cum_n − n_i + (n_i+1)/2``. Everything after the
+    first aggregate is O(distinct scores).
+
+    Returns (auc, n_pos, n_neg) — and because ranks, counts, and the
+    final ratio are exact integer/rational arithmetic in double, an
+    external SQL oracle reproduces the value bit-for-bit.
+    """
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+
+    y = F.col(label_col).cast("long")
+    cells = df.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(y).alias("_p")
+    )
+    cum = prefix_sum(cells, [F.asc("_s")], "_n", name="_cum")
+    avg_rank = (
+        (F.col("_cum") - F.col("_n")).cast("double")
+        + (F.col("_n") + 1).cast("double") / 2.0
+    )
+    agg = cum.agg(
+        F.sum(F.col("_p") * avg_rank).alias("_rpos"),
+        F.sum("_p").alias("_P"),
+        F.sum("_n").alias("_N"),
+    )
+    P = F.col("_P").cast("double")
+    N = (F.col("_N") - F.col("_P")).cast("double")
+    auc = (F.col("_rpos") - P * (P + 1) / 2.0) / (P * N)
+    return agg.select(
+        auc.alias("auc"),
+        F.col("_P").cast("long").alias("n_pos"),
+        (F.col("_N") - F.col("_P")).cast("long").alias("n_neg"),
+    )

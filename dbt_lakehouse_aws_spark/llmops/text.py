@@ -625,3 +625,71 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def skipgram_ppmi(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Top-k skip-gram co-occurrences by POSITIVE pointwise mutual
+    information — the statistic whose implicit factorization is
+    word2vec (Levy & Goldberg 2014): pairs are tokens within
+    ``window`` positions (ordered: w1 before w2, 1 ≤ gap ≤ window),
+    ``PPMI = max(0, ln(P(pair) / (P(w1)·P(w2))))`` with unigram MLEs.
+
+    Relational shape: for each gap g ∈ 1..window the pair table is an
+    ``arrays_zip`` of the token array with itself shifted by g — a
+    pure projection, NO self-join — unioned over the ``window``
+    constant. Exactly ``Σ_g (len−g)`` pairs per doc: linear in corpus
+    size for fixed window (a position self-join would scan O(len²)
+    candidate pairs per document inside the join buffer). Everything
+    collapses map-side; no Python in the hot path.
+
+    vs :func:`pmi_collocations`: that is the window=1 adjacent-bigram
+    special case; this one buys the wider context a word2vec-style
+    pipeline needs."""
+    toks = tokens_col(text_col)
+    lanes = []
+    for g in range(1, window + 1):
+        n_pairs = F.greatest(F.size(toks) - g, F.lit(0))
+        zipped = F.arrays_zip(
+            F.slice(toks, 1, n_pairs).alias("w1"),
+            F.slice(toks, 1 + g, n_pairs).alias("w2"),
+        )
+        lanes.append(
+            docs.select(F.explode(zipped).alias("bg")).select(
+                F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+            )
+        )
+    big = lanes[0]
+    for lane in lanes[1:]:
+        big = big.unionByName(lane)
+    pairs = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("_cu")
+    )
+    tot2 = pairs.agg(F.sum("_c2").alias("_t2"))
+    totu = uni.agg(F.sum("_cu").alias("_tu"))
+    pmi = F.log(
+        (F.col("_c2") / F.col("_t2"))
+        / ((F.col("_c1u") / F.col("_tu")) * (F.col("_c2u") / F.col("_tu")))
+    )
+    return (
+        pairs.filter(F.col("_c2") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("_cu").alias("_c1u")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("_cu").alias("_c2u")), "w2")
+        .crossJoin(F.broadcast(tot2))
+        .crossJoin(F.broadcast(totu))
+        .select(
+            "w1",
+            "w2",
+            F.col("_c2").cast("long").alias("n_pair"),
+            F.round(F.greatest(pmi, F.lit(0.0)), 6).alias("ppmi"),
+        )
+        .orderBy(F.desc("ppmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

@@ -112,3 +112,137 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def canonical_edges(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Undirected edge list → one canonical row per edge: (a, b) with
+    a < b, self-loops dropped, duplicates collapsed. Every
+    triangle/neighborhood operator below starts here so multigraph
+    inputs can't double-count."""
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    return (
+        edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via DEGREE-ORDERED ORIENTATION — the
+    trick that makes distributed triangle counting survive skew.
+
+    A naive wedge join explodes on hub nodes: a node of degree d
+    produces d² wedges, and real graphs have power-law hubs. Orienting
+    every undirected edge from the (degree, id)-SMALLER endpoint to
+    the larger one caps every node's OUT-degree at O(√m) (a classic
+    result: a node can only point at neighbors of equal-or-higher
+    degree, and there can be at most 2√m nodes of degree ≥ √m), so
+    the wedge join is O(Σ out_deg²) ≤ O(m·√m) worst-case and far less
+    in practice — instead of O(Σ deg²), which a single hub makes
+    quadratic in the graph.
+
+    Each triangle {x,y,z} is found EXACTLY once (its unique
+    orientation-minimal apex), then credited to all three corners.
+    Three shuffles total (degree agg, wedge join, closing semi-join) —
+    all on edge keys, no driver-side state.
+    """
+    und = canonical_edges(edges, src=src, dst=dst)
+    # degree over the canonical undirected edges
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    wd = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = wd.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
+    wedges = e1.join(e2, "apex").filter(F.col("x") < F.col("y"))
+    # close the wedge against the UNDIRECTED edge set (x<y matches
+    # canonical orientation directly)
+    tri = wedges.join(
+        und, (wedges.x == und.a) & (wedges.y == und.b), "inner"
+    ).select("apex", "x", "y")
+    per_node = (
+        tri.select(F.col("apex").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    # nodes in no triangle still appear, with 0
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
+        )
+    )
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Link prediction by neighborhood overlap: for every NON-adjacent
+    node pair with ≥ ``min_common`` shared neighbors, emit
+    (node_a, node_b, common, jaccard) where jaccard =
+    |Γa∩Γb| / |Γa∪Γb|.
+
+    Candidate pairs come from a wedge join through the shared
+    neighbor (never an all-pairs cross), so cost is O(Σ deg(w)²) over
+    wedge centers w — the same skew shape as triangle counting;
+    pre-cap hub degrees upstream if the graph has extreme hubs.
+    Existing edges are removed with a left-anti join, degrees folded
+    in via two broadcast-friendly joins.
+    """
+    und = canonical_edges(edges, src=src, dst=dst)
+    # neighbor lists in both directions
+    nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    w1 = nbr.select(F.col("nbr").alias("w"), F.col("node").alias("node_a"))
+    w2 = nbr.select(F.col("nbr").alias("w"), F.col("node").alias("node_b"))
+    common = (
+        w1.join(w2, "w")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    non_adjacent = common.join(
+        und,
+        (common.node_a == und.a) & (common.node_b == und.b),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("deg_b"))
+    return (
+        non_adjacent.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            F.col("common").cast("long").alias("common"),
+            (
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -464,3 +464,101 @@ def date_spine(
         (iso_dow >= 6).cast("long").alias("is_weekend"),
         (F.dayofmonth("date_day") == 1).cast("long").alias("is_month_start"),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    *,
+    key_col: str,
+    date_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: per key, the longest run of CONSECUTIVE
+    active days, the number of distinct runs, and total active days.
+
+    The classic row_number trick: after deduping to (key, day),
+    ``day − row_number()`` is constant within a consecutive run, so
+    one partitioned window + two hash aggregates finish the job. All
+    windows partition by key — no global ordering, no funnel; skew
+    is bounded by days-per-key (≤ calendar days), not events."""
+    days = df.select(
+        F.col(key_col).alias("key"), F.col(date_col).alias("day")
+    ).distinct()
+    w = Window.partitionBy("key").orderBy("day")
+    runs = (
+        days.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_grp", F.date_sub(F.col("day"), F.col("_rn")))
+        .groupBy("key", "_grp")
+        .agg(
+            F.count(F.lit(1)).alias("_len"),
+            F.min("day").alias("_start"),
+        )
+    )
+    return (
+        runs.groupBy("key")
+        .agg(
+            F.sum("_len").cast("long").alias("n_active_days"),
+            F.max("_len").cast("long").alias("longest_streak"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.min_by(
+                "_start", F.struct((-F.col("_len")).alias("_neg"), F.col("_start"))
+            ).alias("longest_streak_start"),
+        )
+    )
+
+
+def cusum_daily_anomaly(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str = "ts",
+    allowance_sigmas: float = 0.5,
+) -> DataFrame:
+    """One-sided CUSUM change detection over per-key DAILY counts:
+    ``s_0 = 0;  s_t = max(0, s_{t-1} + (x_t − μ_k − κ_k))`` with
+    ``κ_k = allowance_sigmas · σ_k`` (per-key sample stddev).
+
+    The max(0, ·) clamp makes the recursion nonlinear — no window
+    function expresses it — so the engine first collapses events to
+    the per-(key, day) count series (the ONLY O(rows) work, one
+    map-side-combinable aggregate), joins the per-key μ/σ, then runs
+    the recursion in an Arrow-batched ``applyInPandas`` over each
+    key's series: ≤ calendar-days rows per key, thousands of keys in
+    parallel, nothing driver-side. An external SQL oracle replays
+    the recursion as a recursive CTE over the same series — the
+    operation order per step is identical, so 6-dp rounding is
+    stable.
+
+    Returns (key, day, n, cusum): the running statistic per day;
+    alarm thresholds are a consumer-side filter (``cusum > h·σ``).
+    """
+    import pandas as pd
+
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("key").agg(
+        F.avg(F.col("n").cast("double")).alias("_mu"),
+        F.stddev_samp(F.col("n").cast("double")).alias("_sd"),
+    )
+    joined = daily.join(stats, "key")
+    schema = "key string, day date, n long, cusum double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        mu = float(pdf["_mu"].iloc[0])
+        sd = float(pdf["_sd"].iloc[0]) if pd.notna(pdf["_sd"].iloc[0]) else 0.0
+        drift = mu + allowance_sigmas * sd
+        s, out = 0.0, []
+        for x in pdf["n"]:
+            s = max(0.0, s + (float(x) - drift))
+            out.append(s)
+        return pd.DataFrame(
+            {
+                "key": pdf["key"],
+                "day": pdf["day"],
+                "n": pdf["n"].astype("int64"),
+                "cusum": out,
+            }
+        )
+
+    return joined.groupBy("key").applyInPandas(fold, schema)

@@ -210,3 +210,61 @@ def ntile_scalable(
         .withColumn(name, band.cast("long"))
         .drop("_gr", "_N")
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    *,
+    name: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable global running sum ``sum(value) over (order by …
+    rows unbounded preceding)`` — the prefix-sum sibling of
+    :func:`global_row_number`, same two-pass design, no
+    single-partition window funnel:
+
+    1. ``repartitionByRange`` on the order keys + task-local sort,
+       then a window partitioned BY SPARK PARTITION ID — a hash
+       exchange on ~``num_partitions`` balanced groups, never one
+       task — gives each row its within-partition running sum;
+    2. per-partition totals (``num_partitions`` rows to the driver)
+       → cumulative offsets, broadcast back and added.
+
+    ``order_by`` must be a total order for a deterministic result.
+    The ranged frame is persisted so both passes see the same
+    sampled range boundaries (same pin as global_row_number).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .select("*", F.monotonically_increasing_id().alias("_mono"))
+        .persist()
+    )
+    pid = F.shiftright("_mono", 33).cast("int")
+
+    totals = sorted(
+        ranged.groupBy(pid.alias("_pid"))
+        .agg(F.sum(value_col).alias("_t"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, acc = [], 0
+    for row in totals:
+        offsets.append((int(row["_pid"]), acc))
+        acc += row["_t"]
+    offset_df = spark.createDataFrame(offsets, f"_pid INT, _offset {df.schema[value_col].dataType.simpleString()}")
+
+    w = Window.partitionBy(pid).orderBy("_mono")
+    return (
+        ranged.withColumn("_local", F.sum(value_col).over(w))
+        .withColumn("_pid", pid)
+        .join(F.broadcast(offset_df), "_pid")
+        .withColumn(name, F.col("_local") + F.col("_offset"))
+        .drop("_pid", "_mono", "_local", "_offset")
+    )

@@ -401,3 +401,348 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     return containment_pairs(d, n=3, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# ROUND5_NEW batch A: graph analytics + distributed model fitting
+# ---------------------------------------------------------------------------
+
+#: shared user-co-activity edge derivation: an undirected edge links
+#: two users who were active on the same (event_type, calendar hour)
+#: slot at least twice — hour granularity keeps the graph sparse
+#: (day granularity makes it complete at every SF)
+_COACTIVITY_EDGES_SQL = """
+    ue AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    ),
+    shared AS (
+      SELECT x.user_id AS a, y.user_id AS b, count(*) AS shared
+      FROM ue x JOIN ue y
+        ON x.event_type = y.event_type AND x.hr = y.hr
+       AND x.user_id < y.user_id
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT a, b FROM shared WHERE shared >= 2)
+"""
+
+
+def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ue = (
+        T(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        )
+        .distinct()
+    )
+    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
+    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
+    return (
+        x.join(y, ["event_type", "hr"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= 2)
+        .select("a", "b")
+    )
+
+
+@register(
+    "triangle_counts_events",
+    f"""
+    WITH {_COACTIVITY_EDGES_SQL},
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY node
+    ),
+    nodes AS (SELECT a AS node FROM edges UNION SELECT b FROM edges)
+    SELECT n.node AS user_id,
+           CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
+    FROM nodes n LEFT JOIN per_node p ON p.node = n.node
+    ORDER BY triangles DESC, user_id ASC LIMIT 20
+    """,
+)
+def triangle_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the user co-activity graph via
+    DEGREE-ORDERED ORIENTATION (operators/graph.py::triangle_counts —
+    out-degree capped at O(√m) per node, so the wedge join survives
+    power-law hubs; the oracle counts the same triangles with the
+    naive ordered triple join, a genuinely different algorithm, which
+    is what makes the row a strong check). Top-20 most clustered
+    users."""
+    from dbt_lakehouse_aws_spark.operators.graph import triangle_counts
+
+    edges = _coactivity_edges(spark, sf_dir)
+    return (
+        triangle_counts(edges, src="a", dst="b")
+        .select(F.col("node").alias("user_id"), "triangles")
+        .orderBy(F.desc("triangles"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "link_prediction_users",
+    f"""
+    WITH {_COACTIVITY_EDGES_SQL},
+    nbr AS (
+      SELECT a AS node, b AS nbr FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    deg AS (SELECT node, count(*) AS deg FROM nbr GROUP BY node),
+    common AS (
+      SELECT w1.node AS node_a, w2.node AS node_b, count(*) AS common
+      FROM nbr w1 JOIN nbr w2 ON w1.nbr = w2.nbr AND w1.node < w2.node
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    ),
+    nonadj AS (
+      SELECT c.* FROM common c
+      LEFT JOIN edges e ON e.a = c.node_a AND e.b = c.node_b
+      WHERE e.a IS NULL
+    )
+    SELECT node_a AS user_a, node_b AS user_b,
+           CAST(common AS BIGINT) AS common,
+           round(common / (da.deg + db.deg - common), 6) AS jaccard
+    FROM nonadj
+    JOIN deg da ON da.node = node_a
+    JOIN deg db ON db.node = node_b
+    ORDER BY common / (da.deg + db.deg - common) DESC, user_a, user_b
+    LIMIT 30
+    """,
+)
+def link_prediction_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor Jaccard over the user
+    co-activity graph (operators/graph.py::common_neighbor_scores):
+    non-adjacent pairs with ≥3 shared neighbors, scored
+    |Γa∩Γb|/|Γa∪Γb| — candidates from a wedge join through the shared
+    neighbor, never an all-pairs cross. The score is exact integer
+    rational arithmetic in double, so ordering and values replay
+    bit-identically in SQL."""
+    from dbt_lakehouse_aws_spark.operators.graph import common_neighbor_scores
+
+    edges = _coactivity_edges(spark, sf_dir)
+    scores = common_neighbor_scores(edges, src="a", dst="b", min_common=3)
+    return (
+        scores.select(
+            F.col("node_a").alias("user_a"),
+            F.col("node_b").alias("user_b"),
+            "common",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("user_a"), F.asc("user_b"))
+        .limit(30)
+    )
+
+
+def _logreg_iter_sql(prev: str, out: str) -> str:
+    """One unrolled gradient-descent step as a CTE (the same
+    unrolled-fixpoint oracle device as pagerank_event_graph):
+    w_j ← w_j − lr·avg((σ(w·x) − y)·x_j), lr = 1."""
+    sig = f"(1.0/(1.0 + exp(-(p.w0 + p.w1*f.x1 + p.w2*f.x2))))"
+    return (
+        f"{out} AS (SELECT p.w0 - avg(({sig} - f.y)) AS w0, "
+        f"p.w1 - avg(({sig} - f.y) * f.x1) AS w1, "
+        f"p.w2 - avg(({sig} - f.y) * f.x2) AS w2 "
+        f"FROM feat f CROSS JOIN {prev} p GROUP BY p.w0, p.w1, p.w2)"
+    )
+
+
+@register(
+    "logreg_orders_gd",
+    f"""
+    WITH feat AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+             o_totalprice / 100000 AS x1,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1.0 ELSE 0.0 END AS x2
+      FROM orders
+    ),
+    it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+    {_logreg_iter_sql('it0', 'it1')},
+    {_logreg_iter_sql('it1', 'it2')},
+    {_logreg_iter_sql('it2', 'it3')},
+    loss AS (
+      SELECT avg(-(f.y * ln(1.0/(1.0 + exp(-(p.w0 + p.w1*f.x1 + p.w2*f.x2))))
+                   + (1.0 - f.y) * ln(1.0 - 1.0/(1.0 + exp(-(p.w0 + p.w1*f.x1 + p.w2*f.x2)))))) AS log_loss,
+             avg(f.y) AS pos_rate,
+             CAST(count(*) AS BIGINT) AS n
+      FROM feat f CROSS JOIN it3 p
+    )
+    SELECT round(p.w0, 6) AS w0, round(p.w1, 6) AS w1, round(p.w2, 6) AS w2,
+           round(l.log_loss, 6) AS log_loss, round(l.pos_rate, 6) AS pos_rate,
+           l.n
+    FROM it3 p CROSS JOIN loss l
+    """,
+)
+def logreg_orders_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression by full-batch gradient descent
+    (llmops/mlfit.py::logreg_fit): predict order finality from scaled
+    price + priority, 3 fixed steps from zero weights, lr=1. Each
+    step is ONE whole-stage-codegen aggregate over the data; driver
+    state is 3 floats. Value-oracled by unrolling the identical
+    3-step trajectory into chained SQL CTEs — the iterative-ML
+    analogue of the pagerank fixpoint oracle."""
+    from dbt_lakehouse_aws_spark.llmops.mlfit import logreg_fit, logreg_log_loss
+
+    o = T(spark, sf_dir, "orders")
+    feat = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+        (F.col("o_totalprice") / 100000).alias("x1"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        ).otherwise(0.0).alias("x2"),
+    ).persist()
+    w = logreg_fit(feat, ["x1", "x2"], "y", iters=3, lr=1.0)
+    out = logreg_log_loss(feat, ["x1", "x2"], "y", w).select(
+        F.round(F.lit(w[0]), 6).alias("w0"),
+        F.round(F.lit(w[1]), 6).alias("w1"),
+        F.round(F.lit(w[2]), 6).alias("w2"),
+        F.round("log_loss", 6).alias("log_loss"),
+        F.round("pos_rate", 6).alias("pos_rate"),
+        "n",
+    )
+    return out
+
+
+@register(
+    "auc_order_priority",
+    """
+    WITH cells AS (
+      SELECT o_totalprice AS s, count(*) AS n,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS p
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT n, p, sum(n) OVER (ORDER BY s) AS cum_n FROM cells
+    ),
+    agg AS (
+      SELECT sum(p * (CAST(cum_n - n AS DOUBLE) + (n + 1) / 2.0)) AS rpos,
+             CAST(sum(p) AS BIGINT) AS np, CAST(sum(n) AS BIGINT) AS nt
+      FROM cum
+    )
+    SELECT round((rpos - CAST(np AS DOUBLE) * (np + 1) / 2.0)
+                 / (CAST(np AS DOUBLE) * (nt - np)), 6) AS auc,
+           np AS n_pos, nt - np AS n_neg
+    FROM agg
+    """,
+)
+def auc_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (llmops/evalmetrics.py::auc_roc — the
+    Mann-Whitney rank-sum over per-distinct-score cells): does order
+    price separate urgent/high-priority orders? The engine's running
+    rank comes from the SCALABLE prefix sum (operators/windows.py::
+    prefix_sum, range partition + broadcast offsets — no
+    single-partition window); the oracle uses a plain windowed
+    cumulative sum, a genuinely different plan computing the same
+    exact rational, so the row pins both the metric and the
+    primitive. All rank sums are exact halves in double — order-
+    independent."""
+    from dbt_lakehouse_aws_spark.llmops.evalmetrics import auc_roc
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("y"),
+    )
+    return auc_roc(o, score_col="o_totalprice", label_col="y").select(
+        F.round("auc", 6).alias("auc"), "n_pos", "n_neg"
+    )
+
+
+@register(
+    "mutual_info_terms_by_lang",
+    """
+    WITH tc AS (
+      SELECT term, lang AS class, count(*) AS o FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY 1, 2
+    ), rt AS (SELECT term, sum(o) AS rt FROM tc GROUP BY 1),
+    ct AS (SELECT class, sum(o) AS ct FROM tc GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM tc)
+    SELECT tc.term,
+           round(sum((CAST(tc.o AS DOUBLE) / n.n)
+                     * ln((CAST(tc.o AS DOUBLE) * n.n)
+                          / (CAST(rt.rt AS DOUBLE) * ct.ct))), 6) AS mi
+    FROM tc JOIN rt ON rt.term = tc.term JOIN ct ON ct.class = tc.class, n
+    GROUP BY tc.term
+    ORDER BY mi DESC, tc.term ASC LIMIT 20
+    """,
+)
+def mutual_info_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature selection (llmops/classify.py::
+    mutual_information_terms) — the information-theoretic sibling of
+    the χ² row: zero cells contribute exactly 0, so the sum runs over
+    the SPARSE observed (term, class) cells only, no grid
+    densification. Top-20 most class-informative terms."""
+    from dbt_lakehouse_aws_spark.llmops.classify import mutual_information_terms
+
+    d = T(spark, sf_dir, "documents")
+    return mutual_information_terms(d, label_col="lang", k=20)
+
+
+@register(
+    "gini_customer_revenue",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS cust,
+             CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, cust) AS r
+      FROM rev
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total,
+             CAST(sum(r * cents) AS BIGINT) AS wsum
+      FROM ranked
+    )
+    SELECT n AS n_customers, total AS total_cents,
+           round((2.0 * wsum - CAST(n + 1 AS DOUBLE) * total)
+                 / (CAST(n AS DOUBLE) * total), 6) AS gini
+    FROM agg
+    """,
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality statistic a curation pipeline uses to quantify key
+    skew before choosing a partitioning. Needs every customer's
+    GLOBAL rank by revenue: built on the scalable two-pass
+    global_row_number (operators/windows.py, W4 primitive — no
+    single-partition window), while the oracle uses a plain
+    row_number window. Rank-weighted sums are exact integers (cents),
+    so both sides agree bit-for-bit before the one final division."""
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
+    o = T(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+    )
+    ranked = global_row_number(rev, [F.asc("cents"), F.asc("cust")], name="r")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("r") * F.col("cents")).cast("long").alias("wsum"),
+    )
+    gini = (
+        2.0 * F.col("wsum") - (F.col("n") + 1).cast("double") * F.col("total")
+    ) / (F.col("n").cast("double") * F.col("total"))
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.round(gini, 6).alias("gini"),
+    )

@@ -400,3 +400,92 @@ def _header_end(data: bytes) -> int:
             r.read_bytes()
     r.read(16)
     return r.pos
+
+
+# ---------------------------------------------------------------------------
+# distributed Avro sink
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_AVRO = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+}
+
+
+def avro_schema_for(df) -> dict:
+    """Avro record schema for a flat Spark DataFrame of primitive /
+    nullable-primitive columns (the shape :func:`read_avro` scans)."""
+    fields = []
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t not in _SPARK_TO_AVRO:
+            raise ValueError(
+                f"write_avro supports flat primitive columns only; "
+                f"{f.name} is {t} (project/flatten first)"
+            )
+        at = _SPARK_TO_AVRO[t]
+        fields.append(
+            {"name": f.name, "type": ["null", at] if f.nullable else at}
+        )
+    return {"type": "record", "name": "row", "fields": fields}
+
+
+def write_avro(df, path: str, *, codec: str = "deflate"):
+    """Distributed Avro sink: each task encodes ITS partition into one
+    spec-conformant Object Container File under ``path`` (tmp-file +
+    atomic rename, so readers never see a torn container). The
+    returned one-row frame aggregates (n_rows, n_files) — forcing it
+    is what runs the write, mirroring Spark's lazy sink semantics.
+
+    Parallelism = input partitions, the natural Avro unit (the format
+    is row-major and block-compressed — there is no intra-file column
+    split to exploit). The inverse of :func:`read_avro`; the codec is
+    the pure-Python encoder above, so the pair round-trips without
+    any JVM Avro dependency."""
+    import uuid
+
+    import pandas as pd
+
+    schema = avro_schema_for(df)
+    cols = [f.name for f in df.schema.fields]
+    binary_cols = {
+        f.name for f in df.schema.fields if f.dataType.typeName() == "binary"
+    }
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(batches):
+        records = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rec = {}
+                for c, v in zip(cols, row):
+                    if v is None or (isinstance(v, float) and pd.isna(v)):
+                        rec[c] = None
+                    elif c in binary_cols:
+                        rec[c] = bytes(v)
+                    else:
+                        rec[c] = v
+                records.append(rec)
+        n_files = 0
+        if records:
+            blob = write_container(schema, records, codec=codec)
+            final = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+            tmp = final + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, final)
+            n_files = 1
+        yield pd.DataFrame({"n_rows": [len(records)], "n_files": [n_files]})
+
+    import pyspark.sql.functions as _F
+
+    meta = df.mapInPandas(write_part, "n_rows long, n_files long")
+    return meta.agg(
+        _F.sum("n_rows").cast("long").alias("n_rows"),
+        _F.sum("n_files").cast("long").alias("n_files"),
+    )

@@ -231,3 +231,30 @@ def read_jsonl_source(
         df = df.select("*", "_metadata")
         df = with_path_metadata(df).drop("_metadata")
     return df
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+    *,
+    trim: bool = True,
+) -> DataFrame:
+    """Fixed-width text ingest — the mainframe/EDI landing format:
+    each ``(name, start, width, dtype)`` spec (1-based start, DDL
+    dtype) becomes a ``substring`` + optional ``trim`` + cast, all
+    JVM-side expressions over ``spark.read.text`` — splittable line
+    reader, whole-stage codegen parse, no Python.
+
+    ANSI-safe: blank-padded empty fields become NULL via ``nullif``
+    before the cast (a raw cast of '' throws under the driver's ANSI
+    session). Numeric fields are right-aligned by convention; trim
+    handles both alignments."""
+    lines = spark.read.text(path)
+    cols = []
+    for name, start, width, dtype in colspecs:
+        raw = F.substring(F.col("value"), start, width)
+        if trim:
+            raw = F.trim(raw)
+        cols.append(F.nullif(raw, F.lit("")).cast(dtype).alias(name))
+    return lines.select(*cols)
