@@ -746,3 +746,213 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("total_cents"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND5_NEW batch B: gaps-and-islands, CUSUM change detection,
+# market-basket lift, skip-gram PPMI
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "activity_streaks_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    runs AS (
+      SELECT user_id,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS grp
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, grp, count(*) AS len FROM runs GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM islands
+    GROUP BY user_id
+    """,
+)
+def activity_streaks_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (operators/temporal.py::activity_streaks):
+    per user, total active days / longest consecutive-day streak /
+    number of streaks, via the day-minus-row_number constant-group
+    trick. All windows partition by user — skew bounded by calendar
+    days per key, no funnel."""
+    from dbt_lakehouse_aws_spark.operators.temporal import activity_streaks
+
+    ev = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return activity_streaks(ev, key_col="user_id", date_col="day").select(
+        F.col("key").alias("user_id"),
+        "n_active_days",
+        "longest_streak",
+        "n_streaks",
+    )
+
+
+@register(
+    "cusum_daily_events",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT key, avg(x) AS mu, stddev_samp(x) AS sd FROM daily GROUP BY key
+    ),
+    seq AS (
+      SELECT key, day, x, n,
+             CAST(row_number() OVER (PARTITION BY key ORDER BY day)
+                  AS BIGINT) AS i
+      FROM daily
+    ),
+    rec(key, i, s) AS (
+      SELECT key, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE) FROM stats
+      UNION ALL
+      SELECT r.key, r.i + 1,
+             greatest(0.0, r.s + (q.x - (st.mu + 0.5 * st.sd)))
+      FROM rec r
+      JOIN seq q ON q.key = r.key AND q.i = r.i + 1
+      JOIN stats st ON st.key = r.key
+    )
+    SELECT q.key AS event_type, q.day, q.n, round(r.s, 6) AS cusum
+    FROM rec r JOIN seq q ON q.key = r.key AND q.i = r.i
+    """,
+)
+def cusum_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection over per-type daily event
+    counts (operators/temporal.py::cusum_daily_anomaly). The max(0,·)
+    clamp is nonlinear — no window function expresses it — so the
+    engine pre-aggregates to the per-key daily series (the only
+    O(rows) work) and folds the recursion per key in Arrow-batched
+    applyInPandas; the oracle replays the identical recursion as a
+    recursive CTE. Per-step operation order matches exactly, so 6-dp
+    rounding is stable."""
+    from dbt_lakehouse_aws_spark.operators.temporal import cusum_daily_anomaly
+
+    ev = T(spark, sf_dir, "events")
+    out = cusum_daily_anomaly(ev, key_col="event_type", ts_col="ts")
+    return out.select(
+        F.col("key").alias("event_type"),
+        "day",
+        "n",
+        F.round("cusum", 6).alias("cusum"),
+    )
+
+
+@register(
+    "basket_pairs_lift",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ),
+    cnt AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           round(CAST(support AS DOUBLE) * n.n / (ca.c * cb.c), 6) AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.l_partkey = part_a
+    JOIN cnt cb ON cb.l_partkey = part_b
+    CROSS JOIN n_orders n
+    WHERE support >= 2
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT 30
+    """,
+)
+def basket_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: co-ordered part pairs with
+    support ≥ 2, ranked by lift = P(a,b)/(P(a)·P(b)). The pair table
+    is a self-equi-join on the ORDER key — fan-out bounded by
+    items-per-order (≤ 7 in this schema), linear in lineitems, never
+    an all-pairs part join; counts collapse map-side. Lift is exact
+    integer rational arithmetic in double, so ordering and values
+    replay bit-identically."""
+    l = T(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    lift = F.col("support").cast("double") * F.col("n") / (
+        F.col("ca") * F.col("cb")
+    )
+    return (
+        pairs.join(cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")), "part_a")
+        .join(cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb")), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(30)
+    )
+
+
+@register(
+    "skipgram_ppmi_docs",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+    lanes AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2 FROM (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+               i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS bg FROM toks)
+      UNION ALL
+      SELECT bg.w1, bg.w2 FROM (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+               i -> struct_pack(w1 := w[i], w2 := w[i + 2]))) AS bg FROM toks)
+      UNION ALL
+      SELECT bg.w1, bg.w2 FROM (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 3),
+               i -> struct_pack(w1 := w[i], w2 := w[i + 3]))) AS bg FROM toks)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM lanes GROUP BY 1, 2),
+    uni AS (SELECT t AS w, count(*) AS cu
+            FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+    t2 AS (SELECT sum(c2) AS t2 FROM c2),
+    tu AS (SELECT sum(cu) AS tu FROM uni)
+    SELECT c2.w1, c2.w2, CAST(c2.c2 AS BIGINT) AS n_pair,
+           round(greatest(ln((c2.c2 / t2.t2)
+                             / ((u1.cu / tu.tu) * (u2.cu / tu.tu))), 0.0),
+                 6) AS ppmi
+    FROM c2
+    JOIN uni u1 ON u1.w = c2.w1
+    JOIN uni u2 ON u2.w = c2.w2
+    CROSS JOIN t2 CROSS JOIN tu
+    WHERE c2.c2 >= 5
+    ORDER BY ppmi DESC, c2.w1 ASC, c2.w2 ASC LIMIT 30
+    """,
+)
+def skipgram_ppmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram PPMI co-occurrence, window 3 (llmops/text.py::
+    skipgram_ppmi) — the word2vec-implicit statistic; pair lanes are
+    shifted-slice arrays_zip projections (NO position self-join, so
+    work is window·tokens, linear). Top-30 pairs."""
+    from dbt_lakehouse_aws_spark.llmops.text import skipgram_ppmi
+
+    d = T(spark, sf_dir, "documents").select("text")
+    return skipgram_ppmi(d, window=3, min_count=5, k=30)
