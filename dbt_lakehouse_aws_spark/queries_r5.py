@@ -956,3 +956,220 @@ def skipgram_ppmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents").select("text")
     return skipgram_ppmi(d, window=3, min_count=5, k=30)
+
+
+# ---------------------------------------------------------------------------
+# ROUND5_NEW batch C: ingest formats + streaming window equivalence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fixed_width_roundtrip_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_custkey) AS BIGINT) AS max_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def fixed_width_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text ingest (sources/reader.py::read_fixed_width —
+    the mainframe/EDI landing format): orders are formatted into
+    12+12+1+14-char fixed columns with Spark's distributed text
+    writer, read back via substring+trim+cast (all JVM expressions
+    over spark.read.text, ANSI-safe), and the aggregate over the
+    READ-BACK copy must match the oracle over the source parquet —
+    same roundtrip proof shape as the ORC/JSONL rows. Money travels
+    as integer cents so the text format is lossless."""
+    import tempfile
+
+    from dbt_lakehouse_aws_spark.sources.reader import read_fixed_width
+
+    o = T(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, " "),
+        F.lpad(F.col("o_custkey").cast("string"), 12, " "),
+        F.col("o_orderstatus"),
+        F.lpad(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            14,
+            " ",
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="fixw_") + "/orders_fixw"
+    o.select(line.alias("value")).write.mode("overwrite").text(root)
+    back = read_fixed_width(
+        spark,
+        root,
+        [
+            ("o_orderkey", 1, 12, "long"),
+            ("o_custkey", 13, 12, "long"),
+            ("o_orderstatus", 25, 1, "string"),
+            ("cents", 26, 14, "long"),
+        ],
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_custkey").alias("max_cust"),
+    )
+
+
+@register(
+    "hive_partition_prune_events",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(round(value, 2)), 2) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def hive_partition_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned scan: events
+    are written ``partitionBy(event_type)`` (the layout a 100 TB
+    event lake actually uses), then read back with an event_type
+    filter that must resolve at PLANNING time — the scan lists only
+    the one matching directory, never touching the other partitions'
+    files (asserted by tests/test_plans.py::
+    test_hive_partition_prune_plan on this exact query). The
+    aggregate over the pruned read-back must match the oracle's
+    filtered aggregate over the source."""
+    import tempfile
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="hivep_") + "/events_part"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(root)
+    back = spark.read.parquet(root).filter(F.col("event_type") == "purchase")
+    return back.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.round("value", 2)), 2).alias("total_value"),
+    )
+
+
+@register(
+    "avro_roundtrip_events",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def avro_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro WRITE + READ roundtrip through the pure-Python codec
+    (sources/avro_io.py::write_avro / read_avro): each task encodes
+    its partition into one spec-conformant deflate container
+    (tmp-file + atomic rename), the read side decodes per file in
+    executor tasks, and the aggregate over the read-back must match
+    the oracle over the source parquet. Completes the Avro story —
+    round 3 proved READ against hand-built byte fixtures; this proves
+    the writer emits containers the (fixture-pinned) reader accepts,
+    distributed both ways. Values travel as integer cents."""
+    import tempfile
+
+    from dbt_lakehouse_aws_spark.sources.avro_io import read_avro, write_avro
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="avro_rt_") + "/events_avro"
+    write_avro(ev, root, codec="deflate").collect()  # force the sink
+    back = read_avro(spark, root)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+    )
+
+
+@register(
+    "stream_window_counts_equivalence",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch
+    FROM (
+      SELECT date_trunc('day', ts) AS w, event_type
+      FROM events GROUP BY 1, 2
+    )
+    """,
+)
+def stream_window_counts_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream/batch equivalence for the watermarked tumbling-window
+    aggregation (streaming/ingest.py::windowed_event_counts — the
+    third streaming path under the driver gate, joining PIT-enrich
+    and dedup-at-ingest): one availableNow pass over the sf_dir
+    events with a 1-day window must produce EXACTLY the batch
+    group-by's windows. The oracle pins the window count and that
+    both exceptAll directions are empty."""
+    import uuid
+
+    from dbt_lakehouse_aws_spark.streaming.ingest import windowed_event_counts
+
+    ev_stream = _events_stream_r5(spark, sf_dir)
+    agg = windowed_event_counts(
+        ev_stream, window="1 day", watermark="2 days"
+    ).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )
+    sink = f"winagg_eq_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    stream_out = spark.table(sink)
+
+    ev = T(spark, sf_dir, "events")
+    batch_out = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    only_s = stream_out.exceptAll(batch_out).count()
+    only_b = batch_out.exceptAll(stream_out).count()
+    n_windows = batch_out.count()
+    return spark.createDataFrame(
+        [(n_windows, only_s, only_b)],
+        "n_windows long, n_only_stream long, n_only_batch long",
+    )
+
+
+def _events_stream_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the sf_dir events parquet with the same
+    nanos-ts normalization T() applies to the batch reader."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))

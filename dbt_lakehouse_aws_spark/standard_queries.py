@@ -8192,13 +8192,59 @@ ROUND5_QUEUE: list[str] = [
 
 #: queries registered DURING round 5 — appended at registration time,
 #: FROZEN before the driver pass (same discipline as ROUND4_NEW).
-ROUND5_NEW: list[str] = []
+ROUND5_NEW: list[str] = [
+    "triangle_counts_events",
+    "link_prediction_users",
+    "logreg_orders_gd",
+    "auc_order_priority",
+    "mutual_info_terms_by_lang",
+    "gini_customer_revenue",
+    "activity_streaks_users",
+    "cusum_daily_events",
+    "basket_pairs_lift",
+    "skipgram_ppmi_docs",
+    "fixed_width_roundtrip_orders",
+    "hive_partition_prune_events",
+    "avro_roundtrip_events",
+    "stream_window_counts_equivalence",
+]
+
+#: backfill: every query on the board is green, but these 24 have had
+#: no driver row since ROUND 1 — rotate the stalest evidence back
+#: under the gate so the cumulative board stays fresh (alphabetical
+#: 24 of the 42 r1-only rows; the remaining 18 lead round 6's
+#: backfill).
+ROUND5_BACKFILL: list[str] = [
+    "a10_ratio_of_sums",
+    "a12_rollup_revenue",
+    "a2_conditional_avg",
+    "a3_regression_slope",
+    "a4_group_rank_cell_avg",
+    "a5_replacement_floor",
+    "a7_pivot_daily_events",
+    "a8_value_percentiles",
+    "a9_budget_share",
+    "cosine_topk",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_label_norms",
+    "j10_anti_unordered_customers",
+    "j1_left_enrich",
+    "j7_join_literal_pred",
+    "j8_two_step_join",
+    "j9_semi_join_big_spenders",
+    "lang_id",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "p2_distinct_segments",
+    "p_predicate_gauntlet",
+    "q1_pricing_summary",
+]
 
 # Round-5 window: shape/semantics re-checks + the eight staged-r4
-# promotions lead, then round-5's own registrations, then backfill
-# with long-unchecked rows (oldest driver evidence first) up to the
-# 50-slot budget.
-DRIVER_WINDOW: list[str] = (ROUND5_QUEUE + ROUND5_NEW)[:50]
+# promotions lead, then round-5's own registrations, then the
+# stalest-evidence backfill — 50 slots exactly.
+DRIVER_WINDOW: list[str] = (ROUND5_QUEUE + ROUND5_NEW + ROUND5_BACKFILL)[:50]
 
 
 def _window_ordered() -> list[QuerySpec]:

@@ -679,3 +679,125 @@ def test_kmv_pairwise_overlap_rejects_nonportable_sketches(spark):
     sk = kmv_sketch(df, group_col="g", value_col="v", k=16)  # portable=False
     with pytest.raises(ValueError, match="portable=True"):
         kmv_pairwise_overlap(sk, k=16)
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 plus a pendant: each K4 corner is in C(3,2)=3 triangles,
+    the pendant in none; duplicate/reversed/self-loop input rows must
+    not change the counts."""
+    from dbt_lakehouse_aws_spark.operators.graph import triangle_counts
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),                                          # pendant
+        (2, 1), (3, 1), (1, 1),                          # noise: dup/rev/self
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_common_neighbor_scores_hand_graph(spark):
+    """Path a-c-b plus hub: a and b share {c}, are non-adjacent;
+    adjacent pairs are excluded even with shared neighbors."""
+    from dbt_lakehouse_aws_spark.operators.graph import common_neighbor_scores
+
+    edges = [(1, 3), (2, 3), (1, 4), (2, 4), (1, 2)]
+    # 1-2 adjacent (shares 3,4) -> excluded; 3-4 share {1,2} -> jaccard 2/(2+2-2)=1.0
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node_a"], r["node_b"]): (r["common"], round(r["jaccard"], 6))
+        for r in common_neighbor_scores(df).collect()
+    }
+    assert got == {(3, 4): (2, 1.0)}
+
+
+def test_cusum_hand_series(spark):
+    """Hand-computed CUSUM: series 1,1,10,1 per key; mu=3.25,
+    sd=stddev_samp, drift=mu+0.5sd; fold max(0, s+x-drift)."""
+    import statistics
+
+    from dbt_lakehouse_aws_spark.operators.temporal import cusum_daily_anomaly
+
+    rows = []
+    series = {"a": [1, 1, 10, 1]}
+    for key, xs in series.items():
+        for d, x in enumerate(xs, start=1):
+            for i in range(x):
+                rows.append((key, f"2024-01-0{d} 00:00:0{i % 10}.{i}"))
+    df = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {
+        str(r["day"]): r["cusum"]
+        for r in cusum_daily_anomaly(df, key_col="event_type").collect()
+    }
+    mu = statistics.mean(series["a"])
+    sd = statistics.stdev(series["a"])
+    drift = mu + 0.5 * sd
+    s, want = 0.0, {}
+    for d, x in enumerate(series["a"], start=1):
+        s = max(0.0, s + (x - drift))
+        want[f"2024-01-0{d}"] = s
+    for day, v in want.items():
+        assert got[day] == pytest.approx(v, abs=1e-9), day
+
+
+def test_auc_roc_known_value(spark):
+    """AUC on a tiny set with ties, cross-checked against the
+    probabilistic definition P(s+ > s-) + 0.5 P(s+ = s-)."""
+    from dbt_lakehouse_aws_spark.llmops.evalmetrics import auc_roc
+
+    rows = [(0.1, 0), (0.2, 0), (0.2, 1), (0.7, 0), (0.8, 1), (0.8, 1)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = auc_roc(df, score_col="s", label_col="y").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    want = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert got["auc"] == pytest.approx(want, abs=1e-12)
+    assert (got["n_pos"], got["n_neg"]) == (3, 3)
+
+
+def test_logreg_fit_matches_numpy(spark):
+    """The distributed GD trajectory equals the numpy full-batch
+    reference to float tolerance."""
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.mlfit import logreg_fit
+
+    rng = np.random.RandomState(7)
+    x = rng.normal(size=(500, 2))
+    y = (x[:, 0] + 0.5 * x[:, 1] + rng.normal(scale=0.5, size=500) > 0).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(t)) for (a, b), t in zip(x, y)],
+        "x1 double, x2 double, y double",
+    )
+    got = logreg_fit(df, ["x1", "x2"], "y", iters=4, lr=0.7)
+    w = np.zeros(3)
+    X = np.hstack([np.ones((500, 1)), x])
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - 0.7 * (X.T @ (p - y)) / 500
+    assert np.allclose(got, w, atol=1e-9)
+
+
+def test_activity_streaks_hand_case(spark):
+    """User 1: days 1,2,3,7,8 -> streaks (3, 2); user 2: one day."""
+    from dbt_lakehouse_aws_spark.operators.temporal import activity_streaks
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-03"),
+        (1, "2024-01-07"), (1, "2024-01-08"), (1, "2024-01-02"),
+        (2, "2024-02-10"),
+    ]
+    df = spark.createDataFrame(rows, "u long, d string").select(
+        "u", F.col("d").cast("date").alias("d")
+    )
+    got = {r["key"]: r for r in activity_streaks(df, key_col="u", date_col="d").collect()}
+    assert got[1]["n_active_days"] == 5
+    assert got[1]["longest_streak"] == 3
+    assert got[1]["n_streaks"] == 2
+    assert str(got[1]["longest_streak_start"]) == "2024-01-01"
+    assert got[2]["longest_streak"] == 1 and got[2]["n_streaks"] == 1

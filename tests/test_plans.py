@@ -442,3 +442,58 @@ def test_round4_queries_no_funnels_or_row_udfs(spark, sf_dir, queries):
         rep = plan_report(queries[n](spark, sf_dir))
         assert not rep.smells.get("single_partition_exchange"), (n, rep.smells)
         assert not rep.smells.get("python_row_udf"), (n, rep.smells)
+
+
+def test_hive_partition_prune_plan(spark, sf_dir):
+    """The partitioned-sink roundtrip's read side must prune at
+    PLANNING time: the event_type filter shows up as a PartitionFilter
+    on the scan (directory-level pruning), not a data filter."""
+    import tempfile
+
+    ev = SQ.T(spark, sf_dir, "events").select("event_id", "ts", "value", "event_type")
+    root = tempfile.mkdtemp(prefix="hivep_plan_") + "/events_part"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(root)
+    back = spark.read.parquet(root).filter(F.col("event_type") == "purchase")
+    p = plan(back.groupBy(F.to_date("ts").alias("day")).count())
+    assert "PartitionFilters" in p and "event_type" in p.split("PartitionFilters", 1)[1][:200]
+
+
+def test_round5_queries_no_funnels_or_row_udfs(spark, sf_dir, queries):
+    """Plan-lint sweep over the round-5 declarative additions: no
+    single-partition exchanges, no row-pickling Python UDFs.
+    Eagerly-executing fixtures (roundtrips, streaming equivalence,
+    iterative fits) are exercised by their own correctness tests."""
+    from dbt_lakehouse_aws_spark.plans.lint import plan_report
+
+    names = [
+        "triangle_counts_events",
+        "link_prediction_users",
+        "mutual_info_terms_by_lang",
+        "basket_pairs_lift",
+        "skipgram_ppmi_docs",
+        "activity_streaks_users",
+    ]
+    for n in names:
+        rep = plan_report(queries[n](spark, sf_dir))
+        assert not rep.smells.get("single_partition_exchange"), (n, rep.smells)
+        assert not rep.smells.get("python_row_udf"), (n, rep.smells)
+
+
+def test_prefix_sum_matches_window_and_avoids_funnel(spark):
+    """prefix_sum == the single-partition window's answer, without
+    the single-partition exchange."""
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+    from pyspark.sql import Window
+
+    # order key must be total: (k, v) is not unique -> include row id
+    df2 = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") * 2654435761 % 9973).alias("k"),
+        (F.col("id") % 97).cast("long").alias("v"),
+    )
+    got = prefix_sum(df2, [F.asc("k"), F.asc("id")], "v", name="cum")
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df2.withColumn("cum", F.sum("v").over(w))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    p = plan(got)
+    assert "SinglePartition" not in p

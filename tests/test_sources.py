@@ -1012,3 +1012,52 @@ def test_explode_archive_members_bomb_caps(spark):
         explode_archive_members(
             df, mode="failfast", max_member_bytes=1024, max_members=3
         ).collect()
+
+
+def test_write_avro_roundtrip_with_nulls_and_empty_partitions(spark):
+    """Distributed Avro writer: nullable columns survive, empty
+    partitions produce no file, the reader reproduces the multiset."""
+    from dbt_lakehouse_aws_spark.sources.avro_io import read_avro, write_avro
+    import tempfile
+
+    rows = [(1, "a", 1.5), (2, None, None), (3, "c", -0.25)]
+    df = spark.createDataFrame(
+        rows, "id long, name string, score double"
+    ).repartition(8)  # more partitions than rows -> empty partitions
+    root = tempfile.mkdtemp(prefix="avro_w_") + "/t"
+    meta = write_avro(df, root, codec="deflate").collect()[0]
+    assert meta["n_rows"] == 3
+    assert 1 <= meta["n_files"] <= 3  # empty partitions wrote nothing
+    back = sorted(
+        (r["id"], r["name"], r["score"])
+        for r in read_avro(spark, root).collect()
+    )
+    assert back == sorted(rows)
+
+
+def test_write_avro_rejects_nested(spark):
+    from dbt_lakehouse_aws_spark.sources.avro_io import avro_schema_for
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, [1, 2])], "id long, xs array<long>")
+    with _pytest.raises(ValueError, match="flat primitive"):
+        avro_schema_for(df)
+
+
+def test_read_fixed_width_blank_fields_null(spark, tmp_path):
+    """Blank-padded empty fields -> NULL through nullif before the
+    ANSI cast; right-aligned numerics parse."""
+    from dbt_lakehouse_aws_spark.sources.reader import read_fixed_width
+
+    lines = ["         1ABC       42", "         2              "]
+    p = tmp_path / "fw.txt"
+    p.write_text("\n".join(lines) + "\n")
+    out = {
+        r["k"]: (r["tag"], r["v"])
+        for r in read_fixed_width(
+            spark,
+            str(p),
+            [("k", 1, 10, "long"), ("tag", 11, 3, "string"), ("v", 14, 9, "long")],
+        ).collect()
+    }
+    assert out == {1: ("ABC", 42), 2: (None, None)}
