@@ -140,7 +140,6 @@ HEADLINE = [
     # twin twice each; they gate in CORRECTNESS, not the throughput bench.
     "serving_rankings_page",
     "ann_ivf_topk",
-    "pq_topk_rerank",
     "bpe_tokenize_docs",
     "target_encode_loo_orders",
     "funnel_windowed_3d",
@@ -159,6 +158,32 @@ HEADLINE = [
     "balanced_sample_docs",
     "benford_first_digit_orders",
     "seasonal_weekday_index",
+    # round-5 additions (same basis + additions called out, VERDICT r2
+    # item 8): the eight r4-staged promotions, then this round's new
+    # operators. Excluded: stream_window_counts_equivalence — a
+    # correctness fixture (streaming job + batch twin + two exceptAll
+    # passes), gated in CORRECTNESS like the other two stream rows.
+    "record_linkage_parts",
+    "golden_record_parts",
+    "orc_roundtrip_events",
+    "jsonl_bz2_roundtrip_docs",
+    "kneser_ney_quality_docs",
+    "ql_dirichlet_topk_docs",
+    "pmi_collocations_docs",
+    "containment_pairs_docs",
+    "triangle_counts_events",
+    "link_prediction_users",
+    "logreg_orders_gd",
+    "auc_order_priority",
+    "mutual_info_terms_by_lang",
+    "gini_customer_revenue",
+    "activity_streaks_users",
+    "cusum_daily_events",
+    "basket_pairs_lift",
+    "skipgram_ppmi_docs",
+    "fixed_width_roundtrip_orders",
+    "hive_partition_prune_events",
+    "avro_roundtrip_events",
 ]
 
 
