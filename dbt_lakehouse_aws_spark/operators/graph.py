@@ -246,3 +246,97 @@ def common_neighbor_scores(
             ).alias("jaccard"),
         )
     )
+
+
+def ancestor_closure(
+    parents: DataFrame,
+    *,
+    child: str = "child",
+    parent: str = "parent",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Transitive ancestor closure of a forest by POINTER DOUBLING:
+    returns (node, ancestor) for every proper ancestor, in
+    ⌈log₂ depth⌉ self-joins instead of depth sequential ones.
+
+    Round k joins the current closure with the k-th "jump table"
+    (links of length 2^k), so a depth-d hierarchy closes in O(log d)
+    shuffles of O(V·d) total rows — the output size itself, which is
+    the lower bound. A per-level loop would run d shuffles (d = 20+
+    for real product/org hierarchies); a recursive CTE doesn't exist
+    in Spark. Cycle safety: ``max_depth`` bounds the walk, and
+    convergence is detected with a bounded count per round (the jump
+    table empties once 2^k exceeds the forest depth).
+
+    The building block under :func:`subtree_rollup`; scale shape is
+    all hash equi-joins on node ids — AQE-planable, no driver state
+    beyond the loop counter.
+    """
+    links = parents.select(
+        F.col(child).alias("node"), F.col(parent).alias("anc")
+    ).filter(F.col("anc").isNotNull())
+    closure = links.localCheckpoint(eager=True)
+    jump = closure  # links of length exactly 2^k after k rounds
+    depth_covered = 1
+    while depth_covered < max_depth:
+        # extend existing paths by the current jump length, and the
+        # jump table itself doubles
+        # extend FIRST: closure(1..2^k) ∘ jump(2^k) covers distances
+        # 2^k+1 .. 2^{k+1}, so even when the doubled jump table comes
+        # back empty (no path of length exactly 2^{k+1}), the odd
+        # distances in (2^k, 2^{k+1}) are already in the closure.
+        ext = (
+            closure.alias("c")
+            .join(jump.alias("j"), F.col("c.anc") == F.col("j.node"))
+            .select(F.col("c.node").alias("node"), F.col("j.anc").alias("anc"))
+        )
+        closure = (
+            closure.unionByName(ext).distinct().localCheckpoint(eager=True)
+        )
+        j2 = (
+            jump.alias("x")
+            .join(
+                jump.alias("y"),
+                F.col("x.anc") == F.col("y.node"),
+            )
+            .select(F.col("x.node").alias("node"), F.col("y.anc").alias("anc"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if j2.isEmpty():
+            break
+        jump = j2
+        depth_covered *= 2
+    return closure
+
+
+def subtree_rollup(
+    parents: DataFrame,
+    values: DataFrame,
+    *,
+    child: str = "child",
+    parent: str = "parent",
+    node_col: str = "node",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hierarchical subtree aggregation: for every node, the sum of
+    ``value`` over its ENTIRE subtree (descendants + itself) — the
+    product-catalog / org-chart / region-tree rollup a recursive CTE
+    does in one line elsewhere, built from :func:`ancestor_closure`
+    (log-depth pointer doubling) + one groupBy.
+
+    Nodes appearing only as parents (no value row) roll up their
+    descendants' values; value rows for nodes outside the forest
+    contribute only to themselves.
+    """
+    anc = ancestor_closure(parents, child=child, parent=parent)
+    contrib = values.select(
+        F.col(node_col).alias("target"), F.col(value_col).alias("_v")
+    ).unionByName(
+        values.join(
+            anc, values[node_col] == anc["node"], "inner"
+        ).select(F.col("anc").alias("target"), F.col(value_col).alias("_v"))
+    )
+    return contrib.groupBy(F.col("target").alias(node_col)).agg(
+        F.sum("_v").alias("subtree_total")
+    )

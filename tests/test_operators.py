@@ -801,3 +801,33 @@ def test_activity_streaks_hand_case(spark):
     assert got[1]["n_streaks"] == 2
     assert str(got[1]["longest_streak_start"]) == "2024-01-01"
     assert got[2]["longest_streak"] == 1 and got[2]["n_streaks"] == 1
+
+
+def test_ancestor_closure_pointer_doubling(spark):
+    """Chain 1->2->3->4->5->6->7 (depth NOT a power of two — pins the
+    odd-distance coverage when the doubled jump table empties) plus a
+    second root; closure = every proper ancestor."""
+    from dbt_lakehouse_aws_spark.operators.graph import ancestor_closure
+
+    chain = [(i, i + 1) for i in range(1, 7)]  # child -> parent
+    other = [(10, 11)]
+    df = spark.createDataFrame(chain + other, "child long, parent long")
+    got = {(r["node"], r["anc"]) for r in ancestor_closure(df).collect()}
+    want = {(c, a) for c in range(1, 7) for a in range(c + 1, 8)} | {(10, 11)}
+    assert got == want
+
+
+def test_subtree_rollup_hand_tree(spark):
+    """Tree: 1 <- {2,3}, 2 <- {4,5}; values at leaves and inner
+    nodes; rollup(1) = everything, rollup(2) = 2+4+5."""
+    from dbt_lakehouse_aws_spark.operators.graph import subtree_rollup
+
+    parents = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (5, 2)], "child long, parent long"
+    )
+    values = spark.createDataFrame(
+        [(1, 1), (2, 10), (3, 100), (4, 1000), (5, 10000)],
+        "node long, value long",
+    )
+    got = {r["node"]: r["subtree_total"] for r in subtree_rollup(parents, values).collect()}
+    assert got == {1: 11111, 2: 11010, 3: 100, 4: 1000, 5: 10000}
