@@ -252,3 +252,229 @@ def blocking_quality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_completeness"),
         )
     )
+
+
+@_staged(
+    "conformal_interval_coverage",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 2 = 0 AS is_calib
+      FROM orders
+    ),
+    pred AS (
+      SELECT grp, sum(cents) / count(*) AS mu
+      FROM base WHERE is_calib GROUP BY grp
+    ),
+    resid AS (
+      SELECT b.grp, b.is_calib, abs(b.cents - p.mu) AS r
+      FROM base b JOIN pred p ON p.grp = b.grp
+    ),
+    q AS (
+      SELECT grp, quantile_disc(r, 0.9) AS q90
+      FROM resid WHERE is_calib GROUP BY grp
+    )
+    SELECT r.grp AS priority,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(avg(CASE WHEN r.r <= q.q90 THEN 1.0 ELSE 0.0 END), 6)
+             AS coverage,
+           round(q.q90 / 100, 2) AS interval_halfwidth
+    FROM resid r JOIN q ON q.grp = r.grp
+    WHERE NOT r.is_calib
+    GROUP BY r.grp, q.q90
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals — the distribution-free
+    uncertainty wrapper an ML-serving pipeline calibrates offline:
+    even orderkeys are the calibration split, the predictor is the
+    per-priority calibration mean (exact rational cents), the
+    interval half-width is the DISCRETE 90th percentile of
+    calibration |residuals| (percentile_disc returns an actual data
+    value — no interpolation, so both engines pick the identical
+    element), and the reported number is held-out coverage per
+    priority. Two aggregates + two broadcast joins; nothing leaves
+    integer/rational arithmetic until the final division."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_calib"),
+    )
+    pred = (
+        base.filter("is_calib")
+        .groupBy("grp")
+        .agg((F.sum("cents") / F.count(F.lit(1))).alias("mu"))
+    )
+    resid = base.join(F.broadcast(pred), "grp").select(
+        "grp", "is_calib", F.abs(F.col("cents") - F.col("mu")).alias("r")
+    )
+    q = (
+        resid.filter("is_calib")
+        .groupBy("grp")
+        .agg(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY r)").alias("q90")
+        )
+    )
+    test = resid.filter(~F.col("is_calib")).join(F.broadcast(q), "grp")
+    return test.groupBy(F.col("grp").alias("priority"), "q90").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(
+            F.avg(F.when(F.col("r") <= F.col("q90"), 1.0).otherwise(0.0)), 6
+        ).alias("coverage"),
+    ).select(
+        "priority",
+        "n_test",
+        "coverage",
+        F.round(F.col("q90") / 100, 2).alias("interval_halfwidth"),
+    )
+
+
+@_staged(
+    "heaps_law_vocab_growth",
+    """
+    WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+    toks AS (
+      SELECT CAST(doc_id * 10 // mx.m AS BIGINT) AS bucket,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents, mx
+    ),
+    first_seen AS (
+      SELECT term, min(bucket) AS fb FROM toks GROUP BY term
+    ),
+    per_bucket AS (
+      SELECT fb, count(*) AS new_terms FROM first_seen GROUP BY fb
+    ),
+    tok_per_bucket AS (
+      SELECT bucket, count(*) AS n_tokens FROM toks GROUP BY bucket
+    ),
+    grid AS (SELECT DISTINCT bucket FROM tok_per_bucket)
+    SELECT g.bucket,
+           CAST(sum(t.n_tokens) AS BIGINT) AS corpus_tokens,
+           CAST(sum(coalesce(p.new_terms, 0)) AS BIGINT) AS vocab_size
+    FROM grid g
+    JOIN tok_per_bucket t ON t.bucket <= g.bucket
+    LEFT JOIN per_bucket p ON p.fb = t.bucket
+    GROUP BY g.bucket
+    ORDER BY g.bucket
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct
+    vocabulary vs cumulative token count at ten corpus prefixes (by
+    doc_id decile) — the diagnostic that tells a tokenizer-training
+    pipeline whether more data still buys vocabulary. Each term is
+    attributed to its FIRST bucket (one groupBy, O(vocab) shuffle);
+    the cumulative curve is a 10×10 non-equi self-join on the tiny
+    per-bucket frame — no window, no single-partition exchange."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.llmops.text import tokens_col
+
+    d = T(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    toks = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("doc_id") * 10 / F.col("m")).cast("long").alias("bucket"),
+            F.explode(tokens_col("text")).alias("term"),
+        )
+    )
+    first_seen = toks.groupBy("term").agg(F.min("bucket").alias("fb"))
+    per_bucket = first_seen.groupBy("fb").agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    tok_per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    grid = tok_per_bucket.select("bucket").distinct()
+    joined = (
+        grid.alias("g")
+        .join(
+            tok_per_bucket.alias("t"),
+            F.col("t.bucket") <= F.col("g.bucket"),
+        )
+        .join(
+            F.broadcast(per_bucket).alias("p"),
+            F.col("p.fb") == F.col("t.bucket"),
+            "left",
+        )
+    )
+    return (
+        joined.groupBy(F.col("g.bucket").alias("bucket"))
+        .agg(
+            F.sum("t.n_tokens").cast("long").alias("corpus_tokens"),
+            F.sum(F.coalesce("p.new_terms", F.lit(0))).cast("long").alias(
+                "vocab_size"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+@_staged(
+    "incremental_agg_maintenance_events",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           round(min(value), 2) AS min_v,
+           round(max(value), 2) AS max_v,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incremental_agg_maintenance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the January-February
+    aggregate is the standing MV, March arrives as a delta batch, and
+    the served result MERGES the two partial states (counts/sums add,
+    min/max combine, distinct-users via the union of per-partition
+    key sets — here re-aggregated from the two halves' key lists) —
+    never rescanning history. The oracle recomputes from scratch over
+    the full table: merged partial states must equal the full
+    recompute, which is the algebraic property (commutative-monoid
+    states) that makes the MV pattern sound at 100 TB."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.col("value"),
+        (F.to_date("ts") < F.lit("2024-03-01").cast("date")).alias("is_base"),
+    )
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.collect_set("user_id").alias("users"),
+        )
+
+    base = partial(ev.filter("is_base"))
+    delta = partial(ev.filter(~F.col("is_base")))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.event_type") == F.col("d.event_type"), "full_outer")
+    return merged.select(
+        F.coalesce("b.event_type", "d.event_type").alias("event_type"),
+        (
+            F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))
+        ).cast("long").alias("n"),
+        (
+            F.coalesce("b.cents", F.lit(0)) + F.coalesce("d.cents", F.lit(0))
+        ).cast("long").alias("cents"),
+        F.round(F.least(F.coalesce("b.min_v", "d.min_v"), F.coalesce("d.min_v", "b.min_v")), 2).alias("min_v"),
+        F.round(F.greatest(F.coalesce("b.max_v", "d.max_v"), F.coalesce("d.max_v", "b.max_v")), 2).alias("max_v"),
+        F.size(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce("b.users", F.array().cast("array<long>")),
+                    F.coalesce("d.users", F.array().cast("array<long>")),
+                )
+            )
+        ).cast("long").alias("n_users"),
+    )
