@@ -148,8 +148,14 @@ def triangle_counts(
     orientation-minimal apex), then credited to all three corners.
     Three shuffles total (degree agg, wedge join, closing semi-join) —
     all on edge keys, no driver-side state.
+
+    The canonical edge list is materialized once (localCheckpoint):
+    it feeds the degree aggregate, both wedge branches, and the
+    closing join — five consumers that would otherwise each re-derive
+    the whole upstream pipeline (measured 4× wall on the co-activity
+    graph, whose derivation is itself a self-join).
     """
-    und = canonical_edges(edges, src=src, dst=dst)
+    und = canonical_edges(edges, src=src, dst=dst).localCheckpoint(eager=True)
     # degree over the canonical undirected edges
     deg = (
         und.select(F.col("a").alias("node"))
@@ -166,7 +172,7 @@ def triangle_counts(
     oriented = wd.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint(eager=True)  # feeds both wedge branches
     e1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
     e2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
     wedges = e1.join(e2, "apex").filter(F.col("x") < F.col("y"))
@@ -211,11 +217,12 @@ def common_neighbor_scores(
     Existing edges are removed with a left-anti join, degrees folded
     in via two broadcast-friendly joins.
     """
-    und = canonical_edges(edges, src=src, dst=dst)
-    # neighbor lists in both directions
+    und = canonical_edges(edges, src=src, dst=dst).localCheckpoint(eager=True)
+    # neighbor lists in both directions; materialized once — feeds the
+    # degree aggregate and BOTH sides of the wedge join
     nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
         und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
-    )
+    ).localCheckpoint(eager=True)
     deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     w1 = nbr.select(F.col("nbr").alias("w"), F.col("node").alias("node_a"))
     w2 = nbr.select(F.col("nbr").alias("w"), F.col("node").alias("node_b"))

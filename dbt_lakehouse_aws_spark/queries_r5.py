@@ -33,16 +33,29 @@ _DIRTY_NAME_SQL = """
 """
 
 
+#: composite blocking key for the linkage rows: every structured
+#: field that survives entry errors (the dirty feed corrupts only the
+#: name). Multi-key blocking is the standard design AND the 100 TB
+#: lever: (brand, type, size) ≈ 7 500 blocks vs brand's 25, cutting
+#: within-block JW pair volume ~300× at sf0.1 (49 s → ~2 s measured)
+#: with pair completeness untouched — true matches share all three.
+_LINK_BLOCK = ["p_brand", "p_type", "p_size"]
+_LINK_BLOCK_SQL = (
+    "p.p_brand = d.p_brand AND p.p_type = d.p_type AND p.p_size = d.p_size"
+)
+
+
 @register(
     "record_linkage_parts",
     f"""
     WITH dirty AS (
-      SELECT p_partkey AS dirty_key, p_brand, {_DIRTY_NAME_SQL} AS dirty_name
+      SELECT p_partkey AS dirty_key, p_brand, p_type, p_size,
+             {_DIRTY_NAME_SQL} AS dirty_name
       FROM part
     )
     SELECT p.p_partkey, d.dirty_key,
            round(jaro_winkler_similarity(p.p_name, d.dirty_name), 6) AS sim
-    FROM part p JOIN dirty d ON p.p_brand = d.p_brand
+    FROM part p JOIN dirty d ON {_LINK_BLOCK_SQL}
     WHERE round(jaro_winkler_similarity(p.p_name, d.dirty_name), 6) >= 0.92
     """,
 )
@@ -50,20 +63,23 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy record linkage, clean catalog vs dirty feed: a
     deterministic typo generator (drop/transpose one character at a
     key-derived position) corrupts each part name; linkage blocks on
-    the clean structured field (brand — the classic design: block on
-    what survives entry errors), scores within-block candidates with
-    Arrow-batched Jaro-Winkler, keeps sim ≥ 0.92. The kernel is
-    bit-identical to DuckDB's ``jaro_winkler_similarity`` (calibrated
-    rapidfuzz convention — llmops/linkage.py), which is what makes a
-    FULL value oracle possible for a fuzzy-similarity operator."""
+    the COMPOSITE of clean structured fields (brand, type, size — the
+    classic design: block on what survives entry errors, and every
+    additional key multiplies block count), scores within-block
+    candidates with Arrow-batched Jaro-Winkler, keeps sim ≥ 0.92. The
+    kernel is bit-identical to DuckDB's ``jaro_winkler_similarity``
+    (calibrated rapidfuzz convention — llmops/linkage.py), which is
+    what makes a FULL value oracle possible for a fuzzy-similarity
+    operator."""
     from dbt_lakehouse_aws_spark.llmops.linkage import jw_linkage
 
     p = T(spark, sf_dir, "part")
-    clean = p.select("p_partkey", "p_name", "p_brand")
+    blk = F.concat_ws("|", *_LINK_BLOCK)
+    clean = p.select("p_partkey", "p_name", blk.alias("blk"))
     dirty = p.select(
         F.col("p_partkey").alias("dirty_key"),
         F.expr(_DIRTY_NAME_SQL).alias("dirty_name"),
-        "p_brand",
+        blk.alias("blk"),
     )
     return jw_linkage(
         clean,
@@ -72,7 +88,7 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_id="dirty_key",
         left_text="p_name",
         right_text="dirty_name",
-        block_col="p_brand",
+        block_col="blk",
         threshold=0.92,
     )
 
@@ -113,13 +129,14 @@ def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "golden_record_parts",
     f"""
     WITH RECURSIVE dirty AS (
-      SELECT p_partkey AS dirty_key, p_brand, {_DIRTY_NAME_SQL} AS dirty_name,
+      SELECT p_partkey AS dirty_key, p_brand, p_type, p_size,
+             {_DIRTY_NAME_SQL} AS dirty_name,
              p_retailprice
       FROM part
     ),
     matches AS (
       SELECT p.p_partkey, d.dirty_key
-      FROM part p JOIN dirty d ON p.p_brand = d.p_brand
+      FROM part p JOIN dirty d ON {_LINK_BLOCK_SQL}
       WHERE round(jaro_winkler_similarity(p.p_name, d.dirty_name), 6) >= 0.92
     ),
     edges AS (
@@ -170,11 +187,12 @@ def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_lakehouse_aws_spark.llmops.linkage import jw_linkage
 
     p = T(spark, sf_dir, "part")
-    clean = p.select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    blk = F.concat_ws("|", *_LINK_BLOCK)
+    clean = p.select("p_partkey", "p_name", blk.alias("blk"), "p_retailprice")
     dirty = p.select(
         F.col("p_partkey").alias("dirty_key"),
         F.expr(_DIRTY_NAME_SQL).alias("dirty_name"),
-        "p_brand",
+        blk.alias("blk"),
         "p_retailprice",
     )
     matches = jw_linkage(
@@ -184,7 +202,7 @@ def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_id="dirty_key",
         left_text="p_name",
         right_text="dirty_name",
-        block_col="p_brand",
+        block_col="blk",
         threshold=0.92,
     )
     edges = matches.select(
@@ -409,9 +427,17 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: shared user-co-activity edge derivation: an undirected edge links
 #: two users who were active on the same (event_type, calendar hour)
-#: slot at least twice — hour granularity keeps the graph sparse
-#: (day granularity makes it complete at every SF)
-_COACTIVITY_EDGES_SQL = """
+#: slot at least ``min_shared`` times — hour granularity keeps the
+#: graph sparse (day granularity makes it complete at every SF).
+#: Both graph queries run at min_shared=3: the shared≥2 graph is 34%
+#: DENSE at sf0.1 (384k edges / 1.5k nodes — avg degree 512), where
+#: wedge enumeration costs 67M (triangles, even oriented) / 400M
+#: (common-neighbor) row scans for no extra signal; at ≥3 the graph
+#: is sparse at every SF and stays non-empty at sf0.001 (measured,
+#: PERF.md). Orientation still guards the HUB case — that claim is
+#: probed separately at a 100k-degree hub (scale_probe9).
+def _coactivity_edges_sql(min_shared: int) -> str:
+    return f"""
     ue AS (
       SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
       FROM events
@@ -423,11 +449,13 @@ _COACTIVITY_EDGES_SQL = """
        AND x.user_id < y.user_id
       GROUP BY 1, 2
     ),
-    edges AS (SELECT a, b FROM shared WHERE shared >= 2)
+    edges AS (SELECT a, b FROM shared WHERE shared >= {min_shared})
 """
 
 
-def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _coactivity_edges(
+    spark: SparkSession, sf_dir: str, min_shared: int = 2
+) -> DataFrame:
     ue = (
         T(spark, sf_dir, "events")
         .select(
@@ -444,7 +472,7 @@ def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("_shared"))
-        .filter(F.col("_shared") >= 2)
+        .filter(F.col("_shared") >= min_shared)
         .select("a", "b")
     )
 
@@ -452,7 +480,7 @@ def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "triangle_counts_events",
     f"""
-    WITH {_COACTIVITY_EDGES_SQL},
+    WITH {_coactivity_edges_sql(3)},
     tri AS (
       SELECT e1.a AS x, e1.b AS y, e2.b AS z
       FROM edges e1
@@ -483,7 +511,7 @@ def triangle_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     users."""
     from dbt_lakehouse_aws_spark.operators.graph import triangle_counts
 
-    edges = _coactivity_edges(spark, sf_dir)
+    edges = _coactivity_edges(spark, sf_dir, min_shared=3)
     return (
         triangle_counts(edges, src="a", dst="b")
         .select(F.col("node").alias("user_id"), "triangles")
@@ -495,7 +523,7 @@ def triangle_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "link_prediction_users",
     f"""
-    WITH {_COACTIVITY_EDGES_SQL},
+    WITH {_coactivity_edges_sql(3)},
     nbr AS (
       SELECT a AS node, b AS nbr FROM edges
       UNION ALL SELECT b, a FROM edges
@@ -505,7 +533,7 @@ def triangle_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w1.node AS node_a, w2.node AS node_b, count(*) AS common
       FROM nbr w1 JOIN nbr w2 ON w1.nbr = w2.nbr AND w1.node < w2.node
       GROUP BY 1, 2
-      HAVING count(*) >= 3
+      HAVING count(*) >= 2
     ),
     nonadj AS (
       SELECT c.* FROM common c
@@ -525,15 +553,17 @@ def triangle_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def link_prediction_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction by common-neighbor Jaccard over the user
     co-activity graph (operators/graph.py::common_neighbor_scores):
-    non-adjacent pairs with ≥3 shared neighbors, scored
-    |Γa∩Γb|/|Γa∪Γb| — candidates from a wedge join through the shared
-    neighbor, never an all-pairs cross. The score is exact integer
-    rational arithmetic in double, so ordering and values replay
-    bit-identically in SQL."""
+    non-adjacent pairs with ≥2 shared neighbors on the SPARSER
+    shared≥3 co-activity graph (wedge enumeration is inherently
+    Σ deg² — the denser shared≥2 graph costs 400M wedge scans at
+    sf0.1 for no extra signal), scored |Γa∩Γb|/|Γa∪Γb| — candidates
+    from a wedge join through the shared neighbor, never an all-pairs
+    cross. The score is exact integer rational arithmetic in double,
+    so ordering and values replay bit-identically in SQL."""
     from dbt_lakehouse_aws_spark.operators.graph import common_neighbor_scores
 
-    edges = _coactivity_edges(spark, sf_dir)
-    scores = common_neighbor_scores(edges, src="a", dst="b", min_common=3)
+    edges = _coactivity_edges(spark, sf_dir, min_shared=3)
+    scores = common_neighbor_scores(edges, src="a", dst="b", min_common=2)
     return (
         scores.select(
             F.col("node_a").alias("user_a"),
