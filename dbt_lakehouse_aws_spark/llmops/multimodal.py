@@ -1253,3 +1253,52 @@ def repartition_by_size_class(
         .repartition(n_parts, F.col("_size_class"), F.col("_salt"))
         .drop("_salt")
     )
+
+
+def image_ahash(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Average-hash perceptual fingerprints over DECODED rasters —
+    the image analogue of the text fingerprint family: decode each
+    binary payload with the magic-sniffing codecs, grayscale by
+    integer channel sum, threshold every pixel against the raster
+    mean, and fold the first 63 bits (row-major) into one BIGINT.
+    Identical images (or the same image through different lossless
+    codecs) hash identically; a downstream exact groupBy on
+    ``ahash`` is image-level dedup.
+
+    All arithmetic is INTEGER (the threshold compares ``n·gray ≥
+    Σgray`` — no float mean), so an external oracle reproduces the
+    hash exactly; 63 bits keeps the value a positive BIGINT. Arrow-
+    batched mapInPandas, same scale shape as the other extractors:
+    payload bytes never leave the task.
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("ahash", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_image(bytes(payload))
+                h, w = px.shape[0], px.shape[1]
+                g = px.reshape(h * w, -1).astype(np.int64).sum(axis=1)
+                tot = int(g.sum())
+                n = h * w
+                bits = (n * g >= tot).astype(np.int64)
+                k = min(63, n)
+                ahash = int((bits[:k] << np.arange(k, dtype=np.int64)).sum())
+                rows.append((int(doc_id), w, h, ahash))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "ahash"]
+            )
+
+    return df.mapInPandas(run, out_schema)

@@ -478,3 +478,79 @@ def incremental_agg_maintenance_events(spark: SparkSession, sf_dir: str) -> Data
             )
         ).cast("long").alias("n_users"),
     )
+
+
+@_staged(
+    "image_ahash_fingerprints",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS w,
+             CAST(3 + doc_id % 7 AS INT) AS h
+      FROM documents WHERE doc_id % 6 != 3
+    ),
+    g AS (
+      SELECT doc_id, w, h, w * h AS npx,
+             list_transform(range(0, w * h),
+               p -> (doc_id * 31 + 3 * p) % 256
+                    + (doc_id * 31 + 3 * p + 1) % 256
+                    + (doc_id * 31 + 3 * p + 2) % 256) AS gs
+      FROM base
+    ),
+    t AS (SELECT doc_id, w, h, npx, gs, list_sum(gs) AS tot FROM g)
+    SELECT doc_id, w AS width, h AS height,
+           CAST(list_sum(list_transform(
+                  range(1, CAST(least(npx, 63) AS INT) + 1),
+                  i -> CASE WHEN npx * gs[i] >= tot
+                            THEN CAST(1 AS BIGINT) << (i - 1)
+                            ELSE 0 END)) AS BIGINT) AS ahash
+    FROM t
+    """,
+)
+def image_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash fingerprints over REAL decoded rasters
+    (llmops/multimodal.py::image_ahash) — the multimodal-dedup
+    primitive: each doc's deterministic RGB raster is encoded through
+    one of FIVE lossless codecs rotated by doc_id % 6 (BMP, PNG zlib,
+    GIF LZW, TIFF LZW+predictor, PPM — the JPEG lane is excluded as
+    lossy-format grayscale), decoded back by the pure-Python codecs,
+    grayscaled by integer channel sum, and thresholded against the
+    raster mean into a 63-bit BIGINT hash. The oracle computes the
+    hash CLOSED-FORM from the pixel formula — so a green row proves
+    five different decode paths all reproduced the exact raster, and
+    that the hash pipeline is integer-exact end to end."""
+    from dbt_lakehouse_aws_spark.llmops.jpeg import encode_jpeg  # noqa: F401
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+        image_ahash,
+    )
+    from dbt_lakehouse_aws_spark.llmops.tiff import encode_tiff
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    def make_payloads(batches):
+        import numpy as np
+        import pandas as pd
+
+        encoders = {0: encode_bmp, 1: encode_png, 2: encode_gif,
+                    4: encode_tiff, 5: encode_ppm}
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                codec = doc_id % 6
+                if codec == 3:
+                    continue
+                w, h = 4 + doc_id % 13, 3 + doc_id % 7
+                px = (
+                    (doc_id * 31 + np.arange(w * h * 3, dtype=np.int64)) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+                ids.append(doc_id)
+                payloads.append(encoders[codec](px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    return image_ahash(payloads)
