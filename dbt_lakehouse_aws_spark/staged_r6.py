@@ -554,3 +554,122 @@ def image_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").select("doc_id")
     payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
     return image_ahash(payloads)
+
+
+@_staged(
+    "table_diff_orders",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 31 = 0
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 100
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+      FROM orders WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % 53 = 0
+    ),
+    a AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    d AS (
+      SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+             coalesce(a.o_orderstatus, b.o_orderstatus) AS status,
+             CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.cents = b.cents AND a.o_orderstatus = b.o_orderstatus
+                       THEN 'unchanged'
+                  ELSE 'changed' END AS diff_status
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT status AS o_orderstatus, diff_status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY 1, 2
+    """,
+)
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation diff (operators/relational.py::table_diff) —
+    the migration/backfill validator: the 'after' table is a
+    deterministic mutation of orders (keys % 97 removed, % 31 price-
+    bumped one dollar, % 53 cloned to a new key range) and the diff
+    must classify every key added/removed/changed/unchanged from ONE
+    full-outer hash join. Counts by (status, class); money compared
+    in integer cents, NULL-safe."""
+    from dbt_lakehouse_aws_spark.operators.relational import table_diff
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = o.select("o_orderkey", "o_orderstatus", cents.alias("cents"))
+    b = (
+        a.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 31 == 0, F.col("cents") + 100)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            a.filter(F.col("o_orderkey") % 53 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "cents",
+            )
+        )
+    )
+    d = table_diff(a, b, keys=["o_orderkey"], compare_cols=["o_orderstatus", "cents"])
+    status = F.coalesce("_a_o_orderstatus", "_b_o_orderstatus")
+    return d.groupBy(
+        status.alias("o_orderstatus"), "diff_status"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@_staged(
+    "rolling_28d_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    obs AS (SELECT DISTINCT day FROM du),
+    contrib AS (
+      SELECT DISTINCT o.day AS target_day, du.user_id
+      FROM du JOIN obs o
+        ON o.day >= du.day AND o.day <= du.day + INTERVAL 27 DAY
+    )
+    SELECT target_day AS day,
+           CAST(count(*) AS BIGINT) AS active_users_28d
+    FROM contrib GROUP BY 1
+    """,
+)
+def rolling_28d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling 28-day distinct active users per day — the
+    metric sliding windows can't pre-aggregate (distinct doesn't
+    sum). The scalable shape: each (day, user) activity row EXPLODES
+    into the ≤28 target days it contributes to (a sequence projection,
+    work = 28·|day-user pairs|, linear), then one distinct + count
+    per target day — never a per-day rescan of 28 days of raw events,
+    never an all-days cross join. Sketch variants (hll_user_rollup)
+    trade exactness for merge-at-serve; this is the exact batch twin."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    obs = du.select("day").distinct()
+    targets = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 27))
+        ).alias("target_day"),
+        "user_id",
+    )
+    contrib = (
+        targets.join(F.broadcast(obs), targets.target_day == obs.day)
+        .select("target_day", "user_id")
+        .distinct()
+    )
+    return contrib.groupBy(F.col("target_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("active_users_28d")
+    )

@@ -831,3 +831,20 @@ def test_subtree_rollup_hand_tree(spark):
     )
     got = {r["node"]: r["subtree_total"] for r in subtree_rollup(parents, values).collect()}
     assert got == {1: 11111, 2: 11010, 3: 100, 4: 1000, 5: 10000}
+
+
+def test_table_diff_classes(spark):
+    """All four diff classes from one full-outer join, NULL-safe."""
+    from dbt_lakehouse_aws_spark.operators.relational import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", None), (3, "z", 30), (4, "w", 40)],
+        "k long, s string, v long",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", None), (3, "z", 31), (5, "n", 50)],
+        "k long, s string, v long",
+    )
+    got = {r["k"]: r["diff_status"] for r in table_diff(a, b, keys=["k"]).collect()}
+    # 1 identical, 2 identical with NULL==NULL, 3 changed, 4 removed, 5 added
+    assert got == {1: "unchanged", 2: "unchanged", 3: "changed", 4: "removed", 5: "added"}
