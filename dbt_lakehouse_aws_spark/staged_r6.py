@@ -673,3 +673,46 @@ def rolling_28d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy(F.col("target_day").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("active_users_28d")
     )
+
+
+@_staged(
+    "proximity_pairs_customers",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 37) % 100000 AS x,
+             (c_custkey * 91) % 100000 AS y
+      FROM customer
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE abs(a.x - b.x) <= 250 AND abs(a.y - b.y) <= 250
+    )
+    SELECT id_a, id_b, CAST(d2 AS BIGINT) AS dist_sq
+    FROM pairs WHERE d2 <= 250 * 250
+    """,
+)
+def proximity_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity join (operators/spatial.py::
+    grid_proximity_pairs): customers get deterministic integer
+    coordinates on a 100km grid, and the operator finds every pair
+    within 250 units through a 3×3 grid-cell equi-join — 9·|A|
+    replicated rows, never the all-pairs cross the naive formulation
+    plans as BroadcastNestedLoopJoin. Distances are squared INTEGERS,
+    so the oracle (which at sf0.01 scale can afford the quadratic
+    bounding-box formulation) matches bit-for-bit — two different
+    algorithms, one exact pair set."""
+    from dbt_lakehouse_aws_spark.operators.spatial import grid_proximity_pairs
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    c = T(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37) % 100000).alias("x"),
+        ((F.col("c_custkey") * 91) % 100000).alias("y"),
+    )
+    return grid_proximity_pairs(
+        pts, id_col="id", x_col="x", y_col="y", radius=250
+    )

@@ -848,3 +848,26 @@ def test_table_diff_classes(spark):
     got = {r["k"]: r["diff_status"] for r in table_diff(a, b, keys=["k"]).collect()}
     # 1 identical, 2 identical with NULL==NULL, 3 changed, 4 removed, 5 added
     assert got == {1: "unchanged", 2: "unchanged", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_grid_proximity_pairs_hand_points(spark):
+    """Pairs across cell borders are found exactly once; the exact
+    radius is inclusive; far points in the same cell are excluded."""
+    from dbt_lakehouse_aws_spark.operators.spatial import grid_proximity_pairs
+
+    pts = [
+        (1, 0, 0),
+        (2, 10, 0),      # dist 10 from 1 -> in (radius 10, inclusive)
+        (3, 11, 0),      # dist 11 from 1 -> out; dist 1 from 2 -> in
+        (4, 9, 9),       # out vs 1 (d²=162), in vs 2 (82) and 3 (85)
+        (5, 1000, 1000), # far away
+        (6, 1005, 1000), # dist 5 from 5 -> in
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_sq"]
+        for r in grid_proximity_pairs(
+            df, id_col="id", x_col="x", y_col="y", radius=10
+        ).collect()
+    }
+    assert got == {(1, 2): 100, (2, 3): 1, (2, 4): 82, (3, 4): 85, (5, 6): 25}
