@@ -716,3 +716,93 @@ def proximity_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_proximity_pairs(
         pts, id_col="id", x_col="x", y_col="y", radius=250
     )
+
+
+@_staged(
+    "stream_interval_join_equivalence",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts > c.ts AND v.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream/batch equivalence #4: the watermarked STREAM-STREAM
+    interval join (streaming/ingest.py::stream_interval_join — state
+    bounded by the watermark + range predicate, O(window) not
+    O(stream)) over one availableNow pass must produce exactly the
+    batch banded range_join's pairs (clicks → views within 1 hour per
+    user). The oracle pins the pair count and that both exceptAll
+    directions are empty."""
+    import uuid
+
+    from dbt_lakehouse_aws_spark.operators.temporal import range_join
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_interval_join
+
+    # streaming sides
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks_s = raw.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("click_ts"),
+    )
+    views_s = raw.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = stream_interval_join(
+        clicks_s,
+        views_s,
+        on="u",
+        left_ts="click_ts",
+        right_ts="view_ts",
+        upper="1 hour",
+        watermark="1 hour",
+    ).select("click_id", "view_id")
+    sink = f"sij_eq_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    stream_out = spark.table(sink)
+
+    ev = T(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("view_ts"),
+    )
+    batch_out = range_join(
+        c, v, ["u"], left_ts="click_ts", right_ts="view_ts", upper="1 hours"
+    ).select("click_id", "view_id")
+    only_s = stream_out.exceptAll(batch_out).count()
+    only_b = batch_out.exceptAll(stream_out).count()
+    n_pairs = batch_out.count()
+    return spark.createDataFrame(
+        [(n_pairs, only_s, only_b)],
+        "n_pairs long, n_only_stream long, n_only_batch long",
+    )
