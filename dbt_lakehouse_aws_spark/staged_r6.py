@@ -806,3 +806,75 @@ def stream_interval_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
         [(n_pairs, only_s, only_b)],
         "n_pairs long, n_only_stream long, n_only_batch long",
     )
+
+
+@_staged(
+    "moments_by_priority",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(o_totalprice) AS s1,
+             sum(o_totalprice * o_totalprice) AS s2,
+             sum(o_totalprice * o_totalprice * o_totalprice) AS s3,
+             sum(o_totalprice * o_totalprice * o_totalprice * o_totalprice) AS s4
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT priority, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS var_pop,
+             s1, s2, s3, s4
+      FROM s
+    )
+    SELECT priority, n,
+           round(mu, 4) AS mean,
+           round(sqrt(var_pop), 4) AS stddev_pop,
+           round((s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu)
+                 / (var_pop * sqrt(var_pop)), 6) AS skewness,
+           round((s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n)
+                  - 3 * mu * mu * mu * mu)
+                 / (var_pop * var_pop) - 3.0, 6) AS excess_kurtosis
+    FROM m
+    """,
+)
+def moments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution profiling per group — mean, σ,
+    skewness, excess kurtosis — computed from RAW POWER SUMS
+    (Σx, Σx², Σx³, Σx⁴): one map-side-combinable aggregate, mergeable
+    across partitions/batches by construction (the same
+    sufficient-statistic discipline as the regression and PCA
+    operators). Built-in skewness/kurtosis are NOT used on purpose:
+    engines disagree on bias correction (sample vs population), while
+    the power-sum formulas are arithmetic both engines replay
+    identically to rounding."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    s = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var_pop = F.col("s2") / F.col("n") - mu * mu
+    skew = (
+        F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n"))
+        + 2 * mu * mu * mu
+    ) / (var_pop * F.sqrt(var_pop))
+    kurt = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    ) / (var_pop * var_pop) - 3.0
+    return s.select(
+        "priority",
+        "n",
+        F.round(mu, 4).alias("mean"),
+        F.round(F.sqrt(var_pop), 4).alias("stddev_pop"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )
