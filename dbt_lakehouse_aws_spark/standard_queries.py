@@ -8246,6 +8246,34 @@ ROUND5_BACKFILL: list[str] = [
 # stalest-evidence backfill — 50 slots exactly.
 DRIVER_WINDOW: list[str] = (ROUND5_QUEUE + ROUND5_NEW + ROUND5_BACKFILL)[:50]
 
+#: ROUND-6 PLAN (rotate only once CORRECTNESS_r05.json exists —
+#: memory: driver-window-rotation): the window should lead with the
+#: staged_r6 promotions (register each with a plain @register, then
+#: list here), followed by this remaining stalest-evidence backfill —
+#: the last 18 value-oracled queries whose only driver row is round 1.
+#: After round 6 every oracled query will have a driver row from
+#: round 2 or later.
+ROUND6_BACKFILL_PLAN: list[str] = [
+    "q3_top_revenue_orders",
+    "quality_filter",
+    "s2_path_metadata",
+    "s5_latest_snapshot",
+    "s6_latest_per_group",
+    "scd2_user_state",
+    "text_quality",
+    "token_stats",
+    "u2_unpivot_measures",
+    "u3_tiered_union",
+    "u4_party_union",
+    "w2_priority_price_ranks",
+    "w3_top_parts_per_brand",
+    "w4_global_order_rank",
+    "w5_rank_diff",
+    "w6_ntile_value_quartiles",
+    "w7_rolling_7day_value",
+    "w8_value_distribution",
+]
+
 
 def _window_ordered() -> list[QuerySpec]:
     by_name = {spec.name: spec for spec in _REGISTRY}
