@@ -94,3 +94,14 @@ def test_query_against_oracle(spark, duck, sf_dir, name):
     rel = duck.sql(ORACLES[name])
     problems = compare_frames(sdf.columns, srows, rel.columns, rel.fetchall())
     assert not problems, f"{name}: {problems}"
+
+
+def test_bench_headline_names_registered():
+    """Every bench headline query must exist in the registry (a
+    rename that orphans a headline entry would crash the driver's
+    perf gate), and the list must be duplicate-free (a duplicate
+    runs twice per pass and skews the total)."""
+    import bench
+
+    assert set(bench.HEADLINE) <= set(QUERIES)
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
