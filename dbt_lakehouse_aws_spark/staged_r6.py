@@ -878,3 +878,160 @@ def moments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     )
+
+
+@_staged(
+    "survival_km_repurchase",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT a.user_id,
+             CAST(date_diff('day', CAST(a.ts AS DATE), CAST(b.ts AS DATE))
+                  AS BIGINT) AS gap_days
+      FROM purchases a JOIN purchases b
+        ON b.user_id = a.user_id AND b.k = a.k + 1
+      WHERE a.k = 1
+    ),
+    risk AS (
+      SELECT gap_days AS t, CAST(count(*) AS BIGINT) AS d FROM gaps GROUP BY 1
+    ),
+    km AS (
+      SELECT r.t, r.d,
+             (SELECT sum(r2.d) FROM risk r2 WHERE r2.t >= r.t) AS n_at_risk
+      FROM risk r
+    ),
+    curve AS (
+      SELECT k.t, k.d, k.n_at_risk,
+             (SELECT sum(CASE WHEN k2.n_at_risk > k2.d
+                              THEN ln(1.0 - CAST(k2.d AS DOUBLE) / k2.n_at_risk)
+                              ELSE 0.0 END)
+              FROM km k2 WHERE k2.t <= k.t) AS logsum,
+             (SELECT max(CASE WHEN k2.n_at_risk = k2.d THEN 1 ELSE 0 END)
+              FROM km k2 WHERE k2.t <= k.t) AS zero_seen
+      FROM km k
+    )
+    SELECT t AS gap_days, d AS n_events,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CASE WHEN zero_seen = 1 THEN 0.0
+                ELSE round(exp(logsum), 6) END AS survival
+    FROM curve
+    ORDER BY gap_days
+    """,
+)
+def survival_km_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-repurchase — the
+    churn/retention estimator: per user, the gap between first and
+    second purchase is an event time; S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)
+    with nᵢ the at-risk count. The O(rows) work is two hash steps
+    (per-user ranking, then the gap aggregate); the curve itself
+    lives on the tiny distinct-gap frame (≤ calendar-days rows), so
+    BOTH cumulative directions are computed with non-equi self-joins
+    on that frame — no global ordered window, no single-partition
+    exchange (the same device as the Heaps-law curve). S hits exactly
+    0 once the last at-risk subject events (dᵢ = nᵢ); that term is
+    handled by a zero-seen flag instead of ln(0), identically on both
+    engines; all other factors go through exp(Σ ln(·)) in the same
+    order, so 6-dp rounding is stable."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select("user_id", "ts", "event_id").withColumn(
+        "k", F.row_number().over(w)
+    )
+    a = p.filter(F.col("k") == 1).select(
+        "user_id", F.to_date("ts").alias("d1")
+    )
+    b = p.filter(F.col("k") == 2).select(
+        "user_id", F.to_date("ts").alias("d2")
+    )
+    gaps = a.join(b, "user_id").select(
+        F.datediff("d2", "d1").cast("long").alias("t")
+    )
+    risk = gaps.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    r2 = risk.select(F.col("t").alias("t2"), F.col("d").alias("d2"))
+    km = (
+        risk.join(F.broadcast(r2), F.col("t2") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.sum("d2").alias("n_at_risk"))
+    )
+    k2 = km.select(
+        F.col("t").alias("t2"),
+        F.col("d").alias("d2"),
+        F.col("n_at_risk").alias("n2"),
+    )
+    ln_term = F.when(
+        F.col("n2") > F.col("d2"),
+        F.log(1.0 - F.col("d2").cast("double") / F.col("n2")),
+    ).otherwise(0.0)
+    zero_flag = F.when(F.col("n2") == F.col("d2"), 1).otherwise(0)
+    curve = (
+        km.join(F.broadcast(k2), F.col("t2") <= F.col("t"))
+        .groupBy("t", "d", "n_at_risk")
+        .agg(
+            F.sum(ln_term).alias("logsum"),
+            F.max(zero_flag).alias("zero_seen"),
+        )
+    )
+    surv = F.when(F.col("zero_seen") == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("logsum")), 6)
+    )
+    return curve.select(
+        F.col("t").alias("gap_days"),
+        F.col("d").alias("n_events"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        surv.alias("survival"),
+    ).orderBy("gap_days")
+
+
+@_staged(
+    "session_paths_3step",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS k
+      FROM events
+    )
+    SELECT a.event_type AS step1, b.event_type AS step2,
+           c.event_type AS step3,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq a
+    JOIN seq b ON b.user_id = a.user_id AND b.k = a.k + 1
+    JOIN seq c ON c.user_id = a.user_id AND c.k = a.k + 2
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, step1, step2, step3
+    LIMIT 25
+    """,
+)
+def session_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths — the path-analysis extension of
+    the first-order transition matrix (event_transition_matrix):
+    per-user ordered event sequences, trigram paths counted via two
+    LEADs inside one user-partitioned window (no self-joins in the
+    engine — the oracle uses the equivalent rank self-join, a
+    different formulation of the same relation)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step3").isNotNull())
+    return (
+        seq.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(25)
+    )
+
+
+from pyspark.sql import Window  # noqa: E402
