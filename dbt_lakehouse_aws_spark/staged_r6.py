@@ -1035,3 +1035,143 @@ def session_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from pyspark.sql import Window  # noqa: E402
+
+
+@_staged(
+    "k_anonymity_orders",
+    """
+    WITH qi AS (
+      SELECT o_orderpriority AS priority,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             -- round() yields DECIMAL in DuckDB and // on DECIMAL is
+             -- true division; floor the DOUBLE quotient explicitly
+             CAST(floor(CAST(round(o_totalprice) AS DOUBLE) / 50000)
+                  AS BIGINT) AS price_band,
+             o_custkey
+      FROM orders
+    ),
+    groups AS (
+      SELECT priority, yr, price_band,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_sensitive
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k5,
+           CAST(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST(min(group_size) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN distinct_sensitive < 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS groups_below_l2
+    FROM groups
+    """,
+)
+def k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit — the privacy gate a
+    training-data release pipeline runs before shipping: group rows
+    by their quasi-identifier tuple (priority, order year, coarse
+    price band) and report how many equivalence classes fall below
+    k=5 (re-identification risk), how many rows sit in them, and how
+    many classes lack l=2 distinct sensitive values (attribute
+    disclosure). One hash aggregate over the QI tuple + one tiny
+    rollup — O(groups) after the first shuffle at any scale."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders")
+    qi = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        (F.round(F.col("o_totalprice")) / 50000).cast("long").alias("price_band"),
+        "o_custkey",
+    )
+    groups = qi.groupBy("priority", "yr", "price_band").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("o_custkey").cast("long").alias("distinct_sensitive"),
+    )
+    below_k = F.when(F.col("group_size") < 5, 1).otherwise(0)
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(below_k).cast("long").alias("groups_below_k5"),
+        F.sum(
+            F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(0)
+        ).cast("long").alias("rows_at_risk"),
+        F.min("group_size").cast("long").alias("min_group_size"),
+        F.sum(
+            F.when(F.col("distinct_sensitive") < 2, 1).otherwise(0)
+        ).cast("long").alias("groups_below_l2"),
+    )
+
+
+@_staged(
+    "ks_drift_order_values",
+    """
+    WITH tagged AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END
+               AS is_a
+      FROM orders
+    ),
+    cells AS (
+      SELECT v, CAST(sum(is_a) AS BIGINT) AS na,
+             CAST(sum(1 - is_a) AS BIGINT) AS nb
+      FROM tagged GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+      FROM cells
+    ),
+    cum AS (
+      SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+             sum(nb) OVER (ORDER BY v) AS cb
+      FROM cells
+    )
+    SELECT tot.ta AS n_before, tot.tb AS n_after,
+           round(max(abs(CAST(cum.ca AS DOUBLE) / tot.ta
+                         - CAST(cum.cb AS DOUBLE) / tot.tb)), 6) AS ks_stat
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.ta, tot.tb
+    """,
+)
+def ks_drift_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov drift statistic between
+    pre-1997 and later order values — the nonparametric companion to
+    the binned PSI row: D = max over observed values of
+    |F̂_before − F̂_after|, from per-distinct-value counts + the
+    SCALABLE prefix sum (operators/windows.py::prefix_sum — the same
+    primitive under AUC/Gini; the oracle uses a plain windowed
+    cumulative, a different plan computing the same exact rationals).
+    Values are integer cents; each ECDF step is an exact integer
+    ratio, so the max is order-independent."""
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"),
+            1,
+        ).otherwise(0).alias("is_a"),
+    )
+    cells = tagged.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("nb"),
+    )
+    tot = cells.agg(
+        F.sum("na").cast("long").alias("ta"), F.sum("nb").cast("long").alias("tb")
+    )
+    cum = prefix_sum(cells, [F.asc("v")], "na", name="ca")
+    cum = prefix_sum(cum, [F.asc("v")], "nb", name="cb")
+    d = F.abs(
+        F.col("ca").cast("double") / F.col("ta")
+        - F.col("cb").cast("double") / F.col("tb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("ta").alias("n_before"),
+            F.first("tb").alias("n_after"),
+            F.round(F.max(d), 6).alias("ks_stat"),
+        )
+    )
