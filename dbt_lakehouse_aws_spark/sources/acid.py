@@ -46,6 +46,7 @@ import json
 import math
 import os
 import re
+import time
 import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass
@@ -252,6 +253,35 @@ class AcidTable:
     def history(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in self._versions()]
 
+    def commit_time(self, version: int) -> float:
+        """Wall-clock commit time of ``version`` (epoch seconds).
+        Logs written before the field existed fall back to the delta
+        file's mtime — same semantics, filesystem-resolution."""
+        name = f"{version:020d}.json"
+        meta = self._read_json(name)
+        ts = meta.get("committed_at")
+        if ts is not None:
+            return float(ts)
+        return os.path.getmtime(os.path.join(self._log, name))
+
+    def version_at(self, timestamp: float) -> int:
+        """Largest version committed at or before ``timestamp`` —
+        the AS-OF-timestamp half of time travel (version-based reads
+        take ``read(version=…)`` directly). Raises if the table did
+        not exist yet. O(log-entries) metadata reads, no data I/O."""
+        best = None
+        for v in self._versions():
+            if self.commit_time(v) <= timestamp:
+                best = v
+            else:
+                break  # commit times are monotone along versions
+        if best is None:
+            raise FileNotFoundError(
+                f"{self.path} has no version committed at or before "
+                f"{timestamp} (earliest is {self._versions()[0]})"
+            )
+        return best
+
     def _commit(
         self,
         *,
@@ -273,6 +303,7 @@ class AcidTable:
         delta = {
             "version": new_version,
             "operation": operation,
+            "committed_at": time.time(),
             "add": {f: stats.get(f, prev_stats.get(f, {})) for f in sorted(new_set - prev_files)},
             "remove": sorted(prev_files - new_set),
             "schema": schema_json,
@@ -522,9 +553,13 @@ class AcidTable:
         self,
         version: int | None = None,
         *,
+        as_of: float | None = None,
         prune: dict[str, tuple] | None = None,
     ) -> DataFrame:
-        """Snapshot-isolated scan, optionally time-traveling to ``version``.
+        """Snapshot-isolated scan, optionally time-traveling to
+        ``version`` or to the snapshot current AS OF wall-clock
+        ``as_of`` (epoch seconds — resolved via the commit timestamps
+        the log records, metadata-only).
 
         The returned plan enumerates the snapshot's exact file list with
         an explicit schema — later commits cannot change (or break) it.
@@ -538,6 +573,10 @@ class AcidTable:
         pruning is only ever a superset. Use ``(x, x)`` for point
         lookups and ``None`` endpoints for half-open ranges.
         """
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.version_at(as_of)
         snap = self.snapshot(version)
         schema = StructType.fromJson(json.loads(snap.schema_json))
         files = list(snap.files)

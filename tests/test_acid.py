@@ -749,3 +749,27 @@ def test_write_without_stats_is_read_safe_and_unprunable(spark, tmp_path):
     # the range dropped — only rows 0-99 + none of 1000+ qualify
     pruned = t.read(prune={"k": (0, 50)})
     assert pruned.count() == 100  # statless batch kept whole, b pruned out
+
+
+def test_time_travel_as_of_timestamp(spark, tmp_path):
+    """AS-OF-timestamp reads resolve to the last version committed at
+    or before the given instant; pre-table instants raise."""
+    import time as _time
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "tt"))
+    t.write(spark.createDataFrame([(1, "a")], "id long, s string"))
+    after_v0 = _time.time()
+    _time.sleep(0.05)
+    t.write(spark.createDataFrame([(2, "b")], "id long, s string"), mode="append")
+
+    assert t.read(as_of=after_v0).count() == 1
+    assert t.read(as_of=_time.time()).count() == 2
+    assert t.version_at(after_v0) == 0
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.version_at(after_v0 - 3600)
+    with _pytest.raises(ValueError):
+        t.read(version=0, as_of=after_v0)
