@@ -282,6 +282,23 @@ class AcidTable:
             )
         return best
 
+    def last_txn_batch(self, app_id: str) -> int | None:
+        """Highest ``batch`` id committed under ``app_id`` — the
+        Delta-style idempotent-writer protocol: a streaming sink
+        records (app, batch) in the SAME atomic commit as its data,
+        and on restart skips every batch ≤ this watermark. Unlike
+        merge-idempotency arguments this also makes APPEND sinks
+        exactly-once: a replayed batch is detected, not re-applied.
+        Delta log files are never rewritten (checkpoints only bound
+        replay), so a reverse scan over deltas is complete; cost is
+        O(versions since that app's last commit) metadata reads."""
+        for v in reversed(self._versions()):
+            meta = self._read_json(f"{v:020d}.json")
+            t = meta.get("txn")
+            if t and t.get("app") == app_id:
+                return int(t["batch"])
+        return None
+
     def _commit(
         self,
         *,
@@ -290,6 +307,7 @@ class AcidTable:
         schema_json: str,
         stats: dict[str, dict[str, list]],
         base_version: int | None,
+        txn: tuple[str, int] | None = None,
     ) -> Snapshot:
         os.makedirs(self._log, exist_ok=True)
         new_version = 0 if base_version is None else base_version + 1
@@ -304,6 +322,7 @@ class AcidTable:
             "version": new_version,
             "operation": operation,
             "committed_at": time.time(),
+            **({"txn": {"app": txn[0], "batch": int(txn[1])}} if txn else {}),
             "add": {f: stats.get(f, prev_stats.get(f, {})) for f in sorted(new_set - prev_files)},
             "remove": sorted(prev_files - new_set),
             "schema": schema_json,
@@ -513,7 +532,12 @@ class AcidTable:
         return StructType(out)
 
     def write(
-        self, df: DataFrame, mode: str = "overwrite", *, collect_stats: bool = True
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        *,
+        collect_stats: bool = True,
+        txn: tuple[str, int] | None = None,
     ) -> Snapshot:
         """CTAS / INSERT: ``overwrite`` replaces the file list,
         ``append`` extends it (with union-by-name schema evolution).
@@ -547,6 +571,7 @@ class AcidTable:
             schema_json=schema_json,
             stats=stats,
             base_version=base,
+            txn=txn,
         )
 
     def read(
@@ -653,6 +678,7 @@ class AcidTable:
         keys: Sequence[str],
         *,
         max_retries: int = 3,
+        txn: tuple[str, int] | None = None,
     ) -> Snapshot:
         """``MERGE INTO`` (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
         INSERT *): copy-on-write on exactly the files holding matched
@@ -676,13 +702,19 @@ class AcidTable:
         for _ in range(max_retries):
             snap = self.snapshot()
             try:
-                return self._merge_once(snap, updates, keys)
+                return self._merge_once(snap, updates, keys, txn=txn)
             except CommitConflict:
                 continue
         # final attempt propagates the conflict
-        return self._merge_once(self.snapshot(), updates, keys)
+        return self._merge_once(self.snapshot(), updates, keys, txn=txn)
 
-    def _merge_once(self, snap: Snapshot, updates: DataFrame, keys: list[str]) -> Snapshot:
+    def _merge_once(
+        self,
+        snap: Snapshot,
+        updates: DataFrame,
+        keys: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> Snapshot:
         schema = StructType.fromJson(json.loads(snap.schema_json))
         evolved = self._evolved_schema(schema, updates)
         bounds = updates.agg(
@@ -751,6 +783,7 @@ class AcidTable:
             schema_json=evolved.json(),
             stats=stats,
             base_version=snap.version,
+            txn=txn,
         )
 
     def delete(self, predicate: str) -> Snapshot:

@@ -404,17 +404,26 @@ def stream_merge_into_acid(
     Within a batch, ``order_col`` picks the surviving row per key
     (latest wins); without it duplicates collapse arbitrarily.
 
-    Exactly-once: Spark's checkpoint makes batch replay possible
-    after a crash, but the merge is idempotent — replaying a batch
-    re-replaces the same keys with the same rows — so the table
-    converges to the same state (the same argument Delta's
-    idempotent ``foreachBatch`` writers make).
+    Exactly-once, TWO layers: the merge is idempotent (replaying a
+    batch re-replaces the same keys with the same rows), AND each
+    batch's (app, batch_id) is recorded in the SAME atomic commit as
+    its data — the Delta idempotent-writer protocol — so a replayed
+    batch is detected via ``last_txn_batch`` and skipped without even
+    re-planning the merge. The app id is derived from the checkpoint
+    location, Spark's own identity for a restarted query.
     """
     from pyspark.sql import Window
 
     from dbt_lakehouse_aws_spark.sources.acid import AcidTable
 
-    def merge(batch: DataFrame, _batch_id: int) -> None:
+    app_id = f"stream_merge:{checkpoint_dir}"
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        table = AcidTable(batch.sparkSession, table_path)
+        if table.exists():
+            seen = table.last_txn_batch(app_id)
+            if seen is not None and batch_id <= seen:
+                return  # replayed batch — already committed atomically
         updates = batch
         if order_col is not None:
             w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
@@ -425,14 +434,52 @@ def stream_merge_into_acid(
             )
         else:
             updates = updates.dropDuplicates(keys)
-        table = AcidTable(batch.sparkSession, table_path)
         if table.exists():
-            table.merge(updates, keys)
+            table.merge(updates, keys, txn=(app_id, batch_id))
         else:
-            table.write(updates)
+            table.write(updates, txn=(app_id, batch_id))
 
     return (
         stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_append_into_acid(
+    stream: DataFrame,
+    *,
+    table_path: str,
+    checkpoint_dir: str,
+):
+    """Exactly-once streaming APPEND into the ACID table — the case
+    merge-idempotency arguments do NOT cover: replaying an append
+    would duplicate rows. Each micro-batch commits its rows and its
+    (app, batch_id) in ONE atomic manifest entry (sources/acid.py
+    txn protocol); on restart/replay, ``last_txn_batch`` identifies
+    batches that already landed and the writer returns before
+    touching data. Audit trail: one WRITE-append commit per batch in
+    the table history."""
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    app_id = f"stream_append:{checkpoint_dir}"
+
+    def append(batch: DataFrame, batch_id: int) -> None:
+        table = AcidTable(batch.sparkSession, table_path)
+        if table.exists():
+            seen = table.last_txn_batch(app_id)
+            if seen is not None and batch_id <= seen:
+                return
+            table.write(
+                batch, mode="append", collect_stats=False,
+                txn=(app_id, batch_id),
+            )
+        else:
+            table.write(batch, collect_stats=False, txn=(app_id, batch_id))
+
+    return (
+        stream.writeStream.foreachBatch(append)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

