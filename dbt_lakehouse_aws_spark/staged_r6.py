@@ -1175,3 +1175,63 @@ def ks_drift_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(d), 6).alias("ks_stat"),
         )
     )
+
+
+@_staged(
+    "stream_append_exactly_once",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_after_replay,
+           CAST(0 AS BIGINT) AS replay_added
+    FROM events
+    """,
+)
+def stream_append_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming APPEND under the driver gate: the
+    events file streams into an ACID table through
+    streaming/ingest.py::stream_append_into_acid (one atomic commit
+    carrying BOTH the rows and the (app, batch) txn marker), then a
+    crash-replay is SIMULATED by re-running the writer's own guard
+    with the already-committed batch id — the txn watermark
+    (sources/acid.py::last_txn_batch) must skip it. The oracle pins:
+    table row count == source count after the first pass, unchanged
+    after the replay, 0 rows added. Merge idempotency cannot give
+    this for appends; the txn protocol is what makes the sink
+    exactly-once."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_append_into_acid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    root = tempfile.mkdtemp(prefix=f"eo_{uuid.uuid4().hex[:8]}_")
+    table_path = f"{root}/tbl"
+    ckpt = f"{root}/ckpt"
+    q = stream_append_into_acid(
+        stream.select("event_id", "user_id", "event_type"),
+        table_path=table_path,
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(600)
+    t = AcidTable(spark, table_path)
+    n1 = t.read().count()
+
+    # crash-replay: same app id (derived from the checkpoint), batch 0
+    app_id = f"stream_append:{ckpt}"
+    seen = t.last_txn_batch(app_id)
+    replay = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    if not (seen is not None and 0 <= seen):  # the sink's own guard
+        t.write(replay, mode="append", txn=(app_id, 0))
+    n2 = t.read().count()
+    return spark.createDataFrame(
+        [(n1, n2, n2 - n1)],
+        "n_rows long, n_after_replay long, replay_added long",
+    )
