@@ -347,3 +347,81 @@ def subtree_rollup(
     return contrib.groupBy(F.col("target").alias(node_col)).agg(
         F.sum("_v").alias("subtree_total")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iters: int = 8,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Personalized PageRank: the teleport distribution concentrates
+    on ``seeds`` (uniform over the seed set) instead of all nodes —
+    the random-walk-with-restart scorer behind "related to THESE
+    items" recommendations and seed-expanded entity discovery.
+
+    Same relational Pregel shape as :func:`pagerank` (edges ⋈ ranks →
+    per-dst sum per iteration, O(edges) shuffle); the teleport vector
+    is a broadcast-sized frame folded in with a left join, so
+    personalization adds no per-iteration shuffle. Ranks start AT the
+    teleport distribution and the update is
+    ``(1−d)·p(v) + d·Σ in-contributions`` — nodes unreachable from
+    the seed set correctly converge to 0. Dangling mass is not
+    redistributed here (callers on graphs with sink nodes should add
+    back-edges or use :func:`pagerank`'s dangling handling); on
+    symmetric graphs there are no sinks."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    p = F.broadcast(
+        seed_nodes.withColumn("_p", F.lit(1.0 / n_seeds)).localCheckpoint(
+            eager=True
+        )
+    )
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    edges_w = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+        .join(out_deg, "node")
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.join(p, "node", "left").select(
+        "node", F.coalesce("_p", F.lit(0.0)).alias("rank")
+    )
+    for i in range(iters):
+        contribs = (
+            edges_w.join(ranks, "node")
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(p, "node", "left")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.coalesce("_p", F.lit(0.0))
+                    + F.lit(damping) * F.coalesce("_s", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1235,3 +1235,80 @@ def stream_append_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n1, n2, n2 - n1)],
         "n_rows long, n_after_replay long, replay_added long",
     )
+
+
+def _ppr_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank oracle — the pagerank fixpoint
+    device with the teleport term concentrated on the seed set
+    (users with ≥1 purchase): p(v) = 1/|seeds| on seeds, else 0;
+    update = (1-d)·p(v) + d·Σ in-contributions. Same bipartite
+    user↔event-type graph as pagerank_event_graph."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             (1 - {damping}) * n.p + {damping} * coalesce(s._s, 0) AS rank
+      FROM pnodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / d.deg) AS _s
+        FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.node
+        GROUP BY e.dst
+      ) s ON n.node = s.node)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH fwd AS (
+      SELECT DISTINCT concat('u:', user_id) AS src,
+             concat('t:', event_type) AS dst
+      FROM events
+    ),
+    edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+    seeds AS (
+      SELECT DISTINCT concat('u:', user_id) AS node
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pnodes AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN 1.0 / (SELECT count(*) FROM seeds)
+                  ELSE 0.0 END AS p
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+    ),
+    r0 AS (SELECT node, p AS rank FROM pnodes),
+    {chain}
+    SELECT node, round(rank, 6) AS rank FROM {prev}
+    """
+
+
+@_staged("personalized_pagerank_buyers", _ppr_oracle_sql())
+def personalized_pagerank_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on purchasing users
+    (operators/graph.py::personalized_pagerank) — random walk with
+    restart over the bipartite user↔event-type graph, the
+    "related to these entities" recommender scorer. Fixed 8
+    iterations unroll into the chained-CTE oracle exactly like
+    pagerank_event_graph; the teleport vector rides a broadcast join,
+    adding no per-iteration shuffle."""
+    from dbt_lakehouse_aws_spark.operators.graph import personalized_pagerank
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events")
+    fwd = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.concat(F.lit("u:"), F.col("user_id")).alias("node"))
+        .distinct()
+    )
+    return personalized_pagerank(edges, seeds, iters=8).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
