@@ -398,6 +398,29 @@ def personalized_pagerank(
         .join(out_deg, "node")
         .localCheckpoint(eager=True)
     )
+    # loop-hoist (same optimization as pagerank): every node with at
+    # least one in-edge appears in the per-iteration contribution
+    # aggregate (zero-rank sources still produce _s = 0 rows), so the
+    # update only needs contribs ⋈ broadcast(p). Nodes with NO
+    # in-edge have the constant rank (1−d)·p(v) every iteration —
+    # computed once and unioned, so the loop body is contribs ⋈ one
+    # broadcast frame, never a full-node join. (On symmetric graphs —
+    # the driver query's case — the no-inedge set is empty and the
+    # union branch disappears; wall-clock there is 8 rounds of
+    # scheduler overhead at toy scale, same profile as pagerank.)
+    no_inedge_ranks = (
+        nodes.join(
+            edges.select(F.col(dst).alias("node")).distinct(), "node", "left_anti"
+        )
+        .join(p, "node", "left")
+        .select(
+            "node",
+            (F.lit(1.0 - damping) * F.coalesce("_p", F.lit(0.0))).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    has_no_inedge = no_inedge_ranks.limit(1).count() > 0
+
     ranks = nodes.join(p, "node", "left").select(
         "node", F.coalesce("_p", F.lit(0.0)).alias("rank")
     )
@@ -411,17 +434,15 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = (
-            nodes.join(p, "node", "left")
-            .join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) * F.coalesce("_p", F.lit(0.0))
-                    + F.lit(damping) * F.coalesce("_s", F.lit(0.0))
-                ).alias("rank"),
-            )
+        ranks = contribs.join(p, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * F.coalesce("_p", F.lit(0.0))
+                + F.lit(damping) * F.col("_s")
+            ).alias("rank"),
         )
+        if has_no_inedge:
+            ranks = ranks.unionByName(no_inedge_ranks)
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
