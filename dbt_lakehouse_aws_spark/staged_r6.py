@@ -1312,3 +1312,68 @@ def personalized_pagerank_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(edges, seeds, iters=8).select(
         "node", F.round("rank", 6).alias("rank")
     )
+
+
+@_staged(
+    "training_matrix_pit",
+    """
+    WITH seq AS (
+      SELECT event_id, user_id, ts, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             count(*) OVER w AS n_prior_events,
+             coalesce(sum(CAST(round(value * 100) AS BIGINT)) OVER w, 0)
+               AS prior_value_cents,
+             min(ts) OVER w AS first_prior_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CAST(n_prior_events AS BIGINT) AS n_prior_events,
+           CAST(prior_value_cents AS BIGINT) AS prior_value_cents,
+           CAST(date_diff('day', CAST(first_prior_ts AS DATE), CAST(ts AS DATE))
+                AS BIGINT) AS days_active,
+           cents AS label_cents
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def training_matrix_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free training-matrix assembly — the capstone a feature
+    store exists for: one row per label event (purchases) carrying
+    ONLY strictly-prior features (event count, spend, tenure), built
+    with per-user windows whose frame ends at ``1 PRECEDING`` — the
+    same-instant and future rows that cause target leakage are
+    excluded by the frame itself, not by a fragile filter. All
+    windows partition by user (bounded by events-per-user, no
+    funnel); features are exact integers. The purged temporal split
+    (temporal_split_purged_events) and group split (group_split_docs)
+    are the companions downstream."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        cents.alias("cents"),
+        F.count(F.lit(1)).over(w).alias("n_prior_events"),
+        F.coalesce(F.sum(cents).over(w), F.lit(0)).alias("prior_value_cents"),
+        F.min("ts").over(w).alias("first_prior_ts"),
+    )
+    return seq.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("n_prior_events").cast("long").alias("n_prior_events"),
+        F.col("prior_value_cents").cast("long").alias("prior_value_cents"),
+        F.datediff(F.to_date("ts"), F.to_date("first_prior_ts"))
+        .cast("long")
+        .alias("days_active"),
+        F.col("cents").alias("label_cents"),
+    )
