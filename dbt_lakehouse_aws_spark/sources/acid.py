@@ -860,6 +860,25 @@ class AcidTable:
             base_version=self.latest_version(),
         )
 
+    def maybe_optimize(
+        self,
+        *,
+        max_files: int = 64,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        zorder_by: Sequence[str] | None = None,
+    ) -> Snapshot | None:
+        """Compact ONLY when the current snapshot's file count exceeds
+        ``max_files`` — the maintenance hook a streaming sink calls
+        after each commit so incremental writers (one small file per
+        batch per touched set) can run forever without manifest/task
+        explosion. Returns the OPTIMIZE snapshot when compaction ran,
+        else None; the check is one metadata read, no data I/O."""
+        if len(self.snapshot().files) <= max_files:
+            return None
+        return self.optimize(
+            target_file_bytes=target_file_bytes, zorder_by=zorder_by
+        )
+
     def optimize(
         self,
         *,

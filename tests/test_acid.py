@@ -840,3 +840,25 @@ def test_stream_append_into_acid_exactly_once(spark, tmp_path):
     if not (seen is not None and 0 <= seen):
         t.write(batch, mode="append", txn=(app_id, 0))
     assert t.read().count() == 3  # replay added nothing
+
+
+def test_maybe_optimize_triggers_on_file_count(spark, tmp_path):
+    """Auto-compaction: below the threshold it is a metadata no-op;
+    above it, one OPTIMIZE commit shrinks the file count and
+    preserves every row."""
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "mo"))
+    t.write(spark.createDataFrame([(0, "x")], "id long, s string"))
+    for i in range(1, 8):
+        t.write(
+            spark.createDataFrame([(i, "x")], "id long, s string"),
+            mode="append",
+        )
+    n_files = len(t.snapshot().files)
+    assert n_files >= 8
+    assert t.maybe_optimize(max_files=100) is None  # under threshold
+    snap = t.maybe_optimize(max_files=4)
+    assert snap is not None and snap.operation.startswith("OPTIMIZE")
+    assert len(t.snapshot().files) < n_files
+    assert t.read().count() == 8
