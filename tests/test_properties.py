@@ -360,3 +360,64 @@ def test_cms_point_estimates_never_under_any_input(spark, vals):
 
     exact = Counter(vals)
     assert all(est[v] >= c for v, c in exact.items())
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 10_000), st.integers(-1000, 1000)),
+        min_size=1, max_size=300, unique_by=lambda t: t[1],
+    )
+)
+def test_prefix_sum_equals_naive_window(spark, rows):
+    """prefix_sum == Window.orderBy running sum on arbitrary shapes —
+    duplicate order keys (tiebroken by uid), negative values, single
+    rows."""
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+
+    df = spark.createDataFrame(rows, "k int, uid int, v long")
+    fast = prefix_sum(df, [F.asc("k"), F.asc("uid")], "v", name="cum", num_partitions=4)
+    w = Window.orderBy(F.asc("k"), F.asc("uid")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = df.withColumn("cum2", F.sum("v").over(w))
+    merged = fast.join(naive, ["k", "uid", "v"])
+    assert merged.filter(F.col("cum") != F.col("cum2")).count() == 0
+    assert merged.count() == len(rows)
+
+
+@settings(**SETTINGS)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(-5, 5)),
+        min_size=0, max_size=60, unique_by=lambda t: t[0],
+    ),
+    drop_mod=st.integers(2, 7),
+    bump_mod=st.integers(2, 7),
+)
+def test_table_diff_partitions_keyspace(spark, base, drop_mod, bump_mod):
+    """diff classes partition the union keyspace, counts reconcile
+    with the mutation rule, and diff(a, a) is all-unchanged."""
+    from dbt_lakehouse_aws_spark.operators.relational import table_diff
+
+    a = spark.createDataFrame(base + [(-1, 0)], "k long, v long")
+    # b: drop k%drop_mod==0, bump v for k%bump_mod==1
+    b_rows = [
+        (k, v + 1 if k % bump_mod == 1 else v)
+        for k, v in base + [(-1, 0)]
+        if k % drop_mod != 0
+    ] + [(10_000, 1)]
+    b = spark.createDataFrame(b_rows, "k long, v long")
+    d = {r["k"]: r["diff_status"] for r in table_diff(a, b, keys=["k"]).collect()}
+    all_keys = {k for k, _ in base} | {-1, 10_000}
+    assert set(d) == all_keys
+    for k, v in base + [(-1, 0)]:
+        if k % drop_mod == 0:
+            assert d[k] == "removed", k
+        elif k % bump_mod == 1:
+            assert d[k] == "changed", k
+        else:
+            assert d[k] == "unchanged", k
+    assert d[10_000] == "added"
+    same = table_diff(a, a, keys=["k"])
+    assert same.filter(F.col("diff_status") != "unchanged").count() == 0
