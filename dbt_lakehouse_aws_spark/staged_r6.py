@@ -1377,3 +1377,47 @@ def training_matrix_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_active"),
         F.col("cents").alias("label_cents"),
     )
+
+
+@_staged(
+    "acid_asof_timestamp_events",
+    """
+    WITH a AS (
+      SELECT count(*) AS n FROM events WHERE event_type != 'error'
+    ),
+    b AS (SELECT count(*) AS n FROM events)
+    SELECT CAST(a.n AS BIGINT) AS n_at_t1,
+           CAST(b.n AS BIGINT) AS n_at_t2,
+           CAST(b.n - a.n AS BIGINT) AS n_appended
+    FROM a CROSS JOIN b
+    """,
+)
+def acid_asof_timestamp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF-timestamp time travel under the driver gate
+    (sources/acid.py::version_at/read(as_of=…)): commit the non-error
+    events, capture a wall-clock instant, append the error events,
+    then read the table AS OF that instant — it must see exactly the
+    first commit's rows while the current read sees both. The commit
+    timestamps live in the manifest log, so resolution is
+    metadata-only; the oracle pins both counts and the delta."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type")
+    t = AcidTable(
+        spark, tempfile.mkdtemp(prefix=f"asof_{uuid.uuid4().hex[:8]}_") + "/t"
+    )
+    t.write(ev.filter(F.col("event_type") != "error"))
+    t1 = _time.time()
+    _time.sleep(0.05)  # commit timestamps have wall-clock resolution
+    t.write(ev.filter(F.col("event_type") == "error"), mode="append")
+
+    n1 = t.read(as_of=t1).count()
+    n2 = t.read().count()
+    return spark.createDataFrame(
+        [(n1, n2, n2 - n1)], "n_at_t1 long, n_at_t2 long, n_appended long"
+    )
