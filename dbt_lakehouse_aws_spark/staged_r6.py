@@ -1421,3 +1421,74 @@ def acid_asof_timestamp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n1, n2, n2 - n1)], "n_at_t1 long, n_at_t2 long, n_appended long"
     )
+
+
+@_staged(
+    "csv_quoted_roundtrip_parts",
+    """
+    WITH hostile AS (
+      SELECT p_partkey,
+             concat(p_name,
+                    CASE p_partkey % 4
+                      WHEN 0 THEN ', Inc.'
+                      WHEN 1 THEN ' "quoted"'
+                      WHEN 2 THEN concat(' multi', chr(10), 'line')
+                      ELSE '' END) AS hostile_name,
+             p_brand
+      FROM part
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(length(hostile_name)) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN contains(hostile_name, chr(10))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline
+    FROM hostile
+    GROUP BY p_brand
+    """,
+)
+def csv_quoted_roundtrip_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV roundtrip under HOSTILE field content — the quoting edge
+    cases that corrupt naive ingest: embedded delimiters, embedded
+    double quotes (RFC 4180 doubling), and embedded NEWLINES
+    (requires multiLine parsing on the read side). A deterministic
+    mutation plants each hazard by key; the table is written with
+    Spark's distributed CSV writer and read back with
+    ``multiLine=true`` + explicit schema, and the aggregate over the
+    read-back copy must match the oracle computed over the mutated
+    SOURCE — any quoting loss shifts lengths/counts. Completes the
+    ingest-roundtrip family (ORC, bz2 JSONL, fixed-width, Avro)."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    p = T(spark, sf_dir, "part")
+    hostile = p.select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"),
+            F.when(F.col("p_partkey") % 4 == 0, F.lit(", Inc."))
+            .when(F.col("p_partkey") % 4 == 1, F.lit(' "quoted"'))
+            .when(
+                F.col("p_partkey") % 4 == 2,
+                F.concat(F.lit(" multi"), F.lit("\n"), F.lit("line")),
+            )
+            .otherwise(F.lit("")),
+        ).alias("hostile_name"),
+        "p_brand",
+    )
+    root = tempfile.mkdtemp(prefix=f"csvq_{uuid.uuid4().hex[:8]}_") + "/parts"
+    hostile.write.mode("overwrite").option("header", "true").csv(root)
+    back = (
+        spark.read.schema("p_partkey long, hostile_name string, p_brand string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(root)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("hostile_name")).cast("long").alias("total_chars"),
+        F.sum(
+            F.when(F.col("hostile_name").contains("\n"), 1).otherwise(0)
+        ).cast("long").alias("n_multiline"),
+    )
