@@ -254,11 +254,20 @@ def prefix_sum(
         .collect(),
         key=lambda r: r["_pid"],
     )
+    # offsets carry CUMULATIVE sums, so they take the AGGREGATE's
+    # type, not the value column's: Spark widens sum(int) to long —
+    # typing the offset as the input column would overflow int32 for
+    # any large partition prefix. Integral → long, floating → double.
+    sum_type = (
+        "double"
+        if df.schema[value_col].dataType.simpleString() in ("double", "float")
+        else "long"
+    )
     offsets, acc = [], 0
     for row in totals:
         offsets.append((int(row["_pid"]), acc))
         acc += row["_t"]
-    offset_df = spark.createDataFrame(offsets, f"_pid INT, _offset {df.schema[value_col].dataType.simpleString()}")
+    offset_df = spark.createDataFrame(offsets, f"_pid INT, _offset {sum_type}")
 
     w = Window.partitionBy(pid).orderBy("_mono")
     return (

@@ -421,3 +421,18 @@ def test_table_diff_partitions_keyspace(spark, base, drop_mod, bump_mod):
     assert d[10_000] == "added"
     same = table_diff(a, a, keys=["k"])
     assert same.filter(F.col("diff_status") != "unchanged").count() == 0
+
+
+def test_prefix_sum_int_column_offsets_do_not_overflow(spark):
+    """Regression: an INT value column whose per-partition totals
+    exceed int32 must still produce exact long cumulative sums (the
+    offset frame takes the aggregate's widened type)."""
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.col("id"), F.lit(100_000).cast("int").alias("v")  # total 5e9 > int32
+    )
+    out = prefix_sum(df, [F.asc("id")], "v", name="cum", num_partitions=8)
+    top = out.agg(F.max("cum")).collect()[0][0]
+    assert top == n * 100_000
