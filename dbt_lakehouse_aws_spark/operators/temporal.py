@@ -541,7 +541,11 @@ def cusum_daily_anomaly(
         F.stddev_samp(F.col("n").cast("double")).alias("_sd"),
     )
     joined = daily.join(stats, "key")
-    schema = "key string, day date, n long, cusum double"
+    # output schema derives the key's type from the input, so numeric
+    # or string keys both work (a hardcoded `key string` would make
+    # applyInPandas silently cast or fail for long keys)
+    key_type = joined.schema["key"].dataType.simpleString()
+    schema = f"key {key_type}, day date, n long, cusum double"
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day").reset_index(drop=True)

@@ -871,3 +871,18 @@ def test_grid_proximity_pairs_hand_points(spark):
         ).collect()
     }
     assert got == {(1, 2): 100, (2, 3): 1, (2, 4): 82, (3, 4): 85, (5, 6): 25}
+
+
+def test_cusum_numeric_key(spark):
+    """CUSUM works with a non-string key column (output schema
+    derives the key type from the input)."""
+    from dbt_lakehouse_aws_spark.operators.temporal import cusum_daily_anomaly
+
+    rows = [(7, "2024-01-01 00:00:00"), (7, "2024-01-02 00:00:00"),
+            (7, "2024-01-02 00:00:01")]
+    df = spark.createDataFrame(rows, "k long, ts_s string").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = cusum_daily_anomaly(df, key_col="k").collect()
+    assert {r["key"] for r in out} == {7}
+    assert len(out) == 2
