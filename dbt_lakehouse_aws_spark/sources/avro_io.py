@@ -438,9 +438,11 @@ def avro_schema_for(df) -> dict:
 def write_avro(df, path: str, *, codec: str = "deflate"):
     """Distributed Avro sink: each task encodes ITS partition into one
     spec-conformant Object Container File under ``path`` (tmp-file +
-    atomic rename, so readers never see a torn container). The
-    returned one-row frame aggregates (n_rows, n_files) — forcing it
-    is what runs the write, mirroring Spark's lazy sink semantics.
+    atomic rename, so readers never see a torn container). Returns a
+    one-row (n_rows, n_files) frame; the write executes eagerly (an
+    all-empty input additionally lands one empty schema-carrying
+    container so the directory always round-trips through
+    :func:`read_avro`).
 
     Parallelism = input partitions, the natural Avro unit (the format
     is row-major and block-compressed — there is no intra-file column
@@ -485,7 +487,30 @@ def write_avro(df, path: str, *, codec: str = "deflate"):
     import pyspark.sql.functions as _F
 
     meta = df.mapInPandas(write_part, "n_rows long, n_files long")
-    return meta.agg(
-        _F.sum("n_rows").cast("long").alias("n_rows"),
-        _F.sum("n_files").cast("long").alias("n_files"),
+    agg = meta.agg(
+        _F.coalesce(_F.sum("n_rows"), _F.lit(0)).cast("long").alias("n_rows"),
+        _F.coalesce(_F.sum("n_files"), _F.lit(0)).cast("long").alias("n_files"),
     )
+
+    def _ensure_readable(rows):
+        # an all-empty input wrote no containers; land ONE empty,
+        # schema-carrying container from the driver so the directory
+        # round-trips (read_avro discovers the schema from a file)
+        out = []
+        for r in rows:
+            if r["n_files"] == 0:
+                blob = write_container(schema, [], codec=codec)
+                final = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+                tmp = final + ".tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(blob)
+                os.replace(tmp, final)
+                out.append((r["n_rows"], 1))
+            else:
+                out.append((r["n_rows"], r["n_files"]))
+        return out
+
+    import uuid
+
+    rows = _ensure_readable(agg.collect())
+    return df.sparkSession.createDataFrame(rows, "n_rows long, n_files long")

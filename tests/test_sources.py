@@ -1061,3 +1061,18 @@ def test_read_fixed_width_blank_fields_null(spark, tmp_path):
         ).collect()
     }
     assert out == {1: ("ABC", 42), 2: (None, None)}
+
+
+def test_write_avro_empty_frame_roundtrips(spark, tmp_path):
+    """An empty input still lands one schema-carrying container so
+    the directory is readable (read_avro discovers its schema from a
+    file)."""
+    from dbt_lakehouse_aws_spark.sources.avro_io import read_avro, write_avro
+
+    df = spark.createDataFrame([], "id long, name string")
+    root = str(tmp_path / "empty_avro")
+    meta = write_avro(df, root).collect()[0]
+    assert (meta["n_rows"], meta["n_files"]) == (0, 1)
+    back = read_avro(spark, root)
+    assert back.count() == 0
+    assert back.columns == ["id", "name"]
