@@ -25,7 +25,7 @@ def _staged(name: str, oracle: str):
     return deco
 
 
-from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
@@ -1033,8 +1033,6 @@ def session_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
     )
 
-
-from pyspark.sql import Window  # noqa: E402
 
 
 @_staged(
