@@ -407,3 +407,47 @@ def write_training_shards(
     )
     manifest.write.mode("overwrite").parquet(path.rstrip("/") + "_manifest")
     return manifest
+
+
+def contamination_check(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an evaluation/benchmark corpus — the standard
+    pre-training hygiene gate (GPT-3 used 13-grams; ``n`` scales to
+    the corpus at hand). Output per contaminated training doc:
+    distinct benchmark-overlapping grams (``hit_grams``), the doc's
+    distinct gram count (``total_grams``), and their ratio
+    (``contamination``).
+
+    Scale shape: the benchmark side is a small constant (eval suites
+    are MBs, the corpus is TBs), so its DISTINCT gram set is
+    broadcast — the training side is ONE map-side hash-join pass plus
+    a groupBy on ``id_col``; the 100 TB corpus is never shuffled on
+    gram. Per-doc gram sets are deduped with ``array_distinct``
+    BEFORE the explode, so the join input is already minimal.
+    """
+    from .text import word_shingles
+
+    grams = F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g")
+    tg = train.select(F.col(id_col), grams)
+    bg = bench.select(grams).distinct()
+    sizes = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_grams"))
+    hits = (
+        tg.join(F.broadcast(bg), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hit_grams"))
+    )
+    return hits.join(sizes, id_col).select(
+        F.col(id_col),
+        F.col("hit_grams").cast("long").alias("hit_grams"),
+        F.col("total_grams").cast("long").alias("total_grams"),
+        F.round(F.col("hit_grams") / F.col("total_grams"), 6).alias(
+            "contamination"
+        ),
+    )

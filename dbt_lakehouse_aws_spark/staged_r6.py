@@ -1490,3 +1490,44 @@ def csv_quoted_roundtrip_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("hostile_name").contains("\n"), 1).otherwise(0)
         ).cast("long").alias("n_multiline"),
     )
+
+
+@_staged(
+    "contamination_check_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, doc_id % 17 = 0 AS bench,
+             unnest(list_transform(range(1, len(ts) - 3),
+                                   i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS g
+      FROM toks WHERE len(ts) >= 5
+    ), bg AS (
+      SELECT DISTINCT g FROM sh WHERE bench
+    ), tr AS (
+      SELECT doc_id, g FROM sh WHERE NOT bench
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS total_grams
+      FROM tr GROUP BY 1
+    ), hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_grams
+      FROM tr JOIN bg USING (g) GROUP BY 1
+    )
+    SELECT h.doc_id, hit_grams, total_grams,
+           round(CAST(hit_grams AS DOUBLE) / total_grams, 6) AS contamination
+    FROM hits h JOIN sizes s USING (doc_id)
+    """,
+)
+def contamination_check_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (llmops/corpus.py::
+    contamination_check): docs with ``doc_id % 17 == 0`` stand in for
+    the benchmark suite; 5-word grams are the overlap unit (the
+    short-doc analogue of GPT-3's 13-gram rule). The benchmark gram
+    set is broadcast — the corpus side never shuffles on gram."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.llmops.corpus import contamination_check
+
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    return contamination_check(train, bench, n=5)
