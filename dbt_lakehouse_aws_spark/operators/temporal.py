@@ -566,3 +566,73 @@ def cusum_daily_anomaly(
         )
 
     return joined.groupBy("key").applyInPandas(fold, schema)
+
+
+def holt_linear_smooth(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over per-key
+    DAILY counts — the classic short-horizon forecaster for capacity/
+    volume series::
+
+        l_1 = x_1,  b_1 = 0
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    The coupled recursion has no window-function form (each step
+    mixes BOTH carried states), so — exactly like
+    :func:`cusum_daily_anomaly` — the engine collapses events to the
+    per-(key, day) count series first (the only O(rows) work, one
+    map-side-combinable aggregate) and folds the recursion per key in
+    Arrow-batched ``applyInPandas``: ≤ calendar-days rows per key,
+    keys in parallel, nothing driver-side. The SQL oracle replays the
+    identical per-step operation order as a recursive CTE (both sides
+    use the LITERAL smoothing constants — never ``1−β``, whose
+    floating-point value differs from the literal ``0.7``).
+
+    Returns (key, day, n, level, trend, forecast) where ``forecast``
+    is the one-step-ahead prediction ``level + trend``.
+    """
+    import pandas as pd
+
+    a, b1, bt, bt1 = alpha, 1.0 - alpha, beta, 1.0 - beta
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    key_type = daily.schema["key"].dataType.simpleString()
+    schema = (
+        f"key {key_type}, day date, n long, level double, trend double,"
+        " forecast double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lvl = trd = None
+        levels, trends = [], []
+        for x in pdf["n"]:
+            x = float(x)
+            if lvl is None:
+                lvl, trd = x, 0.0
+            else:
+                prev = lvl
+                lvl = a * x + b1 * (lvl + trd)
+                trd = bt * (lvl - prev) + bt1 * trd
+            levels.append(lvl)
+            trends.append(trd)
+        return pd.DataFrame(
+            {
+                "key": pdf["key"],
+                "day": pdf["day"],
+                "n": pdf["n"].astype("int64"),
+                "level": levels,
+                "trend": trends,
+                "forecast": [l + t for l, t in zip(levels, trends)],
+            }
+        )
+
+    return daily.groupBy("key").applyInPandas(fold, schema)

@@ -1531,3 +1531,64 @@ def contamination_check_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 17 == 0)
     train = d.filter(F.col("doc_id") % 17 != 0)
     return contamination_check(train, bench, n=5)
+
+
+@_staged(
+    "holt_forecast_daily_events",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT key, day, x, n,
+             CAST(row_number() OVER (PARTITION BY key ORDER BY day)
+                  AS BIGINT) AS i
+      FROM daily
+    ),
+    rec(key, i, l, b) AS (
+      SELECT key, i, x, CAST(0.0 AS DOUBLE) FROM seq WHERE i = 1
+      UNION ALL
+      SELECT r.key, r.i + 1,
+             0.5 * q.x + 0.5 * (r.l + r.b),
+             0.3 * ((0.5 * q.x + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+      FROM rec r JOIN seq q ON q.key = r.key AND q.i = r.i + 1
+    )
+    SELECT q.key AS event_type, q.day, q.n,
+           floor(r.l * 1e6 + 0.5) / 1e6 AS level,
+           floor(r.b * 1e6 + 0.5) / 1e6 AS trend,
+           floor((r.l + r.b) * 1e6 + 0.5) / 1e6 AS forecast
+    FROM rec r JOIN seq q ON q.key = r.key AND q.i = r.i
+    """,
+)
+def holt_forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential level+trend smoothing over per-type
+    daily counts (operators/temporal.py::holt_linear_smooth) — the
+    coupled two-state recursion no window function expresses; engine
+    folds it per key in Arrow applyInPandas over the pre-aggregated
+    daily series, oracle replays the identical op order as a
+    recursive CTE (literal smoothing constants on both sides —
+    1.0−0.3 == 0.7 bitwise, asserted in the operator's test)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.operators.temporal import holt_linear_smooth
+
+    ev = T(spark, sf_dir, "events")
+    out = holt_linear_smooth(ev, key_col="event_type", ts_col="ts")
+
+    # floor-based half-up rounding: floor/×/+ are all exact-or-IEEE
+    # identical in Spark and DuckDB, unlike round(double, d), whose
+    # decimal-vs-binary tie handling differs at half-way points
+    # (66.1600125 rounded 13 vs 12 at sf0.01 — the motivating case).
+    def r6(c: str):
+        return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)
+
+    return out.select(
+        F.col("key").alias("event_type"),
+        "day",
+        "n",
+        r6("level"),
+        r6("trend"),
+        r6("forecast"),
+    )

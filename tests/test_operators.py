@@ -886,3 +886,37 @@ def test_cusum_numeric_key(spark):
     out = cusum_daily_anomaly(df, key_col="k").collect()
     assert {r["key"] for r in out} == {7}
     assert len(out) == 2
+
+
+def test_holt_linear_smooth_hand_series(spark):
+    """Hand-folded Holt recursion on counts 3,1,4,1,5 for one key;
+    also pins the literal-constant contract the oracle depends on
+    (1.0-0.3 == 0.7 bitwise)."""
+    from dbt_lakehouse_aws_spark.operators.temporal import holt_linear_smooth
+
+    assert 1.0 - 0.3 == 0.7 and 1.0 - 0.5 == 0.5
+
+    series = [3, 1, 4, 1, 5]
+    rows = []
+    for d, x in enumerate(series, start=1):
+        for i in range(x):
+            rows.append(("a", f"2024-01-0{d} 00:00:0{i}"))
+    df = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {
+        str(r["day"]): (r["level"], r["trend"], r["forecast"])
+        for r in holt_linear_smooth(df, key_col="event_type").collect()
+    }
+    lvl, trd = float(series[0]), 0.0
+    want = {"2024-01-01": (lvl, trd, lvl + trd)}
+    for d, x in enumerate(series[1:], start=2):
+        prev = lvl
+        lvl = 0.5 * x + 0.5 * (lvl + trd)
+        trd = 0.3 * (lvl - prev) + 0.7 * trd
+        want[f"2024-01-0{d}"] = (lvl, trd, lvl + trd)
+    assert set(got) == set(want)
+    for day, (l, t, f_) in want.items():
+        assert got[day][0] == pytest.approx(l, abs=1e-12)
+        assert got[day][1] == pytest.approx(t, abs=1e-12)
+        assert got[day][2] == pytest.approx(f_, abs=1e-12)
