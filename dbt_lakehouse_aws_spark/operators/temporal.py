@@ -636,3 +636,63 @@ def holt_linear_smooth(
         )
 
     return daily.groupBy("key").applyInPandas(fold, schema)
+
+
+def acf_daily(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation of the per-key DAILY count series at
+    lags 1..``max_lag`` — the seasonality/persistence diagnostic that
+    decides smoothing constants and anomaly windows.
+
+    Lags are CALENDAR lags (pairs are (x_t, x_{t−k days}), absent
+    days simply contribute no pair) — positional ``lag()`` would
+    silently misalign on gappy series. Shape: events collapse to the
+    per-(key, day) count frame (the only O(rows) pass); the lag
+    dimension is a broadcast 1..max_lag frame, and pairing is one
+    equi-join of the tiny daily frame with itself on
+    (key, day−lag). Pearson r comes from INTEGER sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) — exact BIGINTs, so the
+    result is bit-deterministic across partitionings and engines (a
+    naive ``corr()`` over doubles varies with aggregation order). r
+    is then evaluated in doubles with a fixed expression order both
+    engines share.
+
+    Returns (key, lag, n_pairs, acf); acf is NULL where a side has
+    zero variance.
+    """
+    spark = df.sparkSession
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("key"), F.col("day").alias("_bday"), F.col("x").alias("y")
+    )
+    pairs = a.join(
+        b,
+        (a["key"] == b["key"])
+        & (b["_bday"] == F.date_sub(a["day"], F.col("lag").cast("int"))),
+    ).select(a["key"], "lag", "x", "y")
+    stats = pairs.groupBy("key", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        "key",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        (num / F.nullif(F.sqrt(vx * vy), F.lit(0.0))).alias("acf"),
+    )

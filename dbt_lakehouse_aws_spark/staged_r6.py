@@ -1592,3 +1592,46 @@ def holt_forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("trend"),
         r6("forecast"),
     )
+
+
+@_staged(
+    "acf_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day, count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.key, l.lag, a.x, b.x AS y
+      FROM daily a
+      CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+      JOIN daily b ON b.key = a.key AND b.day = a.day - CAST(l.lag AS INTEGER)
+    ),
+    stats AS (
+      SELECT key, CAST(lag AS BIGINT) AS lag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT key AS event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+           (n * sxy - sx * sy)
+             / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)
+             AS acf
+    FROM stats
+    """,
+)
+def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-lag autocorrelation (lags 1..7) of per-type daily
+    event counts (operators/temporal.py::acf_daily). Pearson r from
+    exact integer sufficient stats — bit-deterministic across
+    engines and partitionings, so the double result needs no
+    rounding at all."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.operators.temporal import acf_daily
+
+    ev = T(spark, sf_dir, "events")
+    out = acf_daily(ev, key_col="event_type", ts_col="ts", max_lag=7)
+    return out.select(F.col("key").alias("event_type"), "lag", "n_pairs", "acf")

@@ -920,3 +920,24 @@ def test_holt_linear_smooth_hand_series(spark):
         assert got[day][0] == pytest.approx(l, abs=1e-12)
         assert got[day][1] == pytest.approx(t, abs=1e-12)
         assert got[day][2] == pytest.approx(f_, abs=1e-12)
+
+
+def test_acf_daily_calendar_lag_with_gap(spark):
+    """Series with a missing day: calendar lag-1 pairs skip across
+    the gap (no pair), positional lag would wrongly pair around it.
+    Counts: d1=1, d2=2, d4=3 -> lag1 pairs only (d2,d1); lag2 pairs
+    only (d4,d2)."""
+    from dbt_lakehouse_aws_spark.operators.temporal import acf_daily
+
+    rows = []
+    for d, x in [(1, 1), (2, 2), (4, 3)]:
+        for i in range(x):
+            rows.append(("a", f"2024-01-0{d} 00:00:0{i}"))
+    df = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["lag"]): r["n_pairs"]
+        for r in acf_daily(df, key_col="event_type", max_lag=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}  # lag3: (d4,d1)
