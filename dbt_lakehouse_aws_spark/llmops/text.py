@@ -693,3 +693,65 @@ def skipgram_ppmi(
         .orderBy(F.desc("ppmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def dirichlet_log_odds(
+    docs: DataFrame,
+    group: Column,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    alpha0: float = 50.0,
+    k: int = 20,
+) -> DataFrame:
+    """Log-odds-ratio with an informative Dirichlet prior (Monroe,
+    Colaresi & Quinn 2008) — the defensible "which words distinguish
+    corpus A from corpus B" statistic (raw log-odds overweights rare
+    words; the combined-corpus prior shrinks them)::
+
+        π_w   = (y_aw + y_bw) / (n_a + n_b)          (prior rate)
+        δ_w   = ln((y_aw+α₀π_w)/(n_a+α₀−y_aw−α₀π_w))
+              − ln((y_bw+α₀π_w)/(n_b+α₀−y_bw−α₀π_w))
+        z_w   = δ_w / sqrt(1/(y_aw+α₀π_w) + 1/(y_bw+α₀π_w))
+
+    ``group`` is a boolean Column splitting docs into A (true) / B.
+    Everything flows from INTEGER term counts (one token explode +
+    one groupBy(term) with conditional sums; corpus totals arrive by
+    broadcast), evaluated in doubles with a fixed expression order —
+    bit-reproducible in any engine, so the top-k cut is stable.
+
+    Returns the k most-A-associated terms:
+    (term, count_a, count_b, z_score) ordered by z desc.
+    """
+    toks = docs.select(
+        group.alias("_a"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("ya"),
+        F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("yb"),
+    )
+    totals = toks.groupBy().agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("nb"),
+    )
+    c = counts.filter(F.col("ya") + F.col("yb") >= min_count).crossJoin(
+        F.broadcast(totals)
+    )
+    ya, yb = F.col("ya").cast("double"), F.col("yb").cast("double")
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    pi = (ya + yb) / (na + nb)
+    aw = F.lit(alpha0) * pi
+    delta = F.log((ya + aw) / (na + F.lit(alpha0) - ya - aw)) - F.log(
+        (yb + aw) / (nb + F.lit(alpha0) - yb - aw)
+    )
+    z = delta / F.sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw))
+    return (
+        c.select(
+            "term",
+            F.col("ya").cast("long").alias("count_a"),
+            F.col("yb").cast("long").alias("count_b"),
+            z.alias("z_score"),
+        )
+        .orderBy(F.col("z_score").desc(), F.col("term").asc())
+        .limit(k)
+    )

@@ -1635,3 +1635,51 @@ def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
     out = acf_daily(ev, key_col="event_type", ts_col="ts", max_lag=7)
     return out.select(F.col("key").alias("event_type"), "lag", "n_pairs", "acf")
+
+
+@_staged(
+    "log_odds_terms_en",
+    """
+    WITH toks AS (
+      SELECT lang = 'en' AS a, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT term,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS yb
+      FROM toks GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      FROM toks
+    ),
+    scored AS (
+      SELECT term, ya, yb,
+             (ln((CAST(ya AS DOUBLE) + 50.0 * ((CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))
+                 / (CAST(na AS DOUBLE) + 50.0 - CAST(ya AS DOUBLE) - 50.0 * ((CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))))
+              - ln((CAST(yb AS DOUBLE) + 50.0 * ((CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))
+                 / (CAST(nb AS DOUBLE) + 50.0 - CAST(yb AS DOUBLE) - 50.0 * ((CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))))
+             / sqrt(1.0 / (CAST(ya AS DOUBLE) + 50.0 * ((CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))
+                  + 1.0 / (CAST(yb AS DOUBLE) + 50.0 * ((CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))))
+             AS z_score
+      FROM counts CROSS JOIN totals
+      WHERE ya + yb >= 5
+    )
+    SELECT term, ya AS count_a, yb AS count_b, z_score
+    FROM scored
+    ORDER BY z_score DESC, term ASC
+    LIMIT 20
+    """,
+)
+def log_odds_terms_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe-et-al Dirichlet-prior log-odds: terms most associated
+    with English docs vs the rest (llmops/text.py::
+    dirichlet_log_odds). Integer counts -> fixed-order double
+    arithmetic: bit-reproducible, stable top-20 cut."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.llmops.text import dirichlet_log_odds
+
+    d = T(spark, sf_dir, "documents")
+    return dirichlet_log_odds(d, F.col("lang") == "en", min_count=5, alpha0=50.0, k=20)
