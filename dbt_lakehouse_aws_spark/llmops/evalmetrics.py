@@ -234,3 +234,67 @@ def auc_roc(
         F.col("_P").cast("long").alias("n_pos"),
         (F.col("_N") - F.col("_P")).cast("long").alias("n_neg"),
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    *,
+    p_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Brier score: bin rows by predicted
+    probability, compare the bin's mean prediction to its observed
+    positive rate — the standard "is the model's 0.8 really an 80%"
+    diagnostic that complements rank-only AUC.
+
+    Determinism at scale: predictions are quantized to MILLI-units
+    (``floor(p·1000 + 0.5)`` — exact IEEE ops) BEFORE aggregation,
+    so every aggregate is an exact BIGINT sum — double sums would
+    vary with partition order and flip last digits between runs and
+    engines. Per-row squared error ≤ 10⁶, so the Brier numerator
+    stays in int64 up to ~9·10¹² rows. One map-side-combinable
+    groupBy on the bin; the global Brier broadcast back onto each
+    bin row.
+
+    Returns (bin, n, avg_pred, frac_pos, brier) — ``bin`` in
+    [0, n_bins), ``brier`` identical on every row.
+    """
+    p, y = F.col(p_col), F.col(label_col).cast("long")
+    pm = F.floor(p * 1000 + F.lit(0.5)).cast("long")
+    base = scored.select(
+        F.least(
+            F.floor(p * n_bins).cast("long"), F.lit(int(n_bins) - 1)
+        ).alias("bin"),
+        pm.alias("_pm"),
+        y.alias("_y"),
+        ((pm - y * 1000) * (pm - y * 1000)).alias("_sq"),
+    )
+    per_bin = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_pm").alias("_spm"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_sq").alias("_ssq"),
+    )
+    tot = per_bin.groupBy().agg(
+        F.sum("n").alias("_n"), F.sum("_ssq").alias("_tsq")
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            (
+                F.col("_spm").cast("double")
+                / (F.col("n").cast("double") * 1000.0)
+            ).alias("avg_pred"),
+            (F.col("_sy").cast("double") / F.col("n").cast("double")).alias(
+                "frac_pos"
+            ),
+            (
+                F.col("_tsq").cast("double")
+                / (F.col("_n").cast("double") * 1000000.0)
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )

@@ -1683,3 +1683,63 @@ def log_odds_terms_en(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     return dirichlet_log_odds(d, F.col("lang") == "en", min_count=5, alpha0=50.0, k=20)
+
+
+@_staged(
+    "calibration_brier_orders",
+    """
+    WITH scored AS (
+      SELECT CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+                  THEN 1 ELSE 0 END AS y,
+             0.5 * (((o_totalprice - 250000.0) / 100000.0)
+                    / (1.0 + abs((o_totalprice - 250000.0) / 100000.0)))
+               + 0.5 AS p
+      FROM orders
+    ),
+    q AS (
+      SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+             CAST(floor(p * 1000 + 0.5) AS BIGINT) AS pm,
+             CAST(y AS BIGINT) AS y
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pm) AS BIGINT) AS spm,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum((pm - y * 1000) * (pm - y * 1000)) AS BIGINT) AS ssq
+      FROM q GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(ssq) AS BIGINT) AS tsq
+      FROM per_bin
+    )
+    SELECT bin, n,
+           CAST(spm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0) AS avg_pred,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+           CAST(tsq AS DOUBLE) / (CAST(tn AS DOUBLE) * 1000000.0) AS brier
+    FROM per_bin CROSS JOIN tot
+    ORDER BY bin
+    """,
+)
+def calibration_brier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier score (llmops/evalmetrics.py::
+    calibration_bins) for a frozen softsign-link scorer of order
+    priority from order value. The link is ALGEBRAIC (+,*,/,abs
+    only) — a logistic exp() would be libm-dependent and could flip
+    the milli-quantization at the last ulp between engines."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.llmops.evalmetrics import calibration_bins
+
+    o = T(spark, sf_dir, "orders")
+    z = (F.col("o_totalprice") - 250000.0) / 100000.0
+    scored = o.select(
+        (
+            F.when(
+                F.col("o_orderpriority").like("1-%")
+                | F.col("o_orderpriority").like("2-%"),
+                1,
+            ).otherwise(0)
+        ).alias("y"),
+        (0.5 * (z / (1.0 + F.abs(z))) + 0.5).alias("p"),
+    )
+    return calibration_bins(scored, p_col="p", label_col="y", n_bins=10)

@@ -941,3 +941,25 @@ def test_acf_daily_calendar_lag_with_gap(spark):
         for r in acf_daily(df, key_col="event_type", max_lag=3).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}  # lag3: (d4,d1)
+
+
+def test_calibration_bins_hand_case(spark):
+    """4 rows, 2 bins: p=(0.1,0.2) y=(0,1) -> bin0; p=(0.8,0.9)
+    y=(1,1) -> bin1 (n_bins=2). Exact milli-quantized arithmetic."""
+    from dbt_lakehouse_aws_spark.llmops.evalmetrics import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.2, 1), (0.8, 1), (0.9, 1)], "p double, y int"
+    )
+    rows = {
+        r["bin"]: r
+        for r in calibration_bins(df, p_col="p", label_col="y", n_bins=2).collect()
+    }
+    assert rows[0]["n"] == 2 and rows[1]["n"] == 2
+    assert rows[0]["avg_pred"] == pytest.approx(0.15)
+    assert rows[0]["frac_pos"] == pytest.approx(0.5)
+    assert rows[1]["avg_pred"] == pytest.approx(0.85)
+    assert rows[1]["frac_pos"] == pytest.approx(1.0)
+    # brier = ((100-0)^2 + (200-1000)^2 + (800-1000)^2 + (900-1000)^2) / 4e6
+    want = (100**2 + 800**2 + 200**2 + 100**2) / 4e6
+    assert rows[0]["brier"] == pytest.approx(want) == rows[1]["brier"]
