@@ -94,3 +94,153 @@ def grid_proximity_pairs(
         .select("id_a", "id_b", dist_sq.cast("long").alias("dist_sq"))
         .distinct()
     )
+
+
+def dbscan_labels(
+    df: DataFrame,
+    *,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    min_pts: int,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Distributed DBSCAN over integer coordinates: density clusters
+    from the grid-bucketed ε-neighbor graph.
+
+    Pipeline — every stage an existing scalable primitive:
+
+    1. ε-neighbor pairs via :func:`grid_proximity_pairs` (3×3 cell
+       equi-join, O(points·density), never all-pairs);
+    2. degrees from one groupBy → CORE points (``|N(p)|+1 ≥
+       min_pts``, self included, the classic definition);
+    3. clusters = connected components of the core–core subgraph
+       (min-label propagation, ≤ ⌈log₂ diameter⌉-ish rounds — dense
+       DBSCAN clusters have tiny diameters, so this converges in 2–3
+       joins);
+    4. BORDER points (non-core adjacent to ≥1 core) adopt the MIN
+       adjacent core cluster — a deterministic resolution of
+       DBSCAN's documented border-assignment ambiguity;
+    5. everything else is NOISE (cluster NULL).
+
+    Labels are min-reachable-core-ids: a pure function of the edge
+    set, so an external recursive-CTE closure oracle reproduces them
+    exactly. Returns (id, role, cluster) for EVERY input point,
+    role ∈ {'core','border','noise'}.
+    """
+    from dbt_lakehouse_aws_spark.llmops.dedup import connected_components
+
+    pairs = grid_proximity_pairs(
+        df, id_col=id_col, x_col=x_col, y_col=y_col, radius=eps
+    )
+    sym = (
+        pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"))
+        )
+        # four downstream consumers (degree, two edge-endpoint joins,
+        # border adoption) would each re-run the grid join; pin the
+        # neighbor list once
+        .localCheckpoint()
+    )
+    core = (
+        sym.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .filter(F.col("_deg") + 1 >= min_pts)
+        .select("id")
+    )
+    core_b = core.withColumnRenamed("id", "nbr")
+    core_edges = sym.join(core, "id").join(core_b, "nbr")
+
+    # Two-level contraction before label propagation: a square cell
+    # of side ⌊eps/√2⌋ has diagonal ≤ eps, so the core points inside
+    # one cell are pairwise neighbors — a clique, hence one component
+    # fragment. Contract each cell's cores to a supernode (labeled
+    # with the cell's MIN core id) and run min-label propagation on
+    # the CELL graph: dense DBSCAN clusters collapse from millions of
+    # point-point edges to a few hundred cell-cell edges, and the
+    # iteration cost stops depending on cluster density entirely.
+    # Exact: contracting an internally-connected vertex subset
+    # preserves components, and min(min-per-cell) = min-per-component.
+    side = max(int(eps / 2**0.5), 1)
+    cell = df.select(
+        F.col(id_col).alias("id"),
+        F.floor(F.col(x_col) / side).cast("long").alias("_gx"),
+        F.floor(F.col(y_col) / side).cast("long").alias("_gy"),
+    )
+    core_cell = core.join(cell, "id")
+    supern = core_cell.groupBy("_gx", "_gy").agg(F.min("id").alias("_sn"))
+    core_sn = core_cell.join(supern, ["_gx", "_gy"]).select("id", "_sn")
+    sn_edges = (
+        core_edges.join(
+            core_sn.select(F.col("id"), F.col("_sn").alias("_sa")), "id"
+        )
+        .join(
+            core_sn.select(F.col("id").alias("nbr"), F.col("_sn").alias("_sb")),
+            "nbr",
+        )
+        .select("_sa", "_sb")
+        .filter(F.col("_sa") != F.col("_sb"))
+        .distinct()
+    )
+    # The contracted graph is O(occupied cells), not O(points): when
+    # it fits the bounded-metadata budget (same pattern as the
+    # 4096-row centroid collects in llmops/similarity.py), a
+    # driver-side union-find replaces ~diameter rounds of join +
+    # checkpoint + count actions with one job. Beyond the bound —
+    # continent-scale occupied area — the distributed min-label loop
+    # takes over. Both produce the identical min-id labeling.
+    sn_edges = sn_edges.localCheckpoint()
+    if sn_edges.count() <= 100_000:
+        parent: dict = {}
+
+        def find(a):
+            while parent.setdefault(a, a) != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for r in sn_edges.collect():
+            ra, rb = find(r["_sa"]), find(r["_sb"])
+            if ra != rb:
+                # root at the smaller id so labels are min-ids
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        spark = df.sparkSession
+        comps = spark.createDataFrame(
+            [(n, find(n)) for n in list(parent)] or [(None, None)],
+            "node long, component long",
+        ).filter(F.col("node").isNotNull())
+    else:
+        comps = connected_components(
+            sn_edges, a_col="_sa", b_col="_sb", max_iterations=max_iterations
+        )
+    sn_lbl = supern.join(comps, supern["_sn"] == comps["node"], "left").select(
+        supern["_sn"],
+        F.coalesce(F.col("component"), supern["_sn"]).alias("cluster"),
+    )
+    core_lbl = core_sn.join(sn_lbl, "_sn").select("id", "cluster")
+    adopt = (
+        sym.join(
+            core_lbl.select(
+                F.col("id").alias("nbr"), F.col("cluster").alias("_c")
+            ),
+            "nbr",
+        )
+        .groupBy("id")
+        .agg(F.min("_c").alias("_adopted"))
+    )
+    pts = df.select(F.col(id_col).alias("id"))
+    return (
+        pts.join(core_lbl.withColumnRenamed("cluster", "_core_c"), "id", "left")
+        .join(adopt, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_core_c").isNotNull(), F.lit("core"))
+            .when(F.col("_adopted").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("_core_c"), F.col("_adopted")).alias("cluster"),
+        )
+    )

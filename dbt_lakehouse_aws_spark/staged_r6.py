@@ -1743,3 +1743,97 @@ def calibration_brier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * (z / (1.0 + F.abs(z))) + 0.5).alias("p"),
     )
     return calibration_bins(scored, p_col="p", label_col="y", n_bins=10)
+
+
+@_staged(
+    "dbscan_customer_blobs",
+    """
+    WITH RECURSIVE pts AS (
+      SELECT id, h1, (h1 * 48271) % 2147483647 AS h2
+      FROM (
+        SELECT c_custkey AS id,
+               ((c_custkey % 2147483647) * 506952114) % 2147483647 AS h1
+        FROM customer WHERE c_custkey % 3 = 0
+      )
+    ),
+    xy AS (
+      SELECT id,
+        CASE WHEN id % 31 = 0 THEN h1 % 100000
+             ELSE (id % 5) * 10000 + h1 % 800 END AS x,
+        CASE WHEN id % 31 = 0 THEN h2 % 100000
+             ELSE (id % 5) * 10000 + h2 % 800 END AS y
+      FROM pts
+    ),
+    pairs AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM xy a JOIN xy b ON a.id < b.id
+      WHERE abs(a.x - b.x) <= 250 AND abs(a.y - b.y) <= 250
+        AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 62500
+    ),
+    sym AS (
+      SELECT ia AS id, ib AS nbr FROM pairs
+      UNION ALL
+      SELECT ib AS id, ia AS nbr FROM pairs
+    ),
+    core AS (
+      SELECT id FROM (SELECT id, count(*) AS c FROM sym GROUP BY 1)
+      WHERE c + 1 >= 3
+    ),
+    ce AS (
+      SELECT s.id, s.nbr FROM sym s
+      JOIN core a ON a.id = s.id JOIN core b ON b.id = s.nbr
+    ),
+    reach(node, lbl) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT e.id, r.lbl FROM ce e JOIN reach r ON r.node = e.nbr
+    ),
+    clusters AS (
+      SELECT node AS id, CAST(min(lbl) AS BIGINT) AS cluster
+      FROM reach GROUP BY 1
+    ),
+    adopt AS (
+      SELECT s.id, CAST(min(c.cluster) AS BIGINT) AS adopted
+      FROM sym s JOIN clusters c ON c.id = s.nbr GROUP BY s.id
+    )
+    SELECT p.id,
+           CASE WHEN c.cluster IS NOT NULL THEN 'core'
+                WHEN a.adopted IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(c.cluster, a.adopted) AS cluster
+    FROM xy p
+    LEFT JOIN clusters c ON c.id = p.id
+    LEFT JOIN adopt a ON a.id = p.id
+    """,
+)
+def dbscan_customer_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (operators/spatial.py::dbscan_labels) over planted
+    customer blobs (every 3rd customer): 5 hash-jittered 800-unit
+    blobs 10k apart plus 1-in-31 far-scattered noise; eps=250,
+    minPts=3 — tuned so blob graphs stay ~4 hops in diameter (the
+    min-label round count) at bench scale. Engine clusters
+    via grid pairs + min-label components; the oracle replays the
+    SAME min-reachable-core-id labels through a recursive-CTE
+    transitive closure — two algorithms, one exact labeling
+    (the part_hierarchy_rollup / dedup_keep_best playbook)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.llmops.corpus import portable_hash
+    from dbt_lakehouse_aws_spark.operators.spatial import dbscan_labels
+
+    M = 2_147_483_647
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    h1 = portable_hash(F.col("c_custkey"))
+    h2 = (h1 * 48271) % M
+    scattered = F.col("c_custkey") % 31 == 0
+    xy = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(scattered, h1 % 100000)
+        .otherwise((F.col("c_custkey") % 5) * 10000 + h1 % 800)
+        .alias("x"),
+        F.when(scattered, h2 % 100000)
+        .otherwise((F.col("c_custkey") % 5) * 10000 + h2 % 800)
+        .alias("y"),
+    )
+    return dbscan_labels(
+        xy, id_col="id", x_col="x", y_col="y", eps=250, min_pts=3
+    )

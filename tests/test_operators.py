@@ -963,3 +963,31 @@ def test_calibration_bins_hand_case(spark):
     # brier = ((100-0)^2 + (200-1000)^2 + (800-1000)^2 + (900-1000)^2) / 4e6
     want = (100**2 + 800**2 + 200**2 + 100**2) / 4e6
     assert rows[0]["brier"] == pytest.approx(want) == rows[1]["brier"]
+
+
+def test_dbscan_labels_hand_points(spark):
+    """Two tight triads (clusters), one point near a triad (border),
+    one far point (noise). eps=10, min_pts=3."""
+    from dbt_lakehouse_aws_spark.operators.spatial import dbscan_labels
+
+    pts = [
+        # triad A around (0,0): pairwise <= 10
+        (1, 0, 0), (2, 6, 0), (3, 0, 6),
+        # triad B around (1000,1000)
+        (4, 1000, 1000), (5, 1006, 1000), (6, 1000, 1006),
+        # border: within 10 of id=2 only -> 1 neighbor, not core
+        (7, 14, 0),
+        # noise
+        (8, 5000, 5000),
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_labels(
+            df, id_col="id", x_col="x", y_col="y", eps=10, min_pts=3
+        ).collect()
+    }
+    assert got[1] == ("core", 1) and got[2] == ("core", 1) and got[3] == ("core", 1)
+    assert got[4] == ("core", 4) and got[5] == ("core", 4) and got[6] == ("core", 4)
+    assert got[7] == ("border", 1)
+    assert got[8] == ("noise", None)
