@@ -696,3 +696,51 @@ def acf_daily(
         F.col("n").cast("long").alias("n_pairs"),
         (num / F.nullif(F.sqrt(vx * vy), F.lit(0.0))).alias("acf"),
     )
+
+
+def theil_sen_daily_trend(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise slopes of
+    the per-key daily count series — the estimator that shrugs off
+    the outlier days that wreck least-squares (a3's regression
+    slope is its fragile twin; breakdown point 29% vs 0%).
+
+    Events collapse to the per-(key, day) series first (the only
+    O(rows) pass); the pairwise-slope set is a per-key self-join of
+    that TINY series — O(days²) per key where days is bounded by the
+    calendar window, never by event volume. Slopes are integer-count
+    differences over integer day gaps (exact IEEE division), and the
+    median is the exact interpolated percentile — both engines sort
+    the same doubles and midpoint-average the same two, so the
+    result needs no rounding.
+
+    Returns (key, n_days, n_pairs, slope_per_day).
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = daily.select("key", F.col("day").alias("_da"), F.col("x").alias("_xa"))
+    b = daily.select("key", F.col("day").alias("_db"), F.col("x").alias("_xb"))
+    slopes = (
+        a.join(b, "key")
+        .filter(F.col("_db") > F.col("_da"))
+        .select(
+            "key",
+            (
+                (F.col("_xb") - F.col("_xa")).cast("double")
+                / F.datediff(F.col("_db"), F.col("_da")).cast("double")
+            ).alias("_s"),
+        )
+    )
+    n_days = daily.groupBy("key").agg(F.count(F.lit(1)).alias("n_days"))
+    out = slopes.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(_s, 0.5)").alias("slope_per_day"),
+    )
+    return n_days.join(out, "key").select(
+        "key", F.col("n_days").cast("long").alias("n_days"), "n_pairs", "slope_per_day"
+    )

@@ -1837,3 +1837,41 @@ def dbscan_customer_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_labels(
         xy, id_col="id", x_col="x", y_col="y", eps=250, min_pts=3
     )
+
+
+@_staged(
+    "theil_sen_trend_events",
+    """
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day, count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.key,
+             CAST(b.x - a.x AS DOUBLE)
+               / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS s
+      FROM daily a JOIN daily b ON a.key = b.key AND b.day > a.day
+    ),
+    nd AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+    )
+    SELECT s.key AS event_type, nd.n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(quantile_cont(s.s, 0.5) AS DOUBLE) AS slope_per_day
+    FROM slopes s JOIN nd ON nd.key = s.key
+    GROUP BY s.key, nd.n_days
+    """,
+)
+def theil_sen_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily trend per event type
+    (operators/temporal.py::theil_sen_daily_trend): median of
+    pairwise slopes over the tiny aggregated series; exact
+    interpolated median on both sides, no rounding needed."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.operators.temporal import theil_sen_daily_trend
+
+    ev = T(spark, sf_dir, "events")
+    out = theil_sen_daily_trend(ev, key_col="event_type", ts_col="ts")
+    return out.select(
+        F.col("key").alias("event_type"), "n_days", "n_pairs", "slope_per_day"
+    )

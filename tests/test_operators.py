@@ -991,3 +991,30 @@ def test_dbscan_labels_hand_points(spark):
     assert got[4] == ("core", 4) and got[5] == ("core", 4) and got[6] == ("core", 4)
     assert got[7] == ("border", 1)
     assert got[8] == ("noise", None)
+
+
+def test_theil_sen_outlier_robust(spark):
+    """Counts 1,2,3,100,5 over days 1..5: median pairwise slope stays
+    near the underlying +1/day despite the day-4 spike; verified
+    against an in-test itertools fold."""
+    import itertools
+    import statistics
+
+    from dbt_lakehouse_aws_spark.operators.temporal import theil_sen_daily_trend
+
+    counts = [1, 2, 3, 100, 5]
+    rows = []
+    for d, x in enumerate(counts, start=1):
+        for i in range(x):
+            rows.append(("a", f"2024-01-0{d} 00:00:{i//60:02d}.{i%60}"))
+    df = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = theil_sen_daily_trend(df, key_col="event_type").collect()[0]
+    want = statistics.median(
+        (counts[j] - counts[i]) / (j - i)
+        for i, j in itertools.combinations(range(5), 2)
+    )
+    assert got["n_days"] == 5 and got["n_pairs"] == 10
+    assert got["slope_per_day"] == pytest.approx(want)
+    assert abs(got["slope_per_day"]) < 5  # robust to the spike
