@@ -1875,3 +1875,48 @@ def theil_sen_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("key").alias("event_type"), "n_days", "n_pairs", "slope_per_day"
     )
+
+
+@_staged(
+    "cube_events_type_weekday",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(isodow(CAST(ts AS DATE)) AS BIGINT), -1) AS weekday,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(grouping(event_type) * 2 + grouping(isodow(CAST(ts AS DATE)))
+                AS BIGINT) AS gid
+    FROM events
+    GROUP BY CUBE (event_type, isodow(CAST(ts AS DATE)))
+    """,
+)
+def cube_events_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, ISO weekday): all four grouping
+    sets in ONE pass — Spark expands the cube map-side and
+    aggregates each set partially before the single shuffle (vs four
+    separate scans of the fact table). grouping_id() disambiguates
+    coalesced NULLs from real values, mirrored to DuckDB's
+    grouping() bits. Completes the multidimensional-aggregate family
+    next to a12's ROLLUP."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events")
+    wd = F.dayofweek(F.to_date("ts"))  # Sun=1..Sat=7
+    iso = F.when(wd == 1, 7).otherwise(wd - 1).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(F.col("event_type"), iso.alias("_wd"), cents.alias("_c"))
+        .cube("event_type", "_wd")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_c").cast("long").alias("cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("_wd"), F.lit(-1)).cast("long").alias("weekday"),
+            "n",
+            "cents",
+            "gid",
+        )
+    )
