@@ -1920,3 +1920,252 @@ def cube_events_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid",
         )
     )
+
+
+@_staged(
+    "ohlc_daily_events",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             ts, event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, day, cents,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM v
+    )
+    SELECT event_type, day,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM ranked
+    GROUP BY event_type, day
+    """,
+)
+def ohlc_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candlesticks per event type — the time-series
+    rollup every market/metrics store ships. ONE shuffle on
+    (type, day): both row_number windows share the partitioning with
+    the final aggregate, so open/close (first/last by (ts, event_id)
+    — a total order, deterministic under duplicate timestamps),
+    high/low, and volume come out of a single exchange. Integer
+    cents throughout."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = v.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_cents"),
+        F.count(F.lit(1)).cast("long").alias("volume"),
+    )
+
+
+@_staged(
+    "twap_user_values",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(date_diff('second', ts,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)) AS BIGINT) AS dur_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dur_s) AS BIGINT) AS held_seconds,
+           CAST(sum(cents * dur_s) AS DOUBLE)
+             / CAST(sum(dur_s) AS DOUBLE) / 100.0 AS twap
+    FROM seg WHERE dur_s IS NOT NULL
+    GROUP BY user_id
+    ORDER BY twap DESC, user_id ASC
+    LIMIT 50
+    """,
+)
+def twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's
+    value is "held" until the user's next event; the average weights
+    by holding duration, not by tick count — the financial-data
+    staple a plain avg() silently gets wrong on irregular series.
+    One window shuffle on user_id (lead over (ts, event_id) — a
+    total order); products are BIGINT cents × BIGINT seconds, so the
+    sums are exact and the final division is one fixed-order double
+    op per user."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seg = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+        ).cast("long").alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("dur_s").cast("long").alias("held_seconds"),
+            (
+                F.sum(F.col("cents") * F.col("dur_s")).cast("double")
+                / F.sum("dur_s").cast("double")
+                / 100.0
+            ).alias("twap"),
+        )
+        .orderBy(F.desc("twap"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+@_staged(
+    "js_divergence_sources",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    src_counts AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    gl AS (
+      SELECT term, CAST(sum(c) AS BIGINT) AS g FROM src_counts GROUP BY 1
+    ),
+    ns AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM src_counts GROUP BY 1
+    ),
+    ng AS (SELECT CAST(sum(g) AS BIGINT) AS ng FROM gl),
+    shared AS (
+      SELECT s.source,
+             CAST(sum(CAST(floor(
+               (0.5 * (CAST(s.c AS DOUBLE) / ns.n)
+                     * ln((CAST(s.c AS DOUBLE) / ns.n)
+                          / (0.5 * ((CAST(s.c AS DOUBLE) / ns.n)
+                                    + (CAST(g.g AS DOUBLE) / ng.ng))))
+              + 0.5 * (CAST(g.g AS DOUBLE) / ng.ng)
+                     * ln((CAST(g.g AS DOUBLE) / ng.ng)
+                          / (0.5 * ((CAST(s.c AS DOUBLE) / ns.n)
+                                    + (CAST(g.g AS DOUBLE) / ng.ng))))) * 1e12
+               + 0.5) AS BIGINT)) AS BIGINT) AS pico
+      FROM src_counts s
+      JOIN ns ON ns.source = s.source
+      JOIN gl g ON g.term = s.term
+      CROSS JOIN ng
+      GROUP BY s.source
+    ),
+    qonly AS (
+      SELECT ns.source,
+             CAST(sum(CASE WHEN s.c IS NULL THEN
+               CAST(floor(0.5 * (CAST(g.g AS DOUBLE) / ng.ng)
+                          * ln((CAST(g.g AS DOUBLE) / ng.ng)
+                               / (0.5 * (CAST(g.g AS DOUBLE) / ng.ng))) * 1e12
+                          + 0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS pico
+      FROM gl g
+      CROSS JOIN ng
+      CROSS JOIN ns
+      LEFT JOIN src_counts s ON s.term = g.term AND s.source = ns.source
+      GROUP BY ns.source
+    )
+    SELECT s.source,
+           CAST(s.pico + coalesce(o.pico, 0) AS DOUBLE) / 1e12 AS js_divergence
+    FROM shared s LEFT JOIN qonly o ON o.source = s.source
+    ORDER BY s.source
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution
+    from the corpus-wide distribution — the bounded, symmetric drift
+    score for corpus-mixing dashboards (KL is infinite on unseen
+    terms; JS never is). P-support terms contribute both KL halves in
+    one pass over the per-(source, term) counts; terms a source has
+    NEVER seen (p=0) still owe the Q half ``0.5·q·ln 2`` —
+    accumulated from the source×vocab grid minus observed cells
+    (vocab is the small side, broadcast). Each term's contribution is
+    a fixed-order double expression QUANTIZED to integer picounits
+    before the sum, so the aggregate is an exact BIGINT and immune to
+    summation-order drift in either engine."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.llmops.text import tokens_col
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens_col("text")).alias("term"))
+    src_counts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gl = src_counts.groupBy("term").agg(F.sum("c").alias("g"))
+    ns = src_counts.groupBy("source").agg(F.sum("c").alias("n"))
+    ng = gl.agg(F.sum("g").alias("ng"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("g").cast("double") / F.col("ng")
+    contrib = 0.5 * p * F.log(p / (0.5 * (p + q))) + 0.5 * q * F.log(
+        q / (0.5 * (p + q))
+    )
+    shared = (
+        src_counts.join(ns, "source")
+        .join(gl, "term")
+        .crossJoin(F.broadcast(ng))
+        .groupBy("source")
+        .agg(
+            F.sum(F.floor(contrib * 1e12 + F.lit(0.5)).cast("long")).alias(
+                "pico"
+            )
+        )
+    )
+    q_extra = F.floor(
+        0.5 * q * F.log(q / (0.5 * q)) * 1e12 + F.lit(0.5)
+    ).cast("long")
+    qonly = (
+        ns.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(ng))
+        .join(src_counts, ["source", "term"], "left")
+        .filter(F.col("c").isNull())
+        .groupBy("source")
+        .agg(F.sum(q_extra).alias("pico"))
+    )
+    return (
+        shared.alias("s")
+        .join(qonly.alias("o"), "source", "left")
+        .select(
+            "source",
+            (
+                (
+                    F.col("s.pico")
+                    + F.coalesce(F.col("o.pico"), F.lit(0))
+                ).cast("double")
+                / 1e12
+            ).alias("js_divergence"),
+        )
+        .orderBy("source")
+    )
