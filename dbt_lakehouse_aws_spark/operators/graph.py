@@ -446,3 +446,44 @@ def personalized_pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits_path_counts(
+    edges: DataFrame,
+    *,
+    hub: str = "hub",
+    auth: str = "auth",
+    steps: int = 2,
+) -> DataFrame:
+    """Fixed-depth HITS power iteration in EXACT integer arithmetic:
+    starting from h₀ ≡ 1, ``steps`` double-steps of
+
+        a_{k+1}(p) = Σ_{c→p} h_k(c),   h_{k+1}(c) = Σ_{c→p} a_{k+1}(p)
+
+    WITHOUT normalization — the iterates are then alternating-path
+    COUNTS (a_k(p) = #paths of length 2k−1 ending at p), which rank
+    nodes identically to normalized HITS at the same depth while
+    staying BIGINT-exact and aggregation-order-independent (the
+    normalized variant sums doubles whose totals drift with partition
+    order). Per double-step: two equi-joins of the edge list against
+    a node-sized vector + two groupBys — O(edges) shuffle per step,
+    the same shape as one PageRank iteration.
+
+    Returns (auth-node, score) for every authority. Overflow bound:
+    scores grow like (d_hub·d_auth)^steps — fine for small fixed
+    ``steps`` (the useful regime; rankings stabilize by depth 2–3).
+    """
+    e = edges.select(F.col(hub).alias("h"), F.col(auth).alias("a"))
+    hvec = e.select("h").distinct().withColumn("score", F.lit(1).cast("long"))
+    for _ in range(steps):
+        avec = (
+            e.join(hvec, "h")
+            .groupBy("a")
+            .agg(F.sum("score").alias("score"))
+        )
+        hvec = (
+            e.join(avec, "a")
+            .groupBy("h")
+            .agg(F.sum("score").alias("score"))
+        )
+    return avec.select(F.col("a"), F.col("score").cast("long").alias("score"))

@@ -2169,3 +2169,111 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_staged(
+    "hits_part_authorities",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS h, l_partkey AS a
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    a1 AS (SELECT a, CAST(count(*) AS BIGINT) AS s FROM e GROUP BY 1),
+    h1 AS (
+      SELECT e.h, CAST(sum(a1.s) AS BIGINT) AS s
+      FROM e JOIN a1 ON a1.a = e.a GROUP BY 1
+    ),
+    a2 AS (
+      SELECT e.a, CAST(sum(h1.s) AS BIGINT) AS s
+      FROM e JOIN h1 ON h1.h = e.h GROUP BY 1
+    )
+    SELECT a AS part, s AS score FROM a2
+    ORDER BY score DESC, part ASC LIMIT 20
+    """,
+)
+def hits_part_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authorities on the bipartite customer→part purchase
+    graph (operators/graph.py::hits_path_counts): two unnormalized
+    double-steps in exact BIGINT path counts — ranking-identical to
+    normalized HITS at the same depth, immune to double-summation
+    order, and the oracle unrolls the same two steps as plain SQL
+    aggregates. Top-20 parts by depth-2 authority."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.operators.graph import hits_path_counts
+
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth"))
+        .distinct()
+    )
+    return (
+        hits_path_counts(e, hub="hub", auth="auth", steps=2)
+        .select(F.col("a").alias("part"), "score")
+        .orderBy(F.desc("score"), F.asc("part"))
+        .limit(20)
+    )
+
+
+@_staged(
+    "join_skew_advisor_events",
+    """
+    WITH kc AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           CAST(min(CASE WHEN c = mx THEN user_id END) AS BIGINT) AS hottest_key,
+           CAST(sum(c) AS DOUBLE) / count(*) AS avg_key_rows,
+           CAST(quantile_cont(c, 0.99) AS DOUBLE) AS p99_key_rows,
+           CAST(ceil(CAST(max(c) AS DOUBLE)
+                     / (CAST(sum(c) AS DOUBLE) / 200.0)) AS BIGINT)
+             AS salt_factor
+    FROM (SELECT *, max(c) OVER (PARTITION BY event_type) AS mx FROM kc)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def join_skew_advisor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew advisor: per join key-space (event_type), the
+    key-frequency profile a planner needs BEFORE a big shuffle —
+    row/key counts, the hottest key, p99 key weight, and the salt
+    factor that would level the hottest key across the driver's 200
+    shuffle partitions (ceil(max_key / (rows/200)) — the parameter
+    operators/skew.py::salted_join takes). One map-side-combinable
+    groupBy; the hottest-key argmax rides the same shuffle as a
+    window max, no second scan."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events")
+    kc = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mx = Window.partitionBy("event_type")
+    kcm = kc.withColumn("mx", F.max("c").over(mx))
+    return (
+        kcm.groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_key_rows"),
+            F.min(F.when(F.col("c") == F.col("mx"), F.col("user_id")))
+            .cast("long")
+            .alias("hottest_key"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+                "avg_key_rows"
+            ),
+            F.expr("percentile(c, 0.99)").alias("p99_key_rows"),
+            F.ceil(
+                F.max("c").cast("double")
+                / (F.sum("c").cast("double") / 200.0)
+            )
+            .cast("long")
+            .alias("salt_factor"),
+        )
+        .orderBy("event_type")
+    )
