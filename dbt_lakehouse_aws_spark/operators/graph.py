@@ -487,3 +487,47 @@ def hits_path_counts(
             .agg(F.sum("score").alias("score"))
         )
     return avec.select(F.col("a"), F.col("score").cast("long").alias("score"))
+
+
+def kcore_fixed_rounds(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of
+    "drop every node whose CURRENT degree < k", over the canonical
+    undirected edge list. The true k-core is the fixpoint; a fixed
+    round budget makes the operator a pure function of (edges, k,
+    rounds) that an external SQL oracle can unroll verbatim (the
+    logreg/pagerank unrolled-fixpoint device) — and in practice
+    peeling converges in a handful of rounds (each round removes the
+    whole current "shell", not one node, so the round count is the
+    DEPTH of shell nesting, not node count).
+
+    Per round: one degree groupBy + two semi-joins to restrict the
+    edge list — O(edges) shuffles, lineage pinned per round. Returns
+    (node, degree) for survivors with their within-subgraph degree.
+    """
+    und = canonical_edges(edges, src=src, dst=dst)
+    nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            nbr.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("node")
+        )
+        nbr = (
+            nbr.join(keep, "node")
+            .join(keep.withColumnRenamed("node", "nbr"), "nbr")
+            .select("node", "nbr")
+            .localCheckpoint(eager=True)
+        )
+    return nbr.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

@@ -2277,3 +2277,62 @@ def join_skew_advisor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling oracle (the unrolled-fixpoint device):
+    round i computes degrees of nbr{i}, keeps nodes with ≥ k, and
+    restricts the symmetric neighbor list to kept endpoints."""
+    parts = [
+        """nbr0 AS (
+      SELECT a AS node, b AS nbr FROM edges
+      UNION ALL SELECT b, a FROM edges
+    )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""keep{i} AS (
+      SELECT node FROM (
+        SELECT node, count(*) AS d FROM nbr{i} GROUP BY node
+      ) WHERE d >= {k}
+    ),
+    nbr{i + 1} AS (
+      SELECT n.node, n.nbr FROM nbr{i} n
+      JOIN keep{i} x ON x.node = n.node
+      JOIN keep{i} y ON y.node = n.nbr
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@_staged(
+    "kcore_users_events",
+    f"""
+    WITH {{edges}},
+    {_kcore_oracle_sql(2, 4)}
+    SELECT node AS user_id, CAST(count(*) AS BIGINT) AS degree
+    FROM nbr4 GROUP BY node
+    ORDER BY degree DESC, user_id ASC
+    """.replace("{edges}", "PLACEHOLDER"),
+)
+def kcore_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the shared≥3 user co-activity graph via 4 bounded
+    peeling rounds (operators/graph.py::kcore_fixed_rounds) — the
+    standard community-density filter (degree-1 tendrils peel away
+    shell by shell); the oracle unrolls the identical 4 synchronous
+    rounds in SQL."""
+    from dbt_lakehouse_aws_spark.queries_r5 import _coactivity_edges
+    from dbt_lakehouse_aws_spark.operators.graph import kcore_fixed_rounds
+
+    edges = _coactivity_edges(spark, sf_dir, min_shared=3)
+    out = kcore_fixed_rounds(edges, src="a", dst="b", k=2, rounds=4)
+    return out.select(F.col("node").alias("user_id"), "degree").orderBy(
+        F.desc("degree"), F.asc("user_id")
+    )
+
+
+from dbt_lakehouse_aws_spark.queries_r5 import _coactivity_edges_sql  # noqa: E402
+
+STAGED_ORACLES["kcore_users_events"] = STAGED_ORACLES[
+    "kcore_users_events"
+].replace("PLACEHOLDER", _coactivity_edges_sql(3).strip().rstrip())

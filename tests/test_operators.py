@@ -1018,3 +1018,34 @@ def test_theil_sen_outlier_robust(spark):
     assert got["n_days"] == 5 and got["n_pairs"] == 10
     assert got["slope_per_day"] == pytest.approx(want)
     assert abs(got["slope_per_day"]) < 5  # robust to the spike
+
+
+def test_kcore_fixed_rounds_peels_tendril(spark):
+    """Triangle 1-2-3 with pendant chain 3-4-5: 2-core = the
+    triangle; node 4 survives round 1 (degree 2) but peels in round
+    2 once 5 is gone — the shell-by-shell behavior rounds=1 misses."""
+    from dbt_lakehouse_aws_spark.operators.graph import kcore_fixed_rounds
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got1 = {
+        r["node"]
+        for r in kcore_fixed_rounds(edges, k=2, rounds=1).collect()
+    }
+    got3 = {
+        (r["node"], r["degree"])
+        for r in kcore_fixed_rounds(edges, k=2, rounds=3).collect()
+    }
+    assert 4 in got1  # one round is not the fixpoint
+    assert got3 == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_hits_path_counts_hand_bipartite(spark):
+    """Hubs {1,2} both point at part 10; hub 2 also at 11.
+    a1: 10->2, 11->1; h1: 1->2, 2->3; a2: 10->5, 11->3."""
+    from dbt_lakehouse_aws_spark.operators.graph import hits_path_counts
+
+    e = spark.createDataFrame([(1, 10), (2, 10), (2, 11)], "hub long, auth long")
+    got = {r["a"]: r["score"] for r in hits_path_counts(e, steps=2).collect()}
+    assert got == {10: 5, 11: 3}
