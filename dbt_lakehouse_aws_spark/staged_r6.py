@@ -2336,3 +2336,111 @@ from dbt_lakehouse_aws_spark.queries_r5 import _coactivity_edges_sql  # noqa: E4
 STAGED_ORACLES["kcore_users_events"] = STAGED_ORACLES[
     "kcore_users_events"
 ].replace("PLACEHOLDER", _coactivity_edges_sql(3).strip().rstrip())
+
+
+@_staged(
+    "array_hof_embedding_stats",
+    """
+    WITH per AS (
+      SELECT label,
+             CAST(list_sum(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6
+                                    + 0.5) AS BIGINT))) AS BIGINT) AS sq_micro,
+             list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(sq_micro) AS BIGINT) AS sum_sq_micro,
+           CAST(sum(n_pos) AS BIGINT) AS total_pos,
+           floor(max(max_abs) * 1e6 + 0.5) / 1e6 AS max_abs_elem
+    FROM per GROUP BY label ORDER BY label
+    """,
+)
+def array_hof_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function gauntlet over the embedding
+    column: per-vector fold (aggregate), transform, filter, and
+    array_max — all inside codegen, no explode, no Python. Element
+    squares are quantized to integer microunits INSIDE the fold so
+    every cross-row aggregate is an exact BIGINT (float32 inputs are
+    cast to double before multiplying in BOTH engines — a float
+    multiply would round differently)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    sq_micro = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(xd(x) * xd(x) * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    max_abs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x))))
+    n_pos = F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long")
+    per = e.select(
+        F.col("label").cast("long").alias("label"),
+        sq_micro.alias("sq_micro"),
+        max_abs.alias("max_abs"),
+        n_pos.alias("n_pos"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("sq_micro").cast("long").alias("sum_sq_micro"),
+            F.sum("n_pos").cast("long").alias("total_pos"),
+            (F.floor(F.max("max_abs") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "max_abs_elem"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@_staged(
+    "json_typed_props_events",
+    """
+    WITH parsed AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS n_parsed,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(count(DISTINCT k // 25) AS BIGINT) AS n_k_bands
+    FROM parsed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_typed_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON-path extraction (from_json with an explicit schema
+    — the codegen JSON reader, vs f_json_props' portable regex):
+    parse rate, range, and 25-wide band cardinality of the numeric
+    payload per event type. Banding uses integer floor-division,
+    identical in both engines on non-negative ints."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("k").cast("long").alias("n_parsed"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.countDistinct(F.floor(F.col("k") / 25)).cast("long").alias(
+                "n_k_bands"
+            ),
+        )
+        .orderBy("event_type")
+    )
