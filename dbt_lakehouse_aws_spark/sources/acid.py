@@ -49,7 +49,7 @@ import re
 import time
 import uuid
 from collections.abc import Sequence
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +67,12 @@ class CommitConflict(RuntimeError):
     """Another writer committed the same version first — rebase and retry."""
 
 
+class ConstraintViolation(ValueError):
+    """A write contained rows for which a CHECK constraint evaluated
+    to FALSE (SQL three-valued semantics: NULL passes, as in Delta
+    Lake CHECK constraints)."""
+
+
 @dataclass(frozen=True)
 class Snapshot:
     version: int
@@ -75,6 +81,7 @@ class Snapshot:
     schema_json: str
     stats: dict[str, dict[str, list]]  # file -> col -> [min, max]
     parent: int | None
+    constraints: dict[str, str] = field(default_factory=dict)  # name -> CHECK expr
 
 
 def _file_stats(path: str, cols: Sequence[str]) -> dict[str, list]:
@@ -227,12 +234,14 @@ class AcidTable:
         files: dict[str, dict] = {}
         schema_json = ""
         operation, parent = "", None
+        constraints: dict[str, str] = {}
         start = 0
         if base:
             cp = self._read_json(f"{base[-1]:020d}.checkpoint.json")
             files = dict(cp["files"])  # file -> stats
             schema_json = cp["schema"]
             operation, parent = cp["operation"], cp.get("parent")
+            constraints = dict(cp.get("constraints", {}))
             start = base[-1] + 1
         for i in range(start, v + 1):
             m = self._read_json(f"{i:020d}.json")
@@ -241,6 +250,8 @@ class AcidTable:
             files.update(m.get("add", {}))
             schema_json = m["schema"]
             operation, parent = m["operation"], m.get("parent")
+            # pre-constraint deltas carry no key: inherit
+            constraints = dict(m.get("constraints", constraints))
         return Snapshot(
             version=v,
             operation=operation,
@@ -248,6 +259,7 @@ class AcidTable:
             schema_json=schema_json,
             stats=files,
             parent=parent,
+            constraints=constraints,
         )
 
     def history(self) -> list[Snapshot]:
@@ -308,15 +320,18 @@ class AcidTable:
         stats: dict[str, dict[str, list]],
         base_version: int | None,
         txn: tuple[str, int] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> Snapshot:
         os.makedirs(self._log, exist_ok=True)
         new_version = 0 if base_version is None else base_version + 1
         if base_version is None:
             prev_files: set[str] = set()
             prev_stats: dict[str, dict] = {}
+            prev_constraints: dict[str, str] = {}
         else:
             prev = self.snapshot(base_version)
             prev_files, prev_stats = set(prev.files), prev.stats
+            prev_constraints = prev.constraints
         new_set = set(files)
         delta = {
             "version": new_version,
@@ -327,6 +342,9 @@ class AcidTable:
             "remove": sorted(prev_files - new_set),
             "schema": schema_json,
             "parent": base_version,
+            # every delta records the FULL map (None = carry forward),
+            # so replay needs no constraint history
+            "constraints": dict(prev_constraints if constraints is None else constraints),
         }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -355,6 +373,7 @@ class AcidTable:
             "files": snap.stats,  # file -> stats (the full reconstructed map)
             "schema": snap.schema_json,
             "parent": snap.parent,
+            "constraints": snap.constraints,
         }
         tmp = os.path.join(self._log, f".cptmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -551,6 +570,8 @@ class AcidTable:
         trade is always safe; MERGE on such files simply rewrites
         conservatively."""
         base = self.latest_version() if self.exists() else None
+        if base is not None:
+            self._enforce(df, self.snapshot(base).constraints)
         hint = 0 if base is None else base + 1
         new_files = self._write_data_files(df, hint)
         stats = self._stats_for(new_files, df.schema) if collect_stats else {}
@@ -573,6 +594,78 @@ class AcidTable:
             base_version=base,
             txn=txn,
         )
+
+    # -- CHECK constraints -------------------------------------------------
+    #
+    # Delta Lake's table-constraint model (public `delta.constraints.*`
+    # semantics): a named SQL predicate every row must satisfy;
+    # NULL passes (SQL three-valued logic), FALSE rejects the WHOLE
+    # write atomically. The map lives in the log like the schema —
+    # every delta records the full current map, so readers get it
+    # from the snapshot with no extra I/O.
+
+    def check_constraints(self) -> dict[str, str]:
+        """Current name → CHECK-expression map ({} for a new table)."""
+        return dict(self.snapshot().constraints) if self.exists() else {}
+
+    def add_check_constraint(self, name: str, expr: str) -> Snapshot:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr): validates the
+        EXISTING data first (one aggregate scan — Delta's rule: you
+        cannot add a constraint the table already violates), then
+        commits a metadata-only delta carrying the new map."""
+        snap = self.snapshot()
+        if name in snap.constraints:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._enforce(self.read(snap.version), {name: expr})
+        return self._commit(
+            operation=f"ADD CONSTRAINT {name}",
+            files=snap.files,
+            schema_json=snap.schema_json,
+            stats=snap.stats,
+            base_version=snap.version,
+            constraints={**snap.constraints, name: expr},
+        )
+
+    def drop_check_constraint(self, name: str) -> Snapshot:
+        snap = self.snapshot()
+        if name not in snap.constraints:
+            raise ValueError(f"no constraint {name!r} on {self.path}")
+        remaining = {k: v for k, v in snap.constraints.items() if k != name}
+        return self._commit(
+            operation=f"DROP CONSTRAINT {name}",
+            files=snap.files,
+            schema_json=snap.schema_json,
+            stats=snap.stats,
+            base_version=snap.version,
+            constraints=remaining,
+        )
+
+    def _enforce(self, df: DataFrame, constraints: dict[str, str]) -> None:
+        """Reject ``df`` if any constraint evaluates FALSE on any row.
+        ALL constraints are counted in ONE aggregate pass (not one
+        scan each); NULL results pass, mirroring Delta CHECK."""
+        if not constraints:
+            return
+        names = sorted(constraints)
+        row = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.expr(constraints[n]).eqNullSafe(F.lit(False)), 1
+                    ).otherwise(0)
+                ).alias(n)
+                for n in names
+            ]
+        ).collect()[0]
+        bad = {n: int(row[n]) for n in names if row[n]}
+        if bad:
+            raise ConstraintViolation(
+                f"write to {self.path} rejected: rows violating CHECK "
+                + ", ".join(
+                    f"{n} ({c} rows, expr: {constraints[n]})"
+                    for n, c in bad.items()
+                )
+            )
 
     def read(
         self,
@@ -757,6 +850,7 @@ class AcidTable:
             # matched rows' columns would be data loss, not evolution
             raise ValueError(f"merge updates missing target columns: {lacking}")
         up = updates.select(*[f.name for f in evolved.fields])
+        self._enforce(up, snap.constraints)
         if touched:
             touched_df = self.spark.read.schema(schema).parquet(
                 *[os.path.join(self._data, f) for f in touched]

@@ -353,11 +353,11 @@ def test_log_is_delta_structured_with_checkpoints(spark, tmp_path):
     merge_delta = _json.loads((log / f"{5:020d}.json").read_text())
     # core delta shape plus the r5 metadata fields (commit wall-clock
     # for as-of time travel; txn appears only on idempotent-writer
-    # commits)
+    # commits; constraints carries the full CHECK-constraint map)
     assert {"version", "operation", "add", "remove", "schema", "parent"} <= set(merge_delta)
     assert set(merge_delta) <= {
         "version", "operation", "add", "remove", "schema", "parent",
-        "committed_at", "txn",
+        "committed_at", "txn", "constraints",
     }
     assert len(merge_delta["add"]) <= 2 and len(merge_delta["remove"]) <= 2
     # checkpoint exists at version 10 and reconstruction works everywhere
@@ -862,3 +862,68 @@ def test_maybe_optimize_triggers_on_file_count(spark, tmp_path):
     assert snap is not None and snap.operation.startswith("OPTIMIZE")
     assert len(t.snapshot().files) < n_files
     assert t.read().count() == 8
+
+
+def test_check_constraint_rejects_bad_append_atomically(spark, tmp_path, base_rows):
+    from dbt_lakehouse_aws_spark.sources.acid import ConstraintViolation
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, base_rows))
+    t.add_check_constraint("value_nonneg", "value >= 0")
+    assert t.check_constraints() == {"value_nonneg": "value >= 0"}
+    v = t.latest_version()
+    with pytest.raises(ConstraintViolation, match="value_nonneg"):
+        t.write(_mkdf(spark, [(200, "x", -1.0)]), mode="append")
+    assert t.latest_version() == v  # nothing committed
+    assert t.read().count() == len(base_rows)
+    # valid rows still flow
+    t.write(_mkdf(spark, [(201, "x", 5.0)]), mode="append")
+    assert t.read().count() == len(base_rows) + 1
+
+
+def test_check_constraint_null_passes_and_existing_violation_blocks_add(
+    spark, tmp_path
+):
+    from dbt_lakehouse_aws_spark.sources.acid import ConstraintViolation
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, None), (2, 5.0)], "id bigint, value double"
+        )
+    )
+    # NULL value -> constraint NULL -> passes (Delta CHECK semantics)
+    t.add_check_constraint("pos", "value > 0")
+    # a constraint the current data violates cannot be added
+    with pytest.raises(ConstraintViolation):
+        t.add_check_constraint("big", "value > 10")
+    assert set(t.check_constraints()) == {"pos"}
+
+
+def test_check_constraint_drop_and_merge_enforcement(spark, tmp_path, base_rows):
+    from dbt_lakehouse_aws_spark.sources.acid import ConstraintViolation
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, base_rows))
+    t.add_check_constraint("value_nonneg", "value >= 0")
+    with pytest.raises(ConstraintViolation):
+        t.merge(_mkdf(spark, [(3, "odd", -9.0)]), keys=["id"])
+    t.drop_check_constraint("value_nonneg")
+    t.merge(_mkdf(spark, [(3, "odd", -9.0)]), keys=["id"])
+    got = {r["id"]: r["value"] for r in t.read().collect()}
+    assert got[3] == -9.0
+
+
+def test_check_constraint_survives_checkpoint_replay(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 1.0)], "id bigint, value double"))
+    t.add_check_constraint("pos", "value > 0")
+    # push past CHECKPOINT_EVERY so the snapshot replays from a
+    # checkpoint, not the full delta chain
+    for i in range(2, AcidTable.CHECKPOINT_EVERY + 3):
+        t.write(
+            spark.createDataFrame([(i, float(i))], "id bigint, value double"),
+            mode="append",
+        )
+    assert t.latest_version() >= AcidTable.CHECKPOINT_EVERY
+    assert t.check_constraints() == {"pos": "value > 0"}
