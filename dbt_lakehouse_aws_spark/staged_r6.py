@@ -2444,3 +2444,82 @@ def json_typed_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_staged(
+    "xml_roundtrip_parts",
+    """
+    WITH hostile AS (
+      SELECT p_partkey,
+             concat(p_name,
+                    CASE p_partkey % 5
+                      WHEN 0 THEN ' & <sons>'
+                      WHEN 1 THEN ' "mixed" ''quotes'''
+                      WHEN 2 THEN ' ]]> cdata-end'
+                      WHEN 3 THEN ' a<b&c'
+                      ELSE '' END) AS hostile_name,
+             p_brand
+      FROM part
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(length(hostile_name)) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN contains(hostile_name, '&')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_amp,
+           CAST(sum(CASE WHEN contains(hostile_name, '<')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lt
+    FROM hostile
+    GROUP BY p_brand
+    """,
+)
+def xml_roundtrip_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML roundtrip under ENTITY-HOSTILE field content — Spark 4's
+    built-in XML source (the spark-xml package folded into core)
+    writing and re-reading strings that require entity escaping:
+    ``&``, ``<``/``>``, mixed quote characters, and a literal
+    ``]]>`` CDATA terminator. A deterministic mutation plants each
+    hazard by key; the table is written with the distributed XML
+    writer (one file per partition, ``rowTag`` framing) and read
+    back with an explicit schema, and the aggregate over the
+    read-back copy must match the oracle computed over the mutated
+    SOURCE — any escaping loss shifts lengths or hazard counts.
+    Completes the ingest-roundtrip family (CSV-quoted, ORC, bz2
+    JSONL, fixed-width, Avro)."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    p = T(spark, sf_dir, "part")
+    hostile = p.select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"),
+            F.when(F.col("p_partkey") % 5 == 0, F.lit(" & <sons>"))
+            .when(F.col("p_partkey") % 5 == 1, F.lit(' "mixed" \'quotes\''))
+            .when(F.col("p_partkey") % 5 == 2, F.lit(" ]]> cdata-end"))
+            .when(F.col("p_partkey") % 5 == 3, F.lit(" a<b&c"))
+            .otherwise(F.lit("")),
+        ).alias("hostile_name"),
+        "p_brand",
+    )
+    root = tempfile.mkdtemp(prefix=f"xmlrt_{uuid.uuid4().hex[:8]}_") + "/parts"
+    hostile.write.mode("overwrite").format("xml").option("rowTag", "part").save(
+        root
+    )
+    back = (
+        spark.read.schema("p_partkey long, hostile_name string, p_brand string")
+        .format("xml")
+        .option("rowTag", "part")
+        .load(root)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.length("hostile_name")).cast("long").alias("total_chars"),
+        F.sum(
+            F.when(F.col("hostile_name").contains("&"), 1).otherwise(0)
+        ).cast("long").alias("n_amp"),
+        F.sum(
+            F.when(F.col("hostile_name").contains("<"), 1).otherwise(0)
+        ).cast("long").alias("n_lt"),
+    )
