@@ -2523,3 +2523,52 @@ def xml_roundtrip_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("hostile_name").contains("<"), 1).otherwise(0)
         ).cast("long").alias("n_lt"),
     )
+
+
+@_staged(
+    "bloom_semi_join_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 5000
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (operators/bloomjoin.py): orders placed
+    by high-balance AUTOMOBILE customers, with the fact side
+    pre-filtered by a broadcast 128 KiB Bloom bitmap BEFORE its
+    shuffle — the scalable shape when the dim keyset is too large to
+    broadcast exactly but its bitmap is constant-size. The trailing
+    exact semi-join removes false positives, so the result is
+    bit-identical to the plain semi-join the oracle runs; the
+    unit test pins no-false-negatives and the <1% fp bound."""
+    from dbt_lakehouse_aws_spark.operators.bloomjoin import bloom_semi_join
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    orders = T(spark, sf_dir, "orders")
+    small = (
+        T(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == "AUTOMOBILE")
+            & (F.col("c_acctbal") > 5000)
+        )
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return (
+        bloom_semi_join(orders, small, "o_custkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1049,3 +1049,39 @@ def test_hits_path_counts_hand_bipartite(spark):
     e = spark.createDataFrame([(1, 10), (2, 10), (2, 11)], "hub long, auth long")
     got = {r["a"]: r["score"] for r in hits_path_counts(e, steps=2).collect()}
     assert got == {10: 5, 11: 3}
+
+
+def test_bloom_semi_join_exact_and_prefilter_bounds(spark):
+    """(a) bloom_semi_join is bit-identical to the plain semi-join;
+    (b) the prefilter never drops a true key (no false negatives);
+    (c) on 5,000 keys DISJOINT from the filter set, the pass-through
+    (false-positive) rate stays under 1% at default sizing."""
+    from dbt_lakehouse_aws_spark.operators.bloomjoin import (
+        bloom_bitmap,
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    small = spark.range(0, 1000).select(
+        (F.col("id") * 7 + 3).alias("k")
+    )
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in bloom_semi_join(big, small, "k").collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in big.join(small.distinct(), "k", "left_semi").collect()
+    )
+    assert got == want and len(got) > 0
+
+    bitmap = bloom_bitmap(small, "k")
+    # no false negatives: every true key survives the prefilter
+    survivors = bloom_prefilter(small.select("k"), "k", bitmap).count()
+    assert survivors == 1000
+    # bounded false positives on a disjoint key range
+    disjoint = spark.range(10**9, 10**9 + 5000).select(F.col("id").alias("k"))
+    fp = bloom_prefilter(disjoint, "k", bitmap).count()
+    assert fp / 5000 < 0.01, f"fp rate {fp / 5000}"
