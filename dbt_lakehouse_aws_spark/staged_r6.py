@@ -2572,3 +2572,46 @@ def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_staged(
+    "prefix_jaccard_pairs_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tokens) - 1),
+                                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS shingle
+      FROM toks WHERE len(tokens) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i) >= 0.4
+    """,
+)
+def prefix_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.4 pairs by PREFIX FILTERING
+    (llmops/dedup.py::prefix_filter_jaccard_pairs — the
+    AllPairs/PPJoin device): candidates only from each doc's
+    floor(0.6·s)+1 globally-RAREST shingles plus a length filter,
+    then exact verification. The oracle is the quadratic all-shingle
+    self-join — a different algorithm whose identical output is what
+    makes the row a strong check; the unit test additionally pins
+    set-equality against ngram_jaccard_pairs at two thresholds."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(d, n=3, threshold=0.4)

@@ -2024,3 +2024,26 @@ def test_query_likelihood_absent_term_and_hand_values(spark):
     with_junk = {r["doc_id"]: r["ql_score"] for r in
                  ql(df, ["a", "d", "zzzznope"], mu=mu, k=10).collect()}
     assert with_junk == got
+
+
+def test_prefix_filter_jaccard_matches_all_shingle_join(spark):
+    """Prefix filtering is LOSSLESS: on the sf0.001 corpus the
+    prefix-filtered pair set must equal the all-shingle self-join's
+    exactly (same threshold, two different algorithms), at two
+    thresholds to exercise different prefix lengths."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.5, 0.3):
+        want = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(d, threshold=t).collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in prefix_filter_jaccard_pairs(d, threshold=t).collect()
+        }
+        assert got == want and want, f"t={t}: {len(got)} vs {len(want)}"
