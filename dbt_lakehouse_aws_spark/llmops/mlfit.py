@@ -85,3 +85,74 @@ def logreg_log_loss(
         F.avg(y).alias("pos_rate"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_sum_col: str,
+    w_col: str,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Weighted L2 isotonic regression by POOL-ADJACENT-VIOLATORS,
+    one independent fit per group — the calibration step behind
+    reliability curves (Zadrozny & Elkan '02) and monotone trend
+    smoothing.
+
+    Contract: ``df`` is the PRE-AGGREGATED sufficient-statistics
+    frame — one row per (group, x) carrying ``y_sum`` (integer sum
+    of outcomes) and ``w`` (integer weight / count). The heavy
+    reduction from raw rows to this frame happens upstream in
+    whole-stage-codegen SQL; PAV itself is inherently sequential in
+    x, so it runs per group in ONE Arrow ``applyInPandas`` pass over
+    the tiny aggregate — groups fit in parallel, never a
+    single-partition funnel over raw data.
+
+    All arithmetic is EXACT: pools carry integer (Σy, Σw); the
+    violation test compares pool means by integer cross-
+    multiplication (``s_prev·w_next > s_next·w_prev`` — no float
+    ever decides a merge); the fitted value is emitted floor-
+    quantized, ``Σy·quant // Σw``, in arbitrary-precision Python
+    int. Because floor is monotone and commutes with min/max, this
+    equals the floor-quantization of the exact real fit — which is
+    what lets a SQL oracle replay it through the minimax identity
+    ``fit(k) = max_{i<=k} min_{j>=k} qavg(i, j)`` in pure BIGINT
+    arithmetic, a completely different algorithm with a provably
+    identical result.
+    """
+    import pandas as pd
+
+    gcols = list(group_cols)
+    out_schema = ", ".join(
+        f"`{c}` string" for c in gcols
+    ) + f", `{x_col}` string, w long, fitted_q long"
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col).reset_index(drop=True)
+        pools: list[list[int]] = []  # [sum_y, sum_w, n_points]
+        for s, w in zip(pdf[y_sum_col], pdf[w_col]):
+            pools.append([int(s), int(w), 1])
+            # merge while the previous pool's mean EXCEEDS the last's
+            while (
+                len(pools) > 1
+                and pools[-2][0] * pools[-1][1] > pools[-1][0] * pools[-2][1]
+            ):
+                s2, w2, c2 = pools.pop()
+                pools[-1][0] += s2
+                pools[-1][1] += w2
+                pools[-1][2] += c2
+        fitted: list[int] = []
+        for s, w, c in pools:
+            fitted.extend([s * quant // w] * c)
+        return pd.DataFrame(
+            {
+                **{c: pdf[c].astype(str) for c in gcols},
+                x_col: pdf[x_col].astype(str),
+                "w": pdf[w_col].astype("int64"),
+                "fitted_q": pd.Series(fitted, dtype="int64"),
+            }
+        )
+
+    return df.groupBy(*gcols).applyInPandas(pav, out_schema)

@@ -2615,3 +2615,79 @@ def prefix_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(d, n=3, threshold=0.4)
+
+
+@_staged(
+    "isotonic_calibration_orders",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS grp, strftime(o_orderdate, '%Y-%m') AS x,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS w
+      FROM orders GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT grp, x, s, w,
+             row_number() OVER (PARTITION BY grp ORDER BY x) AS k,
+             CAST(sum(s) OVER (PARTITION BY grp ORDER BY x) AS BIGINT) AS cs,
+             CAST(sum(w) OVER (PARTITION BY grp ORDER BY x) AS BIGINT) AS cw
+      FROM m
+    ),
+    seg AS (
+      SELECT a.grp, a.k AS i, b.k AS j,
+             (b.cs - a.cs + a.s) * 1000000 // (b.cw - a.cw + a.w) AS qavg
+      FROM p a JOIN p b ON b.grp = a.grp AND b.k >= a.k
+    ),
+    mm AS (
+      SELECT s.grp, pk.k, s.i, min(s.qavg) AS minq
+      FROM seg s
+      JOIN p pk ON pk.grp = s.grp AND s.i <= pk.k AND s.j >= pk.k
+      GROUP BY 1, 2, 3
+    ),
+    fit AS (
+      SELECT grp, k, CAST(max(minq) AS BIGINT) AS fitted_q
+      FROM mm GROUP BY 1, 2
+    )
+    SELECT p.grp AS o_orderpriority, p.x AS month, p.w AS n,
+           f.fitted_q
+    FROM p JOIN fit f ON f.grp = p.grp AND f.k = p.k
+    ORDER BY o_orderpriority, month
+    """,
+)
+def isotonic_calibration_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression (llmops/mlfit.py::isotonic_fit)
+    of the monthly finished-order rate per priority class — the PAV
+    calibration primitive behind reliability curves, run as one
+    Arrow pass per group over the pre-aggregated month frame. The
+    oracle replays it through the MINIMAX IDENTITY
+    fit(k) = max_{i<=k} min_{j>=k} avg(i..j) in pure BIGINT floor-
+    quantized arithmetic (floor commutes with min/max, so the
+    quantized minimax equals the quantization of the exact fit) — a
+    different algorithm with a provably identical result."""
+    from dbt_lakehouse_aws_spark.llmops.mlfit import isotonic_fit
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders")
+    agg = o.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("w"),
+    )
+    fit = isotonic_fit(
+        agg,
+        group_cols=["o_orderpriority"],
+        x_col="month",
+        y_sum_col="s",
+        w_col="w",
+    )
+    return fit.select(
+        "o_orderpriority",
+        "month",
+        F.col("w").alias("n"),
+        "fitted_q",
+    ).orderBy("o_orderpriority", "month")

@@ -1085,3 +1085,21 @@ def test_bloom_semi_join_exact_and_prefilter_bounds(spark):
     disjoint = spark.range(10**9, 10**9 + 5000).select(F.col("id").alias("k"))
     fp = bloom_prefilter(disjoint, "k", bitmap).count()
     assert fp / 5000 < 0.01, f"fp rate {fp / 5000}"
+
+
+def test_isotonic_fit_pav_hand_case(spark):
+    """Two violations, one at each end: PAV must pool (0.5, 0.0) ->
+    0.25 and (1.0, 0.5) -> 0.75, quantized to exact micro-units."""
+    from dbt_lakehouse_aws_spark.llmops.mlfit import isotonic_fit
+
+    df = spark.createDataFrame(
+        [("g", "1", 1, 2), ("g", "2", 0, 2), ("g", "3", 2, 2), ("g", "4", 1, 2)],
+        "grp string, x string, s long, w long",
+    )
+    got = {
+        r["x"]: r["fitted_q"]
+        for r in isotonic_fit(
+            df, group_cols=["grp"], x_col="x", y_sum_col="s", w_col="w"
+        ).collect()
+    }
+    assert got == {"1": 250000, "2": 250000, "3": 750000, "4": 750000}
