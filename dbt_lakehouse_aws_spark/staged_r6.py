@@ -2691,3 +2691,139 @@ def isotonic_calibration_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("n"),
         "fitted_q",
     ).orderBy("o_orderpriority", "month")
+
+
+#: Poisson(1) CDF cut points (k = 0..8, else 9) — identical literals
+#: on both engines so the inverse-CDF draw replays bit-exactly.
+_POIS1_CDF = (
+    "0.3678794412", "0.7357588823", "0.9196986029", "0.9810118431",
+    "0.9963401532", "0.9994058151", "0.9999167589", "0.9999897508",
+    "0.9999988828",
+)
+
+
+#: deterministic uniform on (orderkey, replicate): affine mod-P then
+#: one QUADRATIC mixing round — affine alone is linear in b, so a
+#: key's 64 draws would walk a lattice; (h**2 + h + c) mod P breaks the
+#: linearity. Pure BIGINT arithmetic (operands < 2**62), written once
+#: and evaluated VERBATIM by both engines — no md5, no strings.
+_BOOT_U = (
+    "((((o_orderkey % 2147483647) * 1103515245 + b * 1299709 + 12345)"
+    " % 2147483647) * ((((o_orderkey % 2147483647) * 1103515245"
+    " + b * 1299709 + 12345) % 2147483647) + 1) + 987654321)"
+    " % 2147483647 / 2147483647.0"
+)
+
+
+def _bootstrap_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches} ELSE 9 END"
+
+
+@_staged(
+    "bootstrap_ci_orders",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    rep AS (
+      SELECT o.o_orderpriority, b.b,
+             CAST(sum(m.m * o.cents) AS BIGINT) AS s,
+             CAST(sum(m.m) AS BIGINT) AS n
+      FROM o
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS b) b,
+      LATERAL (
+        SELECT {_bootstrap_case_sql(_BOOT_U)} AS m
+      ) m
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT o_orderpriority, s, n,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(s AS DOUBLE) / n, b
+             ) AS rk
+      FROM rep
+    ),
+    base AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM o GROUP BY 1
+    )
+    SELECT b.o_orderpriority, b.n_orders,
+           b.total_cents * 10000 // b.n_orders AS mean_q,
+           lo.s * 10000 // lo.n AS lo_q,
+           hi.s * 10000 // hi.n AS hi_q
+    FROM base b
+    JOIN ranked lo ON lo.o_orderpriority = b.o_orderpriority AND lo.rk = 4
+    JOIN ranked hi ON hi.o_orderpriority = b.o_orderpriority AND hi.rk = 61
+    ORDER BY b.o_orderpriority
+    """,
+)
+def bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 90%-ish CI for mean order value per priority
+    (Efron's resampling reshaped for one distributed pass): each of
+    B=64 replicates weights every order by a DETERMINISTIC Poisson(1)
+    draw — inverse-CDF over a portable quadratic-mix BIGINT hash of
+    (orderkey, replicate), the identical SQL text on both engines — so the entire resample replays bit-exactly
+    in SQL. Replicate means are exact BIGINT (Σm·cents, Σm) pairs;
+    the 4th/61st of the 64 means (ordered by correctly-rounded double
+    division — identical cross-engine for identical integer pairs)
+    bound the interval, and every output is floor-quantized BIGINT
+    (× 10⁴), the same device as isotonic_calibration. One explode +
+    two aggregates — no per-replicate scans of the base table."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # the SAME draw SQL text the oracle runs, evaluated by Spark
+    m = F.expr(_bootstrap_case_sql(_BOOT_U))
+    rep = (
+        o.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(64))))
+        .withColumn("m", m)
+        .groupBy("o_orderpriority", "b")
+        .agg(
+            F.sum(F.col("m") * F.col("cents")).cast("long").alias("s"),
+            F.sum("m").cast("long").alias("n"),
+        )
+    )
+    ranked = rep.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy(
+                F.col("s").cast("double") / F.col("n"), F.col("b")
+            )
+        ),
+    )
+    base = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    lo = ranked.filter(F.col("rk") == 4).select(
+        "o_orderpriority", F.col("s").alias("lo_s"), F.col("n").alias("lo_n")
+    )
+    hi = ranked.filter(F.col("rk") == 61).select(
+        "o_orderpriority", F.col("s").alias("hi_s"), F.col("n").alias("hi_n")
+    )
+    return (
+        base.join(lo, "o_orderpriority")
+        .join(hi, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            # exact BIGINT floor division (F.floor(a/b) would route
+            # through double and lose exactness past 2^53)
+            F.expr("total_cents * 10000L div n_orders").alias("mean_q"),
+            F.expr("lo_s * 10000L div lo_n").alias("lo_q"),
+            F.expr("hi_s * 10000L div hi_n").alias("hi_q"),
+        )
+        .orderBy("o_orderpriority")
+    )
