@@ -2827,3 +2827,70 @@ def bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_staged(
+    "approx_quantile_bounds_orders",
+    """
+    SELECT q, CAST(count(*) AS BIGINT) AS n, TRUE AS ok
+    FROM orders
+    CROSS JOIN (
+      SELECT unnest(['0.10', '0.25', '0.50', '0.75', '0.90']) AS q
+    )
+    GROUP BY q
+    ORDER BY q
+    """,
+)
+def approx_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles with a PROVEN error bound:
+    Spark's native ``percentile_approx`` (Greenwald-Khanna, the
+    mergeable sketch that runs as one map-side-combinable aggregate
+    at any scale) at accuracy 1000 (ε = 0.001 rank error), then the
+    guarantee is VERIFIED ENGINE-SIDE against exact ranks — for each
+    estimate v: count(x < v) must not exceed ⌈(q+ε)·N⌉ and
+    count(x ≤ v) must reach ⌊(q−ε)·N⌋. The sketch value itself is
+    engine-specific (DuckDB's qdigest would differ), so the oracle
+    pins (probe, N, bound-holds) — the same self-checking device as
+    the stream/batch equivalence rows; the ranks are exact counts
+    from one broadcast join, not a sort."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    probes = [0.10, 0.25, 0.50, 0.75, 0.90]
+    eps = 0.001
+    o = T(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
+    est = (
+        o.agg(
+            F.percentile_approx("v", probes, 1000).alias("est")
+        )
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(f"{p:.2f}") for p in probes]).alias("q"),
+                    F.array(*[F.lit(p) for p in probes]).alias("qf"),
+                    F.col("est").alias("v"),
+                )
+            ).alias("z")
+        )
+        .select("z.q", "z.qf", F.col("z.v").alias("est_v"))
+    )
+    checked = (
+        o.crossJoin(F.broadcast(est))
+        .groupBy("q", "qf", "est_v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("v") < F.col("est_v"), 1).otherwise(0))
+            .cast("long")
+            .alias("rank_lt"),
+            F.sum(F.when(F.col("v") <= F.col("est_v"), 1).otherwise(0))
+            .cast("long")
+            .alias("rank_le"),
+        )
+    )
+    return checked.select(
+        "q",
+        "n",
+        (
+            (F.col("rank_lt") <= F.ceil((F.col("qf") + eps) * F.col("n")))
+            & (F.col("rank_le") >= F.floor((F.col("qf") - eps) * F.col("n")))
+        ).alias("ok"),
+    ).orderBy("q")
