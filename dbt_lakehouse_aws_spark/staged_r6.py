@@ -2894,3 +2894,127 @@ def approx_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("rank_le") >= F.floor((F.col("qf") - eps) * F.col("n")))
         ).alias("ok"),
     ).orderBy("q")
+
+
+@_staged(
+    "attribution_models_events",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS cid, user_id, ts AS cts,
+             CAST(extract(hour FROM ts) AS BIGINT) AS channel_hour
+      FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT p.pid, p.cents, c.cid, c.channel_hour,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY c.cts, c.cid) AS rn,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY c.cts DESC, c.cid DESC) AS rn_d,
+             count(*) OVER (PARTITION BY p.pid) AS k
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.cts < p.pts AND c.cts >= p.pts - INTERVAL 3 DAY
+    ),
+    credits AS (
+      SELECT 'linear' AS model, channel_hour,
+             cents * 1000000 // k AS credit_micro
+      FROM pairs
+      UNION ALL
+      SELECT 'first', channel_hour, cents * 1000000
+      FROM pairs WHERE rn = 1
+      UNION ALL
+      SELECT 'last', channel_hour, cents * 1000000
+      FROM pairs WHERE rn_d = 1
+    )
+    SELECT model, channel_hour,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(credit_micro) AS BIGINT) AS credited_micro
+    FROM credits
+    GROUP BY model, channel_hour
+    ORDER BY model, channel_hour
+    """,
+)
+def attribution_models_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution, three models in one pass: every
+    purchase credits the user's clicks in the preceding 3 days —
+    'linear' splits the purchase equally (floor-quantized BIGINT
+    micro-cents, cents·10⁶ div k — exact on both engines), 'first'
+    and 'last' give full credit to the window's endpoints
+    (deterministic (ts, event_id) tie-break). Credit rolls up by the
+    click's hour-of-day channel. The candidate join is an EQUI-join
+    on user_id with the time band as a pushed residual — one
+    shuffle, per-user fan-out; the three window functions share ONE
+    (pid) exchange. Complements asof_purchase_attribution (pure
+    last-touch via as-of join)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.hour("ts").cast("long").alias("channel_hour"),
+    )
+    by_pid = Window.partitionBy("pid")
+    pairs = (
+        p.join(
+            c.withColumnRenamed("user_id", "c_user_id"),
+            (F.col("c_user_id") == F.col("user_id"))
+            & (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 3 DAYS")),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                by_pid.orderBy(F.asc("cts"), F.asc("cid"))
+            ),
+        )
+        .withColumn(
+            "rn_d",
+            F.row_number().over(
+                by_pid.orderBy(F.desc("cts"), F.desc("cid"))
+            ),
+        )
+        .withColumn("k", F.count(F.lit(1)).over(by_pid))
+        .select("pid", "cents", "channel_hour", "rn", "rn_d", "k")
+    )
+    full = F.col("cents") * F.lit(1000000)
+    credits = (
+        pairs.select(
+            F.lit("linear").alias("model"),
+            "channel_hour",
+            F.expr("cents * 1000000L div k").alias("credit_micro"),
+        )
+        .unionAll(
+            pairs.filter(F.col("rn") == 1).select(
+                F.lit("first").alias("model"),
+                "channel_hour",
+                full.alias("credit_micro"),
+            )
+        )
+        .unionAll(
+            pairs.filter(F.col("rn_d") == 1).select(
+                F.lit("last").alias("model"),
+                "channel_hour",
+                full.alias("credit_micro"),
+            )
+        )
+    )
+    return (
+        credits.groupBy("model", "channel_hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+            F.sum("credit_micro").cast("long").alias("credited_micro"),
+        )
+        .orderBy("model", "channel_hour")
+    )
