@@ -3018,3 +3018,75 @@ def attribution_models_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "channel_hour")
     )
+
+
+@_staged(
+    "agg_function_gauntlet_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_finished,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_jumbo,
+           CAST(arg_min(CAST(round(o_totalprice * 100) AS BIGINT),
+                        o_orderkey) AS BIGINT) AS first_key_cents,
+           CAST(arg_max(CAST(round(o_totalprice * 100) AS BIGINT),
+                        o_orderkey) AS BIGINT) AS last_key_cents,
+           CAST(bit_and(o_orderkey % 255) AS BIGINT) AS key_band_and,
+           CAST(bit_or(o_orderkey % 255) AS BIGINT) AS key_band_or,
+           CAST(bit_xor(o_orderkey % 255) AS BIGINT) AS key_band_xor,
+           round(median(o_totalprice), 4) AS median_price,
+           any_value(substr(o_orderpriority, 1, 1)) AS priority_digit
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_function_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function breadth gauntlet — the order-independent /
+    deterministically-argumented members of the SQL aggregate family
+    in one pass: count_if, bool_and/bool_or, min_by/max_by keyed on
+    the UNIQUE orderkey (tie-free by construction), the bitwise
+    aggregates, exact interpolated median (one correctly-rounded
+    division of identical doubles on both engines), and any_value
+    over a group-constant expression (the only deterministic way to
+    exercise it). Order-SENSITIVE aggregates (listagg) and
+    float-accumulation ones (stddev/corr) are deliberately excluded
+    — those live behind exact sufficient-stats queries
+    (a3_regression_slope, moments_by_priority)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(F.col("o_orderstatus") == "F")
+            .cast("long")
+            .alias("n_finished"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+            F.min_by(cents, F.col("o_orderkey"))
+            .cast("long")
+            .alias("first_key_cents"),
+            F.max_by(cents, F.col("o_orderkey"))
+            .cast("long")
+            .alias("last_key_cents"),
+            F.bit_and(F.col("o_orderkey") % 255)
+            .cast("long")
+            .alias("key_band_and"),
+            F.bit_or(F.col("o_orderkey") % 255)
+            .cast("long")
+            .alias("key_band_or"),
+            F.bit_xor(F.col("o_orderkey") % 255)
+            .cast("long")
+            .alias("key_band_xor"),
+            F.round(F.median("o_totalprice"), 4).alias("median_price"),
+            F.any_value(F.substring("o_orderpriority", 1, 1)).alias(
+                "priority_digit"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
