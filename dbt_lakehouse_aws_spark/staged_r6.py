@@ -3090,3 +3090,78 @@ def agg_function_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_staged(
+    "weighted_median_lineitem",
+    """
+    WITH t AS (
+      SELECT l_returnflag AS f,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    c AS (
+      SELECT f, cents, w,
+             CAST(sum(w) OVER (PARTITION BY f ORDER BY cents)
+                  AS BIGINT) AS cum
+      FROM t
+    ),
+    g AS (SELECT f, CAST(sum(w) AS BIGINT) AS total FROM t GROUP BY f)
+    SELECT c.f AS l_returnflag, g.total AS total_qty,
+           CAST(min(c.cents) AS BIGINT) AS wmedian_cents
+    FROM c JOIN g ON g.f = c.f
+    WHERE 2 * c.cum >= g.total
+    GROUP BY c.f, g.total
+    ORDER BY l_returnflag
+    """,
+)
+def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median line price per return flag —
+    the weighted-selection primitive (smallest value whose running
+    weight reaches half the group total, all-BIGINT, no
+    interpolation ambiguity). Built on the two-pass
+    operators/windows.py::prefix_sum, so the running weight never
+    funnels a group through one task the way
+    ``Window.partitionBy(flag).orderBy(price)`` would at 100 TB
+    (3 flags = 3 tasks); group offsets fall out of the SAME global
+    prefix sum (min(cum−w) per group = weight mass before the
+    group), a broadcast 3-row join. Ties in price are safe by
+    construction: the crossing test uses end-of-tie-block cumulative
+    weight on both engines (RANGE frame in SQL, min-qualifying-value
+    selection here), which is order-invariant within the block."""
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("f"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ps = prefix_sum(
+        li,
+        [F.asc("f"), F.asc("cents"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        "w",
+        name="cum",
+    )
+    g = ps.groupBy("f").agg(
+        F.min(F.col("cum") - F.col("w")).alias("off"),
+        F.max("cum").alias("mx"),
+    )
+    return (
+        ps.join(F.broadcast(g), "f")
+        .filter(
+            2 * (F.col("cum") - F.col("off")) >= F.col("mx") - F.col("off")
+        )
+        .groupBy("f")
+        .agg(
+            F.max(F.col("mx") - F.col("off")).cast("long").alias("total_qty"),
+            F.min("cents").cast("long").alias("wmedian_cents"),
+        )
+        .select(
+            F.col("f").alias("l_returnflag"), "total_qty", "wmedian_cents"
+        )
+        .orderBy("l_returnflag")
+    )
