@@ -3165,3 +3165,59 @@ def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@_staged(
+    "string_function_gauntlet_parts",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS padded_brand,
+           rpad(p_type, 20, '.') AS padded_type,
+           translate(p_name, 'aeiou', '12345') AS translated,
+           reverse(p_type) AS type_rev,
+           repeat(p_brand, 2) AS brand_x2,
+           CAST(levenshtein(p_brand, 'Brand#00') AS BIGINT) AS lev_brand,
+           CAST(strpos(p_name, 'ol') AS BIGINT) AS pos_ol,
+           CAST(ascii(p_type) AS BIGINT) AS type_ascii,
+           left(p_name, 5) AS name_left5,
+           right(p_name, 4) AS name_right4,
+           split_part(p_type, ' ', 2) AS type_word2,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           trim(concat(' ', p_name, ' ')) AS trimmed
+    FROM part
+    WHERE p_partkey % 97 = 0
+    ORDER BY p_partkey
+    """,
+)
+def string_function_gauntlet_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth gauntlet, row-exact across engines on
+    a deterministic key subset: pad/translate/reverse/repeat,
+    levenshtein against a literal, 1-based substring search (instr ↔
+    strpos, 0 when absent), ascii, left/right slices, split_part,
+    concat_ws, and trim — the portable core of the reference's
+    string surface (reference models leaned on concat/substr/replace;
+    SURVEY §2 F-rows) exercised in one scan with every output
+    compared verbatim."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") % 97 == 0)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("padded_brand"),
+        F.rpad("p_type", 20, ".").alias("padded_type"),
+        F.translate("p_name", "aeiou", "12345").alias("translated"),
+        F.reverse("p_type").alias("type_rev"),
+        F.repeat("p_brand", 2).alias("brand_x2"),
+        F.levenshtein("p_brand", F.lit("Brand#00"))
+        .cast("long")
+        .alias("lev_brand"),
+        F.instr("p_name", "ol").cast("long").alias("pos_ol"),
+        F.ascii("p_type").cast("long").alias("type_ascii"),
+        F.expr("left(p_name, 5)").alias("name_left5"),
+        F.expr("right(p_name, 4)").alias("name_right4"),
+        F.split_part("p_type", F.lit(" "), F.lit(2)).alias("type_word2"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias(
+            "trimmed"
+        ),
+    ).orderBy("p_partkey")
