@@ -3221,3 +3221,66 @@ def string_function_gauntlet_parts(spark: SparkSession, sf_dir: str) -> DataFram
             "trimmed"
         ),
     ).orderBy("p_partkey")
+
+
+@_staged(
+    "datetime_gauntlet_orders",
+    """
+    WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(dayofweek(d) + 1 AS BIGINT) AS dow_sun1,
+           CAST(weekofyear(d) AS BIGINT) AS iso_week,
+           CAST(dayofyear(d) AS BIGINT) AS doy,
+           CAST(quarter(d) AS BIGINT) AS qtr,
+           last_day(d) AS eom,
+           CAST(date_trunc('week', d) AS DATE) AS week_start,
+           d + 30 AS plus_30d,
+           CAST(datediff('day', d, DATE '1998-12-01') AS BIGINT)
+             AS days_to_ref,
+           CAST((1998 - extract(year FROM d)) * 12
+                + (12 - extract(month FROM d)) AS BIGINT) AS months_to_ref,
+           make_date(CAST(extract(year FROM d) AS INT), 7, 1) AS mid_year
+    FROM od
+    GROUP BY d
+    ORDER BY d
+    """,
+)
+def datetime_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time-function breadth gauntlet over every distinct order
+    date: day-of-week (pinned to one convention — Spark's dayofweek
+    is 1=Sunday, DuckDB's is 0=Sunday, so the oracle shifts by one),
+    ISO week-of-year, day-of-year, quarter, last_day, Monday
+    week-truncation, +30-day date arithmetic, day datediff to a
+    literal, month-boundary distance spelled as explicit
+    year/month arithmetic (Spark's fractional months_between and
+    DuckDB's boundary-counting datediff('month') disagree by design
+    — the portable spelling is the extract form), and make_date."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "d",
+            "n",
+            F.dayofweek("d").cast("long").alias("dow_sun1"),
+            F.weekofyear("d").cast("long").alias("iso_week"),
+            F.dayofyear("d").cast("long").alias("doy"),
+            F.quarter("d").cast("long").alias("qtr"),
+            F.last_day("d").alias("eom"),
+            F.date_trunc("week", F.col("d")).cast("date").alias("week_start"),
+            F.date_add("d", 30).alias("plus_30d"),
+            F.datediff(F.lit("1998-12-01").cast("date"), F.col("d"))
+            .cast("long")
+            .alias("days_to_ref"),
+            (
+                (F.lit(1998) - F.year("d")) * 12 + (F.lit(12) - F.month("d"))
+            )
+            .cast("long")
+            .alias("months_to_ref"),
+            F.make_date(F.year("d"), F.lit(7), F.lit(1)).alias("mid_year"),
+        )
+        .orderBy("d")
+    )
