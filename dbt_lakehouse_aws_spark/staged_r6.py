@@ -3284,3 +3284,48 @@ def datetime_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@_staged(
+    "regex_gauntlet_parts",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT)
+             AS n_vowels,
+           regexp_matches(p_name, '^[a-z]+ [a-z]+') AS two_words,
+           array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ',')
+             AS type_tokens,
+           regexp_replace(p_brand, '[0-9]+', '#') AS brand_masked
+    FROM part
+    WHERE p_partkey % 97 = 0
+    ORDER BY p_partkey
+    """,
+)
+def regex_gauntlet_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression breadth gauntlet, row-exact cross-engine
+    on the portable Java∩RE2 subset (explicit ASCII classes,
+    anchors, quantifiers — no engine-specific escapes): capture-group
+    extraction at both ends, global replace, match counting
+    (regexp_count ↔ len(regexp_extract_all)), boolean rlike ↔
+    regexp_matches, and extract-all flattened through array_join so
+    no array column reaches the driver compare."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") % 97 == 0)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.regexp_count("p_name", F.lit(r"[aeiou]"))
+        .cast("long")
+        .alias("n_vowels"),
+        F.col("p_name").rlike(r"^[a-z]+ [a-z]+").alias("two_words"),
+        F.array_join(
+            F.expr(r"regexp_extract_all(p_type, '[A-Z]+', 0)"), ","
+        ).alias("type_tokens"),
+        F.regexp_replace("p_brand", r"[0-9]+", "#").alias("brand_masked"),
+    ).orderBy("p_partkey")
