@@ -3329,3 +3329,52 @@ def regex_gauntlet_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("type_tokens"),
         F.regexp_replace("p_brand", r"[0-9]+", "#").alias("brand_masked"),
     ).orderBy("p_partkey")
+
+
+@_staged(
+    "arrow_ipc_roundtrip_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def arrow_ipc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC stream roundtrip (sources/arrow_ipc.py): orders →
+    one ``.arrows`` stream per partition via mapInArrow — the
+    batches are written VERBATIM, no per-row Python and no
+    re-encode — read back one task per file and aggregated; the
+    oracle computes the same aggregate over the source, so any
+    loss or duplication in the interchange shifts counts, cents, or
+    the distinct-customer tally. The cheapest binary interop surface the engine
+    offers (pandas/polars/DuckDB/Flight all consume IPC streams)."""
+    import tempfile
+    import uuid as _uuid
+
+    from dbt_lakehouse_aws_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix=f"ipc_{_uuid.uuid4().hex[:8]}_") + "/orders"
+    write_arrow_ipc(o, root)
+    back = read_arrow_ipc(spark, root)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_custkeys"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1076,3 +1076,32 @@ def test_write_avro_empty_frame_roundtrips(spark, tmp_path):
     back = read_avro(spark, root)
     assert back.count() == 0
     assert back.columns == ["id", "name"]
+
+
+def test_arrow_ipc_roundtrip_nulls_binary_empty(spark, tmp_path):
+    """IPC write/read round-trips values, NULLs, and binary columns;
+    an all-empty input still lands a schema-carrying stream."""
+    from dbt_lakehouse_aws_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", bytearray(b"\x00\xff")), (2, None, None), (3, "c", bytearray(b""))],
+        "id long, s string, payload binary",
+    ).repartition(4)  # some partitions are empty
+    n_rows, n_files = write_arrow_ipc(df, str(tmp_path / "d"))
+    assert n_rows == 3 and 1 <= n_files <= 3
+    back = read_arrow_ipc(spark, str(tmp_path / "d"))
+    assert back.schema == df.schema
+    got = sorted(
+        (r["id"], r["s"], bytes(r["payload"]) if r["payload"] is not None else None)
+        for r in back.collect()
+    )
+    assert got == [(1, "a", b"\x00\xff"), (2, None, None), (3, "c", b"")]
+
+    empty = df.filter("id < 0")
+    n_rows, n_files = write_arrow_ipc(empty, str(tmp_path / "e"))
+    assert (n_rows, n_files) == (0, 1)
+    back2 = read_arrow_ipc(spark, str(tmp_path / "e"))
+    assert back2.schema == df.schema and back2.count() == 0
