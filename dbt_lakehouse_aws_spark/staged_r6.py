@@ -3378,3 +3378,122 @@ def arrow_ipc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_staged(
+    "null_conditional_gauntlet_customer",
+    """
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'N/A') AS seg_filled,
+           ifnull(nullif(c_mktsegment, 'BUILDING'), c_name) AS seg_or_name,
+           CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                THEN 'present' ELSE 'absent' END AS nvl2_like,
+           (nullif(c_mktsegment, 'BUILDING')
+              IS NOT DISTINCT FROM CAST(NULL AS VARCHAR)) AS nullsafe_eq_null,
+           greatest(c_acctbal, 0.0,
+                    CAST(NULL AS DOUBLE)) AS bal_floor0,
+           least(c_acctbal, 5000.0,
+                 CAST(NULL AS DOUBLE)) AS bal_cap5k,
+           (c_acctbal IS NULL) AS bal_is_null
+    FROM customer
+    WHERE c_custkey % 47 = 0
+    ORDER BY c_custkey
+    """,
+)
+def null_conditional_gauntlet_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NULL-handling / conditional gauntlet with a PLANTED null
+    (``nullif`` on one segment — the source tables carry none):
+    coalesce / ifnull backfills, an nvl2-shaped presence branch
+    (spelled as CASE — DuckDB has no nvl2), null-safe equality
+    (``<=>`` ↔ IS NOT DISTINCT FROM), and greatest/least with an
+    explicit NULL argument pinning the skip-NULL semantics BOTH
+    engines share (both follow Postgres, not the SQL-standard
+    propagate-NULL)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 47 == 0)
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    null_d = F.lit(None).cast("double")
+    return c.select(
+        "c_custkey",
+        seg_null.alias("seg_or_null"),
+        F.coalesce(seg_null, F.lit("N/A")).alias("seg_filled"),
+        F.ifnull(seg_null, F.col("c_name")).alias("seg_or_name"),
+        F.nvl2(seg_null, F.lit("present"), F.lit("absent")).alias(
+            "nvl2_like"
+        ),
+        seg_null.eqNullSafe(F.lit(None).cast("string")).alias(
+            "nullsafe_eq_null"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0), null_d).alias(
+            "bal_floor0"
+        ),
+        F.least(F.col("c_acctbal"), F.lit(5000.0), null_d).alias(
+            "bal_cap5k"
+        ),
+        F.isnull("c_acctbal").alias("bal_is_null"),
+    ).orderBy("c_custkey")
+
+
+@_staged(
+    "set_ops_customers",
+    """
+    WITH a AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE extract(year FROM o_orderdate) = 1995
+    ),
+    b AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+    i AS (SELECT k FROM a INTERSECT SELECT k FROM b),
+    oa AS (SELECT k FROM a EXCEPT SELECT k FROM b),
+    ob AS (SELECT k FROM b EXCEPT SELECT k FROM a),
+    u AS (SELECT k FROM a UNION SELECT k FROM b)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM i) AS n_both,
+           (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM i) AS sum_both,
+           (SELECT CAST(count(*) AS BIGINT) FROM oa) AS n_only_active,
+           (SELECT CAST(count(*) AS BIGINT) FROM ob) AS n_only_rich,
+           (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_union
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set-operator coverage — INTERSECT / EXCEPT (both
+    directions) / UNION DISTINCT between the 1995-active customer
+    keyset and the high-balance keyset, with a value checksum on the
+    intersection. Spark plans these as the dedicated left-semi /
+    left-anti / aggregate forms; the counts pin the distinct
+    semantics (vs the ALL variants used by the stream-equivalence
+    twins)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    a = (
+        T(spark, sf_dir, "orders")
+        .filter(F.year(F.col("o_orderdate")) == 1995)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    b = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    i = a.intersect(b)
+    stats = i.agg(
+        F.count(F.lit(1)).cast("long").alias("n_both"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_both"),
+    )
+    oa = a.subtract(b).agg(
+        F.count(F.lit(1)).cast("long").alias("n_only_active")
+    )
+    ob = b.subtract(a).agg(
+        F.count(F.lit(1)).cast("long").alias("n_only_rich")
+    )
+    u = a.union(b).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_union")
+    )
+    return (
+        stats.crossJoin(F.broadcast(oa))
+        .crossJoin(F.broadcast(ob))
+        .crossJoin(F.broadcast(u))
+    )
