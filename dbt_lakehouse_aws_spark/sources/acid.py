@@ -82,6 +82,7 @@ class Snapshot:
     stats: dict[str, dict[str, list]]  # file -> col -> [min, max]
     parent: int | None
     constraints: dict[str, str] = field(default_factory=dict)  # name -> CHECK expr
+    renames: dict[str, str] = field(default_factory=dict)  # physical col -> logical col
 
 
 def _file_stats(path: str, cols: Sequence[str]) -> dict[str, list]:
@@ -235,6 +236,7 @@ class AcidTable:
         schema_json = ""
         operation, parent = "", None
         constraints: dict[str, str] = {}
+        renames: dict[str, str] = {}
         start = 0
         if base:
             cp = self._read_json(f"{base[-1]:020d}.checkpoint.json")
@@ -242,6 +244,7 @@ class AcidTable:
             schema_json = cp["schema"]
             operation, parent = cp["operation"], cp.get("parent")
             constraints = dict(cp.get("constraints", {}))
+            renames = dict(cp.get("renames", {}))
             start = base[-1] + 1
         for i in range(start, v + 1):
             m = self._read_json(f"{i:020d}.json")
@@ -250,8 +253,9 @@ class AcidTable:
             files.update(m.get("add", {}))
             schema_json = m["schema"]
             operation, parent = m["operation"], m.get("parent")
-            # pre-constraint deltas carry no key: inherit
+            # pre-constraint/-rename deltas carry no key: inherit
             constraints = dict(m.get("constraints", constraints))
+            renames = dict(m.get("renames", renames))
         return Snapshot(
             version=v,
             operation=operation,
@@ -260,6 +264,7 @@ class AcidTable:
             stats=files,
             parent=parent,
             constraints=constraints,
+            renames=renames,
         )
 
     def history(self) -> list[Snapshot]:
@@ -321,6 +326,7 @@ class AcidTable:
         base_version: int | None,
         txn: tuple[str, int] | None = None,
         constraints: dict[str, str] | None = None,
+        renames: dict[str, str] | None = None,
     ) -> Snapshot:
         os.makedirs(self._log, exist_ok=True)
         new_version = 0 if base_version is None else base_version + 1
@@ -328,10 +334,12 @@ class AcidTable:
             prev_files: set[str] = set()
             prev_stats: dict[str, dict] = {}
             prev_constraints: dict[str, str] = {}
+            prev_renames: dict[str, str] = {}
         else:
             prev = self.snapshot(base_version)
             prev_files, prev_stats = set(prev.files), prev.stats
             prev_constraints = prev.constraints
+            prev_renames = prev.renames
         new_set = set(files)
         delta = {
             "version": new_version,
@@ -345,6 +353,7 @@ class AcidTable:
             # every delta records the FULL map (None = carry forward),
             # so replay needs no constraint history
             "constraints": dict(prev_constraints if constraints is None else constraints),
+            "renames": dict(prev_renames if renames is None else renames),
         }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -374,6 +383,7 @@ class AcidTable:
             "schema": snap.schema_json,
             "parent": snap.parent,
             "constraints": snap.constraints,
+            "renames": snap.renames,
         }
         tmp = os.path.join(self._log, f".cptmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -571,7 +581,11 @@ class AcidTable:
         conservatively."""
         base = self.latest_version() if self.exists() else None
         if base is not None:
-            self._enforce(df, self.snapshot(base).constraints)
+            snap0 = self.snapshot(base)
+            # constraints bind to logical names (what callers see)
+            self._enforce(df, snap0.constraints)
+            # data files always carry PHYSICAL names
+            df = self._to_physical(df, snap0.renames)
         hint = 0 if base is None else base + 1
         new_files = self._write_data_files(df, hint)
         stats = self._stats_for(new_files, df.schema) if collect_stats else {}
@@ -640,6 +654,59 @@ class AcidTable:
             constraints=remaining,
         )
 
+    # -- column renames (metadata-only, Delta column-mapping style) -------
+    #
+    # Data files keep their ORIGINAL (physical) column names forever;
+    # a rename is one metadata commit updating the physical->logical
+    # map the log carries like the schema. read() presents logical
+    # names; every write path translates logical back to physical, so
+    # no data file is ever rewritten for a rename.
+
+    @staticmethod
+    def _to_logical(df: DataFrame, renames: dict[str, str]) -> DataFrame:
+        return df.withColumnsRenamed(renames) if renames else df
+
+    @staticmethod
+    def _to_physical(df: DataFrame, renames: dict[str, str]) -> DataFrame:
+        inv = {log: phys for phys, log in renames.items() if log in df.columns}
+        return df.withColumnsRenamed(inv) if inv else df
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """ALTER TABLE RENAME COLUMN old TO new — metadata-only.
+
+        Renaming a column a CHECK constraint references is rejected
+        (the stored expression would silently stop binding — same
+        guard Delta applies without column-mapping-aware rewrite).
+        """
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        logical = {f.name: snap.renames.get(f.name, f.name) for f in schema.fields}
+        if old not in logical.values():
+            raise ValueError(f"no column {old!r} on {self.path}")
+        if new in logical.values():
+            raise ValueError(f"column {new!r} already exists on {self.path}")
+        pat = re.compile(rf"\b{re.escape(old)}\b")
+        offending = [n for n, e in snap.constraints.items() if pat.search(e)]
+        if offending:
+            raise ValueError(
+                f"cannot rename {old!r}: referenced by CHECK "
+                f"constraint(s) {offending} — drop them first"
+            )
+        phys = next(p for p, log in logical.items() if log == old)
+        renames = dict(snap.renames)
+        if phys == new:
+            renames.pop(phys, None)  # renamed back to its file name
+        else:
+            renames[phys] = new
+        return self._commit(
+            operation=f"RENAME COLUMN {old}->{new}",
+            files=snap.files,
+            schema_json=snap.schema_json,
+            stats=snap.stats,
+            base_version=snap.version,
+            renames=renames,
+        )
+
     def _enforce(self, df: DataFrame, constraints: dict[str, str]) -> None:
         """Reject ``df`` if any constraint evaluates FALSE on any row.
         ALL constraints are counted in ONE aggregate pass (not one
@@ -698,6 +765,9 @@ class AcidTable:
         snap = self.snapshot(version)
         schema = StructType.fromJson(json.loads(snap.schema_json))
         files = list(snap.files)
+        # prune keys arrive in LOGICAL names; stats are physical
+        inv = {log: phys for phys, log in snap.renames.items()}
+        prune = {inv.get(c, c): b for c, b in (prune or {}).items()}
         for col, (lo, hi) in (prune or {}).items():
             kept = []
             for f in files:
@@ -712,9 +782,13 @@ class AcidTable:
                 kept.append(f)
             files = kept
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return self._to_logical(
+                self.spark.createDataFrame([], schema), snap.renames
+            )
         paths = [os.path.join(self._data, f) for f in files]
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._to_logical(
+            self.spark.read.schema(schema).parquet(*paths), snap.renames
+        )
 
     def _prune_files(self, snap: Snapshot, key: str, lo, hi) -> list[str]:
         """Files whose [min,max] for ``key`` can overlap [lo, hi]."""
@@ -809,6 +883,13 @@ class AcidTable:
         txn: tuple[str, int] | None = None,
     ) -> Snapshot:
         schema = StructType.fromJson(json.loads(snap.schema_json))
+        # constraints are written against logical names — check the
+        # incoming (logical) delta, then drop to physical names for
+        # every file-level step below
+        self._enforce(updates, snap.constraints)
+        updates = self._to_physical(updates, snap.renames)
+        inv = {log: phys for phys, log in snap.renames.items()}
+        keys = [inv.get(k, k) for k in keys]
         evolved = self._evolved_schema(schema, updates)
         bounds = updates.agg(
             F.min(keys[0]).alias("lo"),
@@ -850,7 +931,6 @@ class AcidTable:
             # matched rows' columns would be data loss, not evolution
             raise ValueError(f"merge updates missing target columns: {lacking}")
         up = updates.select(*[f.name for f in evolved.fields])
-        self._enforce(up, snap.constraints)
         if touched:
             touched_df = self.spark.read.schema(schema).parquet(
                 *[os.path.join(self._data, f) for f in touched]
@@ -885,11 +965,14 @@ class AcidTable:
         matching rows; files with no matches carry over untouched."""
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        cond = F.expr(predicate)
+        cond = F.expr(predicate)  # written in LOGICAL column names
         touched: list[str] = []
         if snap.files:
-            all_df = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self._data, f) for f in snap.files]
+            all_df = self._to_logical(
+                self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self._data, f) for f in snap.files]
+                ),
+                snap.renames,
             )
             rows = (
                 all_df.withColumn("_file", F.input_file_name())
@@ -901,10 +984,15 @@ class AcidTable:
             touched = [os.path.basename(r["_file"]) for r in rows]
         new_files: list[str] = []
         if touched:
-            touched_df = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self._data, f) for f in touched]
+            touched_df = self._to_logical(
+                self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self._data, f) for f in touched]
+                ),
+                snap.renames,
             )
-            keep = touched_df.filter(~cond | cond.isNull()).coalesce(max(1, len(touched)))
+            keep = self._to_physical(
+                touched_df.filter(~cond | cond.isNull()), snap.renames
+            ).coalesce(max(1, len(touched)))
             if keep.limit(1).count() > 0:
                 new_files = self._write_data_files(keep, snap.version + 1)
         untouched = [f for f in snap.files if f not in set(touched)]
@@ -952,6 +1040,8 @@ class AcidTable:
             schema_json=target.schema_json,
             stats=dict(target.stats),
             base_version=self.latest_version(),
+            constraints=dict(target.constraints),
+            renames=dict(target.renames),
         )
 
     def maybe_optimize(
@@ -1035,6 +1125,8 @@ class AcidTable:
             df = zorder_write_order(df, list(zorder_by), num_ranges=n)
         else:
             df = df.repartition(n)
+        # read() presents logical names; files keep physical ones
+        df = self._to_physical(df, snap.renames)
         new_files = self._write_data_files(df, snap.version + 1)
         return self._commit(
             operation=f"OPTIMIZE files={len(snap.files)}->{len(new_files)}"
@@ -1062,6 +1154,10 @@ class AcidTable:
         old, new = self.snapshot(v_from), self.snapshot(v_to)
         schema = StructType.fromJson(json.loads(new.schema_json))
         cols = [f.name for f in schema.fields]
+        # the diff runs in physical names (what the files carry);
+        # callers pass logical keys and get logical columns back
+        inv = {log: phys for phys, log in new.renames.items()}
+        keys = [inv.get(k, k) for k in keys]
 
         def scan(files):
             paths = [os.path.join(self._data, f) for f in files]
@@ -1094,7 +1190,9 @@ class AcidTable:
         deletes = r.join(a.select(*keys).distinct(), keys, "left_anti").withColumn(
             "_change_type", F.lit("delete")
         )
-        return inserts.unionByName(updates).unionByName(deletes)
+        return self._to_logical(
+            inserts.unionByName(updates).unionByName(deletes), new.renames
+        )
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Physically delete data files referenced by no retained

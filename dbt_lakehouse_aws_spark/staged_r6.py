@@ -3497,3 +3497,64 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ob))
         .crossJoin(F.broadcast(u))
     )
+
+
+@_staged(
+    "acid_rename_column_events",
+    """
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('view', 'click')
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS amount_cents
+    FROM src
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def acid_rename_column_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only RENAME COLUMN under the driver gate
+    (sources/acid.py::rename_column — Delta column-mapping
+    semantics): commit the 'view' slice with a ``cents`` column,
+    rename it to ``amount_cents`` (ZERO data files rewritten — the
+    map lives in the log), then APPEND the 'click' slice already
+    carrying the logical name. The read-back aggregate must equal
+    the oracle over both slices — wrong translation in either the
+    rename, the logical append, or the logical read shifts sums; the
+    asserted file-set identity is pinned by
+    test_acid.py::test_rename_column_metadata_only_roundtrip."""
+    import tempfile
+    import uuid as _uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = AcidTable(
+        spark,
+        tempfile.mkdtemp(prefix=f"ren_{_uuid.uuid4().hex[:8]}_") + "/t",
+    )
+    t.write(ev.filter(F.col("event_type") == "view"))
+    t.rename_column("cents", "amount_cents")
+    t.write(
+        ev.filter(F.col("event_type") == "click").withColumnRenamed(
+            "cents", "amount_cents"
+        ),
+        mode="append",
+    )
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("amount_cents").cast("long").alias("amount_cents"),
+        )
+        .orderBy("event_type")
+    )

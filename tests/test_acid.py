@@ -12,7 +12,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from dbt_lakehouse_aws_spark.plans.graph import ModelGraph
-from dbt_lakehouse_aws_spark.sources.acid import AcidTable, CommitConflict
+from dbt_lakehouse_aws_spark.sources.acid import (
+    AcidTable,
+    CommitConflict,
+    ConstraintViolation,
+)
 
 
 def _mkdf(spark, rows):
@@ -357,7 +361,7 @@ def test_log_is_delta_structured_with_checkpoints(spark, tmp_path):
     assert {"version", "operation", "add", "remove", "schema", "parent"} <= set(merge_delta)
     assert set(merge_delta) <= {
         "version", "operation", "add", "remove", "schema", "parent",
-        "committed_at", "txn", "constraints",
+        "committed_at", "txn", "constraints", "renames",
     }
     assert len(merge_delta["add"]) <= 2 and len(merge_delta["remove"]) <= 2
     # checkpoint exists at version 10 and reconstruction works everywhere
@@ -927,3 +931,79 @@ def test_check_constraint_survives_checkpoint_replay(spark, tmp_path):
         )
     assert t.latest_version() >= AcidTable.CHECKPOINT_EVERY
     assert t.check_constraints() == {"pos": "value > 0"}
+
+
+def test_rename_column_metadata_only_roundtrip(spark, tmp_path):
+    """RENAME COLUMN is one metadata commit: no data file changes,
+    reads present the logical name, appends/merges/deletes written in
+    logical names land correctly in physically-named files, and
+    RESTORE across the rename brings the old name back."""
+    import os as _os
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    files_before = set(t.snapshot().files)
+    data_dir = str(tmp_path / "t" / "data")
+    mtimes = {f: _os.path.getmtime(_os.path.join(data_dir, f)) for f in files_before}
+
+    t.rename_column("value", "score")
+    assert set(t.snapshot().files) == files_before  # no rewrite
+    assert all(
+        _os.path.getmtime(_os.path.join(data_dir, f)) == mtimes[f]
+        for f in files_before
+    )
+    assert "score" in t.read().columns and "value" not in t.read().columns
+
+    # logical-name append
+    t.write(_mkdf(spark, [(3, "c", 3.0)]).withColumnRenamed("value", "score"),
+            mode="append")
+    got = {r["id"]: r["score"] for r in t.read().collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+
+    # logical-name merge on the renamed frame
+    up = _mkdf(spark, [(2, "B", -2.0)]).withColumnRenamed("value", "score")
+    t.merge(up, ["id"])
+    got = {r["id"]: (r["grp"], r["score"]) for r in t.read().collect()}
+    assert got[2] == ("B", -2.0) and got[1] == ("a", 1.0)
+
+    # logical-name delete predicate
+    t.delete("score < 0")
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 3]
+
+    # restore to pre-rename: the old logical name comes back
+    t.restore(0)
+    assert "value" in t.read().columns and t.read().count() == 2
+
+
+def test_rename_column_guards(spark, tmp_path):
+    """Unknown/duplicate names are rejected; renaming a column a CHECK
+    constraint references is refused until the constraint is dropped;
+    renaming back to the physical name clears the mapping."""
+    import json as _json
+
+    import pytest as _pytest
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, [(1, "a", 1.0)]))
+    with _pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+    with _pytest.raises(ValueError, match="already exists"):
+        t.rename_column("value", "grp")
+
+    t.add_check_constraint("pos", "value >= 0")
+    with _pytest.raises(ValueError, match="referenced by CHECK"):
+        t.rename_column("value", "score")
+    t.drop_check_constraint("pos")
+    t.rename_column("value", "score")
+    # constraint added AFTER the rename binds to the logical name
+    t.add_check_constraint("pos2", "score >= 0")
+    with _pytest.raises(ConstraintViolation):
+        t.write(
+            _mkdf(spark, [(9, "z", -1.0)]).withColumnRenamed("value", "score"),
+            mode="append",
+        )
+    # rename back to the physical name empties the map
+    t.drop_check_constraint("pos2")
+    t.rename_column("score", "value")
+    assert t.snapshot().renames == {}
+    assert {r["id"]: r["value"] for r in t.read().collect()} == {1: 1.0}
