@@ -83,6 +83,7 @@ class Snapshot:
     parent: int | None
     constraints: dict[str, str] = field(default_factory=dict)  # name -> CHECK expr
     renames: dict[str, str] = field(default_factory=dict)  # physical col -> logical col
+    generated: dict[str, str] = field(default_factory=dict)  # logical col -> expr
 
 
 def _file_stats(path: str, cols: Sequence[str]) -> dict[str, list]:
@@ -237,6 +238,7 @@ class AcidTable:
         operation, parent = "", None
         constraints: dict[str, str] = {}
         renames: dict[str, str] = {}
+        generated: dict[str, str] = {}
         start = 0
         if base:
             cp = self._read_json(f"{base[-1]:020d}.checkpoint.json")
@@ -245,6 +247,7 @@ class AcidTable:
             operation, parent = cp["operation"], cp.get("parent")
             constraints = dict(cp.get("constraints", {}))
             renames = dict(cp.get("renames", {}))
+            generated = dict(cp.get("generated", {}))
             start = base[-1] + 1
         for i in range(start, v + 1):
             m = self._read_json(f"{i:020d}.json")
@@ -256,6 +259,7 @@ class AcidTable:
             # pre-constraint/-rename deltas carry no key: inherit
             constraints = dict(m.get("constraints", constraints))
             renames = dict(m.get("renames", renames))
+            generated = dict(m.get("generated", generated))
         return Snapshot(
             version=v,
             operation=operation,
@@ -265,6 +269,7 @@ class AcidTable:
             parent=parent,
             constraints=constraints,
             renames=renames,
+            generated=generated,
         )
 
     def history(self) -> list[Snapshot]:
@@ -327,6 +332,7 @@ class AcidTable:
         txn: tuple[str, int] | None = None,
         constraints: dict[str, str] | None = None,
         renames: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> Snapshot:
         os.makedirs(self._log, exist_ok=True)
         new_version = 0 if base_version is None else base_version + 1
@@ -335,11 +341,13 @@ class AcidTable:
             prev_stats: dict[str, dict] = {}
             prev_constraints: dict[str, str] = {}
             prev_renames: dict[str, str] = {}
+            prev_generated: dict[str, str] = {}
         else:
             prev = self.snapshot(base_version)
             prev_files, prev_stats = set(prev.files), prev.stats
             prev_constraints = prev.constraints
             prev_renames = prev.renames
+            prev_generated = prev.generated
         new_set = set(files)
         delta = {
             "version": new_version,
@@ -354,6 +362,7 @@ class AcidTable:
             # so replay needs no constraint history
             "constraints": dict(prev_constraints if constraints is None else constraints),
             "renames": dict(prev_renames if renames is None else renames),
+            "generated": dict(prev_generated if generated is None else generated),
         }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -384,6 +393,7 @@ class AcidTable:
             "parent": snap.parent,
             "constraints": snap.constraints,
             "renames": snap.renames,
+            "generated": snap.generated,
         }
         tmp = os.path.join(self._log, f".cptmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -582,6 +592,8 @@ class AcidTable:
         base = self.latest_version() if self.exists() else None
         if base is not None:
             snap0 = self.snapshot(base)
+            # generated columns: compute when absent, reject disagreement
+            df = self._apply_generated(df, snap0)
             # constraints bind to logical names (what callers see)
             self._enforce(df, snap0.constraints)
             # data files always carry PHYSICAL names
@@ -692,6 +704,16 @@ class AcidTable:
                 f"cannot rename {old!r}: referenced by CHECK "
                 f"constraint(s) {offending} — drop them first"
             )
+        gen_off = [
+            n
+            for n, e in snap.generated.items()
+            if n == old or pat.search(e)
+        ]
+        if gen_off:
+            raise ValueError(
+                f"cannot rename {old!r}: generated column(s) {gen_off} "
+                "declare or reference it"
+            )
         phys = next(p for p, log in logical.items() if log == old)
         renames = dict(snap.renames)
         if phys == new:
@@ -706,6 +728,69 @@ class AcidTable:
             base_version=snap.version,
             renames=renames,
         )
+
+    # -- generated columns (Delta GENERATED ALWAYS AS semantics) ----------
+
+    def add_generated_column(self, name: str, expr: str) -> Snapshot:
+        """ALTER TABLE ADD COLUMN name GENERATED ALWAYS AS (expr):
+        one COW rewrite materializes the column for existing rows
+        (O(table), documented — the only non-metadata ALTER here);
+        every later write computes it when absent and REJECTS rows
+        where a caller-supplied value disagrees with the expression.
+        ``expr`` binds to LOGICAL column names, like CHECK exprs."""
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        logical = [snap.renames.get(f.name, f.name) for f in schema.fields]
+        if name in logical:
+            raise ValueError(f"column {name!r} already exists on {self.path}")
+        if name in snap.generated:
+            raise ValueError(f"generated column {name!r} already declared")
+        materialized = self._to_physical(
+            self.read(snap.version).withColumn(name, F.expr(expr)),
+            snap.renames,
+        )
+        new_files = self._write_data_files(materialized, snap.version + 1)
+        return self._commit(
+            operation=f"ADD GENERATED COLUMN {name}",
+            files=new_files,
+            schema_json=materialized.schema.json(),
+            stats=self._stats_for(new_files, materialized.schema),
+            base_version=snap.version,
+            generated={**snap.generated, name: expr},
+        )
+
+    def _apply_generated(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Compute absent generated columns; reject rows whose
+        supplied values disagree with the declared expression (all
+        declared columns checked in the SAME aggregate pass as a
+        null-safe inequality count)."""
+        if not snap.generated:
+            return df
+        disagree = {}
+        for name, expr in snap.generated.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                disagree[f"_gen_{name}"] = (
+                    f"NOT ({name} <=> ({expr}))"
+                )
+        if disagree:
+            row = df.agg(
+                *[
+                    F.sum(
+                        F.when(F.expr(cond), 1).otherwise(0)
+                    ).alias(alias)
+                    for alias, cond in disagree.items()
+                ]
+            ).collect()[0]
+            bad = {a[5:]: int(row[a]) for a in disagree if row[a]}
+            if bad:
+                raise ConstraintViolation(
+                    f"write to {self.path} rejected: supplied values "
+                    f"disagree with GENERATED ALWAYS AS for {bad} "
+                    "(rows counted per column)"
+                )
+        return df
 
     def _enforce(self, df: DataFrame, constraints: dict[str, str]) -> None:
         """Reject ``df`` if any constraint evaluates FALSE on any row.
@@ -883,9 +968,10 @@ class AcidTable:
         txn: tuple[str, int] | None = None,
     ) -> Snapshot:
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        # constraints are written against logical names — check the
-        # incoming (logical) delta, then drop to physical names for
-        # every file-level step below
+        # generated columns and constraints are written against
+        # logical names — compute/check the incoming (logical) delta,
+        # then drop to physical names for every file-level step below
+        updates = self._apply_generated(updates, snap)
         self._enforce(updates, snap.constraints)
         updates = self._to_physical(updates, snap.renames)
         inv = {log: phys for phys, log in snap.renames.items()}

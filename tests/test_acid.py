@@ -361,7 +361,7 @@ def test_log_is_delta_structured_with_checkpoints(spark, tmp_path):
     assert {"version", "operation", "add", "remove", "schema", "parent"} <= set(merge_delta)
     assert set(merge_delta) <= {
         "version", "operation", "add", "remove", "schema", "parent",
-        "committed_at", "txn", "constraints", "renames",
+        "committed_at", "txn", "constraints", "renames", "generated",
     }
     assert len(merge_delta["add"]) <= 2 and len(merge_delta["remove"]) <= 2
     # checkpoint exists at version 10 and reconstruction works everywhere
@@ -1007,3 +1007,57 @@ def test_rename_column_guards(spark, tmp_path):
     t.rename_column("score", "value")
     assert t.snapshot().renames == {}
     assert {r["id"]: r["value"] for r in t.read().collect()} == {1: 1.0}
+
+
+def test_generated_column_materialize_compute_reject(spark, tmp_path):
+    """ADD GENERATED COLUMN materializes existing rows once; later
+    appends compute the column when absent, pass when a supplied
+    value AGREES, and atomically reject disagreement; merge computes
+    it too; renaming a referenced column is refused."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, [(1, "a", 1.5), (2, "b", 2.5)]))
+    t.add_generated_column("value_cents", "CAST(round(value * 100) AS BIGINT)")
+    got = {r["id"]: r["value_cents"] for r in t.read().collect()}
+    assert got == {1: 150, 2: 250}
+
+    # absent -> computed
+    t.write(_mkdf(spark, [(3, "c", 3.25)]), mode="append")
+    assert t.read().filter("id = 3").first()["value_cents"] == 325
+    # supplied + agreeing -> accepted
+    agree = _mkdf(spark, [(4, "d", 4.0)]).withColumn(
+        "value_cents", F.lit(400).cast("long")
+    )
+    t.write(agree, mode="append")
+    # supplied + disagreeing -> whole write rejected
+    bad = _mkdf(spark, [(5, "e", 5.0)]).withColumn(
+        "value_cents", F.lit(1).cast("long")
+    )
+    with pytest.raises(ConstraintViolation, match="GENERATED"):
+        t.write(bad, mode="append")
+    assert t.read().count() == 4
+
+    # merge computes the generated column for inserts and updates
+    t.merge(_mkdf(spark, [(1, "a", 9.0), (6, "f", 6.0)]), ["id"])
+    got = {r["id"]: r["value_cents"] for r in t.read().collect()}
+    assert got[1] == 900 and got[6] == 600
+
+    with pytest.raises(ValueError, match="generated column"):
+        t.rename_column("value", "v2")
+
+
+def test_not_null_via_check_constraint(spark, tmp_path):
+    """NOT NULL is a CHECK: `col IS NOT NULL` evaluates FALSE (not
+    NULL) on null rows, so the three-valued pass rule still rejects
+    them — no separate nullability machinery needed."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, [(1, "a", 1.0)]))
+    t.add_check_constraint("grp_nn", "grp IS NOT NULL")
+    with pytest.raises(ConstraintViolation, match="grp_nn"):
+        t.write(
+            spark.createDataFrame(
+                [(2, None, 2.0)], "id bigint, grp string, value double"
+            ),
+            mode="append",
+        )
+    t.write(_mkdf(spark, [(3, "c", 3.0)]), mode="append")
+    assert t.read().count() == 2
