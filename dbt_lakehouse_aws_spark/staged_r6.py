@@ -3558,3 +3558,60 @@ def acid_rename_column_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_staged(
+    "recursive_cte_part_closure",
+    """
+    WITH RECURSIVE parents AS (
+      SELECT p_partkey AS child, p_partkey // 8 AS parent
+      FROM part WHERE p_partkey // 8 >= 1
+    ),
+    anc(node, anc, depth) AS (
+      SELECT child, parent, 1 FROM parents
+      UNION ALL
+      SELECT a.node, p.parent, a.depth + 1
+      FROM anc a JOIN parents p ON p.child = a.anc
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(anc) AS BIGINT) AS anc_checksum
+    FROM anc
+    GROUP BY depth
+    ORDER BY depth
+    """,
+)
+def recursive_cte_part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE on Spark 4 (WITH RECURSIVE landed in
+    Spark 4.0 — the engine now runs the same fixpoint SQL DuckDB
+    does): transitive-closure of the part hierarchy (parent =
+    partkey div 8, the relation part_hierarchy_rollup also uses),
+    aggregated per ancestor depth with a checksum. Until now every
+    fixpoint here was either unrolled (pagerank/logreg oracles) or
+    pointer-doubled (operators/graph.py closure); this row pins that
+    the DECLARATIVE recursive form itself is part of the engine's
+    SQL surface, iteration count log₈(parts) ≈ 6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    view = f"part_rec_{abs(hash(sf_dir)) % 10**8}"
+    T(spark, sf_dir, "part").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE parents AS (
+          SELECT p_partkey AS child, p_partkey DIV 8 AS parent
+          FROM {view} WHERE p_partkey DIV 8 >= 1
+        ),
+        anc(node, anc, depth) AS (
+          SELECT child, parent, 1 AS depth FROM parents
+          UNION ALL
+          SELECT a.node, p.parent, a.depth + 1
+          FROM anc a JOIN parents p ON p.child = a.anc
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(anc) AS BIGINT) AS anc_checksum
+        FROM anc
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
