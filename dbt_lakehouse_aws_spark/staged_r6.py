@@ -3615,3 +3615,118 @@ def recursive_cte_part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY depth
         """
     )
+
+
+@_staged(
+    "lateral_topk_customers",
+    """
+    SELECT n.n_name, l.c_custkey, l.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey ASC
+      LIMIT 2
+    ) AS l
+    ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey
+    """,
+)
+def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — per nation, its top-2 customers
+    by balance, expressed as the SQL-standard lateral join BOTH
+    engines run verbatim (Spark's LateralJoin operator decorrelates
+    it; the per-group ORDER BY + LIMIT inside the lateral is the
+    declarative form of w3's rank-filter top-k). Deterministic by
+    the (acctbal DESC, custkey ASC) total order."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    suffix = f"lat_{abs(hash(sf_dir)) % 10**8}"
+    T(spark, sf_dir, "nation").createOrReplaceTempView(f"nation_{suffix}")
+    T(spark, sf_dir, "customer").createOrReplaceTempView(
+        f"customer_{suffix}"
+    )
+    return spark.sql(
+        f"""
+        SELECT n.n_name, l.c_custkey, l.c_acctbal
+        FROM nation_{suffix} n, LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM customer_{suffix}
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC
+          LIMIT 2
+        ) AS l
+        ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey
+        """
+    )
+
+
+@_staged(
+    "window_frame_gauntlet_orders",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             nullif(o_orderstatus, 'O') AS status_or_null
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT o_orderkey,
+           CAST(lag(cents, 2, -1) OVER w AS BIGINT) AS lag2_def,
+           CAST(lead(cents, 1, 0) OVER w AS BIGINT) AS lead1_def,
+           first_value(status_or_null IGNORE NULLS) OVER w AS first_status,
+           nth_value(cents, 3) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS third_cents,
+           CAST(sum(cents) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_orderkey
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rows_sum3,
+           CAST(sum(cents) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_orderkey
+                                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS range_sum100
+    FROM t
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def window_frame_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame breadth gauntlet on a deterministic key subset:
+    lag/lead with explicit DEFAULTS, first_value IGNORE NULLS over a
+    planted-null column, nth_value on the full-partition frame, a
+    ROWS sliding frame, and a numeric RANGE frame (100-key band) —
+    the frame vocabulary beyond the rank/percent family already
+    pinned by w1–w10. The unique orderkey makes every frame
+    deterministic."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    t = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t.select(
+        "o_orderkey",
+        F.lag("cents", 2, -1).over(w).cast("long").alias("lag2_def"),
+        F.lead("cents", 1, 0).over(w).cast("long").alias("lead1_def"),
+        F.first_value("status_or_null", ignoreNulls=True)
+        .over(w)
+        .alias("first_status"),
+        F.nth_value("cents", 3).over(full).alias("third_cents"),
+        F.sum("cents")
+        .over(w.rowsBetween(-2, Window.currentRow))
+        .cast("long")
+        .alias("rows_sum3"),
+        F.sum("cents")
+        .over(
+            Window.partitionBy("o_orderpriority")
+            .orderBy("o_orderkey")
+            .rangeBetween(-100, Window.currentRow)
+        )
+        .cast("long")
+        .alias("range_sum100"),
+    ).orderBy("o_orderkey")
