@@ -3730,3 +3730,46 @@ def window_frame_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("range_sum100"),
     ).orderBy("o_orderkey")
+
+
+_PIVOT_SQL_BODY = """
+    WITH t AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {events}
+    ),
+    p AS (
+      SELECT * FROM (SELECT day, event_type, cents FROM t)
+      PIVOT (sum(cents) FOR event_type IN
+             ('click' AS click, 'view' AS view, 'purchase' AS purchase,
+              'signup' AS signup, 'error' AS error))
+    ),
+    u AS (
+      SELECT * FROM p
+      UNPIVOT (cents FOR event_type IN (click, view, purchase, signup, error))
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM u
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@_staged(
+    "pivot_unpivot_native_events",
+    _PIVOT_SQL_BODY.format(events="events"),
+)
+def pivot_unpivot_native_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE SQL PIVOT → UNPIVOT round-trip (the declarative forms —
+    a7 pins the max(CASE) spelling, u2 the stacked-union unpivot):
+    daily per-type cent totals pivot to one column per event type,
+    unpivot back (NULL cells dropped by UNPIVOT's default on BOTH
+    engines — that's the semantics under test), and re-aggregate.
+    The SAME SQL text runs on Spark and DuckDB."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    view = f"events_piv_{abs(hash(sf_dir)) % 10**8}"
+    T(spark, sf_dir, "events").createOrReplaceTempView(view)
+    return spark.sql(_PIVOT_SQL_BODY.format(events=view))
