@@ -3773,3 +3773,111 @@ def pivot_unpivot_native_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = f"events_piv_{abs(hash(sf_dir)) % 10**8}"
     T(spark, sf_dir, "events").createOrReplaceTempView(view)
     return spark.sql(_PIVOT_SQL_BODY.format(events=view))
+
+
+@_staged(
+    "variant_extract_events",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS n_k,
+           CAST(sum(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured type: the JSON payload parses
+    ONCE into the binary variant encoding (``parse_json``), then
+    typed paths come out with ``variant_get`` — the engine's answer
+    to schemaless columns without per-query string re-parsing (the
+    third JSON path here, after f_json_props' portable regex and
+    json_typed's from_json struct). The oracle runs DuckDB's JSON
+    type with the same '$.k' path."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ev = T(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("k").cast("long").alias("n_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "collation_groups_parts",
+    """
+    WITH mixed AS (
+      SELECT p_partkey,
+             CASE p_partkey % 3
+               WHEN 0 THEN upper(p_name)
+               WHEN 1 THEN p_name
+               ELSE concat(upper(substr(p_name, 1, 1)), substr(p_name, 2))
+             END AS name_mixed
+      FROM part
+    ),
+    folded AS (
+      SELECT lower(name_mixed) AS grp, name_mixed FROM mixed
+    ),
+    per_group AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT name_mixed) AS BIGINT) AS casings
+      FROM folded GROUP BY grp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(casings) AS BIGINT) AS max_casings,
+           CAST(sum(CASE WHEN casings > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_casing
+    FROM per_group
+    """,
+)
+def collation_groups_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION support: grouping on a ``STRING COLLATE
+    UTF8_LCASE`` column — case-insensitive comparison at the TYPE
+    level, no lower() rewrite in the query — over deterministically
+    planted casing variants. Group-key casing is a nondeterministic
+    representative under collation, so the outputs are casing-free
+    scalars; the oracle computes the identical relation by explicit
+    lower() folding. (DuckDB collations exist but differ in reach —
+    the fold is the portable spelling.)"""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    p = T(spark, sf_dir, "part")
+    mixed = p.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 3 == 0, F.upper("p_name"))
+        .when(F.col("p_partkey") % 3 == 1, F.col("p_name"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("p_name", 1, 1)),
+                F.expr("substr(p_name, 2)"),
+            )
+        )
+        .alias("name_mixed"),
+    )
+    ci = mixed.withColumn(
+        "grp", F.expr("CAST(name_mixed AS STRING COLLATE UTF8_LCASE)")
+    )
+    per_group = ci.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("name_mixed").cast("long").alias("casings"),
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("casings").cast("long").alias("max_casings"),
+        F.sum(F.when(F.col("casings") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_casing"),
+    )
