@@ -436,3 +436,84 @@ def test_prefix_sum_int_column_offsets_do_not_overflow(spark):
     out = prefix_sum(df, [F.asc("id")], "v", name="cum", num_partitions=8)
     top = out.agg(F.max("cum")).collect()[0][0]
     assert top == n * 100_000
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 9)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_isotonic_fit_properties(spark, pts):
+    """PAV invariants on arbitrary integer (y_sum, w) series: the
+    fitted sequence is non-decreasing, weighted means are preserved
+    overall (Σ fitted·w ≈ Σ y — exact up to the floor quantization),
+    and a constant series is a fixed point."""
+    from dbt_lakehouse_aws_spark.llmops.mlfit import isotonic_fit
+
+    rows = [("g", f"{i:03d}", s, w) for i, (s, w) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "grp string, x string, s long, w long")
+    out = sorted(
+        (
+            (r["x"], r["fitted_q"], r["w"])
+            for r in isotonic_fit(
+                df, group_cols=["grp"], x_col="x", y_sum_col="s", w_col="w"
+            ).collect()
+        )
+    )
+    fitted = [f for _, f, _ in out]
+    assert fitted == sorted(fitted), "fit must be non-decreasing"
+    # mass preservation: each pool's fitted*weight reproduces its y
+    # mass up to 1 quantum per row from the floor
+    total_fit = sum(f * w for _, f, w in out)
+    total_y = sum(s for s, _ in pts) * 1_000_000
+    slack = sum(w for _, w in pts)
+    assert total_y - slack <= total_fit <= total_y
+
+
+@given(st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=40))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bloom_prefilter_never_drops_true_keys(spark, keys):
+    """No false negatives for ANY int64 keyset (including negatives
+    and duplicates) at minimal bitmap sizing."""
+    from dbt_lakehouse_aws_spark.operators.bloomjoin import (
+        bloom_bitmap,
+        bloom_prefilter,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    bitmap = bloom_bitmap(df, "k", m_bits=1 << 12)
+    assert bloom_prefilter(df, "k", bitmap, m_bits=1 << 12).count() == len(keys)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=6, max_size=30),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_jaccard_lossless_random_texts(spark, texts):
+    """Prefix filtering equals the all-shingle join on adversarially
+    tiny random corpora (degenerate docs, repeated shingles, near-
+    empty prefixes)."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert got == want
