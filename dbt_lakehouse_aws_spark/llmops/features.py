@@ -161,3 +161,83 @@ def temporal_split_purged(
         .when(ts >= start, F.lit("test"))
         .otherwise(F.lit("purged")),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    tie_cols: list[str],
+    out_col: str = "qn_value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Quantile normalization across sources: map every value onto
+    the POOLED distribution at its within-group quantile position —
+    ``x -> Q_pool(F_group(x))`` — so each group's normalized
+    distribution matches the corpus-wide one. The training-data use
+    case: per-source quality/length scores drift by source (one
+    crawl's "0.8" is another's "0.5"); normalizing onto the pooled
+    ECDF makes a single global threshold mean the same thing in
+    every source.
+
+    Exact-integer contract: the target pooled position is
+    ``j = (r-1)(N-1) div (n_g-1) + 1`` (1-based; a group of one maps
+    to the pooled lower median ``(N+1) div 2``) — pure BIGINT
+    arithmetic, no interpolation, so the normalized value is an
+    ACTUAL pooled value and an external engine replays the mapping
+    bit-exactly. A group covering the whole pool maps to itself
+    (``n_g = N`` makes ``j = r``): identity is a fixed point.
+
+    Scale shape (the reason this is not two ``Window.partitionBy``
+    calls): both ranks come from :func:`global_row_number`'s
+    two-pass range-partitioned design, so a 10-source 100 TB corpus
+    never funnels a source into one task — per-group ranks are
+    derived by subtracting each group's global start offset (one
+    tiny broadcast join), and the pooled lookup is an equi-join on
+    the BIGINT position. Three shuffles total (two range exchanges +
+    one position join), independent of group skew.
+
+    ``tie_cols`` must complete a total order (unique key) or ranks —
+    and therefore the mapping — are nondeterministic.
+    """
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
+    order_group = [F.col(group_col).asc(), F.col(value_col).asc()] + [
+        F.col(c).asc() for c in tie_cols
+    ]
+    order_pool = [F.col(value_col).asc()] + [F.col(c).asc() for c in tie_cols]
+
+    keep = [group_col, value_col, *tie_cols]
+    base = df.select(*keep)
+
+    pooled = global_row_number(
+        base, order_pool, name="_prn", num_partitions=num_partitions
+    )
+    lookup = pooled.select(
+        F.col("_prn").alias("_j"), F.col(value_col).alias(out_col)
+    )
+
+    grouped = global_row_number(
+        base, order_group, name="_grn", num_partitions=num_partitions
+    )
+    # group start offsets + sizes: one distributed aggregate, tiny result
+    stats = grouped.groupBy(group_col).agg(
+        F.min("_grn").alias("_g0"), F.count(F.lit(1)).alias("_ng")
+    )
+    n_total = base.count()
+    ranked = (
+        grouped.join(F.broadcast(stats), group_col)
+        .withColumn("_r", (F.col("_grn") - F.col("_g0") + F.lit(1)).cast("long"))
+        .withColumn(
+            "_j",
+            F.when(
+                F.col("_ng") == 1, F.lit((n_total + 1) // 2).cast("long")
+            ).otherwise(
+                F.expr(f"(_r - 1L) * {n_total - 1}L div (_ng - 1L) + 1L")
+            ),
+        )
+    )
+    return ranked.join(lookup, "_j").select(
+        *keep, "_r", F.col("_ng").alias("group_n"), out_col
+    ).withColumnRenamed("_r", "group_rank")

@@ -3881,3 +3881,85 @@ def collation_groups_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_multi_casing"),
     )
+
+
+@_staged(
+    "quantile_normalize_docs",
+    """
+    WITH base AS (SELECT source, doc_id, n_chars FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    p AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS prn
+      FROM base
+    ),
+    g AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS ng
+      FROM base
+    ),
+    m AS (
+      SELECT g.source, g.n_chars, g.r, g.ng,
+             CASE WHEN g.ng = 1 THEN (t.n + 1) // 2
+                  ELSE (g.r - 1) * (t.n - 1) // (g.ng - 1) + 1
+             END AS j
+      FROM g CROSS JOIN tot t
+    ),
+    q AS (
+      SELECT m.source, m.n_chars, m.r, m.ng, p.n_chars AS qn
+      FROM m JOIN p ON p.prn = m.j
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS raw_sum,
+           CAST(sum(qn) AS BIGINT) AS qn_sum,
+           CAST(min(qn) AS BIGINT) AS qn_min,
+           CAST(max(qn) AS BIGINT) AS qn_max,
+           CAST(max(CASE WHEN r = (ng + 1) // 2 THEN n_chars END)
+                AS BIGINT) AS raw_median,
+           CAST(max(CASE WHEN r = (ng + 1) // 2 THEN qn END)
+                AS BIGINT) AS qn_median
+    FROM q GROUP BY source ORDER BY source
+    """,
+)
+def quantile_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document lengths onto
+    the pooled corpus distribution (llmops/features.py::
+    quantile_normalize — x -> Q_pool(F_source(x)), the cross-source
+    score-alignment transform). The engine runs TWO scalable
+    two-pass global ranks (never a per-source one-task window) plus
+    a BIGINT position join; the oracle spells the same mapping with
+    DuckDB's native windows. The integer position rule
+    j = (r-1)(N-1) div (ng-1) + 1 makes every normalized value an
+    ACTUAL pooled value — exact BIGINT end to end. Per source:
+    count, raw/normalized sums, normalized range, raw and
+    normalized lower medians (the medians land near the pooled
+    median for EVERY source — that's the property the transform
+    exists for)."""
+    from dbt_lakehouse_aws_spark.llmops.features import quantile_normalize
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    qn = quantile_normalize(
+        d, group_col="source", value_col="n_chars", tie_cols=["doc_id"]
+    )
+    at_median = F.expr("group_rank = (group_n + 1L) div 2")
+    return (
+        qn.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("raw_sum"),
+            F.sum("qn_value").cast("long").alias("qn_sum"),
+            F.min("qn_value").cast("long").alias("qn_min"),
+            F.max("qn_value").cast("long").alias("qn_max"),
+            F.max(F.when(at_median, F.col("n_chars")))
+            .cast("long")
+            .alias("raw_median"),
+            F.max(F.when(at_median, F.col("qn_value")))
+            .cast("long")
+            .alias("qn_median"),
+        )
+        .orderBy("source")
+    )

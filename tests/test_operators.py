@@ -1103,3 +1103,31 @@ def test_isotonic_fit_pav_hand_case(spark):
         ).collect()
     }
     assert got == {"1": 250000, "2": 250000, "3": 750000, "4": 750000}
+
+
+def test_quantile_normalize_hand_case_and_identity(spark):
+    """Two 3-row groups with disjoint ranges both map onto the same
+    pooled positions [1, 3, 30] (that IS the alignment property);
+    a single group covering the whole pool is a fixed point."""
+    from dbt_lakehouse_aws_spark.llmops.features import quantile_normalize
+
+    rows = [("a", 1, 1), ("a", 2, 2), ("a", 3, 3),
+            ("b", 4, 10), ("b", 5, 20), ("b", 6, 30)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = quantile_normalize(
+        df, group_col="g", value_col="v", tie_cols=["id"]
+    )
+    got = {(r["g"], r["v"]): r["qn_value"] for r in out.collect()}
+    assert got == {
+        ("a", 1): 1, ("a", 2): 3, ("a", 3): 30,
+        ("b", 10): 1, ("b", 20): 3, ("b", 30): 30,
+    }
+
+    one = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate([7, 3, 3, 99, 12])],
+        "g string, id long, v long",
+    )
+    fixed = quantile_normalize(
+        one, group_col="g", value_col="v", tie_cols=["id"]
+    )
+    assert fixed.filter(F.col("qn_value") != F.col("v")).count() == 0
