@@ -531,3 +531,55 @@ def kcore_fixed_rounds(
     return nbr.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "a",
+    dst: str = "b",
+    seed_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source bounded BFS on an undirected edge list: every
+    node's MINIMUM hop distance (0..max_hops) from any seed —
+    ``(node, dist)``, unreached nodes absent. The crawl/influence
+    primitive ("everything within k hops of the trusted set") and
+    the third fixpoint device in this module next to unrolled
+    iteration (pagerank) and pointer doubling (ancestor_closure):
+    frontier expansion visits each edge at most once per round, so a
+    round costs ONE O(edges) shuffle join + a min-aggregate, and
+    ``max_hops`` bounds the rounds regardless of graph size.
+
+    Lineage truncates via ``localCheckpoint`` each round (the
+    PERF.md rule for iterative algorithms); the frontier-only join
+    (not the whole dist frame) keeps round cost proportional to the
+    NEW wavefront, which is the property that survives 100 TB —
+    a converged frontier goes empty and later rounds are no-ops.
+    """
+    und = edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    ).union(edges.select(F.col(dst), F.col(src)))
+
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["_u"])
+            .select(F.col("_v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

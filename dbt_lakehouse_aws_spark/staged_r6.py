@@ -3963,3 +3963,66 @@ def quantile_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_staged(
+    "bfs_hops_users",
+    """
+    WITH RECURSIVE PLACEHOLDER_EDGES,
+    und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM und),
+    seeds AS (SELECT node FROM nodes WHERE node % 97 = 0),
+    walk(node, dist) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT u.v, w.dist + 1
+      FROM walk w JOIN und u ON u.u = w.node
+      WHERE w.dist < 4
+    ),
+    d AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist
+      FROM walk GROUP BY node
+    )
+    SELECT dist,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM d GROUP BY dist ORDER BY dist
+    """,
+)
+def bfs_hops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS (operators/graph.py::bfs_hops) on
+    the shared>=3 co-activity graph: hop distance <=4 from the
+    deterministic seed set (user_id % 97 = 0 among graph nodes) —
+    the "everything within k hops of the trusted set" crawl
+    primitive. The engine expands a frontier (one O(edges) join per
+    round, frontier-only, localCheckpoint-truncated); the oracle is
+    DuckDB's native recursive CTE with its UNION-dedup fixpoint —
+    two different BFS evaluation strategies agreeing on the exact
+    per-distance node counts and id checksums."""
+    from dbt_lakehouse_aws_spark.operators.graph import bfs_hops
+    from dbt_lakehouse_aws_spark.queries_r5 import _coactivity_edges
+
+    edges = _coactivity_edges(spark, sf_dir, min_shared=3)
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select("b"))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 97 == 0)
+    d = bfs_hops(edges, seeds, src="a", dst="b", max_hops=4)
+    return (
+        d.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("node_checksum"),
+        )
+        .orderBy("dist")
+    )
+
+
+STAGED_ORACLES["bfs_hops_users"] = STAGED_ORACLES["bfs_hops_users"].replace(
+    "PLACEHOLDER_EDGES", _coactivity_edges_sql(3).strip().rstrip()
+)

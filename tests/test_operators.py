@@ -1131,3 +1131,28 @@ def test_quantile_normalize_hand_case_and_identity(spark):
         one, group_col="g", value_col="v", tie_cols=["id"]
     )
     assert fixed.filter(F.col("qn_value") != F.col("v")).count() == 0
+
+
+def test_bfs_hops_hand_graph(spark):
+    """Path 1-2-3-4-5 plus isolated edge 8-9: from seed {1}, dists
+    are exactly the path positions, capped at max_hops, and the
+    disconnected component is absent."""
+    from dbt_lakehouse_aws_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    # two seeds, min-distance wins; early-exit when frontier drains
+    seeds2 = spark.createDataFrame([(5,), (8,)], "node long")
+    got2 = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(edges, seeds2, max_hops=4).collect()
+    }
+    assert got2 == {5: 0, 8: 0, 4: 1, 9: 1, 3: 2, 2: 3, 1: 4}
