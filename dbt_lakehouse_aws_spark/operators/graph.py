@@ -583,3 +583,53 @@ def bfs_hops(
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def label_propagation_rounds(
+    edges: DataFrame,
+    *,
+    src: str = "a",
+    dst: str = "b",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (LPA) community detection,
+    ``rounds`` fixed rounds, fully deterministic: labels start as
+    node ids; each round every node adopts its neighbors' most
+    frequent label, ties broken by SMALLEST label (the argmax is a
+    ``max(struct(count, -label))`` — one map-side-combinable
+    aggregate, no per-node window). Returns ``(node, label)``.
+
+    Classic LPA stops at convergence and breaks ties randomly —
+    useless under a replay oracle and unbounded on adversarial
+    graphs; fixing the round count and the tie order makes the
+    result a pure function of the edge list (the same device as
+    kcore_fixed_rounds/pagerank's fixed iteration). Each round is
+    one O(edges) join + one O(edges) aggregate; lineage truncates
+    per round via ``localCheckpoint``.
+    """
+    und = edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    ).union(edges.select(F.col(dst), F.col(src)))
+
+    labels = (
+        und.select(F.col("_u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        votes = (
+            und.join(labels, und["_v"] == labels["node"])
+            .groupBy(F.col("_u").alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy(F.col("n").alias("node"))
+            .agg(
+                (-F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))["nl"])
+                .cast("long")
+                .alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

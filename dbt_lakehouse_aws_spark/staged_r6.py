@@ -4026,3 +4026,75 @@ def bfs_hops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 STAGED_ORACLES["bfs_hops_users"] = STAGED_ORACLES["bfs_hops_users"].replace(
     "PLACEHOLDER_EDGES", _coactivity_edges_sql(3).strip().rstrip()
 )
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    parts = [
+        _coactivity_edges_sql(3).strip().rstrip(),
+        """
+    und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    v{i} AS (
+      SELECT u.u AS node, p.label, count(*) AS c
+      FROM und u JOIN l{i - 1} p ON p.node = u.v
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM v{i}) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS size,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM l{rounds} GROUP BY label
+    ORDER BY size DESC, community ASC LIMIT 50
+    """
+    )
+
+
+@_staged("lpa_communities_users", "PLACEHOLDER_LPA")
+def lpa_communities_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (operators/
+    graph.py::label_propagation_rounds), 3 fixed rounds on the
+    shared>=3 co-activity graph — deterministic LPA (most-frequent
+    neighbor label, smallest-label ties) as a pure function of the
+    edge list. The engine's per-round argmax is one map-side-
+    combinable max(struct(count, -label)) aggregate — no per-node
+    window; the oracle unrolls the identical 3 rounds with
+    row_number argmax. Top-50 communities by size."""
+    from dbt_lakehouse_aws_spark.operators.graph import (
+        label_propagation_rounds,
+    )
+    from dbt_lakehouse_aws_spark.queries_r5 import _coactivity_edges
+
+    edges = _coactivity_edges(spark, sf_dir, min_shared=3)
+    labels = label_propagation_rounds(edges, src="a", dst="b", rounds=3)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.min("node").cast("long").alias("min_node"),
+            F.sum("node").cast("long").alias("node_checksum"),
+        )
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(50)
+    )
+
+
+STAGED_ORACLES["lpa_communities_users"] = _lpa_oracle_sql(3)

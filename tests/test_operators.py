@@ -1156,3 +1156,22 @@ def test_bfs_hops_hand_graph(spark):
         for r in bfs_hops(edges, seeds2, max_hops=4).collect()
     }
     assert got2 == {5: 0, 8: 0, 4: 1, 9: 1, 3: 2, 2: 3, 1: 4}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles bridged by one edge: 3 deterministic rounds
+    (most-frequent neighbor label, smallest-label ties) land each
+    clique on one label — hand-simulated round by round."""
+    from dbt_lakehouse_aws_spark.operators.graph import (
+        label_propagation_rounds,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation_rounds(edges, rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
