@@ -451,3 +451,50 @@ def contamination_check(
             "contamination"
         ),
     )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Overlapping fixed-window chunking — the RAG/embedding-prep
+    sibling of :func:`pack_sequences` (that op concatenates docs
+    into budget cuts; this one splits each doc into ``size``-char
+    windows every ``stride`` chars, ``size - stride`` overlap, so
+    retrieval context never dies at a hard boundary). Appends
+    ``chunk_ix`` (0-based), ``chunk_text``, ``chunk_len``; every
+    other input column is carried through.
+
+    Pure codegen: ``posexplode(sequence(...))`` + ``substring`` —
+    no Python, fan-out exactly ``ceil(max(len,1) / stride)`` rows
+    per doc, and the explode happens AFTER any pushed-down doc
+    filter, so chunk volume tracks the selected corpus, not the
+    table. An empty/null text yields one empty chunk (the row
+    survives; dropping it silently would break doc-count audits).
+
+    Chunk count is ``(greatest(len,1)-1) div stride + 1`` — the
+    ``greatest`` guard keeps len = 0 out of negative floor-division,
+    where Spark's ``div`` (truncates toward zero) and SQL floor
+    division (floors) disagree.
+    """
+    if not 0 < stride <= size:
+        raise ValueError(f"need 0 < stride <= size, got {stride}/{size}")
+    n_chunks = F.expr(
+        f"(greatest(length(coalesce({text_col}, '')), 1) - 1)"
+        f" div {stride} + 1"
+    )
+    exploded = df.select(
+        "*",
+        F.posexplode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_ix", "_drop"
+        ),
+    ).drop("_drop")
+    chunk = F.expr(
+        f"substring(coalesce({text_col}, ''), chunk_ix * {stride} + 1, {size})"
+    )
+    return exploded.withColumn("chunk_text", chunk).withColumn(
+        "chunk_len", F.length("chunk_text").cast("long")
+    )

@@ -4098,3 +4098,62 @@ def lpa_communities_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["lpa_communities_users"] = _lpa_oracle_sql(3)
+
+
+@_staged(
+    "chunk_overlap_docs",
+    """
+    WITH RECURSIVE gs(i) AS (
+      SELECT 0
+      UNION ALL
+      SELECT i + 1 FROM gs
+      WHERE i + 1 <= (SELECT (greatest(max(length(text)), 1) - 1) // 150
+                      FROM documents)
+    ),
+    c AS (
+      SELECT d.source,
+             gs.i AS chunk_ix,
+             length(substr(d.text, CAST(gs.i * 150 + 1 AS BIGINT), 200))
+               AS chunk_len
+      FROM documents d JOIN gs
+        ON gs.i <= (greatest(length(d.text), 1) - 1) // 150
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chunk_len) AS BIGINT) AS total_chunk_chars,
+           CAST(sum(CASE WHEN chunk_len < 200 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tail_chunks,
+           CAST(max(chunk_ix) AS BIGINT) AS max_chunk_ix,
+           CAST(sum(chunk_ix * chunk_len) AS BIGINT) AS order_checksum
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping RAG chunking (llmops/corpus.py::chunk_overlap):
+    200-char windows every 150 chars (50-char overlap) over every
+    document — posexplode(sequence) + substring, pure codegen, no
+    Python. Per source: chunk count, total chunk chars (> corpus
+    chars by exactly the overlap mass), tail-chunk count, deepest
+    chunk index, and an order-sensitive ix*len checksum pinning
+    BOTH the fan-out count and each window's exact content length
+    against the oracle's lateral generate_series + substr."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import chunk_overlap
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select("source", "text")
+    c = chunk_overlap(d, text_col="text", size=200, stride=150)
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("total_chunk_chars"),
+            F.sum(F.when(F.col("chunk_len") < 200, 1).otherwise(0))
+            .cast("long")
+            .alias("n_tail_chunks"),
+            F.max("chunk_ix").cast("long").alias("max_chunk_ix"),
+            F.sum(F.col("chunk_ix") * F.col("chunk_len"))
+            .cast("long")
+            .alias("order_checksum"),
+        )
+        .orderBy("source")
+    )

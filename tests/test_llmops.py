@@ -2047,3 +2047,38 @@ def test_prefix_filter_jaccard_matches_all_shingle_join(spark):
             for r in prefix_filter_jaccard_pairs(d, threshold=t).collect()
         }
         assert got == want and want, f"t={t}: {len(got)} vs {len(want)}"
+
+
+def test_chunk_overlap_boundaries(spark):
+    """Empty/null text yields ONE empty chunk; a doc exactly at the
+    stride boundary gets no phantom tail; overlap windows carry the
+    exact substring content."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import chunk_overlap
+
+    rows = [
+        (1, ""),            # empty -> 1 empty chunk
+        (2, None),          # null  -> 1 empty chunk
+        (3, "x" * 150),     # == stride -> exactly 1 chunk
+        (4, "x" * 151),     # stride+1 -> 2 chunks, tail len 1
+        (5, "abcdefghij"),  # short doc, content check
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_overlap(df, text_col="text", size=200, stride=150)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_ix"], r["chunk_len"], r["chunk_text"])
+        )
+    assert by_doc[1] == [(0, 0, "")]
+    assert by_doc[2] == [(0, 0, "")]
+    assert [c[:2] for c in sorted(by_doc[3])] == [(0, 150)]
+    assert [c[:2] for c in sorted(by_doc[4])] == [(0, 151), (1, 1)]
+    assert by_doc[5] == [(0, 10, "abcdefghij")]
+
+    # overlap content: size 6, stride 4 over 10 chars
+    small = spark.createDataFrame([(9, "0123456789")], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_ix"], r["chunk_text"])
+        for r in chunk_overlap(small, text_col="text", size=6, stride=4).collect()
+    )
+    assert got == [(0, "012345"), (1, "456789"), (2, "89")]
