@@ -755,3 +755,37 @@ def dirichlet_log_odds(
         .orderBy(F.col("z_score").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def url_features(df, url_col: str = "url"):
+    """URL normalization + crawl-curation features from Spark's
+    native ``parse_url`` (java.net.URI semantics — PROTOCOL/HOST
+    keep the written case, HOST excludes the port, QUERY drops the
+    '?', REF drops the '#'): lowercased scheme and host, last-label
+    TLD, non-empty path-segment depth, query-param count, port and
+    fragment presence. The per-host/TLD rollups built on these are
+    how a crawl pipeline applies domain quotas, dedups mirrors, and
+    spots URL-shape spam — all codegen, no Python.
+    """
+    from pyspark.sql import functions as F
+
+    p = lambda part: F.expr(f"parse_url({url_col}, '{part}')")  # noqa: E731
+    return (
+        df.withColumn("proto_norm", F.lower(p("PROTOCOL")))
+        .withColumn("host_norm", F.lower(p("HOST")))
+        .withColumn("tld", F.element_at(F.split("host_norm", "[.]"), -1))
+        .withColumn(
+            "path_depth",
+            F.size(
+                F.filter(F.split(p("PATH"), "/"), lambda x: x != F.lit(""))
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_params",
+            F.when(p("QUERY").isNull(), F.lit(0))
+            .otherwise(F.size(F.split(p("QUERY"), "&")))
+            .cast("long"),
+        )
+        .withColumn("has_port", p("AUTHORITY").contains(":"))
+        .withColumn("has_frag", p("REF").isNotNull())
+    )

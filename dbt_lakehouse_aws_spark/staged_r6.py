@@ -4157,3 +4157,99 @@ def chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_staged(
+    "url_features_docs",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+               AS proto_norm,
+             CASE WHEN doc_id % 4 = 0 THEN 'org' ELSE 'com' END AS tld,
+             CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END
+                  AS BIGINT) AS path_depth,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 2
+                       WHEN doc_id % 5 = 0 THEN 1
+                       ELSE 0 END AS BIGINT) AS n_params,
+             (doc_id % 7 = 0) AS has_port,
+             (doc_id % 13 = 0) AS has_frag
+      FROM documents
+    )
+    SELECT proto_norm, tld,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN has_port THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_port,
+           CAST(sum(path_depth) AS BIGINT) AS sum_path_depth,
+           CAST(sum(n_params) AS BIGINT) AS sum_params,
+           CAST(sum(CASE WHEN has_frag THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_frag,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM f GROUP BY proto_norm, tld ORDER BY proto_norm, tld
+    """,
+)
+def url_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse + normalization features (llmops/text.py::
+    url_features over Spark-native parse_url). GROUND TRUTH BY
+    CONSTRUCTION: the query synthesizes one hostile URL per document
+    (mixed-case scheme and host, optional :8080 port, variable path
+    depth, 0/1/2 query params, optional fragment — all decided by
+    doc_id arithmetic), the ENGINE must parse its own construction
+    back through java.net.URI, and the ORACLE computes the expected
+    features directly from the construction rules without parsing.
+    Any parse_url deviation (fragment leaking into QUERY, port left
+    in HOST, case folding) reds the row. Rolled up per
+    (scheme, TLD) — the domain-quota shape."""
+    from dbt_lakehouse_aws_spark.llmops.text import url_features
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    url = F.concat(
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(
+                F.lit("HTTP")
+            ),
+        )
+        .when(F.col("doc_id") % 2 == 0, F.lit("https"))
+        .otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 5 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("org")).otherwise(F.lit("com")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/v/"), (F.col("doc_id") % 11).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?ref=rss&page="), (F.col("doc_id") % 7).cast("string")),
+        )
+        .when(F.col("doc_id") % 5 == 0, F.lit("?q="))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    feats = url_features(d.withColumn("url", url), "url")
+    return (
+        feats.groupBy("proto_norm", "tld")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("has_port"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_port"),
+            F.sum("path_depth").cast("long").alias("sum_path_depth"),
+            F.sum("n_params").cast("long").alias("sum_params"),
+            F.sum(F.when(F.col("has_frag"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_frag"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("proto_norm", "tld")
+    )

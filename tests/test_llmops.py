@@ -2082,3 +2082,33 @@ def test_chunk_overlap_boundaries(spark):
         for r in chunk_overlap(small, text_col="text", size=6, stride=4).collect()
     )
     assert got == [(0, "012345"), (1, "456789"), (2, "89")]
+
+
+def test_url_features_hand_urls(spark):
+    """Pinned java.net.URI behaviors: case-folded scheme/host, port
+    excluded from HOST but visible in AUTHORITY, empty-value query
+    param still counts, fragment never leaks into the query."""
+    from dbt_lakehouse_aws_spark.llmops.text import url_features
+
+    urls = [
+        ("https://Sub.Example.COM:8080/en/doc/42/v/3?ref=rss&page=5#top",),
+        ("http://plain.example.com/fr/doc/7",),
+        ("HTTPS://UP.EXAMPLE.COM/x?q=",),
+        ("http://h.example.org/a/b/",),
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    got = {
+        r["url"]: (
+            r["proto_norm"], r["host_norm"], r["tld"], r["path_depth"],
+            r["n_params"], r["has_port"], r["has_frag"],
+        )
+        for r in url_features(df, "url").collect()
+    }
+    assert got[urls[0][0]] == (
+        "https", "sub.example.com", "com", 5, 2, True, True)
+    assert got[urls[1][0]] == (
+        "http", "plain.example.com", "com", 3, 0, False, False)
+    assert got[urls[2][0]] == (
+        "https", "up.example.com", "com", 1, 1, False, False)
+    assert got[urls[3][0]] == (
+        "http", "h.example.org", "org", 2, 0, False, False)
