@@ -789,3 +789,70 @@ def url_features(df, url_col: str = "url"):
         .withColumn("has_port", p("AUTHORITY").contains(":"))
         .withColumn("has_frag", p("REF").isNotNull())
     )
+
+
+def html_extract(df, html_col: str = "html"):
+    """Boilerplate-stripping HTML text extraction — the first step
+    of every web-crawl corpus pipeline: drop ``<script>``/``<style>``
+    blocks ENTIRELY (tag-strip alone would leak their code as fake
+    prose), replace remaining tags with spaces (block boundaries
+    must not glue words together), decode the five predefined
+    entities (amp LAST so ``&amp;lt;`` can't double-decode), and
+    collapse whitespace. Appends ``title``, ``visible_text``,
+    ``visible_len``, ``n_links``, ``anchor_chars``, and
+    ``link_density_millis`` (anchor-text chars per 1000 visible
+    chars — the classic boilerplate/navigation-page discriminator).
+
+    All regexps stay inside the Java∩RE2 portable subset pinned by
+    the regex gauntlet (lazy quantifiers, ``(?is)`` flags, no
+    backrefs), fully codegen — no Python in the hot path.
+    """
+    from pyspark.sql import functions as F
+
+    def decode_entities(col):
+        for src, dst in (
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&#39;", "'"),
+            ("&amp;", "&"),
+        ):
+            col = F.replace(col, F.lit(src), F.lit(dst))
+        return col
+
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(
+            F.col(html_col), r"(?is)<script[^>]*>.*?</script>", " "
+        ),
+        r"(?is)<style[^>]*>.*?</style>",
+        " ",
+    )
+    visible = F.trim(
+        F.regexp_replace(
+            decode_entities(F.regexp_replace(no_blocks, r"<[^>]*>", " ")),
+            r"\s+",
+            " ",
+        )
+    )
+    title = decode_entities(
+        F.regexp_extract(F.col(html_col), r"(?is)<title[^>]*>(.*?)</title>", 1)
+    )
+    anchors = F.expr(
+        f"regexp_extract_all({html_col}, '(?is)<a[^>]*>(.*?)</a>', 1)"
+    )
+    anchor_chars = F.aggregate(
+        F.transform(anchors, lambda a: F.length(decode_entities(a)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.withColumn("title", title)
+        .withColumn("visible_text", visible)
+        .withColumn("visible_len", F.length(visible).cast("long"))
+        .withColumn("n_links", F.size(anchors).cast("long"))
+        .withColumn("anchor_chars", anchor_chars)
+        .withColumn(
+            "link_density_millis",
+            F.expr("anchor_chars * 1000L div greatest(visible_len, 1L)"),
+        )
+    )

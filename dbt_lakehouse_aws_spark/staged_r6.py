@@ -4253,3 +4253,82 @@ def url_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("proto_norm", "tld")
     )
+
+
+@_staged(
+    "html_extract_docs",
+    """
+    WITH f AS (
+      SELECT source,
+             CAST(6 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+               AS title_len,
+             CAST(6 + length(CAST(doc_id AS VARCHAR)) + 1 + length(text)
+                  + CASE WHEN doc_id % 3 = 0 THEN 11 ELSE 0 END
+                  + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END
+               AS BIGINT) AS visible_len,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+               AS BIGINT) AS n_links,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END
+                  + CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 0 END
+               AS BIGINT) AS anchor_chars
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(title_len) AS BIGINT) AS sum_title_len,
+           CAST(sum(visible_len) AS BIGINT) AS sum_visible_len,
+           CAST(sum(n_links) AS BIGINT) AS sum_links,
+           CAST(sum(anchor_chars) AS BIGINT) AS sum_anchor_chars,
+           CAST(sum(anchor_chars * 1000 // visible_len) AS BIGINT)
+             AS sum_density_millis
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate-stripping extraction (llmops/text.py::
+    html_extract) under GROUND TRUTH BY CONSTRUCTION: every document
+    is wrapped into a hostile page — entity in the title
+    (``Doc &amp; N``), a script whose BODY contains fake markup
+    (``<p>not text</p>`` — tag-strip-only extractors leak it), an
+    uppercase anchor, a style block — and the oracle computes
+    title/visible/anchor lengths directly from the construction
+    rules, never parsing. The engine's regex pipeline must remove
+    blocks, space-separate tags, decode entities, and collapse
+    whitespace to land on exactly those closed-form lengths."""
+    from dbt_lakehouse_aws_spark.llmops.text import html_extract
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    html = F.concat(
+        F.lit('<html><head><title>Doc &amp; '),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><script type="text/javascript">'
+            'var x = "<p>not text</p>";</script></head><body class="c"><p>'
+        ),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit('<a href="/l1">click here</a>')
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit('<A HREF="/l2">more</A>')
+        ).otherwise(F.lit("")),
+        F.lit("<style>.c{color:red}</style></body></html>"),
+    )
+    x = html_extract(d.withColumn("html", html), "html")
+    return (
+        x.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("title")).cast("long").alias("sum_title_len"),
+            F.sum("visible_len").cast("long").alias("sum_visible_len"),
+            F.sum("n_links").cast("long").alias("sum_links"),
+            F.sum("anchor_chars").cast("long").alias("sum_anchor_chars"),
+            F.sum("link_density_millis")
+            .cast("long")
+            .alias("sum_density_millis"),
+        )
+        .orderBy("source")
+    )

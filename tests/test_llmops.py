@@ -2112,3 +2112,27 @@ def test_url_features_hand_urls(spark):
         "https", "up.example.com", "com", 1, 1, False, False)
     assert got[urls[3][0]] == (
         "http", "h.example.org", "org", 2, 0, False, False)
+
+
+def test_html_extract_hostile_page(spark):
+    """Scripts/styles vanish ENTIRELY (including markup inside
+    them and newlines), uppercase tags match, entities decode in
+    title/visible/anchors, amp-last ordering prevents
+    double-decoding, tag boundaries become spaces not glue."""
+    from dbt_lakehouse_aws_spark.llmops.text import html_extract
+
+    html = (
+        '<HTML><head><title>A &amp;lt; &quot;B&quot;</title>\n'
+        '<script type="x">\nvar s = "<p>fake text</p>";\n</script>'
+        "</head><BODY><p>hello</p><p>world</p>"
+        '<A HREF="/x">click &amp; go</A>'
+        "<style>\n.c{}\n</style>tail</BODY></HTML>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    r = html_extract(df, "html").collect()[0]
+    assert r["title"] == 'A &lt; "B"'
+    assert r["visible_text"] == 'A &lt; "B" hello world click & go tail'
+    assert r["n_links"] == 1
+    assert r["anchor_chars"] == len("click & go")
+    assert r["visible_len"] == len('A &lt; "B" hello world click & go tail')
+    assert r["link_density_millis"] == 10 * 1000 // r["visible_len"]
