@@ -856,3 +856,44 @@ def html_extract(df, html_col: str = "html"):
             F.expr("anchor_chars * 1000L div greatest(visible_len, 1L)"),
         )
     )
+
+
+def pii_scrub(df, text_col: str = "text"):
+    """PII detection + masking — the redaction pass every
+    training-corpus pipeline runs before tokenization: emails →
+    ``<EMAIL>``, NANP-shaped phone numbers → ``<PHONE>``, IPv4
+    literals → ``<IP>``. Appends ``n_emails``/``n_phones``/
+    ``n_ips`` (pre-mask counts) and ``scrubbed_text``/
+    ``scrubbed_len``. Masking order is email → IPv4 → phone:
+    emails are removed before the digit patterns can fire inside
+    them, and IPv4 before phone so dotted quads never half-match
+    the phone shape.
+
+    Patterns stay in the Java∩RE2 portable subset (no lookarounds:
+    the IPv4 boundary is ``\\b``, supported by both). This is the
+    fast RECALL-ORIENTED regex tier — a production pipeline layers
+    NER on top for names/addresses; those models don't belong in a
+    scan operator.
+    """
+    from pyspark.sql import functions as F
+
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+    c = F.col(text_col)
+    out = (
+        df.withColumn("n_emails", F.regexp_count(c, F.lit(email)).cast("long"))
+        .withColumn("n_ips", F.regexp_count(c, F.lit(ipv4)).cast("long"))
+        .withColumn("n_phones", F.regexp_count(c, F.lit(phone)).cast("long"))
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, email, "<EMAIL>"), ipv4, "<IP>"
+        ),
+        phone,
+        "<PHONE>",
+    )
+    return out.withColumn("scrubbed_text", scrubbed).withColumn(
+        "scrubbed_len", F.length("scrubbed_text").cast("long")
+    )

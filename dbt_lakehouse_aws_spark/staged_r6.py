@@ -4332,3 +4332,98 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_staged(
+    "pii_scrub_docs",
+    """
+    WITH f AS (
+      SELECT source,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_emails,
+             CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_ips,
+             CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_phones,
+             CAST(length(text)
+                  + CASE WHEN doc_id % 3 = 0
+                         THEN 10 + length(CAST(doc_id AS VARCHAR))
+                         ELSE 0 END
+                  + CASE WHEN doc_id % 5 = 0
+                         THEN 8 + length(CAST(doc_id % 256 AS VARCHAR))
+                         ELSE 0 END
+                  + CASE WHEN doc_id % 4 = 0 THEN 13 ELSE 0 END
+               AS BIGINT) AS raw_len,
+             CAST(length(text)
+                  + CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 0 END
+                  + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END
+                  + CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 0 END
+               AS BIGINT) AS scrubbed_len
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS sum_emails,
+           CAST(sum(n_ips) AS BIGINT) AS sum_ips,
+           CAST(sum(n_phones) AS BIGINT) AS sum_phones,
+           CAST(sum(raw_len) AS BIGINT) AS sum_raw_len,
+           CAST(sum(scrubbed_len) AS BIGINT) AS sum_scrubbed_len
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (llmops/text.py::pii_scrub) under GROUND TRUTH
+    BY CONSTRUCTION: deterministic plants appended to each doc — an
+    email carrying the doc_id (%3), a dotted-quad IP whose third
+    octet varies (%5), a NANP phone (%4); the corpus text itself is
+    verified free of @ / - / digit-dot-digit so the regex tier can
+    only fire on the plants. The oracle computes match counts and
+    pre/post-mask lengths in closed form; the engine's
+    email -> IPv4 -> phone mask cascade must land on exactly those
+    lengths."""
+    from dbt_lakehouse_aws_spark.llmops.text import pii_scrub
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@ex"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" 555-867-5309")).otherwise(
+            F.lit("")
+        ),
+    )
+    x = pii_scrub(
+        d.withColumn("planted", planted).withColumn(
+            "raw_len", F.length("planted").cast("long")
+        ),
+        "planted",
+    )
+    return (
+        x.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_emails").cast("long").alias("sum_emails"),
+            F.sum("n_ips").cast("long").alias("sum_ips"),
+            F.sum("n_phones").cast("long").alias("sum_phones"),
+            F.sum("raw_len").cast("long").alias("sum_raw_len"),
+            F.sum("scrubbed_len").cast("long").alias("sum_scrubbed_len"),
+        )
+        .orderBy("source")
+    )

@@ -2136,3 +2136,24 @@ def test_html_extract_hostile_page(spark):
     assert r["anchor_chars"] == len("click & go")
     assert r["visible_len"] == len('A &lt; "B" hello world click & go tail')
     assert r["link_density_millis"] == 10 * 1000 // r["visible_len"]
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    """Counts are raw-text matches; masking order (email -> IPv4 ->
+    phone) keeps dotted quads out of the phone shape and email
+    digits out of both; clean text is untouched."""
+    from dbt_lakehouse_aws_spark.llmops.text import pii_scrub
+
+    rows = [
+        (1, "mail Bob.Smith+x@Sub.Example.org now"),
+        (2, "server at 10.0.255.7 then call 555-867-5309 or +555 123 4567"),
+        (3, "plain words only here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in pii_scrub(df, "text").collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 0, 0)
+    assert got[1]["scrubbed_text"] == "mail <EMAIL> now"
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 1, 2)
+    assert got[2]["scrubbed_text"] == "server at <IP> then call <PHONE> or <PHONE>"
+    assert got[3]["scrubbed_text"] == "plain words only here"
+    assert got[3]["scrubbed_len"] == len("plain words only here")
