@@ -4427,3 +4427,89 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_staged(
+    "stream_merge_exactly_once",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS user_checksum,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           CAST(0 AS BIGINT) AS replay_added
+    FROM latest WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_merge_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming MERGE under the driver gate — the
+    upsert twin of stream_append_exactly_once: events stream via
+    Trigger.AvailableNow through streaming/ingest.py::
+    stream_merge_into_acid (latest-event-per-user upsert, keys =
+    user_id, order = event_id; each micro-batch is ONE atomic COW
+    commit carrying rows + (app, batch) txn marker), then a
+    crash-replay is simulated by re-running the writer's guard with
+    the committed batch id — last_txn_batch must skip it WITHOUT
+    re-planning the merge. The oracle computes the end state (the
+    max-event_id row per user, grouped by type) straight from the
+    source and pins replay_added = 0: idempotence by txn protocol,
+    not by merge-rerun luck."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+    from dbt_lakehouse_aws_spark.streaming.ingest import stream_merge_into_acid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    root = tempfile.mkdtemp(prefix=f"eom_{uuid.uuid4().hex[:8]}_")
+    table_path = f"{root}/tbl"
+    ckpt = f"{root}/ckpt"
+    q = stream_merge_into_acid(
+        stream.select("event_id", "user_id", "event_type"),
+        table_path=table_path,
+        checkpoint_dir=ckpt,
+        keys=["user_id"],
+        order_col="event_id",
+    )
+    q.awaitTermination(600)
+    t = AcidTable(spark, table_path)
+    n1 = t.read().count()
+
+    # crash-replay of batch 0 through the writer's own guard
+    app_id = f"stream_merge:{ckpt}"
+    seen = t.last_txn_batch(app_id)
+    if not (seen is not None and 0 <= seen):
+        replay = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_id", "user_id", "event_type")
+            .dropDuplicates(["user_id"])
+        )
+        t.merge(replay, ["user_id"], txn=(app_id, 0))
+    n2 = t.read().count()
+
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("user_id").cast("long").alias("user_checksum"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        .withColumn("replay_added", F.lit(n2 - n1).cast("long"))
+        .select(
+            "event_type", "n_users", "user_checksum", "id_checksum",
+            "replay_added",
+        )
+        .orderBy("event_type")
+    )
