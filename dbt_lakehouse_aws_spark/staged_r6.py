@@ -4513,3 +4513,77 @@ def stream_merge_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_staged(
+    "map_function_gauntlet_events",
+    """
+    WITH c AS (
+      SELECT user_id % 50 AS bucket, event_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(coalesce(max(CASE WHEN event_type = 'click' THEN cnt END),
+                         0) AS BIGINT) AS clicks,
+           CAST(sum(cnt) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN cnt > 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hot_keys,
+           CAST(sum(cnt * 2) AS BIGINT) AS doubled_total,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN cnt END)
+                AS BIGINT) AS purchases_nullable
+    FROM c GROUP BY bucket ORDER BY bucket
+    """,
+)
+def map_function_gauntlet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed function gauntlet — the engine builds a REAL
+    ``map<string,bigint>`` per bucket (map_from_entries over a
+    sorted entry list) and every output scalar is produced by map
+    operators: ``map_keys`` cardinality, ``element_at`` point lookup
+    (coalesced and raw NULL-on-absent — both semantics pinned),
+    ``map_values`` folded through ``aggregate``, ``map_filter``
+    predicate count, ``transform_values`` rewrite then re-fold. The
+    oracle computes the same scalars by plain conditional
+    aggregation, never building a map — pinning the map surface
+    against relational ground truth."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events")
+    c = e.groupBy(
+        (F.col("user_id") % 50).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.groupBy("bucket").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        m.select(
+            "bucket",
+            F.size(F.map_keys(F.col("m"))).cast("long").alias("n_keys"),
+            F.coalesce(
+                F.element_at(F.col("m"), F.lit("click")), F.lit(0)
+            )
+            .cast("long")
+            .alias("clicks"),
+            fold(F.map_values(F.col("m"))).alias("total"),
+            F.size(
+                F.map_filter(F.col("m"), lambda k, v: v > 5)
+            )
+            .cast("long")
+            .alias("n_hot_keys"),
+            fold(
+                F.map_values(
+                    F.transform_values(F.col("m"), lambda k, v: v * 2)
+                )
+            ).alias("doubled_total"),
+            F.element_at(F.col("m"), F.lit("purchase"))
+            .cast("long")
+            .alias("purchases_nullable"),
+        )
+        .orderBy("bucket")
+    )
