@@ -299,3 +299,131 @@ def bpe_encode(
 
     schema = f"{id_col} {id_field.dataType.simpleString()}, bpe_tokens array<string>"
     return docs.mapInPandas(run, schema=schema)
+
+
+def build_vocab_ids(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_freq: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense vocabulary id assignment — the embedding-table prep
+    step: every distinct whitespace token gets a contiguous id
+    ``0..V-1`` in ``(freq DESC, token ASC)`` order (id 0 = most
+    frequent; the tie rule makes the mapping a pure function of the
+    corpus). Returns ``(token, freq, token_id)``.
+
+    The rank comes from :func:`operators.windows.global_row_number`
+    — a ``row_number() OVER (ORDER BY freq DESC)`` would funnel the
+    whole vocabulary through one task; the two-pass range split
+    keeps id assignment distributed at web-corpus vocab sizes
+    (hundreds of millions of distinct tokens before subword
+    tokenization). One count shuffle + one range exchange.
+    """
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
+    freqs = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+    ranked = global_row_number(
+        freqs,
+        [F.desc("freq"), F.asc("token")],
+        name="_rn",
+        num_partitions=num_partitions,
+    )
+    return ranked.withColumn(
+        "token_id", (F.col("_rn") - 1).cast("long")
+    ).drop("_rn")
+
+
+def _isqrt_sql(x: str) -> str:
+    """Exact integer sqrt as portable SQL: correctly-rounded double
+    sqrt + a ±1 correction, so the result is floor(√x) for every
+    BIGINT x regardless of the boundary behavior of either engine's
+    float→int conversion. Identical text runs on Spark and DuckDB.
+    """
+    s = f"CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s} + 1) * ({s} + 1) <= ({x}) THEN {s} + 1 "
+        f"WHEN {s} * {s} > ({x}) THEN {s} - 1 ELSE {s} END)"
+    )
+
+
+#: floor(freq^(3/4)) in pure integer arithmetic: the nested-floor
+#: identity floor(⁴√v) = floor(√floor(√v)) applied to v = freq³.
+#: Valid while freq³ < 2⁶³ (freq ≤ ~2M occurrences — document
+#: corpora clear that only for stopwords at extreme scale; cap first).
+NEG_WEIGHT_SQL = _isqrt_sql(_isqrt_sql("freq * freq * freq"))
+
+#: quadratic-mix integer hash of the draw index (same device as the
+#: bootstrap's _BOOT_U: linear-congruential step then h*(h+1) to
+#: break lattice structure), yielding u in [0, 2³¹-1). Operands stay
+#: < 2⁶², pure BIGINT, evaluated VERBATIM by both engines.
+NEG_DRAW_HASH_SQL = (
+    "(((j * 1103515245 + 12345) % 2147483647)"
+    " * (((j * 1103515245 + 12345) % 2147483647) + 1)"
+    " + 987654321) % 2147483647"
+)
+
+
+def negative_sampling_draws(
+    vocab: DataFrame,
+    *,
+    k: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """word2vec-style negative sampling, exactly replayable: token
+    weights ``floor(freq^0.75)`` (unigram-smoothed, in PURE INTEGER
+    arithmetic — see :data:`NEG_WEIGHT_SQL`), cumulative weight
+    bands ``[lo, hi)`` laid out in ``token_id`` order via the
+    two-pass :func:`operators.windows.prefix_sum`, and ``k``
+    deterministic draws ``u_j = hash(j) mod W`` resolved to their
+    containing band by a BUCKETED equi-join — each band explodes
+    onto the coarse buckets it overlaps (narrow bands → ~1 copy),
+    draws join on ``u div B`` and the exact containment predicate
+    filters collisions. No sort-merge against the full table, no
+    per-draw search: the searchsorted becomes a hash join.
+
+    Returns ``(j, u, token, token_id, freq)`` — one row per draw.
+    Draws use modular reduction of a 31-bit hash (bias ≤ W/2³¹,
+    and IDENTICAL on any engine replaying the same formula).
+    """
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+
+    spark = vocab.sparkSession
+    weighted = vocab.withColumn("w", F.expr(NEG_WEIGHT_SQL))
+    bands = prefix_sum(
+        weighted, [F.asc("token_id")], "w", name="hi"
+    ).withColumn("lo", F.col("hi") - F.col("w"))
+    bands = bands.localCheckpoint(eager=True)  # pin ranges for W + join
+    total_w = bands.agg(F.max("hi")).collect()[0][0]
+    bucket = max(total_w // n_buckets, 1)
+
+    band_buckets = bands.select(
+        "token",
+        "token_id",
+        "freq",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo div {bucket}L").cast("int"),
+                F.expr(f"(hi - 1) div {bucket}L").cast("int"),
+            )
+        ).alias("bk"),
+    )
+    draws = spark.range(k).select(
+        F.col("id").alias("j"),
+        (F.expr(NEG_DRAW_HASH_SQL) % F.lit(total_w)).alias("u"),
+    )
+    return (
+        draws.withColumn("bk", F.expr(f"u div {bucket}L").cast("int"))
+        .join(band_buckets, "bk")
+        .filter((F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")))
+        .select("j", "u", "token", "token_id", "freq")
+    )

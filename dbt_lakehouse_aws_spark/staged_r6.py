@@ -4587,3 +4587,142 @@ def map_function_gauntlet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@_staged(
+    "vocab_ids_docs",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    f AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM tok WHERE token <> '' GROUP BY 1
+    ),
+    r AS (
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token ASC) - 1
+               AS token_id
+      FROM f
+    )
+    SELECT substr(token, 1, 1) AS first_char,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(freq) AS BIGINT) AS sum_freq,
+           CAST(sum(token_id) AS BIGINT) AS sum_ids,
+           CAST(min(token_id) AS BIGINT) AS min_id,
+           CAST(sum(token_id * freq) AS BIGINT) AS id_freq_checksum
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def vocab_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense vocabulary id assignment (llmops/tokenizer.py::
+    build_vocab_ids): contiguous ids 0..V-1 in (freq DESC, token)
+    order over the corpus vocabulary — the embedding-table prep
+    step, ranked by the two-pass global rank (no one-task vocabulary
+    funnel). Grouped by first character with sum(token_id) and
+    sum(token_id*freq) checksums: ANY divergence in the total id
+    assignment — a swapped tie, an off-by-one, a dropped token —
+    flips a checksum. Oracle = DuckDB's native row_number over the
+    same (freq, token) order."""
+    from dbt_lakehouse_aws_spark.llmops.tokenizer import build_vocab_ids
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select("text")
+    v = build_vocab_ids(d, text_col="text")
+    return (
+        v.groupBy(F.substring("token", 1, 1).alias("first_char"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("freq").cast("long").alias("sum_freq"),
+            F.sum("token_id").cast("long").alias("sum_ids"),
+            F.min("token_id").cast("long").alias("min_id"),
+            F.sum(F.col("token_id") * F.col("freq"))
+            .cast("long")
+            .alias("id_freq_checksum"),
+        )
+        .orderBy("first_char")
+    )
+
+
+from dbt_lakehouse_aws_spark.llmops.tokenizer import (  # noqa: E402
+    NEG_DRAW_HASH_SQL,
+    NEG_WEIGHT_SQL,
+)
+
+_NEG_K = 10_000
+
+
+@_staged(
+    "negative_sampling_docs",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    f AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM tok WHERE token <> '' GROUP BY 1
+    ),
+    r AS (
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token ASC) - 1
+               AS token_id
+      FROM f
+    ),
+    wts AS (
+      SELECT token, token_id, freq, {NEG_WEIGHT_SQL} AS w FROM r
+    ),
+    bands AS (
+      SELECT token, token_id, freq,
+             CAST(sum(w) OVER (ORDER BY token_id) AS BIGINT) AS hi,
+             CAST(sum(w) OVER (ORDER BY token_id) - w AS BIGINT) AS lo
+      FROM wts
+    ),
+    tot AS (SELECT CAST(max(hi) AS BIGINT) AS total_w FROM bands),
+    draws AS (
+      SELECT js.j, CAST(({NEG_DRAW_HASH_SQL}) % t.total_w AS BIGINT) AS u
+      FROM (SELECT unnest(range(0, {_NEG_K})) AS j) js CROSS JOIN tot t
+    ),
+    hit AS (
+      SELECT d.j, d.u, b.token, b.token_id, b.freq
+      FROM draws d JOIN bands b ON d.u >= b.lo AND d.u < b.hi
+    )
+    SELECT token_id // 4 AS id_bucket,
+           CAST(count(*) AS BIGINT) AS n_draws,
+           CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+           CAST(sum(u) AS BIGINT) AS u_checksum,
+           CAST(sum(token_id) AS BIGINT) AS id_checksum,
+           CAST(sum(freq) AS BIGINT) AS freq_checksum
+    FROM hit GROUP BY 1 ORDER BY 1
+    """,
+)
+def negative_sampling_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table + 10,000 deterministic draws
+    (llmops/tokenizer.py::negative_sampling_draws): unigram^0.75
+    weights in PURE INTEGER arithmetic (floor(freq^¾) via the
+    nested-floor integer-sqrt identity, ±1-corrected — no float pow
+    whose last ulp could flip a band), cumulative bands from the
+    two-pass prefix_sum (no one-task window), draws from the
+    quadratic-mix BIGINT hash, and the searchsorted resolved as a
+    BUCKETED hash join. The oracle replays weights, bands, hash and
+    containment verbatim in SQL — every draw must land in the
+    identical band on both engines."""
+    from dbt_lakehouse_aws_spark.llmops.tokenizer import (
+        build_vocab_ids,
+        negative_sampling_draws,
+    )
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select("text")
+    vocab = build_vocab_ids(d, text_col="text")
+    hits = negative_sampling_draws(vocab, k=_NEG_K)
+    return (
+        hits.groupBy(F.expr("token_id div 4").alias("id_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_draws"),
+            F.countDistinct("token").cast("long").alias("n_tokens"),
+            F.sum("u").cast("long").alias("u_checksum"),
+            F.sum("token_id").cast("long").alias("id_checksum"),
+            F.sum("freq").cast("long").alias("freq_checksum"),
+        )
+        .orderBy("id_bucket")
+    )

@@ -2157,3 +2157,47 @@ def test_pii_scrub_masks_and_counts(spark):
     assert got[2]["scrubbed_text"] == "server at <IP> then call <PHONE> or <PHONE>"
     assert got[3]["scrubbed_text"] == "plain words only here"
     assert got[3]["scrubbed_len"] == len("plain words only here")
+
+
+def test_negative_sampling_weights_and_determinism(spark):
+    """floor(freq^0.75) via the nested integer sqrt equals Python's
+    exact math.isqrt chain for adversarial freqs (perfect fourth
+    powers, off-by-one neighbors, big values); draws are a pure
+    function of (vocab, k); every draw lands in exactly one band."""
+    import math
+
+    from pyspark.sql import functions as F
+    from dbt_lakehouse_aws_spark.llmops.tokenizer import (
+        NEG_WEIGHT_SQL,
+        negative_sampling_draws,
+    )
+
+    freqs = [1, 2, 15, 16, 17, 80, 81, 82, 255, 256, 257,
+             6560, 6561, 6562, 1_000_000, 1_999_999]
+    df = spark.createDataFrame([(f,) for f in freqs], "freq long")
+    got = {
+        r["freq"]: r["w"]
+        for r in df.withColumn("w", F.expr(NEG_WEIGHT_SQL)).collect()
+    }
+    for f in freqs:
+        assert got[f] == math.isqrt(math.isqrt(f * f * f)), f
+
+    vocab = spark.createDataFrame(
+        [("the", 1000, 0), ("cat", 100, 1), ("sat", 10, 2), ("qux", 1, 3)],
+        "token string, freq long, token_id long",
+    )
+    a = sorted(
+        (r["j"], r["u"], r["token"])
+        for r in negative_sampling_draws(vocab, k=500).collect()
+    )
+    b = sorted(
+        (r["j"], r["u"], r["token"])
+        for r in negative_sampling_draws(vocab, k=500).collect()
+    )
+    assert a == b and len(a) == 500  # deterministic, one band per draw
+    # the smoothed distribution must up-weight the tail vs raw freq:
+    from collections import Counter
+
+    c = Counter(t for _, _, t in a)
+    assert c["the"] < 1000 / 1111 * 500  # raw-unigram share would be ~45%
+    assert c["qux"] >= 1
