@@ -498,3 +498,94 @@ def chunk_overlap(
     return exploded.withColumn("chunk_text", chunk).withColumn(
         "chunk_len", F.length("chunk_text").cast("long")
     )
+
+
+#: content-defined chunking parameters: 8-char window, fixed-coefficient
+#: polynomial hash with base 257 reduced mod 1000003, boundary when
+#: h % 64 == 0 (expected chunk ~64 chars). Shared by the Arrow engine
+#: path and the SQL replay oracle.
+CDC_WINDOW = 8
+CDC_BASE = 257
+CDC_MOD = 1_000_003
+CDC_DIV = 64
+
+
+def cdc_chunks(
+    df: DataFrame,
+    *,
+    id_cols: Sequence[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking — dedup's answer to the INSERTION
+    problem that fixed-window chunking (:func:`chunk_overlap`) can't
+    solve: one added word shifts every downstream fixed boundary,
+    but CDC boundaries depend only on the LOCAL 8-char window hash,
+    so all chunks after the edit re-align and re-deduplicate. A
+    boundary closes after position ``i`` whenever the window hash
+    ``Σ c[i-7+k]·(B^(7-k) mod P) mod P ≡ 0 (mod D)``; the final
+    chunk always closes at the text end. Returns one row per chunk:
+    ``id_cols + (chunk_ix, chunk_len)``.
+
+    The per-char scan can't be a relational expression at scale
+    (per-char explode multiplies the corpus ~1000×), so this is the
+    Arrow escape hatch done right: ``mapInPandas`` with the hash as
+    ONE numpy ``correlate`` per document (no Python per-char loop),
+    boundaries by vectorized masking — O(n) per partition, zero
+    shuffle, executor-local. The oracle replays the identical
+    arithmetic relationally at test scale (8 unicode(substr) terms
+    per position), pinning the vectorized path against set-based
+    ground truth.
+    """
+    import numpy as np
+    import pandas as pd
+
+    kernel = np.array(
+        [pow(CDC_BASE, CDC_WINDOW - 1 - k, CDC_MOD) for k in range(CDC_WINDOW)],
+        dtype=np.int64,
+    )
+    ids = list(id_cols)
+
+    def scan(batches):
+        for pdf in batches:
+            out_ids: dict[str, list] = {c: [] for c in ids}
+            ixs: list[int] = []
+            lens: list[int] = []
+            for row in pdf.itertuples(index=False):
+                text = getattr(row, text_col) or ""
+                n = len(text)
+                codes = np.frombuffer(
+                    text.encode("utf-8", "surrogatepass"), dtype=np.uint8
+                ).astype(np.int64)
+                if len(codes) != n:
+                    # non-ASCII: fall back to exact code points
+                    codes = np.fromiter(
+                        (ord(ch) for ch in text), dtype=np.int64, count=n
+                    )
+                if n >= CDC_WINDOW:
+                    h = np.correlate(codes, kernel, mode="valid") % CDC_MOD
+                    # h[j] covers chars j..j+7 (0-based), i.e. closes
+                    # AFTER 1-based position j+8
+                    ends = np.flatnonzero(h % CDC_DIV == 0) + CDC_WINDOW
+                else:
+                    ends = np.empty(0, dtype=np.int64)
+                if n == 0:
+                    bounds = [0]
+                elif len(ends) == 0 or ends[-1] != n:
+                    bounds = list(ends) + [n]
+                else:
+                    bounds = list(ends)
+                prev = 0
+                for ix, e in enumerate(bounds):
+                    for c in ids:
+                        out_ids[c].append(getattr(row, c))
+                    ixs.append(ix)
+                    lens.append(int(e) - prev)
+                    prev = int(e)
+            yield pd.DataFrame({**out_ids, "chunk_ix": ixs, "chunk_len": lens})
+
+    id_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in ids
+    )
+    return df.select(*ids, text_col).mapInPandas(
+        scan, schema=f"{id_schema}, chunk_ix long, chunk_len long"
+    )

@@ -4726,3 +4726,94 @@ def negative_sampling_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_bucket")
     )
+
+
+def _cdc_oracle_sql() -> str:
+    from dbt_lakehouse_aws_spark.llmops.corpus import (
+        CDC_BASE,
+        CDC_DIV,
+        CDC_MOD,
+        CDC_WINDOW,
+    )
+
+    ks = [
+        pow(CDC_BASE, CDC_WINDOW - 1 - k, CDC_MOD) for k in range(CDC_WINDOW)
+    ]
+    terms = " + ".join(
+        f"unicode(substr(d.text, gs.i - {CDC_WINDOW - 1 - k}, 1)) * {ks[k]}"
+        for k in range(CDC_WINDOW)
+    )
+    return f"""
+    WITH RECURSIVE gs(i) AS (
+      SELECT {CDC_WINDOW}
+      UNION ALL
+      SELECT i + 1 FROM gs
+      WHERE i + 1 <= (SELECT max(length(text)) FROM documents)
+    ),
+    pos AS (
+      SELECT d.doc_id, d.source, gs.i,
+             ({terms}) % {CDC_MOD} AS h
+      FROM documents d JOIN gs ON gs.i <= length(d.text)
+    ),
+    ends AS (
+      -- UNION ALL + DISTINCT, NOT a bare UNION: inside a WITH
+      -- RECURSIVE scope DuckDB's UNION-dedup missed the
+      -- (recursive-series i == length(text)) duplicate, yielding a
+      -- phantom zero-length chunk (observed doc 124 @ sf0.001)
+      SELECT DISTINCT doc_id, source, e FROM (
+        SELECT doc_id, source, CAST(i AS BIGINT) AS e
+        FROM pos WHERE h % {CDC_DIV} = 0
+        UNION ALL
+        SELECT doc_id, source, CAST(length(text) AS BIGINT)
+        FROM documents
+      )
+    ),
+    chunks AS (
+      SELECT source,
+             e - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+               AS chunk_len,
+             row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1
+               AS chunk_ix
+      FROM ends
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chunk_len) AS BIGINT) AS total_chars,
+           CAST(max(chunk_len) AS BIGINT) AS max_chunk,
+           CAST(sum(chunk_ix * chunk_len) AS BIGINT) AS order_checksum
+    FROM chunks GROUP BY source ORDER BY source
+    """
+
+
+@_staged("cdc_chunks_docs", "PLACEHOLDER_CDC")
+def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (llmops/corpus.py::cdc_chunks):
+    boundaries where the 8-char window hash ≡ 0 mod 64, so an
+    insertion re-aligns every downstream chunk — the dedup property
+    fixed windows can't give. ENGINE: one numpy correlate per doc
+    inside mapInPandas (O(n) per partition, zero shuffle, no
+    per-char Python); ORACLE: the identical polynomial replayed
+    RELATIONALLY — every position's hash from 8 unicode(substr)
+    terms over a recursive position series — two radically different
+    evaluation strategies of the same arithmetic, agreeing on every
+    chunk boundary via the order-sensitive ix*len checksum."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import cdc_chunks
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    c = cdc_chunks(d, id_cols=["doc_id", "source"], text_col="text")
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("total_chars"),
+            F.max("chunk_len").cast("long").alias("max_chunk"),
+            F.sum(F.col("chunk_ix") * F.col("chunk_len"))
+            .cast("long")
+            .alias("order_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+STAGED_ORACLES["cdc_chunks_docs"] = _cdc_oracle_sql()

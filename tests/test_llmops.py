@@ -2201,3 +2201,47 @@ def test_negative_sampling_weights_and_determinism(spark):
     c = Counter(t for _, _, t in a)
     assert c["the"] < 1000 / 1111 * 500  # raw-unigram share would be ~45%
     assert c["qux"] >= 1
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The CDC property: inserting one char near the front shifts
+    only the chunk containing the edit (plus at most a window's
+    worth of neighbors) — downstream boundaries re-align at the
+    same CONTENT positions, where fixed windows would shift every
+    chunk. Also: empty text -> one zero-length chunk; text shorter
+    than the window -> one chunk."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import cdc_chunks
+
+    import random
+
+    rng = random.Random(7)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(4000))
+    edited = base[:100] + "Z" + base[100:]
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, ""), (4, "tiny")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(df, id_cols=["doc_id"], text_col="text").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_ix"], r["chunk_len"]))
+    for d in by_doc:
+        by_doc[d].sort()
+
+    assert by_doc[3] == [(0, 0)]
+    assert by_doc[4] == [(0, 4)]
+
+    # reconstruct boundary END positions in CONTENT coordinates
+    def ends(chunks, shift_after, shift):
+        out, acc = [], 0
+        for _, ln in chunks:
+            acc += ln
+            out.append(acc - shift if acc > shift_after else acc)
+        return out
+
+    e1 = set(ends(by_doc[1], 10**9, 0))
+    e2 = set(ends(by_doc[2], 101, 1))  # positions after the insert map back
+    # all base boundaries beyond the edit window must reappear
+    late1 = {e for e in e1 if e > 108}
+    assert late1 and late1 <= e2, "downstream boundaries failed to re-align"
+    assert len(by_doc[1]) > 30  # sanity: expected ~64-char chunks
