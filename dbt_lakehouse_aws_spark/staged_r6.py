@@ -4817,3 +4817,70 @@ def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["cdc_chunks_docs"] = _cdc_oracle_sql()
+
+
+@_staged(
+    "phrase_search_docs",
+    """
+    WITH RECURSIVE ws(i) AS (
+      SELECT 1
+      UNION ALL
+      SELECT i + 1 FROM ws
+      WHERE i + 1 <= (SELECT max(len(string_split(text, ' ')))
+                      FROM documents)
+    ),
+    tok AS (
+      SELECT d.doc_id, d.source, ws.i AS pos,
+             string_split(d.text, ' ')[ws.i] AS token
+      FROM documents d
+      JOIN ws ON ws.i <= len(string_split(d.text, ' '))
+    ),
+    hits AS (
+      SELECT a.doc_id, a.source, a.pos
+      FROM tok a JOIN tok b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.token = 'order' AND b.token = 'key'
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_matched,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(sum(pos) AS BIGINT) AS pos_checksum,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY source ORDER BY source
+    """,
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — the inverted-index-with-positions
+    op BM25's bag-of-words can't express: find exact "order key"
+    bigram occurrences. The engine positions tokens with
+    posexplode(split) and matches adjacency with ONE lead() window
+    per document partition (hash exchange on doc_id — millions of
+    small partitions, no funnel, no self-join); the oracle
+    materializes the positional index relationally (1-based list
+    indexing over a recursive position series) and joins pos+1.
+    Position checksums pin exact match offsets, converted to the
+    oracle's 1-based convention."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos0", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    hits = (
+        tok.withColumn("nxt", F.lead("token").over(w))
+        .filter((F.col("token") == "order") & (F.col("nxt") == "key"))
+        .select("doc_id", "source", (F.col("pos0") + 1).alias("pos"))
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs_matched"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.sum("pos").cast("long").alias("pos_checksum"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("source")
+    )
