@@ -4884,3 +4884,96 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_staged(
+    "lift_gains_orders",
+    """
+    WITH scored AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS score_cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS responder,
+             ntile(10) OVER (ORDER BY round(o_totalprice * 100) DESC,
+                             o_orderkey ASC) AS decile
+      FROM orders
+    ),
+    per AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(responder) AS BIGINT) AS responders
+      FROM scored GROUP BY decile
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS big_n,
+             CAST(sum(responders) AS BIGINT) AS big_r
+      FROM per
+    )
+    SELECT p.decile,
+           p.n,
+           p.responders,
+           p.responders * 100000 // p.n AS response_rate_cmilli,
+           CAST(sum(p.responders) OVER (ORDER BY p.decile) AS BIGINT)
+             AS cum_responders,
+           CAST(sum(p.responders) OVER (ORDER BY p.decile) * 100000
+                // t.big_r AS BIGINT) AS cum_capture_cmilli,
+           (p.responders * 100000 // p.n) * t.big_n // t.big_r
+             AS lift_cmilli
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.decile
+    """,
+)
+def lift_gains_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift / gains decile table — the model-scoring report every
+    targeting pipeline prints: orders ranked by price-as-score,
+    responders = urgent/high priority; per decile the response rate,
+    cumulative capture, and lift vs the base rate, every ratio an
+    exact BIGINT centi-milli quotient. Deciles come from
+    ntile_scalable (closed-form two-pass binning, bit-identical to
+    SQL ntile — no one-task window); the oracle uses DuckDB's NATIVE
+    ntile over the same (score DESC, key) total order."""
+    from dbt_lakehouse_aws_spark.operators.windows import ntile_scalable
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("score_cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("responder"),
+    )
+    d = ntile_scalable(
+        o,
+        [F.desc("score_cents"), F.asc("o_orderkey")],
+        n=10,
+        name="decile",
+    )
+    per = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("responder").cast("long").alias("responders"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("big_n"),
+        F.sum("responders").cast("long").alias("big_r"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_responders", F.sum("responders").over(w).cast("long"))
+        .select(
+            "decile",
+            "n",
+            "responders",
+            F.expr("responders * 100000L div n").alias("response_rate_cmilli"),
+            "cum_responders",
+            F.expr("cum_responders * 100000L div big_r").alias(
+                "cum_capture_cmilli"
+            ),
+            F.expr("(responders * 100000L div n) * big_n div big_r").alias(
+                "lift_cmilli"
+            ),
+        )
+        .orderBy("decile")
+    )
