@@ -744,3 +744,86 @@ def theil_sen_daily_trend(
     return n_days.join(out, "key").select(
         "key", F.col("n_days").cast("long").alias("n_days"), "n_pairs", "slope_per_day"
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.4,
+    period: int = 7,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple smoothing (level + trend +
+    ``period``-step seasonality) over per-key daily counts — the
+    third member of the SES → Holt → Holt-Winters family::
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ) s_{t−m}
+
+    with the simple deterministic init ``l_1 = x_1, b_1 = 0`` and
+    ``s_{t−m} = 0`` while the ring has not filled (documented choice:
+    identical on both engines beats a "smarter" init that isn't).
+    Seasonality is POSITIONAL on the observed series (index lag m,
+    not calendar weekday — gaps compress), same convention as the
+    positional recursion in :func:`holt_linear_smooth`.
+
+    The three-state + m-slot ring recursion is even further from a
+    window function than Holt's; the engine folds it per key in
+    Arrow ``applyInPandas`` over the pre-aggregated daily frame, and
+    the oracle carries the ENTIRE ring as m recursive-CTE columns,
+    shifting one slot per step — identical op order, literal
+    constants on both sides. Returns (key, day, n, level, trend,
+    seasonal, forecast) with ``forecast`` the one-step-ahead
+    ``l_t + b_t + s_{t+1−m}``.
+    """
+    import pandas as pd
+
+    a, a1, bt, bt1, g, g1 = (
+        alpha, 1.0 - alpha, beta, 1.0 - beta, gamma, 1.0 - gamma,
+    )
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    key_type = daily.schema["key"].dataType.simpleString()
+    schema = (
+        f"key {key_type}, day date, n long, level double, trend double,"
+        " seasonal double, forecast double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ring = [0.0] * period  # s_{t-m} .. s_{t-1}, ring[0] oldest
+        lvl = trd = None
+        levels, trends, seas, fcs = [], [], [], []
+        for x in pdf["n"]:
+            x = float(x)
+            s_prev = ring[0]
+            if lvl is None:
+                lvl, trd = x, 0.0
+            else:
+                prev = lvl
+                lvl = a * (x - s_prev) + a1 * (lvl + trd)
+                trd = bt * (lvl - prev) + bt1 * trd
+            s_new = g * (x - lvl) + g1 * s_prev
+            ring = ring[1:] + [s_new]
+            levels.append(lvl)
+            trends.append(trd)
+            seas.append(s_new)
+            fcs.append(lvl + trd + ring[0])  # s_{t+1-m} after shift
+        return pd.DataFrame(
+            {
+                "key": pdf["key"],
+                "day": pdf["day"],
+                "n": pdf["n"].astype("int64"),
+                "level": levels,
+                "trend": trends,
+                "seasonal": seas,
+                "forecast": fcs,
+            }
+        )
+
+    return daily.groupBy("key").applyInPandas(fold, schema)

@@ -4977,3 +4977,77 @@ def lift_gains_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_HW_L = "(0.5 * (q.x - r.s1) + 0.5 * (r.l + r.b))"
+
+
+@_staged(
+    "holt_winters_daily_events",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT key, day, x, n,
+             CAST(row_number() OVER (PARTITION BY key ORDER BY day)
+                  AS BIGINT) AS i
+      FROM daily
+    ),
+    rec(key, i, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
+      SELECT key, i, x, CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             0.4 * (x - x) + 0.6 * CAST(0.0 AS DOUBLE)
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT r.key, r.i + 1,
+             {_HW_L},
+             0.3 * ({_HW_L} - r.l) + 0.7 * r.b,
+             r.s2, r.s3, r.s4, r.s5, r.s6, r.s7,
+             0.4 * (q.x - {_HW_L}) + 0.6 * r.s1
+      FROM rec r JOIN seq q ON q.key = r.key AND q.i = r.i + 1
+    )
+    SELECT q.key AS event_type, q.day, q.n,
+           floor(r.l * 1e6 + 0.5) / 1e6 AS level,
+           floor(r.b * 1e6 + 0.5) / 1e6 AS trend,
+           floor(r.s7 * 1e6 + 0.5) / 1e6 AS seasonal,
+           floor((r.l + r.b + r.s1) * 1e6 + 0.5) / 1e6 AS forecast
+    FROM rec r JOIN seq q ON q.key = r.key AND q.i = r.i
+    """,
+)
+def holt_winters_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple smoothing over per-type daily
+    counts (operators/temporal.py::holt_winters_additive): level +
+    trend + 7-slot positional seasonality. The engine folds the
+    three-state + ring recursion per key in Arrow applyInPandas; the
+    oracle carries the ENTIRE 7-slot seasonal ring as recursive-CTE
+    columns, shifting one slot per step — the most state any oracle
+    here replays, same literal constants, identical op order, and
+    the duplicated level subexpression is bitwise-deterministic
+    IEEE so inlining it twice equals the engine's stored
+    intermediate. Floor-quantized to 1e-6 on both sides."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.operators.temporal import (
+        holt_winters_additive,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    out = holt_winters_additive(ev, key_col="event_type", ts_col="ts")
+
+    def r6(c: str):
+        return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)
+
+    return out.select(
+        F.col("key").alias("event_type"),
+        "day",
+        "n",
+        r6("level"),
+        r6("trend"),
+        r6("seasonal"),
+        r6("forecast"),
+    )

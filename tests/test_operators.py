@@ -1175,3 +1175,27 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation_rounds(edges, rounds=3).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+
+
+def test_holt_winters_constant_series_fixed_point(spark):
+    """On a constant daily series the triple recursion is a fixed
+    point: level == the constant, trend == 0, seasonal == 0, and
+    the one-step forecast == the constant — exactly, every day."""
+    import datetime as dt
+
+    from dbt_lakehouse_aws_spark.operators.temporal import (
+        holt_winters_additive,
+    )
+
+    rows = []
+    for d in range(20):
+        day = dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=d)
+        rows += [("k", day)] * 5  # 5 events every day
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = holt_winters_additive(df, key_col="event_type", ts_col="ts").collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["level"] == 5.0
+        assert r["trend"] == 0.0
+        assert r["seasonal"] == 0.0
+        assert r["forecast"] == 5.0
