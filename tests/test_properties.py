@@ -517,3 +517,112 @@ def test_prefix_filter_jaccard_lossless_random_texts(spark, texts):
         for r in prefix_filter_jaccard_pairs(df, threshold=0.5).collect()
     }
     assert got == want
+
+
+@given(
+    st.text(alphabet="abc xyz.", max_size=400),
+    st.integers(2, 40),
+    st.integers(1, 40),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_overlap_reconstructs_source(spark, text, size, stride_raw):
+    """Concatenating each chunk's first `stride` chars (all of the
+    last chunk) reproduces the document byte-for-byte, for any
+    text/size/stride — the no-loss/no-duplication contract."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import chunk_overlap
+
+    stride = min(stride_raw, size)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        (r["chunk_ix"], r["chunk_text"])
+        for r in chunk_overlap(
+            df, text_col="text", size=size, stride=stride
+        ).collect()
+    )
+    rebuilt = "".join(
+        (t[:stride] if ix < len(chunks) - 1 else t) for ix, t in chunks
+    )
+    # overlap windows may extend past the stride point of the LAST
+    # chunk's predecessor; slicing to stride removes exactly the
+    # overlap, so equality is exact
+    assert rebuilt == text
+
+
+@given(st.text(alphabet="ab é中\n.", max_size=300))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cdc_chunks_match_reference(spark, text):
+    """cdc_chunks equals a from-scratch pure-Python reference on
+    arbitrary text including non-ASCII (exercising the codepoint
+    fallback) and newlines; chunk lengths always sum to len(text)."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import (
+        CDC_BASE,
+        CDC_DIV,
+        CDC_MOD,
+        CDC_WINDOW,
+        cdc_chunks,
+    )
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_ix"], r["chunk_len"])
+        for r in cdc_chunks(df, id_cols=["doc_id"], text_col="text").collect()
+    )
+
+    n = len(text)
+    ends = []
+    for i in range(CDC_WINDOW, n + 1):
+        h = (
+            sum(
+                ord(text[i - CDC_WINDOW + k])
+                * pow(CDC_BASE, CDC_WINDOW - 1 - k, CDC_MOD)
+                for k in range(CDC_WINDOW)
+            )
+            % CDC_MOD
+        )
+        if h % CDC_DIV == 0:
+            ends.append(i)
+    if n == 0:
+        bounds = [0]
+    elif not ends or ends[-1] != n:
+        bounds = ends + [n]
+    else:
+        bounds = ends
+    want, prev = [], 0
+    for ix, e in enumerate(bounds):
+        want.append((ix, e - prev))
+        prev = e
+    assert got == want
+    assert sum(ln for _, ln in got) == n
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quantile_normalize_order_and_size(spark, rows):
+    """For ANY grouped integer multiset: per-group row counts are
+    preserved, the mapping is monotone within each group, and every
+    normalized value is an actual pooled value."""
+    from dbt_lakehouse_aws_spark.llmops.features import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(f"g{g}", i, v) for i, (g, v) in enumerate(rows)],
+        "g string, id long, v long",
+    )
+    out = quantile_normalize(
+        df, group_col="g", value_col="v", tie_cols=["id"]
+    ).collect()
+    assert len(out) == len(rows)
+    pooled = sorted(v for _, v in rows)
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["g"], []).append((r["group_rank"], r["qn_value"]))
+        assert r["qn_value"] in pooled
+    for chunks in by_group.values():
+        chunks.sort()
+        fitted = [q for _, q in chunks]
+        assert fitted == sorted(fitted)
