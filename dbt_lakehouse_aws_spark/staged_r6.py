@@ -5051,3 +5051,90 @@ def holt_winters_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("seasonal"),
         r6("forecast"),
     )
+
+
+@_staged(
+    "embedding_int8_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE))))
+               AS maxabs,
+             embedding
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT vec_id, label, maxabs,
+             CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5)
+                  AS BIGINT) AS qv
+      FROM q, unnest(embedding) AS t(x)
+    ),
+    per_vec AS (
+      SELECT vec_id, label,
+             CAST(count(*) AS BIGINT) AS dim,
+             CAST(sum(qv) AS BIGINT) AS q_sum,
+             CAST(sum(qv * qv) AS BIGINT) AS q_sq,
+             CAST(max(abs(qv)) AS BIGINT) AS q_maxabs
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(q_sum) AS BIGINT) AS sum_q,
+           CAST(sum(q_sq) AS BIGINT) AS sum_q_sq,
+           CAST(max(q_maxabs) AS BIGINT) AS max_q,
+           CAST(sum(CASE WHEN q_maxabs = 127 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_saturated
+    FROM per_vec GROUP BY label ORDER BY label
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the 4× memory lever
+    every vector index applies before ANN: per-vector scale
+    max|x|/127, cells floor(x·127/maxabs + 0.5). Stays EXACT across
+    engines because every step is deterministic IEEE double
+    arithmetic in the same order (float32 cast exact, one multiply,
+    one divide, floor) — no round(double, d) whose tie handling
+    diverges. The engine runs entirely in codegen higher-order
+    array functions (transform/aggregate — no explode, no Python);
+    the oracle unnests relationally. Per-label sums/squares of ALL
+    quantized cells + saturation counts: any cell differing by one
+    quantum anywhere flips a checksum."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(dbl, lambda x: F.abs(x)))
+    qarr = F.transform(
+        dbl, lambda x: F.floor(x * 127.0 / F.col("maxabs") + 0.5).cast("long")
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    per_vec = (
+        e.withColumn("maxabs", maxabs)
+        .withColumn("qarr", qarr)
+        .select(
+            "vec_id",
+            "label",
+            F.size("qarr").cast("long").alias("dim"),
+            fold(F.col("qarr")).alias("q_sum"),
+            fold(F.transform(F.col("qarr"), lambda v: v * v)).alias("q_sq"),
+            F.array_max(F.transform(F.col("qarr"), lambda v: F.abs(v)))
+            .cast("long")
+            .alias("q_maxabs"),
+        )
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("q_sum").cast("long").alias("sum_q"),
+            F.sum("q_sq").cast("long").alias("sum_q_sq"),
+            F.max("q_maxabs").cast("long").alias("max_q"),
+            F.sum(F.when(F.col("q_maxabs") == 127, 1).otherwise(0))
+            .cast("long")
+            .alias("n_saturated"),
+        )
+        .orderBy("label")
+    )
