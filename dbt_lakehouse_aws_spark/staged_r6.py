@@ -5138,3 +5138,62 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@_staged(
+    "pareto_frontier_parts",
+    """
+    WITH pts AS (
+      SELECT p_partkey, p_size AS s,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    per_size AS (
+      SELECT s, CAST(min(cents) AS BIGINT) AS m2 FROM pts GROUP BY s
+    ),
+    running AS (
+      SELECT s, m2,
+             CAST(min(m2) OVER (ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS BIGINT) AS m1
+      FROM per_size
+    )
+    SELECT p.p_partkey, p.s AS p_size, p.cents
+    FROM pts p JOIN running r ON r.s = p.s
+    WHERE p.cents = r.m2 AND (r.m1 IS NULL OR p.cents < r.m1)
+    ORDER BY p.s, p.p_partkey
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier / skyline over (size, price), both minimized:
+    a part is on the frontier iff no other part is <= in both
+    dimensions and < in one. Decomposed for scale: a point survives
+    iff its price equals its size-group minimum (kills same-size
+    domination) AND beats the strict running minimum over all
+    SMALLER sizes (kills cross-size domination). The heavy work is
+    ONE map-side-combinable per-size aggregate over the full table;
+    the running minimum then lives on the DISTINCT-SIZE frame —
+    bounded by the attribute domain (50 sizes), not the row count —
+    and broadcasts back. No quadratic dominance join, no full-table
+    window. Oracle = the same decomposition in DuckDB (frontier
+    membership is definition-checkable, so the shared spelling is a
+    derivation, not a crutch)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").alias("s"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    per_size = p.groupBy("s").agg(F.min("cents").alias("m2"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    running = per_size.withColumn("m1", F.min("m2").over(w))
+    return (
+        p.join(F.broadcast(running), "s")
+        .filter(
+            (F.col("cents") == F.col("m2"))
+            & (F.col("m1").isNull() | (F.col("cents") < F.col("m1")))
+        )
+        .select("p_partkey", F.col("s").alias("p_size"), "cents")
+        .orderBy("p_size", "p_partkey")
+    )

@@ -1199,3 +1199,48 @@ def test_holt_winters_constant_series_fixed_point(spark):
         assert r["trend"] == 0.0
         assert r["seasonal"] == 0.0
         assert r["forecast"] == 5.0
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """The per-size-min + strict-running-min decomposition equals
+    the O(n²) dominance definition on a hand corpus with ties,
+    duplicate coordinates, and a dominated duplicate-size point."""
+    pts = [
+        (1, 5, 100), (2, 5, 100),   # duplicate frontier coords: both stay
+        (3, 5, 120),                # same size, worse price: dominated
+        (4, 3, 150), (5, 3, 130),   # size 3 min=130 (pricier than size 5)
+        (6, 7, 100),                # equal price, larger size: dominated
+        (7, 8, 80),                 # cheaper than everything smaller: stays
+        (8, 9, 80),                 # ties 7's price at larger size: dominated
+    ]
+
+    def dominated(i):
+        ki, si, pi = pts[i]
+        return any(
+            (sj <= si and pj <= pi and (sj < si or pj < pi))
+            for kj, sj, pj in pts
+            if kj != ki
+        )
+
+    want = sorted(
+        (k, s, p) for i, (k, s, p) in enumerate(pts) if not dominated(i)
+    )
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pts, "p_partkey long, s int, cents long")
+    per_size = df.groupBy("s").agg(F.min("cents").alias("m2"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    running = per_size.withColumn("m1", F.min("m2").over(w))
+    got = sorted(
+        (r["p_partkey"], r["s"], r["cents"])
+        for r in df.join(F.broadcast(running), "s")
+        .filter(
+            (F.col("cents") == F.col("m2"))
+            & (F.col("m1").isNull() | (F.col("cents") < F.col("m1")))
+        )
+        .select("p_partkey", "s", "cents")
+        .collect()
+    )
+    assert got == want == [(1, 5, 100), (2, 5, 100), (5, 3, 130), (7, 8, 80)]
