@@ -5197,3 +5197,133 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", F.col("s").alias("p_size"), "cents")
         .orderBy("p_size", "p_partkey")
     )
+
+
+@_staged(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem.orderkey' AS fk, CAST(count(*) AS BIGINT) AS orphans
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem.partkey', CAST(count(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_partkey IS NULL
+    UNION ALL
+    SELECT 'lineitem.suppkey', CAST(count(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_suppkey IS NULL
+    UNION ALL
+    SELECT 'orders.custkey', CAST(count(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'customer.nationkey', CAST(count(*) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE n.n_nationkey IS NULL
+    UNION ALL
+    SELECT 'supplier.nationkey', CAST(count(*) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_nationkey IS NULL
+    UNION ALL
+    SELECT 'nation.regionkey', CAST(count(*) AS BIGINT)
+    FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_regionkey IS NULL
+    ORDER BY fk
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep across the whole star schema —
+    the warehouse smoke audit run after every load: orphan counts
+    for all seven FK edges in one result. Engine spells each edge as
+    a LEFT ANTI join (no payload materialized, dims broadcast); the
+    oracle uses the equivalent LEFT JOIN / IS NULL. All-zero on
+    consistent TPC-H data — the value is the shape: anti-join counts
+    at fact-table scale with no fact shuffle beyond the join keys."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    def orphans(name, fact, fk, dim, pk):
+        f = T(spark, sf_dir, fact).select(F.col(fk).alias("k"))
+        d = T(spark, sf_dir, dim).select(F.col(pk).alias("k"))
+        n = f.join(F.broadcast(d), "k", "left_anti").count()
+        return (name, n)
+
+    rows = [
+        orphans("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        orphans("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        orphans("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        orphans("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        orphans("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        orphans("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        orphans("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "fk string, orphans long"
+    ).orderBy("fk")
+
+
+@_staged(
+    "listagg_gauntlet_nation",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nk, c_custkey, c_mktsegment
+      FROM customer WHERE c_custkey % 37 = 0
+    )
+    SELECT nk,
+           CAST(count(*) AS BIGINT) AS n,
+           string_agg(CAST(c_custkey AS VARCHAR), ','
+                      ORDER BY c_custkey) AS keys_asc,
+           string_agg(c_mktsegment, '|'
+                      ORDER BY c_custkey DESC) AS segs_desc,
+           md5(string_agg(CAST(c_custkey AS VARCHAR), ','
+                          ORDER BY c_custkey)) AS keys_md5
+    FROM c GROUP BY nk ORDER BY nk
+    """,
+)
+def listagg_gauntlet_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg) — the
+    notoriously engine-divergent SQL surface, pinned in its ONLY
+    portable form: an explicit ORDER BY inside the aggregate over a
+    unique key. Spark has no ordered string_agg, so the engine
+    builds sort_array(collect_list(struct(key, payload))) and
+    concat_ws's the payloads — same ascending/descending orders,
+    plus an md5 over the joined string proving byte equality, not
+    just same-length. Deterministic customer subset keeps rows
+    bounded."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 37 == 0)
+        .select(
+            F.col("c_nationkey").alias("nk"), "c_custkey", "c_mktsegment"
+        )
+    )
+
+    def ordered_join(payload, sep, desc=False):
+        entries = F.sort_array(
+            F.collect_list(F.struct(F.col("c_custkey").alias("k"), payload)),
+            asc=not desc,
+        )
+        return F.array_join(
+            F.transform(entries, lambda s: s["p"].cast("string")), sep
+        )
+
+    return (
+        c.groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            ordered_join(
+                F.col("c_custkey").cast("string").alias("p"), ","
+            ).alias("keys_asc"),
+            ordered_join(F.col("c_mktsegment").alias("p"), "|", desc=True).alias(
+                "segs_desc"
+            ),
+            F.md5(
+                ordered_join(
+                    F.col("c_custkey").cast("string").alias("p"), ","
+                )
+            ).alias("keys_md5"),
+        )
+        .orderBy("nk")
+    )
