@@ -8248,14 +8248,15 @@ DRIVER_WINDOW: list[str] = (ROUND5_QUEUE + ROUND5_NEW + ROUND5_BACKFILL)[:50]
 
 #: ROUND-6 PLAN (rotate only once CORRECTNESS_r05.json exists —
 #: memory: driver-window-rotation): staging outgrew one window —
-#: 50+ queries in staged_r6.py (all oracle-green at sf0.001 AND
-#: sf0.01 via scripts/check_staged.py). Round 6's window should take
-#: the FIRST 50 staged promotions in file order (register each with
-#: a plain @register, then list them); the remaining staged
-#: promotions PLUS this stalest-evidence backfill — the last 18
-#: value-oracled queries whose only driver row is round 1 — lead
-#: round 7. After round 7 every oracled query will have a driver row
-#: from round 2 or later.
+#: ~79 queries in staged_r6.py (all oracle-green at sf0.001 AND
+#: sf0.01 via scripts/check_staged.py; most also timed at sf0.1).
+#: Round 6's window should take the FIRST 50 staged promotions in
+#: file order (register each with a plain @register, then list
+#: them); the remaining ~29 staged promotions PLUS this
+#: stalest-evidence backfill — the last 18 value-oracled queries
+#: whose only driver row is round 1 — fill round 7 (29+18=47 of 50
+#: slots, the rest for round-6 work). After round 7 every oracled
+#: query will have a driver row from round 2 or later.
 ROUND6_BACKFILL_PLAN: list[str] = [
     "q3_top_revenue_orders",
     "quality_filter",
