@@ -497,3 +497,36 @@ def test_prefix_sum_matches_window_and_avoids_funnel(spark):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     p = plan(got)
     assert "SinglePartition" not in p
+
+
+def test_staged_r5_session_queries_no_funnels_or_row_udfs(spark, sf_dir):
+    """Plan-lint sweep over this session's staged additions: no
+    single-partition exchanges, no row-pickling Python UDFs
+    (cdc_chunks' MapInPandas is Arrow-batched, not BatchEvalPython —
+    the linter distinguishes them). Excluded with reasons:
+    quantile_normalize_docs / vocab_ids_docs / negative_sampling_docs
+    (two-pass ranks execute bounded metadata collects at
+    construction), bfs_hops_users / lpa_communities_users /
+    stream_merge_exactly_once / fk_integrity_audit (iterative or
+    eagerly-executing fixtures), pareto_frontier_parts (deliberate
+    domain-bounded window over the ≤50-row distinct-size frame),
+    lift_gains_orders (ntile_scalable collects partition counts)."""
+    from dbt_lakehouse_aws_spark.plans.lint import plan_report
+    from dbt_lakehouse_aws_spark.staged_r6 import STAGED_QUERIES
+
+    names = [
+        "chunk_overlap_docs",
+        "url_features_docs",
+        "html_extract_docs",
+        "pii_scrub_docs",
+        "map_function_gauntlet_events",
+        "phrase_search_docs",
+        "embedding_int8_quantize",
+        "listagg_gauntlet_nation",
+        "cdc_chunks_docs",
+        "holt_winters_daily_events",
+    ]
+    for n in names:
+        rep = plan_report(STAGED_QUERIES[n](spark, sf_dir))
+        assert not rep.smells.get("single_partition_exchange"), (n, rep.smells)
+        assert not rep.smells.get("python_row_udf"), (n, rep.smells)
