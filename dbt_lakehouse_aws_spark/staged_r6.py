@@ -5327,3 +5327,132 @@ def listagg_gauntlet_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nk")
     )
+
+
+#: quadratic-mix side hash of a duplicate-cluster root: test iff
+#: hash % 5 == 0 (~20%). Pure BIGINT, identical text on both engines.
+_SPLIT_HASH = (
+    "((((root % 2147483647) * 1103515245 + 12345) % 2147483647)"
+    " * ((((root % 2147483647) * 1103515245 + 12345) % 2147483647) + 1)"
+    " + 987654321) % 2147483647 % 5"
+)
+
+
+@_staged(
+    "leakage_safe_split_docs",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tokens) - 1),
+                                   i -> array_to_string(
+                                          list_slice(tokens, i, i + 2), ' ')))
+               AS shingle
+      FROM toks WHERE len(tokens) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), jac_pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+      UNION ALL SELECT doc_b, doc_a FROM jac_pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), roots AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(m.mn, d.doc_id)) AS root
+      FROM documents d
+      LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+        ON m.src = d.doc_id
+    ), sided AS (
+      SELECT r.doc_id, r.root,
+             CASE WHEN {_SPLIT_HASH} = 0 THEN 'test' ELSE 'train' END
+               AS side,
+             length(d.text) AS chars
+      FROM roots r JOIN documents d ON d.doc_id = r.doc_id
+    ), crossing AS (
+      SELECT CAST(count(*) AS BIGINT) AS x
+      FROM jac_pairs p
+      JOIN sided sa ON sa.doc_id = p.doc_a
+      JOIN sided sb ON sb.doc_id = p.doc_b
+      WHERE sa.side <> sb.side
+    )
+    SELECT s.side,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT s.root) AS BIGINT) AS n_clusters,
+           CAST(sum(s.chars) AS BIGINT) AS sum_chars,
+           CAST(sum(s.doc_id) AS BIGINT) AS id_checksum,
+           c.x AS crossing_pairs
+    FROM sided s CROSS JOIN crossing c
+    GROUP BY s.side, c.x ORDER BY s.side
+    """,
+)
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated train/test split — the split a benchmark-safe
+    corpus actually needs: near-duplicate CLUSTERS (exact 3-shingle
+    Jaccard >= 0.5 pairs -> connected components) are assigned to a
+    side ATOMICALLY by hashing the cluster root, so no near-dup pair
+    can straddle the boundary (a doc-level hash split leaks ~J of
+    every test doc into train). Engine: prefix-filtered exact pairs
+    -> min-label components -> quadratic-mix side hash; oracle:
+    all-shingle pairs -> recursive-CTE closure -> the same hash.
+    ``crossing_pairs`` is COMPUTED on both sides (join over the
+    split assignment), not asserted — the invariant is part of the
+    result contract, and the per-side doc/cluster/char checksums pin
+    the full assignment."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import (
+        connected_components,
+        prefix_filter_jaccard_pairs,
+    )
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = prefix_filter_jaccard_pairs(
+        d, n=3, threshold=0.5
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    comps = connected_components(pairs)
+    roots = (
+        d.join(comps, d["doc_id"] == comps["node"], "left")
+        .select(
+            "doc_id",
+            F.least(
+                F.col("doc_id"), F.coalesce(F.col("component"), F.col("doc_id"))
+            ).alias("root"),
+            F.length("text").cast("long").alias("chars"),
+        )
+    )
+    sided = roots.withColumn(
+        "side",
+        F.when(F.expr(_SPLIT_HASH) == 0, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    ).localCheckpoint(eager=True)
+    sa = sided.select(F.col("doc_id").alias("doc_a"), F.col("side").alias("_sa"))
+    sb = sided.select(F.col("doc_id").alias("doc_b"), F.col("side").alias("_sb"))
+    crossing = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("_sa") != F.col("_sb"))
+        .count()
+    )
+    return (
+        sided.groupBy("side")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("root").cast("long").alias("n_clusters"),
+            F.sum("chars").cast("long").alias("sum_chars"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .withColumn("crossing_pairs", F.lit(crossing).cast("long"))
+        .orderBy("side")
+    )
