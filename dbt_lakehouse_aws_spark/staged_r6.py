@@ -5456,3 +5456,212 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("crossing_pairs", F.lit(crossing).cast("long"))
         .orderBy("side")
     )
+
+
+@_staged(
+    "diff_in_diff_events",
+    """
+    WITH base AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 'treat' ELSE 'control' END
+               AS grp,
+             CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                  THEN 'post' ELSE 'pre' END AS period,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cells AS (
+      SELECT grp, period,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             sum(cents) * 10000 // count(*) AS mean_q
+      FROM base GROUP BY grp, period
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN grp = 'treat' AND period = 'post' THEN mean_q END)
+          AS tp,
+        max(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean_q END)
+          AS tr,
+        max(CASE WHEN grp = 'control' AND period = 'post' THEN mean_q END)
+          AS cp,
+        max(CASE WHEN grp = 'control' AND period = 'pre' THEN mean_q END)
+          AS cr
+      FROM cells
+    )
+    SELECT c.grp, c.period, c.n, c.total_cents,
+           CAST(c.mean_q AS BIGINT) AS mean_q,
+           CAST((w.tp - w.tr) - (w.cp - w.cr) AS BIGINT) AS did_q
+    FROM cells c CROSS JOIN wide w
+    ORDER BY c.grp, c.period
+    """,
+)
+def diff_in_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the pre/post × treat/control
+    2×2 that separates a treatment effect from the shared time
+    trend: DiD = (treat_post − treat_pre) − (control_post −
+    control_pre). Deterministic assignment (user parity; Jan 16
+    cutover), every cell mean an exact BIGINT deci-milli quotient,
+    the estimate carried on all four rows. One map-side-combinable
+    aggregate over the facts; the 2×2 pivot runs on FOUR rows."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events")
+    base = e.select(
+        F.when(F.col("user_id") % 2 == 1, "treat")
+        .otherwise("control")
+        .alias("grp"),
+        F.when(
+            F.to_date("ts") >= F.lit("2024-01-16").cast("date"), "post"
+        )
+        .otherwise("pre")
+        .alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cells = base.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr("sum(cents) * 10000L div count(*)").alias("mean_q"),
+    )
+    wide = cells.agg(
+        F.max(
+            F.when(
+                (F.col("grp") == "treat") & (F.col("period") == "post"),
+                F.col("mean_q"),
+            )
+        ).alias("tp"),
+        F.max(
+            F.when(
+                (F.col("grp") == "treat") & (F.col("period") == "pre"),
+                F.col("mean_q"),
+            )
+        ).alias("tr"),
+        F.max(
+            F.when(
+                (F.col("grp") == "control") & (F.col("period") == "post"),
+                F.col("mean_q"),
+            )
+        ).alias("cp"),
+        F.max(
+            F.when(
+                (F.col("grp") == "control") & (F.col("period") == "pre"),
+                F.col("mean_q"),
+            )
+        ).alias("cr"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(wide))
+        .select(
+            "grp",
+            "period",
+            "n",
+            "total_cents",
+            F.col("mean_q").cast("long").alias("mean_q"),
+            (
+                (F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr"))
+            )
+            .cast("long")
+            .alias("did_q"),
+        )
+        .orderBy("grp", "period")
+    )
+
+
+_AMS_H = (
+    "(((u * 131 + k * 1299709 + 12345) % 2147483647)"
+    " * (((u * 131 + k * 1299709 + 12345) % 2147483647) + 1)"
+    " + 987654321) % 2147483647"
+)
+_AMS_SIGN = f"CASE WHEN ({_AMS_H}) % 2 = 0 THEN 1 ELSE -1 END"
+
+
+@_staged(
+    "ams_f2_users",
+    f"""
+    WITH f AS (
+      SELECT user_id AS u, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    lanes AS (
+      SELECT ks.k, CAST(sum(f.cnt * ({_AMS_SIGN})) AS BIGINT) AS s
+      FROM f CROSS JOIN (SELECT unnest(range(0, 16)) AS k) ks
+      GROUP BY ks.k
+    ),
+    grp AS (
+      SELECT k // 4 AS g, CAST(sum(s * s) // 4 AS BIGINT) AS mean4
+      FROM lanes GROUP BY 1
+    ),
+    med AS (
+      SELECT CAST(mean4 AS BIGINT) AS est
+      FROM (SELECT mean4,
+                   row_number() OVER (ORDER BY mean4, g) AS rk
+            FROM grp)
+      WHERE rk = 2
+    ),
+    exact AS (
+      SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM f
+    )
+    SELECT g.g AS lane_group, g.mean4,
+           e.n_users, e.f2 AS exact_f2, m.est AS est_f2,
+           CAST(m.est * 1000 // e.f2 AS BIGINT) AS ratio_millis
+    FROM grp g CROSS JOIN med m CROSS JOIN exact e
+    ORDER BY g.g
+    """,
+)
+def ams_f2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS "tug-of-war" sketch for the second frequency moment
+    F2 = Σ f_u² (the self-join size / skew statistic) — completing
+    the sketch family next to HLL (F0), CMS (point freq), KMV
+    (distinct/overlap), Misra-Gries (heavy hitters): 16 ±1 lanes
+    from the quadratic-mix hash, estimate = lower median of four
+    4-lane means of S_k². The efficient shape aggregates per-user
+    counts FIRST (one shuffle), then runs the 16 lanes over the
+    user frame — mergeable partials, integer-exact arithmetic
+    end-to-end (sums of ±cnt, squares, div). The oracle replays
+    every lane verbatim; exact F2 and the est/exact ratio ride
+    along, so the row pins BOTH the sketch mechanics and its
+    accuracy on this corpus."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events")
+    f = e.groupBy(F.col("user_id").alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    lanes_k = spark.range(16).select(F.col("id").cast("long").alias("k"))
+    lanes = (
+        f.crossJoin(F.broadcast(lanes_k))
+        .select("k", (F.col("cnt") * F.expr(_AMS_SIGN)).alias("c"))
+        .groupBy("k")
+        .agg(F.sum("c").cast("long").alias("s"))
+    )
+    grp = lanes.groupBy(F.expr("k div 4").alias("g")).agg(
+        F.expr("sum(s * s) div 4").cast("long").alias("mean4")
+    )
+    med = (
+        grp.select(
+            "mean4",
+            F.row_number()
+            .over(Window.orderBy("mean4", "g"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 2)
+        .select(F.col("mean4").cast("long").alias("est"))
+    )
+    exact = f.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("f2"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    return (
+        grp.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("g").alias("lane_group"),
+            "mean4",
+            "n_users",
+            F.col("f2").alias("exact_f2"),
+            F.col("est").alias("est_f2"),
+            F.expr("est * 1000L div f2").alias("ratio_millis"),
+        )
+        .orderBy("lane_group")
+    )
