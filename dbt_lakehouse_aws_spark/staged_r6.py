@@ -5665,3 +5665,96 @@ def ams_f2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lane_group")
     )
+
+
+@_staged(
+    "stream_quarantine_split",
+    """
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             (event_type = 'error') AS tfail,
+             (CAST(round(value * 100) AS BIGINT) % 7 = 0) AS vfail
+      FROM events
+    ),
+    tagged AS (
+      SELECT event_id, cents,
+             CASE WHEN tfail AND vfail THEN 'quarantine:type_ok,v_mod'
+                  WHEN tfail THEN 'quarantine:type_ok'
+                  WHEN vfail THEN 'quarantine:v_mod'
+                  ELSE 'landed' END AS bucket
+      FROM base
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM tagged GROUP BY bucket ORDER BY bucket
+    """,
+)
+def stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level dead-letter streaming ingest under the driver gate
+    (streaming/ingest.py::stream_append_with_quarantine): events
+    stream AvailableNow; rows failing any CHECK constraint land in a
+    quarantine ACID table tagged with the sorted list of violated
+    constraint names, clean rows land in the main ACID table —
+    which satisfies its constraints by construction. The oracle
+    recomputes the split straight from the source with the same
+    predicates; counts and checksums must match BOTH tables' actual
+    post-stream contents (read back through the ACID layer, not the
+    in-flight frames)."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+    from dbt_lakehouse_aws_spark.streaming.ingest import (
+        stream_append_with_quarantine,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    root = tempfile.mkdtemp(prefix=f"quar_{uuid.uuid4().hex[:8]}_")
+    q = stream_append_with_quarantine(
+        stream.select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ),
+        table_path=f"{root}/main",
+        quarantine_path=f"{root}/bad",
+        checkpoint_dir=f"{root}/ckpt",
+        constraints={
+            "type_ok": "event_type != 'error'",
+            "v_mod": "cents % 7 != 0",
+        },
+    )
+    q.awaitTermination(600)
+
+    main = (
+        AcidTable(spark, f"{root}/main")
+        .read()
+        .select("event_id", "cents", F.lit("landed").alias("bucket"))
+    )
+    bad = (
+        AcidTable(spark, f"{root}/bad")
+        .read()
+        .select(
+            "event_id",
+            "cents",
+            F.concat(F.lit("quarantine:"), F.col("violated")).alias("bucket"),
+        )
+    )
+    return (
+        main.unionByName(bad)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("bucket")
+    )

@@ -856,3 +856,78 @@ def stream_pit_enrich(
     for k in keys:
         joined = joined.drop(dim[k])
     return joined
+
+
+def stream_append_with_quarantine(
+    stream: DataFrame,
+    *,
+    table_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+    constraints: dict[str, str],
+):
+    """Row-level dead-letter ingest — the third enforcement mode in
+    the family: batch ACID writes ABORT on violation (acid.py
+    `_enforce`), :func:`stream_with_checks` quarantines whole
+    micro-batches; this one splits EVERY batch row-by-row. Rows
+    where every constraint is not-FALSE (SQL three-valued CHECK:
+    NULL passes) append to the main ACID table — which therefore
+    satisfies its constraints by construction — and each failing
+    row lands in a quarantine ACID table with a ``violated`` column
+    naming the constraints it broke (sorted, comma-joined:
+    one bad field must not hide another).
+
+    Both sinks are exactly-once via the same (app, batch) txn
+    protocol as :func:`stream_append_into_acid` — the two writes are
+    separately atomic, and a replay after a crash between them
+    re-lands only the missing side. One predicate evaluation per
+    constraint per row, fused into the scan — no second pass, no
+    driver-side row handling.
+    """
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    app_main = f"quarantine_main:{checkpoint_dir}"
+    app_q = f"quarantine_bad:{checkpoint_dir}"
+    names = sorted(constraints)
+    viol_arr = F.array_compact(
+        F.array(
+            *[
+                F.when(F.expr(constraints[n]) == F.lit(False), F.lit(n))
+                for n in names
+            ]
+        )
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        tagged = batch.withColumn("_viol", viol_arr).localCheckpoint(
+            eager=True
+        )
+        good = tagged.filter(F.size("_viol") == 0).drop("_viol")
+        bad = tagged.filter(F.size("_viol") > 0).withColumn(
+            "violated", F.array_join(F.sort_array(F.col("_viol")), ",")
+        ).drop("_viol")
+
+        main = AcidTable(spark_b, table_path)
+        seen = main.last_txn_batch(app_main) if main.exists() else None
+        if not (seen is not None and batch_id <= seen):
+            main.write(
+                good,
+                mode="append" if main.exists() else "overwrite",
+                txn=(app_main, batch_id),
+            )
+        q = AcidTable(spark_b, quarantine_path)
+        seen_q = q.last_txn_batch(app_q) if q.exists() else None
+        if not (seen_q is not None and batch_id <= seen_q):
+            q.write(
+                bad,
+                mode="append" if q.exists() else "overwrite",
+                txn=(app_q, batch_id),
+            )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

