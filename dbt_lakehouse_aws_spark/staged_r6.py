@@ -4958,10 +4958,19 @@ def lift_gains_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("big_n"),
         F.sum("responders").cast("long").alias("big_r"),
     )
-    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per.alias("a")
+        .join(
+            F.broadcast(per.select(F.col("decile").alias("d2"),
+                                   F.col("responders").alias("r2"))),
+            F.col("d2") <= F.col("decile"),
+        )
+        .groupBy("decile")
+        .agg(F.sum("r2").cast("long").alias("cum_responders"))
+    )
     return (
-        per.crossJoin(F.broadcast(tot))
-        .withColumn("cum_responders", F.sum("responders").over(w).cast("long"))
+        per.join(F.broadcast(cum), "decile")
+        .crossJoin(F.broadcast(tot))
         .select(
             "decile",
             "n",
@@ -5186,8 +5195,14 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
     )
     per_size = p.groupBy("s").agg(F.min("cents").alias("m2"))
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    running = per_size.withColumn("m1", F.min("m2").over(w))
+    smaller = per_size.select(
+        F.col("s").alias("s2"), F.col("m2").alias("m2b")
+    )
+    running = (
+        per_size.join(F.broadcast(smaller), F.col("s2") < F.col("s"), "left")
+        .groupBy("s", "m2")
+        .agg(F.min("m2b").alias("m1"))
+    )
     return (
         p.join(F.broadcast(running), "s")
         .filter(
@@ -5639,13 +5654,18 @@ def ams_f2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(s * s) div 4").cast("long").alias("mean4")
     )
     med = (
-        grp.select(
-            "mean4",
-            F.row_number()
-            .over(Window.orderBy("mean4", "g"))
-            .alias("rk"),
+        grp.alias("a")
+        .join(
+            F.broadcast(
+                grp.select(F.col("g").alias("g2"), F.col("mean4").alias("m2"))
+            ),
+            (F.col("m2") < F.col("mean4"))
+            | ((F.col("m2") == F.col("mean4")) & (F.col("g2") < F.col("g"))),
+            "left",
         )
-        .filter(F.col("rk") == 2)
+        .groupBy("g", "mean4")
+        .agg(F.count("g2").alias("_nlt"))
+        .filter(F.col("_nlt") == 1)
         .select(F.col("mean4").cast("long").alias("est"))
     )
     exact = f.agg(

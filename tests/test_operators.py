@@ -1226,13 +1226,16 @@ def test_pareto_frontier_matches_bruteforce(spark):
         (k, s, p) for i, (k, s, p) in enumerate(pts) if not dominated(i)
     )
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(pts, "p_partkey long, s int, cents long")
     per_size = df.groupBy("s").agg(F.min("cents").alias("m2"))
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    running = per_size.withColumn("m1", F.min("m2").over(w))
+    smaller = per_size.select(F.col("s").alias("s2"), F.col("m2").alias("m2b"))
+    running = (
+        per_size.join(F.broadcast(smaller), F.col("s2") < F.col("s"), "left")
+        .groupBy("s", "m2")
+        .agg(F.min("m2b").alias("m1"))
+    )
     got = sorted(
         (r["p_partkey"], r["s"], r["cents"])
         for r in df.join(F.broadcast(running), "s")

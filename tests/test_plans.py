@@ -508,9 +508,9 @@ def test_staged_r5_session_queries_no_funnels_or_row_udfs(spark, sf_dir):
     (two-pass ranks execute bounded metadata collects at
     construction), bfs_hops_users / lpa_communities_users /
     stream_merge_exactly_once / fk_integrity_audit (iterative or
-    eagerly-executing fixtures), pareto_frontier_parts (deliberate
-    domain-bounded window over the ≤50-row distinct-size frame),
-    lift_gains_orders (ntile_scalable collects partition counts)."""
+    eagerly-executing fixtures), lift_gains_orders (ntile_scalable collects partition counts);
+    pareto_frontier_parts / ams_f2_users use tiny broadcast self-joins
+    instead of global windows and pass the staged linter directly."""
     from dbt_lakehouse_aws_spark.plans.lint import plan_report
     from dbt_lakehouse_aws_spark.staged_r6 import STAGED_QUERIES
 
