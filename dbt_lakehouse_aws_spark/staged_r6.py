@@ -5778,3 +5778,85 @@ def stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@_staged(
+    "web_pipeline_chunks",
+    """
+    WITH f AS (
+      SELECT source,
+             CAST(6 + length(CAST(doc_id AS VARCHAR)) + 1 + length(text)
+                  + CASE WHEN doc_id % 3 = 0 THEN 11 ELSE 0 END
+                  + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END
+               AS BIGINT) AS v
+      FROM documents
+    ),
+    c AS (
+      SELECT source, v,
+             (v - 1) // 150 + 1 AS n_chunks,
+             CASE WHEN v >= 200 THEN (v - 200) // 150 + 1 ELSE 0 END
+               AS n_full
+      FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(v) AS BIGINT) AS sum_visible_len,
+           CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+           CAST(sum(n_chunks - n_full) AS BIGINT) AS short_chunks,
+           CAST(max(n_chunks) AS BIGINT) AS max_chunks_per_doc
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def web_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed web-corpus pipeline — the construction-oracle
+    technique COMPOSES: each document is wrapped in the same hostile
+    page as html_extract_docs, the engine then actually runs
+    html_extract -> chunk_overlap(200/150) over the extracted
+    visible text, and the oracle never touches HTML or chunks —
+    it derives visible length in closed form from the construction
+    rules and pushes it through the closed-form chunk-count algebra
+    (full chunks are those with 200 chars in range; the rest are
+    tails). Two real operators chained; one arithmetic oracle."""
+    from dbt_lakehouse_aws_spark.llmops.corpus import chunk_overlap
+    from dbt_lakehouse_aws_spark.llmops.text import html_extract
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    html = F.concat(
+        F.lit('<html><head><title>Doc &amp; '),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><script type="text/javascript">'
+            'var x = "<p>not text</p>";</script></head><body class="c"><p>'
+        ),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit('<a href="/l1">click here</a>')
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit('<A HREF="/l2">more</A>')
+        ).otherwise(F.lit("")),
+        F.lit("<style>.c{color:red}</style></body></html>"),
+    )
+    x = html_extract(d.withColumn("html", html), "html").select(
+        "source", "doc_id", "visible_text", "visible_len"
+    )
+    chunks = chunk_overlap(x, text_col="visible_text", size=200, stride=150)
+    per_doc = chunks.groupBy("source", "doc_id", "visible_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("chunk_len") < 200, 1).otherwise(0))
+        .cast("long")
+        .alias("n_short"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("visible_len").cast("long").alias("sum_visible_len"),
+            F.sum("n_chunks").cast("long").alias("total_chunks"),
+            F.sum("n_short").cast("long").alias("short_chunks"),
+            F.max("n_chunks").cast("long").alias("max_chunks_per_doc"),
+        )
+        .orderBy("source")
+    )
