@@ -52,3 +52,27 @@ def test_staged_query_plan_is_scalable(spark, name):
     from dbt_lakehouse_aws_spark.plans.lint import assert_scalable
 
     assert_scalable(STAGED_QUERIES[name](spark, SF_DIR))
+
+
+def test_no_widened_numeric_staged_oracle_types():
+    """Same class-killer as test_entry_contract's binder check, but
+    over the STAGED oracles — a HUGEINT/DECIMAL result column must
+    be caught while the query is still in staging, not by a red
+    driver row after round-6 registration."""
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS"
+            f" SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    bad = {}
+    for name, sql in sorted(STAGED_ORACLES.items()):
+        rel = con.sql(sql)
+        widened = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+        ]
+        if widened:
+            bad[name] = widened
+    assert not bad, f"staged oracles with widened columns: {bad}"
