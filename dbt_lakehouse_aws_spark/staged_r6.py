@@ -5860,3 +5860,69 @@ def web_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_staged(
+    "incremental_join_maintenance",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta algebra
+    Δ(O⋈C) = ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC, the identity every streaming
+    materialized-view engine is built on: the standing MV is
+    old-orders⋈old-customers (aggregated per nation), then a batch
+    of late orders AND a batch of late-arriving customer rows land
+    together, and the engine refreshes by aggregating ONLY the three
+    delta terms and monoid-merging them into the MV's partial state
+    — history is never rescanned (the old⋈old term is reused as-is).
+    The oracle recomputes the full join from scratch: partial-state
+    merge must equal full recompute, per nation, in exact cents."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderdate") < F.lit("1996-01-01").cast("date")).alias(
+            "_old"
+        ),
+    )
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_custkey") % 10 != 0).alias("_old"),
+    )
+    o_old, o_new = o.filter("_old").drop("_old"), o.filter("NOT _old").drop("_old")
+    c_old, c_new = c.filter("_old").drop("_old"), c.filter("NOT _old").drop("_old")
+
+    def agg(orders, custs):
+        return (
+            orders.join(custs, orders["o_custkey"] == custs["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("s"),
+            )
+        )
+
+    mv = agg(o_old, c_old)  # the standing view's partial state
+    deltas = [agg(o_new, c_old), agg(o_old, c_new), agg(o_new, c_new)]
+    merged = mv
+    for term in deltas:
+        merged = merged.unionByName(term)
+    return (
+        merged.groupBy("c_nationkey")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("s").cast("long").alias("cents"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"), "n_orders", "cents"
+        )
+        .orderBy("nationkey")
+    )
