@@ -5926,3 +5926,171 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@_staged(
+    "trimmed_mean_orders",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY round(o_totalprice * 100),
+                                         o_orderkey) AS r,
+             count(*) OVER (PARTITION BY o_orderpriority) AS ng
+      FROM orders
+    ),
+    kept AS (
+      SELECT pri, cents, ng, ng // 20 AS k
+      FROM o WHERE r > ng // 20 AND r <= ng - ng // 20
+    )
+    SELECT pri,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(max(k) AS BIGINT) AS n_trimmed_each_side,
+           CAST(sum(cents) AS BIGINT) AS kept_cents,
+           CAST(sum(cents) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT)
+             AS trimmed_mean_q
+    FROM kept GROUP BY pri ORDER BY pri
+    """,
+)
+def trimmed_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per priority — the robust-location estimator
+    between the mean (0% trim, breakdown 0) and the median (50%,
+    already covered by weighted_median/a8): drop the bottom and top
+    ng div 20 rows by (value, key) rank, average the rest as an
+    exact BIGINT quotient. Per-group ranks come from ONE global
+    two-pass rank + broadcast group offsets (the quantile_normalize
+    device) — never a per-priority one-task window, so five huge
+    groups still spread over every partition. Oracle = DuckDB's
+    native per-group window."""
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    g = global_row_number(
+        o,
+        [F.asc("pri"), F.asc("cents"), F.asc("o_orderkey")],
+        name="_grn",
+    )
+    stats = g.groupBy("pri").agg(
+        F.min("_grn").alias("_g0"), F.count(F.lit(1)).alias("ng")
+    )
+    ranked = g.join(F.broadcast(stats), "pri").withColumn(
+        "r", F.col("_grn") - F.col("_g0") + 1
+    )
+    kept = ranked.filter(
+        (F.col("r") > F.expr("ng div 20"))
+        & (F.col("r") <= F.col("ng") - F.expr("ng div 20"))
+    )
+    return (
+        kept.groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max(F.expr("ng div 20")).cast("long").alias(
+                "n_trimmed_each_side"
+            ),
+            F.sum("cents").cast("long").alias("kept_cents"),
+            F.expr("sum(cents) * 10000L div count(*)").alias(
+                "trimmed_mean_q"
+            ),
+        )
+        .orderBy("pri")
+    )
+
+
+@_staged(
+    "correlation_matrix_lineitem",
+    """
+    WITH x AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(round(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem
+    ),
+    s AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+             CAST(sum(d) AS BIGINT) AS sd,
+             CAST(sum(q * q) AS BIGINT) AS sqq,
+             CAST(sum(p * p) AS BIGINT) AS spp,
+             CAST(sum(d * d) AS BIGINT) AS sdd,
+             CAST(sum(q * p) AS BIGINT) AS sqp,
+             CAST(sum(q * d) AS BIGINT) AS sqd,
+             CAST(sum(p * d) AS BIGINT) AS spd
+      FROM x GROUP BY flag
+    )
+    SELECT flag, n,
+           floor((CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp)
+             / nullif(sqrt((CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+                    * (CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)), 0.0)
+             * 1e6 + 0.5) / 1e6 AS r_qty_price,
+           floor((CAST(n AS DOUBLE) * sqd - CAST(sq AS DOUBLE) * sd)
+             / nullif(sqrt((CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+                    * (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)), 0.0)
+             * 1e6 + 0.5) / 1e6 AS r_qty_disc,
+           floor((CAST(n AS DOUBLE) * spd - CAST(sp AS DOUBLE) * sd)
+             / nullif(sqrt((CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)
+                    * (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)), 0.0)
+             * 1e6 + 0.5) / 1e6 AS r_price_disc
+    FROM s ORDER BY flag
+    """,
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over three lineitem
+    measures per return flag — the EDA matrix, from INTEGER
+    sufficient statistics (n, Σx, Σxy for every pair in ONE
+    map-side-combinable pass; quantities/cents are exact BIGINTs, so
+    the only floats are the final three quotients, floor-quantized
+    to 1e-6 with identical op order on both engines — the ACF
+    device, widened to the full pair matrix)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+    s = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        num = (
+            F.col("n").cast("double") * F.col(sxy)
+            - F.col(sx).cast("double") * F.col(sy)
+        )
+        den = F.sqrt(
+            (
+                F.col("n").cast("double") * F.col(sxx)
+                - F.col(sx).cast("double") * F.col(sx)
+            )
+            * (
+                F.col("n").cast("double") * F.col(syy)
+                - F.col(sy).cast("double") * F.col(sy)
+            )
+        )
+        return F.floor(num / F.nullif(den, F.lit(0.0)) * 1e6 + 0.5) / 1e6
+
+    return s.select(
+        "flag",
+        "n",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("r_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("r_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("r_price_disc"),
+    ).orderBy("flag")
