@@ -6094,3 +6094,108 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("r_qty_disc"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("r_price_disc"),
     ).orderBy("flag")
+
+
+@_staged(
+    "welch_ttest_events",
+    """
+    WITH x AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS grp,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(cents * cents) AS BIGINT) AS sxx
+      FROM x GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.event_type,
+             a.n AS n1, b.n AS n2,
+             CAST(a.sx AS DOUBLE) / a.n AS m1,
+             CAST(b.sx AS DOUBLE) / b.n AS m2,
+             (CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE) * a.sx / a.n)
+               / (a.n - 1) AS v1,
+             (CAST(b.sxx AS DOUBLE) - CAST(b.sx AS DOUBLE) * b.sx / b.n)
+               / (b.n - 1) AS v2
+      FROM s a JOIN s b
+        ON b.event_type = a.event_type AND a.grp = 1 AND b.grp = 0
+    )
+    SELECT event_type, n1, n2,
+           floor((m1 - m2) * 1e6 + 0.5) / 1e6 AS mean_diff,
+           floor((m1 - m2) / sqrt(v1 / n1 + v2 / n2) * 1e6 + 0.5) / 1e6
+             AS t_stat,
+           floor((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / (v1 / n1 * (v1 / n1) / (n1 - 1)
+                    + v2 / n2 * (v2 / n2) / (n2 - 1)) * 1e6 + 0.5) / 1e6
+             AS welch_df
+    FROM w ORDER BY event_type
+    """,
+)
+def welch_ttest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event type — the means
+    companion to abtest_conversion_ztest's proportions: treatment =
+    odd user ids, t statistic and Welch–Satterthwaite degrees of
+    freedom from INTEGER sufficient statistics (n, Σx, Σx² per cell
+    in one pass), the only floats the final expressions, evaluated
+    in the same operation order on both engines and floor-quantized
+    to 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = e.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("sxx"),
+    )
+    a = s.filter("grp = 1").select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("sx").alias("sx1"),
+        F.col("sxx").alias("sxx1"),
+    )
+    b = s.filter("grp = 0").select(
+        "event_type",
+        F.col("n").alias("n2"),
+        F.col("sx").alias("sx2"),
+        F.col("sxx").alias("sxx2"),
+    )
+    j = a.join(b, "event_type")
+    m1 = F.col("sx1").cast("double") / F.col("n1")
+    m2 = F.col("sx2").cast("double") / F.col("n2")
+    v1 = (
+        F.col("sxx1").cast("double")
+        - F.col("sx1").cast("double") * F.col("sx1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    v2 = (
+        F.col("sxx2").cast("double")
+        - F.col("sx2").cast("double") * F.col("sx2") / F.col("n2")
+    ) / (F.col("n2") - 1)
+    se2_1 = v1 / F.col("n1")
+    se2_2 = v2 / F.col("n2")
+
+    def q6(c):
+        return F.floor(c * 1e6 + 0.5) / 1e6
+
+    return j.select(
+        "event_type",
+        "n1",
+        "n2",
+        q6(m1 - m2).alias("mean_diff"),
+        q6((m1 - m2) / F.sqrt(se2_1 + se2_2)).alias("t_stat"),
+        q6(
+            (se2_1 + se2_2)
+            * (se2_1 + se2_2)
+            / (
+                se2_1 * se2_1 / (F.col("n1") - 1)
+                + se2_2 * se2_2 / (F.col("n2") - 1)
+            )
+        ).alias("welch_df"),
+    ).orderBy("event_type")
