@@ -6199,3 +6199,70 @@ def welch_ttest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     ).orderBy("event_type")
+
+
+@_staged(
+    "readability_by_lang",
+    """
+    WITH c AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+             CAST(greatest(length(text) - length(replace(text, '.', '')),
+                           1) AS BIGINT) AS sentences,
+             CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+               AS vgroups
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS total_words,
+           CAST(sum(sentences) AS BIGINT) AS total_sentences,
+           CAST(sum(vgroups) AS BIGINT) AS total_vgroups,
+           floor((206.835
+                  - 1.015 * (CAST(sum(words) AS DOUBLE) / sum(sentences))
+                  - 84.6 * (CAST(sum(vgroups) AS DOUBLE) / sum(words)))
+                 * 1e6 + 0.5) / 1e6 AS flesch_q
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+)
+def readability_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per language — the classic
+    quality-filter feature, with vowel GROUPS as the portable
+    syllable proxy: words, sentence terminators, and vowel-group
+    counts are EXACT integers (regexp_count of '[aeiou]+' —
+    identical in Java and RE2), aggregated per language before the
+    single float readability expression (per-row floats averaged
+    later would be summation-order-dependent; corpus-level ratios
+    are one deterministic expression), floor-quantized 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select("lang", "text")
+    c = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("words"),
+        F.greatest(
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit("."), F.lit(""))),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.regexp_count(F.col("text"), F.lit("[aeiou]+"))
+        .cast("long")
+        .alias("vgroups"),
+    )
+    agg = c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("total_words"),
+        F.sum("sentences").cast("long").alias("total_sentences"),
+        F.sum("vgroups").cast("long").alias("total_vgroups"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("total_words").cast("double") / F.col("total_sentences"))
+        - F.lit(84.6)
+        * (F.col("total_vgroups").cast("double") / F.col("total_words"))
+    )
+    return agg.withColumn(
+        "flesch_q", F.floor(flesch * 1e6 + 0.5) / 1e6
+    ).orderBy("lang")
