@@ -6266,3 +6266,527 @@ def readability_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn(
         "flesch_q", F.floor(flesch * 1e6 + 0.5) / 1e6
     ).orderBy("lang")
+
+
+@_staged(
+    "mann_whitney_by_type",
+    """
+    WITH x AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    vt AS (
+      SELECT v, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM x GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt FROM vt GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, 2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS rank2
+      FROM cells
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_tot,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie
+      FROM cells
+    ),
+    per_type AS (
+      SELECT vt.event_type,
+             CAST(sum(vt.cnt) AS BIGINT) AS n,
+             CAST(sum(vt.cnt * r.rank2) AS BIGINT) AS r2
+      FROM vt JOIN ranked r ON r.v = vt.v
+      GROUP BY 1
+    )
+    SELECT event_type, n,
+           r2 - n * (n + 1) AS u2,
+           floor((CAST(r2 - n * (n + 1) AS DOUBLE) - n * (n_tot - n))
+                 / (2 * sqrt(CAST(n AS DOUBLE) * (n_tot - n) / 12
+                             * ((n_tot + 1) - CAST(tie AS DOUBLE)
+                                          / (CAST(n_tot AS DOUBLE) * (n_tot - 1)))))
+                 * 1e6 + 0.5) / 1e6 AS z_q
+    FROM per_type CROSS JOIN tot
+    ORDER BY event_type
+    """,
+)
+def mann_whitney_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per event type vs the rest
+    — the nonparametric companion to welch_ttest_events, on the same
+    distribution-free footing as ks_drift_order_values. The whole
+    test reduces to VALUE-LEVEL counts: average ranks are kept as
+    2×rank INTEGERS (2·cum_before + cnt + 1 — ties share the exact
+    half-unit midrank with no floats), the rank-sum R, U = R−n(n+1)/2
+    (returned as exact u2 = 2U BIGINT), and the tie-corrected normal
+    approximation z — the ONLY float expression, evaluated in the
+    same operation order on both engines from exact integers and
+    floor-quantized 1e-6. Engine ranks ride
+    operators/windows.py::prefix_sum (no one-task window; the
+    value-level frame is |distinct cents|, bounded by the metric's
+    domain, not row count); the oracle uses a plain windowed
+    cumulative — two plans, identical integers. tie-term Σ(t³−t)
+    stays in BIGINT for N up to ~2.6M equal values (2^63^(1/3));
+    beyond that switch the tie sum to DECIMAL(38,0)."""
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    vt = e.groupBy("v", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cells = vt.groupBy("v").agg(F.sum("cnt").cast("long").alias("cnt"))
+    ranked = prefix_sum(cells, [F.asc("v")], "cnt", name="c_incl").select(
+        "v", (2 * F.col("c_incl") - F.col("cnt") + 1).alias("rank2")
+    )
+    tot = cells.agg(
+        F.sum("cnt").cast("long").alias("n_tot"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie"),
+    )
+    per_type = (
+        vt.join(ranked, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.col("cnt") * F.col("rank2")).cast("long").alias("r2"),
+        )
+    )
+    n, N = F.col("n"), F.col("n_tot")
+    u2 = F.col("r2") - n * (n + 1)
+    var = (
+        n.cast("double")
+        * (N - n)
+        / 12
+        * ((N + 1) - F.col("tie").cast("double") / (N.cast("double") * (N - 1)))
+    )
+    z = (u2.cast("double") - n * (N - n)) / (2 * F.sqrt(var))
+    return (
+        per_type.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n",
+            u2.alias("u2"),
+            (F.floor(z * 1e6 + 0.5) / 1e6).alias("z_q"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "spearman_qty_price",
+    """
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem
+    ),
+    qr AS (
+      SELECT q, 2 * sum(cnt) OVER (ORDER BY q) - cnt + 1 AS rank2
+      FROM (SELECT q, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY 1)
+    ),
+    pr AS (
+      SELECT p, 2 * sum(cnt) OVER (ORDER BY p) - cnt + 1 AS rank2
+      FROM (SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY 1)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qr.rank2) AS DOUBLE) AS sx,
+             CAST(sum(pr.rank2) AS DOUBLE) AS sy,
+             CAST(sum(qr.rank2 * qr.rank2) AS DOUBLE) AS sxx,
+             CAST(sum(pr.rank2 * pr.rank2) AS DOUBLE) AS syy,
+             CAST(sum(qr.rank2 * pr.rank2) AS DOUBLE) AS sxy
+      FROM li JOIN qr ON qr.q = li.q JOIN pr ON pr.p = li.p
+    )
+    SELECT n,
+           floor((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1e6 + 0.5) / 1e6 AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    — Pearson on midranks, with the ranks kept as 2×rank INTEGERS
+    (exact tie midranks, same half-unit device as
+    mann_whitney_by_type) so every sufficient statistic is an exact
+    integer: Σr2x, Σr2y, Σr2x², Σr2y², Σr2x·r2y accumulate in
+    DECIMAL(38,0) on the engine / HUGEINT in the oracle (no
+    float-summation order dependence, no BIGINT overflow: Σrank2²
+    passes 2^63 around 2M rows), then ONE double expression — same
+    operation order on both engines — floor-quantized 1e-6. Rank
+    tables are VALUE-LEVEL (|distinct| rows, built on
+    operators/windows.py::prefix_sum, no one-task window); the
+    row-level frame joins both rank tables on their value keys —
+    quantity's 50-row table broadcasts, the price table is a hash
+    join on p — and collapses to one sufficient-stat row."""
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+
+    def rank2_table(key: str) -> DataFrame:
+        cells = li.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        return prefix_sum(cells, [F.asc(key)], "cnt", name="c_incl").select(
+            key, (2 * F.col("c_incl") - F.col("cnt") + 1).alias(f"rank2_{key}")
+        )
+
+    joined = li.join(F.broadcast(rank2_table("q")), "q").join(rank2_table("p"), "p")
+    rx, ry = F.col("rank2_q"), F.col("rank2_p")
+    dec = "decimal(38,0)"
+    s = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(rx.cast(dec)).cast("double").alias("sx"),
+        F.sum(ry.cast(dec)).cast("double").alias("sy"),
+        F.sum((rx * rx).cast(dec)).cast("double").alias("sxx"),
+        F.sum((ry * ry).cast(dec)).cast("double").alias("syy"),
+        F.sum((rx * ry).cast(dec)).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "n", (F.floor(rho * 1e6 + 0.5) / 1e6).alias("spearman_rho")
+    )
+
+
+@_staged(
+    "decision_stump_orders",
+    """
+    WITH lab AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 500000 AS bin,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    h AS (
+      SELECT bin, CAST(sum(pos) AS BIGINT) AS p,
+             CAST(sum(1 - pos) AS BIGINT) AS g
+      FROM lab GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(p) AS BIGINT) AS pt, CAST(sum(g) AS BIGINT) AS gt,
+             CAST(max(bin) AS BIGINT) AS max_bin
+      FROM h
+    ),
+    cum AS (
+      SELECT a.bin,
+             CAST(sum(b.p) AS BIGINT) AS pl, CAST(sum(b.g) AS BIGINT) AS gl
+      FROM h a JOIN h b ON b.bin <= a.bin
+      GROUP BY a.bin
+    ),
+    scored AS (
+      SELECT cum.bin,
+             pl, gl, pt - pl AS pr, gt - gl AS gr,
+             1 - ((CAST(pl AS DOUBLE) * pl + CAST(gl AS DOUBLE) * gl)
+                    / (pl + gl)
+                  + (CAST(pt - pl AS DOUBLE) * (pt - pl)
+                     + CAST(gt - gl AS DOUBLE) * (gt - gl))
+                    / ((pt - pl) + (gt - gl)))
+                 / (pt + gt) AS wgini,
+             1 - (CAST(pt AS DOUBLE) * pt + CAST(gt AS DOUBLE) * gt)
+                 / (CAST(pt + gt AS DOUBLE) * (pt + gt)) AS parent
+      FROM cum CROSS JOIN tot
+      WHERE cum.bin < tot.max_bin
+    )
+    SELECT (bin + 1) * 500000 AS threshold_cents,
+           pl + gl AS n_left, pr + gr AS n_right, pl AS pos_left,
+           pr AS pos_right,
+           floor(wgini * 1e6 + 0.5) / 1e6 AS gini_q,
+           floor((parent - wgini) * 1e6 + 0.5) / 1e6 AS gain_q
+    FROM scored
+    ORDER BY wgini ASC, bin ASC LIMIT 1
+    """,
+)
+def decision_stump_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump training — the split-finding
+    kernel of gradient-boosted trees (LightGBM-style): predict
+    urgent/high priority from total price by choosing the $5,000-bin
+    boundary minimizing weighted Gini impurity. The feature is
+    HISTOGRAMMED first (bins bounded by the price domain, NOT row
+    count — the property that makes GBDT split finding feasible at
+    100 TB: one aggregate pass to per-bin class counts, then all
+    candidate splits scored from cumulative counts of a ~120-row
+    frame via a tiny self-join, no second data pass). All counts are
+    exact integers; the Gini expressions are single double formulas
+    in identical operation order on both engines (an exact tie in
+    wgini falls back to the smaller bin), floor-quantized 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders").select(
+        F.floor(F.round(F.col("o_totalprice") * 100).cast("long") / 500000)
+        .cast("long")
+        .alias("bin"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("pos"),
+    )
+    h = o.groupBy("bin").agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum(1 - F.col("pos")).cast("long").alias("g"),
+    )
+    tot = h.agg(
+        F.sum("p").cast("long").alias("pt"),
+        F.sum("g").cast("long").alias("gt"),
+        F.max("bin").cast("long").alias("max_bin"),
+    )
+    b = h.select(
+        F.col("bin").alias("b_bin"), F.col("p").alias("b_p"), F.col("g").alias("b_g")
+    )
+    cum = (
+        h.select("bin")
+        .join(F.broadcast(b), F.col("b_bin") <= F.col("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum("b_p").cast("long").alias("pl"),
+            F.sum("b_g").cast("long").alias("gl"),
+        )
+    )
+    pl, gl = F.col("pl"), F.col("gl")
+    pt, gt = F.col("pt"), F.col("gt")
+    pr, gr = pt - pl, gt - gl
+    wgini = 1 - (
+        (pl.cast("double") * pl + gl.cast("double") * gl) / (pl + gl)
+        + (pr.cast("double") * pr + gr.cast("double") * gr) / (pr + gr)
+    ) / (pt + gt)
+    parent = 1 - (pt.cast("double") * pt + gt.cast("double") * gt) / (
+        (pt + gt).cast("double") * (pt + gt)
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("bin") < F.col("max_bin"))
+        .select(
+            ((F.col("bin") + 1) * 500000).alias("threshold_cents"),
+            (pl + gl).alias("n_left"),
+            (pr + gr).alias("n_right"),
+            pl.alias("pos_left"),
+            pr.alias("pos_right"),
+            (F.floor(wgini * 1e6 + 0.5) / 1e6).alias("gini_q"),
+            (F.floor((parent - wgini) * 1e6 + 0.5) / 1e6).alias("gain_q"),
+            wgini.alias("_w"),
+            F.col("bin").alias("_b"),
+        )
+        .orderBy(F.asc("_w"), F.asc("_b"))
+        .limit(1)
+        .drop("_w", "_b")
+    )
+
+
+@_staged(
+    "ols_price_qty_disc",
+    """
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(CAST(count(*) AS BIGINT) AS BIGINT) AS n_i,
+             CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS s2,
+             CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+             CAST(CAST(sum(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+             CAST(CAST(sum(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+             CAST(CAST(sum(x1 * y) AS BIGINT) AS DOUBLE) AS s1y,
+             CAST(CAST(sum(x2 * y) AS BIGINT) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM li
+    ),
+    beta AS (
+      SELECT n_i, sy, s1y, s2y, syy, n,
+             n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det,
+             sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y) AS d0,
+             n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS d1,
+             n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - s11 * s2) AS d2
+      FROM s
+    )
+    SELECT n_i AS n,
+           floor(d0 / det * 1e6 + 0.5) / 1e6 AS beta0_q,
+           floor(d1 / det * 1e6 + 0.5) / 1e6 AS beta1_q,
+           floor(d2 / det * 1e6 + 0.5) / 1e6 AS beta2_q,
+           floor((1 - (syy - (d0 / det) * sy - (d1 / det) * s1y
+                       - (d2 / det) * s2y)
+                      / (syy - sy * sy / n))
+                 * 1e6 + 0.5) / 1e6 AS r2_q
+    FROM beta
+    """,
+)
+def ols_price_qty_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression (extended price ~
+    quantity + discount, with intercept) — the normal equations
+    solved by Cramer's rule on a 3×3 Gram matrix whose entries are
+    INTEGER sufficient statistics from ONE aggregate pass (the
+    multi-feature generalization of a3_regression_slope): n, Σx₁,
+    Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y in BIGINT and Σy² in
+    DECIMAL(38,0)/HUGEINT (y² crosses 2^63 near 100k rows of cents).
+    No gradient iterations, no per-row floats — summation order
+    cannot matter; the determinants and R² are single double
+    expressions in identical operation order on both engines,
+    floor-quantized 1e-6. At 100 TB this is one map-side-combined
+    aggregate to 10 numbers, then O(1) driver math."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(x1).cast("long").cast("double").alias("s1"),
+        F.sum(x2).cast("long").cast("double").alias("s2"),
+        F.sum(y).cast("long").cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("long").cast("double").alias("s11"),
+        F.sum(x2 * x2).cast("long").cast("double").alias("s22"),
+        F.sum(x1 * x2).cast("long").cast("double").alias("s12"),
+        F.sum(x1 * y).cast("long").cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("long").cast("double").alias("s2y"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+    ).withColumn("n", F.col("n_i").cast("double"))
+    n = F.col("n")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    d0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    d1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    d2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    sse = syy - (d0 / det) * sy - (d1 / det) * s1y - (d2 / det) * s2y
+    sst = syy - sy * sy / n
+
+    def q6(c):
+        return F.floor(c * 1e6 + 0.5) / 1e6
+
+    return s.select(
+        F.col("n_i").alias("n"),
+        q6(d0 / det).alias("beta0_q"),
+        q6(d1 / det).alias("beta1_q"),
+        q6(d2 / det).alias("beta2_q"),
+        q6(1 - sse / sst).alias("r2_q"),
+    )
+
+
+@_staged(
+    "spatial_grid_nn_customers",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             (c_custkey * 48271) % 100000 AS cx,
+             (c_custkey * 69621) % 100000 AS cy
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             (s_suppkey * 40692) % 100000 AS sx,
+             (s_suppkey * 16807) % 100000 AS sy
+      FROM supplier
+    ),
+    pairs AS (
+      SELECT c.c_custkey,
+             (c.cx - s.sx) * (c.cx - s.sx)
+               + (c.cy - s.sy) * (c.cy - s.sy) AS d2,
+             s.s_suppkey
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey,
+           CAST(min(d2 * 100000 + s_suppkey) % 100000 AS BIGINT)
+             AS nearest_suppkey,
+           CAST(min(d2 * 100000 + s_suppkey) // 100000 AS BIGINT) AS d2
+    FROM pairs
+    WHERE d2 <= 64000000
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def spatial_grid_nn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial nearest-neighbor join: every customer
+    site finds its closest supplier site within radius 8,000 on a
+    synthetic 100k×100k integer plane (coordinates are LCG-mixed
+    key residues — exact integers, replayable in SQL). The engine
+    assigns suppliers to radius-sized grid cells and each customer
+    probes only its 3×3 cell NEIGHBORHOOD (any point within R is at
+    most one cell away — the standard fixed-radius-NN grid bound),
+    so the join is O(points·9·cell density) and each cell pair is a
+    co-partitioned hash join on (cellx, celly); the oracle
+    brute-forces the full cross join — quadratic, fine at sf0.01 —
+    and must agree exactly. Distances are integer d²; the argmin is
+    packed d²·100000+suppkey so min() resolves ties to the smaller
+    supplier key with NO floats anywhere (suppkey < 100000 at test
+    SFs; repack with a wider radix at larger scale)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    R2 = 64000000
+    CELL = 8000
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 100000).alias("cx"),
+        ((F.col("c_custkey") * 69621) % 100000).alias("cy"),
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 40692) % 100000).alias("sx"),
+        ((F.col("s_suppkey") * 16807) % 100000).alias("sy"),
+    ).select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        F.floor(F.col("sx") / CELL).alias("cellx"),
+        F.floor(F.col("sy") / CELL).alias("celly"),
+    )
+    probes = (
+        c.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "c_custkey",
+            "cx",
+            "cy",
+            (F.floor(F.col("cx") / CELL) + F.col("dx")).alias("cellx"),
+            (F.floor(F.col("cy") / CELL) + F.col("dy")).alias("celly"),
+        )
+    )
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    packed = F.min(d2 * 100000 + F.col("s_suppkey"))
+    return (
+        probes.join(s, ["cellx", "celly"])
+        .filter(d2 <= R2)
+        .groupBy("c_custkey")
+        .agg(packed.alias("_pk"))
+        .select(
+            "c_custkey",
+            (F.col("_pk") % 100000).cast("long").alias("nearest_suppkey"),
+            F.floor(F.col("_pk") / 100000).cast("long").alias("d2"),
+        )
+        .orderBy("c_custkey")
+    )
