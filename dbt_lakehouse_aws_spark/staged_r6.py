@@ -6790,3 +6790,105 @@ def spatial_grid_nn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@_staged(
+    "grouping_sets_events",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS weekday,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT CAST(2 * grouping(event_type) + grouping(weekday) AS BIGINT)
+             AS gid,
+           event_type, weekday,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM e
+    GROUP BY GROUPING SETS ((event_type), (weekday), ())
+    ORDER BY gid, event_type NULLS FIRST, weekday NULLS FIRST
+    """,
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id — the third member of the
+    multi-aggregate family (cube_events_type_weekday and
+    a12_rollup_revenue cover CUBE and ROLLUP): one shuffle computes
+    the by-type, by-weekday, and grand-total aggregates, with
+    grouping_id() disambiguating real NULLs from subtotal rows —
+    the property that makes grouping sets usable at all downstream.
+    Spark's grouping_id bit order (first listed column = MSB) is
+    replayed in the oracle as 2·grouping(a)+grouping(b); integers
+    throughout (counts + exact cents)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("weekday"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        e.groupingSets([["event_type"], ["weekday"], []], "event_type", "weekday")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("gid", "event_type", "weekday", "n", "cents")
+        .orderBy(
+            "gid",
+            F.col("event_type").asc_nulls_first(),
+            F.col("weekday").asc_nulls_first(),
+        )
+    )
+
+
+@_staged(
+    "bitwise_gauntlet_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+           CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS popcount_sum,
+           CAST(sum((o_orderkey >> 3) & 1) AS BIGINT) AS bit3_sum,
+           CAST(sum((o_orderkey << 2) & 1048575) AS BIGINT) AS shl2_masked_sum,
+           CAST(sum(o_orderkey >> 2) AS BIGINT) AS shr2_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bitwise_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-function gauntlet: the bit_and/bit_or/bit_xor
+    AGGREGATES (all three are commutative-associative monoids —
+    map-side combinable, shuffle-safe in any partitioning) plus
+    scalar popcount, bit test, masked shifts — each exactly
+    integer-replayable. bit_xor over a key column is the classic
+    cheap set-digest (two file lists with equal counts + equal xor
+    are almost surely equal) and the same device the ACID layer's
+    change-feed reconciliation uses."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.bit_and(k).cast("long").alias("key_and"),
+            F.bit_or(k).cast("long").alias("key_or"),
+            F.bit_xor(k).cast("long").alias("key_xor"),
+            F.sum(F.bit_count(k)).cast("long").alias("popcount_sum"),
+            F.sum(F.shiftright(k, 3).bitwiseAND(F.lit(1)))
+            .cast("long")
+            .alias("bit3_sum"),
+            F.sum(F.shiftleft(k, 2).bitwiseAND(F.lit(1048575)))
+            .cast("long")
+            .alias("shl2_masked_sum"),
+            F.sum(F.shiftright(k, 2)).cast("long").alias("shr2_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
