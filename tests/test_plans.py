@@ -530,3 +530,36 @@ def test_staged_r5_session_queries_no_funnels_or_row_udfs(spark, sf_dir):
         rep = plan_report(STAGED_QUERIES[n](spark, sf_dir))
         assert not rep.smells.get("single_partition_exchange"), (n, rep.smells)
         assert not rep.smells.get("python_row_udf"), (n, rep.smells)
+
+
+def test_staged_rank_stats_and_spatial_no_funnels_or_row_udfs(spark, sf_dir):
+    """Plan-lint sweep over the rank-statistics/stump/OLS/spatial/
+    gauntlet staged additions. The rank-based pair (Mann-Whitney,
+    Spearman) builds value-level midranks on prefix_sum — bounded
+    metadata collects at construction, but the RESULT plan must hold
+    no one-task exchange; spatial NN must be a hash join on the grid
+    cell keys, never a Cartesian product (the brute-force cross join
+    lives only in the oracle)."""
+    from dbt_lakehouse_aws_spark.plans.lint import plan_report
+    from dbt_lakehouse_aws_spark.staged_r6 import STAGED_QUERIES
+
+    names = [
+        "mann_whitney_by_type",
+        "spearman_qty_price",
+        "decision_stump_orders",
+        "ols_price_qty_disc",
+        "spatial_grid_nn_customers",
+        "grouping_sets_events",
+        "bitwise_gauntlet_orders",
+    ]
+    for n in names:
+        df = STAGED_QUERIES[n](spark, sf_dir)
+        rep = plan_report(df)
+        assert not rep.smells.get("single_partition_exchange"), (n, rep.smells)
+        assert not rep.smells.get("python_row_udf"), (n, rep.smells)
+
+    nn_plan = STAGED_QUERIES["spatial_grid_nn_customers"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in nn_plan
+    assert "BroadcastNestedLoopJoin" not in nn_plan
