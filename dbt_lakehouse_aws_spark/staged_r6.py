@@ -6892,3 +6892,59 @@ def bitwise_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_staged(
+    "dp_noisy_counts_events",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    seeded AS (
+      SELECT event_type, n,
+             (CAST(CAST('0x' || substr(
+                    md5('dp-seed-1|' || event_type), 1, 15)
+                  AS BIGINT) % 999999 AS DOUBLE) + 0.5) / 1000000 AS u
+      FROM c
+    )
+    SELECT event_type,
+           floor((n - 2.0 * CASE WHEN u > 0.5 THEN 1 ELSE -1 END
+                        * ln(1 - abs(2 * u - 1)))
+                 * 1e6 + 0.5) / 1e6 AS noisy_n_q
+    FROM seeded ORDER BY event_type
+    """,
+)
+def dp_noisy_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private event counts via the Laplace
+    mechanism with a DETERMINISTIC seed: the uniform draw comes from
+    the portable 60-bit md5 prefix of (seed|key) — the same
+    cross-engine hash the MinHash oracle replays — pushed through
+    the inverse Laplace CDF (b = sensitivity/ε = 1/0.5). Seeded DP
+    is how production pipelines make private releases REPRODUCIBLE
+    (re-running the job must not leak a fresh noise draw of the same
+    statistic — the classic averaging attack); determinism is also
+    what makes the mechanism value-oracle-able at all. ln() may
+    differ across engines by ~1 ulp of a |value| ≤ ~14, i.e. 1e-15
+    — nine orders below the 1e-6 quantum; the seed is fixed, so a
+    green compare is stable, not a coin flip."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    c = T(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp-seed-1|"), F.col("event_type"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = ((h % 999999).cast("double") + 0.5) / 1000000
+    noise = (
+        F.lit(2.0)
+        * F.when(u > 0.5, 1).otherwise(-1)
+        * F.log(1 - F.abs(2 * u - 1))
+    )
+    return c.select(
+        "event_type",
+        (F.floor((F.col("n") - noise) * 1e6 + 0.5) / 1e6).alias("noisy_n_q"),
+    ).orderBy("event_type")

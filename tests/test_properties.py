@@ -626,3 +626,81 @@ def test_quantile_normalize_order_and_size(spark, rows):
         chunks.sort()
         fitted = [q for _, q in chunks]
         assert fitted == sorted(fitted)
+
+
+@given(st.lists(st.integers(-20, 20), min_size=2, max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_half_unit_midranks_match_brute_force(values):
+    """The 2×rank integer device used by mann_whitney_by_type and
+    spearman_qty_price: rank2(v) = 2·cum_before(v) + cnt(v) + 1 must
+    equal twice the classic average midrank of v for ANY multiset."""
+    from collections import Counter
+
+    cnt = Counter(values)
+    # brute-force midranks: positions are 1..n over the sorted list
+    ordered = sorted(values)
+    pos_by_value = {}
+    for i, v in enumerate(ordered, start=1):
+        pos_by_value.setdefault(v, []).append(i)
+    cum_before = 0
+    for v in sorted(cnt):
+        rank2 = 2 * cum_before + cnt[v] + 1
+        midrank = sum(pos_by_value[v]) / len(pos_by_value[v])
+        assert rank2 == 2 * midrank
+        cum_before += cnt[v]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 999), st.integers(1, 99)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_packed_argmin_resolves_min_then_key(pairs):
+    """spatial_grid_nn's packed argmin (d²·radix + key) must pick
+    the smallest distance and break exact-distance ties on the
+    smaller key, for any candidate set."""
+    radix = 100
+    packed = min(d * radix + k for d, k in pairs)
+    best_d, best_k = packed // radix, packed % radix
+    min_d = min(d for d, _ in pairs)
+    assert best_d == min_d
+    assert best_k == min(k for d, k in pairs if d == min_d)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.booleans()), min_size=2, max_size=60)
+)
+@settings(max_examples=50, deadline=None)
+def test_stump_cumulative_scoring_matches_partition_enumeration(rows):
+    """decision_stump_orders' cumulative-count Gini scoring must
+    equal directly partitioning the rows at each candidate bin."""
+    from collections import Counter
+
+    bins = sorted({b for b, _ in rows})
+    if len(bins) < 2:
+        return
+    pos = Counter(b for b, lab in rows if lab)
+    neg = Counter(b for b, lab in rows if not lab)
+    n = len(rows)
+
+    def gini_side(p, g):
+        m = p + g
+        return 1 - (p * p + g * g) / (m * m) if m else 0.0
+
+    for t in bins[:-1]:
+        # enumeration
+        lp = sum(1 for b, lab in rows if b <= t and lab)
+        lg = sum(1 for b, lab in rows if b <= t and not lab)
+        rp = sum(1 for b, lab in rows if b > t and lab)
+        rg = n - lp - lg - rp
+        direct = ((lp + lg) * gini_side(lp, lg) + (rp + rg) * gini_side(rp, rg)) / n
+        # cumulative-count formula as written in the query
+        pl = sum(v for b, v in pos.items() if b <= t)
+        gl = sum(v for b, v in neg.items() if b <= t)
+        pt, gt = sum(pos.values()), sum(neg.values())
+        pr, gr = pt - pl, gt - gl
+        wgini = 1 - ((pl * pl + gl * gl) / (pl + gl) + (pr * pr + gr * gr) / (pr + gr)) / (pt + gt)
+        assert abs(direct - wgini) < 1e-12
