@@ -6948,3 +6948,168 @@ def dp_noisy_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.floor((F.col("n") - noise) * 1e6 + 0.5) / 1e6).alias("noisy_n_q"),
     ).orderBy("event_type")
+
+
+@_staged(
+    "item_cf_topk_parts",
+    """
+    WITH inter AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    capped AS (
+      SELECT u, i FROM inter
+      WHERE u IN (SELECT u FROM inter GROUP BY u HAVING count(*) <= 100)
+    ),
+    icnt AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS n FROM capped GROUP BY i
+    ),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS co
+      FROM capped a JOIN capped b ON b.u = a.u AND b.i <> a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.i, p.j, p.co,
+             CAST(floor(CAST(p.co AS DOUBLE)
+                        / sqrt(CAST(ni.n AS DOUBLE) * nj.n)
+                        * 1e6 + 0.5) AS BIGINT) AS score_q
+      FROM pairs p
+      JOIN icnt ni ON ni.i = p.i
+      JOIN icnt nj ON nj.i = p.j
+    ),
+    top_items AS (
+      SELECT i FROM icnt ORDER BY n DESC, i ASC LIMIT 20
+    ),
+    ranked AS (
+      SELECT s.*, row_number() OVER (
+               PARTITION BY s.i ORDER BY s.score_q DESC, s.j ASC) AS rk
+      FROM scored s JOIN top_items t ON t.i = s.i
+    )
+    SELECT i, j, co, score_q, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY i, rk
+    """,
+)
+def item_cf_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering — co-occurrence cosine,
+    the workhorse recommender: customers×parts interactions from
+    the orders⋈lineitem join, a DEGREE CAP (customers with ≤100
+    distinct parts — the standard bound that keeps the self-join
+    fan-out ≤ cap² per user instead of quadratic in the heaviest
+    key), pair counts from a self-join co-partitioned on the user
+    key, cosine co/√(nᵢ·nⱼ) QUANTIZED TO AN INTEGER score before
+    ranking (ranks compare exact integers with a key tiebreak — a
+    last-ulp float difference can never flip the top-k), top-3
+    neighbors for the 20 most-interacted parts. The per-item window
+    is partitioned by item — a hash exchange, never one task."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("u")
+    )
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("i")
+    )
+    inter = o.join(l, "ok").select("u", "i").distinct()
+    deg_ok = inter.groupBy("u").count().filter(F.col("count") <= 100).select("u")
+    capped = inter.join(deg_ok, "u").persist()
+    icnt = capped.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top_items = icnt.orderBy(F.desc("n"), F.asc("i")).limit(20).select("i")
+    # only pairs anchored at a top item ever reach the output, so the
+    # anchor side shrinks to Σ_top n_i rows BEFORE the u-key self-join
+    # — fan-out ≤ |top∩user|·deg per user instead of deg² — without
+    # changing any score (co and n_j are computed over the full set).
+    anchored = capped.join(F.broadcast(top_items), "i")
+    b = capped.select("u", F.col("i").alias("j"))
+    pairs = (
+        anchored.join(b, "u")
+        .filter(F.col("j") != F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+    scored = (
+        pairs.join(F.broadcast(icnt.withColumnsRenamed({"i": "i", "n": "ni"})), "i")
+        .join(
+            F.broadcast(icnt.select(F.col("i").alias("j"), F.col("n").alias("nj"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            "co",
+            F.floor(
+                F.col("co").cast("double")
+                / F.sqrt(F.col("ni").cast("double") * F.col("nj"))
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("score_q"), F.asc("j"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("i", "j", "co", "score_q", "rk")
+        .orderBy("i", "rk")
+    )
+
+
+@_staged(
+    "max_drawdown_users",
+    """
+    WITH x AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             ts, event_id
+      FROM events
+    ),
+    dd AS (
+      SELECT user_id, CAST(max(runmax - cum) AS BIGINT) AS drawdown
+      FROM (
+        SELECT user_id, cum,
+               max(cum) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS runmax
+        FROM (
+          SELECT user_id, ts, event_id,
+                 sum(cents) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS cum
+          FROM x
+        )
+      )
+      GROUP BY user_id
+    )
+    SELECT user_id, drawdown FROM dd
+    ORDER BY drawdown DESC, user_id ASC LIMIT 20
+    """,
+)
+def max_drawdown_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — the classic risk statistic
+    (largest peak-to-trough drop of the cumulative value series),
+    all in exact integer cents: per-user running sum, per-user
+    running MAX of that sum, max(peak − cum). Every window is
+    PARTITIONED BY user — hash exchanges over millions of balanced
+    keys, never a one-task global window — so the op scales with
+    users × events-per-user; the total order inside each partition
+    is (ts, event_id), deterministic under same-timestamp events.
+    Top-20 drawdowns."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from pyspark.sql import Window
+
+    x = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = x.withColumn("cum", F.sum("cents").over(wseq))
+    dd = cum.withColumn(
+        "runmax", F.max("cum").over(wseq)
+    ).groupBy("user_id").agg(
+        F.max(F.col("runmax") - F.col("cum")).cast("long").alias("drawdown")
+    )
+    return dd.orderBy(F.desc("drawdown"), F.asc("user_id")).limit(20)
