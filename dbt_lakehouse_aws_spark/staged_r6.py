@@ -7113,3 +7113,108 @@ def max_drawdown_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("runmax") - F.col("cum")).cast("long").alias("drawdown")
     )
     return dd.orderBy(F.desc("drawdown"), F.asc("user_id")).limit(20)
+
+
+@_staged(
+    "fifo_match_returns_parts",
+    """
+    WITH li AS (
+      SELECT l_partkey AS part,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * 100 / l_quantity + 0.5)
+                  AS BIGINT) AS unit_cents,
+             l_returnflag = 'R' AS is_sell,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    buys AS (
+      SELECT part, qty, unit_cents,
+             sum(qty) OVER (PARTITION BY part
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber)
+               AS b_end
+      FROM li WHERE NOT is_sell
+    ),
+    sells AS (
+      SELECT part, qty,
+             sum(qty) OVER (PARTITION BY part
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber)
+               AS s_end
+      FROM li WHERE is_sell
+    ),
+    matched AS (
+      SELECT b.part,
+             least(b.b_end, s.s_end)
+               - greatest(b.b_end - b.qty, s.s_end - s.qty) AS m,
+             b.unit_cents
+      FROM buys b JOIN sells s
+        ON s.part = b.part
+       AND b.b_end - b.qty < s.s_end
+       AND s.s_end - s.qty < b.b_end
+    )
+    SELECT part,
+           CAST(sum(m) AS BIGINT) AS matched_qty,
+           CAST(sum(m * unit_cents) AS BIGINT) AS matched_cost_cents,
+           CAST(count(*) AS BIGINT) AS n_lots
+    FROM matched GROUP BY part
+    ORDER BY matched_qty DESC, part ASC LIMIT 20
+    """,
+)
+def fifo_match_returns_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO cost allocation as INTERVAL ALGEBRA — the inventory/tax
+    lot-matching kernel with no per-row iteration: per part, buys
+    (non-return lineitems) and sells (returns) each get cumulative
+    quantity intervals [cum−qty, cum) in ship order, and FIFO
+    matching is exactly interval intersection — lot b fills return s
+    by least(ends)−greatest(starts) whenever the intervals overlap.
+    The sequential pop-the-queue algorithm becomes a self-join on
+    (part, interval-overlap): per-part windows are hash exchanges,
+    the overlap join touches O(lots + matches) pairs (each buy
+    overlaps a contiguous run of sells — at most matches + lots
+    pairs, never lots²), and every quantity/cost is an exact integer
+    (unit price floor(·+0.5)-quantized to cents once, identically on
+    both engines). Top-20 parts by matched quantity."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 / F.col("l_quantity") + 0.5)
+        .cast("long")
+        .alias("unit_cents"),
+        (F.col("l_returnflag") == "R").alias("is_sell"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("part").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    buys = (
+        li.filter(~F.col("is_sell"))
+        .withColumn("b_end", F.sum("qty").over(w))
+        .select("part", "qty", "unit_cents", "b_end")
+    )
+    sells = (
+        li.filter(F.col("is_sell"))
+        .withColumn("s_end", F.sum("qty").over(w))
+        .select("part", F.col("qty").alias("s_qty"), "s_end")
+    )
+    m = F.least(F.col("b_end"), F.col("s_end")) - F.greatest(
+        F.col("b_end") - F.col("qty"), F.col("s_end") - F.col("s_qty")
+    )
+    return (
+        buys.join(
+            sells,
+            (sells["part"] == buys["part"])
+            & (buys["b_end"] - buys["qty"] < sells["s_end"])
+            & (sells["s_end"] - sells["s_qty"] < buys["b_end"]),
+        )
+        .drop(sells["part"])
+        .groupBy("part")
+        .agg(
+            F.sum(m).cast("long").alias("matched_qty"),
+            F.sum(m * F.col("unit_cents")).cast("long").alias("matched_cost_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lots"),
+        )
+        .orderBy(F.desc("matched_qty"), F.asc("part"))
+        .limit(20)
+    )
