@@ -7218,3 +7218,106 @@ def fifo_match_returns_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("matched_qty"), F.asc("part"))
         .limit(20)
     )
+
+
+@_staged(
+    "als_user_step_lineitem",
+    """
+    WITH r AS (
+      SELECT o.o_custkey AS u, l.l_partkey AS i,
+             CAST(l.l_quantity AS BIGINT) AS rating
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    f AS (
+      SELECT DISTINCT i,
+             (i * 2654435761) % 1000 - 500 AS f1,
+             (i * 40503) % 1000 - 500 AS f2
+      FROM r
+    ),
+    s AS (
+      SELECT r.u,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(f.f1 * f.f1) AS BIGINT) AS a11,
+             CAST(sum(f.f1 * f.f2) AS BIGINT) AS a12,
+             CAST(sum(f.f2 * f.f2) AS BIGINT) AS a22,
+             CAST(sum(r.rating * f.f1) AS BIGINT) AS b1,
+             CAST(sum(r.rating * f.f2) AS BIGINT) AS b2
+      FROM r JOIN f ON f.i = r.i
+      GROUP BY r.u
+    ),
+    solved AS (
+      SELECT u, n,
+             CAST(a11 AS DOUBLE) / 1e6 + 0.1 AS m11,
+             CAST(a12 AS DOUBLE) / 1e6 AS m12,
+             CAST(a22 AS DOUBLE) / 1e6 + 0.1 AS m22,
+             CAST(b1 AS DOUBLE) / 1e3 AS v1,
+             CAST(b2 AS DOUBLE) / 1e3 AS v2
+      FROM s
+    )
+    SELECT u, n,
+           floor((m22 * v1 - m12 * v2) / (m11 * m22 - m12 * m12)
+                 * 1e6 + 0.5) / 1e6 AS x1_q,
+           floor((m11 * v2 - m12 * v1) / (m11 * m22 - m12 * m12)
+                 * 1e6 + 0.5) / 1e6 AS x2_q
+    FROM solved ORDER BY n DESC, u ASC LIMIT 20
+    """,
+)
+def als_user_step_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-step — the building block of alternating
+    least squares recommenders: with item factors FROZEN to
+    hash-derived integer thousandths (deterministic init, exact in
+    SQL), each user's rank-2 factor vector solves the 2×2 ridge
+    system (A/1e6 + λI)x = b/1e3 in closed form. The Gram entries
+    Σf₁², Σf₁f₂, Σf₂² and the right side Σr·f accumulate as exact
+    INTEGERS (summation order can't matter — the trap in naive
+    float-factor ALS), one map-side-combinable aggregate per user;
+    the 2×2 Cramer solve is a single double expression, identical
+    op order both engines, floor-quantized 1e-6. λ=0.1. At 100 TB
+    this is precisely distributed ALS's shape: broadcast/join the
+    frozen side, one grouped aggregate, per-key O(k²) solves.
+    Top-20 users by rating count."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("u")
+    )
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("i"),
+        F.col("l_quantity").cast("long").alias("rating"),
+    )
+    r = o.join(l, "ok").select("u", "i", "rating")
+    f = r.select("i").distinct().select(
+        "i",
+        ((F.col("i") * 2654435761) % 1000 - 500).alias("f1"),
+        ((F.col("i") * 40503) % 1000 - 500).alias("f2"),
+    )
+    s = (
+        r.join(f, "i")
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("f1") * F.col("f1")).cast("long").alias("a11"),
+            F.sum(F.col("f1") * F.col("f2")).cast("long").alias("a12"),
+            F.sum(F.col("f2") * F.col("f2")).cast("long").alias("a22"),
+            F.sum(F.col("rating") * F.col("f1")).cast("long").alias("b1"),
+            F.sum(F.col("rating") * F.col("f2")).cast("long").alias("b2"),
+        )
+    )
+    a11 = F.col("a11").cast("double") / 1e6 + 0.1
+    a12 = F.col("a12").cast("double") / 1e6
+    a22 = F.col("a22").cast("double") / 1e6 + 0.1
+    b1 = F.col("b1").cast("double") / 1e3
+    b2 = F.col("b2").cast("double") / 1e3
+    det = a11 * a22 - a12 * a12
+    x1 = (a22 * b1 - a12 * b2) / det
+    x2 = (a11 * b2 - a12 * b1) / det
+
+    def q6(c):
+        return F.floor(c * 1e6 + 0.5) / 1e6
+
+    return (
+        s.select("u", "n", q6(x1).alias("x1_q"), q6(x2).alias("x2_q"))
+        .orderBy(F.desc("n"), F.asc("u"))
+        .limit(20)
+    )
