@@ -7321,3 +7321,145 @@ def als_user_step_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("u"))
         .limit(20)
     )
+
+
+@_staged(
+    "stl_lite_daily_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    ma AS (
+      SELECT a.d, a.cents,
+             CAST(sum(b.cents) AS BIGINT) AS sum7,
+             CAST(count(*) AS BIGINT) AS n7
+      FROM daily a JOIN daily b
+        ON b.d BETWEEN a.d - INTERVAL 3 DAY AND a.d + INTERVAL 3 DAY
+      GROUP BY a.d, a.cents
+      HAVING count(*) = 7
+    ),
+    season AS (
+      SELECT CAST(EXTRACT(dow FROM d) + 1 AS BIGINT) AS wd,
+             CAST(sum(7 * cents - sum7) AS BIGINT) AS dsum,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ma GROUP BY 1
+    )
+    SELECT ma.d, ma.cents,
+           floor(CAST(ma.sum7 AS DOUBLE) / 7 * 1e6 + 0.5) / 1e6 AS trend_q,
+           floor(CAST(s.dsum AS DOUBLE) / (7 * s.n) * 1e6 + 0.5) / 1e6
+             AS seasonal_q,
+           floor((ma.cents - CAST(ma.sum7 AS DOUBLE) / 7
+                  - CAST(s.dsum AS DOUBLE) / (7 * s.n)) * 1e6 + 0.5) / 1e6
+             AS remainder_q
+    FROM ma JOIN season s ON s.wd = CAST(EXTRACT(dow FROM ma.d) + 1 AS BIGINT)
+    ORDER BY ma.d
+    """,
+)
+def stl_lite_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the daily revenue series —
+    trend (centered 7-day moving average), weekday seasonal, and
+    remainder, with EVERY aggregate exact: the detrended series is
+    kept as the INTEGER 7·x − Σ₇ (multiplying through by the window
+    size instead of averaging floats — per-row float residuals
+    averaged later would be summation-order-dependent), so the
+    seasonal means are single integer-ratio expressions. The moving
+    window is a self-join on the DAY-level frame (bounded by the
+    calendar, not row count — no global window funnel), edges
+    dropped by the HAVING count = 7 full-window rule. Output is the
+    full decomposition per day, floor-quantized 1e-6; remainder ≡
+    x − trend − seasonal by construction."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    b = daily.select(F.col("d").alias("bd"), F.col("cents").alias("bcents"))
+    ma = (
+        daily.join(
+            b,
+            (F.col("bd") >= F.date_sub(F.col("d"), 3))
+            & (F.col("bd") <= F.date_add(F.col("d"), 3)),
+        )
+        .groupBy("d", "cents")
+        .agg(
+            F.sum("bcents").cast("long").alias("sum7"),
+            F.count(F.lit(1)).cast("long").alias("n7"),
+        )
+        .filter(F.col("n7") == 7)
+    )
+    season = ma.groupBy(F.dayofweek("d").cast("long").alias("wd")).agg(
+        F.sum(7 * F.col("cents") - F.col("sum7")).cast("long").alias("dsum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+    def q6(c):
+        return F.floor(c * 1e6 + 0.5) / 1e6
+
+    trend = F.col("sum7").cast("double") / 7
+    seasonal = F.col("dsum").cast("double") / (7 * F.col("n"))
+    return (
+        ma.join(
+            F.broadcast(season),
+            F.dayofweek(ma["d"]).cast("long") == F.col("wd"),
+        )
+        .select(
+            "d",
+            "cents",
+            q6(trend).alias("trend_q"),
+            q6(seasonal).alias("seasonal_q"),
+            q6(F.col("cents") - trend - seasonal).alias("remainder_q"),
+        )
+        .orderBy("d")
+    )
+
+
+@_staged(
+    "string_format_gauntlet_parts",
+    """
+    SELECT p_partkey,
+           printf('%08d|%s', p_partkey, p_brand) AS tag,
+           lpad(p_brand, 12, '*') AS lp,
+           rpad(p_type, 16, '.') AS rp,
+           translate(p_brand, '#', 'B') AS tr,
+           repeat(right(p_brand, 2), 3) AS rep,
+           reverse(p_type) AS rev,
+           ascii(p_name) AS first_code,
+           chr(65 + CAST(p_partkey % 26 AS INTEGER)) AS bucket_chr,
+           left(p_name, 5) AS l5,
+           right(p_name, 4) AS r4,
+           CAST(strpos(p_type, 'BRUSHED') AS BIGINT) AS brushed_at,
+           substr(p_name, 2, 4) AS mid
+    FROM part
+    WHERE p_partkey % 97 = 0
+    ORDER BY p_partkey
+    """,
+)
+def string_format_gauntlet_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting/manipulation gauntlet over the cross-engine
+    common surface: printf-style formatting (Java format_string and
+    C printf agree on %08d/%s), lpad/rpad, translate, repeat,
+    reverse, ascii/chr, left/right, instr/strpos (both 1-based,
+    0 = absent), substr. Row-level function-surface proof on a
+    deterministic key slice; everything is a pushed-down projection
+    over one scan."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") % 97 == 0)
+    return p.select(
+        "p_partkey",
+        F.format_string("%08d|%s", "p_partkey", "p_brand").alias("tag"),
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.rpad("p_type", 16, ".").alias("rp"),
+        F.translate("p_brand", "#", "B").alias("tr"),
+        F.repeat(F.substring(F.col("p_brand"), -2, 2), 3).alias("rep"),
+        F.reverse("p_type").alias("rev"),
+        F.ascii("p_name").alias("first_code"),
+        F.chr(65 + (F.col("p_partkey") % 26)).alias("bucket_chr"),
+        F.substring("p_name", 1, 5).alias("l5"),
+        F.substring(F.col("p_name"), -4, 4).alias("r4"),
+        F.instr("p_type", "BRUSHED").cast("long").alias("brushed_at"),
+        F.substring("p_name", 2, 4).alias("mid"),
+    ).orderBy("p_partkey")
