@@ -7463,3 +7463,143 @@ def string_format_gauntlet_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_type", "BRUSHED").cast("long").alias("brushed_at"),
         F.substring("p_name", 2, 4).alias("mid"),
     ).orderBy("p_partkey")
+
+
+@_staged(
+    "markov_perplexity_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    c AS (
+      SELECT prev, event_type, CAST(count(*) AS BIGINT) AS cij
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT prev, CAST(sum(cij) AS BIGINT) AS ci FROM c GROUP BY 1
+    ),
+    ll AS (
+      SELECT CAST(sum(c.cij) AS BIGINT) AS n,
+             sum(c.cij * ln(CAST(c.cij AS DOUBLE) / r.ci)) AS loglik
+      FROM c JOIN r ON r.prev = c.prev
+    )
+    SELECT n,
+           floor(loglik * 1e6 + 0.5) / 1e6 AS ll_q,
+           floor(exp(-loglik / n) * 1e6 + 0.5) / 1e6 AS perplexity_q
+    FROM ll
+    """,
+)
+def markov_perplexity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event stream under its own fitted
+    first-order Markov model — the sequence-model companion to
+    event_transition_matrix: per-user lag pairs (hash-partitioned
+    windows), integer transition counts, in-sample log-likelihood
+    Σ cᵢⱼ·ln(cᵢⱼ/cᵢ) and perplexity exp(−LL/N). The float sum runs
+    over the |states|² cell frame (bounded by the type vocabulary,
+    not rows), each term an exact-integer ratio through one ln —
+    cross-engine drift ≤ |cells|·ulp ≈ 1e-10, four orders under the
+    1e-6 quantum."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    c = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cij"))
+    )
+    r = c.groupBy("prev").agg(F.sum("cij").cast("long").alias("ci"))
+    ll = c.join(r, "prev").agg(
+        F.sum("cij").cast("long").alias("n"),
+        F.sum(
+            F.col("cij") * F.log(F.col("cij").cast("double") / F.col("ci"))
+        ).alias("loglik"),
+    )
+    return ll.select(
+        "n",
+        (F.floor(F.col("loglik") * 1e6 + 0.5) / 1e6).alias("ll_q"),
+        (F.floor(F.exp(-F.col("loglik") / F.col("n")) * 1e6 + 0.5) / 1e6).alias(
+            "perplexity_q"
+        ),
+    )
+
+
+@_staged(
+    "cramers_v_events",
+    """
+    WITH obs AS (
+      SELECT event_type AS a,
+             CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS na FROM obs GROUP BY 1),
+    rb AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT a) AS BIGINT) AS ka,
+                   CAST(count(DISTINCT b) AS BIGINT) AS kb
+            FROM obs),
+    chi AS (
+      SELECT tot.n, tot.ka, tot.kb,
+             sum((o - CAST(na AS DOUBLE) * nb / tot.n)
+                 * (o - CAST(na AS DOUBLE) * nb / tot.n)
+                 / (CAST(na AS DOUBLE) * nb / tot.n)) AS chi2
+      FROM obs JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot
+      GROUP BY tot.n, tot.ka, tot.kb
+    )
+    SELECT n, ka, kb,
+           floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2_q,
+           floor(sqrt(chi2 / (n * (least(ka, kb) - 1))) * 1e6 + 0.5) / 1e6
+             AS cramers_v_q
+    FROM chi
+    """,
+)
+def cramers_v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and weekday — the
+    symmetric-categorical effect size on top of the χ² machinery
+    (chi2_terms_by_lang covers selection; this is the normalized
+    association statistic): observed counts per (type, weekday)
+    cell, expected = row·col/N, χ² summed over the |types|·|7| cell
+    frame (bounded by the vocabularies), V = √(χ²/(N·(min(k)−1))).
+    All counts exact integers; the float expression per cell is one
+    fixed-order formula, drift orders below the 1e-6 quantum."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.dayofweek("ts").cast("long").alias("b"),
+    )
+    obs = e.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").cast("long").alias("na"))
+    rb = obs.groupBy("b").agg(F.sum("o").cast("long").alias("nb"))
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("ka"),
+        F.countDistinct("b").cast("long").alias("kb"),
+    )
+    exp_ = F.col("na").cast("double") * F.col("nb") / F.col("n")
+    chi = (
+        obs.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n", "ka", "kb")
+        .agg(
+            F.sum((F.col("o") - exp_) * (F.col("o") - exp_) / exp_).alias("chi2")
+        )
+    )
+    v = F.sqrt(
+        F.col("chi2") / (F.col("n") * (F.least(F.col("ka"), F.col("kb")) - 1))
+    )
+    return chi.select(
+        "n",
+        "ka",
+        "kb",
+        (F.floor(F.col("chi2") * 1e6 + 0.5) / 1e6).alias("chi2_q"),
+        (F.floor(v * 1e6 + 0.5) / 1e6).alias("cramers_v_q"),
+    )
