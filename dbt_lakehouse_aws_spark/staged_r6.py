@@ -7603,3 +7603,211 @@ def cramers_v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("chi2") * 1e6 + 0.5) / 1e6).alias("chi2_q"),
         (F.floor(v * 1e6 + 0.5) / 1e6).alias("cramers_v_q"),
     )
+
+
+@_staged(
+    "largest_remainder_allocation",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS ok, l_linenumber AS ln,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ),
+    o AS (
+      SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS total
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    w AS (
+      SELECT li.ok, li.ln, li.q, o.total,
+             CAST(sum(li.q) OVER (PARTITION BY li.ok) AS BIGINT) AS qsum,
+             CAST(count(*) OVER (PARTITION BY li.ok) AS BIGINT) AS n_lines
+      FROM li JOIN o ON o.ok = li.ok
+    ),
+    base AS (
+      SELECT ok, ln, n_lines, total,
+             total * q // qsum AS alloc0,
+             total * q % qsum AS rem,
+             CAST(sum(total * q // qsum) OVER (PARTITION BY ok) AS BIGINT)
+               AS base_sum
+      FROM w
+    ),
+    ranked AS (
+      SELECT ok, ln, n_lines, total,
+             alloc0 + CASE WHEN row_number() OVER (
+                             PARTITION BY ok
+                             ORDER BY rem DESC, ln ASC)
+                           <= total - base_sum
+                      THEN 1 ELSE 0 END AS alloc
+      FROM base
+    )
+    SELECT ok AS o_orderkey,
+           CAST(max(n_lines) AS BIGINT) AS n_lines,
+           CAST(max(total) AS BIGINT) AS total_cents,
+           CAST(sum(alloc) AS BIGINT) AS sum_alloc,
+           CAST(min(alloc) AS BIGINT) AS min_alloc,
+           CAST(max(alloc) AS BIGINT) AS max_alloc
+    FROM ranked GROUP BY ok ORDER BY ok
+    """,
+)
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment — the financial
+    proration kernel: distribute each order's total cents across its
+    lineitems proportionally to quantity with NO lost cents. base =
+    ⌊total·q/Q⌋ and remainder total·q mod Q are pure INTEGER
+    arithmetic (never a float share rounded later — the classic
+    penny-drift bug), the deficit total−Σbase goes one cent each to
+    the largest remainders (line number breaking exact ties). All
+    windows are per-order hash partitions; the output aggregates
+    the invariant Σalloc = total per order, which the oracle's
+    replay must also produce exactly."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total"),
+        )
+    )
+    wp = Window.partitionBy("ok")
+    w = li.join(o, "ok").select(
+        "ok",
+        "ln",
+        "q",
+        "total",
+        F.sum("q").over(wp).cast("long").alias("qsum"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_lines"),
+    )
+    alloc0 = F.expr("total * q div qsum")  # true integer division, no float path
+    base = w.select(
+        "ok",
+        "ln",
+        "n_lines",
+        "total",
+        alloc0.alias("alloc0"),
+        (F.col("total") * F.col("q") % F.col("qsum")).alias("rem"),
+    ).withColumn("base_sum", F.sum("alloc0").over(wp).cast("long"))
+    rk = F.row_number().over(
+        Window.partitionBy("ok").orderBy(F.desc("rem"), F.asc("ln"))
+    )
+    ranked = base.select(
+        "ok",
+        "n_lines",
+        "total",
+        (
+            F.col("alloc0")
+            + F.when(rk <= F.col("total") - F.col("base_sum"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+    return (
+        ranked.groupBy("ok")
+        .agg(
+            F.max("n_lines").cast("long").alias("n_lines"),
+            F.max("total").cast("long").alias("total_cents"),
+            F.sum("alloc").cast("long").alias("sum_alloc"),
+            F.min("alloc").cast("long").alias("min_alloc"),
+            F.max("alloc").cast("long").alias("max_alloc"),
+        )
+        .withColumnRenamed("ok", "o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@_staged(
+    "cidr_longest_prefix_events",
+    """
+    WITH ips AS (
+      SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS ip
+      FROM events
+    ),
+    cidrs AS (
+      SELECT s_suppkey AS net_id,
+             8 + 8 * (s_suppkey % 3) AS len,
+             (s_suppkey * 2654435761 + 40503) % 4294967296 AS net
+      FROM supplier
+    ),
+    rules AS (
+      SELECT len, net >> (32 - len) AS prefix,
+             CAST(min(net_id) AS BIGINT) AS net_id
+      FROM cidrs GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT ip, r.len, r.net_id
+      FROM ips i JOIN rules r ON r.prefix = i.ip >> (32 - r.len)
+    ),
+    best AS (
+      SELECT ip,
+             CAST(min((32 - len) * 1000000000 + net_id) AS BIGINT) AS pk
+      FROM probes GROUP BY ip
+    )
+    SELECT CAST(32 - pk // 1000000000 AS BIGINT) AS len,
+           CAST(pk % 1000000000 AS BIGINT) AS net_id,
+           CAST(count(*) AS BIGINT) AS n_ips
+    FROM best
+    GROUP BY 1, 2
+    ORDER BY n_ips DESC, len DESC, net_id ASC LIMIT 20
+    """,
+)
+def cidr_longest_prefix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix (CIDR) matching — the geo-IP/firewall join:
+    synthetic 32-bit addresses and a three-tier /8 / /16 / /24 rule
+    table, matched by EQUI-joining on (len, masked prefix) per tier —
+    the standard trick that turns a range-containment problem into
+    |tiers| hash joins (at 100 TB each tier join shuffles once on
+    the prefix key; no inequality join, no per-row rule scan).
+    Longest match wins via the packed integer argmin
+    (32−len)·10⁹+rule_id — no floats anywhere; rules sharing a
+    (len, prefix) cell dedupe to the smallest id first. Output:
+    matched-rule histogram."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ips = (
+        T(spark, sf_dir, "events")
+        .select(((F.col("user_id") * 2654435761) % 4294967296).alias("ip"))
+        .distinct()
+    )
+    cidrs = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("net_id"),
+        (8 + 8 * (F.col("s_suppkey") % 3)).alias("len"),
+        ((F.col("s_suppkey") * 2654435761 + 40503) % 4294967296).alias("net"),
+    )
+    def tier_shift(col):
+        # the Python shiftright API needs a literal count; the three
+        # tier widths are a closed set, so a CASE covers them
+        return (
+            F.when(F.col("len") == 8, F.shiftright(col, 24))
+            .when(F.col("len") == 16, F.shiftright(col, 16))
+            .otherwise(F.shiftright(col, 8))
+        )
+
+    rules = (
+        cidrs.select("len", tier_shift(F.col("net")).alias("prefix"), "net_id")
+        .groupBy("len", "prefix")
+        .agg(F.min("net_id").cast("long").alias("net_id"))
+    )
+    probes = ips.join(
+        F.broadcast(rules), F.col("prefix") == tier_shift(F.col("ip"))
+    )
+    best = probes.groupBy("ip").agg(
+        F.min((32 - F.col("len")) * 1000000000 + F.col("net_id"))
+        .cast("long")
+        .alias("pk")
+    )
+    return (
+        best.select(
+            (32 - F.floor(F.col("pk") / 1000000000)).cast("long").alias("len"),
+            (F.col("pk") % 1000000000).cast("long").alias("net_id"),
+        )
+        .groupBy("len", "net_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ips"))
+        .orderBy(F.desc("n_ips"), F.desc("len"), F.asc("net_id"))
+        .limit(20)
+    )
