@@ -7811,3 +7811,112 @@ def cidr_longest_prefix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_ips"), F.desc("len"), F.asc("net_id"))
         .limit(20)
     )
+
+
+@_staged(
+    "iso_calendar_gauntlet_orders",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS dt,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(isoyear(dt) AS BIGINT) AS iso_year,
+           CAST(week(dt) AS BIGINT) AS iso_week,
+           CAST(min(quarter(dt)) AS BIGINT) AS q_min,
+           CAST(max(dayofyear(dt)) AS BIGINT) AS doy_max,
+           CAST(count(DISTINCT last_day(dt)) AS BIGINT) AS n_month_ends,
+           CAST(count(DISTINCT date_trunc('week', dt)) AS BIGINT) AS n_weeks,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM d GROUP BY 1, 2
+    ORDER BY iso_year, iso_week
+    """,
+)
+def iso_calendar_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 calendar gauntlet — the year-boundary traps every
+    reporting pipeline hits: ISO week-year vs calendar year (Dec 29+
+    can belong to next year's week 1 — both engines agree on the
+    IANA/ISO rule), ISO week numbers, quarters, day-of-year,
+    month-end via last_day, Monday-anchored date_trunc('week').
+    Grouped by (iso_year, iso_week) with exact counts/cents so a
+    single misassigned boundary day reds the row."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("dt"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        d.groupBy(
+            F.expr("extract(yearofweek FROM dt)").cast("long").alias("iso_year"),
+            F.weekofyear("dt").cast("long").alias("iso_week"),
+        )
+        .agg(
+            F.min(F.quarter("dt")).cast("long").alias("q_min"),
+            F.max(F.dayofyear("dt")).cast("long").alias("doy_max"),
+            F.countDistinct(F.last_day("dt")).cast("long").alias("n_month_ends"),
+            F.countDistinct(F.date_trunc("week", F.col("dt")))
+            .cast("long")
+            .alias("n_weeks"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )
+
+
+@_staged(
+    "keyset_pagination_parts",
+    """
+    WITH ranked AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part
+    ),
+    page1 AS (
+      SELECT * FROM ranked
+      ORDER BY price_cents DESC, p_partkey ASC LIMIT 10
+    ),
+    anchor AS (
+      SELECT price_cents AS ap, p_partkey AS ak FROM page1
+      ORDER BY price_cents ASC, p_partkey DESC LIMIT 1
+    )
+    SELECT CAST(2 AS BIGINT) AS page, r.p_partkey, r.price_cents
+    FROM ranked r CROSS JOIN anchor
+    WHERE r.price_cents < anchor.ap
+       OR (r.price_cents = anchor.ap AND r.p_partkey > anchor.ak)
+    ORDER BY r.price_cents DESC, r.p_partkey ASC LIMIT 10
+    """,
+)
+def keyset_pagination_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination — the serving-layer pattern
+    that replaces OFFSET at scale: page 2 of the price-ranked parts
+    is fetched by the composite-key predicate (price, key) <
+    page-1's last row, NOT by skipping rows — OFFSET n scans and
+    discards n rows per page (quadratic over a crawl), the keyset
+    predicate pushes into the scan and each page is one
+    TakeOrdered. The anchor is the min-(price desc, key asc) row of
+    page 1, derived in-query; total order = (price_cents DESC,
+    partkey ASC) so pagination is gap-free and duplicate-free —
+    exactly the serving contract rankings_scan needs."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ranked = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    page1 = ranked.orderBy(F.desc("price_cents"), F.asc("p_partkey")).limit(10)
+    anchor = page1.orderBy(F.asc("price_cents"), F.desc("p_partkey")).limit(1).select(
+        F.col("price_cents").alias("ap"), F.col("p_partkey").alias("ak")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("price_cents") < F.col("ap"))
+            | ((F.col("price_cents") == F.col("ap")) & (F.col("p_partkey") > F.col("ak")))
+        )
+        .select(F.lit(2).cast("long").alias("page"), "p_partkey", "price_cents")
+        .orderBy(F.desc("price_cents"), F.asc("p_partkey"))
+        .limit(10)
+    )
