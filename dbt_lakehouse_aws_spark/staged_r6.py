@@ -7920,3 +7920,59 @@ def keyset_pagination_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("price_cents"), F.asc("p_partkey"))
         .limit(10)
     )
+
+
+@_staged(
+    "timezone_gauntlet_events",
+    """
+    WITH z AS (
+      SELECT unnest(['America/New_York', 'Asia/Kolkata',
+                     'Australia/Sydney']) AS tz
+    ),
+    loc AS (
+      SELECT z.tz,
+             CAST(EXTRACT(hour FROM
+               timezone(z.tz, ts AT TIME ZONE 'UTC')) AS BIGINT)
+               AS local_hour,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events CROSS JOIN z
+    )
+    SELECT tz, local_hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM loc GROUP BY 1, 2
+    ORDER BY tz, local_hour
+    """,
+)
+def timezone_gauntlet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-zone conversion gauntlet — UTC event times converted to
+    three IANA zones (a DST-observing one, a half-hour-offset one,
+    a southern-hemisphere one) and histogrammed by LOCAL hour: both
+    engines resolve the same tzdata rules (probed across the 2024
+    US spring-forward and fall-back instants — exact agreement), so
+    the per-(zone, hour) exact counts/cents red the row on any
+    offset or DST divergence. The conversion is a per-row projection
+    — no shuffle beyond the final bounded aggregate."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events").select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    zones = F.array(
+        F.lit("America/New_York"), F.lit("Asia/Kolkata"), F.lit("Australia/Sydney")
+    )
+    loc = e.withColumn("tz", F.explode(zones)).select(
+        "tz",
+        F.hour(F.from_utc_timestamp(F.col("ts"), F.col("tz")))
+        .cast("long")
+        .alias("local_hour"),
+        "cents",
+    )
+    return (
+        loc.groupBy("tz", "local_hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("tz", "local_hour")
+    )
