@@ -7976,3 +7976,162 @@ def timezone_gauntlet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tz", "local_hour")
     )
+
+
+@_staged(
+    "cohens_d_events",
+    """
+    WITH x AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS grp,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(cents * cents) AS BIGINT) AS sxx
+      FROM x GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.event_type, a.n AS n1, b.n AS n2,
+             CAST(a.sx AS DOUBLE) / a.n AS m1,
+             CAST(b.sx AS DOUBLE) / b.n AS m2,
+             CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE) * a.sx / a.n AS ss1,
+             CAST(b.sxx AS DOUBLE) - CAST(b.sx AS DOUBLE) * b.sx / b.n AS ss2
+      FROM s a JOIN s b
+        ON b.event_type = a.event_type AND a.grp = 1 AND b.grp = 0
+    )
+    SELECT event_type, n1, n2,
+           floor((m1 - m2) / sqrt((ss1 + ss2) / (n1 + n2 - 2))
+                 * 1e6 + 0.5) / 1e6 AS cohens_d_q,
+           floor((m1 - m2) / sqrt((ss1 + ss2) / (n1 + n2 - 2))
+                 * (1 - 3.0 / (4 * (n1 + n2) - 9)) * 1e6 + 0.5) / 1e6
+             AS hedges_g_q
+    FROM w ORDER BY event_type
+    """,
+)
+def cohens_d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g per event type — the effect-size
+    companions to welch_ttest_events (a significant-but-tiny effect
+    and a huge one look identical to a bare p-value): pooled-SD
+    standardized mean difference and its small-sample bias
+    correction (1 − 3/(4N−9)), from the SAME integer sufficient
+    statistics (n, Σx, Σx² per cell, one pass); the final
+    expressions are the only floats, identical op order both
+    engines, floor-quantized 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = e.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("sxx"),
+    )
+    a = s.filter("grp = 1").select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("sx").alias("sx1"),
+        F.col("sxx").alias("sxx1"),
+    )
+    b = s.filter("grp = 0").select(
+        "event_type",
+        F.col("n").alias("n2"),
+        F.col("sx").alias("sx2"),
+        F.col("sxx").alias("sxx2"),
+    )
+    j = a.join(b, "event_type")
+    m1 = F.col("sx1").cast("double") / F.col("n1")
+    m2 = F.col("sx2").cast("double") / F.col("n2")
+    ss1 = F.col("sxx1").cast("double") - F.col("sx1").cast("double") * F.col(
+        "sx1"
+    ) / F.col("n1")
+    ss2 = F.col("sxx2").cast("double") - F.col("sx2").cast("double") * F.col(
+        "sx2"
+    ) / F.col("n2")
+    d = (m1 - m2) / F.sqrt((ss1 + ss2) / (F.col("n1") + F.col("n2") - 2))
+    g = d * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9))
+
+    def q6(c):
+        return F.floor(c * 1e6 + 0.5) / 1e6
+
+    return j.select(
+        "event_type",
+        "n1",
+        "n2",
+        q6(d).alias("cohens_d_q"),
+        q6(g).alias("hedges_g_q"),
+    ).orderBy("event_type")
+
+
+@_staged(
+    "hhi_by_part_type",
+    """
+    WITH r AS (
+      SELECT p.p_type AS ptype, p.p_brand AS brand,
+             CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT ptype,
+             CAST(sum(cents) AS BIGINT) AS tot,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS sq,
+             CAST(count(*) AS BIGINT) AS n_brands
+      FROM r GROUP BY 1
+    )
+    SELECT ptype, n_brands, tot AS total_cents,
+           floor(sq / (CAST(tot AS DOUBLE) * tot) * 1e6 + 0.5) / 1e6
+             AS hhi_q
+    FROM t ORDER BY hhi_q DESC, ptype ASC LIMIT 25
+    """,
+)
+def hhi_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per part type — the
+    antitrust/market-share statistic: HHI = Σ share² over brands,
+    computed as (Σ revenue²)/(Σ revenue)² so both sums accumulate
+    EXACTLY (revenue² rides DECIMAL(38,0)/HUGEINT past 2^63) and
+    the only float is one final division, identical op order,
+    floor-quantized 1e-6. Top-25 most concentrated types."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_type").alias("ptype"), F.col("p_brand").alias("brand")
+    )
+    r = (
+        l.join(F.broadcast(p), "pk")
+        .groupBy("ptype", "brand")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    t = r.groupBy("ptype").agg(
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+    )
+    return (
+        t.select(
+            "ptype",
+            "n_brands",
+            F.col("tot").alias("total_cents"),
+            (
+                F.floor(
+                    F.col("sq") / (F.col("tot").cast("double") * F.col("tot")) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("hhi_q"),
+        )
+        .orderBy(F.desc("hhi_q"), F.asc("ptype"))
+        .limit(25)
+    )
