@@ -8135,3 +8135,183 @@ def hhi_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("hhi_q"), F.asc("ptype"))
         .limit(25)
     )
+
+
+@_staged(
+    "change_point_daily_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT a.d,
+             CAST(sum(b.x) AS BIGINT) AS sl,
+             CAST(sum(CAST(b.x AS HUGEINT) * b.x) AS DOUBLE) AS sll,
+             CAST(count(*) AS BIGINT) AS nl
+      FROM daily a JOIN daily b ON b.d <= a.d
+      GROUP BY a.d
+    ),
+    tot AS (
+      SELECT CAST(sum(x) AS BIGINT) AS st,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS stt,
+             CAST(count(*) AS BIGINT) AS nt
+      FROM daily
+    ),
+    scored AS (
+      SELECT cum.d, cum.nl, tot.nt,
+             (cum.sll - CAST(cum.sl AS DOUBLE) * cum.sl / cum.nl)
+             + ((tot.stt - cum.sll)
+                - CAST(tot.st - cum.sl AS DOUBLE) * (tot.st - cum.sl)
+                  / (tot.nt - cum.nl)) AS sse,
+             tot.stt - CAST(tot.st AS DOUBLE) * tot.st / tot.nt AS sse0
+      FROM cum CROSS JOIN tot
+      WHERE cum.nl < tot.nt
+    )
+    SELECT d AS split_after, nl AS n_left, nt - nl AS n_right,
+           floor(sse * 1e3 + 0.5) / 1e3 AS sse_q,
+           floor((sse0 - sse) / sse0 * 1e6 + 0.5) / 1e6 AS var_explained_q
+    FROM scored
+    ORDER BY sse ASC, d ASC LIMIT 1
+    """,
+)
+def change_point_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection — one step of binary
+    segmentation (CUSUM's offline companion): the day boundary
+    minimizing SSE_left + SSE_right of daily revenue, i.e. the
+    maximum-variance-reduction split. Sufficient statistics (n, Σx,
+    Σx² per prefix) come from a cumulative self-join on the
+    calendar-bounded day-level frame — Σx² rides HUGEINT/DECIMAL
+    past 2^63 — and each candidate's SSE is one double expression in
+    identical op order; exact SSE ties resolve to the earlier date.
+    Reports the split, segment sizes, and fraction of variance
+    explained."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    daily = T(spark, sf_dir, "events").groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    b = daily.select(F.col("d").alias("bd"), F.col("x").alias("bx"))
+    cum = (
+        daily.select("d")
+        .join(F.broadcast(b), F.col("bd") <= F.col("d"))
+        .groupBy("d")
+        .agg(
+            F.sum("bx").cast("long").alias("sl"),
+            F.sum(
+                F.col("bx").cast("decimal(19,0)") * F.col("bx").cast("decimal(19,0)")
+            )
+            .cast("double")
+            .alias("sll"),
+            F.count(F.lit(1)).cast("long").alias("nl"),
+        )
+    )
+    tot = daily.agg(
+        F.sum("x").cast("long").alias("st"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("stt"),
+        F.count(F.lit(1)).cast("long").alias("nt"),
+    )
+    sl, sll, nl = F.col("sl"), F.col("sll"), F.col("nl")
+    st, stt, nt = F.col("st"), F.col("stt"), F.col("nt")
+    sse = (sll - sl.cast("double") * sl / nl) + (
+        (stt - sll) - (st - sl).cast("double") * (st - sl) / (nt - nl)
+    )
+    sse0 = stt - st.cast("double") * st / nt
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(nl < nt)
+        .select(
+            F.col("d").alias("split_after"),
+            nl.alias("n_left"),
+            (nt - nl).alias("n_right"),
+            (F.floor(sse * 1e3 + 0.5) / 1e3).alias("sse_q"),
+            (F.floor((sse0 - sse) / sse0 * 1e6 + 0.5) / 1e6).alias(
+                "var_explained_q"
+            ),
+            sse.alias("_s"),
+        )
+        .orderBy(F.asc("_s"), F.asc("split_after"))
+        .limit(1)
+        .drop("_s")
+    )
+
+
+@_staged(
+    "mix_shift_decomposition",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE))
+                                           FROM events)
+                       + INTERVAL 14 DAY
+                  THEN 1 ELSE 2 END AS period,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type,
+             a.n AS n1, b.n AS n2, a.cents AS c1, b.cents AS c2
+      FROM m a JOIN m b
+        ON b.event_type = a.event_type AND a.period = 1 AND b.period = 2
+    )
+    SELECT event_type, n1, n2, c2 - c1 AS delta_cents,
+           floor((n2 - n1) * (CAST(c1 AS DOUBLE) / n1) * 1e6 + 0.5) / 1e6
+             AS volume_effect_q,
+           floor(n2 * (CAST(c2 AS DOUBLE) / n2 - CAST(c1 AS DOUBLE) / n1)
+                 * 1e6 + 0.5) / 1e6 AS rate_effect_q
+    FROM j ORDER BY event_type
+    """,
+)
+def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift (volume/rate) decomposition — the BI bridge every
+    revenue review runs: Δrevenue per event type between the first
+    fortnight and the rest splits EXACTLY into a volume effect
+    (Δn · rate₁) and a rate effect (n₂ · Δrate), which sum to the
+    integer delta by construction (volume + rate =
+    n₂·r₂ − n₁·r₁ identically — the decomposition identity is the
+    invariant the oracle pins). Counts and cents are exact integers;
+    the two effect expressions are the only floats, identical op
+    order, floor-quantized 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d0 = e.agg(F.min("d").alias("d0"))
+    m = (
+        e.crossJoin(F.broadcast(d0))
+        .withColumn(
+            "period",
+            F.when(F.col("d") < F.date_add(F.col("d0"), 14), 1).otherwise(2),
+        )
+        .groupBy("event_type", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    a = m.filter("period = 1").select(
+        "event_type", F.col("n").alias("n1"), F.col("cents").alias("c1")
+    )
+    b = m.filter("period = 2").select(
+        "event_type", F.col("n").alias("n2"), F.col("cents").alias("c2")
+    )
+    j = a.join(b, "event_type")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    r2 = F.col("c2").cast("double") / F.col("n2")
+    return j.select(
+        "event_type",
+        "n1",
+        "n2",
+        (F.col("c2") - F.col("c1")).alias("delta_cents"),
+        (F.floor((F.col("n2") - F.col("n1")) * r1 * 1e6 + 0.5) / 1e6).alias(
+            "volume_effect_q"
+        ),
+        (F.floor(F.col("n2") * (r2 - r1) * 1e6 + 0.5) / 1e6).alias("rate_effect_q"),
+    ).orderBy("event_type")
