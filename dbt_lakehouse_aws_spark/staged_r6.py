@@ -8315,3 +8315,129 @@ def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.floor(F.col("n2") * (r2 - r1) * 1e6 + 0.5) / 1e6).alias("rate_effect_q"),
     ).orderBy("event_type")
+
+
+@_staged(
+    "linear_interpolate_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      GROUP BY 1, 2
+    ),
+    sparse AS (
+      SELECT * FROM daily
+      WHERE (dayofyear(d) + length(event_type)) % 3 <> 0
+    ),
+    bounds AS (
+      SELECT event_type, min(d) AS d0, max(d) AS d1 FROM sparse GROUP BY 1
+    ),
+    grid AS (
+      SELECT b.event_type, g.g AS d
+      FROM bounds b, LATERAL (
+        SELECT unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS g
+      ) g
+    ),
+    joined AS (
+      SELECT g.event_type, g.d, s.cents
+      FROM grid g LEFT JOIN sparse s
+        ON s.event_type = g.event_type AND s.d = g.d
+    ),
+    filled AS (
+      SELECT event_type, d, cents,
+             last_value(cents IGNORE NULLS) OVER w AS pv,
+             last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w AS pd,
+             first_value(cents IGNORE NULLS) OVER w2 AS nv,
+             first_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w2 AS nd
+      FROM joined
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS UNBOUNDED PRECEDING),
+             w2 AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, d,
+           CASE WHEN cents IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
+           CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                ELSE floor((CAST(pv AS DOUBLE)
+                            + (CAST(nv AS DOUBLE) - pv)
+                              * datediff('day', pd, d)
+                              / datediff('day', pd, nd))
+                           * 1e6 + 0.5) / 1e6 END AS value_q
+    FROM filled
+    WHERE pv IS NOT NULL AND nv IS NOT NULL
+    ORDER BY event_type, d
+    """,
+)
+def linear_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over time-series gaps — the companion to
+    gapfill's LOCF (carry-forward biases a trend; interpolation is
+    what metric backfills actually want): a deterministic sparse
+    slice of the per-type daily sums, the dense calendar grid
+    rebuilt per group inside codegen, then each hole takes
+    prev + (next−prev)·Δd/Δspan — an exact integer rational
+    quantized once (both engines evaluate the same op order). The
+    two-sided neighbor scan is last/first IGNORE NULLS over
+    per-type hash-partitioned windows — one exchange, no one-task
+    funnel; edge rows without both neighbors are dropped
+    (interpolation, not extrapolation)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from pyspark.sql import Window
+
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    sparse = daily.filter(
+        (F.dayofyear("d") + F.length("event_type")) % 3 != 0
+    )
+    bounds = sparse.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("d"),
+    )
+    joined = grid.join(sparse, ["event_type", "d"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    filled = joined.select(
+        "event_type",
+        "d",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_d, ignorenulls=True).over(wb).alias("pd"),
+        F.first("cents", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_d, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.col("pv").cast("double") + (
+        F.col("nv").cast("double") - F.col("pv")
+    ) * F.datediff(F.col("d"), F.col("pd")) / F.datediff(F.col("nd"), F.col("pd"))
+    return (
+        filled.filter(F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        .select(
+            "event_type",
+            "d",
+            F.when(F.col("cents").isNotNull(), 0).otherwise(1).alias("interpolated"),
+            F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+            .otherwise(F.floor(interp * 1e6 + 0.5) / 1e6)
+            .alias("value_q"),
+        )
+        .orderBy("event_type", "d")
+    )
