@@ -8441,3 +8441,79 @@ def linear_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+@_staged(
+    "reconcile_order_totals",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS ok,
+             CAST(sum(round(round(l_extendedprice * 100)
+                            * (1 - l_discount) * (1 + l_tax)))
+                  AS BIGINT) AS derived_cents,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+             li.derived_cents, li.n_lines
+      FROM orders o JOIN li ON li.ok = o.o_orderkey
+    ),
+    flagged AS (
+      SELECT *,
+             abs(header_cents - derived_cents) AS drift_cents
+      FROM j
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN drift_cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN drift_cents > n_lines THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_beyond_rounding,
+           CAST(max(drift_cents) AS BIGINT) AS max_drift_cents,
+           CAST(sum(drift_cents) AS BIGINT) AS total_drift_cents
+    FROM flagged
+    """,
+)
+def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail financial reconciliation — the audit every
+    billing pipeline runs: each order's header total against the sum
+    of its lineitems' extendedprice·(1−discount)·(1+tax), ALL in
+    integer cents (the per-line charge is rounded once to a cent,
+    exactly as an invoice line would be), with a per-order rounding
+    tolerance of one cent per line. One co-partitioned aggregate on
+    the order key + one join — at 100 TB both sides shuffle once on
+    the same key. Reports the exact-match count, the
+    beyond-rounding-tolerance count, and drift totals; a single
+    cent of cross-engine disagreement reds the row."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    li = T(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("ok")
+    ).agg(
+        F.sum(
+            F.round(
+                F.round(F.col("l_extendedprice") * 100)
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            )
+        )
+        .cast("long")
+        .alias("derived_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+    )
+    j = o.join(li, o["o_orderkey"] == li["ok"])
+    drift = F.abs(F.col("header_cents") - F.col("derived_cents"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(drift == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
+        F.sum(F.when(drift > F.col("n_lines"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_beyond_rounding"),
+        F.max(drift).cast("long").alias("max_drift_cents"),
+        F.sum(drift).cast("long").alias("total_drift_cents"),
+    )
