@@ -704,3 +704,71 @@ def test_stump_cumulative_scoring_matches_partition_enumeration(rows):
         pr, gr = pt - pl, gt - gl
         wgini = 1 - ((pl * pl + gl * gl) / (pl + gl) + (pr * pr + gr * gr) / (pr + gr)) / (pt + gt)
         assert abs(direct - wgini) < 1e-12
+
+
+@given(
+    st.lists(st.tuples(st.booleans(), st.integers(1, 20)), min_size=1, max_size=40)
+)
+@settings(max_examples=60, deadline=None)
+def test_fifo_interval_matching_equals_queue_simulation(lots):
+    """fifo_match_returns_parts' core claim: FIFO matching computed
+    as interval intersection of cumulative quantities equals the
+    classic sequential pop-the-queue algorithm, for ANY lot
+    sequence."""
+    buys = [(i, q) for i, (is_sell, q) in enumerate(lots) if not is_sell]
+    sells = [(i, q) for i, (is_sell, q) in enumerate(lots) if is_sell]
+
+    # interval algebra (the engine's formulation)
+    algebra = {}
+    b_end = 0
+    b_iv = []
+    for bid, q in buys:
+        b_iv.append((bid, b_end, b_end + q))
+        b_end += q
+    s_end = 0
+    for sid, q in sells:
+        s0, s1 = s_end, s_end + q
+        s_end += q
+        for bid, b0, b1 in b_iv:
+            m = min(b1, s1) - max(b0, s0)
+            if m > 0:
+                algebra[(bid, sid)] = m
+
+    # sequential queue simulation
+    queue = [[bid, q] for bid, q in buys]
+    sim = {}
+    qi = 0
+    for sid, need in sells:
+        while need > 0 and qi < len(queue):
+            bid, avail = queue[qi]
+            take = min(avail, need)
+            if take > 0:
+                sim[(bid, sid)] = sim.get((bid, sid), 0) + take
+                queue[qi][1] -= take
+                need -= take
+            if queue[qi][1] == 0:
+                qi += 1
+
+    assert algebra == sim
+
+
+@given(
+    st.integers(0, 10_000_000),
+    st.lists(st.integers(1, 50), min_size=1, max_size=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_largest_remainder_allocation_invariants(total, weights):
+    """largest_remainder_allocation's contract: allocations sum to
+    the exact total, and every line is within one cent of its exact
+    proportional share (the Hamilton method's defining property)."""
+    qsum = sum(weights)
+    base = [total * q // qsum for q in weights]
+    rems = [total * q % qsum for q in weights]
+    deficit = total - sum(base)
+    order = sorted(range(len(weights)), key=lambda i: (-rems[i], i))
+    alloc = list(base)
+    for i in order[:deficit]:
+        alloc[i] += 1
+    assert sum(alloc) == total
+    for q, a in zip(weights, alloc):
+        assert abs(a - total * q / qsum) < 1
