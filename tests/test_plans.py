@@ -551,6 +551,26 @@ def test_staged_rank_stats_and_spatial_no_funnels_or_row_udfs(spark, sf_dir):
         "spatial_grid_nn_customers",
         "grouping_sets_events",
         "bitwise_gauntlet_orders",
+        "dp_noisy_counts_events",
+        "item_cf_topk_parts",
+        "max_drawdown_users",
+        "fifo_match_returns_parts",
+        "als_user_step_lineitem",
+        "stl_lite_daily_events",
+        "string_format_gauntlet_parts",
+        "markov_perplexity_events",
+        "cramers_v_events",
+        "largest_remainder_allocation",
+        "cidr_longest_prefix_events",
+        "iso_calendar_gauntlet_orders",
+        "keyset_pagination_parts",
+        "timezone_gauntlet_events",
+        "cohens_d_events",
+        "hhi_by_part_type",
+        "change_point_daily_events",
+        "mix_shift_decomposition",
+        "linear_interpolate_daily",
+        "reconcile_order_totals",
     ]
     for n in names:
         df = STAGED_QUERIES[n](spark, sf_dir)
