@@ -1092,6 +1092,84 @@ class AcidTable:
             base_version=snap.version,
         )
 
+    def replace_where(
+        self,
+        df: DataFrame,
+        predicate: str,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> Snapshot:
+        """Predicate-scoped INSERT OVERWRITE (public Delta Lake
+        ``replaceWhere`` semantics; dbt's ``insert_overwrite``
+        incremental strategy): ONE atomic commit that (a) rewrites
+        only the current files containing predicate-matching rows,
+        keeping their non-matching remainder, and (b) adds the
+        incoming batch. Readers see either the old partition or the
+        new one, never a mix and never a gap — the delete and the
+        insert share a commit, which is the property an incremental
+        model needs for idempotent backfills.
+
+        Mirrors Delta's guard: every incoming row must itself
+        satisfy the predicate (a batch that leaks outside its
+        partition is rejected BEFORE any file is written)."""
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        cond = F.expr(predicate)  # LOGICAL column names
+
+        df = self._apply_generated(df, snap)
+        self._enforce(df, snap.constraints)
+        if df.filter(~cond | cond.isNull()).limit(1).count() > 0:
+            raise ValueError(
+                f"replace_where batch contains rows violating {predicate!r}"
+            )
+
+        touched: list[str] = []
+        if snap.files:
+            all_df = self._to_logical(
+                self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self._data, f) for f in snap.files]
+                ),
+                snap.renames,
+            )
+            rows = (
+                all_df.withColumn("_file", F.input_file_name())
+                .filter(cond)
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            touched = [os.path.basename(r["_file"]) for r in rows]
+        rewritten: list[str] = []
+        if touched:
+            touched_df = self._to_logical(
+                self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self._data, f) for f in touched]
+                ),
+                snap.renames,
+            )
+            keep = self._to_physical(
+                touched_df.filter(~cond | cond.isNull()), snap.renames
+            ).coalesce(max(1, len(touched)))
+            if keep.limit(1).count() > 0:
+                rewritten = self._write_data_files(keep, snap.version + 1)
+        new_files = self._write_data_files(
+            self._to_physical(df, snap.renames), snap.version + 1
+        )
+        untouched = [f for f in snap.files if f not in set(touched)]
+        stats = {f: s for f, s in snap.stats.items() if f in set(untouched)}
+        stats.update(self._stats_for(rewritten + new_files, schema))
+        return self._commit(
+            operation=(
+                f"REPLACE WHERE {predicate} "
+                f"touched={len(touched)}/{len(snap.files)}"
+            ),
+            files=untouched + rewritten + new_files,
+            schema_json=snap.schema_json,
+            stats=stats,
+            base_version=snap.version,
+            txn=txn,
+        )
+
     def restore(self, version: int) -> Snapshot:
         """``RESTORE TABLE ... TO VERSION AS OF version`` (Delta
         RESTORE semantics): a METADATA-ONLY commit whose file set is

@@ -8517,3 +8517,62 @@ def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(drift).cast("long").alias("max_drift_cents"),
         F.sum(drift).cast("long").alias("total_drift_cents"),
     )
+
+
+@_staged(
+    "acid_replace_where_events",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    replaced AS (
+      SELECT event_type, cents * 2 AS cents
+      FROM base WHERE event_type = 'error'
+      UNION ALL
+      SELECT event_type, cents FROM base WHERE event_type <> 'error'
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM replaced GROUP BY event_type ORDER BY event_type
+    """,
+)
+def acid_replace_where_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped INSERT OVERWRITE under the driver gate
+    (sources/acid.py::replace_where — public Delta replaceWhere
+    semantics, dbt's insert_overwrite incremental strategy): load
+    the events into an ACID table, then atomically replace ONLY the
+    'error' slice with a reprocessed batch (cents doubled) in one
+    commit — the un-touched slices must carry over byte-identical,
+    the version must bump exactly once, and the read-back per-type
+    aggregate must equal the oracle's relational replay of
+    replace-then-union."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    base = T(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    t = AcidTable(
+        spark, tempfile.mkdtemp(prefix=f"rw_{uuid.uuid4().hex[:8]}_") + "/t"
+    )
+    t.write(base)
+    v0 = t.latest_version()
+    reprocessed = base.filter(F.col("event_type") == "error").select(
+        "event_type", (F.col("cents") * 2).alias("cents")
+    )
+    snap = t.replace_where(reprocessed, "event_type = 'error'")
+    assert snap.version == v0 + 1, "replace_where must be one commit"
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -1061,3 +1061,54 @@ def test_not_null_via_check_constraint(spark, tmp_path):
         )
     t.write(_mkdf(spark, [(3, "c", 3.0)]), mode="append")
     assert t.read().count() == 2
+
+
+def test_replace_where_swaps_only_matching_partition(spark, tmp_path, base_rows):
+    """replace_where rewrites the predicate's slice and keeps the
+    rest byte-identical — in ONE commit (version bumps exactly
+    once)."""
+    t = AcidTable(spark, str(tmp_path / "rw"))
+    t.write(_mkdf(spark, base_rows))
+    v0 = t.latest_version()
+    new_odds = _mkdf(
+        spark, [(i, "odd", float(i) * 10) for i in range(1, 100, 2)]
+    )
+    snap = t.replace_where(new_odds, "grp = 'odd'")
+    assert snap.version == v0 + 1  # one atomic commit
+    got = {(r["id"]): (r["grp"], r["value"]) for r in t.read().collect()}
+    assert len(got) == 100
+    for i in range(100):
+        if i % 2 == 0:
+            assert got[i] == ("even", float(i))
+        else:
+            assert got[i] == ("odd", float(i) * 10)
+    # time travel still sees the pre-replace slice
+    old = {r["id"]: r["value"] for r in t.read(version=v0).collect()}
+    assert old[1] == 1.0
+
+
+def test_replace_where_rejects_leaking_batch(spark, tmp_path, base_rows):
+    """A batch with rows OUTSIDE the predicate is rejected before any
+    file is written (Delta's replaceWhere guard) and the table is
+    unchanged."""
+    t = AcidTable(spark, str(tmp_path / "rw2"))
+    t.write(_mkdf(spark, base_rows))
+    v0 = t.latest_version()
+    leaky = _mkdf(spark, [(1, "odd", 11.0), (2, "even", 22.0)])
+    with pytest.raises(ValueError, match="violating"):
+        t.replace_where(leaky, "grp = 'odd'")
+    assert t.latest_version() == v0
+    assert t.read().count() == 100
+
+
+def test_replace_where_shrinks_and_grows_slice(spark, tmp_path, base_rows):
+    """The replacing batch may change the slice's cardinality —
+    backfills routinely produce fewer or more rows than they
+    replace."""
+    t = AcidTable(spark, str(tmp_path / "rw3"))
+    t.write(_mkdf(spark, base_rows))
+    tiny = _mkdf(spark, [(999, "odd", -1.0)])
+    t.replace_where(tiny, "grp = 'odd'")
+    rows = t.read().collect()
+    assert len(rows) == 51  # 50 evens + 1 replacement
+    assert {r["grp"] for r in rows} == {"even", "odd"}
