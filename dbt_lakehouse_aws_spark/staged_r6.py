@@ -8576,3 +8576,54 @@ def acid_replace_where_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_staged(
+    "daily_percentile_bands",
+    """
+    WITH x AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90,
+           CAST(quantile_disc(cents, 0.99) AS BIGINT) AS p99,
+           CAST(max(cents) AS BIGINT) AS p100
+    FROM x GROUP BY d ORDER BY d
+    """,
+)
+def daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90/p99/max bands — the ops-dashboard trend every
+    latency/value SLO review reads: exact DISCRETE percentiles per
+    day (percentile_disc returns an actual data value — integer
+    cents, bit-comparable across engines; interpolated quantiles at
+    rounding boundaries are not), one hash-partitioned aggregate on
+    the day key. At 100 TB per-day groups are balanced by the
+    calendar and the sort is within-group; for truly hot days the
+    approx_percentile sketch is the documented fallback."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    x = T(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def pdisc(p):
+        return F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY cents)"
+        ).cast("long")
+
+    return (
+        x.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            pdisc(0.5).alias("p50"),
+            pdisc(0.9).alias("p90"),
+            pdisc(0.99).alias("p99"),
+            F.max("cents").cast("long").alias("p100"),
+        )
+        .orderBy("d")
+    )
