@@ -8627,3 +8627,179 @@ def daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@_staged(
+    "wilson_ci_conversion",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT event_type, n, k,
+             CAST(k AS DOUBLE) / n AS p,
+             1.959963984540054 AS z
+      FROM s
+    )
+    SELECT event_type, n, k,
+           floor(p * 1e6 + 0.5) / 1e6 AS p_hat_q,
+           floor((p + z * z / (2 * n)
+                  - z * sqrt((p * (1 - p) + z * z / (4 * n)) / n))
+                 / (1 + z * z / n) * 1e6 + 0.5) / 1e6 AS wilson_lo_q,
+           floor((p + z * z / (2 * n)
+                  + z * sqrt((p * (1 - p) + z * z / (4 * n)) / n))
+                 / (1 + z * z / n) * 1e6 + 0.5) / 1e6 AS wilson_hi_q
+    FROM w ORDER BY event_type
+    """,
+)
+def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score confidence interval for a proportion — what the
+    A/B z-test family should ship alongside its point estimates
+    (the normal-approximation interval misbehaves at small n and
+    extreme p; Wilson stays inside [0,1]): high-value rate per event
+    type, exact integer (n, k), the closed-form interval as two
+    fixed-order float expressions with z pinned to the double
+    literal 1.959963984540054, floor-quantized 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    s = T(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") >= 50, 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    p = k.cast("double") / n
+    z = F.lit(1.959963984540054)
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+    denom = 1 + z * z / n
+
+    def q6(c):
+        return F.floor(c * 1e6 + 0.5) / 1e6
+
+    return s.select(
+        "event_type",
+        "n",
+        "k",
+        q6(p).alias("p_hat_q"),
+        q6((center - half) / denom).alias("wilson_lo_q"),
+        q6((center + half) / denom).alias("wilson_hi_q"),
+    ).orderBy("event_type")
+
+
+@_staged(
+    "dispersion_index_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS days,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS scc
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, days, sc AS total,
+           floor((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / days)
+                 / (days - 1) / (CAST(sc AS DOUBLE) / days)
+                 * 1e6 + 0.5) / 1e6 AS dispersion_q
+    FROM s ORDER BY event_type
+    """,
+)
+def dispersion_index_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of daily event
+    counts per type — the standard Poisson overdispersion check
+    (≈1 Poisson, >1 burstiness/contagion, <1 regularity) that
+    decides between Poisson and negative-binomial models downstream:
+    integer (days, Σc, Σc²) per type, one fixed-order float
+    expression, floor-quantized 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("days"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    disp = (
+        (F.col("scc").cast("double") - F.col("sc").cast("double") * F.col("sc") / F.col("days"))
+        / (F.col("days") - 1)
+        / (F.col("sc").cast("double") / F.col("days"))
+    )
+    return s.select(
+        "event_type",
+        "days",
+        F.col("sc").alias("total"),
+        (F.floor(disp * 1e6 + 0.5) / 1e6).alias("dispersion_q"),
+    ).orderBy("event_type")
+
+
+@_staged(
+    "durbin_watson_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    diffs AS (
+      SELECT CAST(sum(CAST(b.x - a.x AS HUGEINT) * (b.x - a.x)) AS DOUBLE)
+               AS sdd
+      FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 1 DAY
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      FROM daily
+    )
+    SELECT tot.n,
+           floor(diffs.sdd
+                 / (tot.sxx - CAST(tot.sx AS DOUBLE) * tot.sx / tot.n)
+                 * 1e6 + 0.5) / 1e6 AS dw_q
+    FROM diffs CROSS JOIN tot
+    """,
+)
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson autocorrelation statistic of the daily revenue
+    series — the residual-independence check behind every trend
+    regression (≈2 none, →0 positive, →4 negative autocorrelation):
+    DW = Σ(Δx)²/Σ(x−x̄)², the numerator from a CALENDAR SELF-JOIN on
+    d+1 (no global-order window, no one-task funnel) and both sums
+    exact (squares ride DECIMAL/HUGEINT); one fixed-order float
+    division, floor-quantized 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    daily = T(spark, sf_dir, "events").groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    b = daily.select(F.date_sub("d", 1).alias("d"), F.col("x").alias("nx"))
+    dd = F.col("nx").cast("decimal(19,0)") - F.col("x").cast("decimal(19,0)")
+    diffs = daily.join(b, "d").agg(
+        F.sum(dd * dd).cast("double").alias("sdd")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    dw = F.col("sdd") / (
+        F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    )
+    return diffs.crossJoin(F.broadcast(tot)).select(
+        "n", (F.floor(dw * 1e6 + 0.5) / 1e6).alias("dw_q")
+    )
