@@ -8803,3 +8803,81 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diffs.crossJoin(F.broadcast(tot)).select(
         "n", (F.floor(dw * 1e6 + 0.5) / 1e6).alias("dw_q")
     )
+
+
+@_staged(
+    "k_anon_generalization_ladder",
+    """
+    WITH ladder AS (
+      SELECT unnest([1000, 5000, 10000, 50000, 100000]) AS bucket
+    ),
+    grouped AS (
+      SELECT l.bucket,
+             CAST(round(o.o_totalprice * 100) AS BIGINT)
+               // (l.bucket * 100) AS qi_price,
+             o.o_orderpriority AS qi_prio,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM orders o CROSS JOIN ladder l
+      GROUP BY 1, 2, 3
+    ),
+    audit AS (
+      SELECT bucket,
+             CAST(min(group_size) AS BIGINT) AS min_group,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                  AS BIGINT) AS rows_at_risk
+      FROM grouped GROUP BY 1
+    )
+    SELECT bucket, min_group, n_groups, rows_at_risk,
+           CASE WHEN min_group >= 5 THEN 1 ELSE 0 END AS satisfies_k5
+    FROM audit ORDER BY bucket
+    """,
+)
+def k_anon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization search — the release-side
+    companion to the k_anonymity audit: walk a price-bucket
+    generalization LADDER (five coarseness levels × the priority
+    quasi-identifier) and report, per level, the minimum group size,
+    group count, and rows-at-risk, flagging the levels that satisfy
+    k=5 — i.e. the coarsest-data/finest-bucket trade a privacy
+    officer actually picks from. One aggregate per level computed in
+    a single pass (the ladder CROSS JOIN is a 5-row broadcast, the
+    heavy side shuffles once on the generalized keys)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    ladder = spark.createDataFrame(
+        [(b,) for b in [1000, 5000, 10000, 50000, 100000]], "bucket long"
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("qi_prio"),
+    )
+    grouped = (
+        o.crossJoin(F.broadcast(ladder))
+        .groupBy(
+            "bucket",
+            F.expr("cents div (bucket * 100)").alias("qi_price"),
+            "qi_prio",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    )
+    return (
+        grouped.groupBy("bucket")
+        .agg(
+            F.min("group_size").cast("long").alias("min_group"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(
+                F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+        .select(
+            "bucket",
+            "min_group",
+            "n_groups",
+            "rows_at_risk",
+            F.when(F.col("min_group") >= 5, 1).otherwise(0).alias("satisfies_k5"),
+        )
+        .orderBy("bucket")
+    )
