@@ -8881,3 +8881,82 @@ def k_anon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@_staged(
+    "degree_assortativity_users",
+    # NOTE: reuses queries_r5's co-activity edge definition verbatim
+    """
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    ),
+    shared AS (
+      SELECT x.user_id AS a, y.user_id AS b, count(*) AS shared
+      FROM ue x JOIN ue y
+        ON x.event_type = y.event_type AND x.hr = y.hr
+       AND x.user_id < y.user_id
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT a, b FROM shared WHERE shared >= 3),
+    und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+    ),
+    pairs AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM und JOIN deg da ON da.u = und.u JOIN deg db ON db.u = und.v
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM pairs
+    )
+    SELECT m AS n_directed_edges,
+           floor((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                 / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                 * 1e6 + 0.5) / 1e6 AS assortativity_q
+    FROM s
+    """,
+)
+def degree_assortativity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the user co-activity graph — Newman's
+    r: the Pearson correlation of endpoint degrees over all directed
+    edge instances (do hubs attach to hubs — social nets
+    assortative, infrastructure nets disassortative). On the
+    symmetrized edge list both endpoint marginals are identical, so
+    r collapses to (mΣxy−(Σx)²)/(mΣx²−(Σx)²) with EVERY sum an
+    exact integer (degrees are counts); one float expression,
+    floor-quantized 1e-6. Degrees come from one aggregate, the
+    edge⋈degree joins are hash joins on the node key."""
+    from dbt_lakehouse_aws_spark.queries_r5 import _coactivity_edges
+
+    edges = _coactivity_edges(spark, sf_dir, min_shared=3)
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    pairs = (
+        und.join(deg.withColumnsRenamed({"u": "u", "d": "dx"}), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dy")), "v")
+        .select("dx", "dy")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    m, sx = F.col("m"), F.col("sx")
+    r = (m * F.col("sxy").cast("double") - sx.cast("double") * sx) / (
+        m * F.col("sxx").cast("double") - sx.cast("double") * sx
+    )
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        (F.floor(r * 1e6 + 0.5) / 1e6).alias("assortativity_q"),
+    )
