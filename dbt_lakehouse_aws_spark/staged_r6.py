@@ -8960,3 +8960,88 @@ def degree_assortativity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_directed_edges"),
         (F.floor(r * 1e6 + 0.5) / 1e6).alias("assortativity_q"),
     )
+
+
+@_staged(
+    "burst_days_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    trail AS (
+      SELECT a.event_type, a.d, a.c,
+             CAST(sum(b.c) AS BIGINT) AS sum7,
+             CAST(count(*) AS BIGINT) AS n7
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type
+       AND b.d >= a.d - INTERVAL 7 DAY AND b.d < a.d
+      GROUP BY a.event_type, a.d, a.c
+    )
+    SELECT event_type, d, c AS day_count, sum7, n7,
+           floor(CAST(c * n7 AS DOUBLE) / sum7 * 1e6 + 0.5) / 1e6
+             AS ratio_q,
+           CASE WHEN c * n7 > 2 * sum7 THEN 1 ELSE 0 END AS burst
+    FROM trail
+    WHERE n7 >= 3
+    ORDER BY floor(CAST(c * n7 AS DOUBLE) / sum7 * 1e6 + 0.5) DESC,
+             event_type ASC, d ASC
+    LIMIT 10
+    """,
+)
+def burst_days_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection — days where a type's event count exceeds 2×
+    its trailing-week average, the ops-alerting primitive: the
+    comparison is kept as the INTEGER cross-multiplication
+    c·n7 > 2·Σ7 (never a float average compared to a float
+    threshold), the trailing window is a calendar self-join on the
+    day-level frame (bounded by the calendar — no global-order
+    window), and days with under 3 trailing observations are
+    suppressed (cold-start guard). Returns the 10 burstiest days with
+    the 2× flag — never empty, so the driver row stays meaningful on
+    smooth corpora."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"), F.col("d").alias("bd"), F.col("c").alias("bc")
+    )
+    trail = (
+        daily.join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bd") >= F.date_sub(F.col("d"), 7))
+            & (F.col("bd") < F.col("d")),
+        )
+        .groupBy("event_type", "d", "c")
+        .agg(
+            F.sum("bc").cast("long").alias("sum7"),
+            F.count(F.lit(1)).cast("long").alias("n7"),
+        )
+    )
+    ratio_scaled = F.floor(
+        (F.col("c") * F.col("n7")).cast("double") / F.col("sum7") * 1e6 + 0.5
+    )
+    return (
+        trail.filter(F.col("n7") >= 3)
+        .select(
+            "event_type",
+            "d",
+            F.col("c").alias("day_count"),
+            "sum7",
+            "n7",
+            (ratio_scaled / 1e6).alias("ratio_q"),
+            F.when(F.col("c") * F.col("n7") > 2 * F.col("sum7"), 1)
+            .otherwise(0)
+            .alias("burst"),
+            ratio_scaled.alias("_r"),
+        )
+        .orderBy(F.desc("_r"), F.asc("event_type"), F.asc("d"))
+        .limit(10)
+        .drop("_r")
+    )
