@@ -9045,3 +9045,43 @@ def burst_days_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("_r")
     )
+
+
+@_staged(
+    "digest_codec_gauntlet_parts",
+    """
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           to_base64(CAST(p_name AS BLOB)) AS name_b64,
+           lower(to_hex(p_partkey)) AS key_hex,
+           CAST(CAST(from_base64(to_base64(CAST(p_name AS BLOB))) AS VARCHAR)
+                = p_name AS BIGINT) AS b64_roundtrip_ok
+    FROM part
+    WHERE p_partkey % 101 = 0
+    ORDER BY p_partkey
+    """,
+)
+def digest_codec_gauntlet_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest and binary-codec gauntlet over the cross-engine common
+    surface: md5 and sha-256 hex digests (bit-identical everywhere —
+    the same property the portable-hash oracles build on), standard
+    base64 with an in-query decode round-trip assertion, and integer
+    hex encoding (case-normalized: Spark lowercases, DuckDB
+    uppercases — the one deliberate divergence this row pins).
+    Pushed-down projection over one scan on a deterministic key
+    slice."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") % 101 == 0)
+    as_bin = F.col("p_name").cast("binary")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha256"),
+        F.base64(as_bin).alias("name_b64"),
+        F.lower(F.hex("p_partkey")).alias("key_hex"),
+        (F.unbase64(F.base64(as_bin)).cast("string") == F.col("p_name"))
+        .cast("long")
+        .alias("b64_roundtrip_ok"),
+    ).orderBy("p_partkey")
