@@ -9085,3 +9085,103 @@ def digest_codec_gauntlet_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("b64_roundtrip_ok"),
     ).orderBy("p_partkey")
+
+
+@_staged(
+    "stream_replace_where_daily",
+    """
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(0 AS BIGINT) AS reprocess_delta
+    FROM daily GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_replace_where_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming partition refresh under the driver gate
+    (streaming/ingest.py::stream_replace_where_into_acid): the
+    events stream (Trigger.AvailableNow) lands as a per-(day, type)
+    rollup where each micro-batch atomically REPLACES the whole days
+    it carries — the insert_overwrite shape daily pipelines want —
+    then a reprocessing run re-delivers one full day through
+    replace_where directly and the table must be bit-identical
+    (reprocess_delta pinned to 0: partition overwrite is idempotent
+    for identical payloads, no dedup bookkeeping needed). The oracle
+    computes the same rollup relationally from the source."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from dbt_lakehouse_aws_spark.streaming.ingest import (
+        stream_replace_where_into_acid,
+    )
+
+    def rollup(df):
+        return df.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("ts", "event_type", "value")
+    )
+    root = tempfile.mkdtemp(prefix=f"srw_{uuid.uuid4().hex[:8]}_")
+    table_path, ckpt = f"{root}/tbl", f"{root}/ckpt"
+    q = stream_replace_where_into_acid(
+        stream,
+        table_path=table_path,
+        checkpoint_dir=ckpt,
+        partition_col="d",
+        transform=rollup,
+    )
+    q.awaitTermination(600)
+    t = AcidTable(spark, table_path)
+    before = t.read().agg(F.sum("n"), F.sum("cents")).collect()[0]
+
+    # reprocessing: re-deliver one full day with identical data
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    one_day = daily.agg(F.min("d")).collect()[0][0]
+    t.replace_where(
+        daily.filter(F.col("d") == one_day), f"d = '{one_day}'"
+    )
+    after = t.read().agg(F.sum("n"), F.sum("cents")).collect()[0]
+    delta = (after[0] - before[0]) + (after[1] - before[1])
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .withColumn("reprocess_delta", F.lit(delta).cast("long"))
+        .orderBy("event_type")
+    )

@@ -931,3 +931,68 @@ def stream_append_with_quarantine(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_replace_where_into_acid(
+    stream: DataFrame,
+    *,
+    table_path: str,
+    checkpoint_dir: str,
+    partition_col: str,
+    transform=None,
+):
+    """Streaming PARTITION REFRESH into the ACID table — the
+    insert_overwrite pattern under structured streaming: each
+    micro-batch atomically replaces exactly the partitions it
+    carries (``sources/acid.py::replace_where``, one commit per
+    batch) instead of merging row-by-row — the shape daily-rollup
+    pipelines want, where a batch re-delivers WHOLE days and
+    row-level reconciliation is wasted work. Replayed batches are
+    skipped via the same (app, batch_id) txn protocol as the
+    append/merge writers; and because replace-where is itself
+    idempotent for identical payloads, the two layers compose into
+    exactly-once-by-construction.
+
+    ``transform`` (optional) maps each raw micro-batch DataFrame to
+    the rows to land (e.g. a per-day rollup) — the batch is a plain
+    DataFrame, so aggregations that a watermark-less stream cannot
+    express run here.
+
+    The batch's distinct partition values are collected to build the
+    predicate — bounded by the number of partitions a batch touches
+    (days per batch), never by row count. String partition values
+    are escaped as SQL literals; integers pass through."""
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    app_id = f"stream_replace_where:{checkpoint_dir}"
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        table = AcidTable(batch.sparkSession, table_path)
+        if table.exists():
+            seen = table.last_txn_batch(app_id)
+            if seen is not None and batch_id <= seen:
+                return
+        if transform is not None:
+            # per-batch rollup: streaming aggregations without a
+            # watermark can't ride the stream itself; a batch is a
+            # plain DataFrame, so the rollup runs here instead
+            batch = transform(batch)
+        parts = [r[0] for r in batch.select(partition_col).distinct().collect()]
+        if not parts:
+            return
+        if isinstance(parts[0], str):
+            quoted = ", ".join("'" + p.replace("'", "''") + "'" for p in parts)
+        else:
+            quoted = ", ".join(str(p) for p in parts)
+        predicate = f"{partition_col} IN ({quoted})"
+        if table.exists():
+            table.replace_where(batch, predicate, txn=(app_id, batch_id))
+        else:
+            table.write(batch, txn=(app_id, batch_id))
+
+    return (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
