@@ -9185,3 +9185,184 @@ def stream_replace_where_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("reprocess_delta", F.lit(delta).cast("long"))
         .orderBy("event_type")
     )
+
+
+@_staged(
+    "partial_correlation_lineitem",
+    """
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(round(l_discount * 100) AS BIGINT) AS z
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(z) AS DOUBLE) AS sz,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(sum(z * z) AS DOUBLE) AS szz,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * z) AS DOUBLE) AS sxz,
+             CAST(sum(y * z) AS DOUBLE) AS syz
+      FROM li
+    ),
+    r AS (
+      SELECT n,
+             (n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+             (n * sxz - sx * sz)
+               / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+             (n * syz - sy * sz)
+               / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+      FROM s
+    )
+    SELECT n,
+           floor(rxy * 1e6 + 0.5) / 1e6 AS r_xy_q,
+           floor((rxy - rxz * ryz)
+                 / sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+                 * 1e6 + 0.5) / 1e6 AS r_xy_given_z_q
+    FROM r
+    """,
+)
+def partial_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation — quantity vs extended price CONTROLLING
+    for discount, the confounder-adjusted companion to the plain
+    correlation matrix: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)),
+    every pairwise r built from the same one-pass INTEGER sufficient
+    statistics (Σy² rides HUGEINT/DECIMAL past 2^63), identical op
+    order both engines, floor-quantized 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("z"),
+    )
+    x, y, z = F.col("x"), F.col("y"), F.col("z")
+    dec = "decimal(19,0)"
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(z).cast("double").alias("sz"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y.cast(dec) * y.cast(dec)).cast("double").alias("syy"),
+        F.sum(z * z).cast("double").alias("szz"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * z).cast("double").alias("sxz"),
+        F.sum(y * z).cast("double").alias("syz"),
+    )
+    n = F.col("n")
+
+    def r(sab, sa, sb, saa, sbb):
+        return (n * sab - sa * sb) / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+
+    rxy = r(F.col("sxy"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("syy"))
+    rxz = r(F.col("sxz"), F.col("sx"), F.col("sz"), F.col("sxx"), F.col("szz"))
+    ryz = r(F.col("syz"), F.col("sy"), F.col("sz"), F.col("syy"), F.col("szz"))
+    partial = (rxy - rxz * ryz) / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    return s.select(
+        "n",
+        (F.floor(rxy * 1e6 + 0.5) / 1e6).alias("r_xy_q"),
+        (F.floor(partial * 1e6 + 0.5) / 1e6).alias("r_xy_given_z_q"),
+    )
+
+
+@_staged(
+    "mahalanobis_outliers_lineitem",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM li
+    ),
+    cov AS (
+      SELECT n, sx / n AS mx, sy / n AS my,
+             (sxx - sx * sx / n) / (n - 1) AS vxx,
+             (syy - sy * sy / n) / (n - 1) AS vyy,
+             (sxy - sx * sy / n) / (n - 1) AS vxy
+      FROM s
+    ),
+    scored AS (
+      SELECT li.l_orderkey, li.l_linenumber,
+             CAST(floor(((li.x - mx) * ((li.x - mx) * vyy - (li.y - my) * vxy)
+                         + (li.y - my) * ((li.y - my) * vxx - (li.x - mx) * vxy))
+                        / (vxx * vyy - vxy * vxy) * 1e6 + 0.5) AS BIGINT)
+               AS d2_scaled
+      FROM li CROSS JOIN cov
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(d2_scaled AS DOUBLE) / 1e6 AS d2_q
+    FROM scored
+    ORDER BY d2_scaled DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10
+    """,
+)
+def mahalanobis_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate (Mahalanobis) outliers on (quantity, price) —
+    what per-column z-scores miss: a row can be unremarkable on each
+    axis yet far from the correlation ellipse. Mean and covariance
+    come from one pass of INTEGER sufficient statistics; the 2×2
+    inverse is closed-form inside a single per-row double expression
+    whose QUANTIZED value (·1e6, floored to BIGINT) is what gets
+    ranked — so the top-10, like every ordering in this file, never
+    depends on a sub-quantum float difference. The stats row
+    broadcasts; scoring is a pure projection."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    dec = "decimal(19,0)"
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y.cast(dec) * y.cast(dec)).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    cov = s.select(
+        (F.col("sx") / n).alias("mx"),
+        (F.col("sy") / n).alias("my"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)).alias("vxx"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)).alias("vyy"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)).alias("vxy"),
+    )
+    dx = x - F.col("mx")
+    dy = y - F.col("my")
+    d2 = (
+        dx * (dx * F.col("vyy") - dy * F.col("vxy"))
+        + dy * (dy * F.col("vxx") - dx * F.col("vxy"))
+    ) / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+    scored = li.crossJoin(F.broadcast(cov)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(d2 * 1e6 + 0.5).cast("long").alias("d2_scaled"),
+    )
+    return (
+        scored.orderBy(
+            F.desc("d2_scaled"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("d2_scaled").cast("double") / 1e6).alias("d2_q"),
+        )
+    )
