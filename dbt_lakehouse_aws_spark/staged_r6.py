@@ -9366,3 +9366,181 @@ def mahalanobis_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("d2_scaled").cast("double") / 1e6).alias("d2_q"),
         )
     )
+
+
+@_staged(
+    "cuped_adjustment_events",
+    """
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) + INTERVAL 14 DAY AS cutoff FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) < bounds.cutoff
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) >= bounds.cutoff
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS post,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) < bounds.cutoff
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pre
+      FROM events CROSS JOIN bounds
+      GROUP BY user_id
+    ),
+    cohort AS (SELECT * FROM per_user WHERE n_pre > 0),
+    theta_s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre) AS DOUBLE) AS sx,
+             CAST(sum(post) AS DOUBLE) AS sy,
+             CAST(sum(CAST(pre AS HUGEINT) * pre) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(post AS HUGEINT) * post) AS DOUBLE) AS syy,
+             CAST(sum(CAST(pre AS HUGEINT) * post) AS DOUBLE) AS sxy
+      FROM cohort
+    ),
+    arm_s AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_arm,
+             CAST(sum(pre) AS DOUBLE) AS asx,
+             CAST(sum(post) AS DOUBLE) AS asy
+      FROM cohort GROUP BY arm
+    )
+    SELECT a.arm, a.n_arm,
+           floor(a.asy / a.n_arm * 1e6 + 0.5) / 1e6 AS mean_post_q,
+           floor((a.asy / a.n_arm
+                  - ((t.sxy - t.sx * t.sy / t.n) / (t.sxx - t.sx * t.sx / t.n))
+                    * (a.asx / a.n_arm - t.sx / t.n))
+                 * 1e6 + 0.5) / 1e6 AS mean_cuped_q,
+           floor(((t.sxy - t.sx * t.sy / t.n) * (t.sxy - t.sx * t.sy / t.n))
+                 / ((t.sxx - t.sx * t.sx / t.n) * (t.syy - t.sy * t.sy / t.n))
+                 * 1e6 + 0.5) / 1e6 AS var_reduction_q
+    FROM arm_s a CROSS JOIN theta_s t
+    ORDER BY a.arm
+    """,
+)
+def cuped_adjustment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the pre-experiment-covariate
+    adjustment every mature experimentation platform applies before
+    reading an A/B test: per user, pre-period (first fortnight) and
+    post-period value totals in exact integer cents; θ = cov(X,Y)/
+    var(X) from pooled integer sufficient statistics (HUGEINT/
+    DECIMAL squares); each arm's adjusted mean ȳ − θ(x̄ − x̄_pool)
+    and the theoretical variance reduction ρ² are single
+    fixed-order float expressions, floor-quantized 1e-6. Users with
+    no pre-period activity are excluded (the standard cohort
+    rule)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = e.agg(F.date_add(F.min("d"), 14).alias("cutoff"))
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            (F.col("user_id") % 2).cast("long").alias("arm"),
+            F.sum(F.when(F.col("d") < F.col("cutoff"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("pre"),
+            F.sum(
+                F.when(F.col("d") >= F.col("cutoff"), F.col("cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("post"),
+            F.sum(F.when(F.col("d") < F.col("cutoff"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pre"),
+        )
+        .filter(F.col("n_pre") > 0)
+    )
+    dec = "decimal(19,0)"
+    pre, post = F.col("pre"), F.col("post")
+    theta_s = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(pre).cast("double").alias("sx"),
+        F.sum(post).cast("double").alias("sy"),
+        F.sum(pre.cast(dec) * pre.cast(dec)).cast("double").alias("sxx"),
+        F.sum(post.cast(dec) * post.cast(dec)).cast("double").alias("syy"),
+        F.sum(pre.cast(dec) * post.cast(dec)).cast("double").alias("sxy"),
+    )
+    arm_s = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arm"),
+        F.sum(pre).cast("double").alias("asx"),
+        F.sum(post).cast("double").alias("asy"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    theta = cov / varx
+    mean_post = F.col("asy") / F.col("n_arm")
+    mean_cuped = mean_post - theta * (F.col("asx") / F.col("n_arm") - F.col("sx") / n)
+
+    def q6(c):
+        return F.floor(c * 1e6 + 0.5) / 1e6
+
+    return (
+        arm_s.crossJoin(F.broadcast(theta_s))
+        .select(
+            "arm",
+            "n_arm",
+            q6(mean_post).alias("mean_post_q"),
+            q6(mean_cuped).alias("mean_cuped_q"),
+            q6(cov * cov / (varx * vary)).alias("var_reduction_q"),
+        )
+        .orderBy("arm")
+    )
+
+
+@_staged(
+    "srm_check_events",
+    """
+    WITH arms AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    j AS (
+      SELECT a.n AS na, b.n AS nb
+      FROM arms a CROSS JOIN arms b
+      WHERE a.arm = 0 AND b.arm = 1
+    )
+    SELECT na, nb,
+           floor(CAST((na - nb) AS DOUBLE) * (na - nb) / (na + nb)
+                 * 1e6 + 0.5) / 1e6 AS chi2_q,
+           CASE WHEN CAST((na - nb) AS DOUBLE) * (na - nb) / (na + nb)
+                     > 3.841458820694124 THEN 1 ELSE 0 END AS srm_flag
+    FROM j
+    """,
+)
+def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate any A/B readout
+    must pass (a biased assignment invalidates every downstream
+    stat): χ² goodness-of-fit of the two arm sizes against the
+    designed 50/50 split, which for two cells collapses to
+    (n_a−n_b)²/(n_a+n_b); exact integer counts, one float division,
+    flagged against the χ²₁ 95% critical value pinned as a double
+    literal. Distinct-user counts, not event counts — SRM is about
+    ASSIGNMENT."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    arms = (
+        T(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 2).cast("long").alias("arm"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n"))
+    )
+    a = arms.filter("arm = 0").select(F.col("n").alias("na"))
+    b = arms.filter("arm = 1").select(F.col("n").alias("nb"))
+    j = a.crossJoin(F.broadcast(b))
+    chi2 = (F.col("na") - F.col("nb")).cast("double") * (
+        F.col("na") - F.col("nb")
+    ) / (F.col("na") + F.col("nb"))
+    return j.select(
+        "na",
+        "nb",
+        (F.floor(chi2 * 1e6 + 0.5) / 1e6).alias("chi2_q"),
+        F.when(chi2 > 3.841458820694124, 1).otherwise(0).alias("srm_flag"),
+    )
