@@ -1105,3 +1105,30 @@ def test_arrow_ipc_roundtrip_nulls_binary_empty(spark, tmp_path):
     assert (n_rows, n_files) == (0, 1)
     back2 = read_arrow_ipc(spark, str(tmp_path / "e"))
     assert back2.schema == df.schema and back2.count() == 0
+
+
+def test_parquet_footer_audit_matches_duckdb(spark):
+    """Two independent parquet footer parsers must agree: the
+    distributed pyarrow audit vs DuckDB's parquet_file_metadata,
+    per file, on rows / row groups / format version."""
+    import duckdb
+
+    from dbt_lakehouse_aws_spark.sources.parquet_meta import parquet_footer_audit
+
+    sf_dir = "/root/testdata/sf0.001"
+    tables = ["customer", "orders", "lineitem", "part", "supplier", "events"]
+    paths = [f"{sf_dir}/{t}.parquet" for t in tables]
+    ours = {
+        r["path"]: (r["n_rows"], r["n_row_groups"], r["format_version"])
+        for r in parquet_footer_audit(spark, paths).collect()
+    }
+    con = duckdb.connect()
+    theirs = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.sql(
+            f"SELECT file_name, num_rows, num_row_groups, format_version "
+            f"FROM parquet_file_metadata({paths!r})"
+        ).fetchall()
+    }
+    assert ours == theirs
+    assert len(ours) == len(tables)
