@@ -9544,3 +9544,97 @@ def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(chi2 * 1e6 + 0.5) / 1e6).alias("chi2_q"),
         F.when(chi2 > 3.841458820694124, 1).otherwise(0).alias("srm_flag"),
     )
+
+
+@_staged(
+    "jackknife_ratio_variance",
+    """
+    WITH per_bucket AS (
+      SELECT CAST(user_id % 20 AS BIGINT) AS bucket,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS tc,
+             CAST(sum(n) AS BIGINT) AS tn,
+             CAST(count(*) AS BIGINT) AS b
+      FROM per_bucket
+    ),
+    loo AS (
+      SELECT p.bucket, tot.b, tot.tc, tot.tn,
+             CAST(floor(CAST(tot.tc - p.cents AS DOUBLE)
+                        / (tot.tn - p.n) * 1e9 + 0.5) AS BIGINT) AS ti
+      FROM per_bucket p CROSS JOIN tot
+    ),
+    jk AS (
+      SELECT b, tc, tn,
+             CAST(sum(ti) AS DOUBLE) AS s1,
+             CAST(sum(CAST(ti AS HUGEINT) * ti) AS DOUBLE) AS s2
+      FROM loo GROUP BY b, tc, tn
+    )
+    SELECT b AS n_buckets,
+           floor(CAST(tc AS DOUBLE) / tn * 1e6 + 0.5) / 1e6 AS ratio_q,
+           floor((b - 1.0) / b * (s2 - s1 * s1 / b) / 1e18 * 1e9 + 0.5) / 1e9
+             AS jk_variance_q,
+           floor(sqrt((b - 1.0) / b * (s2 - s1 * s1 / b) / 1e18) * 1e6 + 0.5)
+             / 1e6 AS jk_se_q
+    FROM jk
+    """,
+)
+def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife (leave-one-bucket-out) variance of a ratio metric —
+    how experimentation platforms get honest CIs for revenue-per-
+    event-style metrics, where the naive per-row variance is wrong
+    because both numerator and denominator are random: users hash
+    into 20 buckets, each pseudo-estimate drops one bucket's exact
+    INTEGER (Σcents, n) totals, and Var_jk = (b−1)/b · Σ(θᵢ−θ̄)².
+    The only floats are the b=20 leave-one-out ratios — a
+    bucket-level frame, bounded by design — combined in one
+    fixed-order expression; variance quantized at 1e-9 (it lives
+    near zero), point estimate and SE at 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    per_bucket = (
+        T(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 20).cast("long").alias("bucket"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    tot = per_bucket.agg(
+        F.sum("cents").cast("long").alias("tc"),
+        F.sum("n").cast("long").alias("tn"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    # pseudo-estimates are QUANTIZED to integer nano-units before
+    # summation — a sum of 20 doubles is summation-order-dependent
+    # across engines (caught live by the sf0.01 gate: 1-ulp variance
+    # drift); integer sums are order-free, and both engines then run
+    # the identical uncentered-variance expression on exact inputs
+    ti = F.floor(
+        (F.col("tc") - F.col("cents")).cast("double")
+        / (F.col("tn") - F.col("n"))
+        * 1e9
+        + 0.5
+    ).cast("long")
+    loo = per_bucket.crossJoin(F.broadcast(tot)).select("b", "tc", "tn", ti.alias("ti"))
+    dec = "decimal(19,0)"
+    stats = loo.groupBy("b", "tc", "tn").agg(
+        F.sum("ti").cast("double").alias("s1"),
+        F.sum(F.col("ti").cast(dec) * F.col("ti").cast(dec))
+        .cast("double")
+        .alias("s2"),
+    )
+    b = F.col("b")
+    theta = F.col("tc").cast("double") / F.col("tn")
+    ss = (F.col("s2") - F.col("s1") * F.col("s1") / b) / 1e18
+    return stats.select(
+        b.alias("n_buckets"),
+        (F.floor(theta * 1e6 + 0.5) / 1e6).alias("ratio_q"),
+        (F.floor((b - 1.0) / b * ss * 1e9 + 0.5) / 1e9).alias("jk_variance_q"),
+        (F.floor(F.sqrt((b - 1.0) / b * ss) * 1e6 + 0.5) / 1e6).alias("jk_se_q"),
+    )
