@@ -9638,3 +9638,104 @@ def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor((b - 1.0) / b * ss * 1e9 + 0.5) / 1e9).alias("jk_variance_q"),
         (F.floor(F.sqrt((b - 1.0) / b * ss) * 1e6 + 0.5) / 1e6).alias("jk_se_q"),
     )
+
+
+@_staged(
+    "stratified_ate_events",
+    """
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) + INTERVAL 14 DAY AS cutoff FROM events
+    ),
+    per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) < bounds.cutoff
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS score,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) >= bounds.cutoff
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events CROSS JOIN bounds
+      GROUP BY user_id
+    ),
+    strat AS (
+      SELECT arm, y,
+             CAST(ntile(5) OVER (ORDER BY score, user_id) AS BIGINT)
+               AS stratum
+      FROM per_user
+    ),
+    cells AS (
+      SELECT stratum, arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM strat GROUP BY 1, 2
+    )
+    SELECT a.stratum, a.n AS n_treat, b.n AS n_ctrl,
+           floor((CAST(a.sy AS DOUBLE) / a.n - CAST(b.sy AS DOUBLE) / b.n)
+                 * 1e6 + 0.5) / 1e6 AS diff_q,
+           floor((CAST(a.sy AS DOUBLE) / a.n - CAST(b.sy AS DOUBLE) / b.n)
+                 * (a.n + b.n) * 1e6 + 0.5) / 1e6 AS weighted_contrib_q
+    FROM cells a JOIN cells b
+      ON b.stratum = a.stratum AND a.arm = 1 AND b.arm = 0
+    ORDER BY a.stratum
+    """,
+)
+def stratified_ate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-stratified treatment-effect estimate — the
+    quintile-stratification design observational studies use when
+    randomization can't be trusted: users rank into 5 strata by
+    their pre-period score via operators/windows.py::ntile_scalable
+    (proven bit-identical to SQL ntile — the oracle uses the
+    native window), then each stratum contributes its own
+    treat-minus-control mean difference and size-weighted term.
+    Integer cents throughout; the per-stratum differences are the
+    only floats, fixed op order, floor-quantized 1e-6."""
+    from dbt_lakehouse_aws_spark.operators.windows import ntile_scalable
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = e.agg(F.date_add(F.min("d"), 14).alias("cutoff"))
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            (F.col("user_id") % 2).cast("long").alias("arm"),
+            F.sum(F.when(F.col("d") < F.col("cutoff"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("score"),
+            F.sum(
+                F.when(F.col("d") >= F.col("cutoff"), F.col("cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    strat = ntile_scalable(
+        per_user, [F.asc("score"), F.asc("user_id")], n=5, name="stratum"
+    )
+    cells = strat.groupBy("stratum", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    a = cells.filter("arm = 1").select(
+        "stratum", F.col("n").alias("n_treat"), F.col("sy").alias("sy1")
+    )
+    b = cells.filter("arm = 0").select(
+        "stratum", F.col("n").alias("n_ctrl"), F.col("sy").alias("sy0")
+    )
+    j = a.join(b, "stratum")
+    diff = F.col("sy1").cast("double") / F.col("n_treat") - F.col("sy0").cast(
+        "double"
+    ) / F.col("n_ctrl")
+    return j.select(
+        "stratum",
+        "n_treat",
+        "n_ctrl",
+        (F.floor(diff * 1e6 + 0.5) / 1e6).alias("diff_q"),
+        (F.floor(diff * (F.col("n_treat") + F.col("n_ctrl")) * 1e6 + 0.5) / 1e6).alias(
+            "weighted_contrib_q"
+        ),
+    ).orderBy("stratum")
