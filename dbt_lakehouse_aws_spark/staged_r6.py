@@ -9739,3 +9739,78 @@ def stratified_ate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_contrib_q"
         ),
     ).orderBy("stratum")
+
+
+@_staged(
+    "travel_distance_users",
+    """
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             (event_id * 48271) % 100000 AS x,
+             (event_id * 69621) % 100000 AS y
+      FROM events
+    ),
+    steps AS (
+      SELECT user_id,
+             lag(x) OVER w AS px, lag(y) OVER w AS py, x, y
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    lens AS (
+      SELECT user_id,
+             CAST(floor(sqrt(CAST((x - px) * (x - px)
+                                  + (y - py) * (y - py) AS DOUBLE))
+                        * 1000 + 0.5) AS BIGINT) AS step_milli
+      FROM steps WHERE px IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(sum(step_milli) AS BIGINT) AS path_milli,
+           CAST(max(step_milli) AS BIGINT) AS longest_step_milli
+    FROM lens GROUP BY user_id
+    ORDER BY path_milli DESC, user_id ASC LIMIT 20
+    """,
+)
+def travel_distance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory path length per user — the telematics/mobility
+    aggregate: each event gets a deterministic point on the integer
+    plane, consecutive points (per-user hash-partitioned windows,
+    (ts, event_id) total order) yield step lengths, and each step is
+    QUANTIZED to integer milli-units BEFORE the per-user sum — sqrt
+    of an exact integer is correctly rounded and identical on both
+    engines, but a float SUM of steps would be order-dependent (the
+    jackknife lesson, applied). Top-20 longest paths, with the
+    longest single hop as the outlier tell."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from pyspark.sql import Window
+
+    pts = T(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 48271) % 100000).alias("x"),
+        ((F.col("event_id") * 69621) % 100000).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = pts.select(
+        "user_id",
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        "x",
+        "y",
+    ).filter(F.col("px").isNotNull())
+    d2 = (F.col("x") - F.col("px")) * (F.col("x") - F.col("px")) + (
+        F.col("y") - F.col("py")
+    ) * (F.col("y") - F.col("py"))
+    step = F.floor(F.sqrt(d2.cast("double")) * 1000 + 0.5).cast("long")
+    return (
+        steps.select("user_id", step.alias("step_milli"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.sum("step_milli").cast("long").alias("path_milli"),
+            F.max("step_milli").cast("long").alias("longest_step_milli"),
+        )
+        .orderBy(F.desc("path_milli"), F.asc("user_id"))
+        .limit(20)
+    )
