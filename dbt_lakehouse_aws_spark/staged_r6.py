@@ -9814,3 +9814,91 @@ def travel_distance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("path_milli"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@_staged(
+    "budget_pacing_daily",
+    """
+    WITH daily AS (
+      SELECT date_trunc('month', CAST(ts AS DATE)) AS mon,
+             CAST(ts AS DATE) AS d,
+             CAST(EXTRACT(day FROM CAST(ts AS DATE)) AS BIGINT) AS dom,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2, 3
+    ),
+    mtd AS (
+      SELECT a.mon, a.d, a.dom, a.cents,
+             CAST(sum(b.cents) AS BIGINT) AS mtd_cents
+      FROM daily a JOIN daily b ON b.mon = a.mon AND b.d <= a.d
+      GROUP BY a.mon, a.d, a.dom, a.cents
+    ),
+    month_tot AS (
+      SELECT mon,
+             CAST(sum(cents) AS BIGINT) AS month_cents,
+             CAST(max(dom) AS BIGINT) AS days_in_month
+      FROM daily GROUP BY mon
+    )
+    SELECT m.d, m.mtd_cents,
+           floor(CAST(m.mtd_cents AS DOUBLE) * t.days_in_month
+                 / (CAST(t.month_cents AS DOUBLE) * m.dom)
+                 * 1e6 + 0.5) / 1e6 AS pace_index_q,
+           CASE WHEN m.mtd_cents * t.days_in_month
+                     > 11 * t.month_cents * m.dom // 10
+                THEN 1 ELSE 0 END AS overpacing
+    FROM mtd m JOIN month_tot t ON t.mon = m.mon
+    ORDER BY m.d
+    """,
+)
+def budget_pacing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget pacing — the ad-tech/finops daily control chart:
+    month-to-date spend vs the linear target (month total × elapsed
+    fraction), pace index = MTD·days/(total·dom), with the
+    overpacing flag (>110%) kept as an INTEGER cross-multiplication
+    — never float-vs-float at the decision boundary, the same
+    discipline as burst detection. Cumulative MTD rides a
+    month-scoped calendar self-join on the bounded day frame; one
+    join to the per-month totals."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("month", F.to_date("ts")).alias("mon"),
+            F.to_date("ts").alias("d"),
+            F.dayofmonth(F.to_date("ts")).cast("long").alias("dom"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    b = daily.select(
+        F.col("mon").alias("bmon"), F.col("d").alias("bd"), F.col("cents").alias("bc")
+    )
+    mtd = (
+        daily.join(b, (F.col("bmon") == F.col("mon")) & (F.col("bd") <= F.col("d")))
+        .groupBy("mon", "d", "dom", "cents")
+        .agg(F.sum("bc").cast("long").alias("mtd_cents"))
+    )
+    month_tot = daily.groupBy("mon").agg(
+        F.sum("cents").cast("long").alias("month_cents"),
+        F.max("dom").cast("long").alias("days_in_month"),
+    )
+    j = mtd.join(F.broadcast(month_tot), "mon")
+    pace = (
+        F.col("mtd_cents").cast("double")
+        * F.col("days_in_month")
+        / (F.col("month_cents").cast("double") * F.col("dom"))
+    )
+    over = F.when(
+        F.col("mtd_cents") * F.col("days_in_month")
+        > F.expr("11 * month_cents * dom div 10"),
+        1,
+    ).otherwise(0)
+    return j.select(
+        "d",
+        "mtd_cents",
+        (F.floor(pace * 1e6 + 0.5) / 1e6).alias("pace_index_q"),
+        over.alias("overpacing"),
+    ).orderBy("d")
