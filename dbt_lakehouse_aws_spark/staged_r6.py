@@ -9902,3 +9902,134 @@ def budget_pacing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(pace * 1e6 + 0.5) / 1e6).alias("pace_index_q"),
         over.alias("overpacing"),
     ).orderBy("d")
+
+
+@_staged(
+    "churn_threshold_ladder",
+    """
+    WITH last_seen AS (
+      SELECT user_id, max(CAST(ts AS DATE)) AS last_d
+      FROM events GROUP BY 1
+    ),
+    horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    inact AS (
+      SELECT user_id,
+             CAST(datediff('day', last_d, horizon.h) AS BIGINT) AS idle_days
+      FROM last_seen CROSS JOIN horizon
+    ),
+    ladder AS (SELECT unnest([7, 14, 21, 28]) AS k)
+    SELECT ladder.k AS threshold_days,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN idle_days >= ladder.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned,
+           floor(CAST(sum(CASE WHEN idle_days >= ladder.k THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+             AS churn_rate_q
+    FROM inact CROSS JOIN ladder
+    GROUP BY ladder.k ORDER BY ladder.k
+    """,
+)
+def churn_threshold_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-definition sensitivity — the product-analytics exercise
+    behind every 'what even is churn' meeting: churn rate at
+    7/14/21/28-day inactivity thresholds from one pass of per-user
+    last-activity dates against the corpus horizon; the ladder is a
+    4-row broadcast and every count is exact, so the row reds if
+    EITHER engine misassigns a single boundary user (idle == k is
+    churned — the >= convention, pinned here)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    last_seen = e.groupBy("user_id").agg(F.max("d").alias("last_d"))
+    horizon = e.agg(F.max("d").alias("h"))
+    inact = last_seen.crossJoin(F.broadcast(horizon)).select(
+        "user_id", F.datediff("h", "last_d").cast("long").alias("idle_days")
+    )
+    ladder = spark.createDataFrame([(7,), (14,), (21,), (28,)], "k long")
+    churned = F.sum(
+        F.when(F.col("idle_days") >= F.col("k"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        inact.crossJoin(F.broadcast(ladder))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            churned.alias("n_churned"),
+        )
+        .select(
+            F.col("k").alias("threshold_days"),
+            "n_users",
+            "n_churned",
+            (
+                F.floor(
+                    F.col("n_churned").cast("double") / F.col("n_users") * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("churn_rate_q"),
+        )
+        .orderBy("threshold_days")
+    )
+
+
+@_staged(
+    "type_token_ratio_sources",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    clean AS (SELECT source, w FROM tok WHERE w <> ''),
+    s AS (
+      SELECT source,
+             CAST(sum(cnt) AS BIGINT) AS tokens,
+             CAST(count(*) AS BIGINT) AS types,
+             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax
+      FROM (
+        SELECT source, w, count(*) AS cnt FROM clean GROUP BY 1, 2
+      ) GROUP BY source
+    )
+    SELECT source, tokens, types, hapax,
+           floor(CAST(types AS DOUBLE) / tokens * 1e6 + 0.5) / 1e6 AS ttr_q,
+           floor(CAST(hapax AS DOUBLE) / types * 1e6 + 0.5) / 1e6
+             AS hapax_ratio_q
+    FROM s ORDER BY source
+    """,
+)
+def type_token_ratio_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source — type-token ratio and hapax
+    (frequency-1) share, the corpus-quality tells that separate
+    natural text from boilerplate and template spam (TTR collapses
+    on templated corpora; hapax share collapses on token-recycled
+    ones). Complements heaps_law_vocab_growth's curve with the
+    per-source point stats. One (source, word) aggregate carries all
+    three counts; exact integers, two quantized ratios (tokens =
+    Σcnt over word cells, NOT the cell count — the off-by-a-level
+    the staged gate caught in this query's first draft)."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    tok = (
+        T(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    cells = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    s = cells.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("tokens"),
+        F.count(F.lit(1)).cast("long").alias("types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+    )
+    return s.select(
+        "source",
+        "tokens",
+        "types",
+        "hapax",
+        (F.floor(F.col("types").cast("double") / F.col("tokens") * 1e6 + 0.5) / 1e6).alias(
+            "ttr_q"
+        ),
+        (F.floor(F.col("hapax").cast("double") / F.col("types") * 1e6 + 0.5) / 1e6).alias(
+            "hapax_ratio_q"
+        ),
+    ).orderBy("source")
