@@ -10033,3 +10033,69 @@ def type_token_ratio_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hapax_ratio_q"
         ),
     ).orderBy("source")
+
+
+@_staged(
+    "open_orders_per_day",
+    """
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS opened,
+             max(CAST(l.l_shipdate AS DATE)) AS closed
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT opened AS d, CAST(count(*) AS BIGINT) AS delta FROM spans
+      GROUP BY 1
+      UNION ALL
+      SELECT CAST(closed + INTERVAL 1 DAY AS DATE),
+             CAST(-count(*) AS BIGINT) FROM spans GROUP BY 1
+    ),
+    net AS (
+      SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM deltas GROUP BY d
+    ),
+    sweep AS (
+      SELECT d, sum(delta) OVER (ORDER BY d) AS open_orders
+      FROM net
+    )
+    SELECT d, CAST(open_orders AS BIGINT) AS open_orders
+    FROM sweep
+    ORDER BY open_orders DESC, d ASC LIMIT 20
+    """,
+)
+def open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting — open orders in flight per day,
+    the backlog/WIP metric every ops dashboard carries: each order is
+    an interval [orderdate, last shipdate], counted by the classic
+    BOUNDARY SWEEP (+1 at open, −1 the day after close, prefix-sum
+    of net deltas) instead of exploding order×days — O(orders) rows
+    reduced to O(distinct days), then one pass of
+    operators/windows.py::prefix_sum (the oracle uses a plain
+    windowed cumulative over the same exact integers). Top-20
+    busiest days."""
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_orderdate").cast("date").alias("opened")
+    )
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_shipdate").cast("date").alias("ship")
+    )
+    spans = o.join(l, "ok").groupBy("ok", "opened").agg(F.max("ship").alias("closed"))
+    starts = spans.groupBy(F.col("opened").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("delta")
+    )
+    ends = spans.groupBy(F.date_add("closed", 1).alias("d")).agg(
+        (-F.count(F.lit(1))).cast("long").alias("delta")
+    )
+    net = starts.unionAll(ends).groupBy("d").agg(
+        F.sum("delta").cast("long").alias("delta")
+    )
+    sweep = prefix_sum(net, [F.asc("d")], "delta", name="open_orders")
+    return (
+        sweep.select("d", F.col("open_orders").cast("long").alias("open_orders"))
+        .orderBy(F.desc("open_orders"), F.asc("d"))
+        .limit(20)
+    )
