@@ -729,6 +729,54 @@ class AcidTable:
             renames=renames,
         )
 
+    def drop_column(self, name: str) -> Snapshot:
+        """ALTER TABLE DROP COLUMN — metadata-only, completing the
+        schema-evolution trio (ADD via append union-by-name, RENAME,
+        DROP): the commit records a schema WITHOUT the column while
+        the data files keep their bytes — parquet readers project by
+        the stored schema, so the dropped column is simply never
+        read (the same reason Delta's drop is O(1); the bytes age
+        out through OPTIMIZE rewrites). Dropping a column a CHECK
+        constraint or generated column references is rejected, same
+        guard as rename."""
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        logical = {f.name: snap.renames.get(f.name, f.name) for f in schema.fields}
+        if name not in logical.values():
+            raise ValueError(f"no column {name!r} on {self.path}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        offending = [n for n, e in snap.constraints.items() if pat.search(e)]
+        if offending:
+            raise ValueError(
+                f"cannot drop {name!r}: referenced by CHECK "
+                f"constraint(s) {offending} — drop them first"
+            )
+        gen_off = [
+            n for n, e in snap.generated.items() if n == name or pat.search(e)
+        ]
+        if gen_off:
+            raise ValueError(
+                f"cannot drop {name!r}: generated column(s) {gen_off} "
+                "declare or reference it"
+            )
+        phys = next(p for p, log in logical.items() if log == name)
+        new_schema = StructType([f for f in schema.fields if f.name != phys])
+        renames = {p: l for p, l in snap.renames.items() if p != phys}
+        stats = {
+            f: {c: v for c, v in cols.items() if c != phys}
+            for f, cols in snap.stats.items()
+        }
+        return self._commit(
+            operation=f"DROP COLUMN {name}",
+            files=snap.files,
+            schema_json=new_schema.json(),
+            stats=stats,
+            base_version=snap.version,
+            renames=renames,
+        )
+
     # -- generated columns (Delta GENERATED ALWAYS AS semantics) ----------
 
     def add_generated_column(self, name: str, expr: str) -> Snapshot:

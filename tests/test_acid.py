@@ -1112,3 +1112,42 @@ def test_replace_where_shrinks_and_grows_slice(spark, tmp_path, base_rows):
     rows = t.read().collect()
     assert len(rows) == 51  # 50 evens + 1 replacement
     assert {r["grp"] for r in rows} == {"even", "odd"}
+
+
+def test_drop_column_metadata_only(spark, tmp_path, base_rows):
+    """DROP COLUMN is one metadata commit: files untouched, the
+    column gone from reads, time travel still sees it."""
+    t = AcidTable(spark, str(tmp_path / "dc"))
+    t.write(_mkdf(spark, base_rows))
+    v0 = t.latest_version()
+    files_before = list(t.snapshot().files)
+    snap = t.drop_column("value")
+    assert snap.version == v0 + 1
+    assert list(t.snapshot().files) == files_before  # no data rewrite
+    assert t.read().columns == ["id", "grp"]
+    assert t.read().count() == 100
+    # time travel: the column still exists at v0
+    assert "value" in t.read(version=v0).columns
+
+
+def test_drop_column_guards(spark, tmp_path, base_rows):
+    t = AcidTable(spark, str(tmp_path / "dcg"))
+    t.write(_mkdf(spark, base_rows))
+    t.add_check_constraint("v_nonneg", "value >= 0")
+    with pytest.raises(ValueError, match="CHECK"):
+        t.drop_column("value")
+    t.drop_check_constraint("v_nonneg")
+    t.drop_column("value")
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("value")
+
+
+def test_drop_renamed_column_by_logical_name(spark, tmp_path, base_rows):
+    """Drop binds to the LOGICAL name after a rename; the physical
+    rename map entry goes with it."""
+    t = AcidTable(spark, str(tmp_path / "dcr"))
+    t.write(_mkdf(spark, base_rows))
+    t.rename_column("value", "amount")
+    t.drop_column("amount")
+    assert t.read().columns == ["id", "grp"]
+    assert t.snapshot().renames == {}
