@@ -10099,3 +10099,70 @@ def open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("open_orders"), F.asc("d"))
         .limit(20)
     )
+
+
+@_staged(
+    "acid_drop_column_events",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n, cents,
+           CAST(3 AS BIGINT) AS cols_before,
+           CAST(2 AS BIGINT) AS cols_after,
+           CAST(1 AS BIGINT) AS timetravel_sees_dropped
+    FROM base ORDER BY event_type
+    """,
+)
+def acid_drop_column_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE DROP COLUMN under the driver gate
+    (sources/acid.py::drop_column): load (event_type, cents,
+    event_id) into an ACID table, drop the cents column — a
+    metadata-only commit, files untouched — then verify (a) current
+    reads carry 2 columns and the full row count per type, (b) time
+    travel to the pre-drop version still reads the column. The
+    oracle pins the per-type counts plus the three structural
+    invariants as constants."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    base = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    t = AcidTable(
+        spark, tempfile.mkdtemp(prefix=f"dropcol_{uuid.uuid4().hex[:8]}_") + "/t"
+    )
+    t.write(base)
+    v0 = t.latest_version()
+    cols_before = len(t.read().columns)
+    files_before = list(t.snapshot().files)
+    t.drop_column("cents")
+    assert list(t.snapshot().files) == files_before, "drop must be metadata-only"
+    cols_after = len(t.read().columns)
+    sees = 1 if "cents" in t.read(version=v0).columns else 0
+    return (
+        t.read(version=v0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "cents",
+            F.lit(cols_before).cast("long").alias("cols_before"),
+            F.lit(cols_after).cast("long").alias("cols_after"),
+            F.lit(sees).cast("long").alias("timetravel_sees_dropped"),
+        )
+        .orderBy("event_type")
+    )
