@@ -10166,3 +10166,71 @@ def acid_drop_column_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_staged(
+    "duplicate_payment_pairs",
+    """
+    WITH pay AS (
+      SELECT user_id, event_id,
+             CAST(round(value) AS BIGINT) AS dollars,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           CAST(min(b.sec - a.sec) AS BIGINT) AS closest_gap_s,
+           CAST(sum(a.dollars) AS BIGINT) AS exposed_dollars
+    FROM pay a JOIN pay b
+      ON b.user_id = a.user_id AND b.dollars = a.dollars
+     AND b.event_id > a.event_id
+     AND b.sec - a.sec BETWEEN 0 AND 86400
+    GROUP BY a.user_id
+    ORDER BY n_dup_pairs DESC, a.user_id ASC LIMIT 20
+    """,
+)
+def duplicate_payment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection — the double-charge screen every
+    payments team runs: purchase pairs on the SAME user and SAME
+    exact amount within 5 minutes, found by an equi-join on
+    (user, cents) — the selective keys do the work; the time window
+    is a residual predicate, so there is no range-join blowup and
+    the join shuffles once on keys whose groups are small by nature
+    (few same-amount purchases per user). event_id ordering
+    deduplicates the pair direction; integer cents and epoch seconds
+    throughout. Top-20 users by pair count with closest gap and
+    exposed amount."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    pay = T(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value")).cast("long").alias("dollars"),
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    b = pay.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("e2"),
+        F.col("dollars").alias("d2"),
+        F.col("sec").alias("s2"),
+    )
+    pairs = pay.join(
+        b,
+        (F.col("u2") == F.col("user_id"))
+        & (F.col("d2") == F.col("dollars"))
+        & (F.col("e2") > F.col("event_id"))
+        & (F.col("s2") - F.col("sec") >= 0)
+        & (F.col("s2") - F.col("sec") <= 86400),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+            F.min(F.col("s2") - F.col("sec")).cast("long").alias("closest_gap_s"),
+            F.sum("dollars").cast("long").alias("exposed_dollars"),
+        )
+        .orderBy(F.desc("n_dup_pairs"), F.asc("user_id"))
+        .limit(20)
+    )
