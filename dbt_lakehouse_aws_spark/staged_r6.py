@@ -10234,3 +10234,116 @@ def duplicate_payment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_dup_pairs"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@_staged(
+    "stl_anomaly_days",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    ma AS (
+      SELECT a.d, a.cents,
+             CAST(sum(b.cents) AS BIGINT) AS sum7
+      FROM daily a JOIN daily b
+        ON b.d BETWEEN a.d - INTERVAL 3 DAY AND a.d + INTERVAL 3 DAY
+      GROUP BY a.d, a.cents
+      HAVING count(*) = 7
+    ),
+    season AS (
+      SELECT CAST(EXTRACT(dow FROM d) + 1 AS BIGINT) AS wd,
+             CAST(sum(7 * cents - sum7) AS BIGINT) AS dsum,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ma GROUP BY 1
+    ),
+    resid AS (
+      SELECT ma.d,
+             CAST(floor((ma.cents - CAST(ma.sum7 AS DOUBLE) / 7
+                         - CAST(s.dsum AS DOUBLE) / (7 * s.n)) * 1e6 + 0.5)
+                  AS BIGINT) AS r
+      FROM ma JOIN season s
+        ON s.wd = CAST(EXTRACT(dow FROM ma.d) + 1 AS BIGINT)
+    ),
+    med AS (
+      SELECT CAST(quantile_disc(r, 0.5) AS BIGINT) AS m FROM resid
+    ),
+    mad AS (
+      SELECT m, CAST(quantile_disc(abs(r - m), 0.5) AS BIGINT) AS mad
+      FROM resid CROSS JOIN med GROUP BY m
+    )
+    SELECT resid.d, CAST(resid.r AS DOUBLE) / 1e6 AS residual_q,
+           CASE WHEN abs(resid.r - mad.m) > 3 * mad.mad
+                THEN 1 ELSE 0 END AS anomaly
+    FROM resid CROSS JOIN mad
+    WHERE abs(resid.r - mad.m) > 3 * mad.mad
+    ORDER BY resid.d
+    """,
+)
+def stl_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly days — the composition a real
+    monitoring pipeline runs: STL-lite residuals (the
+    stl_lite_daily_events decomposition, quantized to INTEGER
+    micro-units) gated by the robust median ± 3·MAD rule, both
+    computed as exact discrete quantiles of integers — so the
+    anomaly boundary is an integer comparison, never float-vs-float
+    (the burst-detection discipline, with a robust location/scale
+    instead of a trailing mean). Returns only the flagged days;
+    flagging is calendar-bounded day-frame work end to end."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    daily = T(spark, sf_dir, "events").groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    b = daily.select(F.col("d").alias("bd"), F.col("cents").alias("bcents"))
+    ma = (
+        daily.join(
+            b,
+            (F.col("bd") >= F.date_sub(F.col("d"), 3))
+            & (F.col("bd") <= F.date_add(F.col("d"), 3)),
+        )
+        .groupBy("d", "cents")
+        .agg(
+            F.sum("bcents").cast("long").alias("sum7"),
+            F.count(F.lit(1)).cast("long").alias("n7"),
+        )
+        .filter(F.col("n7") == 7)
+    )
+    season = ma.groupBy(F.dayofweek("d").cast("long").alias("wd")).agg(
+        F.sum(7 * F.col("cents") - F.col("sum7")).cast("long").alias("dsum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    resid_val = (
+        F.col("cents")
+        - F.col("sum7").cast("double") / 7
+        - F.col("dsum").cast("double") / (7 * F.col("n"))
+    )
+    resid = ma.join(
+        F.broadcast(season), F.dayofweek(ma["d"]).cast("long") == F.col("wd")
+    ).select("d", F.floor(resid_val * 1e6 + 0.5).cast("long").alias("r"))
+    med = resid.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)")
+        .cast("long")
+        .alias("m")
+    )
+    mad = (
+        resid.crossJoin(F.broadcast(med))
+        .select((F.abs(F.col("r") - F.col("m"))).alias("ar"), "m")
+        .groupBy("m")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ar)")
+            .cast("long")
+            .alias("mad")
+        )
+    )
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .filter(F.abs(F.col("r") - F.col("m")) > 3 * F.col("mad"))
+        .select(
+            "d",
+            (F.col("r").cast("double") / 1e6).alias("residual_q"),
+            F.lit(1).alias("anomaly"),
+        )
+        .orderBy("d")
+    )
