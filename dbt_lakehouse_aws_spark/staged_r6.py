@@ -10347,3 +10347,142 @@ def stl_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@_staged(
+    "scd3_user_prior_state",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS current_type,
+           coalesce(prev_type, 'n/a') AS prior_type,
+           CAST(event_id AS BIGINT) AS current_event_id
+    FROM seq WHERE rn = 1 AND user_id % 20 = 0
+    ORDER BY user_id
+    """,
+)
+def scd3_user_prior_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3 — the 'current + previous value' dimension shape
+    (Type 2 keeps full history rows, Type 3 keeps ONE prior column —
+    the cheap answer when only the last transition matters): per
+    user, the latest event type and the type immediately before it,
+    from one pass of per-user windows (lag for the prior, reverse
+    row_number for the latest — both hash-partitioned). The 'n/a'
+    sentinel pins single-event users. Key-sliced output."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrev = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    seq = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(wrev).alias("rn"),
+    )
+    return (
+        seq.filter((F.col("rn") == 1) & (F.col("user_id") % 20 == 0))
+        .select(
+            "user_id",
+            F.col("event_type").alias("current_type"),
+            F.coalesce("prev_type", F.lit("n/a")).alias("prior_type"),
+            F.col("event_id").cast("long").alias("current_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_staged(
+    "bitemporal_asof_events",
+    """
+    WITH horizon AS (
+      SELECT min(CAST(ts AS DATE)) + INTERVAL 20 DAY AS v FROM events
+    ),
+    known_v1 AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_id % 2 = 0
+    ),
+    state_v1 AS (
+      SELECT user_id, event_type AS s1 FROM (
+        SELECT k.user_id, k.event_type,
+               row_number() OVER (PARTITION BY k.user_id
+                                  ORDER BY k.ts DESC, k.event_id DESC) AS rn
+        FROM known_v1 k CROSS JOIN horizon
+        WHERE CAST(k.ts AS DATE) <= horizon.v
+      ) WHERE rn = 1
+    ),
+    state_now AS (
+      SELECT user_id, event_type AS s2 FROM (
+        SELECT e.user_id, e.event_type,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM events e CROSS JOIN horizon
+        WHERE CAST(e.ts AS DATE) <= horizon.v
+      ) WHERE rn = 1
+    )
+    SELECT coalesce(a.s1, 'unknown') AS state_at_v1,
+           b.s2 AS state_now,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM state_now b LEFT JOIN state_v1 a ON a.user_id = b.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def bitemporal_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of — the two-clock question insurance/finance
+    marts answer: for one VALID time V (day 20), what was each
+    user's state AS WE KNEW IT at transaction version 1 (only the
+    even-id events had arrived) vs AS WE KNOW NOW (everything,
+    including late arrivals) — materialized through the ACID layer:
+    v1 is a real commit, the late events a second commit, and the
+    two knowledge states are TIME-TRAVEL reads of the same table;
+    the correction matrix (state@v1 × state@now user counts, with
+    'unknown' for users v1 hadn't seen at all) is what a reserving
+    actuary calls development. The oracle replays both knowledge
+    states relationally from the raw events."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    t = AcidTable(
+        spark, tempfile.mkdtemp(prefix=f"bt_{uuid.uuid4().hex[:8]}_") + "/t"
+    )
+    t.write(e.filter(F.col("event_id") % 2 == 0))
+    v1 = t.latest_version()
+    t.write(e.filter(F.col("event_id") % 2 == 1), mode="append")
+
+    horizon = e.agg(F.date_add(F.min(F.to_date("ts")), 20).alias("v"))
+
+    def state_at(df):
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            df.crossJoin(F.broadcast(horizon))
+            .filter(F.to_date("ts") <= F.col("v"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type")
+        )
+
+    s1 = state_at(t.read(version=v1)).withColumnRenamed("event_type", "s1")
+    s2 = state_at(t.read()).withColumnRenamed("event_type", "s2")
+    return (
+        s2.join(s1, "user_id", "left")
+        .groupBy(
+            F.coalesce("s1", F.lit("unknown")).alias("state_at_v1"),
+            F.col("s2").alias("state_now"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("state_at_v1", "state_now")
+    )
