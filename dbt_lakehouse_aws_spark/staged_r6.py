@@ -10486,3 +10486,105 @@ def bitemporal_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("state_at_v1", "state_now")
     )
+
+
+@_staged(
+    "eb_shrunk_return_rates",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM lineitem GROUP BY 1
+    ),
+    eligible AS (
+      SELECT *, CAST(floor(CAST(k AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)
+                  AS rq
+      FROM per_part WHERE n >= 5
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(rq) AS BIGINT) AS s1,
+             CAST(sum(rq * rq) AS BIGINT) AS s2
+      FROM eligible
+    ),
+    prior AS (
+      SELECT CAST(s1 AS DOUBLE) / c / 1e6 AS m,
+             (CAST(s2 AS DOUBLE) / c - (CAST(s1 AS DOUBLE) / c)
+               * (CAST(s1 AS DOUBLE) / c)) / 1e12 AS v
+      FROM mom
+    ),
+    ab AS (
+      SELECT m, v,
+             m * (m * (1 - m) / v - 1) AS alpha,
+             (1 - m) * (m * (1 - m) / v - 1) AS beta
+      FROM prior
+    ),
+    scored AS (
+      SELECT e.l_partkey, e.n, e.k,
+             CAST(floor((e.k + ab.alpha) / (e.n + ab.alpha + ab.beta)
+                        * 1e6 + 0.5) AS BIGINT) AS shrunk_scaled
+      FROM eligible e CROSS JOIN ab
+    )
+    SELECT l_partkey, n, k,
+           CAST(shrunk_scaled AS DOUBLE) / 1e6 AS shrunk_rate_q
+    FROM scored
+    ORDER BY shrunk_scaled DESC, l_partkey ASC LIMIT 20
+    """,
+)
+def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates — the
+    small-sample leaderboard fix (a 2/2 part must not outrank a
+    48/100 one): a Beta prior fitted by method of moments over the
+    population of per-part rates, each rate QUANTIZED to integer
+    millionths before the moment sums (order-free — the jackknife
+    discipline), then every part's rate shrunk to
+    (k+α)/(n+α+β). Ranking is by the quantized shrunk rate with key
+    tiebreak, so the top-20 is float-drift-proof; parts under 5
+    lineitems are excluded from the prior fit and the board."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    per_part = T(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    eligible = per_part.filter(F.col("n") >= 5).withColumn(
+        "rq",
+        F.floor(F.col("k").cast("double") / F.col("n") * 1e6 + 0.5).cast("long"),
+    )
+    mom = eligible.agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("rq").cast("long").alias("s1"),
+        F.sum(F.col("rq") * F.col("rq")).cast("long").alias("s2"),
+    )
+    c = F.col("c")
+    m = F.col("s1").cast("double") / c / 1e6
+    v = (
+        F.col("s2").cast("double") / c
+        - (F.col("s1").cast("double") / c) * (F.col("s1").cast("double") / c)
+    ) / 1e12
+    ab = mom.select(
+        (m * (m * (1 - m) / v - 1)).alias("alpha"),
+        ((1 - m) * (m * (1 - m) / v - 1)).alias("beta"),
+    )
+    shrunk = F.floor(
+        (F.col("k") + F.col("alpha"))
+        / (F.col("n") + F.col("alpha") + F.col("beta"))
+        * 1e6
+        + 0.5
+    ).cast("long")
+    return (
+        eligible.crossJoin(F.broadcast(ab))
+        .select("l_partkey", "n", "k", shrunk.alias("shrunk_scaled"))
+        .orderBy(F.desc("shrunk_scaled"), F.asc("l_partkey"))
+        .limit(20)
+        .select(
+            "l_partkey",
+            "n",
+            "k",
+            (F.col("shrunk_scaled").cast("double") / 1e6).alias("shrunk_rate_q"),
+        )
+    )
