@@ -10588,3 +10588,98 @@ def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("shrunk_scaled").cast("double") / 1e6).alias("shrunk_rate_q"),
         )
     )
+
+
+def _minhash_eval_oracle() -> str:
+    """Compose the portable MinHash-LSH replay (est ≥ 0.5) with the
+    exact 3-shingle Jaccard ground truth into one WITH chain and
+    reduce to precision/recall/F1 — reusing standard_queries'
+    builders so the eval can never drift from the audited pipelines."""
+    from dbt_lakehouse_aws_spark.standard_queries import _minhash_lsh_oracle
+
+    full = _minhash_lsh_oracle(est_threshold=0.5)
+    cut = full.rindex("    SELECT a.doc_id AS doc_a")
+    ctes, est_select = full[:cut], full[cut:]
+    return f"""{ctes},
+    est AS ({est_select}),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i) >= 0.5
+    ),
+    cm AS (
+      SELECT CAST(sum(CASE WHEN e.doc_a IS NOT NULL AND x.doc_a IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN x.doc_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS fp,
+             CAST(sum(CASE WHEN e.doc_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS fn
+      FROM est e FULL JOIN exact x
+        ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+    )
+    SELECT tp, fp, fn,
+           floor(CAST(tp AS DOUBLE) / nullif(tp + fp, 0) * 1e6 + 0.5) / 1e6
+             AS precision_q,
+           floor(CAST(tp AS DOUBLE) / nullif(tp + fn, 0) * 1e6 + 0.5) / 1e6
+             AS recall_q
+    FROM cm
+    """
+
+
+@_staged("minhash_eval_vs_exact", _minhash_eval_oracle())
+def minhash_eval_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation — MinHash(32)+LSH estimated
+    near-dup pairs (est ≥ 0.5) scored against the EXACT 3-shingle
+    Jaccard ground truth, both engine pipelines the audited
+    production ones (portable-hash mode): the confusion counts and
+    precision/recall every dedup rollout reports before trusting a
+    sketch at 100 TB, where exact Jaccard is only affordable on an
+    audit sample exactly like this. The oracle composes the same two
+    replays from the shared SQL builders, so a drift in EITHER
+    pipeline reds this row."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, n=3, num_hashes=32, portable=True)
+    est = lsh_candidate_pairs(sigs, num_bands=8, est_threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    exact = ngram_jaccard_pairs(d, n=3, threshold=0.5).select(
+        F.col("doc_a").alias("xa"), F.col("doc_b").alias("xb")
+    )
+    j = est.join(
+        exact, (F.col("xa") == F.col("doc_a")) & (F.col("xb") == F.col("doc_b")), "full"
+    )
+    cm = j.agg(
+        F.sum(
+            F.when(F.col("doc_a").isNotNull() & F.col("xa").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("xa").isNull(), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(F.col("doc_a").isNull(), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+
+    def q6(c):
+        return F.floor(c * 1e6 + 0.5) / 1e6
+
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        q6(tp.cast("double") / F.nullif(tp + fp, F.lit(0))).alias("precision_q"),
+        q6(tp.cast("double") / F.nullif(tp + fn, F.lit(0))).alias("recall_q"),
+    )
