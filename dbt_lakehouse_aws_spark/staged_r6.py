@@ -10683,3 +10683,69 @@ def minhash_eval_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(tp.cast("double") / F.nullif(tp + fp, F.lit(0))).alias("precision_q"),
         q6(tp.cast("double") / F.nullif(tp + fn, F.lit(0))).alias("recall_q"),
     )
+
+
+@_staged(
+    "peak_event_rate_users",
+    """
+    WITH x AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             event_id
+      FROM events
+    ),
+    windowed AS (
+      SELECT user_id,
+             CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING
+             ) AS BIGINT) AS burst_n,
+             sec
+      FROM x
+    )
+    SELECT user_id,
+           CAST(max(burst_n) AS BIGINT) AS peak_events_per_hour,
+           CAST(min(CASE WHEN burst_n = mx THEN sec END) AS BIGINT)
+             AS first_peak_start_sec
+    FROM (SELECT *, max(burst_n) OVER (PARTITION BY user_id) AS mx
+          FROM windowed)
+    GROUP BY user_id
+    ORDER BY peak_events_per_hour DESC, user_id ASC LIMIT 20
+    """,
+)
+def peak_event_rate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak sliding-window rate per user — the rate-limiter /
+    abuse-detection audit: the maximum number of events any user
+    fits in ANY trailing-anchored 1-hour window, computed with a
+    RANGE frame over epoch seconds (every event anchors a window;
+    RANGE — not ROWS — so same-second events all count; the classic
+    two-pointer sweep expressed declaratively). Windows are per-user
+    hash partitions; epoch seconds floored identically on both
+    engines. Top-20 users with when their first peak started."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from pyspark.sql import Window
+
+    x = T(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_id"
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(0, 3600)
+    )
+    windowed = x.select(
+        "user_id", "sec", F.count(F.lit(1)).over(wr).cast("long").alias("burst_n")
+    )
+    wmax = Window.partitionBy("user_id")
+    flagged = windowed.withColumn("mx", F.max("burst_n").over(wmax))
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.max("burst_n").cast("long").alias("peak_events_per_hour"),
+            F.min(F.when(F.col("burst_n") == F.col("mx"), F.col("sec")))
+            .cast("long")
+            .alias("first_peak_start_sec"),
+        )
+        .orderBy(F.desc("peak_events_per_hour"), F.asc("user_id"))
+        .limit(20)
+    )
