@@ -10749,3 +10749,98 @@ def peak_event_rate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("peak_events_per_hour"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@_staged(
+    "regression_discontinuity_orders",
+    """
+    WITH x AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) - 15000000 AS r,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE abs(CAST(round(o_totalprice * 100) AS BIGINT) - 15000000)
+            <= 5000000
+    ),
+    s AS (
+      SELECT CASE WHEN r >= 0 THEN 1 ELSE 0 END AS side,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(r AS HUGEINT) * r) AS DOUBLE) AS sxx,
+             CAST(sum(r * y) AS BIGINT) AS sxy
+      FROM x GROUP BY 1
+    ),
+    fit AS (
+      SELECT side, n,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+             CAST(sy AS DOUBLE) / n
+               - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (n * sxx - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(sx AS DOUBLE) / n) AS intercept_at_cutoff
+      FROM s
+    )
+    SELECT r.n AS n_right, l.n AS n_left,
+           floor((r.intercept_at_cutoff - l.intercept_at_cutoff)
+                 * 1e6 + 0.5) / 1e6 AS jump_q,
+           floor(l.slope * 1e12 + 0.5) / 1e12 AS slope_left_q,
+           floor(r.slope * 1e12 + 0.5) / 1e12 AS slope_right_q
+    FROM fit r JOIN fit l ON r.side = 1 AND l.side = 0
+    """,
+)
+def regression_discontinuity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression discontinuity — the fourth member of the causal
+    family (diff-in-diff, stratified ATE, CUPED): local linear fits
+    on each side of the $150k order-value cutoff within a ±$50k
+    bandwidth, treatment effect = the jump between the two
+    intercepts EVALUATED AT THE CUTOFF (centered running variable r,
+    so intercept_at_cutoff = ȳ − b·x̄). Each side is one pass of
+    integer sufficient statistics (Σr² rides HUGEINT/DECIMAL); the
+    slope/intercept/jump are fixed-order float expressions —
+    slopes quantized at 1e-12 (they live near zero per cent),
+    the jump at 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    CUT, BW = 15000000, 5000000
+    x = (
+        T(spark, sf_dir, "orders")
+        .select(
+            (F.round(F.col("o_totalprice") * 100).cast("long") - CUT).alias("r"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0).alias("y"),
+        )
+        .filter(F.abs(F.col("r")) <= BW)
+    )
+    dec = "decimal(19,0)"
+    s = x.groupBy(
+        F.when(F.col("r") >= 0, 1).otherwise(0).alias("side")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("r").cast(dec) * F.col("r").cast(dec)).cast("double").alias("sxx"),
+        F.sum(F.col("r") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = F.col("sy").cast("double") / n - slope * (
+        F.col("sx").cast("double") / n
+    )
+    fit = s.select("side", "n", slope.alias("slope"), intercept.alias("icpt"))
+    r = fit.filter("side = 1").select(
+        F.col("n").alias("n_right"), F.col("slope").alias("sr"), F.col("icpt").alias("ir")
+    )
+    l = fit.filter("side = 0").select(
+        F.col("n").alias("n_left"), F.col("slope").alias("sl"), F.col("icpt").alias("il")
+    )
+    return r.crossJoin(F.broadcast(l)).select(
+        "n_right",
+        "n_left",
+        (F.floor((F.col("ir") - F.col("il")) * 1e6 + 0.5) / 1e6).alias("jump_q"),
+        (F.floor(F.col("sl") * 1e12 + 0.5) / 1e12).alias("slope_left_q"),
+        (F.floor(F.col("sr") * 1e12 + 0.5) / 1e12).alias("slope_right_q"),
+    )
