@@ -8246,18 +8246,20 @@ ROUND5_BACKFILL: list[str] = [
 # stalest-evidence backfill — 50 slots exactly.
 DRIVER_WINDOW: list[str] = (ROUND5_QUEUE + ROUND5_NEW + ROUND5_BACKFILL)[:50]
 
-#: ROUND-6/7/8 PLAN (rotate only once CORRECTNESS_r05.json exists —
-#: memory: driver-window-rotation): staging outgrew TWO windows —
-#: 100+ queries in staged_r6.py (all oracle-green at sf0.001 AND
-#: sf0.01 via scripts/check_staged.py; all timed + plan-linted at
-#: sf0.1). Round 6's window takes the FIRST 50 staged promotions in
-#: file order (register each with a plain @register, then list
-#: them); round 7 takes the NEXT 50; round 8 takes the staged
-#: remainder PLUS this stalest-evidence backfill — the last 18
-#: value-oracled queries whose only driver row is round 1. After
-#: round 8 every oracled query will have a driver row from round 2
-#: or later. Keep registering genuinely-new round-N work into
-#: staging only, never straight into the frozen window.
+#: ROUND-6/7/8(/9) PLAN (rotate only once CORRECTNESS_r05.json
+#: exists — memory: driver-window-rotation): staging closed round 5
+#: at ~145 queries in staged_r6.py (every one oracle-green at
+#: sf0.001 AND sf0.01 via scripts/check_staged.py, timed +
+#: plan-linted at sf0.1, and green under a VANILLA ANSI session via
+#: scripts/check_staged_vanilla.py). Round 6's window takes the
+#: FIRST 50 staged promotions in file order (register each with a
+#: plain @register, then list them); round 7 the NEXT 50; round 8
+#: the staged remainder PLUS this stalest-evidence backfill — the
+#: last 18 value-oracled queries whose only driver row is round 1
+#: (overflow, if any, leads round 9). After that every oracled
+#: query has a driver row from round 2 or later. Keep registering
+#: genuinely-new round-N work into staging only, never straight
+#: into the frozen window.
 ROUND6_BACKFILL_PLAN: list[str] = [
     "q3_top_revenue_orders",
     "quality_filter",
