@@ -10844,3 +10844,106 @@ def regression_discontinuity_orders(spark: SparkSession, sf_dir: str) -> DataFra
         (F.floor(F.col("sl") * 1e12 + 0.5) / 1e12).alias("slope_left_q"),
         (F.floor(F.col("sr") * 1e12 + 0.5) / 1e12).alias("slope_right_q"),
     )
+
+
+@_staged(
+    "kpi_driver_decomposition",
+    """
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) + INTERVAL 14 DAY AS cutoff FROM events
+    ),
+    p AS (
+      SELECT CASE WHEN CAST(ts AS DATE) < bounds.cutoff THEN 1 ELSE 2 END
+               AS period,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events CROSS JOIN bounds
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT a.users AS u1, b.users AS u2,
+             a.n_events AS e1, b.n_events AS e2,
+             a.cents AS c1, b.cents AS c2
+      FROM p a JOIN p b ON a.period = 1 AND b.period = 2
+    ),
+    lm AS (
+      SELECT *,
+             (c2 - c1) / (ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE)))
+               AS lmean
+      FROM j
+    )
+    SELECT c2 - c1 AS delta_cents,
+           floor(lmean * ln(CAST(u2 AS DOUBLE) / u1) * 1e6 + 0.5) / 1e6
+             AS users_contrib_q,
+           floor(lmean * ln((CAST(e2 AS DOUBLE) / u2)
+                            / (CAST(e1 AS DOUBLE) / u1)) * 1e6 + 0.5) / 1e6
+             AS intensity_contrib_q,
+           floor(lmean * ln((CAST(c2 AS DOUBLE) / e2)
+                            / (CAST(c1 AS DOUBLE) / e1)) * 1e6 + 0.5) / 1e6
+             AS value_contrib_q
+    FROM lm
+    """,
+)
+def kpi_driver_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI driver-tree decomposition (LMDI) — the executive 'why did
+    revenue move' answer: Δrevenue between the first fortnight and
+    the rest splits EXACTLY (the logarithmic-mean Divisia identity —
+    contributions sum to the delta by construction, unlike naive
+    %-change attribution) across the factor chain revenue = users ×
+    events/user × value/event. One grouped pass to six integers; the
+    log-mean and three ln-ratio contributions are fixed-order float
+    expressions on exact inputs, floor-quantized 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = e.agg(F.date_add(F.min("d"), 14).alias("cutoff"))
+    p = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.when(F.col("d") < F.col("cutoff"), 1).otherwise(2).alias("period")
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    a = p.filter("period = 1").select(
+        F.col("users").alias("u1"), F.col("n_events").alias("e1"), F.col("cents").alias("c1")
+    )
+    b = p.filter("period = 2").select(
+        F.col("users").alias("u2"), F.col("n_events").alias("e2"), F.col("cents").alias("c2")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    lmean = (F.col("c2") - F.col("c1")) / (
+        F.log(F.col("c2").cast("double")) - F.log(F.col("c1").cast("double"))
+    )
+
+    def q6(c):
+        return F.floor(c * 1e6 + 0.5) / 1e6
+
+    return j.select(
+        (F.col("c2") - F.col("c1")).alias("delta_cents"),
+        q6(lmean * F.log(F.col("u2").cast("double") / F.col("u1"))).alias(
+            "users_contrib_q"
+        ),
+        q6(
+            lmean
+            * F.log(
+                (F.col("e2").cast("double") / F.col("u2"))
+                / (F.col("e1").cast("double") / F.col("u1"))
+            )
+        ).alias("intensity_contrib_q"),
+        q6(
+            lmean
+            * F.log(
+                (F.col("c2").cast("double") / F.col("e2"))
+                / (F.col("c1").cast("double") / F.col("e1"))
+            )
+        ).alias("value_contrib_q"),
+    )
