@@ -10947,3 +10947,63 @@ def kpi_driver_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value_contrib_q"),
     )
+
+
+@_staged(
+    "capture_recapture_users",
+    """
+    WITH s1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(EXTRACT(day FROM ts) AS BIGINT) % 2 = 0
+    ),
+    s2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(EXTRACT(day FROM ts) AS BIGINT) % 2 = 1
+    ),
+    c AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+             (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM s1 JOIN s2 USING (user_id)) AS m,
+             (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               AS true_n
+    )
+    SELECT n1, n2, m, true_n,
+           floor(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) * 1e6 + 0.5)
+             / 1e6 AS chapman_estimate_q
+    FROM c
+    """,
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman) population estimate — the
+    mark-recapture device for 'how many distinct entities exist when
+    no sample sees them all' (census coverage, dedup-universe
+    sizing, bot-population estimates): even-day actives are the
+    marked sample, odd-day actives the recapture, N̂ =
+    (n1+1)(n2+1)/(m+1) − 1 (Chapman's bias-corrected form). The
+    TRUE distinct count rides along so the row doubles as an
+    accuracy exhibit; exact integer counts, one fixed-order float
+    expression, floor-quantized 1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.dayofmonth("ts").cast("long").alias("dom")
+    )
+    s1 = e.filter(F.col("dom") % 2 == 0).select("user_id").distinct()
+    s2 = e.filter(F.col("dom") % 2 == 1).select("user_id").distinct()
+    c = (
+        s1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).cast("long").alias("n2")))
+        .crossJoin(
+            s1.join(s2, "user_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
+        )
+        .crossJoin(e.agg(F.countDistinct("user_id").cast("long").alias("true_n")))
+    )
+    chapman = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0
+    return c.select(
+        "n1",
+        "n2",
+        "m",
+        "true_n",
+        (F.floor(chapman * 1e6 + 0.5) / 1e6).alias("chapman_estimate_q"),
+    )
