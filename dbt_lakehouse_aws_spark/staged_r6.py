@@ -11007,3 +11007,58 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         (F.floor(chapman * 1e6 + 0.5) / 1e6).alias("chapman_estimate_q"),
     )
+
+
+@_staged(
+    "transition_latency_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER w AS prev_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS median_gap_s,
+           CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_gap_s
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def transition_latency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition latency matrix — the ops companion to the Markov
+    transition counts: median and p90 seconds between each
+    consecutive event-type pair (how long after a view does the
+    purchase come; which handoffs stall). Gaps are exact integer
+    seconds from per-user lag windows; the per-cell quantiles are
+    DISCRETE (actual data values, engine-identical); the matrix is
+    vocabulary-bounded — |types|² cells regardless of row count."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    seq = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (sec - F.lag(sec).over(w)).alias("gap_s"),
+    )
+
+    def pdisc(p):
+        return F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY gap_s)"
+        ).cast("long")
+
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            pdisc(0.5).alias("median_gap_s"),
+            pdisc(0.9).alias("p90_gap_s"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
