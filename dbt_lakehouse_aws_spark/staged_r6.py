@@ -11062,3 +11062,207 @@ def transition_latency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@_staged(
+    "weighted_kappa_quality",
+    """
+    WITH rated AS (
+      SELECT CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+                  WHEN n_chars < 600 THEN 2 ELSE 3 END AS ra,
+             CASE WHEN v4 < length(text) THEN 0
+                  WHEN v4 < 2 * length(text) THEN 1
+                  WHEN v4 < 3 * length(text) THEN 2 ELSE 3 END AS rb
+      FROM (
+        SELECT n_chars, text,
+               4 * (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+                 AS v4
+        FROM documents
+      )
+    ),
+    cm AS (
+      SELECT ra, rb, CAST(count(*) AS BIGINT) AS o
+      FROM rated GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM cm
+    ),
+    marg AS (
+      SELECT a.ra, b.rb, a.na, b.nb
+      FROM (SELECT ra, CAST(sum(o) AS BIGINT) AS na FROM cm GROUP BY 1) a
+      CROSS JOIN (SELECT rb, CAST(sum(o) AS BIGINT) AS nb FROM cm GROUP BY 1) b
+    ),
+    terms AS (
+      SELECT CAST(sum((marg.ra - marg.rb) * (marg.ra - marg.rb)
+                      * coalesce(cm.o, 0)) AS BIGINT) AS wo_n,
+             CAST(sum((marg.ra - marg.rb) * (marg.ra - marg.rb)
+                      * CAST(marg.na AS HUGEINT) * marg.nb) AS DOUBLE)
+               AS we_nn
+      FROM marg LEFT JOIN cm ON cm.ra = marg.ra AND cm.rb = marg.rb
+    )
+    SELECT m.n,
+           floor((1 - CAST(terms.wo_n AS DOUBLE) * m.n / terms.we_nn)
+                 * 1e6 + 0.5) / 1e6 AS weighted_kappa_q
+    FROM terms CROSS JOIN m
+    """,
+)
+def weighted_kappa_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa — the inter-rater agreement
+    statistic (labeling QA, model-vs-human grading): two independent
+    4-level document 'raters' (length bands; vowel-density bands —
+    both fixed-threshold, no rank windows), κ_w = 1 − Σw·O / Σw·E
+    with quadratic weights (ra−rb)². Observed and expected terms are
+    EXACT integers over the 4×4 contingency (expected rides
+    HUGEINT/DECIMAL for nₐ·n_b), one float expression, quantized
+    1e-6."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    d = T(spark, sf_dir, "documents").select(
+        "n_chars",
+        "text",
+        (
+            4
+            * (
+                F.length("text")
+                - F.length(F.regexp_replace(F.col("text"), "[aeiou]", ""))
+            )
+        ).alias("v4"),
+    )
+    rated = d.select(
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .when(F.col("n_chars") < 600, 2)
+        .otherwise(3)
+        .alias("ra"),
+        F.when(F.col("v4") < F.length("text"), 0)
+        .when(F.col("v4") < 2 * F.length("text"), 1)
+        .when(F.col("v4") < 3 * F.length("text"), 2)
+        .otherwise(3)
+        .alias("rb"),
+    )
+    cm = rated.groupBy("ra", "rb").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    n_tot = cm.agg(F.sum("o").cast("long").alias("n"))
+    na = cm.groupBy("ra").agg(F.sum("o").cast("long").alias("na"))
+    nb = cm.groupBy("rb").agg(F.sum("o").cast("long").alias("nb"))
+    marg = na.crossJoin(nb)
+    dec = "decimal(19,0)"
+    w = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    terms = (
+        marg.join(cm, ["ra", "rb"], "left")
+        .agg(
+            F.sum(w * F.coalesce(F.col("o"), F.lit(0))).cast("long").alias("wo_n"),
+            F.sum(w.cast(dec) * F.col("na").cast(dec) * F.col("nb").cast(dec))
+            .cast("double")
+            .alias("we_nn"),
+        )
+    )
+    kappa = 1 - F.col("wo_n").cast("double") * F.col("n") / F.col("we_nn")
+    return terms.crossJoin(F.broadcast(n_tot)).select(
+        "n", (F.floor(kappa * 1e6 + 0.5) / 1e6).alias("weighted_kappa_q")
+    )
+
+
+@_staged(
+    "feature_gini_importance",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y,
+             o_orderstatus AS f_status,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 500000
+                  AS VARCHAR) AS f_price_bin,
+             CAST(CAST(EXTRACT(dow FROM o_orderdate) + 1 AS BIGINT)
+                  AS VARCHAR) AS f_weekday
+      FROM orders
+    ),
+    unp AS (
+      SELECT 'status' AS feature, f_status AS val, y FROM lab
+      UNION ALL
+      SELECT 'price_bin', f_price_bin, y FROM lab
+      UNION ALL
+      SELECT 'weekday', f_weekday, y FROM lab
+    ),
+    cells AS (
+      SELECT feature, val,
+             CAST(sum(y) AS BIGINT) AS p,
+             CAST(sum(1 - y) AS BIGINT) AS g
+      FROM unp GROUP BY 1, 2
+    ),
+    per_feature AS (
+      SELECT feature,
+             CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(p) AS BIGINT) AS pt,
+             CAST(sum(g) AS BIGINT) AS gt,
+             sum((CAST(p AS DOUBLE) * p + CAST(g AS DOUBLE) * g)
+                 / (p + g)) AS purity
+      FROM cells GROUP BY 1
+    )
+    SELECT feature, n_values,
+           floor((purity / (pt + gt)
+                  - (CAST(pt AS DOUBLE) * pt + CAST(gt AS DOUBLE) * gt)
+                    / (CAST(pt + gt AS DOUBLE) * (pt + gt)))
+                 * 1e6 + 0.5) / 1e6 AS gini_gain_q
+    FROM per_feature
+    ORDER BY gini_gain_q DESC, feature ASC
+    """,
+)
+def feature_gini_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-importance table by Gini gain — the stump device
+    generalized to a feature RANKING (what a modeler reads before
+    training anything): for each candidate feature (order status,
+    $5k price bin, weekday) the impurity reduction of its multiway
+    partition vs the parent, all from one unpivoted
+    (feature, value, class) aggregate. The per-value purity sum is a
+    float of exact-integer ratios over VOCABULARY-BOUNDED cells
+    (statuses × bins × weekdays — drift ~cells·ulp, far under the
+    1e-6 quantum); counts exact. Ranked by quantized gain with name
+    tiebreak."""
+    from dbt_lakehouse_aws_spark.standard_queries import T
+
+    lab = T(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.col("o_orderstatus").alias("f_status"),
+        F.expr("cast(round(o_totalprice * 100) as bigint) div 500000")
+        .cast("string")
+        .alias("f_price_bin"),
+        F.dayofweek("o_orderdate").cast("long").cast("string").alias("f_weekday"),
+    )
+    unp = (
+        lab.select(F.lit("status").alias("feature"), F.col("f_status").alias("val"), "y")
+        .unionAll(
+            lab.select(
+                F.lit("price_bin").alias("feature"),
+                F.col("f_price_bin").alias("val"),
+                "y",
+            )
+        )
+        .unionAll(
+            lab.select(
+                F.lit("weekday").alias("feature"), F.col("f_weekday").alias("val"), "y"
+            )
+        )
+    )
+    cells = unp.groupBy("feature", "val").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(1 - F.col("y")).cast("long").alias("g"),
+    )
+    per_feature = cells.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("p").cast("long").alias("pt"),
+        F.sum("g").cast("long").alias("gt"),
+        F.sum(
+            (F.col("p").cast("double") * F.col("p") + F.col("g").cast("double") * F.col("g"))
+            / (F.col("p") + F.col("g"))
+        ).alias("purity"),
+    )
+    pt, gt = F.col("pt"), F.col("gt")
+    gain = F.col("purity") / (pt + gt) - (
+        pt.cast("double") * pt + gt.cast("double") * gt
+    ) / ((pt + gt).cast("double") * (pt + gt))
+    return per_feature.select(
+        "feature",
+        "n_values",
+        (F.floor(gain * 1e6 + 0.5) / 1e6).alias("gini_gain_q"),
+    ).orderBy(F.desc("gini_gain_q"), F.asc("feature"))
