@@ -34,12 +34,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each oracle-checkable
-    query. 9 of 155 registrations are omitted → rows-only check, each
-    with a measured justification in its docstring (HLL sketches are
-    approximate by design; BPE, product-quantization ANN, and the
-    embeddings PCA/k-means/IVF/SemDeDup queries are trained/iterative
-    — their ALGORITHMS are value-oracled via well-conditioned twin
-    queries `pca_orders_features` / `kmeans_orders_wellsep` or
-    recall-asserted in pytest, and MinHash/SimHash/sign-LSH/KMV run
-    fully value-oracled via portable hashing)."""
+    query. 4 of 261 registrations are omitted → rows-only check, each
+    with a measured justification in its docstring (HLL/KMV sketches
+    are approximate by design: `hll_user_rollup`,
+    `approx_distinct_users`; the embeddings k-means/PCA queries are
+    iterative/ill-conditioned: `kmeans_cluster_sizes`,
+    `pca_project_embeddings` — their ALGORITHMS are value-oracled via
+    well-conditioned twin queries `kmeans_orders_wellsep` /
+    `pca_orders_features` on the same code path). BPE training and
+    SemDeDup were upgraded to FULL value oracles in round 6
+    (unrolled-fixpoint CTEs / ground-truth cosine components)."""
     return SQ.all_oracles()

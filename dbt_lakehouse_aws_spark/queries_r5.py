@@ -436,45 +436,10 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: is sparse at every SF and stays non-empty at sf0.001 (measured,
 #: PERF.md). Orientation still guards the HUB case — that claim is
 #: probed separately at a 100k-degree hub (scale_probe9).
-def _coactivity_edges_sql(min_shared: int) -> str:
-    return f"""
-    ue AS (
-      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
-      FROM events
-    ),
-    shared AS (
-      SELECT x.user_id AS a, y.user_id AS b, count(*) AS shared
-      FROM ue x JOIN ue y
-        ON x.event_type = y.event_type AND x.hr = y.hr
-       AND x.user_id < y.user_id
-      GROUP BY 1, 2
-    ),
-    edges AS (SELECT a, b FROM shared WHERE shared >= {min_shared})
-"""
-
-
-def _coactivity_edges(
-    spark: SparkSession, sf_dir: str, min_shared: int = 2
-) -> DataFrame:
-    ue = (
-        T(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            "event_type",
-            F.date_trunc("hour", F.col("ts")).alias("hr"),
-        )
-        .distinct()
-    )
-    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
-    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
-    return (
-        x.join(y, ["event_type", "hr"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("_shared"))
-        .filter(F.col("_shared") >= min_shared)
-        .select("a", "b")
-    )
+from dbt_lakehouse_aws_spark.operators.coactivity import (  # noqa: E402
+    coactivity_edges as _coactivity_edges,
+    coactivity_edges_sql as _coactivity_edges_sql,
+)
 
 
 @register(

@@ -1,4 +1,4 @@
-"""Oracle-check STAGED round-6 queries outside pytest (fast inner
+"""Oracle-check STAGED (r7+r8) queries outside pytest (fast inner
 loop while staging; the session-wide gate is tests/test_staged_r6.py).
 
 Usage: python scripts/check_staged.py [sf_dir] [name ...]
@@ -16,7 +16,10 @@ import duckdb
 from dbt_lakehouse_aws_spark.oracle import compare_frames
 from dbt_lakehouse_aws_spark.session import get_spark
 from dbt_lakehouse_aws_spark.sources.catalog import STAR_TABLES
-from dbt_lakehouse_aws_spark.staged_r6 import STAGED_ORACLES, STAGED_QUERIES
+from dbt_lakehouse_aws_spark import staged_r7, staged_r8
+
+STAGED_ORACLES = {**staged_r7.STAGED_ORACLES, **staged_r8.STAGED_ORACLES}
+STAGED_QUERIES = {**staged_r7.STAGED_QUERIES, **staged_r8.STAGED_QUERIES}
 
 
 def main() -> int:

@@ -1,4 +1,4 @@
-"""Driver simulation for the STAGED set: run every staged_r6 query +
+"""Driver simulation for the STAGED set: run every staged (r7+r8) query +
 oracle compare under a VANILLA SparkSession (Spark 4 defaults: ANSI
 on, 200 shuffle partitions, no engine confs) — the session these
 queries will face once they register for the round-6/7/8 windows.
@@ -15,7 +15,10 @@ from pyspark.sql import SparkSession
 
 from dbt_lakehouse_aws_spark.oracle import compare_frames
 from dbt_lakehouse_aws_spark.sources.catalog import STAR_TABLES
-from dbt_lakehouse_aws_spark.staged_r6 import STAGED_ORACLES, STAGED_QUERIES
+from dbt_lakehouse_aws_spark import staged_r7, staged_r8
+
+STAGED_ORACLES = {**staged_r7.STAGED_ORACLES, **staged_r8.STAGED_ORACLES}
+STAGED_QUERIES = {**staged_r7.STAGED_QUERIES, **staged_r8.STAGED_QUERIES}
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 only = set(sys.argv[2:])

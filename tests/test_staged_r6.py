@@ -9,7 +9,17 @@ import pytest
 
 from dbt_lakehouse_aws_spark.oracle import compare_frames
 from dbt_lakehouse_aws_spark.sources.catalog import STAR_TABLES
-from dbt_lakehouse_aws_spark.staged_r6 import STAGED_ORACLES, STAGED_QUERIES
+from dbt_lakehouse_aws_spark import staged_r7, staged_r8
+
+#: merged view over every staging file (r7 + r8); duplicate names
+#: across files would silently shadow — asserted disjoint below.
+STAGED_ORACLES = {**staged_r7.STAGED_ORACLES, **staged_r8.STAGED_ORACLES}
+STAGED_QUERIES = {**staged_r7.STAGED_QUERIES, **staged_r8.STAGED_QUERIES}
+
+
+def test_staging_files_are_disjoint():
+    clash = set(staged_r7.STAGED_QUERIES) & set(staged_r8.STAGED_QUERIES)
+    assert not clash, f"query staged in both files: {clash}"
 
 SF_DIR = "/root/testdata/sf0.001"
 
