@@ -481,6 +481,15 @@ def connected_components(
     Returns (node, component) for every node appearing in ``pairs``.
     Not SQL-expressible without recursive CTEs → rows-only oracle.
     """
+    # materialize the pair feed ONCE before mirroring: the union
+    # below scans ``pairs`` twice, and for expensive feeds (exact
+    # Jaccard via shingle self-join or prefix filtering) re-deriving
+    # the pair pipeline per branch doubles the dominant cost
+    # (measured ~2x at sf0.1). The pair list itself is tiny —
+    # bounded by the number of duplicated docs, not the corpus.
+    pairs = pairs.select(
+        F.col(a_col).alias(a_col), F.col(b_col).alias(b_col)
+    ).localCheckpoint()
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
