@@ -157,9 +157,10 @@ def pick_probabilities(
 class DraftBoard:
     """In-engine stand-in for the reference's DynamoDB draft table
     (S10): put/get/delete/scan keyed on player_id, with the same
-    item shape (app/app.py:151-159). Backed by a dict here; the
-    cluster-scale deployment note: persist as a Delta/parquet
-    dimension and MERGE on player_id (SURVEY §2.1 S10)."""
+    item shape (app/app.py:151-159). Backed by a dict — the fast
+    path for single-session mock drafts; :class:`DurableDraftBoard`
+    is the restart-surviving variant (AcidTable MERGE on player_id),
+    matching the reference table's persistence (SURVEY §2.1 S10)."""
 
     _items: dict[str, dict] = field(default_factory=dict)
 
@@ -188,6 +189,82 @@ class DraftBoard:
         return [
             i["player_id"] for i in self._items.values() if i["drafted_to_my_team"]
         ]
+
+
+class DurableDraftBoard:
+    """Durable draft-state store (S10): same put/get/delete/scan
+    surface as :class:`DraftBoard`, persisted as an
+    :class:`~dbt_lakehouse_aws_spark.sources.acid.AcidTable` keyed on
+    ``player_id`` — the engine-side analogue of the reference's
+    persistent DynamoDB table (app/app.py:119-137 creates the table,
+    items at app/app.py:151-159, which survive process restarts;
+    this class gives the same guarantee: a second instance over the
+    same path sees prior drafted state).
+
+    * ``put`` is an upsert → ``AcidTable.merge`` on ``player_id``
+      (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT — DynamoDB
+      PutItem semantics).
+    * ``delete`` is a keyed ``AcidTable.delete`` (DeleteItem).
+    * ``get``/``scan`` read the latest snapshot; the board is
+      bounded by league size (reference: ~300 players), so the
+      collect is a constant-size driver fetch, and concurrent
+      writers are safe under the table's optimistic commits.
+    """
+
+    _SCHEMA = (
+        "player_id string, drafted boolean, drafted_at string, "
+        "player_name string, drafted_to_my_team boolean"
+    )
+
+    def __init__(self, spark, path: str):
+        from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+        self.spark = spark
+        self.table = AcidTable(spark, path)
+
+    def _item_df(self, item: dict) -> DataFrame:
+        return self.spark.createDataFrame([item], schema=self._SCHEMA)
+
+    def put(self, player_id: str, player_name: str, *, my_team: bool = False) -> None:
+        item = {
+            "player_id": player_id,
+            "drafted": True,
+            "drafted_at": datetime.now(timezone.utc).isoformat(),
+            "player_name": player_name,
+            "drafted_to_my_team": my_team,
+        }
+        if self.table.exists():
+            self.table.merge(self._item_df(item), ["player_id"])
+        else:
+            self.table.write(self._item_df(item), mode="overwrite")
+
+    def _read(self) -> DataFrame | None:
+        if not self.table.exists():
+            return None
+        return self.table.read()
+
+    def get(self, player_id: str) -> dict | None:
+        df = self._read()
+        if df is None:
+            return None
+        rows = df.filter(F.col("player_id") == F.lit(player_id)).collect()
+        return rows[0].asDict() if rows else None
+
+    def delete(self, player_id: str) -> None:
+        if not self.table.exists():
+            return
+        quoted = player_id.replace("'", "''")
+        self.table.delete(f"player_id = '{quoted}'")
+
+    def scan(self) -> list[dict]:
+        df = self._read()
+        return [] if df is None else [r.asDict() for r in df.collect()]
+
+    def drafted_ids(self) -> list[str]:
+        return [i["player_id"] for i in self.scan() if i["drafted"]]
+
+    def my_team_ids(self) -> list[str]:
+        return [i["player_id"] for i in self.scan() if i["drafted_to_my_team"]]
 
 
 def with_draft_status(df: DataFrame, board: DraftBoard, id_col: str = "id") -> DataFrame:

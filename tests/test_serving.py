@@ -125,6 +125,42 @@ def test_draft_board_semi_join(board_df):
     assert len(board.scan()) == 1
 
 
+def test_durable_draft_board_survives_restart(spark, board_df, tmp_path):
+    """S10 persistence parity: the reference's DynamoDB table outlives
+    the process (app/app.py:119-137); a second DurableDraftBoard over
+    the same path must see prior drafted state, and the serving
+    semi-joins must read through it."""
+    from dbt_lakehouse_aws_spark.serving.api import DurableDraftBoard
+
+    path = str(tmp_path / "draft_board")
+    b1 = DurableDraftBoard(spark, path)
+    b1.put("1", "Mike Trout", my_team=True)
+    b1.put("4", "Gerrit Cole")
+    b1.put("4", "Gerrit Cole", my_team=True)  # upsert, not duplicate
+
+    # "restart": a fresh instance over the same path
+    b2 = DurableDraftBoard(spark, path)
+    assert sorted(b2.drafted_ids()) == ["1", "4"]
+    assert sorted(b2.my_team_ids()) == ["1", "4"]
+    assert b2.get("1")["player_name"] == "Mike Trout"
+    assert b2.get("9") is None
+    assert len(b2.scan()) == 2
+
+    flagged = {r["id"]: (r["drafted"], r["my_team"])
+               for r in with_draft_status(board_df, b2).collect()}
+    assert flagged["1"] == (True, True)
+    assert flagged["4"] == (True, True)
+    assert flagged["2"] == (False, False)
+    assert {r["id"] for r in undrafted_pool(board_df, b2).collect()} == {"2", "3", "5"}
+
+    b2.delete("4")
+    b3 = DurableDraftBoard(spark, path)
+    assert b3.drafted_ids() == ["1"]
+    # deleting a missing key (or from an empty board) is a no-op
+    b3.delete("9")
+    assert len(b3.scan()) == 1
+
+
 def test_simulate_draft_deterministic_and_adp_biased(board_df):
     from dbt_lakehouse_aws_spark.serving.api import simulate_draft
 
