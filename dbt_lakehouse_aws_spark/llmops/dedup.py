@@ -29,6 +29,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from dbt_lakehouse_aws_spark.llmops.text import word_shingles
 
@@ -490,6 +491,39 @@ def connected_components(
     pairs = pairs.select(
         F.col(a_col).alias(a_col), F.col(b_col).alias(b_col)
     ).localCheckpoint()
+
+    # Bounded-metadata fast path (the operators/spatial.py DBSCAN
+    # pattern): when the PAIR LIST fits the driver budget, a
+    # union-find replaces ~diameter rounds of join + checkpoint +
+    # count actions (each a full Spark job) with one collect — at
+    # sf0.1 that's ~3 s of per-round overhead for a 256-pair input.
+    # Beyond the bound the distributed min-label loop below takes
+    # over. Both produce the identical min-id labeling.
+    if pairs.count() <= 200_000:
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.collect():
+            ra, rb = find(r[a_col]), find(r[b_col])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        spark = pairs.sparkSession
+        node_type = pairs.schema[a_col].dataType
+        schema = StructType(
+            [
+                StructField("node", node_type, False),
+                StructField("component", node_type, False),
+            ]
+        )
+        rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(rows, schema)
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -832,7 +866,13 @@ def prefix_filter_jaccard_pairs(
     ranking, and both sides of the verification join), and at scale
     materializing the shingle index once — standard practice in
     dedup pipelines — beats recomputing the explode four times
-    (measured 14.4 s → 5.0 s at sf0.1).
+    (measured 14.4 s → 5.0 s at sf0.1). Set sizes ride the prefix
+    rows as ``_sz`` and travel WITH each candidate pair, so the
+    final Jaccard needs no standalone size aggregation and no
+    rendezvous joins (round-6: two joins + one groupBy deleted;
+    checkpointing the post-window ranked frame instead was tried
+    and measured SLOWER — the eager shuffle+sort write costs more
+    than the explode it saves).
     """
     sh = shingle_table(df, id_col, text_col, n)
     if materialize:
@@ -859,6 +899,8 @@ def prefix_filter_jaccard_pairs(
     b = pref.select(
         F.col(id_col).alias("doc_b"), "shingle", F.col("_sz").alias("nb")
     )
+    # sizes travel WITH the candidate pair from here on — the final
+    # Jaccard needs no rendezvous with a separate sizes table
     cand = (
         a.join(b, "shingle")
         .filter(
@@ -866,7 +908,7 @@ def prefix_filter_jaccard_pairs(
             & (F.col("na") * threshold <= F.col("nb") + 1e-9)
             & (F.col("nb") * threshold <= F.col("na") + 1e-9)
         )
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "na", "nb")
         .distinct()
     )
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -874,19 +916,14 @@ def prefix_filter_jaccard_pairs(
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
-    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("_sz").alias("na"))
-    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_sz").alias("nb"))
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
