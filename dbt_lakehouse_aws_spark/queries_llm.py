@@ -37,6 +37,12 @@ from dbt_lakehouse_aws_spark.llmops.text import (
     lang_id_scores,
     text_quality,
 )
+from dbt_lakehouse_aws_spark.llm_oracles import (  # noqa: F401  (re-exported)
+    COSINE_TOPK_ORACLE,
+    _ann_lsh_oracle,
+    _minhash_lsh_oracle,
+    _shingle_hash_ctes,
+)
 from dbt_lakehouse_aws_spark.operators.windows import (
     global_row_number,
     ranked_in_group,
@@ -168,58 +174,6 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, n=3, threshold=0.5)
 
 
-def _shingle_hash_ctes(n: int = 3) -> str:
-    """Shared DuckDB CTE prefix: distinct word n-gram shingles per doc
-    + the portable md5-prefix base hash (dedup.py::_portable_hash60,
-    verified bit-identical Spark↔DuckDB including unicode)."""
-    return f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(tokens) - {n - 2}),
-                                   i -> array_to_string(list_slice(tokens, i, i + {n - 1}), ' '))) AS shingle
-      FROM toks WHERE len(tokens) >= {n}
-    ),
-    h AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS hv FROM sh)"""
-
-
-def _minhash_lsh_oracle(num_hashes: int = 32, num_bands: int = 8,
-                        est_threshold: float = 0.4) -> str:
-    """Exact SQL replay of the portable-hash MinHash+LSH pipeline:
-    same base hash, same seeded affine coefficients (shared source of
-    truth: dedup.py::minhash_coefficients), banding replayed as
-    slice-equality (Spark's xxhash64 band bucket is an internal key —
-    two docs share a bucket iff their band slices are equal)."""
-    from dbt_lakehouse_aws_spark.llmops.dedup import MINHASH_PRIME, minhash_coefficients
-
-    coeffs = minhash_coefficients(num_hashes)
-    mins = ",\n             ".join(
-        f"min(({a} * bh + {b}) % {MINHASH_PRIME}) AS h{i}"
-        for i, (a, b) in enumerate(coeffs)
-    )
-    rpb = num_hashes // num_bands
-    band_match = "\n            OR ".join(
-        "(" + " AND ".join(
-            f"a.h{band * rpb + j} = b.h{band * rpb + j}" for j in range(rpb)
-        ) + ")"
-        for band in range(num_bands)
-    )
-    matches = " + ".join(
-        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
-    )
-    return f"""{_shingle_hash_ctes()},
-    hb AS (SELECT doc_id, hv % {MINHASH_PRIME} AS bh FROM h),
-    sig AS (SELECT doc_id,
-             {mins}
-            FROM hb GROUP BY doc_id)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(({matches}) / {num_hashes}.0, 6) AS est_jaccard
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE ({band_match})
-      AND ({matches}) / {num_hashes}.0 >= {est_threshold}
-    """
-
-
 def _simhash_fp_ctes(bits: int = 60) -> str:
     """CTE chain ending in ``fp(doc_id, simhash)``: per-bit ±1 votes
     over the distinct-shingle hashes, fingerprint bit set iff the
@@ -289,26 +243,7 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(d, portable=True)
 
 
-@register(
-    "cosine_topk",
-    """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-    q AS (SELECT vec_id AS query_id, emb AS v_q FROM v WHERE vec_id < 10),
-    scored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(q.v_q, c.emb)
-                   / (sqrt(list_dot_product(q.v_q, q.v_q)) * sqrt(list_dot_product(c.emb, c.emb))),
-                   6) AS cosine
-      FROM q, v c WHERE c.vec_id <> q.query_id
-    ), ranked AS (
-      SELECT query_id, neighbor_id, cosine,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
-    """,
-)
+@register("cosine_topk", COSINE_TOPK_ORACLE)
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (exact ANN baseline)."""
     e = T(spark, sf_dir, "embeddings")
@@ -342,43 +277,6 @@ def embedding_label_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
     )
-
-
-def _ann_lsh_oracle(num_bits: int = 6, dim: int = 64, k: int = 5) -> str:
-    """Full replay of sign-LSH ANN: the hyperplanes are already a
-    closed-form integer grid (similarity.py::_grid_hyperplane), so
-    DuckDB recomputes the exact buckets — verified empirically: 0 of
-    500 bucket mismatches at sf0.01, and the minimum |v·w| across all
-    (vector, plane) pairs is 1.3e-3, nine orders of magnitude above
-    cross-engine float-summation noise, so no sign bit can flip."""
-    plane = lambda bit: (
-        f"list_transform(range(0, {dim}), j -> CAST((({bit}*37 + j*101) % 19) - 9 AS DOUBLE))"
-    )
-    bits = " + ".join(
-        f"(CASE WHEN list_dot_product(emb, {plane(i)}) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(num_bits)
-    )
-    return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-    b AS (
-      SELECT vec_id, emb, {bits} AS bucket,
-             sqrt(list_dot_product(emb, emb)) AS norm
-      FROM v
-    ),
-    q AS (SELECT vec_id AS query_id, emb AS v_q, norm AS norm_q, bucket
-          FROM b WHERE vec_id < 10),
-    scored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(q.v_q, c.emb) / (q.norm_q * c.norm), 6) AS cosine
-      FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q.query_id
-    ), ranked AS (
-      SELECT query_id, neighbor_id, cosine,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
-    """
 
 
 @register("ann_lsh_topk", _ann_lsh_oracle())

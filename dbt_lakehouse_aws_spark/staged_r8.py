@@ -3297,7 +3297,7 @@ def _minhash_eval_oracle() -> str:
     exact 3-shingle Jaccard ground truth into one WITH chain and
     reduce to precision/recall/F1 — reusing standard_queries'
     builders so the eval can never drift from the audited pipelines."""
-    from dbt_lakehouse_aws_spark.queries_llm import _minhash_lsh_oracle
+    from dbt_lakehouse_aws_spark.llm_oracles import _minhash_lsh_oracle
 
     full = _minhash_lsh_oracle(est_threshold=0.5)
     cut = full.rindex("    SELECT a.doc_id AS doc_a")

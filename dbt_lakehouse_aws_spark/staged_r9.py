@@ -1,0 +1,780 @@
+"""Round-9 STAGED queries — NEW round-6 work, registered into
+staging only (the round-6 window froze at the 50 queries_r6
+promotions; VERDICT r3 item 3 discipline: nothing registers outside
+a frozen window). Every entry carries a full DuckDB value oracle and
+is pytest-verified each session by ``tests/test_staged_r6.py``.
+
+Themes: string-similarity modalities the linkage family lacked
+(Monge-Elkan token-set, character-trigram cosine), weighted and
+centrality graph ops (hop-bounded Bellman-Ford, harmonic closeness),
+k-group statistics (one-way ANOVA, Kruskal-Wallis), lead-lag
+cross-correlation, per-entity risk ratios (Sharpe-style), and
+3-itemset association mining.
+"""
+
+from __future__ import annotations
+
+#: name → oracle SQL, mirrors standard_queries' registry shape
+STAGED_ORACLES: dict[str, str] = {}
+#: name → (spark, sf_dir) -> DataFrame
+STAGED_QUERIES: dict[str, object] = {}
+
+
+def _staged(name: str, oracle: str):
+    def deco(fn):
+        STAGED_ORACLES[name] = oracle
+        STAGED_QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402,F401
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbt_lakehouse_aws_spark.operators.coactivity import (  # noqa: E402
+    coactivity_edges as _coactivity_edges,
+    coactivity_edges_sql as _coactivity_edges_sql,
+)
+from dbt_lakehouse_aws_spark.queries_r5 import (  # noqa: E402
+    _DIRTY_NAME_SQL,
+    _LINK_BLOCK,
+    _LINK_BLOCK_SQL,
+)
+from dbt_lakehouse_aws_spark.sources.tables import T  # noqa: E402
+
+
+@_staged(
+    "monge_elkan_parts",
+    f"""
+    WITH dirty AS MATERIALIZED (
+      SELECT p_partkey AS dirty_key, p_brand, p_type, p_size,
+             {_DIRTY_NAME_SQL} AS dirty_name
+      FROM part
+    ),
+    cand AS MATERIALIZED (
+      SELECT p.p_partkey, p.p_name, d.dirty_key, d.dirty_name
+      FROM part p JOIN dirty d ON {_LINK_BLOCK_SQL}
+    ),
+    atok AS (
+      SELECT p_partkey, dirty_key, atok, CAST(count(*) AS BIGINT) AS a_cnt
+      FROM (SELECT p_partkey, dirty_key,
+                   unnest(string_split(p_name, ' ')) AS atok
+            FROM cand)
+      GROUP BY 1, 2, 3
+    ),
+    btok AS (
+      SELECT DISTINCT p_partkey, dirty_key,
+             unnest(string_split(dirty_name, ' ')) AS btok
+      FROM cand
+    ),
+    best AS (
+      SELECT a.p_partkey, a.dirty_key, a.atok, a.a_cnt,
+             CAST(max(floor(jaro_winkler_similarity(a.atok, b.btok) * 1e9 + 0.5))
+                  AS BIGINT) AS jw9
+      FROM atok a JOIN btok b
+        ON b.p_partkey = a.p_partkey AND b.dirty_key = a.dirty_key
+      GROUP BY 1, 2, 3, 4
+    ),
+    me AS (
+      SELECT p_partkey, dirty_key,
+             round(CAST(sum(a_cnt * jw9) AS DOUBLE) / (1e9 * sum(a_cnt)), 6) AS me_sim
+      FROM best GROUP BY 1, 2
+    )
+    SELECT p_partkey, dirty_key, me_sim FROM me
+    WHERE me_sim >= 0.95
+    """,
+)
+def monge_elkan_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monge-Elkan token-set similarity (the hybrid string metric:
+    per clean-name token, the MAX Jaro-Winkler against any dirty
+    token; averaged over clean-token instances) between the part
+    catalog and the deterministic dirty feed, blocked on the same
+    composite (brand, type, size) as record_linkage_parts — the
+    modality that survives TOKEN REORDERING, which whole-string JW
+    punishes. The JW kernel is the bit-identical rapidfuzz-convention
+    one (llmops/linkage.py); each per-token max is quantized to 1e-9
+    integer units BEFORE the average so the cross-token sum is
+    order-free (memory: order-dependent float sums). Shuffle shape:
+    token-level rows bounded by within-block pair volume x tokens
+    (~25x), never corpus^2."""
+    from dbt_lakehouse_aws_spark.llmops.linkage import jaro_winkler_col
+
+    p = T(spark, sf_dir, "part")
+    blk = [F.col(c) for c in _LINK_BLOCK]
+    clean = p.select("p_partkey", "p_name", *blk)
+    dirty = p.select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.expr(_DIRTY_NAME_SQL).alias("dirty_name"),
+        *blk,
+    )
+    cand = clean.join(dirty, _LINK_BLOCK).select(
+        "p_partkey", "p_name", "dirty_key", "dirty_name"
+    )
+    atok = (
+        cand.select(
+            "p_partkey", "dirty_key",
+            F.explode(F.split("p_name", " ")).alias("atok"),
+        )
+        .groupBy("p_partkey", "dirty_key", "atok")
+        .agg(F.count(F.lit(1)).cast("long").alias("a_cnt"))
+    )
+    btok = cand.select(
+        "p_partkey", "dirty_key",
+        F.explode(F.split("dirty_name", " ")).alias("btok"),
+    ).distinct()
+    jw9 = F.floor(jaro_winkler_col(F.col("atok"), F.col("btok")) * 1e9 + 0.5).cast("long")
+    best = (
+        atok.join(btok, ["p_partkey", "dirty_key"])
+        .select("p_partkey", "dirty_key", "atok", "a_cnt", jw9.alias("jw9"))
+        .groupBy("p_partkey", "dirty_key", "atok", "a_cnt")
+        .agg(F.max("jw9").alias("jw9"))
+    )
+    me = best.groupBy("p_partkey", "dirty_key").agg(
+        F.round(
+            F.sum(F.col("a_cnt") * F.col("jw9")).cast("double")
+            / (F.lit(1e9) * F.sum("a_cnt")),
+            6,
+        ).alias("me_sim")
+    )
+    return me.filter(F.col("me_sim") >= 0.95)
+
+
+@_staged(
+    "trigram_cosine_pairs_parts",
+    f"""
+    WITH dirty AS MATERIALIZED (
+      SELECT p_partkey AS dirty_key, p_brand, p_type, p_size,
+             {_DIRTY_NAME_SQL} AS dirty_name
+      FROM part
+    ),
+    cand AS MATERIALIZED (
+      SELECT p.p_partkey, p.p_name, d.dirty_key, d.dirty_name
+      FROM part p JOIN dirty d ON {_LINK_BLOCK_SQL}
+    ),
+    ag AS (
+      SELECT p_partkey, g, CAST(count(*) AS BIGINT) AS ca FROM (
+        SELECT p_partkey,
+               unnest(list_transform(range(1, length(p_name) - 1),
+                                     i -> substr(p_name, CAST(i AS INT), 3))) AS g
+        FROM (SELECT DISTINCT p_partkey, p_name FROM cand)
+      ) GROUP BY 1, 2
+    ),
+    bg AS (
+      SELECT dirty_key, g, CAST(count(*) AS BIGINT) AS cb FROM (
+        SELECT dirty_key,
+               unnest(list_transform(range(1, length(dirty_name) - 1),
+                                     i -> substr(dirty_name, CAST(i AS INT), 3))) AS g
+        FROM (SELECT DISTINCT dirty_key, dirty_name FROM cand)
+      ) GROUP BY 1, 2
+    ),
+    na AS (SELECT p_partkey, CAST(sum(ca * ca) AS BIGINT) AS n2a FROM ag GROUP BY 1),
+    nb AS (SELECT dirty_key, CAST(sum(cb * cb) AS BIGINT) AS n2b FROM bg GROUP BY 1),
+    dots AS (
+      SELECT c.p_partkey, c.dirty_key, CAST(sum(a.ca * b.cb) AS BIGINT) AS dot
+      FROM cand c
+      JOIN ag a ON a.p_partkey = c.p_partkey
+      JOIN bg b ON b.dirty_key = c.dirty_key AND b.g = a.g
+      GROUP BY 1, 2
+    )
+    SELECT d.p_partkey, d.dirty_key,
+           round(CAST(d.dot AS DOUBLE)
+                 / sqrt(CAST(na.n2a AS DOUBLE) * nb.n2b), 6) AS cos_sim
+    FROM dots d
+    JOIN na ON na.p_partkey = d.p_partkey
+    JOIN nb ON nb.dirty_key = d.dirty_key
+    WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2a AS DOUBLE) * nb.n2b) >= 0.85
+    """,
+)
+def trigram_cosine_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram COSINE similarity pairs, clean catalog vs
+    dirty feed within the composite block — the q-gram-profile
+    modality of the linkage family (complements exact-set Jaccard,
+    edit distance, JW, and Monge-Elkan): counts, not sets, so
+    repeated substrings weigh in, and a single dropped character
+    perturbs at most 3 of ~30 gram counts. Sufficient statistics are
+    all BIGINTs (dot product, squared norms); one sqrt + divide at
+    the end, rounded 6dp — no float summation anywhere. Join shape:
+    gram-level equi-join bounded by within-block pair volume,
+    map-side combinable counts."""
+    p = T(spark, sf_dir, "part")
+    blk = [F.col(c) for c in _LINK_BLOCK]
+    grams = lambda col: F.expr(
+        f"CASE WHEN length({col}) >= 3 THEN "
+        f"transform(sequence(1, length({col}) - 2), i -> substring({col}, i, 3)) "
+        f"ELSE array() END"
+    )
+    clean = p.select("p_partkey", "p_name", *blk)
+    dirty = p.select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.expr(_DIRTY_NAME_SQL).alias("dirty_name"),
+        *blk,
+    )
+    cand = clean.join(dirty, _LINK_BLOCK).select("p_partkey", "dirty_key")
+    ag = (
+        clean.select("p_partkey", F.explode(grams("p_name")).alias("g"))
+        .groupBy("p_partkey", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    bg = (
+        dirty.select("dirty_key", F.explode(grams("dirty_name")).alias("g"))
+        .groupBy("dirty_key", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    na = ag.groupBy("p_partkey").agg(F.sum(F.col("ca") * F.col("ca")).cast("long").alias("n2a"))
+    nb = bg.groupBy("dirty_key").agg(F.sum(F.col("cb") * F.col("cb")).cast("long").alias("n2b"))
+    dots = (
+        cand.join(ag, "p_partkey")
+        .join(bg, ["dirty_key", "g"])
+        .groupBy("p_partkey", "dirty_key")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("n2a").cast("double") * F.col("n2b")
+    )
+    return (
+        dots.join(na, "p_partkey")
+        .join(nb, "dirty_key")
+        .filter(cos >= 0.85)
+        .select("p_partkey", "dirty_key", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+@_staged(
+    "closeness_users_events",
+    f"""
+    WITH {_coactivity_edges_sql(3).strip().rstrip()},
+    sym AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges
+    ),
+    p1 AS MATERIALIZED (SELECT DISTINCT u AS s, v AS node FROM sym),
+    p2 AS MATERIALIZED (
+      SELECT DISTINCT p1.s, n.v AS node
+      FROM p1 JOIN sym n ON n.u = p1.node
+      WHERE n.v <> p1.s
+        AND NOT EXISTS (SELECT 1 FROM p1 x WHERE x.s = p1.s AND x.node = n.v)
+    ),
+    p3 AS MATERIALIZED (
+      SELECT DISTINCT p2.s, n.v AS node
+      FROM p2 JOIN sym n ON n.u = p2.node
+      WHERE n.v <> p2.s
+        AND NOT EXISTS (SELECT 1 FROM p1 x WHERE x.s = p2.s AND x.node = n.v)
+        AND NOT EXISTS (SELECT 1 FROM p2 y WHERE y.s = p2.s AND y.node = n.v)
+    ),
+    hops AS (
+      SELECT s, 12 AS unit FROM p1
+      UNION ALL SELECT s, 6 FROM p2
+      UNION ALL SELECT s, 4 FROM p3
+    )
+    SELECT s AS user_id, CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(unit) AS BIGINT) AS harmonic12
+    FROM hops GROUP BY 1
+    ORDER BY harmonic12 DESC, user_id ASC
+    LIMIT 100
+    """,
+)
+def closeness_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded HARMONIC closeness centrality (sum of 1/dist to
+    every node within 3 hops) on the shared>=3 co-activity graph —
+    the who-is-central ranking next to PageRank (flow), HITS
+    (authority), and k-core (density). 1/dist is kept in integer
+    twelfths (operators/graph.py::bounded_closeness), so both
+    engines agree on BIGINTs bit-for-bit; the oracle unrolls the
+    3 BFS rounds as anti-joined distance shells (MATERIALIZED — the
+    shells are multiply-referenced). At 100 TB the exact bounded
+    form is the calibration oracle for HyperBall-style sketched
+    closeness. Top-100 by centrality."""
+    from dbt_lakehouse_aws_spark.operators.graph import bounded_closeness
+
+    edges = _coactivity_edges(spark, sf_dir, min_shared=3)
+    out = bounded_closeness(edges, max_hops=3)
+    return (
+        out.select(F.col("node").alias("user_id"), "n_reached", "harmonic12")
+        .orderBy(F.desc("harmonic12"), F.asc("user_id"))
+        .limit(100)
+    )
+
+
+_BF_EDGES_SQL = """
+    ue AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    ),
+    shared AS (
+      SELECT x.user_id AS a, y.user_id AS b, count(*) AS shared
+      FROM ue x JOIN ue y
+        ON x.event_type = y.event_type AND x.hr = y.hr
+       AND x.user_id < y.user_id
+      GROUP BY 1, 2
+    ),
+    wedges AS MATERIALIZED (
+      SELECT a, b, CAST(1000000 // shared AS BIGINT) AS w
+      FROM shared WHERE shared >= 3
+    )
+"""
+
+
+def _bellman_ford_oracle(rounds: int = 4) -> str:
+    parts = [
+        _BF_EDGES_SQL.strip(),
+        """sym AS MATERIALIZED (
+      SELECT a AS u, b AS v, w FROM wedges UNION ALL SELECT b, a, w FROM wedges
+    ),
+    d0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+      FROM sym WHERE u % 7 = 0
+    )""",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i + 1} AS MATERIALIZED (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT s.v AS node, d.dist + s.w AS dist
+        FROM d{i} d JOIN sym s ON s.u = d.node
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS user_id, dist FROM d{rounds}
+    ORDER BY dist ASC, user_id ASC
+    """
+    )
+
+
+@_staged("bellman_ford_users", _bellman_ford_oracle(4))
+def bellman_ford_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths (4 Bellman-Ford relaxation
+    rounds) from the seed set {user_id % 7 = 0} over the co-activity
+    graph with edge cost floor(1e6 / shared-count) — strong ties are
+    cheap to traverse, so the distance is an affinity metric, the
+    weighted complement of bfs_hops' unweighted shells. Costs are
+    integer micro-units end-to-end: every path sum is a BIGINT and
+    min() is engine-order-free (the float-sum trap can't occur). The
+    oracle unrolls the identical 4 synchronous relaxations as
+    MATERIALIZED CTEs (each round is referenced twice — the
+    2^N-inlining trap is documented in memory)."""
+    from dbt_lakehouse_aws_spark.operators.graph import bellman_ford_rounds
+
+    e = T(spark, sf_dir, "events")
+    ue = e.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
+    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
+    wedges = (
+        x.join(y, ["event_type", "hr"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select("a", "b", F.expr("CAST(1000000 div shared AS BIGINT)").alias("w"))
+    )
+    nodes = wedges.select(F.col("a").alias("node")).unionByName(
+        wedges.select(F.col("b").alias("node"))
+    ).distinct()
+    seeds = nodes.filter(F.col("node") % 7 == 0)
+    out = bellman_ford_rounds(wedges, seeds, weight="w", rounds=4)
+    return (
+        out.select(F.col("node").alias("user_id"), "dist")
+        .orderBy(F.asc("dist"), F.asc("user_id"))
+    )
+
+
+@_staged(
+    "anova_f_event_types",
+    """
+    WITH x AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS q
+      FROM x GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(s) AS BIGINT) AS s_tot,
+             CAST(sum(q) AS BIGINT) AS q_tot, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(floor(CAST(s AS DOUBLE) * s / n * 1000 + 0.5)) AS BIGINT)
+               AS ssb_units
+      FROM g
+    )
+    SELECT k AS k_groups, n_tot,
+           floor(((CAST(ssb_units AS DOUBLE) / 1000
+                   - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / (k - 1))
+                 / ((CAST(q_tot AS DOUBLE) - CAST(ssb_units AS DOUBLE) / 1000)
+                    / (n_tot - k))
+                 * 1e6 + 0.5) / 1e6 AS f_q
+    FROM tot
+    """,
+)
+def anova_f_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across the k event types (does mean
+    event value differ by type?) — the k-group parametric companion
+    to welch_ttest_events (2 groups). Everything reduces to exact
+    integer sufficient statistics per group (n, sum of cents, sum of
+    squared cents); each group's between-term S^2/n is quantized to
+    1e-3 units BEFORE the cross-group sum (the jackknife lesson:
+    cross-group float sums are order-dependent), so both engines sum
+    identical BIGINTs; F is one float expression evaluated in the
+    same operation order, floor-quantized 1e-6."""
+    e = T(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+    )
+    ssb_unit = F.floor(
+        F.col("s").cast("double") * F.col("s") / F.col("n") * 1000 + 0.5
+    ).cast("long")
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").cast("long").alias("s_tot"),
+        F.sum("q").cast("long").alias("q_tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(ssb_unit).cast("long").alias("ssb_units"),
+    )
+    n_tot, s_tot, q_tot, k = (
+        F.col("n_tot"), F.col("s_tot"), F.col("q_tot"), F.col("k")
+    )
+    ssb = F.col("ssb_units").cast("double") / 1000 - s_tot.cast("double") * s_tot / n_tot
+    ssw = q_tot.cast("double") - F.col("ssb_units").cast("double") / 1000
+    f_stat = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    return tot.select(
+        k.alias("k_groups"),
+        "n_tot",
+        (F.floor(f_stat * 1e6 + 0.5) / 1e6).alias("f_q"),
+    )
+
+
+@_staged(
+    "kruskal_wallis_priority",
+    """
+    WITH x AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    vg AS (
+      SELECT v, grp, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt FROM vg GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, 2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS rank2
+      FROM cells
+    ),
+    per_grp AS (
+      SELECT vg.grp, CAST(sum(vg.cnt) AS BIGINT) AS n,
+             CAST(sum(vg.cnt * r.rank2) AS BIGINT) AS r2
+      FROM vg JOIN ranked r ON r.v = vg.v
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(floor(CAST(r2 AS DOUBLE) * r2 / n * 0.001 + 0.5)) AS BIGINT)
+               AS rr_units,
+             (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) FROM cells) AS tie
+      FROM per_grp
+    )
+    SELECT k AS k_groups, n_tot,
+           floor(((3.0 * (CAST(rr_units AS DOUBLE) * 1000)
+                    / (CAST(n_tot AS DOUBLE) * (n_tot + 1))
+                   - 3.0 * (n_tot + 1))
+                  / (1 - CAST(tie AS DOUBLE)
+                         / (CAST(n_tot AS DOUBLE) * n_tot * n_tot - n_tot)))
+                 * 1e6 + 0.5) / 1e6 AS h_q
+    FROM tot
+    """,
+)
+def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order priorities (rank-based
+    k-group test — the nonparametric ANOVA, extending Mann-Whitney's
+    2-group machinery): midranks as exact 2x-rank INTEGERS from
+    VALUE-LEVEL counts on the scalable prefix_sum, per-group
+    rank-sums as BIGINTs, each group's R^2/n quantized to integer
+    milli-units before the cross-group sum (float sums are
+    order-dependent — jackknife lesson), and the tie-corrected H is
+    one float expression in identical operation order both sides,
+    floor-quantized 1e-6. R^2 itself would overflow BIGINT at sf0.1+
+    (r2 ~ 2N * avg-rank), hence the per-term double with integer
+    quantization rather than integer squares."""
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    vg = o.groupBy("v", "grp").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cells = vg.groupBy("v").agg(F.sum("cnt").cast("long").alias("cnt"))
+    ranked = prefix_sum(cells, [F.asc("v")], "cnt", name="c_incl").select(
+        "v", (2 * F.col("c_incl") - F.col("cnt") + 1).alias("rank2")
+    )
+    per_grp = (
+        vg.join(ranked, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.col("cnt") * F.col("rank2")).cast("long").alias("r2"),
+        )
+    )
+    rr_unit = F.floor(
+        F.col("r2").cast("double") * F.col("r2") / F.col("n") * 0.001 + 0.5
+    ).cast("long")
+    tie = cells.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie")
+    )
+    tot = per_grp.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(rr_unit).cast("long").alias("rr_units"),
+    ).crossJoin(F.broadcast(tie))
+    n_tot, k = F.col("n_tot"), F.col("k")
+    rr = F.col("rr_units").cast("double") * 1000
+    h = 3.0 * rr / (n_tot.cast("double") * (n_tot + 1)) - 3.0 * (n_tot + 1)
+    corr = 1 - F.col("tie").cast("double") / (
+        n_tot.cast("double") * n_tot * n_tot - n_tot
+    )
+    return tot.select(
+        k.alias("k_groups"),
+        "n_tot",
+        (F.floor(h / corr * 1e6 + 0.5) / 1e6).alias("h_q"),
+    )
+
+
+@_staged(
+    "cross_correlation_lag_events",
+    """
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(round(value * 100)) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1, 2
+    ),
+    lags AS (SELECT CAST(r.range AS BIGINT) AS lag FROM range(8) r),
+    joined AS (
+      SELECT l.lag, x.cents AS xv, y.cents AS yv
+      FROM lags l
+      JOIN daily x ON x.event_type = 'view'
+      JOIN daily y ON y.event_type = 'purchase'
+       AND y.day = x.day + CAST(l.lag AS INT)
+    ),
+    stats AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+             CAST(sum(xv * yv) AS BIGINT) AS sxy,
+             CAST(sum(xv * xv) AS BIGINT) AS sxx,
+             CAST(sum(yv * yv) AS BIGINT) AS syy
+      FROM joined GROUP BY 1
+    )
+    SELECT lag, n,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 * 1e6 + 0.5) / 1e6 AS r_q
+    FROM stats
+    ORDER BY lag
+    """,
+)
+def cross_correlation_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag CROSS-correlation between the daily view and purchase
+    revenue series: Pearson r of (view_t, purchase_{t+lag}) for lags
+    0..7 — "how many days does purchase volume trail view volume?",
+    the bivariate companion to acf_daily_events' autocorrelation. The
+    lag alignment is a date-shifted self-join (one hash join per
+    plan, lags fanned out by an 8-row broadcast range); all Pearson
+    sufficient statistics are exact BIGINTs of integer cents, the
+    final r one identically-ordered float expression, floor-quantized
+    1e-6."""
+    e = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+        .localCheckpoint()
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("long").alias("lag"))
+    x = daily.filter(F.col("event_type") == "view").select(
+        F.col("day").alias("xday"), F.col("cents").alias("xv")
+    )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("cents").alias("yv")
+    )
+    joined = x.crossJoin(F.broadcast(lags)).join(
+        y, y["yday"] == F.date_add(x["xday"], F.col("lag").cast("int"))
+    )
+    stats = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return stats.select(
+        "lag", "n", (F.floor(num / den * 1e6 + 0.5) / 1e6).alias("r_q")
+    ).orderBy("lag")
+
+
+@_staged(
+    "sharpe_daily_users",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(round(value * 100)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS q
+      FROM daily GROUP BY 1
+    )
+    SELECT user_id, n_days,
+           floor((CAST(s AS DOUBLE) / n_days)
+                 / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+                        / (n_days - 1))
+                 * 1e6 + 0.5) / 1e6 AS sharpe_q
+    FROM stats
+    WHERE n_days >= 10
+      AND CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days > 0
+    ORDER BY sharpe_q DESC, user_id ASC
+    LIMIT 20
+    """,
+)
+def sharpe_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharpe-style consistency ratio per user: mean daily value over
+    the sample standard deviation of daily values — the
+    risk-adjusted ranking (high total + low volatility wins) that
+    max_drawdown_users complements from the downside. Exact integer
+    sufficient statistics per user; the ratio is one float
+    expression in identical operation order, floor-quantized 1e-6;
+    degenerate zero-variance users are excluded on the same exact
+    predicate both sides. Top-20, ties broken by user id."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q"),
+    )
+    nd = F.col("n_days").cast("double")
+    var_num = F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / nd
+    sharpe = (F.col("s").cast("double") / nd) / F.sqrt(var_num / (nd - 1))
+    return (
+        stats.filter((F.col("n_days") >= 10) & (var_num > 0))
+        .select(
+            "user_id",
+            "n_days",
+            (F.floor(sharpe * 1e6 + 0.5) / 1e6).alias("sharpe_q"),
+        )
+        .orderBy(F.desc("sharpe_q"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@_staged(
+    "basket_triples_apriori",
+    """
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ),
+    cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),
+    pairs AS MATERIALIZED (
+      SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    freq_pairs AS MATERIALIZED (
+      SELECT pa, pb FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    triples AS (
+      SELECT p.pa, p.pb, c.l_partkey AS pc, CAST(count(*) AS BIGINT) AS support
+      FROM pairs p
+      JOIN freq_pairs f ON f.pa = p.pa AND f.pb = p.pb
+      JOIN items c ON c.l_orderkey = p.l_orderkey AND c.l_partkey > p.pb
+      GROUP BY 1, 2, 3 HAVING count(*) >= 2
+    )
+    SELECT pa, pb, pc, support,
+           round(CAST(support AS DOUBLE) * n.n * n.n
+                 / (ca.c * cb.c * cc.c), 6) AS lift3
+    FROM triples
+    JOIN cnt ca ON ca.l_partkey = pa
+    JOIN cnt cb ON cb.l_partkey = pb
+    JOIN cnt cc ON cc.l_partkey = pc
+    CROSS JOIN n_orders n
+    ORDER BY lift3 DESC, pa ASC, pb ASC, pc ASC
+    LIMIT 20
+    """,
+)
+def basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-itemset association mining with the APRIORI candidate prune
+    (Agrawal & Srikant, VLDB'94): a triple can only be frequent if
+    its prefix pair is, so candidate triples extend FREQUENT pairs
+    only — the prune that separates this from the naive 3-way
+    self-join and the property that holds at 100 TB (candidate
+    volume tracks frequent-pair volume, not items^3). Per-order
+    fan-out stays bounded by basket size (<= ~7 here); lift3 =
+    P(abc) * N^2 / (P(a) P(b) P(c)) is exact integer rational
+    arithmetic in double. Top-20 by lift, full key tie-break."""
+    l = T(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n_orders = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey").filter(F.col("pa") < F.col("pb")).localCheckpoint()
+    )
+    freq_pairs = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("psup"))
+        .filter(F.col("psup") >= 2)
+        .select("pa", "pb")
+    )
+    c = items.select("l_orderkey", F.col("l_partkey").alias("pc"))
+    triples = (
+        pairs.join(freq_pairs, ["pa", "pb"])
+        .join(c, "l_orderkey")
+        .filter(F.col("pc") > F.col("pb"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    lift3 = (
+        F.col("support").cast("double") * F.col("n") * F.col("n")
+        / (F.col("ca") * F.col("cb") * F.col("cc"))
+    )
+    return (
+        triples.join(cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca")), "pa")
+        .join(cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb")), "pb")
+        .join(cnt.select(F.col("l_partkey").alias("pc"), F.col("c").alias("cc")), "pc")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa", "pb", "pc", "support", F.round(lift3, 6).alias("lift3")
+        )
+        .orderBy(F.desc("lift3"), F.asc("pa"), F.asc("pb"), F.asc("pc"))
+        .limit(20)
+    )

@@ -3258,12 +3258,15 @@ def _ir_metrics_oracle(k: int = 5) -> str:
     """Both retrieval lists' oracles (exact cosine + rp-LSH ANN,
     each independently value-oracled) become CTEs; the metric math
     (recall@k, MRR@k, nDCG@k with ln-based log2) runs on top."""
-    by_name = {spec.name: spec for spec in _REGISTRY}
-    exact = by_name["cosine_topk"].oracle
+    from dbt_lakehouse_aws_spark.llm_oracles import COSINE_TOPK_ORACLE
+
+    exact = COSINE_TOPK_ORACLE
     # wider buckets (4 bits) than the ann_lsh_topk query's 6: the
     # metrics row should exercise the full metric range, not an
     # all-zeros report on a deliberately-tight index
-    ann = _qllm._ann_lsh_oracle(num_bits=4)
+    from dbt_lakehouse_aws_spark.llm_oracles import _ann_lsh_oracle
+
+    ann = _ann_lsh_oracle(num_bits=4)
     ln2 = "0.6931471805599453"
     return f"""
     WITH truth AS ({exact}),

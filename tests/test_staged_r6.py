@@ -9,17 +9,19 @@ import pytest
 
 from dbt_lakehouse_aws_spark.oracle import compare_frames
 from dbt_lakehouse_aws_spark.sources.catalog import STAR_TABLES
-from dbt_lakehouse_aws_spark import staged_r7, staged_r8
+from dbt_lakehouse_aws_spark import staged_r7, staged_r8, staged_r9
 
-#: merged view over every staging file (r7 + r8); duplicate names
-#: across files would silently shadow — asserted disjoint below.
-STAGED_ORACLES = {**staged_r7.STAGED_ORACLES, **staged_r8.STAGED_ORACLES}
-STAGED_QUERIES = {**staged_r7.STAGED_QUERIES, **staged_r8.STAGED_QUERIES}
+#: merged view over every staging file (r7 + r8 + r9); duplicate
+#: names across files would silently shadow — asserted disjoint below.
+_FILES = (staged_r7, staged_r8, staged_r9)
+STAGED_ORACLES = {k: v for m in _FILES for k, v in m.STAGED_ORACLES.items()}
+STAGED_QUERIES = {k: v for m in _FILES for k, v in m.STAGED_QUERIES.items()}
 
 
 def test_staging_files_are_disjoint():
-    clash = set(staged_r7.STAGED_QUERIES) & set(staged_r8.STAGED_QUERIES)
-    assert not clash, f"query staged in both files: {clash}"
+    names = [n for m in _FILES for n in m.STAGED_QUERIES]
+    dupes = {n for n in names if names.count(n) > 1}
+    assert not dupes, f"query staged in more than one file: {dupes}"
 
 SF_DIR = "/root/testdata/sf0.001"
 
