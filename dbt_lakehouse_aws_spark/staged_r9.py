@@ -778,3 +778,464 @@ def basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift3"), F.asc("pa"), F.asc("pb"), F.asc("pc"))
         .limit(20)
     )
+
+
+@_staged(
+    "croston_demand_parts",
+    """
+    WITH daily AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(round(l_quantity * 100)) AS BIGINT) AS qty_cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_demand_days,
+             CAST(sum(qty_cents) AS BIGINT) AS size_sum,
+             CAST(datediff('day', min(day), max(day)) AS BIGINT) AS span_days
+      FROM daily GROUP BY 1
+    )
+    SELECT l_partkey, n_demand_days,
+           floor((CAST(size_sum AS DOUBLE) / n_demand_days)
+                 / (CAST(span_days AS DOUBLE) / (n_demand_days - 1))
+                 * 1e6 + 0.5) / 1e6 AS demand_rate_q
+    FROM stats
+    WHERE n_demand_days >= 5 AND span_days > 0
+    ORDER BY demand_rate_q DESC, l_partkey ASC
+    LIMIT 20
+    """,
+)
+def croston_demand_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston-style intermittent-demand rate per part (the
+    slow-mover forecasting method): average nonzero demand size over
+    average inter-demand interval — the quantity-weighted complement
+    of seasonal_naive_backtest's dense-series forecasting. The
+    interval mean uses the exact span/(n-1) identity (no lag window,
+    no per-part sort); both factors come from integer sufficient
+    statistics, the rate is one identically-ordered float expression
+    floor-quantized 1e-6. Top-20 fastest movers."""
+    l = T(spark, sf_dir, "lineitem")
+    daily = l.groupBy(
+        "l_partkey", F.to_date("l_shipdate").alias("day")
+    ).agg(F.sum(F.round(F.col("l_quantity") * 100)).cast("long").alias("qty_cents"))
+    stats = daily.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_demand_days"),
+        F.sum("qty_cents").cast("long").alias("size_sum"),
+        F.datediff(F.max("day"), F.min("day")).cast("long").alias("span_days"),
+    )
+    rate = (F.col("size_sum").cast("double") / F.col("n_demand_days")) / (
+        F.col("span_days").cast("double") / (F.col("n_demand_days") - 1)
+    )
+    return (
+        stats.filter((F.col("n_demand_days") >= 5) & (F.col("span_days") > 0))
+        .select(
+            "l_partkey",
+            "n_demand_days",
+            (F.floor(rate * 1e6 + 0.5) / 1e6).alias("demand_rate_q"),
+        )
+        .orderBy(F.desc("demand_rate_q"), F.asc("l_partkey"))
+        .limit(20)
+    )
+
+
+@_staged(
+    "ltv_cohort_triangle_orders",
+    """
+    WITH mo AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS idx,
+             year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cohorts AS (
+      SELECT o_custkey, min(idx) AS cohort_idx, min(ym) AS cohort_ym
+      FROM mo GROUP BY 1
+    ),
+    cells AS (
+      SELECT c.cohort_ym AS cohort, CAST(m.idx - c.cohort_idx AS BIGINT) AS age,
+             CAST(sum(m.cents) AS BIGINT) AS cents
+      FROM mo m JOIN cohorts c ON c.o_custkey = m.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort, age, cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age) AS BIGINT)
+             AS cum_cents
+    FROM cells
+    ORDER BY cohort, age
+    """,
+)
+def ltv_cohort_triangle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle (the chain-ladder layout growth teams run):
+    customers bucketed by FIRST-order month, revenue accumulated by
+    cohort age in months — cohort_retention_events' revenue-weighted
+    sibling. Age is pure integer month arithmetic (year*12+month
+    index differences — no date intervals, no timezone edges); the
+    cumulative ride is a per-cohort window (bounded partitions =
+    months in the dataset, never a one-task funnel). Exact integer
+    cents end-to-end."""
+    o = T(spark, sf_dir, "orders")
+    mo = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohorts = mo.groupBy("o_custkey").agg(
+        F.min("idx").alias("cohort_idx"), F.min("ym").alias("cohort_ym")
+    )
+    cells = (
+        mo.join(cohorts, "o_custkey")
+        .groupBy(
+            F.col("cohort_ym").alias("cohort"),
+            (F.col("idx") - F.col("cohort_idx")).cast("long").alias("age"),
+        )
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age")
+    return cells.select(
+        "cohort", "age", "cents", F.sum("cents").over(w).cast("long").alias("cum_cents")
+    ).orderBy("cohort", "age")
+
+
+@_staged(
+    "abc_xyz_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey, CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+    abc AS (
+      SELECT l_partkey, cents,
+             CASE
+               WHEN sum(cents) OVER (ORDER BY cents DESC, l_partkey) * 100
+                    <= 80 * t.total THEN 'A'
+               WHEN sum(cents) OVER (ORDER BY cents DESC, l_partkey) * 100
+                    <= 95 * t.total THEN 'B'
+               ELSE 'C'
+             END AS abc_class
+      FROM rev CROSS JOIN tot t
+    ),
+    monthly AS (
+      SELECT l_partkey,
+             year(l_shipdate) * 12 + month(l_shipdate) AS m,
+             CAST(sum(round(l_quantity * 100)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE
+               WHEN count(*) < 2 THEN 'Z'
+               WHEN 4 * (count(*) * sum(q * q) - sum(q) * sum(q))
+                    <= sum(q) * sum(q) THEN 'X'
+               WHEN count(*) * sum(q * q) - sum(q) * sum(q)
+                    <= sum(q) * sum(q) THEN 'Y'
+               ELSE 'Z'
+             END AS xyz_class
+      FROM monthly GROUP BY 1
+    )
+    SELECT a.abc_class, x.xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(a.cents) AS BIGINT) AS cents_total
+    FROM abc a JOIN xyz x ON x.l_partkey = a.l_partkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory segmentation (the planner's 3x3 grid):
+    ABC = cumulative revenue-share class (A <= 80%, B <= 95%, C rest,
+    inclusive-cumulative on (revenue DESC, partkey) — the comparison
+    is pure integer cross-multiplication, cum*100 <= 80*total, no
+    percentage floats anywhere); XYZ = demand-variability class from
+    the squared coefficient of variation of monthly quantities,
+    classified by EXACT integer cross-multiplication of
+    n*sum(q^2) - S^2 vs S^2 (X: cv^2 <= 0.25, Y: <= 1, Z: rest or
+    <2 months of history). Engine cumulative rides the scalable
+    prefix_sum (no one-task window); the oracle uses a plain
+    windowed sum — two plans, identical integers."""
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+
+    l = T(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    cum = prefix_sum(
+        rev, [F.desc("cents"), F.asc("l_partkey")], "cents", name="cum"
+    ).crossJoin(F.broadcast(tot))
+    abc = cum.select(
+        "l_partkey",
+        "cents",
+        F.when(F.col("cum") * 100 <= 80 * F.col("total"), "A")
+        .when(F.col("cum") * 100 <= 95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    monthly = l.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+    ).agg(F.sum(F.round(F.col("l_quantity") * 100)).cast("long").alias("q"))
+    n, sq, s2 = F.count(F.lit(1)), F.sum(F.col("q") * F.col("q")), F.sum("q")
+    xyz = monthly.groupBy("l_partkey").agg(
+        F.when(n < 2, "Z")
+        .when(4 * (n * sq - s2 * s2) <= s2 * s2, "X")
+        .when(n * sq - s2 * s2 <= s2 * s2, "Y")
+        .otherwise("Z")
+        .alias("xyz_class")
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+@_staged(
+    "runs_test_daily_events",
+    """
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(round(value * 100)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+      FROM daily
+    ),
+    signs AS MATERIALIZED (
+      SELECT day, (cents * t.n > t.s) AS hi FROM daily CROSS JOIN tot t
+    ),
+    flips AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN a.hi <> b.hi THEN 1 ELSE 0 END) AS BIGINT) AS changes
+      FROM signs a JOIN signs b ON b.day = a.day + 1
+    ),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n2
+      FROM signs
+    )
+    SELECT (f.changes + 1) AS runs, c.n1, c.n2,
+           floor((CAST(f.changes + 1 AS DOUBLE)
+                  - (2.0 * c.n1 * c.n2 / (c.n1 + c.n2) + 1))
+                 / sqrt(2.0 * c.n1 * c.n2 * (2.0 * c.n1 * c.n2 - c.n1 - c.n2)
+                        / (CAST(c.n1 + c.n2 AS DOUBLE) * (c.n1 + c.n2)
+                           * (c.n1 + c.n2 - 1)))
+                 * 1e6 + 0.5) / 1e6 AS z_q
+    FROM flips f CROSS JOIN counts c
+    """,
+)
+def runs_test_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue
+    series (above/below-MEAN variant): is the sequence of
+    above-mean / below-mean days random, or does it trend/oscillate?
+    The side predicate is an EXACT integer cross-multiplication
+    (cents*n > total — no float mean), consecutive days pair through
+    a day+1 self-join (no global-order window funnel, no one-task
+    sort), and the normal-approximation z is one float expression in
+    identical operation order, floor-quantized 1e-6. Complements
+    durbin_watson_daily (autocorrelation) with a distribution-free
+    randomness check."""
+    e = T(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+        .localCheckpoint()
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    signs = daily.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("cents") * F.col("n") > F.col("s")).alias("hi")
+    ).localCheckpoint()
+    a = signs.select(F.col("day").alias("d1"), F.col("hi").alias("h1"))
+    b = signs.select(F.col("day").alias("d2"), F.col("hi").alias("h2"))
+    flips = a.join(b, b["d2"] == F.date_add(a["d1"], 1)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("h1") != F.col("h2")).cast("long")).cast("long").alias("changes"),
+    )
+    counts = signs.agg(
+        F.sum(F.col("hi").cast("long")).cast("long").alias("n1"),
+        F.sum((~F.col("hi")).cast("long")).cast("long").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    runs = (F.col("changes") + 1).cast("long")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    z = (runs.cast("double") - mu) / F.sqrt(var)
+    return flips.crossJoin(F.broadcast(counts)).select(
+        runs.alias("runs"), "n1", "n2",
+        (F.floor(z * 1e6 + 0.5) / 1e6).alias("z_q"),
+    )
+
+
+@_staged(
+    "theil_index_customers",
+    """
+    WITH spend AS (
+      SELECT o_custkey, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS total
+      FROM spend
+    ),
+    terms AS (
+      SELECT CAST(floor((CAST(s AS DOUBLE) / t.total)
+                        * ln(CAST(s AS DOUBLE) * t.n / t.total)
+                        * 1e12 + 0.5) AS BIGINT) AS u
+      FROM spend CROSS JOIN tot t
+    )
+    SELECT t.n AS n_customers,
+           floor(CAST(sum(u) AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS theil_q
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.n
+    """,
+)
+def theil_index_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend — the
+    entropy-based inequality measure next to gini_customer_revenue
+    (Gini weights transfers near the middle; Theil decomposes across
+    subgroups): T = sum (s_i/S) * ln(s_i*n/S). Each customer's term
+    is quantized to 1e-12 integer units BEFORE the cross-customer
+    sum (the jackknife lesson — a 15k-term double sum is
+    summation-order-dependent), so both engines sum identical
+    BIGINTs; the index is floor-quantized 1e-6."""
+    o = T(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("s")
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("total"),
+    )
+    u = F.floor(
+        (F.col("s").cast("double") / F.col("total"))
+        * F.log(F.col("s").cast("double") * F.col("n") / F.col("total"))
+        * 1e12
+        + 0.5
+    ).cast("long")
+    return (
+        spend.crossJoin(F.broadcast(tot))
+        .select(u.alias("u"), "n")
+        .groupBy("n")
+        .agg(
+            (F.floor(F.sum("u").cast("double") / 1e12 * 1e6 + 0.5) / 1e6).alias(
+                "theil_q"
+            )
+        )
+        .select(F.col("n").alias("n_customers"), "theil_q")
+    )
+
+
+@_staged(
+    "term_burstiness_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    per_doc AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    n_docs AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    stats AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS tot, CAST(sum(c * c) AS BIGINT) AS sq
+      FROM per_doc GROUP BY 1
+    )
+    SELECT term, df,
+           floor((CAST(n.nd AS DOUBLE) * s.sq - CAST(s.tot AS DOUBLE) * s.tot)
+                 / (CAST(n.nd AS DOUBLE) * s.tot) * 1e6 + 0.5) / 1e6 AS vmr_q
+    FROM stats s CROSS JOIN n_docs n
+    ORDER BY df DESC, term ASC
+    LIMIT 20
+    """,
+)
+def term_burstiness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale): variance-to-mean ratio of
+    per-document term counts over the WHOLE corpus (absent docs
+    count 0 — they add nothing to either sum, so the corpus-wide VMR
+    is (N*sum(c^2) - T^2)/(N*T), pure integer sufficient statistics).
+    VMR ~ 1 means Poisson scatter; >> 1 means the term clumps into
+    few documents — content words burst, function words don't. The
+    top-20-by-df view complements zipf_slope_tokens (frequency decay)
+    and dispersion_index_events (temporal clumping) with the
+    lexical-clumping axis."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    per_doc = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    vmr = (
+        F.col("nd").cast("double") * F.col("sq")
+        - F.col("tot").cast("double") * F.col("tot")
+    ) / (F.col("nd").cast("double") * F.col("tot"))
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select("term", "df", (F.floor(vmr * 1e6 + 0.5) / 1e6).alias("vmr_q"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@_staged(
+    "mcnemar_view_purchase",
+    """
+    WITH flags AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(sum(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(sum(CASE WHEN v = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           floor(CASE WHEN sum(CASE WHEN v + p = 1 THEN 1 ELSE 0 END) = 0 THEN 0.0
+                 ELSE CAST((sum(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END)
+                            - sum(CASE WHEN v = 0 AND p = 1 THEN 1 ELSE 0 END))
+                           * (sum(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END)
+                              - sum(CASE WHEN v = 0 AND p = 1 THEN 1 ELSE 0 END))
+                           AS DOUBLE)
+                      / sum(CASE WHEN v + p = 1 THEN 1 ELSE 0 END) END
+                 * 1e6 + 0.5) / 1e6 AS chi2_q
+    FROM flags
+    """,
+)
+def mcnemar_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired per-user binary outcomes ("did the
+    user ever view" vs "did the user ever purchase"): only the
+    DISCORDANT users carry signal — b (view without purchase) vs c
+    (purchase without view), chi2 = (b-c)^2/(b+c). The paired-data
+    companion to abtest_conversion_ztest's independent-samples z.
+    Everything is integer counts; the statistic is one guarded float
+    division, floor-quantized 1e-6."""
+    e = T(spark, sf_dir, "events")
+    flags = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    b = F.sum(((F.col("v") == 1) & (F.col("p") == 0)).cast("long")).cast("long")
+    c = F.sum(((F.col("v") == 0) & (F.col("p") == 1)).cast("long")).cast("long")
+    disc = F.sum((F.col("v") + F.col("p") == 1).cast("long")).cast("long")
+    chi2 = F.when(disc == 0, F.lit(0.0)).otherwise(
+        ((b - c) * (b - c)).cast("double") / disc
+    )
+    return flags.agg(
+        b.alias("b"), c.alias("c"),
+        (F.floor(chi2 * 1e6 + 0.5) / 1e6).alias("chi2_q"),
+    )
