@@ -725,11 +725,11 @@ def decode_avi(data: bytes) -> dict:
         raise ValueError("not a RIFF/AVI payload")
 
     avih = None
-    bmih = None
+    strf_raw: bytes | None = None
     frames_raw: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal avih, bmih
+        nonlocal avih, strf_raw
         while pos + 8 <= end:
             cid, csize = struct.unpack_from("<4sI", data, pos)
             body_start = pos + 8
@@ -737,44 +737,67 @@ def decode_avi(data: bytes) -> dict:
                 walk(body_start + 4, body_start + csize)  # skip list type tag
             elif cid == b"avih":
                 avih = struct.unpack_from("<10I", data, body_start)
-            elif cid == b"strf" and bmih is None:
-                bmih = struct.unpack_from("<IiiHHI", data, body_start)
-            elif cid[2:4] in (b"db", b"dc") and csize:
+            elif cid == b"strf" and strf_raw is None:
+                strf_raw = data[body_start : body_start + csize]
+            elif cid[2:4] in (b"db", b"dc"):
+                # zero-size chunks are legal "repeat previous frame"
+                # markers in delta-coded streams — keep them
                 frames_raw.append(data[body_start : body_start + csize])
             pos = body_start + csize + (csize & 1)
 
     walk(12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0]))
-    if avih is None or bmih is None:
+    if avih is None or strf_raw is None:
         raise ValueError("AVI payload missing avih/strf headers")
     # MainAVIHeader: [0]=µs/frame ... [7]=SuggestedBufferSize,
     # [8]=Width, [9]=Height
     us_per_frame, width, height = avih[0], avih[8], avih[9]
-    _sz, _w, bi_height, _planes, bpp, compression = bmih
+    _sz, _w, bi_height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", strf_raw, 0
+    )
     if compression == 0x47504A4D:  # 'MJPG': each frame is a JPEG
         from dbt_lakehouse_aws_spark.llmops.jpeg import decode_jpeg
 
         out = []
+        prev = None
         for raw in frames_raw:
+            if not raw:  # repeat-frame marker
+                out.append(
+                    prev if prev is not None
+                    else np.zeros((height, width, 3), dtype=np.uint8)
+                )
+                continue
             px = decode_jpeg(raw)
             if px.shape[2] == 1:
                 px = np.repeat(px, 3, axis=2)
             out.append(px)
+            prev = px
+    elif compression == 1 and bpp == 8:  # BI_RLE8: the INTER-FRAME path
+        out = _decode_rle8_frames(strf_raw, frames_raw, width, height)
     elif compression != 0 or bpp != 24:
         raise NotImplementedError(
-            f"only uncompressed 24-bpp DIB and MJPG AVI supported (got "
-            f"bpp={bpp}, compression={compression}); inter-frame codecs "
-            "(h264/vp9/...) need codec libraries"
+            f"only uncompressed 24-bpp DIB, MJPG, and 8-bpp BI_RLE8 AVI "
+            f"supported (got bpp={bpp}, compression={compression}); "
+            "motion-compensated codecs (h264/vp9/...) need codec libraries"
         )
     else:
         stride = (width * 3 + 3) & ~3
         out = []
+        prev = None
         for raw in frames_raw:
+            if not raw:  # repeat-frame marker
+                out.append(
+                    prev if prev is not None
+                    else np.zeros((height, width, 3), dtype=np.uint8)
+                )
+                continue
             px = np.frombuffer(raw, dtype=np.uint8, count=stride * height).reshape(
                 height, stride
             )[:, : width * 3].reshape(height, width, 3)
             if bi_height > 0:  # bottom-up, like BMP
                 px = px[::-1]
-            out.append(px[..., ::-1])  # BGR → RGB
+            px = px[..., ::-1]  # BGR → RGB
+            out.append(px)
+            prev = px
     frames = np.stack(out) if out else np.zeros((0, height, width, 3), dtype=np.uint8)
     return {
         "width": int(width),
@@ -783,6 +806,106 @@ def decode_avi(data: bytes) -> dict:
         "us_per_frame": int(us_per_frame),
         "frames": frames,
     }
+
+
+def _decode_rle8_frames(strf_raw: bytes, frames_raw, width: int, height: int):
+    """Microsoft RLE8 (BI_RLE8, biCompression=1) frame sequence — a
+    REAL inter-frame codec on a fully public layout (the Windows
+    BITMAPINFO RLE spec): run pairs (count, index), absolute mode
+    (0x00, n>=3, n literals, word-aligned), end-of-line (0x00 0x00),
+    end-of-bitmap (0x00 0x01), and the DELTA escape (0x00 0x02 dx dy)
+    that SKIPS pixels — skipped and never-written pixels keep their
+    value from the PREVIOUS frame, which is what makes delta frames
+    temporal, not just per-frame compression. The palette is the 256
+    RGBQUAD table following the 40-byte BITMAPINFOHEADER in strf.
+
+    State: one persistent (h, w) index buffer, bottom-up like every
+    DIB; each chunk mutates it and a palette-mapped RGB snapshot is
+    emitted. Zero-length chunks repeat the previous frame verbatim.
+    """
+    import numpy as np
+
+    pal_raw = strf_raw[40 : 40 + 256 * 4]
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    got = len(pal_raw) // 4
+    if got:
+        quads = np.frombuffer(pal_raw[: got * 4], dtype=np.uint8).reshape(got, 4)
+        pal[:got] = quads[:, [2, 1, 0]]  # RGBQUAD is B,G,R,reserved
+
+    cur = np.zeros((height, width), dtype=np.uint8)  # bottom-up rows
+    out = []
+    for raw in frames_raw:
+        i, x, y = 0, 0, 0
+        n = len(raw)
+        while i + 1 < n:
+            c0, c1 = raw[i], raw[i + 1]
+            i += 2
+            if c0 > 0:  # encoded run
+                end = min(x + c0, width)
+                if y < height:
+                    cur[y, x:end] = c1
+                x += c0
+            elif c1 == 0:  # end of line
+                x, y = 0, y + 1
+            elif c1 == 1:  # end of bitmap
+                break
+            elif c1 == 2:  # DELTA: skip dx right, dy up (bottom-up rows)
+                if i + 1 >= n:
+                    break
+                x += raw[i]
+                y += raw[i + 1]
+                i += 2
+            else:  # absolute mode: c1 literal indices, word-aligned
+                end = min(x + c1, width)
+                lit = np.frombuffer(raw[i : i + c1], dtype=np.uint8)
+                if y < height and len(lit) >= end - x:
+                    cur[y, x:end] = lit[: end - x]
+                x += c1
+                i += c1 + (c1 & 1)
+        out.append(pal[cur[::-1]])  # bottom-up -> top-down, indices -> RGB
+    return out
+
+
+def _encode_rle8_frame(idx, prev):
+    """One RLE8 delta frame (bottom-up (h, w) index rasters): spans
+    unchanged vs ``prev`` of length >= 4 become DELTA skips, changed
+    spans become value runs; an identical frame encodes as the empty
+    chunk (the repeat marker). Inverse of :func:`_decode_rle8_frames`
+    by construction."""
+    import numpy as np
+
+    h, w = idx.shape
+    if prev is not None and np.array_equal(idx, prev):
+        return b""
+    body = bytearray()
+    for y in range(h):
+        row = idx[y]
+        prow = prev[y] if prev is not None else None
+        x = 0
+        while x < w:
+            if prow is not None and row[x] == prow[x]:
+                s = x
+                while x < w and row[x] == prow[x]:
+                    x += 1
+                if x >= w:
+                    break  # rest of row unchanged; EOL advances
+                gap = x - s
+                if gap >= 4:
+                    while gap > 0:
+                        d = min(gap, 255)
+                        body += bytes((0, 2, d, 0))
+                        gap -= d
+                else:
+                    x = s  # short gap: cheaper to re-emit as a run
+            v = row[x]
+            c = 0
+            while x < w and row[x] == v and c < 255:
+                x += 1
+                c += 1
+            body += bytes((c, v))
+        body += bytes((0, 0))  # end of line
+    body += bytes((0, 1))  # end of bitmap
+    return bytes(body)
 
 
 def encode_avi(frames, us_per_frame: int = 40_000, *, codec: str = "DIB") -> bytes:
@@ -799,8 +922,16 @@ def encode_avi(frames, us_per_frame: int = 40_000, *, codec: str = "DIB") -> byt
     n, h, w, c = frames.shape
     if c != 3:
         raise ValueError("encode_avi expects (n, h, w, 3) RGB")
-    if codec not in ("DIB", "MJPG"):
-        raise ValueError("codec must be 'DIB' or 'MJPG'")
+    if codec not in ("DIB", "MJPG", "RLE8"):
+        raise ValueError("codec must be 'DIB', 'MJPG', or 'RLE8'")
+    if codec == "RLE8" and not (
+        (frames[..., 0] == frames[..., 1]).all()
+        and (frames[..., 1] == frames[..., 2]).all()
+    ):
+        raise ValueError(
+            "RLE8 uses the identity grayscale palette: pass frames with "
+            "R == G == B (the R channel is the palette index)"
+        )
     stride = (w * 3 + 3) & ~3
 
     def chunk(cid: bytes, body: bytes) -> bytes:
@@ -815,12 +946,16 @@ def encode_avi(frames, us_per_frame: int = 40_000, *, codec: str = "DIB") -> byt
     )
     # 56-byte AVISTREAMHEADER: type/handler + zeroed scheduling fields
     # (the reader takes timing from avih and raster layout from strf)
-    handler = b"DIB " if codec == "DIB" else b"MJPG"
-    compression = 0 if codec == "DIB" else 0x47504A4D
+    handler = {"DIB": b"DIB ", "MJPG": b"MJPG", "RLE8": b"MRLE"}[codec]
+    compression = {"DIB": 0, "MJPG": 0x47504A4D, "RLE8": 1}[codec]
+    bpp = 8 if codec == "RLE8" else 24
     strh = struct.pack("<4s4s48x", b"vids", handler)
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, stride * h, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, stride * h, 0, 0, 0, 0
     )
+    if codec == "RLE8":
+        # identity grayscale palette: RGBQUAD (B, G, R, 0) per index
+        strf += b"".join(bytes((i, i, i, 0)) for i in range(256))
     hdrl = list_chunk(b"hdrl", chunk(b"avih", avih)
                       + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi_body = b""
@@ -829,6 +964,12 @@ def encode_avi(frames, us_per_frame: int = 40_000, *, codec: str = "DIB") -> byt
 
         for f in frames:
             movi_body += chunk(b"00dc", encode_jpeg(f, quant=np.ones((8, 8))))
+    elif codec == "RLE8":
+        prev = None
+        for f in frames:
+            idx = f[::-1, :, 0].copy()  # bottom-up index raster
+            movi_body += chunk(b"00dc", _encode_rle8_frame(idx, prev))
+            prev = idx
     else:
         for f in frames:
             body = np.zeros((h, stride), dtype=np.uint8)

@@ -2245,3 +2245,72 @@ def test_cdc_chunks_realign_after_insertion(spark):
     late1 = {e for e in e1 if e > 108}
     assert late1 and late1 <= e2, "downstream boundaries failed to re-align"
     assert len(by_doc[1]) > 30  # sanity: expected ~64-char chunks
+
+
+def test_rle8_avi_roundtrip_delta_and_repeat():
+    """BI_RLE8 inter-frame codec: keyframe + sparse-delta + identical
+    frames round-trip exactly; an identical frame encodes as the
+    EMPTY chunk (the repeat marker)."""
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(7)
+    gray = lambda a: np.stack([a, a, a], axis=-1).astype(np.uint8)
+    f0 = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    f1 = f0.copy()
+    f1[2, 3] = (int(f1[2, 3]) + 97) % 256
+    f1[4, 0] = 11
+    frames = np.stack([gray(f0), gray(f1), gray(f1.copy())])
+    payload = encode_avi(frames, codec="RLE8")
+    out = decode_avi(payload)
+    assert out["n_frames"] == 3
+    assert np.array_equal(out["frames"], frames)
+    assert b"00dc\x00\x00\x00\x00" in payload  # empty repeat chunk
+
+    for trial in range(15):
+        h = int(rng.integers(1, 7))
+        w = int(rng.integers(1, 300))  # crosses the 255-run boundary
+        fr = [rng.integers(0, 256, (h, w), dtype=np.uint8)]
+        for _ in range(int(rng.integers(0, 3))):
+            nxt = fr[-1].copy()
+            for _ in range(int(rng.integers(0, 6))):
+                nxt[rng.integers(0, h), rng.integers(0, w)] = rng.integers(0, 256)
+            fr.append(nxt)
+        stack = np.stack([gray(f) for f in fr])
+        assert np.array_equal(
+            decode_avi(encode_avi(stack, codec="RLE8"))["frames"], stack
+        ), f"trial {trial}"
+
+
+def test_rle8_delta_escape_preserves_previous_frame():
+    """The DELTA escape (00 02 dx dy) SKIPS pixels — skipped pixels
+    must keep the PREVIOUS frame's values (the property that makes
+    RLE8 an inter-frame codec, not per-frame compression)."""
+    import struct
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import decode_avi
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(tag, body):
+        return chunk(b"LIST", tag + body)
+
+    key = bytes((4, 5, 0, 0, 4, 5, 0, 0, 0, 1))       # 4x2, all 5s
+    delta = bytes((0, 2, 2, 0, 2, 9, 0, 0, 0, 0, 0, 1))  # skip 2, write 9,9
+    strh = struct.pack("<4s4s48x", b"vids", b"MRLE")
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, 0, 0, 0, 0, 0
+    ) + b"".join(bytes((i, i, i, 0)) for i in range(256))
+    avih = struct.pack("<10I4I", 40000, 0, 0, 0x10, 2, 0, 1, 0, 4, 2, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", chunk(b"00dc", key) + chunk(b"00dc", delta))
+    body = b"AVI " + hdrl + movi
+    fr = decode_avi(b"RIFF" + struct.pack("<I", len(body)) + body)["frames"]
+    assert (fr[0] == 5).all()
+    assert (fr[1][0] == 5).all()                  # top display row untouched
+    assert list(fr[1][1, :, 0]) == [5, 5, 9, 9]   # skipped kept, written new
