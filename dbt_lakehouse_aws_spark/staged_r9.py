@@ -1311,3 +1311,473 @@ def video_rle8_delta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").select("doc_id")
     payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
     return extract_video_features(payloads)
+
+
+@_staged(
+    "growth_accounting_weekly",
+    """
+    WITH act AS MATERIALIZED (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    firstw AS (SELECT user_id, min(wk) AS fw FROM act GROUP BY 1),
+    weeks AS (SELECT DISTINCT wk FROM act),
+    cur AS (
+      SELECT a.wk, a.user_id, f.fw,
+             EXISTS (SELECT 1 FROM act p
+                     WHERE p.user_id = a.user_id
+                       AND p.wk = a.wk - INTERVAL 7 DAY) AS was_prev
+      FROM act a JOIN firstw f ON f.user_id = a.user_id
+    ),
+    churn AS (
+      SELECT CAST(p.wk + INTERVAL 7 DAY AS DATE) AS wk,
+             CAST(count(*) AS BIGINT) AS churned
+      FROM act p
+      JOIN weeks w ON w.wk = p.wk + INTERVAL 7 DAY
+      WHERE NOT EXISTS (SELECT 1 FROM act c
+                        WHERE c.user_id = p.user_id
+                          AND c.wk = p.wk + INTERVAL 7 DAY)
+      GROUP BY 1
+    )
+    SELECT c.wk,
+           CAST(sum(CASE WHEN c.fw = c.wk THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN c.was_prev THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+           CAST(sum(CASE WHEN NOT c.was_prev AND c.fw < c.wk THEN 1 ELSE 0 END)
+                AS BIGINT) AS resurrected,
+           CAST(coalesce(any_value(ch.churned), 0) AS BIGINT) AS churned
+    FROM cur c LEFT JOIN churn ch ON ch.wk = c.wk
+    GROUP BY c.wk
+    ORDER BY c.wk
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the new / retained / resurrected /
+    churned ledger every growth team keeps — Social Capital's
+    framing): each active (user, week) is classified by first-seen
+    week and prior-week activity; churned counts last week's actives
+    who went silent. cohort_retention_events answers "how do cohorts
+    decay"; this answers "where did this week's actives come from".
+    Week buckets are date_trunc('week') CAST TO DATE on both engines
+    (Spark returns TIMESTAMP, DuckDB DATE — the cast is the parity
+    fix); everything else is exact integer counts over hash joins on
+    (user, week) — no windows, no floats."""
+    e = T(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct().localCheckpoint()
+    firstw = act.groupBy("user_id").agg(F.min("wk").alias("fw"))
+    prev = act.select("user_id", F.date_add("wk", 7).alias("wk"))
+    cur = (
+        act.join(firstw, "user_id")
+        .join(prev.withColumn("was_prev", F.lit(True)).distinct(),
+              ["user_id", "wk"], "left")
+        .fillna(False, ["was_prev"])
+    )
+    weeks = act.select("wk").distinct()
+    gone = (
+        prev.join(weeks, "wk")  # only weeks that exist in the data
+        .join(act, ["user_id", "wk"], "left_anti")
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    core = cur.groupBy("wk").agg(
+        F.sum((F.col("fw") == F.col("wk")).cast("long")).cast("long").alias("new_users"),
+        F.sum(F.col("was_prev").cast("long")).cast("long").alias("retained"),
+        F.sum((~F.col("was_prev") & (F.col("fw") < F.col("wk"))).cast("long"))
+        .cast("long")
+        .alias("resurrected"),
+    )
+    return (
+        core.join(gone, "wk", "left")
+        .fillna(0, ["churned"])
+        .select("wk", "new_users", "retained", "resurrected",
+                F.col("churned").cast("long").alias("churned"))
+        .orderBy("wk")
+    )
+
+
+@_staged(
+    "stickiness_dau_mau",
+    """
+    WITH days AS (
+      SELECT year(ts) * 100 + month(ts) AS ym, CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    mau AS (
+      SELECT year(ts) * 100 + month(ts) AS ym,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1
+    ),
+    agg AS (
+      SELECT ym, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(dau) AS BIGINT) AS dau_sum
+      FROM days GROUP BY 1
+    )
+    SELECT CAST(a.ym AS BIGINT) AS ym, a.n_days, m.mau,
+           floor(CAST(a.dau_sum AS DOUBLE) * 1e6 / (a.n_days * m.mau) + 0.5) / 1e6
+             AS stickiness_q
+    FROM agg a JOIN mau m ON m.ym = a.ym
+    ORDER BY ym
+    """,
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month (the engagement ratio: what share
+    of the monthly audience shows up on an average day). Two
+    count-distinct aggregates (daily and monthly actives) and one
+    guarded ratio — dau_sum, n_days, and mau are exact BIGINTs, the
+    ratio is floor-quantized 1e-6. Complements
+    growth_accounting_weekly (composition) with intensity."""
+    e = T(spark, sf_dir, "events")
+    ym = (F.year("ts") * 100 + F.month("ts")).alias("ym")
+    days = e.groupBy(ym, F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    mau = e.groupBy(ym).agg(F.countDistinct("user_id").cast("long").alias("mau"))
+    agg = days.groupBy("ym").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("dau_sum"),
+    )
+    stick = F.col("dau_sum").cast("double") * 1e6 / (F.col("n_days") * F.col("mau"))
+    return (
+        agg.join(mau, "ym")
+        .select(
+            F.col("ym").cast("long").alias("ym"), "n_days", "mau",
+            (F.floor(stick + 0.5) / 1e6).alias("stickiness_q"),
+        )
+        .orderBy("ym")
+    )
+
+
+@_staged(
+    "simpsons_paradox_check",
+    """
+    WITH x AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_quantity * 100) AS BIGINT) AS xv,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yv
+      FROM lineitem
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+             CAST(sum(xv * yv) AS BIGINT) AS sxy, CAST(sum(xv * xv) AS BIGINT) AS sxx
+      FROM x GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+             CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxy) AS BIGINT) AS sxy,
+             CAST(sum(sxx) AS BIGINT) AS sxx,
+             CAST(sum(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                            * 1e-3 + 0.5)) AS BIGINT) AS wnum_units,
+             CAST(sum(floor((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                            * 1e-3 + 0.5)) AS BIGINT) AS wden_units
+      FROM g
+    )
+    SELECT n AS n_rows,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * 1e6 + 0.5) / 1e6 AS overall_slope_q,
+           floor(CAST(wnum_units AS DOUBLE) / wden_units * 1e6 + 0.5) / 1e6
+             AS pooled_within_slope_q,
+           (((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) > 0)
+            <> (wnum_units > 0)) AS sign_flip
+    FROM tot
+    """,
+)
+def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector on price ~ quantity: the OVERALL
+    OLS slope vs the POOLED WITHIN-GROUP slope (groups =
+    l_returnflag; pooled = summed within-group covariance over summed
+    within-group variance — the stratified estimate that removes
+    between-group confounding), plus the sign-flip flag that IS the
+    paradox. Sufficient statistics are exact BIGINTs; each group's
+    covariance/variance numerators are quantized to 1e-3 units
+    BEFORE the cross-group sums (jackknife lesson), so both engines
+    sum identical integers; the two slopes are identical-order float
+    expressions, floor-quantized 1e-6."""
+    l = T(spark, sf_dir, "lineitem")
+    x = l.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("xv"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yv"),
+    )
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    wnum = F.floor((n.cast("double") * sxy - sx.cast("double") * sy) * 1e-3 + 0.5)
+    wden = F.floor((n.cast("double") * sxx - sx.cast("double") * sx) * 1e-3 + 0.5)
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast("long").alias("sx"),
+        F.sum("sy").cast("long").alias("sy"),
+        F.sum("sxy").cast("long").alias("sxy"),
+        F.sum("sxx").cast("long").alias("sxx"),
+        F.sum(wnum).cast("long").alias("wnum_units"),
+        F.sum(wden).cast("long").alias("wden_units"),
+    )
+    onum = n.cast("double") * sxy - sx.cast("double") * sy
+    oden = n.cast("double") * sxx - sx.cast("double") * sx
+    return tot.select(
+        n.alias("n_rows"),
+        (F.floor(onum / oden * 1e6 + 0.5) / 1e6).alias("overall_slope_q"),
+        (F.floor(F.col("wnum_units").cast("double") / F.col("wden_units") * 1e6 + 0.5)
+         / 1e6).alias("pooled_within_slope_q"),
+        ((onum > 0) != (F.col("wnum_units") > 0)).alias("sign_flip"),
+    )
+
+
+@_staged(
+    "path_entropy_users",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    bg AS (
+      SELECT user_id, event_type AS a, nxt AS b, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    per_user AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS t,
+             CAST(sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS clogc_units
+      FROM bg GROUP BY 1
+    )
+    SELECT user_id, t AS n_transitions,
+           floor((ln(CAST(t AS DOUBLE))
+                  - CAST(clogc_units AS DOUBLE) / 1e9 / t) * 1e6 + 0.5) / 1e6
+             AS entropy_q
+    FROM per_user
+    WHERE t >= 20
+    ORDER BY entropy_q DESC, user_id ASC
+    LIMIT 20
+    """,
+)
+def path_entropy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path entropy per user: Shannon entropy of the
+    user's event-type TRANSITION distribution (H = ln T - (1/T)
+    sum c*ln c), the predictability ranking — low entropy = habitual
+    loops, high = erratic exploration; the per-user complement of
+    markov_perplexity_events' corpus-level model. Transitions come
+    from a lead() window partitioned BY USER (bounded partitions,
+    deterministic (ts, event_id) order); each bigram's c*ln(c) is
+    quantized to 1e-9 integer units BEFORE the per-user sum, so the
+    only floats are two identically-ordered expressions,
+    floor-quantized 1e-6. Top-20 most erratic users with >= 20
+    transitions."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    bg = seq.groupBy("user_id", "event_type", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    clogc = F.floor(
+        F.col("c") * F.log(F.col("c").cast("double")) * 1e9 + 0.5
+    ).cast("long")
+    per_user = bg.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("t"),
+        F.sum(clogc).cast("long").alias("clogc_units"),
+    )
+    ent = F.log(F.col("t").cast("double")) - F.col("clogc_units").cast(
+        "double"
+    ) / 1e9 / F.col("t")
+    return (
+        per_user.filter(F.col("t") >= 20)
+        .select(
+            "user_id",
+            F.col("t").alias("n_transitions"),
+            (F.floor(ent * 1e6 + 0.5) / 1e6).alias("entropy_q"),
+        )
+        .orderBy(F.desc("entropy_q"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@_staged(
+    "rake_keywords_docs",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) + 1),
+                      i -> {'pos': i, 'tok': t[i]})) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      )
+    ),
+    stops AS MATERIALIZED (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM toks GROUP BY 1
+        ORDER BY c DESC, tok ASC LIMIT 5
+      )
+    ),
+    marked AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             (s.tok IS NOT NULL) AS is_stop,
+             sum(CASE WHEN s.tok IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS phrase_id
+      FROM toks t LEFT JOIN stops s ON s.tok = t.tok
+    ),
+    members AS MATERIALIZED (
+      SELECT doc_id, phrase_id, pos, tok FROM marked WHERE NOT is_stop
+    ),
+    plen AS MATERIALIZED (
+      SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen
+      FROM members GROUP BY 1, 2
+    ),
+    wordstats AS (
+      SELECT m.tok, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS degree
+      FROM members m
+      JOIN plen p ON p.doc_id = m.doc_id AND p.phrase_id = m.phrase_id
+      GROUP BY 1
+    ),
+    phrases AS (
+      SELECT m.doc_id, m.phrase_id,
+             string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+             CAST(sum(w.degree * 1000000 // w.freq) AS BIGINT) AS score_units
+      FROM members m JOIN wordstats w ON w.tok = m.tok
+      GROUP BY 1, 2
+    )
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(score_units) AS BIGINT) AS score_units
+    FROM phrases
+    GROUP BY 1
+    ORDER BY score_units DESC, phrase ASC
+    LIMIT 15
+    """,
+)
+def rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal token runs BETWEEN stopwords, each scored by the sum
+    of its member words' degree/frequency ratios (degree = total
+    length of phrases the word appears in — co-occurrence including
+    self). Stopwords are DATA-DRIVEN here: the corpus's top-5 tokens
+    by frequency (the practical move when no language list fits the
+    domain). Phrase segmentation is an inclusive running count of
+    stop tokens per doc (a per-doc window, bounded partitions);
+    word scores are exact integer micro-units (degree*1e6 // freq —
+    integer division both engines, no floats anywhere); identical
+    phrase strings provably carry identical scores, so the
+    distinct-phrase rollup takes max(score) = the score. Top-15
+    phrases."""
+    e = T(spark, sf_dir, "documents")
+    toks = e.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok").localCheckpoint()
+    stops = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(5)
+        .select("tok", F.lit(True).alias("is_stop"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = (
+        toks.join(F.broadcast(stops), "tok", "left")
+        .fillna(False, ["is_stop"])
+        .withColumn("phrase_id", F.sum(F.col("is_stop").cast("int")).over(w))
+    )
+    members = marked.filter(~F.col("is_stop")).select(
+        "doc_id", "phrase_id", "pos", "tok"
+    ).localCheckpoint()
+    plen = members.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("plen")
+    )
+    wordstats = (
+        members.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+    )
+    score_units = F.expr("degree * 1000000 div freq")
+    phrases = (
+        members.join(F.broadcast(wordstats), "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("phrase"),
+            F.sum(score_units).cast("long").alias("score_units"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_units").cast("long").alias("score_units"),
+        )
+        .orderBy(F.desc("score_units"), F.asc("phrase"))
+        .limit(15)
+    )
+
+
+@_staged(
+    "wow_movers_event_types",
+    """
+    WITH weekly AS MATERIALIZED (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, event_type,
+             CAST(sum(round(value * 100)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT wk, CAST(sum(cents) AS BIGINT) AS wtot FROM weekly GROUP BY 1
+    ),
+    shares AS MATERIALIZED (
+      SELECT w.wk, w.event_type,
+             CAST(w.cents * 1000000 // t.wtot AS BIGINT) AS share_ppm
+      FROM weekly w JOIN tot t ON t.wk = w.wk
+    )
+    SELECT c.wk, c.event_type, c.share_ppm,
+           (c.share_ppm - p.share_ppm) AS dshare_ppm
+    FROM shares c
+    JOIN shares p ON p.event_type = c.event_type
+                 AND p.wk = c.wk - INTERVAL 7 DAY
+    ORDER BY abs(c.share_ppm - p.share_ppm) DESC, c.wk ASC, c.event_type ASC
+    LIMIT 15
+    """,
+)
+def wow_movers_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week share movers: each event type's share of weekly
+    revenue in integer parts-per-million (cents*1e6 // week total —
+    integer division both engines), deltas vs the prior week ranked
+    by absolute move — the "what changed this week" triage view on
+    top of mix_shift_decomposition's why. Everything is BIGINT
+    arithmetic; the prior week is a calendar self-join (wk - 7 days),
+    no window funnel. Top-15 moves, deterministic tie-break."""
+    e = T(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents")).localCheckpoint()
+    tot = weekly.groupBy("wk").agg(F.sum("cents").cast("long").alias("wtot"))
+    shares = weekly.join(tot, "wk").select(
+        "wk", "event_type", F.expr("cents * 1000000 div wtot").cast("long").alias("share_ppm")
+    ).localCheckpoint()
+    prev = shares.select(
+        F.date_add("wk", 7).alias("wk"),
+        F.col("event_type"),
+        F.col("share_ppm").alias("prev_ppm"),
+    )
+    return (
+        shares.join(prev, ["wk", "event_type"])
+        .select(
+            "wk", "event_type", "share_ppm",
+            (F.col("share_ppm") - F.col("prev_ppm")).alias("dshare_ppm"),
+        )
+        .orderBy(F.abs(F.col("dshare_ppm")).desc(), F.asc("wk"), F.asc("event_type"))
+        .limit(15)
+    )
