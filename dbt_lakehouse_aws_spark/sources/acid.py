@@ -220,6 +220,16 @@ class AcidTable:
             if (m := self._CHECKPOINT_RE.match(f))
         )
 
+    def _resolve(self, f: str) -> str:
+        """Physical path of a manifest file entry. Entries are
+        normally names relative to this table's ``data/`` dir;
+        SHALLOW CLONES (see :meth:`clone`) reference the source's
+        files by ABSOLUTE path — immutable, so sharing is safe —
+        and every read-side site resolves through here. Write paths
+        (new data files, vacuum's directory scan) stay local by
+        construction."""
+        return f if os.path.isabs(f) else os.path.join(self._data, f)
+
     def latest_version(self) -> int:
         vs = self._versions()
         if not vs:
@@ -505,7 +515,7 @@ class AcidTable:
 
         import pyarrow as pa
 
-        paths = [os.path.join(self._data, f) for f in files]
+        paths = [self._resolve(f) for f in files]
         scan = self.spark.read.parquet(*paths).select(
             F.input_file_name().alias("_file"), *bloom_cols
         )
@@ -918,7 +928,7 @@ class AcidTable:
             return self._to_logical(
                 self.spark.createDataFrame([], schema), snap.renames
             )
-        paths = [os.path.join(self._data, f) for f in files]
+        paths = [self._resolve(f) for f in files]
         return self._to_logical(
             self.spark.read.schema(schema).parquet(*paths), snap.renames
         )
@@ -1048,7 +1058,7 @@ class AcidTable:
         candidates = self._bloom_prune(snap, candidates, updates, keys[0])
         touched: list[str] = []
         if candidates:
-            cand_paths = [os.path.join(self._data, f) for f in candidates]
+            cand_paths = [self._resolve(f) for f in candidates]
             cand_df = self.spark.read.schema(schema).parquet(*cand_paths)
             touched_paths = (
                 cand_df.withColumn("_file", F.input_file_name())
@@ -1057,7 +1067,10 @@ class AcidTable:
                 .distinct()
                 .collect()
             )
-            touched = [os.path.basename(r["_file"]) for r in touched_paths]
+            # map scanned paths back to MANIFEST entries (clones hold
+            # absolute entries whose basename != the entry itself)
+            by_base = {os.path.basename(self._resolve(f)): f for f in candidates}
+            touched = [by_base[os.path.basename(r["_file"])] for r in touched_paths]
         lacking = [f.name for f in schema.fields if f.name not in updates.columns]
         if lacking:
             # UPDATE SET * semantics (Delta's rule): the delta must
@@ -1067,7 +1080,7 @@ class AcidTable:
         up = updates.select(*[f.name for f in evolved.fields])
         if touched:
             touched_df = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self._data, f) for f in touched]
+                *[self._resolve(f) for f in touched]
             )
             survivors = touched_df.join(updates.select(*keys).distinct(), keys, "left_anti")
             # pre-evolution survivor rows take NULLs for new columns
@@ -1104,7 +1117,7 @@ class AcidTable:
         if snap.files:
             all_df = self._to_logical(
                 self.spark.read.schema(schema).parquet(
-                    *[os.path.join(self._data, f) for f in snap.files]
+                    *[self._resolve(f) for f in snap.files]
                 ),
                 snap.renames,
             )
@@ -1115,12 +1128,13 @@ class AcidTable:
                 .distinct()
                 .collect()
             )
-            touched = [os.path.basename(r["_file"]) for r in rows]
+            by_base = {os.path.basename(self._resolve(f)): f for f in snap.files}
+            touched = [by_base[os.path.basename(r["_file"])] for r in rows]
         new_files: list[str] = []
         if touched:
             touched_df = self._to_logical(
                 self.spark.read.schema(schema).parquet(
-                    *[os.path.join(self._data, f) for f in touched]
+                    *[self._resolve(f) for f in touched]
                 ),
                 snap.renames,
             )
@@ -1175,7 +1189,7 @@ class AcidTable:
         if snap.files:
             all_df = self._to_logical(
                 self.spark.read.schema(schema).parquet(
-                    *[os.path.join(self._data, f) for f in snap.files]
+                    *[self._resolve(f) for f in snap.files]
                 ),
                 snap.renames,
             )
@@ -1186,12 +1200,13 @@ class AcidTable:
                 .distinct()
                 .collect()
             )
-            touched = [os.path.basename(r["_file"]) for r in rows]
+            by_base = {os.path.basename(self._resolve(f)): f for f in snap.files}
+            touched = [by_base[os.path.basename(r["_file"])] for r in rows]
         rewritten: list[str] = []
         if touched:
             touched_df = self._to_logical(
                 self.spark.read.schema(schema).parquet(
-                    *[os.path.join(self._data, f) for f in touched]
+                    *[self._resolve(f) for f in touched]
                 ),
                 snap.renames,
             )
@@ -1218,6 +1233,41 @@ class AcidTable:
             txn=txn,
         )
 
+    def clone(self, dest_path: str, *, version: int | None = None) -> "AcidTable":
+        """Zero-copy SHALLOW CLONE (Delta Lake's ``CREATE TABLE ...
+        SHALLOW CLONE`` semantics): a NEW table whose v0 manifest
+        references this table's snapshot data files by ABSOLUTE path
+        — one metadata write, zero data IO at any table size. Safe by
+        the format's own invariant: data files are immutable, so
+        sharing them is free; every write on the clone (append,
+        MERGE, DELETE, OPTIMIZE) is copy-on-write into the CLONE's
+        own ``data/`` dir, the untouched absolute references carry
+        forward, and the source never observes any of it. The
+        clone's VACUUM only scans its local data dir, so shared
+        source files can never be deleted from the clone side.
+
+        The dev/test sandbox primitive: branch a 100 TB table in
+        milliseconds, experiment destructively, drop the directory.
+        Time travel inside the clone starts at its own v0.
+        """
+        snap = self.snapshot(version)
+        dest = AcidTable(self.spark, dest_path)
+        if dest.exists():
+            raise ValueError(f"clone destination already exists: {dest_path}")
+        abs_files = [self._resolve(f) for f in snap.files]
+        stats = {self._resolve(f): snap.stats[f] for f in snap.files if f in snap.stats}
+        dest._commit(
+            operation=f"CLONE {self.path}@v{snap.version}",
+            files=abs_files,
+            schema_json=snap.schema_json,
+            stats=stats,
+            base_version=None,
+            constraints=snap.constraints,
+            renames=snap.renames,
+            generated=snap.generated,
+        )
+        return dest
+
     def restore(self, version: int) -> Snapshot:
         """``RESTORE TABLE ... TO VERSION AS OF version`` (Delta
         RESTORE semantics): a METADATA-ONLY commit whose file set is
@@ -1238,7 +1288,7 @@ class AcidTable:
         missing = [
             f
             for f in target.files
-            if not os.path.exists(os.path.join(self._data, f))
+            if not os.path.exists(self._resolve(f))
         ]
         if missing:
             raise FileNotFoundError(
@@ -1327,7 +1377,7 @@ class AcidTable:
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
         total = sum(
-            os.path.getsize(os.path.join(self._data, f)) for f in snap.files
+            os.path.getsize(self._resolve(f)) for f in snap.files
         )
         n = max(1, math.ceil(total / target_file_bytes))
         df = self.read(snap.version)
@@ -1372,7 +1422,7 @@ class AcidTable:
         keys = [inv.get(k, k) for k in keys]
 
         def scan(files):
-            paths = [os.path.join(self._data, f) for f in files]
+            paths = [self._resolve(f) for f in files]
             if not paths:
                 return self.spark.createDataFrame([], schema)
             return self.spark.read.schema(schema).parquet(*paths)

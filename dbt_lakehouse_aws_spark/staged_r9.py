@@ -1781,3 +1781,74 @@ def wow_movers_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("dshare_ppm")).desc(), F.asc("wk"), F.asc("event_type"))
         .limit(15)
     )
+
+
+@_staged(
+    "acid_shallow_clone_events",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    src AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM base GROUP BY 1
+    ),
+    cloned AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'error' THEN cents * 3 ELSE cents END AS cents
+      FROM base
+    ),
+    cl AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM cloned GROUP BY 1
+    )
+    SELECT 'source' AS side, event_type, n, cents FROM src
+    UNION ALL
+    SELECT 'clone', event_type, n, cents FROM cl
+    ORDER BY side, event_type
+    """,
+)
+def acid_shallow_clone_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE under the driver gate
+    (sources/acid.py::clone — Delta SHALLOW CLONE semantics): load
+    events into an ACID table, clone it (one metadata write — the
+    clone's v0 references the source's data files by absolute path),
+    then REPLACE the clone's 'error' slice with tripled cents. The
+    returned frame reads BOTH tables: the clone must show the
+    divergence (copy-on-write into its own data dir) while the
+    source, whose files the clone still shares, must read back
+    byte-identical — the isolation property that makes the clone a
+    dev/test sandbox primitive. The oracle replays both sides
+    relationally."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    base = T(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    root = tempfile.mkdtemp(prefix=f"clone_{uuid.uuid4().hex[:8]}_")
+    src = AcidTable(spark, root + "/src")
+    src.write(base)
+    cl = src.clone(root + "/cl")
+    assert cl.latest_version() == 0, "clone starts at its own v0"
+    reprocessed = base.filter(F.col("event_type") == "error").select(
+        "event_type", (F.col("cents") * 3).alias("cents")
+    )
+    cl.replace_where(reprocessed, "event_type = 'error'")
+    agg = lambda t, side: (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(F.lit(side).alias("side"), "event_type", "n", "cents")
+    )
+    return agg(src, "source").unionByName(agg(cl, "clone")).orderBy(
+        "side", "event_type"
+    )

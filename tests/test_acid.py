@@ -1151,3 +1151,49 @@ def test_drop_renamed_column_by_logical_name(spark, tmp_path, base_rows):
     t.drop_column("amount")
     assert t.read().columns == ["id", "grp"]
     assert t.snapshot().renames == {}
+
+
+def test_shallow_clone_isolation_and_divergence(spark, tmp_path):
+    """clone() is zero-copy (v0 references the source's files by
+    absolute path), copy-on-write divergent (MERGE/DELETE land in the
+    clone's own data dir), and isolation holds both ways — including
+    VACUUM on the clone never touching shared source files."""
+    import os
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    src = AcidTable(spark, str(tmp_path / "src"))
+    df = spark.range(0, 500).selectExpr("id", "id % 5 AS k", "CAST(id AS DOUBLE) AS v")
+    src.write(df)
+    cl = src.clone(str(tmp_path / "cl"))
+
+    # zero-copy: no data files under the clone, all refs absolute
+    snap0 = cl.snapshot()
+    assert all(os.path.isabs(f) for f in snap0.files)
+    assert not os.path.isdir(str(tmp_path / "cl" / "data")) or not os.listdir(
+        str(tmp_path / "cl" / "data")
+    )
+    assert cl.read().count() == 500
+
+    # divergence: merge + delete on the clone only
+    up = spark.range(0, 20).selectExpr("id", "id % 5 AS k", "CAST(-1 AS DOUBLE) AS v")
+    cl.merge(up, ["id"])
+    assert cl.read().filter("v = -1").count() == 20
+    cl.delete("k = 4")  # removes 100 originals + 4 of the merged rows
+    assert cl.read().filter("v = -1").count() == 16
+    assert cl.read().filter("k = 4").count() == 0
+    assert src.read().filter("v = -1").count() == 0
+    assert src.read().filter("k = 4").count() == 100
+    # stats pruning still keyed correctly on the clone's mixed refs
+    # (ids 0..10 minus the deleted k=4 members 4 and 9)
+    assert cl.read(prune={"id": (0, 10)}).filter("id <= 10").count() == 9
+
+    # clone vacuum cannot delete shared source files
+    cl.vacuum(retain_last=1)
+    assert src.read().count() == 500
+    # cloning an existing destination refuses
+    try:
+        src.clone(str(tmp_path / "cl"))
+        raise AssertionError("expected ValueError for existing destination")
+    except ValueError:
+        pass
