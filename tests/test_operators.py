@@ -1247,3 +1247,31 @@ def test_pareto_frontier_matches_bruteforce(spark):
         .collect()
     )
     assert got == want == [(1, 5, 100), (2, 5, 100), (5, 3, 130), (7, 8, 80)]
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """Morton-key property: z(u, d) interleaves bit lanes (u in even,
+    d in odd positions for 2 columns), is monotone within a quadrant,
+    and round-trips through de-interleaving."""
+    from dbt_lakehouse_aws_spark.operators.relational import zorder_key
+
+    df = spark.createDataFrame(
+        [(u, d) for u in range(16) for d in range(16)], "u long, d long"
+    ).withColumn("z", zorder_key("u", "d", bits=4))
+    rows = {(r["u"], r["d"]): r["z"] for r in df.collect()}
+
+    def morton(u, d):
+        z = 0
+        for b in range(4):
+            z |= ((u >> b) & 1) << (2 * b)
+            z |= ((d >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert rows == {(u, d): morton(u, d) for u in range(16) for d in range(16)}
+    # keys are unique and exactly cover [0, 256)
+    assert sorted(rows.values()) == list(range(256))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_key("u", "d", bits=32)  # 64 bits: signed-long overflow
