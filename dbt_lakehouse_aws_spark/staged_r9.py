@@ -1852,3 +1852,640 @@ def acid_shallow_clone_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(src, "source").unionByName(agg(cl, "clone")).orderBy(
         "side", "event_type"
     )
+
+
+@_staged(
+    "zorder_cells_events",
+    """
+    WITH pts AS (
+      SELECT user_id % 64 AS u, CAST(datediff('day', DATE '2024-01-01',
+             CAST(ts AS DATE)) AS BIGINT) % 64 AS d,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    keyed AS (
+      SELECT (((u >> 0) & 1) << 0)
+           | (((d >> 0) & 1) << 1)
+           | (((u >> 1) & 1) << 2)
+           | (((d >> 1) & 1) << 3)
+           | (((u >> 2) & 1) << 4)
+           | (((d >> 2) & 1) << 5)
+           | (((u >> 3) & 1) << 6)
+           | (((d >> 3) & 1) << 7)
+           | (((u >> 4) & 1) << 8)
+           | (((d >> 4) & 1) << 9)
+           | (((u >> 5) & 1) << 10)
+           | (((d >> 5) & 1) << 11) AS z,
+             cents
+      FROM pts
+    )
+    SELECT CAST(z >> 6 AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
+    FROM keyed GROUP BY 1
+    ORDER BY cell
+    """,
+)
+def zorder_cells_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key quad-tree cells over (user bucket, day index): the
+    value-oracle for operators/relational.py::zorder_key — DuckDB
+    re-derives the interleaved key with raw shift/and/or bit
+    arithmetic (each lane fully parenthesized — DuckDB's bitwise
+    operators are same-precedence left-associative, so a bare
+    `a << 0 | b << 1` chain left-folds into garbage) and both
+    engines must agree on every cell's count,
+    cents, and z-range. The top-6-bit cell id is the quad-tree level
+    the z-order write layout clusters by (scale probe #24 measures
+    the pruning this buys: a trailing-dimension slice keeps 14/128
+    row groups instead of 128/128)."""
+    from dbt_lakehouse_aws_spark.operators.relational import zorder_key
+
+    e = T(spark, sf_dir, "events")
+    pts = e.select(
+        (F.col("user_id") % 64).alias("u"),
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 64)
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    keyed = pts.select(zorder_key("u", "d", bits=6).alias("z"), "cents")
+    return (
+        keyed.groupBy(F.shiftright("z", 6).cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.min("z").cast("long").alias("z_min"),
+            F.max("z").cast("long").alias("z_max"),
+        )
+        .orderBy("cell")
+    )
+
+
+@_staged(
+    "cochran_q_events",
+    """
+    WITH flags AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS t1,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t2,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t3
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t1) AS BIGINT) AS g1, CAST(sum(t2) AS BIGINT) AS g2,
+             CAST(sum(t3) AS BIGINT) AS g3,
+             CAST(sum(t1 + t2 + t3) AS BIGINT) AS l_sum,
+             CAST(sum((t1 + t2 + t3) * (t1 + t2 + t3)) AS BIGINT) AS l_sq
+      FROM flags
+    )
+    SELECT n, g1, g2, g3,
+           CASE WHEN 3 * l_sum - l_sq = 0 THEN 0.0
+           ELSE floor(CAST(3 * 2 AS DOUBLE)
+                 * (3 * (CAST(g1 AS DOUBLE) * g1 + CAST(g2 AS DOUBLE) * g2
+                         + CAST(g3 AS DOUBLE) * g3)
+                    - CAST(l_sum AS DOUBLE) * l_sum)
+                 / (3 * l_sum - l_sq)
+                 * 1e6 + 0.5) / 1e6 END AS q_stat
+    FROM s
+    """,
+)
+def cochran_q_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q on three paired binary outcomes per USER-DAY
+    block (viewed / clicked / purchased that day) — the k-treatment
+    extension of mcnemar_view_purchase. Blocks are user-days, not
+    users: corpus-lifetime "ever" flags saturate to all-ones on this
+    data (every L_i = k), which zeroes Q's denominator and carries no
+    signal; daily blocks vary. Q = k(k-1)(k*sum G_j^2 - (sum L_i)^2)
+    / (k*sum L_i - sum L_i^2) from exact BIGINT column/row totals;
+    the all-saturated edge case is guarded to 0.0 identically on
+    both engines; one float expression, floor-quantized 1e-6."""
+    e = T(spark, sf_dir, "events")
+    flags = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        *[
+            F.max((F.col("event_type") == t).cast("int")).alias(f"t{i + 1}")
+            for i, t in enumerate(("view", "click", "purchase"))
+        ]
+    )
+    li = F.col("t1") + F.col("t2") + F.col("t3")
+    s = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t1").cast("long").alias("g1"),
+        F.sum("t2").cast("long").alias("g2"),
+        F.sum("t3").cast("long").alias("g3"),
+        F.sum(li).cast("long").alias("l_sum"),
+        F.sum(li * li).cast("long").alias("l_sq"),
+    )
+    g2sum = (
+        F.col("g1").cast("double") * F.col("g1")
+        + F.col("g2").cast("double") * F.col("g2")
+        + F.col("g3").cast("double") * F.col("g3")
+    )
+    den = 3 * F.col("l_sum") - F.col("l_sq")
+    q = F.when(den == 0, F.lit(0.0)).otherwise(
+        F.lit(6.0)
+        * (3 * g2sum - F.col("l_sum").cast("double") * F.col("l_sum"))
+        / den
+    )
+    return s.select(
+        "n", "g1", "g2", "g3",
+        F.when(F.lit(True), F.floor(q * 1e6 + 0.5) / 1e6).alias("q_stat"),
+    )
+
+
+@_staged(
+    "audience_overlap_sources",
+    """
+    WITH su AS (
+      SELECT DISTINCT source, doc_id % 97 AS aud FROM documents
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM su GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS i
+      FROM su a JOIN su b ON a.aud = b.aud AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.i AS n_common,
+           round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def audience_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix between sources (exact set Jaccard of
+    their synthetic audience buckets, doc_id mod 97): the pairwise reach/overlap
+    planning view marketers run, and the EXACT twin of
+    kmv_custkey_overlap_priority's sketched estimates — same
+    intersection-over-union, ground truth instead of bottom-k. The
+    pair join runs through the shared audience member (never
+    sources^2 x members), counts collapse map-side."""
+    d = T(spark, sf_dir, "documents")
+    su = d.select("source", (F.col("doc_id") % 97).alias("aud")).distinct()
+    sizes = su.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = su.select(F.col("source").alias("src_a"), "aud")
+    b = su.select(F.col("source").alias("src_b"), "aud")
+    inter = (
+        a.join(b, "aud")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")), "src_a")
+        .join(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")), "src_b")
+        .select("src_a", "src_b", "n_a", "n_b", "n_common",
+                F.round(jac, 6).alias("jaccard"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+@_staged(
+    "conversion_horizon_shares",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+      FROM events GROUP BY 1
+    ),
+    conv AS (
+      SELECT user_id,
+             CAST(floor(epoch(first_buy)) - floor(epoch(first_view)) AS BIGINT)
+               AS delay_s
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+        AND first_buy >= first_view
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_viewers FROM firsts
+      WHERE first_view IS NOT NULL
+    )
+    SELECT t.n_viewers,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(sum(CASE WHEN delay_s <= 3600 THEN 1 ELSE 0 END) AS BIGINT)
+             AS within_1h,
+           CAST(sum(CASE WHEN delay_s <= 21600 THEN 1 ELSE 0 END) AS BIGINT)
+             AS within_6h,
+           CAST(sum(CASE WHEN delay_s <= 86400 THEN 1 ELSE 0 END) AS BIGINT)
+             AS within_24h
+    FROM conv CROSS JOIN tot t
+    GROUP BY t.n_viewers
+    """,
+)
+def conversion_horizon_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-horizon curve: of users whose first view precedes
+    their first purchase, how many convert within 1h / 6h / 24h —
+    the fixed-horizon CDF complement of funnel_windowed_3d (which
+    gates on one window) and survival_km_repurchase (which models
+    censoring). Delays are integer seconds via floor(epoch()) on
+    both engines (the fractional-epoch parity trap is documented);
+    everything else is exact counts."""
+    e = T(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_buy"),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        (F.unix_timestamp("first_buy") - F.unix_timestamp("first_view"))
+        .cast("long")
+        .alias("delay_s")
+    )
+    tot = firsts.filter(F.col("first_view").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_viewers")
+    )
+    return (
+        conv.crossJoin(F.broadcast(tot))
+        .groupBy("n_viewers")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.sum((F.col("delay_s") <= 3600).cast("long")).cast("long").alias("within_1h"),
+            F.sum((F.col("delay_s") <= 21600).cast("long")).cast("long").alias("within_6h"),
+            F.sum((F.col("delay_s") <= 86400).cast("long")).cast("long").alias("within_24h"),
+        )
+    )
+
+
+@_staged(
+    "haar_energy_daily_events",
+    """
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS idx,
+             CAST(sum(round(value * 100)) AS BIGINT) AS cents
+      FROM events
+      WHERE CAST(ts AS DATE) < DATE '2024-01-17'
+      GROUP BY 1
+    ),
+    l0 AS MATERIALIZED (SELECT idx, cents AS s FROM daily),
+    l1 AS MATERIALIZED (
+      SELECT idx // 2 AS idx,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN s ELSE s END) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+      FROM l0 GROUP BY 1
+    ),
+    l2 AS MATERIALIZED (
+      SELECT idx // 2 AS idx,
+             CAST(sum(s) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+      FROM l1 GROUP BY 1
+    ),
+    l3 AS MATERIALIZED (
+      SELECT idx // 2 AS idx,
+             CAST(sum(s) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+      FROM l2 GROUP BY 1
+    ),
+    l4 AS MATERIALIZED (
+      SELECT idx // 2 AS idx,
+             CAST(sum(s) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+      FROM l3 GROUP BY 1
+    )
+    SELECT CAST(1 AS BIGINT) AS level,
+           CAST(sum(d * d) AS BIGINT) AS energy, CAST(count(*) AS BIGINT) AS n
+    FROM l1 GROUP BY 1
+    UNION ALL SELECT 2, CAST(sum(d * d) AS BIGINT), CAST(count(*) AS BIGINT) FROM l2
+    UNION ALL SELECT 3, CAST(sum(d * d) AS BIGINT), CAST(count(*) AS BIGINT) FROM l3
+    UNION ALL SELECT 4, CAST(sum(d * d) AS BIGINT), CAST(count(*) AS BIGINT) FROM l4
+    ORDER BY level
+    """,
+)
+def haar_energy_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of the first 16 days
+    of revenue (4 dyadic levels: pairwise sums s = a+b carry up,
+    details d = a-b stay) with per-level detail ENERGY sum(d^2) — the
+    multi-resolution "where does the variance live" view (level 1 =
+    day-to-day noise, level 4 = week-scale swings) complementing
+    stl_lite's additive decomposition. Unnormalized Haar keeps every
+    coefficient an exact BIGINT of integer cents — no sqrt(2), no
+    floats anywhere. Each level is one tiny groupBy on idx//2;
+    the oracle unrolls the identical 4 levels as MATERIALIZED CTEs."""
+    e = T(spark, sf_dir, "events").filter(
+        F.to_date("ts") < F.lit("2024-01-17").cast("date")
+    )
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("idx")
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+    level = daily.select("idx", F.col("cents").alias("s"))
+    out = None
+    for lv in range(1, 5):
+        sign = F.when(F.col("idx") % 2 == 0, F.col("s")).otherwise(-F.col("s"))
+        nxt = (
+            level.groupBy(F.expr("idx div 2").alias("idx"))
+            .agg(
+                F.sum("s").cast("long").alias("s"),
+                F.sum(sign).cast("long").alias("d"),
+            )
+            .localCheckpoint()
+        )
+        stats = nxt.agg(
+            F.lit(lv).cast("long").alias("level"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("energy"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+        level = nxt.select("idx", "s")
+    return out.orderBy("level")
+
+
+@_staged(
+    "dup_cluster_size_histogram",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tokens) - 1),
+                                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS shingle
+      FROM toks WHERE len(tokens) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), jac_pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+      UNION ALL SELECT doc_b, doc_a FROM jac_pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ), csize AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM csize GROUP BY 1 ORDER BY cluster_size
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP size distribution (how big do near-dup
+    clusters get — the health metric dedup teams watch: a fat tail
+    means template explosions, not organic duplication): exact
+    3-shingle Jaccard >= 0.5 pairs -> connected components -> size
+    histogram over clusters. The survivor queries keep one doc per
+    cluster; this exposes the cluster-mass structure itself. The
+    ground-truth oracle replays the pairs exactly and closes the
+    transitive closure with a recursive CTE."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import (
+        connected_components,
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(d, n=3, threshold=0.5)
+    comps = connected_components(pairs)
+    csize = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        csize.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@_staged(
+    "lmoments_order_values",
+    """
+    WITH cells AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v) - cnt AS BIGINT) AS cb
+      FROM cells
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT r.v, r.cnt,
+             CAST(r.v * r.cnt AS BIGINT) AS u0,
+             CAST(floor(r.v * (
+               (CAST(r.cb + r.cnt - 1 AS DOUBLE) * (r.cb + r.cnt) / 2
+                - CAST(r.cb - 1 AS DOUBLE) * r.cb / 2)
+               / (CAST(t.n AS DOUBLE) * (t.n - 1))) * 1e6 + 0.5) AS BIGINT) AS u1,
+             CAST(floor(r.v * (
+               ((CAST(r.cb + r.cnt - 1 AS DOUBLE) * (r.cb + r.cnt) * (2 * (r.cb + r.cnt) - 1) / 6
+                 - CAST(r.cb - 1 AS DOUBLE) * r.cb * (2 * r.cb - 1) / 6)
+                - (CAST(r.cb + r.cnt - 1 AS DOUBLE) * (r.cb + r.cnt) / 2
+                   - CAST(r.cb - 1 AS DOUBLE) * r.cb / 2))
+               / (CAST(t.n AS DOUBLE) * (t.n - 1) * (t.n - 2))) * 1e6 + 0.5)
+               AS BIGINT) AS u2,
+             CAST(floor(r.v * (
+               ((CAST(r.cb + r.cnt - 1 AS DOUBLE) * (r.cb + r.cnt) / 2)
+                  * (CAST(r.cb + r.cnt - 1 AS DOUBLE) * (r.cb + r.cnt) / 2)
+                - (CAST(r.cb - 1 AS DOUBLE) * r.cb / 2)
+                  * (CAST(r.cb - 1 AS DOUBLE) * r.cb / 2)
+                - 3 * (CAST(r.cb + r.cnt - 1 AS DOUBLE) * (r.cb + r.cnt) * (2 * (r.cb + r.cnt) - 1) / 6
+                       - CAST(r.cb - 1 AS DOUBLE) * r.cb * (2 * r.cb - 1) / 6)
+                + 2 * (CAST(r.cb + r.cnt - 1 AS DOUBLE) * (r.cb + r.cnt) / 2
+                       - CAST(r.cb - 1 AS DOUBLE) * r.cb / 2))
+               / (CAST(t.n AS DOUBLE) * (t.n - 1) * (t.n - 2) * (t.n - 3))) * 1e6 + 0.5)
+               AS BIGINT) AS u3
+      FROM ranked r CROSS JOIN tot t
+    ),
+    b AS (
+      SELECT t.n,
+             CAST(sum(u0) AS DOUBLE) / t.n AS b0,
+             CAST(sum(u1) AS DOUBLE) / 1e6 AS b1,
+             CAST(sum(u2) AS DOUBLE) / 1e6 AS b2,
+             CAST(sum(u3) AS DOUBLE) / 1e6 AS b3
+      FROM terms CROSS JOIN tot t GROUP BY t.n
+    )
+    SELECT n,
+           floor(b0 * 1e2 + 0.5) / 1e2 AS l1_q,
+           floor((2 * b1 - b0) * 1e2 + 0.5) / 1e2 AS l2_q,
+           floor((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0) * 1e6 + 0.5) / 1e6 AS t3_q,
+           floor((20 * b3 - 30 * b2 + 12 * b1 - b0) / (2 * b1 - b0) * 1e6 + 0.5) / 1e6
+             AS t4_q
+    FROM b
+    """,
+)
+def lmoments_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-moments of the order-value distribution (Hosking 1990):
+    L-scale, L-skewness t3, L-kurtosis t4 — the order-statistics
+    moment family that is robust where conventional skew/kurtosis
+    explode (every L-moment is a LINEAR functional of order stats).
+    Sample b_r = sum x_(i) * C(i-1, r) / C(n-1, r) reduce to
+    VALUE-LEVEL weights: a value block occupying ranks
+    [cb+1, cb+cnt] contributes closed-form power sums of its rank
+    range (intra-block order is irrelevant — the position SET is
+    fixed), so the whole computation rides one cumulative count on
+    the value frame (engine: scalable prefix_sum; oracle: windowed
+    sum). Weights are normalized by their falling-factorial
+    denominators BEFORE the v-multiply and each term is quantized to
+    1e-6 units (bounded sums at any SF — raw v*W3 would overflow
+    BIGINT at sf1.0); identical operation order both engines."""
+    from dbt_lakehouse_aws_spark.operators.windows import prefix_sum
+
+    o = T(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ranked = prefix_sum(cells, [F.asc("v")], "cnt", name="c_incl").select(
+        "v", "cnt", (F.col("c_incl") - F.col("cnt")).cast("long").alias("cb")
+    )
+    tot = cells.agg(F.sum("cnt").cast("long").alias("n"))
+    r = ranked.crossJoin(F.broadcast(tot))
+    a1 = F.col("cb").cast("double")          # block start t-range is [cb, cb+cnt-1]
+    b1x = (F.col("cb") + F.col("cnt") - 1).cast("double")
+    s1 = b1x * (b1x + 1) / 2 - (a1 - 1) * a1 / 2
+    s2 = (
+        b1x * (b1x + 1) * (2 * b1x + 1) / 6
+        - (a1 - 1) * a1 * (2 * a1 - 1) / 6
+    )
+    s3 = (b1x * (b1x + 1) / 2) * (b1x * (b1x + 1) / 2) - (
+        (a1 - 1) * a1 / 2
+    ) * ((a1 - 1) * a1 / 2)
+    n = F.col("n").cast("double")
+    v = F.col("v")
+    u0 = (v * F.col("cnt")).cast("long")
+    u1 = F.floor(v * (s1 / (n * (n - 1))) * 1e6 + 0.5).cast("long")
+    u2 = F.floor(v * ((s2 - s1) / (n * (n - 1) * (n - 2))) * 1e6 + 0.5).cast("long")
+    u3 = F.floor(
+        v * ((s3 - 3 * s2 + 2 * s1) / (n * (n - 1) * (n - 2) * (n - 3))) * 1e6 + 0.5
+    ).cast("long")
+    b = (
+        r.select(F.col("n"), u0.alias("u0"), u1.alias("u1"), u2.alias("u2"), u3.alias("u3"))
+        .groupBy("n")
+        .agg(
+            (F.sum("u0").cast("double") / F.col("n").cast("double")).alias("b0"),
+            (F.sum("u1").cast("double") / 1e6).alias("b1"),
+            (F.sum("u2").cast("double") / 1e6).alias("b2"),
+            (F.sum("u3").cast("double") / 1e6).alias("b3"),
+        )
+    )
+    b0, b1c, b2c, b3c = (F.col(c) for c in ("b0", "b1", "b2", "b3"))
+    l2 = 2 * b1c - b0
+    return b.select(
+        "n",
+        (F.floor(b0 * 1e2 + 0.5) / 1e2).alias("l1_q"),
+        (F.floor(l2 * 1e2 + 0.5) / 1e2).alias("l2_q"),
+        (F.floor((6 * b2c - 6 * b1c + b0) / l2 * 1e6 + 0.5) / 1e6).alias("t3_q"),
+        (F.floor((20 * b3c - 30 * b2c + 12 * b1c - b0) / l2 * 1e6 + 0.5) / 1e6).alias("t4_q"),
+    )
+
+
+@_staged(
+    "friedman_by_type",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+      SELECT u.user_id, t.event_type,
+             CAST(coalesce(any_value(x.cents), 0) AS BIGINT) AS cents
+      FROM users u CROSS JOIN types t
+      LEFT JOIN (
+        SELECT user_id, event_type,
+               CAST(sum(round(value * 100)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+      ) x ON x.user_id = u.user_id AND x.event_type = t.event_type
+      GROUP BY 1, 2
+    ),
+    r2 AS (
+      SELECT a.user_id, a.event_type,
+             CAST(2 * sum(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS rank2
+      FROM grid a JOIN grid b ON b.user_id = a.user_id
+      GROUP BY 1, 2
+    ),
+    pertype AS (
+      SELECT event_type, CAST(sum(rank2) AS BIGINT) AS r2j FROM r2 GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM users) AS n,
+             (SELECT CAST(sum(rank2 * rank2) AS BIGINT) FROM r2) AS a4,
+             CAST(sum((r2j - 6 * (SELECT count(*) FROM users))
+                      * (r2j - 6 * (SELECT count(*) FROM users))) AS BIGINT) AS devsq
+      FROM pertype
+    )
+    SELECT n,
+           floor(4.0 * devsq / (CAST(a4 AS DOUBLE) - 180 * n) * 1e6 + 0.5) / 1e6
+             AS chi2_q
+    FROM tot
+    """,
+)
+def friedman_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test across the five event types with users as
+    blocks (the repeated-measures Kruskal-Wallis: does spend rank
+    consistently differ by type WITHIN users, removing between-user
+    level differences): per-user midranks of the 5 per-type totals
+    (densified grid — absent types rank as zeros) as exact 2x-rank
+    integers from a tiny per-user 5x5 self-join, the tie-corrected
+    Conover form chi2 = (k-1) sum(R_j - n(k+1)/2)^2 / (A - C)
+    collapsing, in 2x units with k=5, to the ALL-INTEGER
+    4*sum(R2_j - 6n)^2 / (A4 - 180n) — one float division at the
+    end, floor-quantized 1e-6."""
+    e = T(spark, sf_dir, "events")
+    x = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents")
+    )
+    users = e.select("user_id").distinct()
+    types = e.select("event_type").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(x, ["user_id", "event_type"], "left")
+        .fillna(0, ["cents"])
+        .localCheckpoint()
+    )
+    a = grid.select("user_id", F.col("event_type").alias("et_a"), F.col("cents").alias("ca"))
+    b = grid.select("user_id", F.col("event_type").alias("et_b"), F.col("cents").alias("cb"))
+    r2 = (
+        a.join(b, "user_id")
+        .groupBy("user_id", "et_a")
+        .agg(
+            (
+                2 * F.sum((F.col("cb") < F.col("ca")).cast("long"))
+                + F.sum((F.col("cb") == F.col("ca")).cast("long"))
+                + 1
+            ).cast("long").alias("rank2")
+        )
+    ).localCheckpoint()
+    n_users = users.count()
+    pertype = r2.groupBy("et_a").agg(F.sum("rank2").cast("long").alias("r2j"))
+    a4 = r2.agg(F.sum(F.col("rank2") * F.col("rank2")).cast("long").alias("a4"))
+    devsq = pertype.agg(
+        F.sum((F.col("r2j") - 6 * n_users) * (F.col("r2j") - 6 * n_users))
+        .cast("long")
+        .alias("devsq")
+    )
+    chi2 = (
+        4.0 * F.col("devsq")
+        / (F.col("a4").cast("double") - 180 * F.lit(n_users))
+    )
+    return (
+        devsq.crossJoin(F.broadcast(a4))
+        .select(
+            F.lit(n_users).cast("long").alias("n"),
+            (F.floor(chi2 * 1e6 + 0.5) / 1e6).alias("chi2_q"),
+        )
+    )
