@@ -5876,10 +5876,11 @@ DRIVER_WINDOW: list[str] = ROUND6_WINDOW[:50]
 #: split the staging remainder into staged_r7.py (the next 50 in
 #: original file order — round 7 promotes exactly that file into a
 #: queries_r7.py and windows it) and staged_r8.py (the final 50 —
-#: round 8 windows those promotions). The stalest-evidence backfill
-#: below (18 value-oracled queries whose only driver row is round 1)
-#: then leads round 9's window alongside any new staged work; after
-#: round 9 no green row's evidence is older than round 2. Every staged
+#: round 8 windows those promotions). Round 9's window is the
+#: stalest-evidence backfill below (18 value-oracled queries whose
+#: only driver row is round 1) PLUS the 32 round-6-built queries in
+#: staged_r9.py — 50 slots exactly; after round 9 no green row's
+#: evidence is older than round 2. Every staged
 #: entry is oracle-green at sf0.001 AND sf0.01
 #: (scripts/check_staged.py), plan-linted + timed at sf0.1, and
 #: green under a VANILLA ANSI session (check_staged_vanilla.py).
