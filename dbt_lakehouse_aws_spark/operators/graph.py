@@ -21,7 +21,7 @@ Scale shape per iteration (the GraphX/Pregel plan, relationally):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -752,3 +752,39 @@ def bellman_ford_rounds(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def cap_neighbors(
+    weighted_edges: DataFrame,
+    *,
+    src: str = "a",
+    dst: str = "b",
+    weight: str = "shared",
+    k: int = 16,
+) -> DataFrame:
+    """kNN-graph degeneracy control: keep each node's top-``k``
+    strongest neighbors (weight DESC, neighbor-id ASC — fully
+    deterministic), an edge surviving if EITHER endpoint keeps it
+    (the standard kNN symmetrization). Bounds every node's degree by
+    at most 2k, so downstream wedge enumeration (triangles,
+    common-neighbor scores) costs O(n*k^2) REGARDLESS of raw graph
+    density — the modeling knob the sf1.0 bench showed the exact
+    Sigma-deg^2 rows need when slot density grows 10x. One
+    per-node rank window over bounded partitions; returns canonical
+    (a < b) edges.
+    """
+    sym = weighted_edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr"), F.col(weight).alias("_w")
+    ).unionByName(
+        weighted_edges.select(
+            F.col(dst).alias("node"), F.col(src).alias("nbr"), F.col(weight).alias("_w")
+        )
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("_w"), F.asc("nbr"))
+    kept = sym.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    return (
+        kept.select(
+            F.least("node", "nbr").alias("a"), F.greatest("node", "nbr").alias("b")
+        )
+        .distinct()
+    )
