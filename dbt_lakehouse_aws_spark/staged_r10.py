@@ -128,3 +128,89 @@ def link_prediction_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("user_a"), F.asc("user_b"))
         .limit(30)
     )
+
+
+@_staged(
+    "triangle_counts_capped_events",
+    """
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    ),
+    shared AS (
+      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
+      FROM ue x JOIN ue y
+        ON x.event_type = y.event_type AND x.hr = y.hr
+       AND x.user_id < y.user_id
+      GROUP BY 1, 2
+    ),
+    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
+    sym AS (
+      SELECT a AS node, b AS nbr, shared FROM strong
+      UNION ALL SELECT b, a, shared FROM strong
+    ),
+    ranked AS (
+      SELECT node, nbr,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY shared DESC, nbr ASC) AS rk
+      FROM sym
+    ),
+    capped AS MATERIALIZED (
+      SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+      FROM ranked WHERE rk <= 16
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM capped e1
+      JOIN capped e2 ON e2.a = e1.b
+      JOIN capped e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY node
+    ),
+    nodes AS (SELECT a AS node FROM capped UNION SELECT b FROM capped)
+    SELECT n.node AS user_id,
+           CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
+    FROM nodes n LEFT JOIN per_node p ON p.node = n.node
+    ORDER BY triangles DESC, user_id ASC LIMIT 20
+    """,
+)
+def triangle_counts_capped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the NEIGHBOR-CAPPED co-activity
+    graph — the second member of the capped wedge family
+    (link_prediction_capped_users explains the estimand): top-16
+    strongest neighbors per node, kNN symmetrization, then the
+    degree-ordered-orientation triangle count whose wedge volume the
+    cap bounds at n*k^2 however dense the raw graph gets. The oracle
+    replays the cap with a window and counts the same triangles with
+    the naive ordered triple join — a genuinely different algorithm
+    agreeing on exact integers. Top-20 most clustered users."""
+    from dbt_lakehouse_aws_spark.operators.graph import (
+        cap_neighbors,
+        triangle_counts,
+    )
+
+    e = T(spark, sf_dir, "events")
+    ue = e.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
+    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
+    weighted = (
+        x.join(y, ["event_type", "hr"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    capped = cap_neighbors(weighted, k=16, weight="shared")
+    return (
+        triangle_counts(capped, src="a", dst="b")
+        .select(F.col("node").alias("user_id"), "triangles")
+        .orderBy(F.desc("triangles"), F.asc("user_id"))
+        .limit(20)
+    )
