@@ -214,3 +214,86 @@ def triangle_counts_capped_events(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("triangles"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@_staged(
+    "stream_session_equivalence",
+    """
+    WITH e AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS DOUBLE) AS v FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, v,
+             CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    t AS (
+      SELECT user_id, v,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+      FROM s
+    ),
+    g AS (
+      SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS cents
+      FROM t GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents_total
+    FROM g
+    """,
+)
+def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream/batch equivalence for STATEFUL SESSIONIZATION: the
+    events flow through streaming/ingest.py::sessionize
+    (applyInPandasWithState, 30-minute gap, event-time timeouts)
+    with one FAR-FUTURE SENTINEL event appended per user, so every
+    REAL session closes in-batch and emits deterministically — the
+    sentinel's own 1-event session stays open forever and can never
+    time out (its timeout sits past any watermark), which removes
+    the only nondeterminism in availableNow stateful streams (the
+    optional trailing empty batch that may or may not fire
+    timeouts, observed flipping the emitted set by 13 sessions).
+    The oracle sessionizes the real events INDEPENDENTLY with window
+    functions (lag-gap flags -> running session ordinal). Values are
+    integer cents fed through the stateful fold as integer-valued
+    doubles, so per-session totals are summation-order-exact and the
+    three aggregate checksums (sessions, events, cents) must match
+    bit-for-bit — the ninth streaming-equivalence row."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.streaming.ingest import sessionize
+
+    ev = T(spark, sf_dir, "events").select(
+        "ts", "user_id", F.round(F.col("value") * 100).cast("double").alias("value")
+    )
+    sentinels = ev.select("user_id").distinct().select(
+        F.lit("2099-01-01 00:00:00").cast("timestamp").alias("ts"),
+        "user_id",
+        F.lit(0.0).alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix=f"sess_eq_{uuid.uuid4().hex[:8]}_")
+    src = f"{root}/events"
+    # ONE file -> ONE micro-batch (multi-file availableNow splits
+    # into several batches, where late rows get watermark-dropped)
+    ev.unionByName(sentinels).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sessions = sessionize(stream, gap="30 minutes", watermark="1 hour")
+    name = f"sess_eq_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("total_value").cast("long").alias("cents_total"),
+    )
