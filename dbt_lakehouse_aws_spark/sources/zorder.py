@@ -32,6 +32,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dbt_lakehouse_aws_spark.operators.relational import zorder_key as morton_key
+
 
 def zorder_key(
     df: DataFrame,
@@ -73,12 +75,12 @@ def zorder_key(
         ) * top
         normed.append(F.round(scaled).cast("long"))
 
-    z: Column = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, n in enumerate(normed):
-            bit = F.shiftright(n, i).bitwiseAND(F.lit(1).cast("long"))
-            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
-    return df.withColumn(out, z)
+    # the interleave itself is the shared Morton primitive
+    # (operators/relational.py::zorder_key — also exposed raw for
+    # pre-bucketed integer keys and value-oracled by the
+    # zorder_cells_events query); this wrapper adds the min/max
+    # range normalization and the DataFrame plumbing
+    return df.withColumn(out, morton_key(*normed, bits=bits))
 
 
 def zorder_write_order(
