@@ -297,3 +297,258 @@ def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("total_value").cast("long").alias("cents_total"),
     )
+
+
+@_staged(
+    "theta_forecast_daily_events",
+    """
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS t,
+             CAST(sum(round(value * 100)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(t) AS BIGINT) AS tmax
+          FROM daily),
+    ses AS (
+      SELECT CAST(sum(CAST(floor(
+               CASE WHEN d.t = 0
+                    THEN d.y * power(0.7, CAST(x.tmax AS DOUBLE))
+                    ELSE 0.3 * d.y * power(0.7, CAST(x.tmax - d.t AS DOUBLE)) END
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ses_units
+      FROM daily d CROSS JOIN n x
+    ),
+    ols AS (
+      SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(t) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t * y) AS BIGINT) AS sxy,
+             CAST(sum(t * t) AS BIGINT) AS sxx
+      FROM daily
+    ),
+    params AS (
+      SELECT CAST(s.ses_units AS DOUBLE) / 1e6 AS level,
+             (CAST(o.m AS DOUBLE) * o.sxy - CAST(o.sx AS DOUBLE) * o.sy)
+               / (CAST(o.m AS DOUBLE) * o.sxx - CAST(o.sx AS DOUBLE) * o.sx)
+               AS slope
+      FROM ses s CROSS JOIN ols o
+    )
+    SELECT CAST(h.range AS BIGINT) AS horizon,
+           floor((p.level + h.range * p.slope / 2) * 1e2 + 0.5) / 1e2
+             AS forecast_cents_q
+    FROM params p CROSS JOIN range(1, 8) h
+    ORDER BY horizon
+    """,
+)
+def theta_forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast of daily revenue (Assimakopoulos &
+    Nikolopoulos 2000; Hyndman & Billah 2003 prove theta=2 is SES
+    WITH DRIFT at half the OLS slope — the M3-winning baseline):
+    level = simple exponential smoothing (alpha=0.3) expanded to its
+    CLOSED FORM (y_t weighted by alpha*(1-alpha)^(T-t), the t=0 term
+    carrying the full (1-alpha)^T initial weight) so the recursion
+    unrolls into one weighted sum — each term quantized to 1e-6
+    units before summing (float-sum order lesson); drift = OLS
+    slope / 2 from exact integer sufficient stats. Seven-day-ahead
+    forecasts, floor-quantized to whole-cent precision x 1e-2.
+    Complements holt_forecast (recursive unroll device) with the
+    closed-form-weights device."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t")
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("y")).localCheckpoint()
+    n = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("t").cast("long").alias("tmax"),
+    )
+    d = daily.crossJoin(F.broadcast(n))
+    w = F.when(
+        F.col("t") == 0,
+        F.col("y") * F.pow(F.lit(0.7), F.col("tmax").cast("double")),
+    ).otherwise(
+        0.3 * F.col("y") * F.pow(F.lit(0.7), (F.col("tmax") - F.col("t")).cast("double"))
+    )
+    ses = d.agg(
+        F.sum(F.floor(w * 1e6 + 0.5).cast("long")).cast("long").alias("ses_units")
+    )
+    ols = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
+    )
+    m = F.col("m").cast("double")
+    slope = (m * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        m * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    params = ses.crossJoin(F.broadcast(ols)).select(
+        (F.col("ses_units").cast("double") / 1e6).alias("level"),
+        slope.alias("slope"),
+    )
+    horizons = spark.range(1, 8).select(F.col("id").cast("long").alias("horizon"))
+    fc = F.col("level") + F.col("horizon") * F.col("slope") / 2
+    return (
+        params.crossJoin(F.broadcast(horizons))
+        .select("horizon", (F.floor(fc * 1e2 + 0.5) / 1e2).alias("forecast_cents_q"))
+        .orderBy("horizon")
+    )
+
+
+@_staged(
+    "price_index_monthly_parts",
+    """
+    WITH pm AS MATERIALIZED (
+      SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym, l_partkey,
+             CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS e,
+             CAST(sum(round(l_quantity * 100)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base AS MATERIALIZED (
+      SELECT l_partkey, e AS e0, q AS q0 FROM pm
+      WHERE ym = (SELECT min(ym) FROM pm)
+    ),
+    joined AS (
+      SELECT p.ym,
+             CAST(sum(CAST(floor(CAST(p.e AS DOUBLE) / p.q * b.q0 * 1e3 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS lnum_units,
+             CAST(sum(CAST(floor(CAST(b.e0 AS DOUBLE) / b.q0 * b.q0 * 1e3 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS lden_units,
+             CAST(sum(CAST(floor(CAST(p.e AS DOUBLE) / p.q * p.q * 1e3 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS pnum_units,
+             CAST(sum(CAST(floor(CAST(b.e0 AS DOUBLE) / b.q0 * p.q * 1e3 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS pden_units,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM pm p JOIN base b ON b.l_partkey = p.l_partkey
+      WHERE p.ym > (SELECT min(ym) FROM pm)
+      GROUP BY 1
+    )
+    SELECT CAST(ym AS BIGINT) AS ym, n_parts,
+           floor(CAST(lnum_units AS DOUBLE) / lden_units * 1e6 + 0.5) / 1e6
+             AS laspeyres_q,
+           floor(CAST(pnum_units AS DOUBLE) / pden_units * 1e6 + 0.5) / 1e6
+             AS paasche_q,
+           floor(sqrt((CAST(lnum_units AS DOUBLE) / lden_units)
+                      * (CAST(pnum_units AS DOUBLE) / pden_units)) * 1e6 + 0.5) / 1e6
+             AS fisher_q
+    FROM joined
+    ORDER BY ym
+    """,
+)
+def price_index_monthly_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indexes per ship-month vs
+    the first month (the CPI construction): per-(part, month) unit
+    prices are the exact rational sum(price cents)/sum(qty cents),
+    baskets are base-month quantities (Laspeyres), current-month
+    quantities (Paasche), and their geometric mean (Fisher — the
+    "ideal" index that cancels substitution bias). Only parts traded
+    in BOTH months enter (matched-model rule). Every p*q term is
+    quantized to integer milli-units BEFORE the cross-part sums
+    (float-sum order lesson); indexes are one identical-order float
+    expression each, floor-quantized 1e-6."""
+    l = T(spark, sf_dir, "lineitem")
+    pm = l.groupBy(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ym"),
+        "l_partkey",
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("e"),
+        F.sum(F.round(F.col("l_quantity") * 100)).cast("long").alias("q"),
+    ).localCheckpoint()
+    ym0 = pm.agg(F.min("ym").alias("ym0"))
+    base = (
+        pm.crossJoin(F.broadcast(ym0))
+        .filter(F.col("ym") == F.col("ym0"))
+        .select("l_partkey", F.col("e").alias("e0"), F.col("q").alias("q0"))
+    )
+    cur = pm.crossJoin(F.broadcast(ym0)).filter(F.col("ym") > F.col("ym0"))
+    j = cur.join(base, "l_partkey")
+    price_m = F.col("e").cast("double") / F.col("q")
+    price_0 = F.col("e0").cast("double") / F.col("q0")
+    u = lambda expr: F.floor(expr * 1e3 + 0.5).cast("long")
+    joined = j.groupBy("ym").agg(
+        F.sum(u(price_m * F.col("q0"))).cast("long").alias("lnum_units"),
+        F.sum(u(price_0 * F.col("q0"))).cast("long").alias("lden_units"),
+        F.sum(u(price_m * F.col("q"))).cast("long").alias("pnum_units"),
+        F.sum(u(price_0 * F.col("q"))).cast("long").alias("pden_units"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    lasp = F.col("lnum_units").cast("double") / F.col("lden_units")
+    paas = F.col("pnum_units").cast("double") / F.col("pden_units")
+    return joined.select(
+        F.col("ym").cast("long").alias("ym"),
+        "n_parts",
+        (F.floor(lasp * 1e6 + 0.5) / 1e6).alias("laspeyres_q"),
+        (F.floor(paas * 1e6 + 0.5) / 1e6).alias("paasche_q"),
+        (F.floor(F.sqrt(lasp * paas) * 1e6 + 0.5) / 1e6).alias("fisher_q"),
+    ).orderBy("ym")
+
+
+@_staged(
+    "woe_iv_segments",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    b AS (
+      SELECT segment,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM j GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_pos) AS BIGINT) AS p_tot,
+             CAST(sum(n_neg) AS BIGINT) AS n_tot
+      FROM b
+    )
+    SELECT b.segment, b.n_pos, b.n_neg,
+           floor(ln((CAST(b.n_pos AS DOUBLE) / t.p_tot)
+                    / (CAST(b.n_neg AS DOUBLE) / t.n_tot)) * 1e6 + 0.5) / 1e6
+             AS woe_q,
+           floor((CAST(b.n_pos AS DOUBLE) / t.p_tot
+                  - CAST(b.n_neg AS DOUBLE) / t.n_tot)
+                 * ln((CAST(b.n_pos AS DOUBLE) / t.p_tot)
+                      / (CAST(b.n_neg AS DOUBLE) / t.n_tot)) * 1e9 + 0.5) / 1e9
+             AS iv_contrib_q
+    FROM b CROSS JOIN tot t
+    ORDER BY segment
+    """,
+)
+def woe_iv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence and Information-Value contribution per
+    market segment against the urgent-order target — the credit-risk
+    feature-screening standard (WOE = ln of the positive/negative
+    distribution ratio per bucket; IV = sum of (dP - dN) * WOE, with
+    the conventional <0.02 = useless, >0.3 = strong bands): the
+    per-bucket view that target_encode_loo_orders' encoding and
+    feature_gini_importance's split quality don't expose. Exact
+    integer counts; WOE and the IV contribution are identical-order
+    float expressions, floor-quantized (1e-6 / 1e-9)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    b = j.groupBy("segment").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    )
+    tot = b.agg(
+        F.sum("n_pos").cast("long").alias("p_tot"),
+        F.sum("n_neg").cast("long").alias("n_tot"),
+    )
+    dp = F.col("n_pos").cast("double") / F.col("p_tot")
+    dn = F.col("n_neg").cast("double") / F.col("n_tot")
+    woe = F.log(dp / dn)
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "segment", "n_pos", "n_neg",
+            (F.floor(woe * 1e6 + 0.5) / 1e6).alias("woe_q"),
+            (F.floor((dp - dn) * woe * 1e9 + 0.5) / 1e9).alias("iv_contrib_q"),
+        )
+        .orderBy("segment")
+    )
