@@ -1275,3 +1275,70 @@ def test_zorder_key_interleaves_bits(spark):
 
     with pytest.raises(ValueError):
         zorder_key("u", "d", bits=32)  # 64 bits: signed-long overflow
+
+
+def test_bounded_closeness_hand_computed(spark):
+    """Path graph 1-2-3-4-5: hand-computed harmonic twelfths at
+    max_hops=3 (12 per 1-hop, 6 per 2-hop, 4 per 3-hop neighbor)."""
+    from dbt_lakehouse_aws_spark.operators.graph import bounded_closeness
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    got = {
+        r["node"]: (r["n_reached"], r["harmonic12"])
+        for r in bounded_closeness(edges, max_hops=3).collect()
+    }
+    # node 1: d1={2} d2={3} d3={4} -> 12+6+4; node 3: d1={2,4} d2={1,5}
+    assert got == {
+        1: (3, 22), 5: (3, 22),
+        2: (4, 34), 4: (4, 34),   # 12 + (12+6+4) for the two sides
+        3: (4, 36),               # 2*12 + 2*6
+    }
+
+
+def test_bellman_ford_rounds_hand_computed(spark):
+    """Weighted diamond: the cheap 2-edge path must beat the direct
+    heavy edge once rounds allow it; unreached nodes stay absent."""
+    from dbt_lakehouse_aws_spark.operators.graph import bellman_ford_rounds
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 10), (1, 3, 50), (4, 5, 1)],
+        "a long, b long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    one = {r["node"]: r["dist"] for r in
+           bellman_ford_rounds(edges, seeds, rounds=1).collect()}
+    assert one == {1: 0, 2: 10, 3: 50}  # direct edge only after 1 round
+    two = {r["node"]: r["dist"] for r in
+           bellman_ford_rounds(edges, seeds, rounds=2).collect()}
+    assert two == {1: 0, 2: 10, 3: 20}  # relaxed through 2
+    assert 4 not in two and 5 not in two  # disconnected component
+
+
+def test_cap_neighbors_keeps_strongest_and_symmetrizes(spark):
+    """kNN-graph union semantics at k=2: a hub keeps only its two
+    strongest edges, but a weaker hub edge SURVIVES when the leaf on
+    the other end keeps it (degree <= k keeps everything); an edge
+    BOTH endpoints rank below k is the only kind that disappears."""
+    from dbt_lakehouse_aws_spark.operators.graph import cap_neighbors
+
+    edges = spark.createDataFrame(
+        [
+            # hub 1: weights 9 > 8 > 7 to nodes 2, 3, 4
+            (1, 2, 9), (1, 3, 8), (1, 4, 7),
+            # hubs 5 and 6 each have two strong edges...
+            (5, 8, 9), (5, 9, 8), (6, 10, 9), (6, 11, 8),
+            # ...and one weak edge to each other: dropped by BOTH
+            (5, 6, 1),
+        ],
+        "a long, b long, shared long",
+    )
+    got = {(r["a"], r["b"]) for r in
+           cap_neighbors(edges, k=2, weight="shared").collect()}
+    assert (1, 2) in got and (1, 3) in got
+    # node 4 has degree 1, so it keeps (1,4) even though hub 1 ranks
+    # it third — union symmetrization retains it
+    assert (1, 4) in got
+    assert (5, 6) not in got  # below k on BOTH sides: the only drop
+    assert {(5, 8), (5, 9), (6, 10), (6, 11)} <= got
