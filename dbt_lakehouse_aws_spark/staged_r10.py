@@ -655,3 +655,454 @@ def acid_optimize_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_staged(
+    "jarque_bera_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             sum(x) AS s1, sum(x * x) AS s2,
+             sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+      FROM daily GROUP BY 1
+    ),
+    m AS (
+      SELECT event_type, n_days,
+             s1 / n_days AS mu,
+             s2 / n_days - (s1 / n_days) * (s1 / n_days) AS v,
+             s1, s2, s3, s4
+      FROM s
+    ),
+    jb AS (
+      SELECT event_type, n_days,
+             (s3 / n_days - 3 * mu * (s2 / n_days) + 2 * mu * mu * mu)
+               / (v * sqrt(v)) AS skew,
+             (s4 / n_days - 4 * mu * (s3 / n_days)
+              + 6 * mu * mu * (s2 / n_days) - 3 * mu * mu * mu * mu)
+               / (v * v) - 3.0 AS ex_kurt
+      FROM m
+    )
+    SELECT event_type, n_days,
+           floor((n_days / 6.0) * (skew * skew + ex_kurt * ex_kurt / 4.0)
+                 * 1e6 + 0.5) / 1e6 AS jb_q,
+           CASE WHEN (n_days / 6.0) * (skew * skew + ex_kurt * ex_kurt / 4.0)
+                     > 5.991464547107979 THEN 'reject_normal'
+                ELSE 'consistent_with_normal' END AS verdict
+    FROM jb ORDER BY event_type
+    """,
+)
+def jarque_bera_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on each event type's DAILY COUNT
+    series — the load-profile question ("is traffic Gaussian or
+    bursty?") that moments_by_priority's price moments don't answer.
+    Same sufficient-statistic discipline: raw power sums Σx..Σx⁴ are
+    one map-side-combinable aggregate; JB = n/6·(g₁² + g₂²/4) and the
+    χ²(2) 95% critical value 5.9915 band the verdict. Counts cast to
+    DOUBLE before the power sums on BOTH engines (Σx⁴ of BIGINT
+    overflows int64 past ~20k-count days; HUGEINT is banned by the
+    oracle gate)."""
+    e = T(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    x = F.col("x")
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n_days")
+    mu = F.col("s1") / n
+    v = F.col("s2") / n - mu * mu
+    skew = (F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu) / (
+        v * F.sqrt(v)
+    )
+    ex_kurt = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    ) / (v * v) - 3.0
+    jb = (n / 6.0) * (skew * skew + ex_kurt * ex_kurt / 4.0)
+    return (
+        s.select(
+            "event_type",
+            "n_days",
+            (F.floor(jb * 1e6 + 0.5) / 1e6).alias("jb_q"),
+            F.when(jb > 5.991464547107979, F.lit("reject_normal"))
+            .otherwise(F.lit("consistent_with_normal"))
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "mann_kendall_trend_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(sum(CAST(sign(b.cents - a.cents) AS BIGINT)) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day
+      GROUP BY 1
+    ),
+    nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+      FROM (
+        SELECT event_type, cents, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    z AS (
+      SELECT n.event_type, n.n_days, p.s_stat,
+             (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term)
+               / 18.0 AS var_s
+      FROM nn n JOIN pairs p ON p.event_type = n.event_type
+      JOIN ties t ON t.event_type = n.event_type
+    )
+    SELECT event_type, n_days, s_stat,
+           floor(var_s * 1e6 + 0.5) / 1e6 AS var_s_q,
+           floor(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                      ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS z_q,
+           CASE WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                           WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                           ELSE 0.0 END) > 1.959963984540054 THEN 'increasing'
+                WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                           WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                           ELSE 0.0 END) < -1.959963984540054 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM z ORDER BY event_type
+    """,
+)
+def mann_kendall_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type over the
+    daily revenue series — the nonparametric TEST companion to
+    theil_sen_trend_events' slope ESTIMATE (same series, the
+    question flips from "how steep" to "is it real"). S = Σ sign
+    differences over all day pairs stays exact BIGINT (cents), the
+    tie-corrected variance n(n-1)(2n+5)/18 - Σt(t-1)(2t+5)/18 and
+    continuity-corrected z are the only floats. The day-pair
+    self-join is O(days²) per type — days is a CALENDAR axis
+    (~bounded at any SF), never a row axis."""
+    e = T(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    ).persist()
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.signum(F.col("b.cents") - F.col("a.cents")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n = F.col("n_days")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18.0
+    s_stat = F.col("s_stat")
+    zexpr = (
+        F.when(s_stat > 0, (s_stat - 1) / F.sqrt(F.col("var_s")))
+        .when(s_stat < 0, (s_stat + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    crit = 1.959963984540054
+    return (
+        nn.join(pairs, "event_type")
+        .join(ties, "event_type")
+        .withColumn("var_s", var_s)
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (F.floor(F.col("var_s") * 1e6 + 0.5) / 1e6).alias("var_s_q"),
+            (F.floor(zexpr * 1e6 + 0.5) / 1e6).alias("z_q"),
+            F.when(zexpr > crit, F.lit("increasing"))
+            .when(zexpr < -crit, F.lit("decreasing"))
+            .otherwise(F.lit("no_trend"))
+            .alias("trend"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "dhondt_allocation_nations",
+    """
+    WITH votes AS (
+      SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS votes
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ),
+    quot AS (
+      SELECT v.nation, v.votes, d.d,
+             v.votes / CAST(d.d AS DOUBLE) AS q_dh,
+             v.votes / CAST(2 * d.d - 1 AS DOUBLE) AS q_sl
+      FROM votes v CROSS JOIN (SELECT unnest(range(1, 41)) AS d) d
+    ),
+    dh AS (
+      SELECT nation FROM (
+        SELECT nation,
+               row_number() OVER (ORDER BY q_dh DESC, nation ASC, d ASC) AS rk
+        FROM quot
+      ) WHERE rk <= 40
+    ),
+    sl AS (
+      SELECT nation FROM (
+        SELECT nation,
+               row_number() OVER (ORDER BY q_sl DESC, nation ASC, d ASC) AS rk
+        FROM quot
+      ) WHERE rk <= 40
+    )
+    SELECT v.nation, v.votes,
+           CAST(coalesce(dh.s, 0) AS BIGINT) AS seats_dhondt,
+           CAST(coalesce(sl.s, 0) AS BIGINT) AS seats_sainte_lague
+    FROM votes v
+    LEFT JOIN (SELECT nation, count(*) AS s FROM dh GROUP BY 1) dh
+      ON dh.nation = v.nation
+    LEFT JOIN (SELECT nation, count(*) AS s FROM sl GROUP BY 1) sl
+      ON sl.nation = v.nation
+    ORDER BY v.votes DESC, v.nation ASC
+    """,
+)
+def dhondt_allocation_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-quotient proportional allocation — D'Hondt (divisors
+    1,2,3,…) and Sainte-Laguë (1,3,5,…) seat counts for a 40-seat
+    house where each nation's "votes" are its customer count: the
+    quota-free counterpart of largest_remainder_allocation (divisor
+    methods can't suffer the Alabama paradox that haunts quota
+    methods). Quotients votes/d are integer-ratio doubles — IEEE
+    division both engines replay bit-identically — and ranking ties
+    break on (nation, divisor). The divisor fan-out is nations×40
+    rows: broadcast-sized at any SF because the house size, not the
+    data, bounds it."""
+    c = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    votes = (
+        c.join(F.broadcast(nat), nat.n_nationkey == c.c_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+        .persist()
+    )
+    quot = votes.select(
+        "nation",
+        "votes",
+        F.explode(F.sequence(F.lit(1), F.lit(40))).alias("d"),
+    ).select(
+        "nation",
+        "votes",
+        "d",
+        (F.col("votes") / F.col("d").cast("double")).alias("q_dh"),
+        (F.col("votes") / (2 * F.col("d") - 1).cast("double")).alias("q_sl"),
+    )
+
+    def seats(qcol: str, out: str) -> DataFrame:
+        from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
+        # global rank with NO single-partition funnel (two-pass ranged
+        # row_number) — the fan-out is only nations×40 rows, but the
+        # primitive keeps the plan shape scalable by construction
+        ranked = global_row_number(
+            quot,
+            [F.col(qcol).desc(), F.col("nation").asc(), F.col("d").asc()],
+            name="rk",
+        )
+        return (
+            ranked.filter(F.col("rk") <= 40)
+            .groupBy("nation")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    return (
+        votes.join(seats("q_dh", "s_dh"), "nation", "left")
+        .join(seats("q_sl", "s_sl"), "nation", "left")
+        .select(
+            "nation",
+            "votes",
+            F.coalesce(F.col("s_dh"), F.lit(0)).cast("long").alias("seats_dhondt"),
+            F.coalesce(F.col("s_sl"), F.lit(0)).cast("long").alias("seats_sainte_lague"),
+        )
+        .orderBy(F.col("votes").desc(), F.col("nation").asc())
+    )
+
+
+@_staged(
+    "lorenz_curve_customers",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    dec AS (
+      SELECT cents, ntile(10) OVER (ORDER BY cents ASC, o_custkey ASC) AS decile
+      FROM rev
+    ),
+    per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(cents) AS BIGINT) AS decile_cents
+      FROM dec GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev)
+    SELECT p.decile AS decile, p.n_cust, p.decile_cents,
+           floor(CAST(c.cum AS DOUBLE) / t.t * 1e9 + 0.5) / 1e9 AS cum_share_q
+    FROM per p
+    JOIN (
+      SELECT a.decile, CAST(sum(b.decile_cents) AS BIGINT) AS cum
+      FROM per a JOIN per b ON b.decile <= a.decile GROUP BY 1
+    ) c ON c.decile = p.decile
+    CROSS JOIN tot t
+    ORDER BY decile
+    """,
+)
+def lorenz_curve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration — cumulative
+    revenue share by poorest-first decile, the curve BEHIND
+    gini_customer_revenue's scalar (the Gini is twice the area above
+    this curve). Deciles come from ntile_scalable (two-pass ranged
+    banding, no single-partition funnel) over exact cents with a
+    custkey tiebreak for a total order; the 10-row cumulative fold is
+    a triangular self-join over the decile AGGREGATES — relational,
+    never a window over the data axis."""
+    from dbt_lakehouse_aws_spark.operators.windows import ntile_scalable
+
+    o = T(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    dec = ntile_scalable(
+        rev, [F.col("cents").asc(), F.col("o_custkey").asc()], n=10, name="decile"
+    )
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    ).persist()
+    # cumulative fold WITHOUT a non-equi join: each decile's total is
+    # exploded onto every decile >= it, then re-aggregated — an
+    # equi-groupBy the linter certifies, same result as the oracle's
+    # triangular join
+    cum = (
+        per.select(
+            F.explode(F.sequence(F.col("decile"), F.lit(10))).alias("decile"),
+            F.col("decile_cents").alias("contrib"),
+        )
+        .groupBy("decile")
+        .agg(F.sum("contrib").cast("long").alias("cum"))
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    return (
+        per.join(cum, "decile")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_cust",
+            "decile_cents",
+            (F.floor(F.col("cum").cast("double") / F.col("t") * 1e9 + 0.5) / 1e9).alias(
+                "cum_share_q"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+@_staged(
+    "poisson_rate_ratio_events",
+    """
+    WITH cnt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           floor((CAST(a.n AS DOUBLE) / b.n) * 1e9 + 0.5) / 1e9 AS rate_ratio_q,
+           floor(exp(ln(CAST(a.n AS DOUBLE) / b.n)
+                     - 1.959963984540054 * sqrt(1.0 / a.n + 1.0 / b.n))
+                 * 1e9 + 0.5) / 1e9 AS ci_lo_q,
+           floor(exp(ln(CAST(a.n AS DOUBLE) / b.n)
+                     + 1.959963984540054 * sqrt(1.0 / a.n + 1.0 / b.n))
+                 * 1e9 + 0.5) / 1e9 AS ci_hi_q,
+           CASE WHEN exp(ln(CAST(a.n AS DOUBLE) / b.n)
+                         - 1.959963984540054 * sqrt(1.0 / a.n + 1.0 / b.n)) > 1.0
+                  OR exp(ln(CAST(a.n AS DOUBLE) / b.n)
+                         + 1.959963984540054 * sqrt(1.0 / a.n + 1.0 / b.n)) < 1.0
+                THEN 'different' ELSE 'comparable' END AS verdict
+    FROM cnt a JOIN cnt b ON a.event_type < b.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def poisson_rate_ratio_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate-ratio test for every pair of event
+    types observed over the same calendar exposure — "does type A
+    genuinely fire more often than type B?" with the standard
+    log-scale Wald interval exp(ln(a/b) ± 1.96·√(1/a+1/b)) (equal
+    exposure cancels the day terms). Counts stay exact BIGINT; the
+    type-pair fan-out is |types|² — a schema axis, not a data axis.
+    Complements abtest_conversion_ztest (proportions) with the
+    count-process analogue."""
+    e = T(spark, sf_dir, "events")
+    cnt = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    a, b = cnt.alias("a"), cnt.alias("b")
+    lr = F.log(F.col("a.n").cast("double") / F.col("b.n"))
+    se = F.sqrt(1.0 / F.col("a.n") + 1.0 / F.col("b.n"))
+    crit = 1.959963984540054
+    lo = F.exp(lr - crit * se)
+    hi = F.exp(lr + crit * se)
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            (F.floor((F.col("a.n").cast("double") / F.col("b.n")) * 1e9 + 0.5) / 1e9)
+            .alias("rate_ratio_q"),
+            (F.floor(lo * 1e9 + 0.5) / 1e9).alias("ci_lo_q"),
+            (F.floor(hi * 1e9 + 0.5) / 1e9).alias("ci_hi_q"),
+            F.when((lo > 1.0) | (hi < 1.0), F.lit("different"))
+            .otherwise(F.lit("comparable"))
+            .alias("verdict"),
+        )
+        .orderBy("type_a", "type_b")
+    )
