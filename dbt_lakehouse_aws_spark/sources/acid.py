@@ -84,6 +84,7 @@ class Snapshot:
     constraints: dict[str, str] = field(default_factory=dict)  # name -> CHECK expr
     renames: dict[str, str] = field(default_factory=dict)  # physical col -> logical col
     generated: dict[str, str] = field(default_factory=dict)  # logical col -> expr
+    dvs: dict[str, str] = field(default_factory=dict)  # data file -> deletion-vector ref
 
 
 def _file_stats(path: str, cols: Sequence[str]) -> dict[str, list]:
@@ -173,6 +174,8 @@ class AcidTable:
         self.bloom_cols = tuple(bloom_cols)
         self._log = os.path.join(path, _LOG_DIR)
         self._data = os.path.join(path, _DATA_DIR)
+        self._dvdir = os.path.join(path, "dv")
+        self._dv_cache: dict[str, list[list[int]]] = {}
 
     # -- log primitives ---------------------------------------------------
     #
@@ -249,6 +252,7 @@ class AcidTable:
         constraints: dict[str, str] = {}
         renames: dict[str, str] = {}
         generated: dict[str, str] = {}
+        dvs: dict[str, str] = {}
         start = 0
         if base:
             cp = self._read_json(f"{base[-1]:020d}.checkpoint.json")
@@ -258,6 +262,7 @@ class AcidTable:
             constraints = dict(cp.get("constraints", {}))
             renames = dict(cp.get("renames", {}))
             generated = dict(cp.get("generated", {}))
+            dvs = dict(cp.get("dvs", {}))
             start = base[-1] + 1
         for i in range(start, v + 1):
             m = self._read_json(f"{i:020d}.json")
@@ -270,6 +275,7 @@ class AcidTable:
             constraints = dict(m.get("constraints", constraints))
             renames = dict(m.get("renames", renames))
             generated = dict(m.get("generated", generated))
+            dvs = dict(m.get("dvs", dvs))
         return Snapshot(
             version=v,
             operation=operation,
@@ -280,6 +286,8 @@ class AcidTable:
             constraints=constraints,
             renames=renames,
             generated=generated,
+            # a DV is only meaningful for a file the snapshot holds
+            dvs={f: r for f, r in dvs.items() if f in files},
         )
 
     def history(self) -> list[Snapshot]:
@@ -343,6 +351,7 @@ class AcidTable:
         constraints: dict[str, str] | None = None,
         renames: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
+        dvs: dict[str, str] | None = None,
     ) -> Snapshot:
         os.makedirs(self._log, exist_ok=True)
         new_version = 0 if base_version is None else base_version + 1
@@ -352,13 +361,20 @@ class AcidTable:
             prev_constraints: dict[str, str] = {}
             prev_renames: dict[str, str] = {}
             prev_generated: dict[str, str] = {}
+            prev_dvs: dict[str, str] = {}
         else:
             prev = self.snapshot(base_version)
             prev_files, prev_stats = set(prev.files), prev.stats
             prev_constraints = prev.constraints
             prev_renames = prev.renames
             prev_generated = prev.generated
+            prev_dvs = prev.dvs
         new_set = set(files)
+        # DV carry rule: an unchanged file keeps its vector; a removed
+        # file's vector dies with it; new files start clean. Callers
+        # that attach/consume vectors pass the full map explicitly.
+        eff_dvs = dict(prev_dvs if dvs is None else dvs)
+        eff_dvs = {f: r for f, r in eff_dvs.items() if f in new_set}
         delta = {
             "version": new_version,
             "operation": operation,
@@ -373,6 +389,7 @@ class AcidTable:
             "constraints": dict(prev_constraints if constraints is None else constraints),
             "renames": dict(prev_renames if renames is None else renames),
             "generated": dict(prev_generated if generated is None else generated),
+            "dvs": eff_dvs,
         }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -404,6 +421,7 @@ class AcidTable:
             "constraints": snap.constraints,
             "renames": snap.renames,
             "generated": snap.generated,
+            "dvs": snap.dvs,
         }
         tmp = os.path.join(self._log, f".cptmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -436,6 +454,148 @@ class AcidTable:
 
         shutil.rmtree(stage)
         return out
+
+    # -- deletion vectors ---------------------------------------------------
+    #
+    # Row-level soft deletes (Delta Lake deletion-vector / Iceberg v2
+    # position-delete semantics): DELETE can attach an immutable
+    # sidecar listing deleted ROW POSITIONS instead of rewriting the
+    # data file — O(deleted rows) write IO instead of O(file bytes).
+    # Vectors are stored run-length-encoded ([start, end) ranges) in
+    # ``dv/``, referenced from the manifest per data file, applied on
+    # every read via ``_metadata.row_index`` anti-join, and CONSUMED
+    # by any copy-on-write rewrite of their file (merge, rewrite
+    # deletes, OPTIMIZE) — rewrites always run through the DV-applying
+    # scan, so a vectored row can never resurrect.
+
+    #: above this per-commit deleted-row count the positions no longer
+    #: belong on the driver — the caller should use rewrite mode
+    DV_MAX_POSITIONS = 5_000_000
+
+    def _resolve_dv(self, ref: str) -> str:
+        return ref if os.path.isabs(ref) else os.path.join(self._dvdir, ref)
+
+    @staticmethod
+    def _positions_to_ranges(positions: Sequence[int]) -> list[list[int]]:
+        ranges: list[list[int]] = []
+        for p in sorted(positions):
+            if ranges and p == ranges[-1][1]:
+                ranges[-1][1] = p + 1
+            elif not ranges or p > ranges[-1][1]:
+                ranges.append([p, p + 1])
+        return ranges
+
+    def _write_dv(self, ranges: Sequence[Sequence[int]], version_hint: int) -> str:
+        os.makedirs(self._dvdir, exist_ok=True)
+        name = f"{version_hint:010d}-{uuid.uuid4().hex}.dv.json"
+        tmp = os.path.join(self._dvdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"count": int(sum(e - s for s, e in ranges)), "ranges": ranges}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self._dvdir, name))
+        return name
+
+    def _read_dv(self, ref: str) -> list[list[int]]:
+        """[start, end) deleted-position ranges of one vector.
+        Vectors are immutable once written, so caching by ref is safe."""
+        if ref not in self._dv_cache:
+            with open(self._resolve_dv(ref)) as fh:
+                self._dv_cache[ref] = json.load(fh)["ranges"]
+        return self._dv_cache[ref]
+
+    @staticmethod
+    def _merge_ranges(
+        old: Sequence[Sequence[int]], new: Sequence[Sequence[int]]
+    ) -> list[list[int]]:
+        """Union of two [start, end) range lists (both sorted,
+        internally disjoint) — linear merge, no expansion."""
+        merged: list[list[int]] = []
+        for s, e in sorted([list(r) for r in old] + [list(r) for r in new]):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        return merged
+
+    def _scan_physical(
+        self,
+        snap: Snapshot,
+        files: Sequence[str] | None = None,
+        schema: StructType | None = None,
+        *,
+        keep_file_col: str | None = None,
+        keep_pos_col: str | None = None,
+    ) -> DataFrame:
+        """Physical-name scan of ``files`` (default: all of ``snap``)
+        with the snapshot's deletion vectors applied — the ONE routine
+        every read-side and copy-on-write path goes through, so a
+        vectored row can neither be served nor survive a rewrite.
+
+        Vectors are applied as an anti-join on (file, row position):
+        the position sets are exploded JVM-side from broadcast range
+        literals — O(deleted rows) in the join's build side, never a
+        per-row Python trip. With no vectors on the scanned files the
+        plan is the plain parquet scan, zero overhead."""
+        if schema is None:
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+        files = list(snap.files if files is None else files)
+        # copy the field list: StructType.add mutates in place, and
+        # sharing the caller's list would pollute its schema object
+        extra_schema = StructType(list(schema.fields))
+        if keep_file_col:
+            extra_schema = extra_schema.add(keep_file_col, "string")
+        if keep_pos_col:
+            extra_schema = extra_schema.add(keep_pos_col, "long")
+        if not files:
+            return self.spark.createDataFrame([], extra_schema)
+
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+
+        def scan(batch: list[str], apply_dv: bool) -> DataFrame:
+            df = self.spark.read.schema(schema).parquet(
+                *[self._resolve(f) for f in batch]
+            )
+            cols = list(df.columns)
+            if keep_file_col:
+                df = df.withColumn(keep_file_col, fname)
+                cols.append(keep_file_col)
+            if keep_pos_col:
+                df = df.withColumn(keep_pos_col, F.col("_metadata.row_index"))
+                cols.append(keep_pos_col)
+            if not apply_dv:
+                return df.select(*cols)
+            range_rows = []
+            for f in batch:
+                base = os.path.basename(self._resolve(f))
+                for s, e in self._read_dv(snap.dvs[f]):
+                    range_rows.append((base, int(s), int(e)))
+            deleted = self.spark.createDataFrame(
+                range_rows, "_dv_file STRING, _dv_s BIGINT, _dv_e BIGINT"
+            ).select(
+                "_dv_file",
+                F.explode(
+                    F.sequence(F.col("_dv_s"), F.col("_dv_e") - 1)
+                ).alias("_dv_pos"),
+            )
+            return (
+                df.withColumn("_dv_file", fname)
+                .withColumn("_dv_pos", F.col("_metadata.row_index"))
+                .join(F.broadcast(deleted), ["_dv_file", "_dv_pos"], "left_anti")
+                .select(*cols)
+            )
+
+        # files WITHOUT vectors take the plain scan — the anti-join
+        # (and its per-row file/position columns) prices only the
+        # vectored files, so read overhead is proportional to the
+        # vectored fraction, not the table
+        vectored = [f for f in files if f in snap.dvs]
+        clean = [f for f in files if f not in snap.dvs]
+        if not vectored:
+            return scan(clean, False)
+        if not clean:
+            return scan(vectored, True)
+        return scan(clean, False).unionByName(scan(vectored, True))
 
     _DRIVER_STATS_MAX_FILES = 32
 
@@ -924,13 +1084,8 @@ class AcidTable:
                     continue
                 kept.append(f)
             files = kept
-        if not files:
-            return self._to_logical(
-                self.spark.createDataFrame([], schema), snap.renames
-            )
-        paths = [self._resolve(f) for f in files]
         return self._to_logical(
-            self.spark.read.schema(schema).parquet(*paths), snap.renames
+            self._scan_physical(snap, files, schema), snap.renames
         )
 
     def _prune_files(self, snap: Snapshot, key: str, lo, hi) -> list[str]:
@@ -1058,19 +1213,17 @@ class AcidTable:
         candidates = self._bloom_prune(snap, candidates, updates, keys[0])
         touched: list[str] = []
         if candidates:
-            cand_paths = [self._resolve(f) for f in candidates]
-            cand_df = self.spark.read.schema(schema).parquet(*cand_paths)
+            cand_df = self._scan_physical(snap, candidates, keep_file_col="_file")
             touched_paths = (
-                cand_df.withColumn("_file", F.input_file_name())
-                .join(updates.select(*keys).distinct(), keys, "left_semi")
+                cand_df.join(updates.select(*keys).distinct(), keys, "left_semi")
                 .select("_file")
                 .distinct()
                 .collect()
             )
-            # map scanned paths back to MANIFEST entries (clones hold
-            # absolute entries whose basename != the entry itself)
+            # map scanned basenames back to MANIFEST entries (clones
+            # hold absolute entries whose basename != the entry itself)
             by_base = {os.path.basename(self._resolve(f)): f for f in candidates}
-            touched = [by_base[os.path.basename(r["_file"])] for r in touched_paths]
+            touched = [by_base[r["_file"]] for r in touched_paths]
         lacking = [f.name for f in schema.fields if f.name not in updates.columns]
         if lacking:
             # UPDATE SET * semantics (Delta's rule): the delta must
@@ -1079,9 +1232,7 @@ class AcidTable:
             raise ValueError(f"merge updates missing target columns: {lacking}")
         up = updates.select(*[f.name for f in evolved.fields])
         if touched:
-            touched_df = self.spark.read.schema(schema).parquet(
-                *[self._resolve(f) for f in touched]
-            )
+            touched_df = self._scan_physical(snap, touched)
             survivors = touched_df.join(updates.select(*keys).distinct(), keys, "left_anti")
             # pre-evolution survivor rows take NULLs for new columns
             rewritten = up.unionByName(survivors, allowMissingColumns=True)
@@ -1107,36 +1258,47 @@ class AcidTable:
             txn=txn,
         )
 
-    def delete(self, predicate: str) -> Snapshot:
-        """``DELETE WHERE predicate``: rewrite only files that contain
-        matching rows; files with no matches carry over untouched."""
+    def delete(self, predicate: str, *, mode: str = "rewrite") -> Snapshot:
+        """``DELETE WHERE predicate``.
+
+        ``mode="rewrite"`` (copy-on-write, the default): rewrite only
+        files that contain matching rows; files with no matches carry
+        over untouched. Any deletion vector on a touched file is
+        consumed by the rewrite.
+
+        ``mode="vector"`` (merge-on-read): attach a DELETION VECTOR —
+        an immutable run-length sidecar of deleted row positions —
+        instead of rewriting data. Write IO is O(deleted rows), not
+        O(touched file bytes): the sparse-delete shape (GDPR erasure,
+        late-event retraction) where copy-on-write would rewrite a
+        terabyte to drop a row. Per file, the hybrid rule Delta ships:
+        a file whose LIVE rows all match is simply dropped from the
+        manifest (pure metadata); a file with more than half its live
+        rows matching is rewritten (a vector bigger than the survivor
+        set is false economy, and read-side anti-join cost tracks
+        vector size); otherwise the new positions merge into the
+        file's existing vector. Guarded by ``DV_MAX_POSITIONS`` —
+        beyond that the positions no longer belong on the driver and
+        the caller should rewrite."""
+        if mode not in ("rewrite", "vector"):
+            raise ValueError(f"delete mode must be rewrite|vector, got {mode!r}")
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
         cond = F.expr(predicate)  # written in LOGICAL column names
+        if mode == "vector":
+            return self._delete_vector(snap, schema, cond, predicate)
         touched: list[str] = []
         if snap.files:
             all_df = self._to_logical(
-                self.spark.read.schema(schema).parquet(
-                    *[self._resolve(f) for f in snap.files]
-                ),
-                snap.renames,
+                self._scan_physical(snap, keep_file_col="_file"), snap.renames
             )
-            rows = (
-                all_df.withColumn("_file", F.input_file_name())
-                .filter(cond)
-                .select("_file")
-                .distinct()
-                .collect()
-            )
+            rows = all_df.filter(cond).select("_file").distinct().collect()
             by_base = {os.path.basename(self._resolve(f)): f for f in snap.files}
-            touched = [by_base[os.path.basename(r["_file"])] for r in rows]
+            touched = [by_base[r["_file"]] for r in rows]
         new_files: list[str] = []
         if touched:
             touched_df = self._to_logical(
-                self.spark.read.schema(schema).parquet(
-                    *[self._resolve(f) for f in touched]
-                ),
-                snap.renames,
+                self._scan_physical(snap, touched), snap.renames
             )
             keep = self._to_physical(
                 touched_df.filter(~cond | cond.isNull()), snap.renames
@@ -1152,6 +1314,98 @@ class AcidTable:
             schema_json=snap.schema_json,
             stats=stats,
             base_version=snap.version,
+        )
+
+    def _delete_vector(
+        self, snap: Snapshot, schema: StructType, cond, predicate: str
+    ) -> Snapshot:
+        if not snap.files:
+            return self._commit(
+                operation=f"DELETE (dv) matched=0/0 {predicate}",
+                files=[],
+                schema_json=snap.schema_json,
+                stats={},
+                base_version=snap.version,
+            )
+        live = self._to_logical(
+            self._scan_physical(snap, keep_file_col="_file", keep_pos_col="_pos"),
+            snap.renames,
+        )
+        per_file = (
+            live.groupBy("_file")
+            .agg(
+                F.count(F.lit(1)).alias("live"),
+                F.count(F.when(cond, 1)).alias("matched"),
+            )
+            .filter(F.col("matched") > 0)
+            .collect()
+        )
+        by_base = {os.path.basename(self._resolve(f)): f for f in snap.files}
+        n_matched = sum(r["matched"] for r in per_file)
+        if n_matched > self.DV_MAX_POSITIONS:
+            raise ValueError(
+                f"DELETE mode='vector' matched {n_matched} rows "
+                f"(> DV_MAX_POSITIONS={self.DV_MAX_POSITIONS}); use "
+                "mode='rewrite' — a vector that size costs more than "
+                "the rewrite it avoids"
+            )
+        dropped: list[str] = []  # every live row matched -> pure metadata
+        rewrite: list[str] = []  # dense match -> copy-on-write
+        vector: list[str] = []  # sparse match -> attach/merge DV
+        for r in per_file:
+            entry = by_base[r["_file"]]
+            if r["matched"] == r["live"]:
+                dropped.append(entry)
+            elif r["matched"] * 2 > r["live"]:
+                rewrite.append(entry)
+            else:
+                vector.append(entry)
+        new_dvs = dict(snap.dvs)
+        if vector:
+            vec_set = {os.path.basename(self._resolve(f)) for f in vector}
+            pos_rows = (
+                live.filter(cond)
+                .filter(F.col("_file").isin(list(vec_set)))
+                .select("_file", "_pos")
+                .collect()
+            )
+            by_file: dict[str, list[int]] = {}
+            for r in pos_rows:
+                by_file.setdefault(r["_file"], []).append(r["_pos"])
+            for base, positions in by_file.items():
+                entry = by_base[base]
+                new_ranges = self._positions_to_ranges(positions)
+                if entry in new_dvs:
+                    new_ranges = self._merge_ranges(
+                        self._read_dv(new_dvs[entry]), new_ranges
+                    )
+                new_dvs[entry] = self._write_dv(new_ranges, snap.version + 1)
+        new_files: list[str] = []
+        if rewrite:
+            touched_df = self._to_logical(
+                self._scan_physical(snap, rewrite), snap.renames
+            )
+            keep = self._to_physical(
+                touched_df.filter(~cond | cond.isNull()), snap.renames
+            ).coalesce(max(1, len(rewrite)))
+            if keep.limit(1).count() > 0:
+                new_files = self._write_data_files(keep, snap.version + 1)
+        gone = set(dropped) | set(rewrite)
+        kept = [f for f in snap.files if f not in gone]
+        stats = {f: s for f, s in snap.stats.items() if f not in gone}
+        stats.update(self._stats_for(new_files, schema))
+        new_dvs = {f: r for f, r in new_dvs.items() if f not in gone}
+        return self._commit(
+            operation=(
+                f"DELETE (dv) matched={n_matched} vectored={len(vector)} "
+                f"rewritten={len(rewrite)} dropped={len(dropped)}"
+                f"/{len(snap.files)}"
+            ),
+            files=kept + new_files,
+            schema_json=snap.schema_json,
+            stats=stats,
+            base_version=snap.version,
+            dvs=new_dvs,
         )
 
     def replace_where(
@@ -1188,27 +1442,15 @@ class AcidTable:
         touched: list[str] = []
         if snap.files:
             all_df = self._to_logical(
-                self.spark.read.schema(schema).parquet(
-                    *[self._resolve(f) for f in snap.files]
-                ),
-                snap.renames,
+                self._scan_physical(snap, keep_file_col="_file"), snap.renames
             )
-            rows = (
-                all_df.withColumn("_file", F.input_file_name())
-                .filter(cond)
-                .select("_file")
-                .distinct()
-                .collect()
-            )
+            rows = all_df.filter(cond).select("_file").distinct().collect()
             by_base = {os.path.basename(self._resolve(f)): f for f in snap.files}
-            touched = [by_base[os.path.basename(r["_file"])] for r in rows]
+            touched = [by_base[r["_file"]] for r in rows]
         rewritten: list[str] = []
         if touched:
             touched_df = self._to_logical(
-                self.spark.read.schema(schema).parquet(
-                    *[self._resolve(f) for f in touched]
-                ),
-                snap.renames,
+                self._scan_physical(snap, touched), snap.renames
             )
             keep = self._to_physical(
                 touched_df.filter(~cond | cond.isNull()), snap.renames
@@ -1256,6 +1498,11 @@ class AcidTable:
             raise ValueError(f"clone destination already exists: {dest_path}")
         abs_files = [self._resolve(f) for f in snap.files]
         stats = {self._resolve(f): snap.stats[f] for f in snap.files if f in snap.stats}
+        # vectors ride along by absolute reference, like the data
+        # files they annotate — immutable, so sharing is safe; a
+        # clone-side rewrite consumes its (absolute) vector entry
+        # without touching the source's sidecar
+        dvs = {self._resolve(f): self._resolve_dv(r) for f, r in snap.dvs.items()}
         dest._commit(
             operation=f"CLONE {self.path}@v{snap.version}",
             files=abs_files,
@@ -1265,6 +1512,7 @@ class AcidTable:
             constraints=snap.constraints,
             renames=snap.renames,
             generated=snap.generated,
+            dvs=dvs,
         )
         return dest
 
@@ -1289,6 +1537,10 @@ class AcidTable:
             f
             for f in target.files
             if not os.path.exists(self._resolve(f))
+        ] + [
+            r
+            for r in target.dvs.values()
+            if not os.path.exists(self._resolve_dv(r))
         ]
         if missing:
             raise FileNotFoundError(
@@ -1304,6 +1556,8 @@ class AcidTable:
             base_version=self.latest_version(),
             constraints=dict(target.constraints),
             renames=dict(target.renames),
+            generated=dict(target.generated),
+            dvs=dict(target.dvs),
         )
 
     def maybe_optimize(
@@ -1421,14 +1675,20 @@ class AcidTable:
         inv = {log: phys for phys, log in new.renames.items()}
         keys = [inv.get(k, k) for k in keys]
 
-        def scan(files):
-            paths = [self._resolve(f) for f in files]
-            if not paths:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(*paths)
+        def scan(snap_side, files):
+            return self._scan_physical(snap_side, sorted(files), schema)
 
-        removed = scan(sorted(set(old.files) - set(new.files)))
-        added = scan(sorted(set(new.files) - set(old.files)))
+        # a deletion-vector attach changes NO file set — the file is
+        # "changed" when its vector differs between the snapshots, and
+        # both sides scan it under their OWN vector so the full-row
+        # cancel surfaces exactly the newly-vectored rows as deletes
+        dv_changed = {
+            f
+            for f in set(old.files) & set(new.files)
+            if old.dvs.get(f) != new.dvs.get(f)
+        }
+        removed = scan(old, (set(old.files) - set(new.files)) | dv_changed)
+        added = scan(new, (set(new.files) - set(old.files)) | dv_changed)
         # survivors copied verbatim during COW rewrites appear on both
         # sides — cancel them out before classifying. The cancellation
         # must be NULL-safe: join(cols) uses null-unsafe equality, so a
@@ -1464,11 +1724,19 @@ class AcidTable:
         ``VACUUM`` + ``delta.deletedFileRetentionDuration``."""
         versions = self._versions()
         keep_versions = versions[-retain_last:]
-        live = {f for v in keep_versions for f in self.snapshot(v).files}
+        retained = [self.snapshot(v) for v in keep_versions]
+        live = {f for s in retained for f in s.files}
         removed = []
         for f in os.listdir(self._data) if os.path.isdir(self._data) else []:
             if f.endswith(".parquet") and f not in live:
                 os.unlink(os.path.join(self._data, f))
+                removed.append(f)
+        # deletion vectors referenced by no retained snapshot are
+        # orphans (superseded merges, consumed-by-rewrite sidecars)
+        live_dvs = {r for s in retained for r in s.dvs.values()}
+        for f in os.listdir(self._dvdir) if os.path.isdir(self._dvdir) else []:
+            if f.endswith(".dv.json") and f not in live_dvs:
+                os.unlink(os.path.join(self._dvdir, f))
                 removed.append(f)
         # the horizon version must stay reconstructable once the
         # pre-horizon delta chain is gone — checkpoint it first

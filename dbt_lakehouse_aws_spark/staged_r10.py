@@ -1106,3 +1106,502 @@ def poisson_rate_ratio_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@_staged(
+    "acid_deletion_vectors_events",
+    """
+    WITH base AS (
+      SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    kept AS (SELECT * FROM base WHERE NOT (user_id % 97 = 0))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+    FROM kept GROUP BY 1
+    ORDER BY event_type
+    """,
+)
+def acid_deletion_vectors_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE via DELETION VECTORS under the driver gate (Delta
+    DV / Iceberg v2 position-delete semantics): events land in an
+    ACID table, a sparse ~1% DELETE attaches run-length position
+    sidecars instead of rewriting data, and the post-delete scan must
+    match the oracle's relational WHERE NOT replay exactly. The
+    in-code asserts pin what the value hash can't see: the commit
+    moved ZERO data files (pure metadata + O(deleted rows) sidecar),
+    vectors are attached, time travel still serves the pre-delete
+    snapshot, and OPTIMIZE later materializes the vectors away. At
+    100 TB this is the GDPR-erasure shape: deleting one user costs
+    the user's rows, not the table's bytes."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    base = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = AcidTable(
+        spark, tempfile.mkdtemp(prefix=f"dv_{uuid.uuid4().hex[:8]}_") + "/t"
+    )
+    t.write(base.repartition(4))
+    pre = t.snapshot()
+    snap = t.delete("user_id % 97 = 0", mode="vector")
+    assert set(snap.files) == set(pre.files), (
+        "vector delete must not move data files"
+    )
+    assert snap.dvs, "no deletion vector attached"
+    assert snap.version == pre.version + 1, "DV delete must be one commit"
+    n_pre = t.read(pre.version).count()
+    n_post = t.read().count()
+    assert n_post < n_pre, "vectored rows still served"
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.sum("user_id").cast("long").alias("user_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "nelson_aalen_repurchase",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT a.user_id,
+             CAST(date_diff('day', CAST(a.ts AS DATE), CAST(b.ts AS DATE))
+                  AS BIGINT) AS gap_days
+      FROM purchases a JOIN purchases b
+        ON b.user_id = a.user_id AND b.k = a.k + 1
+      WHERE a.k = 1
+    ),
+    risk AS (
+      SELECT gap_days AS t, CAST(count(*) AS BIGINT) AS d FROM gaps GROUP BY 1
+    ),
+    na AS (
+      SELECT r.t, r.d,
+             (SELECT sum(r2.d) FROM risk r2 WHERE r2.t >= r.t) AS n_at_risk
+      FROM risk r
+    ),
+    curve AS (
+      SELECT k.t, k.d, k.n_at_risk,
+             (SELECT sum(CAST(k2.d AS DOUBLE) / k2.n_at_risk)
+              FROM na k2 WHERE k2.t <= k.t) AS cum_h
+      FROM na k
+    )
+    SELECT t AS gap_days, d AS n_events,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           floor(cum_h * 1e6 + 0.5) / 1e6 AS cum_hazard_q,
+           floor(exp(-cum_h) * 1e6 + 0.5) / 1e6 AS fh_survival_q
+    FROM curve
+    ORDER BY gap_days
+    """,
+)
+def nelson_aalen_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for time-to-repurchase — the
+    hazard-side twin of survival_km_repurchase on the SAME risk
+    table: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, plus the Fleming-Harrington
+    survival exp(−H(t)) (a genuinely different estimator that KM
+    bounds from below; comparing the two curves is the standard
+    small-sample diagnostic). Same scalability shape as KM: O(rows)
+    hash work to build the gap aggregate, then both cumulative
+    directions ride broadcast non-equi joins over the ≤calendar-days
+    risk frame — no global window."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select("user_id", "ts", "event_id").withColumn(
+        "k", F.row_number().over(w)
+    )
+    a = p.filter(F.col("k") == 1).select("user_id", F.to_date("ts").alias("d1"))
+    b = p.filter(F.col("k") == 2).select("user_id", F.to_date("ts").alias("d2"))
+    gaps = a.join(b, "user_id").select(
+        F.datediff("d2", "d1").cast("long").alias("t")
+    )
+    risk = gaps.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    r2 = risk.select(F.col("t").alias("t2"), F.col("d").alias("d2"))
+    na = (
+        risk.join(F.broadcast(r2), F.col("t2") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.sum("d2").alias("n_at_risk"))
+    )
+    k2 = na.select(
+        F.col("t").alias("t2"),
+        (F.col("d").cast("double") / F.col("n_at_risk")).alias("h2"),
+    )
+    curve = (
+        na.join(F.broadcast(k2), F.col("t2") <= F.col("t"))
+        .groupBy("t", "d", "n_at_risk")
+        .agg(F.sum("h2").alias("cum_h"))
+    )
+    return curve.select(
+        F.col("t").alias("gap_days"),
+        F.col("d").alias("n_events"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        (F.floor(F.col("cum_h") * 1e6 + 0.5) / 1e6).alias("cum_hazard_q"),
+        (F.floor(F.exp(-F.col("cum_h")) * 1e6 + 0.5) / 1e6).alias("fh_survival_q"),
+    ).orderBy("gap_days")
+
+
+@_staged(
+    "mantel_haenszel_events",
+    """
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS exposed,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS outcome
+      FROM events GROUP BY 1, 2
+    ),
+    strata AS (
+      SELECT CAST(isodow(day) AS BIGINT) AS stratum,
+             CAST(sum(CASE WHEN exposed = 1 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN exposed = 1 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN exposed = 0 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN exposed = 0 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM ud GROUP BY 1
+    ),
+    rows_out AS (
+      SELECT stratum, a, b, c, d,
+             floor(CASE WHEN b * c = 0 THEN NULL
+                        ELSE (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)
+                   END * 1e6 + 0.5) / 1e6 AS odds_ratio_q
+      FROM strata
+      UNION ALL
+      SELECT -1 AS stratum,
+             CAST(sum(a) AS BIGINT), CAST(sum(b) AS BIGINT),
+             CAST(sum(c) AS BIGINT), CAST(sum(d) AS BIGINT),
+             floor(sum(CAST(a AS DOUBLE) * d / (a + b + c + d))
+                   / sum(CAST(b AS DOUBLE) * c / (a + b + c + d))
+                   * 1e6 + 0.5) / 1e6
+      FROM strata
+    )
+    SELECT stratum, a, b, c, d, odds_ratio_q
+    FROM rows_out ORDER BY stratum
+    """,
+)
+def mantel_haenszel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio: does clicking on a day
+    raise the odds of purchasing THAT day, after stratifying by
+    ISO weekday? Confounder-adjusted 2x2 pooling — MH = Σ(aᵢdᵢ/nᵢ) /
+    Σ(bᵢcᵢ/nᵢ) — the epidemiology-standard companion to
+    simpsons_paradox_check (which detects the reversal; MH gives the
+    adjusted effect). Stratum -1 carries the pooled estimate so the
+    result stays one uniform relation. Exact integer cells; the only
+    floats are the final ratios."""
+    e = T(spark, sf_dir, "events")
+    ud = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("exposed"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("outcome"),
+    )
+    ex, out = F.col("exposed"), F.col("outcome")
+    strata = ud.groupBy(
+        (F.weekday("day") + 1).cast("long").alias("stratum")
+    ).agg(
+        F.sum(((ex == 1) & (out == 1)).cast("int")).cast("long").alias("a"),
+        F.sum(((ex == 1) & (out == 0)).cast("int")).cast("long").alias("b"),
+        F.sum(((ex == 0) & (out == 1)).cast("int")).cast("long").alias("c"),
+        F.sum(((ex == 0) & (out == 0)).cast("int")).cast("long").alias("d"),
+    ).persist()
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    or_q = F.floor(
+        F.when(
+            b * c == 0, F.lit(None).cast("double")
+        ).otherwise((a.cast("double") * d) / (b.cast("double") * c))
+        * 1e6
+        + 0.5
+    ) / 1e6
+    per = strata.select("stratum", "a", "b", "c", "d", or_q.alias("odds_ratio_q"))
+    n = (a + b + c + d).cast("double")
+    pooled = strata.agg(
+        F.sum("a").cast("long").alias("a"),
+        F.sum("b").cast("long").alias("b"),
+        F.sum("c").cast("long").alias("c"),
+        F.sum("d").cast("long").alias("d"),
+        (
+            F.floor(
+                F.sum(a.cast("double") * d / n) / F.sum(b.cast("double") * c / n) * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("odds_ratio_q"),
+    ).select(F.lit(-1).cast("long").alias("stratum"), "a", "b", "c", "d", "odds_ratio_q")
+    return per.unionByName(pooled).orderBy("stratum")
+
+
+@_staged(
+    "seasonality_strength_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS wd,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             sum(x) AS s1, sum(x * x) AS s2
+      FROM daily GROUP BY 1
+    ),
+    wmeans AS (
+      SELECT event_type, wd, CAST(count(*) AS BIGINT) AS nw, sum(x) AS sw
+      FROM daily GROUP BY 1, 2
+    ),
+    ssb AS (
+      SELECT w.event_type,
+             sum(w.nw * (w.sw / w.nw - t.s1 / t.n_days)
+                      * (w.sw / w.nw - t.s1 / t.n_days)) AS between_ss
+      FROM wmeans w JOIN tot t ON t.event_type = w.event_type
+      GROUP BY 1
+    ),
+    peak AS (
+      SELECT event_type, wd AS peak_wd FROM (
+        SELECT event_type, wd, sw / nw AS m,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY sw / nw DESC, wd ASC) AS rk
+        FROM wmeans
+      ) WHERE rk = 1
+    )
+    SELECT t.event_type, t.n_days,
+           floor(b.between_ss / (t.s2 - t.s1 * t.s1 / t.n_days) * 1e6 + 0.5)
+             / 1e6 AS strength_q,
+           p.peak_wd
+    FROM tot t
+    JOIN ssb b ON b.event_type = t.event_type
+    JOIN peak p ON p.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+)
+def seasonality_strength_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength per event type: the fraction of
+    daily-count variance explained by ISO weekday (SSB/SST — the η²
+    of a one-way weekday ANOVA), plus the peak weekday. The 0-to-1
+    score that tells a capacity planner whether weekday matters for
+    this stream (stl_lite gives the decomposition; this gives the
+    decision scalar). Two hash aggregates on (type, day) and
+    (type, wd); counts cast to DOUBLE for the power sums, identical
+    order both engines."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.weekday(F.to_date("ts")) + 1).cast("long").alias("wd"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    wmeans = daily.groupBy("event_type", "wd").agg(
+        F.count(F.lit(1)).cast("long").alias("nw"),
+        F.sum("x").alias("sw"),
+    ).persist()
+    j = wmeans.join(tot.select("event_type", "n_days", "s1"), "event_type")
+    dev = F.col("sw") / F.col("nw") - F.col("s1") / F.col("n_days")
+    ssb = j.groupBy("event_type").agg(
+        F.sum(F.col("nw") * dev * dev).alias("between_ss")
+    )
+    wp = Window.partitionBy("event_type").orderBy(
+        (F.col("sw") / F.col("nw")).desc(), F.col("wd").asc()
+    )
+    peak = (
+        wmeans.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("wd").alias("peak_wd"))
+    )
+    sst = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_days")
+    return (
+        tot.join(ssb, "event_type")
+        .join(peak, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            (F.floor(F.col("between_ss") / sst * 1e6 + 0.5) / 1e6).alias(
+                "strength_q"
+            ),
+            "peak_wd",
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "roc_curve_points_orders",
+    """
+    WITH scored AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    bounds AS (
+      SELECT min(cents) AS lo, max(cents) AS hi,
+             CAST(sum(y) AS BIGINT) AS pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM scored
+    ),
+    thresholds AS (
+      SELECT i, lo + (hi - lo) * i // 20 AS thr, pos, neg
+      FROM bounds CROSS JOIN (SELECT unnest(range(0, 20)) AS i) g
+    )
+    SELECT t.i AS point, t.thr AS threshold_cents,
+           CAST(sum(CASE WHEN s.cents > t.thr AND s.y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN s.cents > t.thr AND s.y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           floor(sum(CASE WHEN s.cents > t.thr AND s.y = 1 THEN 1.0 ELSE 0 END)
+                 / max(t.pos) * 1e9 + 0.5) / 1e9 AS tpr_q,
+           floor(sum(CASE WHEN s.cents > t.thr AND s.y = 0 THEN 1.0 ELSE 0 END)
+                 / max(t.neg) * 1e9 + 0.5) / 1e9 AS fpr_q
+    FROM scored s CROSS JOIN thresholds t
+    GROUP BY 1, 2
+    ORDER BY point
+    """,
+)
+def roc_curve_points_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve POINTS for the order-price -> urgent-priority
+    classifier — the curve behind auc_order_priority's scalar: TPR
+    vs FPR at 20 equal-width cent thresholds between the score min
+    and max. Thresholds are BIGINT arithmetic ((hi-lo)*i/20 with
+    integer division), so both engines place identical cut points;
+    each data row is replicated onto the 20-row threshold axis
+    (broadcast literal frame, a constant fan-out) and reduced in one
+    aggregate — no per-threshold rescan, no sort."""
+    o = T(spark, sf_dir, "orders")
+    scored = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    bounds = scored.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    thresholds = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"),
+        "lo",
+        "hi",
+        "pos",
+        "neg",
+    ).select(
+        "i",
+        # integer division on BOTH engines ((hi-lo)*i is exact BIGINT;
+        # DuckDB's `/` would widen to DOUBLE and its BIGINT cast
+        # ROUNDS where Spark's truncates)
+        (F.col("lo") + F.expr("(hi - lo) * i div 20")).alias("thr"),
+        "pos",
+        "neg",
+    )
+    hit = F.col("cents") > F.col("thr")
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .groupBy(F.col("i").alias("point"), F.col("thr").alias("threshold_cents"))
+        .agg(
+            F.sum((hit & (F.col("y") == 1)).cast("int")).cast("long").alias("tp"),
+            F.sum((hit & (F.col("y") == 0)).cast("int")).cast("long").alias("fp"),
+            (
+                F.floor(
+                    F.sum(F.when(hit & (F.col("y") == 1), 1.0).otherwise(0.0))
+                    / F.max("pos")
+                    * 1e9
+                    + 0.5
+                )
+                / 1e9
+            ).alias("tpr_q"),
+            (
+                F.floor(
+                    F.sum(F.when(hit & (F.col("y") == 0), 1.0).otherwise(0.0))
+                    / F.max("neg")
+                    * 1e9
+                    + 0.5
+                )
+                / 1e9
+            ).alias("fpr_q"),
+        )
+        .orderBy("point")
+    )
+
+
+@_staged(
+    "atkinson_index_customers",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    s AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS n,
+             avg(CAST(cents AS DOUBLE)) AS mu,
+             avg(sqrt(CAST(cents AS DOUBLE))) AS m_half,
+             avg(ln(CAST(cents AS DOUBLE))) AS m_log
+      FROM rev WHERE cents > 0 GROUP BY 1
+    )
+    SELECT segment, n,
+           floor(mu * 1e2 + 0.5) / 1e2 AS mean_cents_q,
+           floor((1.0 - m_half * m_half / mu) * 1e6 + 0.5) / 1e6
+             AS atkinson_05_q,
+           floor((1.0 - exp(m_log) / mu) * 1e6 + 0.5) / 1e6 AS atkinson_1_q
+    FROM s ORDER BY segment
+    """,
+)
+def atkinson_index_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index of customer revenue per market
+    segment at aversion ε=0.5 (A = 1 − (E√x)²/Ex) and ε=1
+    (A = 1 − geomean/mean) — the welfare-theoretic member of the
+    inequality suite (gini_customer_revenue: rank-based;
+    theil_index_customers: entropy-based; lorenz_curve_customers:
+    the full curve). A_ε reads directly as "the fraction of total
+    revenue society would give up for perfect equality" — and unlike
+    Gini it is subgroup-decomposable by construction. One groupBy
+    per (segment, customer), one per segment; positive-cents guard
+    keeps ln/√ total."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+    )
+    x = F.col("cents").cast("double")
+    s = rev.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(x).alias("mu"),
+        F.avg(F.sqrt(x)).alias("m_half"),
+        F.avg(F.log(x)).alias("m_log"),
+    )
+    return s.select(
+        "segment",
+        "n",
+        (F.floor(F.col("mu") * 1e2 + 0.5) / 1e2).alias("mean_cents_q"),
+        (
+            F.floor(
+                (1.0 - F.col("m_half") * F.col("m_half") / F.col("mu")) * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("atkinson_05_q"),
+        (
+            F.floor((1.0 - F.exp(F.col("m_log")) / F.col("mu")) * 1e6 + 0.5) / 1e6
+        ).alias("atkinson_1_q"),
+    ).orderBy("segment")

@@ -362,6 +362,7 @@ def test_log_is_delta_structured_with_checkpoints(spark, tmp_path):
     assert set(merge_delta) <= {
         "version", "operation", "add", "remove", "schema", "parent",
         "committed_at", "txn", "constraints", "renames", "generated",
+        "dvs",
     }
     assert len(merge_delta["add"]) <= 2 and len(merge_delta["remove"]) <= 2
     # checkpoint exists at version 10 and reconstruction works everywhere
@@ -1197,3 +1198,166 @@ def test_shallow_clone_isolation_and_divergence(spark, tmp_path):
         raise AssertionError("expected ValueError for existing destination")
     except ValueError:
         pass
+
+
+# -- deletion vectors -------------------------------------------------------
+
+
+def _dv_table(spark, tmp_path, n=200, files=4):
+    """n rows spread over `files` data files."""
+    t = AcidTable(spark, str(tmp_path / "dvt"))
+    rows = [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(n)]
+    df = _mkdf(spark, rows).repartition(files)
+    t.write(df)
+    return t, rows
+
+
+def test_dv_delete_is_metadata_only_and_read_correct(spark, tmp_path):
+    t, rows = _dv_table(spark, tmp_path)
+    s0 = t.snapshot()
+    snap = t.delete("id IN (3, 17, 101)", mode="vector")
+    # no data file written or removed: pure sidecar + manifest
+    assert set(snap.files) == set(s0.files)
+    assert snap.dvs, "a deletion vector must be attached"
+    assert "DELETE (dv)" in snap.operation
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == sorted(i for i, _, _ in rows if i not in (3, 17, 101))
+
+
+def test_dv_second_delete_merges_vector(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path)
+    t.delete("id = 10", mode="vector")
+    t.delete("id = 11", mode="vector")
+    assert t.read().filter(F.col("id").isin(10, 11)).count() == 0
+    assert t.read().count() == 198
+
+
+def test_dv_full_file_match_drops_file(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    a = _mkdf(spark, [(i, "a", float(i)) for i in range(50)]).coalesce(1)
+    b = _mkdf(spark, [(i, "b", float(i)) for i in range(50, 100)]).coalesce(1)
+    t.write(a)
+    s1 = t.write(b, mode="append")
+    snap = t.delete("grp = 'a'", mode="vector")
+    assert len(snap.files) == len(s1.files) - 1, "fully-matched file is dropped"
+    assert not snap.dvs
+    assert t.read().count() == 50
+
+
+def test_dv_dense_match_rewrites_instead(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path, n=100, files=1)
+    snap = t.delete("id < 80", mode="vector")  # 80% of the file's rows
+    assert "rewritten=1" in snap.operation
+    assert not snap.dvs, "dense delete must not leave a vector"
+    assert t.read().count() == 20
+
+
+def test_dv_rewrite_delete_consumes_vector(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path, n=100, files=1)
+    t.delete("id = 5", mode="vector")
+    snap = t.delete("id = 6", mode="rewrite")
+    assert not snap.dvs, "COW rewrite consumes the file's vector"
+    got = sorted(r["id"] for r in t.read().collect())
+    assert 5 not in got and 6 not in got and len(got) == 98
+
+
+def test_dv_merge_never_resurrects_vectored_row(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path, n=100, files=1)
+    t.delete("id = 7", mode="vector")
+    t.merge(_mkdf(spark, [(8, "upd", 800.0)]), keys=["id"])
+    got = {r["id"]: r["value"] for r in t.read().collect()}
+    assert 7 not in got, "merge rewrite resurrected a vectored row"
+    assert got[8] == 800.0 and len(got) == 99
+
+
+def test_dv_time_travel_sees_pre_delete_state(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path)
+    v0 = t.snapshot().version
+    t.delete("id < 10", mode="vector")
+    assert t.read(v0).count() == 200
+    assert t.read().count() == 190
+
+
+def test_dv_change_feed_emits_deletes(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path)
+    v0 = t.snapshot().version
+    s1 = t.delete("id IN (1, 2)", mode="vector")
+    changes = t.row_changes(v0, s1.version, keys=["id"]).collect()
+    assert sorted((r["id"], r["_change_type"]) for r in changes) == [
+        (1, "delete"),
+        (2, "delete"),
+    ]
+
+
+def test_dv_optimize_materializes_vectors(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path)
+    t.delete("id % 10 = 0", mode="vector")
+    snap = t.optimize(target_file_bytes=1 << 30)
+    assert not snap.dvs
+    assert t.read().count() == 180
+    assert t.read(snap.version - 1).count() == 180
+
+
+def test_dv_vacuum_drops_superseded_vectors_keeps_live(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path, n=100, files=1)
+    t.delete("id = 1", mode="vector")
+    t.delete("id = 2", mode="vector")  # supersedes vector #1
+    dvdir = os.path.join(t.path, "dv")
+    assert len(os.listdir(dvdir)) == 2
+    t.vacuum(retain_last=1)
+    live = [f for f in os.listdir(dvdir) if f.endswith(".dv.json")]
+    assert len(live) == 1, "superseded vector must be vacuumed, live one kept"
+    assert t.read().count() == 98
+
+
+def test_dv_restore_brings_vector_state_back(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path)
+    s1 = t.delete("id = 0", mode="vector")
+    t.delete("id = 1", mode="vector")
+    t.restore(s1.version)
+    got = sorted(r["id"] for r in t.read().collect())
+    assert 0 not in got and 1 in got
+
+
+def test_dv_clone_carries_vectors_and_stays_isolated(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path)
+    t.delete("id = 42", mode="vector")
+    c = t.clone(str(tmp_path / "branch"))
+    assert c.read().count() == 199
+    c.delete("id = 43", mode="vector")
+    assert c.read().count() == 198
+    assert t.read().count() == 199, "clone-side vector must not leak to source"
+
+
+def test_dv_checkpoint_replay_preserves_vectors(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path, n=100, files=1)
+    t.delete("id = 3", mode="vector")
+    # push past CHECKPOINT_EVERY so the snapshot replays from checkpoint
+    for i in range(AcidTable.CHECKPOINT_EVERY + 1):
+        t.write(_mkdf(spark, [(1000 + i, "x", 0.0)]), mode="append")
+    assert t.read().filter(F.col("id") == 3).count() == 0
+
+
+def test_dv_guard_rejects_oversized_vector_delete(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path, n=100, files=4)
+    old_cap = AcidTable.DV_MAX_POSITIONS
+    AcidTable.DV_MAX_POSITIONS = 5
+    try:
+        with pytest.raises(ValueError, match="DV_MAX_POSITIONS"):
+            # 25% per file -> sparse path (not dense-rewrite), but 25
+            # positions total exceeds the lowered cap
+            t.delete("id % 4 = 0", mode="vector")
+    finally:
+        AcidTable.DV_MAX_POSITIONS = old_cap
+
+
+def test_dv_ranges_are_run_length_encoded(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path, n=100, files=1)
+    snap = t.delete("id >= 10 AND id < 20", mode="vector")
+    import json as _json
+
+    ref = next(iter(snap.dvs.values()))
+    with open(os.path.join(t.path, "dv", ref)) as fh:
+        payload = _json.load(fh)
+    assert payload["count"] == 10
+    assert len(payload["ranges"]) <= 2, "contiguous positions must collapse"
