@@ -788,3 +788,74 @@ def cap_neighbors(
         )
         .distinct()
     )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 8,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Weighted PageRank with the TextRank recurrence (Mihalcea &
+    Tarau 2004): r(v) = (1−d) + d·Σ_u r(u)·w(u,v)/wdeg(u), ranks
+    initialized to 1.0 (the per-node convention — Σr is NOT
+    normalized to 1, unlike :func:`pagerank`).
+
+    Requires every node to appear as a source (symmetric/undirected
+    graphs satisfy this by construction) — weighted dangling-mass
+    redistribution is not defined here and the operator raises
+    rather than silently mis-ranking.
+
+    Same scale shape as :func:`pagerank`: the edge list with the
+    source's weight-degree folded into a per-edge RATIO is
+    materialized once, so each iteration is one hash join + one
+    per-destination sum — O(edges) per round, no driver round-trip.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    wdeg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.sum(weight).alias("_wd")
+    )
+    if nodes.join(wdeg, "node", "left_anti").limit(1).count() > 0:
+        raise ValueError(
+            "weighted_pagerank requires every node to have out-edges "
+            "(symmetrize the graph first)"
+        )
+    # ratio = w/wdeg computed ONCE — one double division per edge,
+    # replayed identically by the unrolled SQL oracle
+    edges_w = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"), weight)
+        .join(wdeg, "node")
+        .select(
+            "node",
+            "_dst",
+            (F.col(weight).cast("double") / F.col("_wd")).alias("_ratio"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for i in range(iters):
+        contribs = (
+            edges_w.join(ranks, "node")
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("rank") * F.col("_ratio")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = contribs.select(
+            "node",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("_s")).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

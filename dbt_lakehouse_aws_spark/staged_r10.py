@@ -1605,3 +1605,436 @@ def atkinson_index_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((1.0 - F.exp(F.col("m_log")) / F.col("mu")) * 1e6 + 0.5) / 1e6
         ).alias("atkinson_1_q"),
     ).orderBy("segment")
+
+
+def _textrank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """Unrolled weighted-PageRank (TextRank) fixpoint: fixed 8 rounds
+    over the adjacent-word co-occurrence graph. edges/wdeg are
+    referenced by every round — AS MATERIALIZED guards against the
+    2^N inlining trap (auto-memory duckdb-numeric-traps). The
+    per-edge ratio w/wdeg is computed ONCE in `ew`, mirroring the
+    Spark operator's folded-ratio plan bit-for-bit."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+      SELECT e.dst AS node, {1 - damping} + {damping} * sum(r.rank * e.ratio)
+               AS rank
+      FROM ew e JOIN {prev} r ON r.node = e.src
+      GROUP BY e.dst)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) + 1),
+                      i -> {{'pos': i, 'tok': t[i]}})) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      )
+    ),
+    adj AS (
+      SELECT a.tok AS u, b.tok AS v
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok <> a.tok
+    ),
+    und AS (
+      SELECT least(u, v) AS x, greatest(u, v) AS y,
+             CAST(count(*) AS BIGINT) AS w
+      FROM adj GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT x AS src, y AS dst, w FROM und
+      UNION ALL SELECT y, x, w FROM und
+    ),
+    wdeg AS MATERIALIZED (
+      SELECT src, CAST(sum(w) AS BIGINT) AS wd FROM edges GROUP BY 1
+    ),
+    ew AS MATERIALIZED (
+      SELECT e.src, e.dst, e.w * 1.0 / d.wd AS ratio
+      FROM edges e JOIN wdeg d ON d.src = e.src
+    ),
+    r0 AS (SELECT src AS node, 1.0 AS rank FROM wdeg),
+    {chain}
+    SELECT node AS token, round(rank, 6) AS rank
+    FROM {prev}
+    ORDER BY rank DESC, token ASC
+    """
+
+
+@_staged("textrank_keywords_docs", _textrank_oracle_sql())
+def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004) over the
+    corpus-level adjacent-word co-occurrence graph — the
+    graph-centrality keyword ranker next to rake_keywords_docs'
+    frequency heuristic: a word matters if it co-occurs with words
+    that matter, exactly PageRank's recurrence with co-occurrence
+    counts as edge weights. 8 fixed rounds through
+    operators/graph.py::weighted_pagerank (folded w/wdeg ratio, one
+    hash join + per-dst sum per round); the oracle unrolls the same
+    fixpoint into chained CTEs. Graph size is VOCABULARY-bounded —
+    at 100 TB of text the edge list still fits a broadcast."""
+    from dbt_lakehouse_aws_spark.operators.graph import weighted_pagerank
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("tok").alias("u"))
+    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("tok").alias("v"))
+    adj = a.join(b, "doc_id").filter(
+        (F.col("pb") == F.col("pa") + 1) & (F.col("v") != F.col("u"))
+    )
+    und = (
+        adj.select(
+            F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = und.select(
+        F.col("x").alias("src"), F.col("y").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"), "w")
+    )
+    ranks = weighted_pagerank(edges, iters=8)
+    return ranks.select(
+        F.col("node").alias("token"), F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), F.asc("token"))
+
+
+def _ipf_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled iterative-proportional-fitting oracle: each round is
+    a row-scaling CTE then a column-scaling CTE over the (event_type
+    x ISO-weekday) cell table. Cells are referenced by every round ->
+    MATERIALIZED; margins recompute per step exactly as the Spark
+    loop does (identical join+sum order, so floats replay)."""
+    steps = []
+    prev = "w0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""rs{i} AS (
+      SELECT w.event_type, w.wd, w.n,
+             w.wt * (t.row_target / rsum.s) AS wt
+      FROM {prev} w
+      JOIN (SELECT event_type, sum(wt * n) AS s FROM {prev} GROUP BY 1) rsum
+        ON rsum.event_type = w.event_type
+      JOIN row_targets t ON t.event_type = w.event_type),
+    w{i} AS (
+      SELECT w.event_type, w.wd, w.n,
+             w.wt * (t.col_target / csum.s) AS wt
+      FROM rs{i} w
+      JOIN (SELECT wd, sum(wt * n) AS s FROM rs{i} GROUP BY 1) csum
+        ON csum.wd = w.wd
+      JOIN col_targets t ON t.wd = w.wd)"""
+        )
+        prev = f"w{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS wd,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS t, count(DISTINCT event_type) AS k FROM cells),
+    row_targets AS MATERIALIZED (
+      SELECT DISTINCT event_type, (SELECT t / k FROM tot) AS row_target
+      FROM cells
+    ),
+    col_targets AS MATERIALIZED (
+      SELECT wd, sum(n) AS col_target FROM cells GROUP BY 1
+    ),
+    w0 AS (SELECT event_type, wd, n, 1.0 AS wt FROM cells),
+    {chain}
+    SELECT event_type, wd, CAST(n AS BIGINT) AS n,
+           floor(wt * 1e6 + 0.5) / 1e6 AS weight_q,
+           floor(wt * n * 1e4 + 0.5) / 1e4 AS raked_q
+    FROM {prev}
+    ORDER BY event_type, wd
+    """
+
+
+@_staged("ipf_raking_events", _ipf_oracle_sql())
+def ipf_raking_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (survey raking) on the
+    (event_type x ISO-weekday) contingency table: find cell weights
+    whose weighted table matches EQUALIZED row margins (each event
+    type gets total/k — the "rebalance the stream mix without
+    touching the weekday profile" ask) while preserving the observed
+    weekday margins. 4 unrolled Sinkhorn rounds (row-scale,
+    col-scale); the fixpoint CTE-unrolls exactly like the pagerank
+    device. The fit runs on the AGGREGATED cell table — k x 7 rows
+    however big the raw stream is."""
+    e = T(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (F.weekday(F.to_date("ts")) + 1).cast("long").alias("wd"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n")).persist()
+    tot = cells.agg(
+        F.sum("n").alias("t"), F.countDistinct("event_type").alias("k")
+    ).first()
+    row_target = tot["t"] / tot["k"]
+    col_targets = cells.groupBy("wd").agg(F.sum("n").alias("col_target"))
+    w = cells.withColumn("wt", F.lit(1.0))
+    for _ in range(4):
+        rsum = w.groupBy("event_type").agg(
+            F.sum(F.col("wt") * F.col("n")).alias("s")
+        )
+        w = w.join(rsum, "event_type").select(
+            "event_type",
+            "wd",
+            "n",
+            (F.col("wt") * (F.lit(row_target) / F.col("s"))).alias("wt"),
+        )
+        csum = w.groupBy("wd").agg(F.sum(F.col("wt") * F.col("n")).alias("s"))
+        w = (
+            w.join(csum, "wd")
+            .join(col_targets, "wd")
+            .select(
+                "event_type",
+                "wd",
+                "n",
+                (F.col("wt") * (F.col("col_target") / F.col("s"))).alias("wt"),
+            )
+            # w feeds BOTH the next round's margin sums and its scaling
+            # join — truncate lineage per round or the plan doubles
+            # every iteration (the 2^N trap the oracle dodges with
+            # MATERIALIZED); the frame is k x 7 rows
+            .localCheckpoint(eager=True)
+        )
+    return w.select(
+        "event_type",
+        "wd",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(F.col("wt") * 1e6 + 0.5) / 1e6).alias("weight_q"),
+        (F.floor(F.col("wt") * F.col("n") * 1e4 + 0.5) / 1e4).alias("raked_q"),
+    ).orderBy("event_type", "wd")
+
+
+@_staged(
+    "l_diversity_orders",
+    """
+    WITH classes AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+             CAST(count(*) AS BIGINT) AS k_size,
+             CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l_distinct
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+             o.o_orderpriority AS s, CAST(count(*) AS BIGINT) AS ns
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2, 3
+    ),
+    h AS (
+      SELECT e.segment, e.order_year,
+             -sum((CAST(e.ns AS DOUBLE) / cl.k_size)
+                  * ln(CAST(e.ns AS DOUBLE) / cl.k_size)) AS hval
+      FROM ent e
+      JOIN classes cl
+        ON cl.segment = e.segment AND cl.order_year = e.order_year
+      GROUP BY 1, 2
+    )
+    SELECT cl.segment AS segment, cl.order_year AS order_year,
+           cl.k_size, cl.l_distinct,
+           floor(exp(h.hval) * 1e6 + 0.5) / 1e6 AS entropy_l_q,
+           CASE WHEN cl.l_distinct >= 3 THEN 'l3_ok' ELSE 'below_l3' END
+             AS verdict
+    FROM classes cl
+    JOIN h ON h.segment = cl.segment AND h.order_year = cl.order_year
+    ORDER BY cl.segment, cl.order_year
+    """,
+)
+def l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the (market segment, order year)
+    quasi-identifier classes against the order-priority SENSITIVE
+    attribute — the k-anonymity follow-up (k_anonymity_orders checks
+    class SIZES; a class can be large yet reveal everyone's priority
+    if it is homogeneous): distinct-l, entropy-l (exp of the class's
+    Shannon entropy — the strict version that penalizes skewed
+    mixes), and the l>=3 verdict. Two hash aggregates; the entropy
+    join runs on class aggregates, never rows."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_orderpriority",
+    )
+    classes = j.groupBy("segment", "order_year").agg(
+        F.count(F.lit(1)).cast("long").alias("k_size"),
+        F.countDistinct("o_orderpriority").cast("long").alias("l_distinct"),
+    )
+    ent = j.groupBy("segment", "order_year", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    p = F.col("ns").cast("double") / F.col("k_size")
+    h = (
+        ent.join(classes.select("segment", "order_year", "k_size"),
+                 ["segment", "order_year"])
+        .groupBy("segment", "order_year")
+        .agg((-F.sum(p * F.log(p))).alias("hval"))
+    )
+    return (
+        classes.join(h, ["segment", "order_year"])
+        .select(
+            "segment",
+            "order_year",
+            "k_size",
+            "l_distinct",
+            (F.floor(F.exp(F.col("hval")) * 1e6 + 0.5) / 1e6).alias(
+                "entropy_l_q"
+            ),
+            F.when(F.col("l_distinct") >= 3, F.lit("l3_ok"))
+            .otherwise(F.lit("below_l3"))
+            .alias("verdict"),
+        )
+        .orderBy("segment", "order_year")
+    )
+
+
+@_staged(
+    "control_chart_rules_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    params AS (
+      SELECT event_type,
+             sum(CAST(n AS DOUBLE)) / count(*) AS mu,
+             sqrt(sum(CAST(n AS DOUBLE) * n) / count(*)
+                  - (sum(CAST(n AS DOUBLE)) / count(*))
+                    * (sum(CAST(n AS DOUBLE)) / count(*))) AS sigma
+      FROM daily GROUP BY 1
+    ),
+    z AS (
+      SELECT d.event_type, d.day, d.n,
+             (d.n - p.mu) / p.sigma AS zval,
+             CASE WHEN d.n > p.mu THEN 1 ELSE 0 END AS side,
+             row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+               AS rn
+      FROM daily d JOIN params p ON p.event_type = d.event_type
+    ),
+    runs AS (
+      SELECT *,
+             rn - row_number() OVER (PARTITION BY event_type, side
+                                     ORDER BY day) AS grp
+      FROM z
+    ),
+    runlen AS (
+      SELECT event_type, side, grp, CAST(count(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY 1, 2, 3
+    ),
+    flagged AS (
+      SELECT r.event_type, r.day, r.n, r.zval,
+             CASE WHEN abs(r.zval) > 3.0 THEN 1 ELSE 0 END AS rule_3sigma,
+             CASE WHEN l.run_len >= 8 THEN 1 ELSE 0 END AS rule_8run
+      FROM runs r
+      JOIN runlen l ON l.event_type = r.event_type AND l.side = r.side
+                   AND l.grp = r.grp
+    )
+    SELECT event_type, day, n,
+           floor(zval * 1e6 + 0.5) / 1e6 AS z_q,
+           CAST(rule_3sigma AS BIGINT) AS rule_3sigma,
+           CAST(rule_8run AS BIGINT) AS rule_8run
+    FROM (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY rule_3sigma + rule_8run DESC, abs(zval) DESC, day ASC
+             ) AS rk
+      FROM flagged
+    )
+    WHERE rk <= 5 OR rule_3sigma = 1 OR rule_8run = 1
+    ORDER BY event_type, day
+    """,
+)
+def control_chart_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart control chart with Western Electric rules over each
+    event type's daily count series: rule 1 (a point beyond ±3σ of
+    the center line) and rule 4 (8+ consecutive points on one side
+    of center — the drift signature a 3σ band never trips). σ is the
+    population σ from power sums (engines disagree on sample
+    corrections); run membership is gaps-and-islands (rn − rn-by-side
+    — two per-type windows, partitioned, no global funnel). Returns
+    only violating days. cusum_daily_events detects the shift;
+    this is the operator-panel view that says WHICH rule fired."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nd = F.col("n").cast("double")
+    params = daily.groupBy("event_type").agg(
+        (F.sum(nd) / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            F.sum(nd * F.col("n")) / F.count(F.lit(1))
+            - (F.sum(nd) / F.count(F.lit(1)))
+            * (F.sum(nd) / F.count(F.lit(1)))
+        ).alias("sigma"),
+    )
+    z = daily.join(params, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        ((F.col("n") - F.col("mu")) / F.col("sigma")).alias("zval"),
+        F.when(F.col("n") > F.col("mu"), 1).otherwise(0).alias("side"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("rn"),
+    )
+    runs = z.withColumn(
+        "grp",
+        F.col("rn")
+        - F.row_number().over(
+            Window.partitionBy("event_type", "side").orderBy("day")
+        ),
+    )
+    runlen = runs.groupBy("event_type", "side", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    flagged = runs.join(runlen, ["event_type", "side", "grp"]).select(
+        "event_type",
+        "day",
+        "n",
+        "zval",
+        F.when(F.abs(F.col("zval")) > 3.0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rule_3sigma"),
+        F.when(F.col("run_len") >= 8, 1).otherwise(0).cast("long").alias("rule_8run"),
+    )
+    # top-5 most anomalous days per type ALWAYS ship (violations rank
+    # first), so a well-behaved stream still yields its watchlist
+    # instead of an empty relation
+    wk = Window.partitionBy("event_type").orderBy(
+        (F.col("rule_3sigma") + F.col("rule_8run")).desc(),
+        F.abs(F.col("zval")).desc(),
+        F.col("day").asc(),
+    )
+    return (
+        flagged.withColumn("rk", F.row_number().over(wk))
+        .filter(
+            (F.col("rk") <= 5)
+            | (F.col("rule_3sigma") == 1)
+            | (F.col("rule_8run") == 1)
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            (F.floor(F.col("zval") * 1e6 + 0.5) / 1e6).alias("z_q"),
+            "rule_3sigma",
+            "rule_8run",
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1342,3 +1342,33 @@ def test_cap_neighbors_keeps_strongest_and_symmetrizes(spark):
     assert (1, 4) in got
     assert (5, 6) not in got  # below k on BOTH sides: the only drop
     assert {(5, 8), (5, 9), (6, 10), (6, 11)} <= got
+
+
+def test_weighted_pagerank_hand_computed(spark):
+    """Two-node symmetric graph: ranks must converge to 1.0 each
+    (every recurrence step yields (1-d) + d*1.0 from the single
+    neighbor), and a three-node path concentrates rank on the
+    middle node. Dangling sources are rejected."""
+    import pytest as _pytest
+
+    from dbt_lakehouse_aws_spark.operators.graph import weighted_pagerank
+
+    pair = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 3)], "src string, dst string, w long"
+    )
+    got = {r["node"]: r["rank"] for r in weighted_pagerank(pair, iters=5).collect()}
+    assert abs(got["a"] - 1.0) < 1e-12 and abs(got["b"] - 1.0) < 1e-12
+
+    path = spark.createDataFrame(
+        [("a", "m", 1), ("m", "a", 1), ("b", "m", 1), ("m", "b", 1)],
+        "src string, dst string, w long",
+    )
+    r = {x["node"]: x["rank"] for x in weighted_pagerank(path, iters=8).collect()}
+    assert r["m"] > r["a"] and r["m"] > r["b"]
+    assert abs(r["a"] - r["b"]) < 1e-12  # symmetric leaves tie exactly
+
+    dangling = spark.createDataFrame(
+        [("a", "b", 1)], "src string, dst string, w long"
+    )
+    with _pytest.raises(ValueError, match="out-edges"):
+        weighted_pagerank(dangling, iters=2)
