@@ -624,6 +624,18 @@ def decode_wav(data: bytes) -> dict:
     if fmt is None or raw is None:
         raise ValueError("WAV payload missing fmt/data chunk")
     audio_format, channels, sample_rate, bits = fmt
+    if (audio_format, bits) == (7, 8):
+        # G.711 µ-law: expand each byte to linear int16
+        n_frames = len(raw) // channels
+        samples = ulaw_decode(raw[: n_frames * channels]).reshape(
+            n_frames, channels
+        )
+        return {
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "bits": bits,
+            "samples": samples,
+        }
     dtypes = {
         (1, 8): np.uint8,
         (1, 16): np.dtype("<i2"),
@@ -635,7 +647,7 @@ def decode_wav(data: bytes) -> dict:
     if dt is None:
         raise ValueError(
             f"unsupported WAV encoding format={audio_format} bits={bits} "
-            "(PCM 8/16/32 and IEEE float 32/64 supported)"
+            "(PCM 8/16/32, IEEE float 32/64 and G.711 µ-law supported)"
         )
     frame_bytes = (bits // 8) * channels
     n_frames = len(raw) // frame_bytes
@@ -648,6 +660,60 @@ def decode_wav(data: bytes) -> dict:
         "bits": bits,
         "samples": samples,
     }
+
+
+def ulaw_encode(samples) -> bytes:
+    """ITU-T G.711 µ-law compression of int16 PCM (the Sun/CCITT
+    reference algorithm, vectorized): bias 132, clip 32635, exponent
+    = position of the MSB of the biased magnitude within bits 7..14,
+    4-bit mantissa, ones-complement output. Anchors pinned by tests:
+    0 → 0xFF, +32635 → 0x80, −32635 → 0x00."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    ax = np.minimum(np.abs(x), 32635) + 132
+    exponent = (np.floor(np.log2(ax)).astype(np.int64)) - 7
+    mantissa = (ax >> (exponent + 3)) & 0x0F
+    return ((~(sign | (exponent << 4) | mantissa)) & 0xFF).astype(np.uint8).tobytes()
+
+
+def ulaw_decode(data: bytes):
+    """Inverse of :func:`ulaw_encode` — returns int16 samples:
+    x = ((mantissa·8 + 132) << exponent) − 132, sign-applied."""
+    import numpy as np
+
+    y = (~np.frombuffer(data, dtype=np.uint8).astype(np.int64)) & 0xFF
+    sign = y & 0x80
+    exponent = (y >> 4) & 0x07
+    mantissa = y & 0x0F
+    mag = (((mantissa << 3) + 132) << exponent) - 132
+    return np.where(sign > 0, -mag, mag).astype("<i2")
+
+
+def encode_wav_ulaw(samples, sample_rate: int) -> bytes:
+    """int16 samples → RIFF/WAVE with format code 7 (G.711 µ-law,
+    8 bits per sample) — the telephony container decode_wav expands
+    back to linear PCM."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int64)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, channels = samples.shape
+    body = ulaw_encode(samples.reshape(-1))
+    block_align = channels  # 1 byte per sample
+    fmt = struct.pack(
+        "<HHIIHH", 7, channels, sample_rate, sample_rate * block_align,
+        block_align, 8,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def encode_wav(samples, sample_rate: int) -> bytes:

@@ -1144,6 +1144,7 @@ class AcidTable:
         *,
         max_retries: int = 3,
         txn: tuple[str, int] | None = None,
+        not_matched_by_source_delete: str | None = None,
     ) -> Snapshot:
         """``MERGE INTO`` (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
         INSERT *): copy-on-write on exactly the files holding matched
@@ -1162,16 +1163,31 @@ class AcidTable:
 
         Retries automatically on :class:`CommitConflict` by rebasing on
         the new snapshot (optimistic concurrency, Delta-style).
+
+        ``not_matched_by_source_delete`` adds Delta's ``WHEN NOT
+        MATCHED BY SOURCE THEN DELETE`` clause: target rows whose key
+        the source does NOT carry AND that satisfy the given condition
+        (a logical-name SQL expression; ``"true"`` for all) are
+        deleted in the same atomic commit — the full-table-sync /
+        retention-sweep shape. Files holding such rows join the
+        touched set, so the clause prices O(files with deletions),
+        not O(table).
         """
         keys = list(keys)
         for _ in range(max_retries):
             snap = self.snapshot()
             try:
-                return self._merge_once(snap, updates, keys, txn=txn)
+                return self._merge_once(
+                    snap, updates, keys, txn=txn,
+                    nmbs_delete=not_matched_by_source_delete,
+                )
             except CommitConflict:
                 continue
         # final attempt propagates the conflict
-        return self._merge_once(self.snapshot(), updates, keys, txn=txn)
+        return self._merge_once(
+            self.snapshot(), updates, keys, txn=txn,
+            nmbs_delete=not_matched_by_source_delete,
+        )
 
     def _merge_once(
         self,
@@ -1179,6 +1195,7 @@ class AcidTable:
         updates: DataFrame,
         keys: list[str],
         txn: tuple[str, int] | None = None,
+        nmbs_delete: str | None = None,
     ) -> Snapshot:
         schema = StructType.fromJson(json.loads(snap.schema_json))
         # generated columns and constraints are written against
@@ -1188,6 +1205,7 @@ class AcidTable:
         self._enforce(updates, snap.constraints)
         updates = self._to_physical(updates, snap.renames)
         inv = {log: phys for phys, log in snap.renames.items()}
+        keys_log = list(keys)
         keys = [inv.get(k, k) for k in keys]
         evolved = self._evolved_schema(schema, updates)
         bounds = updates.agg(
@@ -1224,6 +1242,34 @@ class AcidTable:
             # hold absolute entries whose basename != the entry itself)
             by_base = {os.path.basename(self._resolve(f)): f for f in candidates}
             touched = [by_base[r["_file"]] for r in touched_paths]
+        nmbs_cond = F.expr(nmbs_delete) if nmbs_delete else None
+        if nmbs_cond is not None and snap.files:
+            # files holding deletable rows (condition-satisfying rows
+            # whose key the source does not carry) join the touched
+            # set — no stats pruning is sound for an arbitrary
+            # condition, but only FILE NAMES travel to the driver
+            all_log = self._to_logical(
+                self._scan_physical(snap, keep_file_col="_file"), snap.renames
+            )
+            upd_keys_log = self._to_logical(
+                updates.select(*keys).distinct(), snap.renames
+            )
+            del_paths = (
+                all_log.filter(nmbs_cond)
+                .join(upd_keys_log, keys_log, "left_anti")
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            by_base_all = {
+                os.path.basename(self._resolve(f)): f for f in snap.files
+            }
+            seen = set(touched)
+            touched += [
+                by_base_all[r["_file"]]
+                for r in del_paths
+                if by_base_all[r["_file"]] not in seen
+            ]
         lacking = [f.name for f in schema.fields if f.name not in updates.columns]
         if lacking:
             # UPDATE SET * semantics (Delta's rule): the delta must
@@ -1234,6 +1280,14 @@ class AcidTable:
         if touched:
             touched_df = self._scan_physical(snap, touched)
             survivors = touched_df.join(updates.select(*keys).distinct(), keys, "left_anti")
+            if nmbs_cond is not None:
+                # WHEN NOT MATCHED BY SOURCE THEN DELETE: unmatched
+                # target rows meeting the condition do not survive
+                surv_log = self._to_logical(survivors, snap.renames)
+                survivors = self._to_physical(
+                    surv_log.filter(~nmbs_cond | nmbs_cond.isNull()),
+                    snap.renames,
+                )
             # pre-evolution survivor rows take NULLs for new columns
             rewritten = up.unionByName(survivors, allowMissingColumns=True)
         else:
@@ -1250,7 +1304,8 @@ class AcidTable:
         stats = {f: s for f, s in snap.stats.items() if f in set(untouched)}
         stats.update(self._stats_for(new_files, evolved))
         return self._commit(
-            operation=f"MERGE keys={keys} touched={len(touched)}/{len(snap.files)}",
+            operation=f"MERGE keys={keys} touched={len(touched)}/{len(snap.files)}"
+            + (" +nmbs_delete" if nmbs_delete else ""),
             files=untouched + new_files,
             schema_json=evolved.json(),
             stats=stats,

@@ -2038,3 +2038,175 @@ def control_chart_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@_staged(
+    "merge_full_sync_events",
+    """
+    WITH cuts AS (
+      SELECT min(CAST(ts AS DATE)) + 20 AS src_cut,
+             min(CAST(ts AS DATE)) + 10 AS stale_cut
+      FROM events
+    ),
+    pre AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             max(CAST(ts AS DATE)) AS last_day
+      FROM events WHERE CAST(ts AS DATE) < (SELECT src_cut FROM cuts)
+      GROUP BY 1
+    ),
+    src AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             max(CAST(ts AS DATE)) AS last_day
+      FROM events WHERE CAST(ts AS DATE) >= (SELECT src_cut FROM cuts)
+      GROUP BY 1
+    )
+    SELECT coalesce(s.user_id, p.user_id) AS user_id,
+           coalesce(s.n_events, p.n_events) AS n_events,
+           coalesce(s.cents, p.cents) AS cents,
+           coalesce(s.last_day, p.last_day) AS last_day
+    FROM pre p FULL OUTER JOIN src s ON s.user_id = p.user_id
+    WHERE s.user_id IS NOT NULL
+       OR NOT (p.last_day < (SELECT stale_cut FROM cuts))
+    ORDER BY user_id
+    """,
+)
+def merge_full_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with WHEN NOT MATCHED BY SOURCE THEN DELETE under the
+    driver gate — the retention-sweep shape: a pre-March user-profile
+    table is synced against the March activity snapshot in ONE atomic
+    commit that upserts every March-active user AND deletes profiles
+    that are both absent from the source and stale (last active
+    before Feb). The oracle replays the three-way outcome with a full
+    outer join; the engine asserts pin the transactional claims —
+    one version bump, the operation records the clause."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def profile(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.max("day").alias("last_day"),
+        )
+
+    # SF-robust cuts derived from the data (sf0.001 spans one month;
+    # sf0.1 several): source window opens at min+20 days, staleness
+    # at min+10
+    d0 = e.agg(F.min("day")).first()[0]
+    src_cut = F.lit(str(d0 + __import__("datetime").timedelta(days=20))).cast(
+        "date"
+    )
+    t = AcidTable(
+        spark, tempfile.mkdtemp(prefix=f"nmbs_{uuid.uuid4().hex[:8]}_") + "/t"
+    )
+    t.write(profile(e.filter(F.col("day") < src_cut)).repartition(4))
+    pre = t.snapshot()
+    snap = t.merge(
+        profile(e.filter(F.col("day") >= src_cut)),
+        keys=["user_id"],
+        not_matched_by_source_delete=(
+            f"last_day < DATE '{d0 + __import__('datetime').timedelta(days=10)}'"
+        ),
+    )
+    assert snap.version == pre.version + 1, "full sync must be one commit"
+    assert "+nmbs_delete" in snap.operation
+    return t.read().select(
+        "user_id", "n_events", "cents", "last_day"
+    ).orderBy("user_id")
+
+
+
+def _g711_oracle_sql() -> str:
+    """Closed-form G.711 µ-law encode∘decode quantizer in SQL —
+    validated bit-exact against the numpy codec across the full
+    int16 range. Bitwise ops are parenthesized per lane (DuckDB's
+    same-precedence left associativity, auto-memory
+    duckdb-numeric-traps)."""
+    ax = "(least(abs(s), 32635) + 132)"
+    ecase = (
+        f"CASE WHEN {ax} < 256 THEN 0 WHEN {ax} < 512 THEN 1 "
+        f"WHEN {ax} < 1024 THEN 2 WHEN {ax} < 2048 THEN 3 "
+        f"WHEN {ax} < 4096 THEN 4 WHEN {ax} < 8192 THEN 5 "
+        f"WHEN {ax} < 16384 THEN 6 ELSE 7 END"
+    )
+    # lambdas can't hold subqueries in DuckDB — inline the exponent
+    # CASE at each use site instead of binding it once
+    mag = (
+        f"(((({ax} >> (({ecase}) + 3)) & 15) * 8 + 132)"
+        f" * (1 << ({ecase})) - 132)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(30 + doc_id % 40 AS BIGINT) AS n,
+             list_transform(range(0, CAST(30 + doc_id % 40 AS BIGINT)),
+                            i -> (doc_id * 53 + i * 97) % 65536 - 32768) AS sam
+      FROM documents
+    ),
+    dec AS (
+      SELECT doc_id, n,
+             list_transform(sam, s ->
+               CASE WHEN s < 0 THEN -{mag}
+                    ELSE {mag} END) AS d
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           n AS n_frames,
+           n * 1000 // 8000 AS duration_ms,
+           CAST(list_sum(list_transform(d, x -> abs(x))) AS BIGINT) AS amp_sum,
+           CAST(list_sum(list_transform(range(1, CAST(n AS INT)),
+                i -> CASE WHEN (d[i] >= 0) != (d[i+1] >= 0) THEN 1 ELSE 0 END))
+                AS BIGINT) AS zero_crossings
+    FROM dec
+    """
+
+
+@_staged("audio_g711_features", _g711_oracle_sql())
+def audio_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-law telephony audio under the driver gate: per doc a
+    deterministic int16 waveform is COMPRESSED to genuine 8-bit
+    µ-law RIFF/WAVE (format code 7 — the codec every PSTN/VoIP
+    capture pipeline emits), then the WAV parser expands it back to
+    linear PCM inside mapInPandas and emits integer-exact features
+    of the DECODED signal. The oracle replays the ITU quantizer
+    (bias-132 / MSB-segment / 4-bit-mantissa, validated bit-exact
+    against the numpy codec over the whole int16 domain) in closed
+    form — a green row proves the engine's µ-law bytes and expansion
+    match the spec arithmetic, not just each other."""
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        encode_wav_ulaw,
+        extract_audio_features,
+    )
+
+    def make_payloads(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 30 + doc_id % 40
+                sam = (
+                    (doc_id * 53 + np.arange(n, dtype=np.int64) * 97) % 65536
+                    - 32768
+                )
+                payloads.append(encode_wav_ulaw(sam, 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    return extract_audio_features(payloads)

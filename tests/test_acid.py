@@ -1361,3 +1361,52 @@ def test_dv_ranges_are_run_length_encoded(spark, tmp_path):
         payload = _json.load(fh)
     assert payload["count"] == 10
     assert len(payload["ranges"]) <= 2, "contiguous positions must collapse"
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: one atomic MERGE
+    updates matched keys, inserts new ones, and deletes unmatched
+    target rows meeting the condition — others carry over."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, [
+        (1, "keep", 1.0),    # matched -> updated
+        (2, "stale", 2.0),   # unmatched + condition -> deleted
+        (3, "fresh", 3.0),   # unmatched, fails condition -> survives
+    ]).coalesce(1))
+    src = _mkdf(spark, [(1, "keep", 10.0), (4, "new", 4.0)])
+    snap = t.merge(src, keys=["id"],
+                   not_matched_by_source_delete="grp = 'stale'")
+    assert "+nmbs_delete" in snap.operation
+    got = {r["id"]: (r["grp"], r["value"]) for r in t.read().collect()}
+    assert got == {1: ("keep", 10.0), 3: ("fresh", 3.0), 4: ("new", 4.0)}
+
+
+def test_merge_nmbs_full_sync_mirrors_source(spark, tmp_path):
+    """condition 'true' = full-table sync: post-merge table content
+    equals the source exactly, in ONE commit."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, [(i, "old", float(i)) for i in range(20)])
+            .repartition(3))
+    src_rows = [(5, "s", 50.0), (21, "s", 210.0)]
+    v = t.snapshot().version
+    snap = t.merge(_mkdf(spark, src_rows), keys=["id"],
+                   not_matched_by_source_delete="true")
+    assert snap.version == v + 1
+    assert sorted(tuple(r) for r in t.read().collect()) == sorted(src_rows)
+
+
+def test_merge_nmbs_prices_only_touched_files(spark, tmp_path):
+    """A condition that matches nothing must leave untouched files
+    carried over by reference (no full-table rewrite)."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    a = _mkdf(spark, [(i, "a", float(i)) for i in range(50)]).coalesce(1)
+    b = _mkdf(spark, [(i, "b", float(i)) for i in range(50, 100)]).coalesce(1)
+    t.write(a)
+    s1 = t.write(b, mode="append")
+    snap = t.merge(
+        _mkdf(spark, [(1, "a", -1.0)]), keys=["id"],
+        not_matched_by_source_delete="grp = 'no_such_group'",
+    )
+    # file holding group b carries over untouched
+    assert set(s1.files) & set(snap.files), "untouched file was rewritten"
+    assert t.read().count() == 100

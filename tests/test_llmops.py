@@ -2314,3 +2314,39 @@ def test_rle8_delta_escape_preserves_previous_frame():
     assert (fr[0] == 5).all()
     assert (fr[1][0] == 5).all()                  # top display row untouched
     assert list(fr[1][1, :, 0]) == [5, 5, 9, 9]   # skipped kept, written new
+
+
+def test_ulaw_spec_anchors_and_roundtrip():
+    """G.711 µ-law pinned against the ITU/Sun reference anchors
+    (0 → 0xFF, +clip → 0x80, −clip → 0x00), re-encode idempotence,
+    and the per-segment quantization error bound (< 2^(e+3))."""
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        decode_wav,
+        encode_wav_ulaw,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    assert ulaw_encode([0]) == b"\xff"
+    assert ulaw_encode([32635]) == b"\x80"
+    assert ulaw_encode([-32635]) == b"\x00"
+    assert ulaw_encode([32767]) == b"\x80"  # clipped to the same code
+
+    x = np.arange(-32768, 32768, 97, dtype=np.int64)
+    enc = ulaw_encode(x)
+    dec = ulaw_decode(enc).astype(np.int64)
+    # decode∘encode must be a fixpoint (requantizing changes nothing)
+    assert ulaw_encode(dec) == enc
+    err = np.abs(dec - np.clip(x, -32635, 32635))
+    seg = np.maximum(
+        np.floor(np.log2(np.abs(np.clip(x, -32635, 32635)) + 132)).astype(int) - 7,
+        0,
+    )
+    assert (err < (1 << (seg + 3))).all()
+
+    wav = encode_wav_ulaw(np.array([0, 1000, -1000, 32000], dtype=np.int64), 8000)
+    out = decode_wav(wav)
+    assert out["bits"] == 8 and out["sample_rate"] == 8000
+    assert (out["samples"][:, 0] == ulaw_decode(ulaw_encode([0, 1000, -1000, 32000]))).all()
