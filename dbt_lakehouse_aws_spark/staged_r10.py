@@ -2210,3 +2210,284 @@ def audio_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").select("doc_id")
     payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
     return extract_audio_features(payloads)
+
+
+@_staged(
+    "stream_late_data_equivalence",
+    """
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 2 DAY AS w
+      FROM events WHERE user_id % 10 != 0
+    )
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id % 10 != 0
+       OR CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
+            > (SELECT w FROM wm)
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def stream_late_data_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TENTH streaming certificate: WATERMARK LATE-DATA DROP.
+    Run 1 streams only the on-time slice (user_id%10 != 0) through a
+    1-day tumbling aggregate with a 2-day watermark into an
+    append-mode parquet sink; run 2 RESTARTS from the checkpoint and
+    replays the held-back slice against the checkpointed watermark
+    (= max on-time ts − 2 days). Spark's late filter is
+    WINDOW-level: a late row is dropped iff its day-window END ≤
+    the watermark (verified empirically — row-level ts-vs-watermark
+    models mismatch on the boundary day); rows whose window is
+    still open legitimately merge — the oracle models exactly that
+    (a far-future sentinel then advances the watermark; run 3's
+    second sentinel forces the final evictions). A wrongly-kept
+    too-late row would re-open an already-finalized window and
+    surface as a duplicate window key; a wrongly-dropped fresh one
+    undercounts its window. This pins the drop semantics none of the
+    other nine certificates exercise (they feed data in order)."""
+    import datetime as _dt
+    import tempfile
+    import uuid
+
+    base = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix=f"late_{uuid.uuid4().hex[:8]}_")
+    inp, chk, out = f"{work}/in", f"{work}/chk", f"{work}/out"
+    on_time = base.filter(F.col("user_id") % 10 != 0)
+    late = base.filter(F.col("user_id") % 10 == 0)
+    on_time.write.parquet(inp)
+    max_ts = base.agg(F.max("ts")).first()[0]
+
+    schema = "ts timestamp, user_id bigint, event_type string, cents bigint"
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        agg = (
+            stream.withWatermark("ts", "2 days")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "cents")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    def sentinel(tag: str, days: int):
+        spark.createDataFrame(
+            [(max_ts + _dt.timedelta(days=days), -1, tag, 0)], schema
+        ).write.mode("append").parquet(inp)
+
+    run_pass()                 # on-time slice; watermark -> max_ts - 2d
+    late.write.mode("append").parquet(inp)
+    sentinel("sentinel1", 10)  # late rows face the checkpointed watermark
+    run_pass()
+    sentinel("sentinel2", 20)  # forces eviction of every on-time window
+    run_pass()
+
+    sink = spark.read.parquet(out)
+    return (
+        sink.filter(~F.col("event_type").startswith("sentinel"))
+        .select(
+            F.to_date("window_start").alias("day"),
+            "event_type",
+            "n_events",
+            "cents",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@_staged(
+    "pacf_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day, count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.key, l.lag, a.x, b.x AS y
+      FROM daily a
+      CROSS JOIN (SELECT unnest(range(1, 4)) AS lag) l
+      JOIN daily b ON b.key = a.key AND b.day = a.day - CAST(l.lag AS INTEGER)
+    ),
+    stats AS (
+      SELECT key, CAST(lag AS BIGINT) AS lag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY 1, 2
+    ),
+    acf AS (
+      SELECT key, lag,
+             (n * sxy - sx * sy)
+               / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)
+               AS r
+      FROM stats
+    ),
+    wide AS (
+      SELECT key,
+             max(CASE WHEN lag = 1 THEN r END) AS r1,
+             max(CASE WHEN lag = 2 THEN r END) AS r2,
+             max(CASE WHEN lag = 3 THEN r END) AS r3
+      FROM acf GROUP BY 1
+    ),
+    dl AS (
+      SELECT key, r1, r2, r3,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+      FROM wide
+    ),
+    dl2 AS (
+      SELECT key, r1, r2, r3, phi22,
+             r1 - phi22 * r1 AS phi21
+      FROM dl
+    )
+    SELECT key AS event_type,
+           floor(r1 * 1e6 + 0.5) / 1e6 AS pacf1_q,
+           floor(phi22 * 1e6 + 0.5) / 1e6 AS pacf2_q,
+           floor((r3 - phi21 * r2 - phi22 * r1)
+                 / (1.0 - phi21 * r1 - phi22 * r2) * 1e6 + 0.5) / 1e6
+             AS pacf3_q
+    FROM dl2 ORDER BY event_type
+    """,
+)
+def pacf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-3) of per-type daily counts
+    via the Durbin-Levinson recursion in closed form — the
+    model-order diagnostic next to acf_daily_events (ACF says "is
+    there memory"; PACF says "how many AR terms explain it": an
+    AR(1) stream has phi22 ~ 0 however large r2 is). The lag
+    correlations come from the same exact-sufficient-stat lag-pair
+    device as the ACF query; phi22 = (r2-r1^2)/(1-r1^2) and the
+    order-3 step are plain arithmetic both engines replay."""
+    from dbt_lakehouse_aws_spark.operators.temporal import acf_daily
+
+    ev = T(spark, sf_dir, "events")
+    acf = acf_daily(ev, key_col="event_type", ts_col="ts", max_lag=3)
+    wide = acf.groupBy("key").agg(
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    dl = wide.withColumn("phi22", (r2 - r1 * r1) / (1.0 - r1 * r1))
+    dl2 = dl.withColumn("phi21", r1 - F.col("phi22") * r1)
+    pacf3 = (r3 - F.col("phi21") * r2 - F.col("phi22") * r1) / (
+        1.0 - F.col("phi21") * r1 - F.col("phi22") * r2
+    )
+    return dl2.select(
+        F.col("key").alias("event_type"),
+        (F.floor(r1 * 1e6 + 0.5) / 1e6).alias("pacf1_q"),
+        (F.floor(F.col("phi22") * 1e6 + 0.5) / 1e6).alias("pacf2_q"),
+        (F.floor(pacf3 * 1e6 + 0.5) / 1e6).alias("pacf3_q"),
+    ).orderBy("event_type")
+
+
+@_staged(
+    "oaxaca_blinder_lineitem",
+    """
+    WITH g AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 'R' ELSE 'NA' END AS grp,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(l_quantity) AS sx,
+             sum(l_extendedprice) AS sy,
+             sum(l_quantity * l_quantity) AS sxx,
+             sum(l_quantity * l_extendedprice) AS sxy
+      FROM lineitem GROUP BY 1
+    ),
+    fit AS (
+      SELECT grp, n, sx / n AS xbar, sy / n AS ybar,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
+      FROM g
+    ),
+    ab AS (
+      SELECT a.xbar AS xa, a.ybar AS ya, a.beta AS ba,
+             a.ybar - a.beta * a.xbar AS alpha_a,
+             b.xbar AS xb, b.ybar AS yb, b.beta AS bb,
+             b.ybar - b.beta * b.xbar AS alpha_b
+      FROM fit a, fit b WHERE a.grp = 'R' AND b.grp = 'NA'
+    )
+    SELECT floor((ya - yb) * 1e4 + 0.5) / 1e4 AS gap_q,
+           floor((xa - xb) * bb * 1e4 + 0.5) / 1e4 AS explained_q,
+           floor((xa * (ba - bb) + (alpha_a - alpha_b)) * 1e4 + 0.5) / 1e4
+             AS unexplained_q,
+           floor(ba * 1e6 + 0.5) / 1e6 AS beta_r_q,
+           floor(bb * 1e6 + 0.5) / 1e6 AS beta_na_q
+    FROM ab
+    """,
+)
+def oaxaca_blinder_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-Blinder decomposition of the returned-vs-kept mean
+    line-value gap: how much of E[price|returned] − E[price|kept] is
+    EXPLAINED by returned lines simply having different quantities
+    (endowment term (x̄_R − x̄_N)·β_N) vs UNEXPLAINED (coefficient
+    term x̄_R(β_R − β_N) + Δα — the "same quantity, different price
+    slope" component). The two-term identity the mix-shift and LMDI
+    decompositions don't give: it splits a group gap through a
+    MODEL. One pass of per-group OLS sufficient stats; everything
+    downstream is a 2-row cross join."""
+    li = T(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    g = li.groupBy(
+        F.when(F.col("l_returnflag") == "R", "R").otherwise("NA").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ["n", "sx", "sy", "sxx", "sxy"])
+    fit = g.select(
+        "grp",
+        (sx / n).alias("xbar"),
+        (sy / n).alias("ybar"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("beta"),
+    )
+    a = fit.filter(F.col("grp") == "R").select(
+        F.col("xbar").alias("xa"), F.col("ybar").alias("ya"),
+        F.col("beta").alias("ba"),
+        (F.col("ybar") - F.col("beta") * F.col("xbar")).alias("alpha_a"),
+    )
+    b = fit.filter(F.col("grp") == "NA").select(
+        F.col("xbar").alias("xb"), F.col("ybar").alias("yb"),
+        F.col("beta").alias("bb"),
+        (F.col("ybar") - F.col("beta") * F.col("xbar")).alias("alpha_b"),
+    )
+    ab = a.crossJoin(F.broadcast(b))
+    return ab.select(
+        (F.floor((F.col("ya") - F.col("yb")) * 1e4 + 0.5) / 1e4).alias("gap_q"),
+        (
+            F.floor((F.col("xa") - F.col("xb")) * F.col("bb") * 1e4 + 0.5) / 1e4
+        ).alias("explained_q"),
+        (
+            F.floor(
+                (
+                    F.col("xa") * (F.col("ba") - F.col("bb"))
+                    + (F.col("alpha_a") - F.col("alpha_b"))
+                )
+                * 1e4
+                + 0.5
+            )
+            / 1e4
+        ).alias("unexplained_q"),
+        (F.floor(F.col("ba") * 1e6 + 0.5) / 1e6).alias("beta_r_q"),
+        (F.floor(F.col("bb") * 1e6 + 0.5) / 1e6).alias("beta_na_q"),
+    )
