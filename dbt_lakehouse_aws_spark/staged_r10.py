@@ -2491,3 +2491,362 @@ def oaxaca_blinder_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("ba") * 1e6 + 0.5) / 1e6).alias("beta_r_q"),
         (F.floor(F.col("bb") * 1e6 + 0.5) / 1e6).alias("beta_na_q"),
     )
+
+
+@_staged(
+    "hurst_rs_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+               AS i,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    expanded AS (
+      SELECT e.event_type, e.day, e.x, e.n, s.s,
+             e.i // s.s AS chunk
+      FROM idx e CROSS JOIN (SELECT unnest([4, 8, 16]) AS s) s
+      WHERE e.i // s.s < e.n // s.s
+    ),
+    cmean AS (
+      SELECT event_type, s, chunk, sum(x) / s AS mu,
+             sqrt(sum(x * x) / s - (sum(x) / s) * (sum(x) / s)) AS sd
+      FROM expanded GROUP BY event_type, s, chunk
+    ),
+    cum AS (
+      SELECT e.event_type, e.s, e.chunk, m.sd,
+             sum(e.x - m.mu) OVER (PARTITION BY e.event_type, e.s, e.chunk
+                                   ORDER BY e.day) AS c
+      FROM expanded e
+      JOIN cmean m ON m.event_type = e.event_type AND m.s = e.s
+                  AND m.chunk = e.chunk
+    ),
+    rng AS (
+      SELECT event_type, s, chunk, max(sd) AS sd,
+             max(c) - min(c) AS r
+      FROM cum GROUP BY 1, 2, 3
+    ),
+    logs AS (
+      SELECT event_type, s, avg(ln(r / sd)) AS mlog,
+             CAST(count(*) AS BIGINT) AS n_chunks
+      FROM rng WHERE sd > 0 AND r > 0 GROUP BY 1, 2
+    ),
+    fit AS (
+      SELECT event_type,
+             (count(*) * sum(ln(CAST(s AS DOUBLE)) * mlog)
+              - sum(ln(CAST(s AS DOUBLE))) * sum(mlog))
+             / (count(*) * sum(ln(CAST(s AS DOUBLE)) * ln(CAST(s AS DOUBLE)))
+                - sum(ln(CAST(s AS DOUBLE))) * sum(ln(CAST(s AS DOUBLE))))
+               AS h
+      FROM logs GROUP BY 1 HAVING count(*) = 3
+    )
+    SELECT f.event_type, floor(f.h * 1e6 + 0.5) / 1e6 AS hurst_q,
+           CASE WHEN f.h > 0.65 THEN 'trending'
+                WHEN f.h < 0.45 THEN 'mean_reverting'
+                ELSE 'random_walk_like' END AS regime
+    FROM fit f ORDER BY f.event_type
+    """,
+)
+def hurst_rs_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classical rescaled-range (R/S) analysis of
+    each type's daily revenue series: split into dyadic chunks of
+    4/8/16 days (sized so the smallest SF's ~30-day span still
+    yields every size), per chunk the range of the cumulative
+    mean-deviation profile over the population σ, then H = OLS slope
+    of E[ln(R/S)] against ln(size) — H>0.5 long-memory/trending,
+    H<0.5 mean-reverting; the long-memory diagnostic the ACF/PACF
+    pair (exponential-decay world) cannot express. All windows are
+    partitioned by (type, size, chunk); the fit runs on 3 rows per
+    type. Types lacking 3 full sizes are excluded (HAVING = 3),
+    keeping the estimand well-defined at every SF."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("double")
+        .alias("x")
+    )
+    wi = Window.partitionBy("event_type").orderBy("day")
+    wn = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "x",
+        (F.row_number().over(wi) - 1).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    sizes = spark.createDataFrame([(4,), (8,), (16,)], "s int")
+    expanded = (
+        idx.crossJoin(F.broadcast(sizes))
+        .withColumn("chunk", F.expr("i div s"))
+        .filter(F.expr("i div s < n div s"))
+        .persist()
+    )
+    cmean = expanded.groupBy("event_type", "s", "chunk").agg(
+        (F.sum("x") / F.col("s")).alias("mu"),
+        F.sqrt(
+            F.sum(F.col("x") * F.col("x")) / F.col("s")
+            - (F.sum("x") / F.col("s")) * (F.sum("x") / F.col("s"))
+        ).alias("sd"),
+    )
+    wc = Window.partitionBy("event_type", "s", "chunk").orderBy("day")
+    cum = expanded.join(cmean, ["event_type", "s", "chunk"]).select(
+        "event_type",
+        "s",
+        "chunk",
+        "sd",
+        F.sum(F.col("x") - F.col("mu")).over(wc).alias("c"),
+    )
+    rng = cum.groupBy("event_type", "s", "chunk").agg(
+        F.max("sd").alias("sd"), (F.max("c") - F.min("c")).alias("r")
+    )
+    logs = (
+        rng.filter((F.col("sd") > 0) & (F.col("r") > 0))
+        .groupBy("event_type", "s")
+        .agg(F.avg(F.log(F.col("r") / F.col("sd"))).alias("mlog"))
+    )
+    ls = F.log(F.col("s").cast("double"))
+    fit = (
+        logs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(ls * F.col("mlog")).alias("sxy"),
+            F.sum(ls).alias("sx"),
+            F.sum(F.col("mlog")).alias("sy"),
+            F.sum(ls * ls).alias("sxx"),
+        )
+        .filter(F.col("k") == 3)
+        .select(
+            "event_type",
+            (
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ).alias("h"),
+        )
+    )
+    return fit.select(
+        "event_type",
+        (F.floor(F.col("h") * 1e6 + 0.5) / 1e6).alias("hurst_q"),
+        F.when(F.col("h") > 0.65, F.lit("trending"))
+        .when(F.col("h") < 0.45, F.lit("mean_reverting"))
+        .otherwise(F.lit("random_walk_like"))
+        .alias("regime"),
+    ).orderBy("event_type")
+
+
+@_staged(
+    "phonetic_blocking_parts",
+    """
+    WITH words AS (
+      SELECT p_partkey, lower(string_split(p_name, ' ')[1]) AS w
+      FROM part
+    ),
+    keyed AS (
+      SELECT p_partkey, w,
+             substr(w, 1, 1) ||
+             substr(
+               replace(translate(substr(w, 2, 30),
+                       'abcdefghijklmnopqrstuvwxyz',
+                       '01230120022455012623010202'), '0', '') || '000',
+               1, 3) AS pkey
+      FROM words
+    ),
+    blocks AS (
+      SELECT pkey, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_tokens,
+             CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS within_pairs
+      FROM keyed GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS all_pairs
+      FROM keyed
+    )
+    SELECT b.pkey, b.n_parts, b.n_tokens, b.within_pairs,
+           floor((1.0 - CAST((SELECT sum(within_pairs) FROM blocks) AS DOUBLE)
+                        / (SELECT all_pairs FROM tot)) * 1e6 + 0.5) / 1e6
+             AS reduction_ratio_q
+    FROM blocks b
+    ORDER BY b.n_parts DESC, b.pkey ASC
+    LIMIT 20
+    """,
+)
+def phonetic_blocking_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic (Russell consonant-class) blocking over part-name
+    first tokens — the sound-alike linkage modality next to the
+    composite key (record_linkage_parts), Monge-Elkan and trigram
+    blocks: key = first letter + first three consonant-class digits
+    (b/f/p/v→1, c/g/j/k/q/s/x/z→2, d/t→3, l→4, m/n→5, r→6, vowels
+    dropped), built from the same translate/replace/substr
+    expressions on BOTH engines — no UDF, no engine-specific soundex
+    (whose H/W edge rules differ across implementations). Reports
+    the 20 largest blocks plus the global pair-reduction ratio, the
+    metric that justifies blocking at 100 TB (JW only runs inside
+    blocks)."""
+    p = T(spark, sf_dir, "part")
+    w = F.lower(F.element_at(F.split("p_name", " "), 1))
+    words = p.select("p_partkey", w.alias("w"))
+    pkey = F.concat(
+        F.substring("w", 1, 1),
+        F.substring(
+            F.concat(
+                F.replace(
+                    F.translate(
+                        F.substring("w", 2, 30),
+                        "abcdefghijklmnopqrstuvwxyz",
+                        "01230120022455012623010202",
+                    ),
+                    F.lit("0"),
+                    F.lit(""),
+                ),
+                F.lit("000"),
+            ),
+            1,
+            3,
+        ),
+    )
+    keyed = words.select("p_partkey", "w", pkey.alias("pkey")).persist()
+    blocks = keyed.groupBy("pkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.countDistinct("w").cast("long").alias("n_tokens"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("long")
+        .alias("within_pairs"),
+    ).persist()
+    tot = keyed.agg(
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("long")
+        .alias("all_pairs")
+    )
+    wsum = blocks.agg(F.sum("within_pairs").cast("double").alias("wp"))
+    rr = (
+        tot.crossJoin(wsum)
+        .select(
+            (F.floor((1.0 - F.col("wp") / F.col("all_pairs")) * 1e6 + 0.5) / 1e6)
+            .alias("reduction_ratio_q")
+        )
+    )
+    return (
+        blocks.crossJoin(F.broadcast(rr))
+        .select("pkey", "n_parts", "n_tokens", "within_pairs",
+                "reduction_ratio_q")
+        .orderBy(F.desc("n_parts"), F.asc("pkey"))
+        .limit(20)
+    )
+
+
+@_staged(
+    "sprt_conversion_monitor",
+    """
+    WITH trials AS (
+      SELECT user_id % 2 AS arm, CAST(ts AS DATE) AS day,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    daily AS (
+      SELECT arm, day,
+             CAST(sum(y) AS BIGINT) AS succ,
+             CAST(count(*) - sum(y) AS BIGINT) AS fail
+      FROM trials GROUP BY 1, 2
+    ),
+    llr AS (
+      SELECT arm, day, succ, fail,
+             sum(succ * ln(0.35 / 0.25) + fail * ln(0.65 / 0.75))
+               OVER (PARTITION BY arm ORDER BY day) AS cum
+      FROM daily
+    ),
+    crossings AS (
+      SELECT arm, min(day) AS first_cross_day
+      FROM llr WHERE cum >= ln(19.0) OR cum <= -ln(19.0)
+      GROUP BY 1
+    ),
+    final AS (
+      SELECT arm, max(day) AS last_day,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM llr GROUP BY 1
+    ),
+    at_cross AS (
+      SELECT l.arm, l.cum AS cross_llr
+      FROM llr l JOIN crossings c
+        ON c.arm = l.arm AND c.first_cross_day = l.day
+    )
+    SELECT f.arm, f.n_days, c.first_cross_day,
+           CASE WHEN c.first_cross_day IS NULL THEN 'continue'
+                WHEN a.cross_llr >= ln(19.0) THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           floor(a.cross_llr * 1e6 + 0.5) / 1e6 AS cross_llr_q
+    FROM final f
+    LEFT JOIN crossings c ON c.arm = f.arm
+    LEFT JOIN at_cross a ON a.arm = f.arm
+    ORDER BY f.arm
+    """,
+)
+def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test as a daily
+    conversion monitor: each arm's (user_id parity) click/purchase
+    stream accumulates the Bernoulli log-likelihood ratio for
+    H1: p=0.35 vs H0: p=0.25, aggregated per DAY (LLR is additive,
+    so the cumulative walk runs on the calendar-bounded daily frame
+    — the production monitoring shape, and no row-axis window).
+    Decision at the first day the walk exits ±ln(19) (α=β=0.05).
+    The always-valid companion to abtest_conversion_ztest's
+    fixed-horizon test: SPRT lets you stop the moment evidence
+    suffices."""
+    e = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = e.groupBy(
+        (F.col("user_id") % 2).alias("arm"),
+        F.to_date("ts").alias("day"),
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("succ"),
+        F.sum((F.col("event_type") != "purchase").cast("int"))
+        .cast("long")
+        .alias("fail"),
+    )
+    import math
+
+    lw = Window.partitionBy("arm").orderBy("day")
+    inc = F.col("succ") * math.log(0.35 / 0.25) + F.col("fail") * math.log(
+        0.65 / 0.75
+    )
+    llr = daily.withColumn("cum", F.sum(inc).over(lw)).persist()
+    a = math.log(19.0)
+    crossings = (
+        llr.filter((F.col("cum") >= a) | (F.col("cum") <= -a))
+        .groupBy("arm")
+        .agg(F.min("day").alias("first_cross_day"))
+    )
+    final = llr.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    lx = llr.select(
+        F.col("arm").alias("xarm"), F.col("day").alias("xday"), "cum"
+    )
+    at_cross = lx.join(
+        crossings,
+        (F.col("xarm") == F.col("arm"))
+        & (F.col("xday") == F.col("first_cross_day")),
+    ).select(F.col("xarm").alias("arm"), F.col("cum").alias("cross_llr"))
+    return (
+        final.join(crossings, "arm", "left")
+        .join(at_cross, "arm", "left")
+        .select(
+            "arm",
+            "n_days",
+            "first_cross_day",
+            F.when(F.col("first_cross_day").isNull(), F.lit("continue"))
+            .when(F.col("cross_llr") >= a, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+            (F.floor(F.col("cross_llr") * 1e6 + 0.5) / 1e6).alias("cross_llr_q"),
+        )
+        .orderBy("arm")
+    )
