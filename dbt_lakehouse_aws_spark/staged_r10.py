@@ -2850,3 +2850,391 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@_staged(
+    "benjamini_hochberg_cells",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS wd,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(obs) / 7.0 AS expected FROM cells GROUP BY 1
+    ),
+    z AS (
+      SELECT c.event_type, c.wd, c.obs,
+             (c.obs - t.expected) / sqrt(t.expected) AS zval
+      FROM cells c JOIN tot t ON t.event_type = c.event_type
+    ),
+    p AS (
+      SELECT event_type, wd, obs, zval,
+             2.0 * (1.0 - 1.0 / (1.0 + exp(-1.702 * abs(zval)))) AS pval
+      FROM z
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY pval ASC, event_type ASC, wd ASC)
+               AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM p
+    ),
+    kmax AS (
+      SELECT coalesce(max(rk), 0) AS k
+      FROM ranked WHERE pval <= rk * 0.10 / m
+    )
+    SELECT event_type, wd, obs,
+           floor(zval * 1e6 + 0.5) / 1e6 AS z_q,
+           floor(pval * 1e9 + 0.5) / 1e9 AS p_q,
+           CAST(rk AS BIGINT) AS rank,
+           CASE WHEN rk <= (SELECT k FROM kmax) THEN 1 ELSE 0 END
+             AS discovery
+    FROM ranked
+    ORDER BY rank
+    """,
+)
+def benjamini_hochberg_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the (event_type x ISO
+    weekday) Poisson-deviation hypothesis family: per cell a z-score
+    against the type's uniform-weekday expectation, a two-sided
+    p-value through the LOGISTIC normal-CDF surrogate Φ(x) ≈
+    σ(1.702x) (a fully-specified estimand both engines replay
+    bit-identically — no erf in either SQL dialect), then the BH
+    step-up rule at q=0.10: discoveries are ranks ≤ max{k: p_(k) ≤
+    k·q/m}. THE multiple-testing companion every per-cell test in
+    the registry lacks. The hypothesis family is schema-bounded
+    (types x 7), so the rank window rides global_row_number's
+    scalable two-pass plan."""
+    e = T(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (F.weekday(F.to_date("ts")) + 1).cast("long").alias("wd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    tot = cells.groupBy("event_type").agg((F.sum("obs") / 7.0).alias("expected"))
+    z = cells.join(tot, "event_type").withColumn(
+        "zval", (F.col("obs") - F.col("expected")) / F.sqrt(F.col("expected"))
+    )
+    p = z.withColumn(
+        "pval",
+        2.0 * (1.0 - 1.0 / (1.0 + F.exp(-1.702 * F.abs(F.col("zval"))))),
+    )
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
+    ranked = global_row_number(
+        p, [F.col("pval").asc(), F.col("event_type").asc(), F.col("wd").asc()],
+        name="rk",
+    ).persist()
+    m = ranked.agg(F.count(F.lit(1)).alias("m"))
+    ranked_m = ranked.crossJoin(F.broadcast(m))
+    kmax = (
+        ranked_m.filter(F.col("pval") <= F.col("rk") * 0.10 / F.col("m"))
+        .agg(F.coalesce(F.max("rk"), F.lit(0)).alias("k"))
+    )
+    return (
+        ranked_m.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            "wd",
+            "obs",
+            (F.floor(F.col("zval") * 1e6 + 0.5) / 1e6).alias("z_q"),
+            (F.floor(F.col("pval") * 1e9 + 0.5) / 1e9).alias("p_q"),
+            F.col("rk").cast("long").alias("rank"),
+            F.when(F.col("rk") <= F.col("k"), 1).otherwise(0).alias("discovery"),
+        )
+        .orderBy("rank")
+    )
+
+
+@_staged(
+    "log_rank_repurchase_arms",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT a.user_id % 2 AS arm,
+             CAST(date_diff('day', CAST(a.ts AS DATE), CAST(b.ts AS DATE))
+                  AS BIGINT) AS t
+      FROM purchases a JOIN purchases b
+        ON b.user_id = a.user_id AND b.k = a.k + 1
+      WHERE a.k = 1
+    ),
+    d AS (
+      SELECT t,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+             CAST(count(*) AS BIGINT) AS dt
+      FROM gaps GROUP BY 1
+    ),
+    risk AS (
+      SELECT a.t, a.d0, a.dt,
+             CAST((SELECT sum(CASE WHEN g.t >= a.t AND g.arm = 0 THEN 1 ELSE 0 END)
+                   FROM gaps g) AS BIGINT) AS n0,
+             CAST((SELECT sum(CASE WHEN g.t >= a.t THEN 1 ELSE 0 END)
+                   FROM gaps g) AS BIGINT) AS nt
+      FROM d a
+    ),
+    terms AS (
+      SELECT t,
+             d0 - dt * (CAST(n0 AS DOUBLE) / nt) AS u,
+             CASE WHEN nt > 1 THEN
+               dt * (CAST(n0 AS DOUBLE) / nt) * (1.0 - CAST(n0 AS DOUBLE) / nt)
+                  * (nt - dt) / (nt - 1.0)
+             ELSE 0.0 END AS v
+      FROM risk
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_times,
+           floor(sum(u) * 1e6 + 0.5) / 1e6 AS u_q,
+           floor(sum(v) * 1e6 + 0.5) / 1e6 AS v_q,
+           floor(sum(u) * sum(u) / sum(v) * 1e6 + 0.5) / 1e6 AS chi2_q,
+           CASE WHEN sum(u) * sum(u) / sum(v) > 3.841458820694124
+                THEN 'different' ELSE 'comparable' END AS verdict
+    FROM terms
+    """,
+)
+def log_rank_repurchase_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample LOG-RANK test on time-to-repurchase between the
+    user-parity arms — the hypothesis-test companion to the KM and
+    Nelson-Aalen curves (they describe; this decides): at each event
+    time, observed arm-0 events vs the hypergeometric expectation
+    d·n0/n, U = Σ(O−E), V = Σ hypergeometric variances, χ² = U²/V
+    against the 1-df 95% critical value. O(rows) hash work to the
+    gap table; both at-risk directions ride the calendar-bounded
+    risk frame exactly like survival_km_repurchase."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select("user_id", "ts", "event_id").withColumn(
+        "k", F.row_number().over(w)
+    )
+    a = p.filter(F.col("k") == 1).select(
+        "user_id", F.to_date("ts").alias("d1")
+    )
+    b = p.filter(F.col("k") == 2).select(
+        "user_id", F.to_date("ts").alias("d2")
+    )
+    gaps = a.join(b, "user_id").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.datediff("d2", "d1").cast("long").alias("t"),
+    ).persist()
+    d = gaps.groupBy("t").agg(
+        F.sum((F.col("arm") == 0).cast("int")).cast("long").alias("d0"),
+        F.count(F.lit(1)).cast("long").alias("dt"),
+    )
+    g2 = gaps.select(F.col("t").alias("t2"), "arm")
+    risk = (
+        d.join(F.broadcast(g2), F.col("t2") >= F.col("t"))
+        .groupBy("t", "d0", "dt")
+        .agg(
+            F.sum((F.col("arm") == 0).cast("int")).cast("long").alias("n0"),
+            F.count(F.lit(1)).cast("long").alias("nt"),
+        )
+    )
+    frac = F.col("n0").cast("double") / F.col("nt")
+    terms = risk.select(
+        (F.col("d0") - F.col("dt") * frac).alias("u"),
+        F.when(
+            F.col("nt") > 1,
+            F.col("dt")
+            * frac
+            * (1.0 - frac)
+            * (F.col("nt") - F.col("dt"))
+            / (F.col("nt") - 1.0),
+        )
+        .otherwise(0.0)
+        .alias("v"),
+    )
+    chi2 = F.sum("u") * F.sum("u") / F.sum("v")
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        (F.floor(F.sum("u") * 1e6 + 0.5) / 1e6).alias("u_q"),
+        (F.floor(F.sum("v") * 1e6 + 0.5) / 1e6).alias("v_q"),
+        (F.floor(chi2 * 1e6 + 0.5) / 1e6).alias("chi2_q"),
+        F.when(chi2 > 3.841458820694124, F.lit("different"))
+        .otherwise(F.lit("comparable"))
+        .alias("verdict"),
+    )
+
+
+@_staged(
+    "negbin_moments_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             sum(x) / count(*) AS mu,
+             sum(x * x) / count(*)
+               - (sum(x) / count(*)) * (sum(x) / count(*)) AS v
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           floor(mu * 1e6 + 0.5) / 1e6 AS mean_q,
+           floor(v * 1e6 + 0.5) / 1e6 AS var_q,
+           CASE WHEN v > mu
+                THEN floor(mu * mu / (v - mu) * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS nb_r_q,
+           CASE WHEN v > mu
+                THEN floor(mu / v * 1e9 + 0.5) / 1e9
+                ELSE NULL END AS nb_p_q,
+           CASE WHEN v > mu THEN 'overdispersed_nb'
+                ELSE 'poisson_or_under' END AS verdict
+    FROM s ORDER BY event_type
+    """,
+)
+def negbin_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit to each type's daily
+    count distribution: r = μ²/(σ²−μ), p = μ/σ² — the parametric
+    model behind dispersion_index_events' diagnostic (that query
+    says "overdispersed"; this one hands you the NB(r,p) a capacity
+    simulation actually needs). NULL parameters when the variance
+    doesn't exceed the mean (NB undefined — Poisson already fits).
+    One pass of power sums."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    x = F.col("x")
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.sum(x) / F.count(F.lit(1))).alias("mu"),
+        (
+            F.sum(x * x) / F.count(F.lit(1))
+            - (F.sum(x) / F.count(F.lit(1))) * (F.sum(x) / F.count(F.lit(1)))
+        ).alias("v"),
+    )
+    mu, v = F.col("mu"), F.col("v")
+    return s.select(
+        "event_type",
+        "n_days",
+        (F.floor(mu * 1e6 + 0.5) / 1e6).alias("mean_q"),
+        (F.floor(v * 1e6 + 0.5) / 1e6).alias("var_q"),
+        F.when(v > mu, F.floor(mu * mu / (v - mu) * 1e6 + 0.5) / 1e6)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("nb_r_q"),
+        F.when(v > mu, F.floor(mu / v * 1e9 + 0.5) / 1e9)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("nb_p_q"),
+        F.when(v > mu, F.lit("overdispersed_nb"))
+        .otherwise(F.lit("poisson_or_under"))
+        .alias("verdict"),
+    ).orderBy("event_type")
+
+
+def _absorption_oracle_sql(rounds: int = 8) -> str:
+    """Unrolled bounded-horizon absorption fixpoint: a_k(s) =
+    [s=purchase] + (s≠purchase)·Σ_t P(s,t)·a_{k−1}(t), k rounds.
+    Transition edges are referenced every round → MATERIALIZED."""
+    steps = []
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""a{i} AS (
+      SELECT s.state,
+             CASE WHEN s.state = 'purchase' THEN 1.0
+                  ELSE coalesce(x.acc, 0.0) END AS a
+      FROM states s LEFT JOIN (
+        SELECT e.src AS state, sum(e.p * r.a) AS acc
+        FROM tp e JOIN {prev} r ON r.state = e.dst
+        GROUP BY 1
+      ) x ON x.state = s.state)"""
+        )
+        prev = f"a{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS k
+      FROM events
+    ),
+    trans AS (
+      SELECT a.event_type AS src, b.event_type AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq a JOIN seq b
+        ON b.user_id = a.user_id AND b.k = a.k + 1
+      GROUP BY 1, 2
+    ),
+    tp AS MATERIALIZED (
+      SELECT src, dst, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+      FROM trans
+    ),
+    states AS MATERIALIZED (
+      SELECT DISTINCT src AS state FROM tp
+      UNION SELECT DISTINCT dst FROM tp
+    ),
+    a0 AS (
+      SELECT state, CASE WHEN state = 'purchase' THEN 1.0 ELSE 0.0 END AS a
+      FROM states
+    ),
+    {chain}
+    SELECT state, floor(a * 1e9 + 0.5) / 1e9 AS absorb8_q
+    FROM {prev}
+    ORDER BY state
+    """
+
+
+@_staged("markov_absorption_bounded", _absorption_oracle_sql())
+def markov_absorption_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon absorption probability: from each event-type
+    state, the chance the empirical user Markov chain reaches
+    'purchase' within 8 transitions — the "how close is this state
+    to money" score that event_transition_matrix (one step) and
+    markov_perplexity (sequence likelihood) don't answer. The
+    fixpoint a_k = 1_purchase + P·a_{k−1} unrolls into 8 CTE rounds
+    (the pagerank device); the Spark loop runs on the types² edge
+    frame with per-round checkpointing. Transition probabilities are
+    exact-count ratios; 9dp quantization."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "k", F.row_number().over(w)
+    )
+    a = seq.select("user_id", F.col("event_type").alias("src"),
+                   F.col("k").alias("ka"))
+    b = seq.select("user_id", F.col("event_type").alias("dst"),
+                   F.col("k").alias("kb"))
+    trans = (
+        a.join(b, "user_id")
+        .filter(F.col("kb") == F.col("ka") + 1)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    tp = trans.select(
+        "src",
+        "dst",
+        (F.col("n").cast("double") / F.sum("n").over(wsrc)).alias("p"),
+    ).localCheckpoint(eager=True)
+    states = (
+        tp.select(F.col("src").alias("state"))
+        .unionByName(tp.select(F.col("dst").alias("state")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    av = states.withColumn(
+        "a", F.when(F.col("state") == "purchase", 1.0).otherwise(0.0)
+    )
+    for _ in range(8):
+        acc = (
+            tp.join(av.select(F.col("state").alias("dst"), "a"), "dst")
+            .groupBy(F.col("src").alias("state"))
+            .agg(F.sum(F.col("p") * F.col("a")).alias("acc"))
+        )
+        av = (
+            states.join(acc, "state", "left")
+            .select(
+                "state",
+                F.when(F.col("state") == "purchase", 1.0)
+                .otherwise(F.coalesce(F.col("acc"), F.lit(0.0)))
+                .alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return av.select(
+        "state", (F.floor(F.col("a") * 1e9 + 0.5) / 1e9).alias("absorb8_q")
+    ).orderBy("state")
