@@ -624,10 +624,11 @@ def decode_wav(data: bytes) -> dict:
     if fmt is None or raw is None:
         raise ValueError("WAV payload missing fmt/data chunk")
     audio_format, channels, sample_rate, bits = fmt
-    if (audio_format, bits) == (7, 8):
-        # G.711 µ-law: expand each byte to linear int16
+    if (audio_format, bits) in ((7, 8), (6, 8)):
+        # G.711: expand each compressed byte to linear int16
+        expand = ulaw_decode if audio_format == 7 else alaw_decode
         n_frames = len(raw) // channels
-        samples = ulaw_decode(raw[: n_frames * channels]).reshape(
+        samples = expand(raw[: n_frames * channels]).reshape(
             n_frames, channels
         )
         return {
@@ -689,6 +690,63 @@ def ulaw_decode(data: bytes):
     mantissa = y & 0x0F
     mag = (((mantissa << 3) + 132) << exponent) - 132
     return np.where(sign > 0, -mag, mag).astype("<i2")
+
+
+def alaw_encode(samples) -> bytes:
+    """ITU-T G.711 A-law compression of int16 PCM (the CCITT/Sun
+    reference algorithm, vectorized): 13-bit magnitude (x>>3, with
+    the −x−1 negative fold), segment = MSB position above 0x1F,
+    4-bit mantissa ((pcm>>1 in segment 0/1, else pcm>>seg)), XOR
+    0x55 toggle, sign bit set for POSITIVE samples."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    pcm = x >> 3
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    pcm = np.where(pcm >= 0, pcm, -pcm - 1)
+    seg = np.zeros_like(pcm)
+    for bound in (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF):
+        seg += (pcm > bound).astype(np.int64)
+    # pcm ≤ 0xFFF always (int16 >> 3), so seg ≤ 8 with 8 impossible
+    aval = seg << 4
+    low = (pcm >> 1) & 0xF
+    high = (pcm >> np.maximum(seg, 1)) & 0xF
+    aval = aval | np.where(seg < 2, low, high)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8).tobytes()
+
+
+def alaw_decode(data: bytes):
+    """Inverse of :func:`alaw_encode` — returns int16 samples at the
+    segment midpoints: t = (m<<4)+8 (seg 0), (m<<4)+0x108 (seg 1),
+    ((m<<4)+0x108)<<(seg−1) otherwise; sign bit set = positive."""
+    import numpy as np
+
+    a = (np.frombuffer(data, dtype=np.uint8).astype(np.int64)) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where((a & 0x80) > 0, t, -t).astype("<i2")
+
+
+def encode_wav_alaw(samples, sample_rate: int) -> bytes:
+    """int16 samples → RIFF/WAVE with format code 6 (G.711 A-law)."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int64)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, channels = samples.shape
+    body = alaw_encode(samples.reshape(-1))
+    fmt = struct.pack(
+        "<HHIIHH", 6, channels, sample_rate, sample_rate * channels, channels, 8
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def encode_wav_ulaw(samples, sample_rate: int) -> bytes:

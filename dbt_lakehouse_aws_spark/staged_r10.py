@@ -3238,3 +3238,181 @@ def markov_absorption_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return av.select(
         "state", (F.floor(F.col("a") * 1e9 + 0.5) / 1e9).alias("absorb8_q")
     ).orderBy("state")
+
+
+def _alaw_oracle_sql() -> str:
+    """Closed-form G.711 A-law encode∘decode quantizer, validated
+    bit-exact against the numpy codec across the int16 domain.
+    pcm = floor(s/8) must be an explicit floor — DuckDB's ``//``
+    truncates toward zero where numpy's >>3 floors (negative
+    samples diverge otherwise); lambdas forbid subqueries, so the
+    segment CASE inlines at each use."""
+    pcm = "CAST(floor(s / 8.0) AS BIGINT)"
+    p = f"(CASE WHEN {pcm} >= 0 THEN {pcm} ELSE -{pcm} - 1 END)"
+    seg = (
+        f"(CASE WHEN {p} > 2047 THEN 7 WHEN {p} > 1023 THEN 6 "
+        f"WHEN {p} > 511 THEN 5 WHEN {p} > 255 THEN 4 "
+        f"WHEN {p} > 127 THEN 3 WHEN {p} > 63 THEN 2 "
+        f"WHEN {p} > 31 THEN 1 ELSE 0 END)"
+    )
+    m = f"(({p} // (CASE WHEN {seg} < 2 THEN 2 ELSE 1 << {seg} END)) % 16)"
+    t = (
+        f"(CASE WHEN {seg} = 0 THEN {m} * 16 + 8 "
+        f"ELSE ({m} * 16 + 264) * (1 << ({seg} - 1)) END)"
+    )
+    dec = f"(CASE WHEN {pcm} >= 0 THEN {t} ELSE -{t} END)"
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(25 + doc_id % 45 AS BIGINT) AS n,
+             list_transform(range(0, CAST(25 + doc_id % 45 AS BIGINT)),
+                            i -> (doc_id * 61 + i * 89) % 65536 - 32768) AS sam
+      FROM documents
+    ),
+    dec AS (
+      SELECT doc_id, n, list_transform(sam, s -> {dec}) AS d
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           n AS n_frames,
+           n * 1000 // 8000 AS duration_ms,
+           CAST(list_sum(list_transform(d, x -> abs(x))) AS BIGINT) AS amp_sum,
+           CAST(list_sum(list_transform(range(1, CAST(n AS INT)),
+                i -> CASE WHEN (d[i] >= 0) != (d[i+1] >= 0) THEN 1 ELSE 0 END))
+                AS BIGINT) AS zero_crossings
+    FROM dec
+    """
+
+
+@_staged("audio_alaw_features", _alaw_oracle_sql())
+def audio_alaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 A-law (the European/E1 telephony companion to
+    audio_g711_features' µ-law): per doc an int16 waveform is
+    compressed to 8-bit A-law RIFF/WAVE (format code 6 — spec
+    anchors 0→0xD5, +max→0xAA, −max→0x2A pinned in tests), expanded
+    back to linear PCM by the WAV parser inside mapInPandas, and the
+    decoded signal's integer-exact features emitted. The oracle
+    replays the CCITT quantizer (13-bit floor(s/8) fold, segment
+    MSB, 4-bit mantissa, midpoint expansion) in closed form,
+    validated bit-exact against the numpy codec over the whole
+    int16 domain."""
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        encode_wav_alaw,
+        extract_audio_features,
+    )
+
+    def make_payloads(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 25 + doc_id % 45
+                sam = (
+                    (doc_id * 61 + np.arange(n, dtype=np.int64) * 89) % 65536
+                    - 32768
+                )
+                payloads.append(encode_wav_alaw(sam, 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    return extract_audio_features(payloads)
+
+
+@_staged(
+    "point_in_polygon_customers",
+    """
+    WITH pts AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             (c_custkey * 7919) % 1000 AS px,
+             (c_custkey * 104729) % 1000 AS py
+      FROM customer
+    ),
+    edges AS (
+      SELECT * FROM (VALUES
+        (100, 100, 500, 300), (500, 300, 900, 100), (900, 100, 700, 500),
+        (700, 500, 900, 900), (900, 900, 500, 700), (500, 700, 100, 900),
+        (100, 900, 300, 500), (300, 500, 100, 100)
+      ) AS e(x1, y1, x2, y2)
+    ),
+    cross_counts AS (
+      SELECT p.c_custkey, p.segment,
+             sum(CASE WHEN (e.y1 > p.py) != (e.y2 > p.py)
+                       AND (CASE WHEN e.y2 - e.y1 > 0
+                            THEN (p.px - e.x1) * (e.y2 - e.y1)
+                               < (e.x2 - e.x1) * (p.py - e.y1)
+                            ELSE (p.px - e.x1) * (e.y2 - e.y1)
+                               > (e.x2 - e.x1) * (p.py - e.y1) END)
+                      THEN 1 ELSE 0 END) AS crossings
+      FROM pts p CROSS JOIN edges e
+      GROUP BY 1, 2
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(crossings % 2) AS BIGINT) AS n_inside,
+           floor(sum(crossings % 2) * 1.0 / count(*) * 1e6 + 0.5) / 1e6
+             AS inside_share_q
+    FROM cross_counts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def point_in_polygon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment by ray casting against a
+    non-convex 8-gon — the geofencing primitive the spatial family
+    (grid-NN, proximity join, travel distance) lacks: per customer a
+    deterministic grid point, per edge the horizontal-ray crossing
+    test in EXACT INTEGER cross-multiplication (no float slopes, so
+    both engines agree bit-for-bit), inside = odd crossings. The
+    polygon is an 8-row broadcast literal: the fan-out is points x
+    edges with all arithmetic inside one aggregate — the shape that
+    scales to any point count (and to real polygons via an edge
+    table)."""
+    c = T(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        ((F.col("c_custkey") * 7919) % 1000).alias("px"),
+        ((F.col("c_custkey") * 104729) % 1000).alias("py"),
+    )
+    verts = [
+        (100, 100), (500, 300), (900, 100), (700, 500),
+        (900, 900), (500, 700), (100, 900), (300, 500),
+    ]
+    edges = spark.createDataFrame(
+        [(*a, *b) for a, b in zip(verts, verts[1:] + verts[:1])],
+        "x1 long, y1 long, x2 long, y2 long",
+    )
+    spans = (F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py"))
+    lhs = (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    rhs = (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1"))
+    crossing = F.when(
+        spans
+        & F.when(F.col("y2") - F.col("y1") > 0, lhs < rhs).otherwise(lhs > rhs),
+        1,
+    ).otherwise(0)
+    cc = (
+        pts.crossJoin(F.broadcast(edges))
+        .groupBy("c_custkey", "segment")
+        .agg(F.sum(crossing).alias("crossings"))
+    )
+    inside = F.col("crossings") % 2
+    return (
+        cc.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(inside).cast("long").alias("n_inside"),
+            (
+                F.floor(
+                    F.sum(inside) * 1.0 / F.count(F.lit(1)) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("inside_share_q"),
+        )
+        .orderBy("segment")
+    )

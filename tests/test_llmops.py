@@ -2350,3 +2350,36 @@ def test_ulaw_spec_anchors_and_roundtrip():
     out = decode_wav(wav)
     assert out["bits"] == 8 and out["sample_rate"] == 8000
     assert (out["samples"][:, 0] == ulaw_decode(ulaw_encode([0, 1000, -1000, 32000]))).all()
+
+
+def test_alaw_spec_anchors_and_roundtrip():
+    """G.711 A-law pinned against the public anchors (0 → 0xD5 the
+    silence code, +max → 0xAA, −max → 0x2A), re-encode idempotence,
+    and segment-midpoint decode values."""
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        alaw_decode,
+        alaw_encode,
+        decode_wav,
+        encode_wav_alaw,
+    )
+
+    assert alaw_encode([0]) == b"\xd5"
+    assert alaw_encode([32767]) == b"\xaa"
+    assert alaw_encode([-32768]) == b"\x2a"
+    assert alaw_decode(b"\xd5")[0] == 8  # silence decodes to +8
+
+    x = np.arange(-32768, 32768, 89, dtype=np.int64)
+    enc = alaw_encode(x)
+    dec = alaw_decode(enc).astype(np.int64)
+    assert alaw_encode(dec) == enc  # quantizer fixpoint
+    # decode returns segment midpoints: worst error = half the top
+    # segment's 16-bit bucket (512) at the clip edges
+    err = np.abs(dec - x)
+    assert int(err.max()) <= 512
+
+    wav = encode_wav_alaw(np.array([0, 500, -500, 20000], dtype=np.int64), 8000)
+    out = decode_wav(wav)
+    assert out["bits"] == 8 and out["channels"] == 1
+    assert (out["samples"][:, 0] == alaw_decode(alaw_encode([0, 500, -500, 20000]))).all()
