@@ -3416,3 +3416,192 @@ def point_in_polygon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def _amort_oracle_sql(periods: int = 12) -> str:
+    """Unrolled 12-period integer-exact amortization: per period,
+    interest = floor(balance·rate_bp/10000 + 1/2) cents (expressed as
+    (b·rbp + 5000) // 10000 — pure BIGINT), then the fixed payment
+    reduces the balance. Each period is one chained CTE; everything
+    replays exactly on both engines because no float ever appears."""
+    steps = []
+    prev = "p0"
+    for k in range(1, periods + 1):
+        steps.append(
+            f"""p{k} AS (
+      SELECT o_orderkey, rbp, pmt,
+             bal + (bal * rbp + 5000) // 10000 - pmt AS bal,
+             interest_sum + (bal * rbp + 5000) // 10000 AS interest_sum
+      FROM {prev})"""
+        )
+        prev = f"p{k}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH loans AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS principal,
+             CAST(40 + o_custkey % 40 AS BIGINT) AS rbp
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    p0 AS (
+      SELECT o_orderkey, rbp,
+             (principal + 11) // 12 + (principal * rbp + 5000) // 10000 AS pmt,
+             principal AS bal,
+             CAST(0 AS BIGINT) AS interest_sum
+      FROM loans
+    ),
+    {chain}
+    SELECT CAST(count(*) AS BIGINT) AS n_loans,
+           CAST(sum(pmt) AS BIGINT) AS pmt_cents,
+           CAST(sum(interest_sum) AS BIGINT) AS interest_cents,
+           CAST(sum(bal) AS BIGINT) AS residual_cents,
+           CAST(max(abs(bal)) AS BIGINT) AS max_abs_residual
+    FROM {prev}
+    """
+
+
+@_staged("amortization_12_orders", _amort_oracle_sql())
+def amortization_12_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-period loan amortization over an order cohort (every 11th
+    order financed at 0.40-0.79% monthly): per period the balance
+    accrues half-up-rounded interest in EXACT CENT ARITHMETIC
+    ((bal·rate_bp + 5000) // 10000 — no float ever enters) and the
+    fixed payment (principal/12 rounded up + first-period interest)
+    amortizes it. The recursion unrolls into 12 chained CTEs (the
+    fixpoint device); the Spark loop folds the same per-period
+    columns with lineage truncation. Portfolio summary: total
+    payments, total interest, residual after 12 periods (small and
+    negative-ish by construction of the rounded-up payment) — the
+    ledger arithmetic a billing pipeline must reproduce to the
+    cent."""
+    o = T(spark, sf_dir, "orders")
+    loans = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("principal"),
+        (40 + F.col("o_custkey") % 40).cast("long").alias("rbp"),
+    )
+    first_int = (F.col("principal") * F.col("rbp") + 5000) / 10000
+    p = loans.select(
+        "o_orderkey",
+        "rbp",
+        (
+            F.floor((F.col("principal") + 11) / 12)
+            + F.floor(first_int)
+        ).cast("long").alias("pmt"),
+        F.col("principal").alias("bal"),
+        F.lit(0).cast("long").alias("interest_sum"),
+    )
+    for _ in range(12):
+        interest = F.floor((F.col("bal") * F.col("rbp") + 5000) / 10000).cast(
+            "long"
+        )
+        p = p.select(
+            "o_orderkey",
+            "rbp",
+            "pmt",
+            (F.col("bal") + interest - F.col("pmt")).alias("bal"),
+            (F.col("interest_sum") + interest).alias("interest_sum"),
+        )
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_loans"),
+        F.sum("pmt").cast("long").alias("pmt_cents"),
+        F.sum("interest_sum").cast("long").alias("interest_cents"),
+        F.sum("bal").cast("long").alias("residual_cents"),
+        F.max(F.abs(F.col("bal"))).cast("long").alias("max_abs_residual"),
+    )
+
+
+@_staged(
+    "rev_rec_monthly_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS d0
+      FROM orders
+    ),
+    months AS (
+      SELECT b.o_orderkey, b.cents, b.d0, m.m,
+             date_trunc('month', b.d0 + CAST(m.m * 30 AS INTEGER)) AS month,
+             greatest(b.d0, date_trunc('month', b.d0 + CAST(m.m * 30 AS INTEGER))) AS lo,
+             least(b.d0 + CAST(90 AS INTEGER),
+                   date_trunc('month', b.d0 + CAST(m.m * 30 AS INTEGER))
+                     + INTERVAL 1 MONTH) AS hi
+      FROM base b CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m
+    ),
+    spans AS (
+      SELECT o_orderkey, cents, month,
+             CAST(date_diff('day', lo, CAST(hi AS DATE)) AS BIGINT) AS days
+      FROM months
+      WHERE date_diff('day', lo, CAST(hi AS DATE)) > 0
+        AND month > date_trunc('month', d0) - INTERVAL 1 DAY
+    ),
+    alloc AS (
+      SELECT o_orderkey, month,
+             cents * days // 90 AS rec_cents
+      FROM spans
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(rec_cents) AS BIGINT) AS recognized_cents
+    FROM alloc
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def rev_rec_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue recognition: each order's price recognizes ratably
+    over a 90-day service term, day-weighted into calendar months
+    (ASC 606's time-based method) — the accounting view none of the
+    revenue queries (time_weekly_revenue, mom_revenue_change) model:
+    booking month ≠ revenue month. Each order fans out onto at most
+    4 calendar months; per month the overlap days with
+    [orderdate, orderdate+90) scale cents·days//90 in exact integer
+    arithmetic (floor allocation — the conservative recognizer; the
+    residual cents recognize implicitly with the final day bucket's
+    floor). Everything is one bounded fan-out + a hash aggregate."""
+    o = T(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.to_date("o_orderdate").alias("d0"),
+    )
+    months = base.select(
+        "o_orderkey",
+        "cents",
+        "d0",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("m"),
+    ).select(
+        "o_orderkey",
+        "cents",
+        "d0",
+        F.date_trunc("month", F.date_add(F.col("d0"), F.col("m") * 30))
+        .cast("date")
+        .alias("month"),
+    )
+    lo = F.greatest(F.col("d0"), F.col("month"))
+    hi = F.least(
+        F.date_add(F.col("d0"), 90), F.add_months(F.col("month"), 1)
+    )
+    spans = months.select(
+        "o_orderkey",
+        "cents",
+        "d0",
+        "month",
+        F.datediff(hi, lo).cast("long").alias("days"),
+    ).filter(
+        (F.col("days") > 0)
+        & (F.col("month") >= F.date_trunc("month", F.col("d0")).cast("date"))
+    )
+    alloc = spans.select(
+        "o_orderkey",
+        "month",
+        F.expr("cents * days div 90").alias("rec_cents"),
+    )
+    return (
+        alloc.groupBy("month")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.sum("rec_cents").cast("long").alias("recognized_cents"),
+        )
+        .orderBy("month")
+    )
