@@ -3605,3 +3605,247 @@ def rev_rec_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@_staged(
+    "dim_truncation_recall_embeddings",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS v_q FROM v WHERE vec_id < 10),
+    full_rank AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.v_q, c.emb)
+                       / (sqrt(list_dot_product(q.v_q, q.v_q))
+                          * sqrt(list_dot_product(c.emb, c.emb))), 6) DESC,
+                 c.vec_id ASC) AS rk
+        FROM q, v c WHERE c.vec_id <> q.query_id
+      ) WHERE rk <= 5
+    ),
+    t8 AS (SELECT vec_id, list_slice(emb, 1, 8) AS emb FROM v),
+    q8 AS (SELECT vec_id AS query_id, emb AS v_q FROM t8 WHERE vec_id < 10),
+    rank8 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.v_q, c.emb)
+                       / (sqrt(list_dot_product(q.v_q, q.v_q))
+                          * sqrt(list_dot_product(c.emb, c.emb))), 6) DESC,
+                 c.vec_id ASC) AS rk
+        FROM q8 q, t8 c WHERE c.vec_id <> q.query_id
+      ) WHERE rk <= 5
+    ),
+    t16 AS (SELECT vec_id, list_slice(emb, 1, 16) AS emb FROM v),
+    q16 AS (SELECT vec_id AS query_id, emb AS v_q FROM t16 WHERE vec_id < 10),
+    rank16 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.v_q, c.emb)
+                       / (sqrt(list_dot_product(q.v_q, q.v_q))
+                          * sqrt(list_dot_product(c.emb, c.emb))), 6) DESC,
+                 c.vec_id ASC) AS rk
+        FROM q16 q, t16 c WHERE c.vec_id <> q.query_id
+      ) WHERE rk <= 5
+    )
+    SELECT f.query_id,
+           CAST(count(r8.neighbor_id) AS BIGINT) AS hits8,
+           CAST(count(r16.neighbor_id) AS BIGINT) AS hits16,
+           floor(count(r8.neighbor_id) / 5.0 * 1e6 + 0.5) / 1e6 AS recall8_q,
+           floor(count(r16.neighbor_id) / 5.0 * 1e6 + 0.5) / 1e6 AS recall16_q
+    FROM full_rank f
+    LEFT JOIN rank8 r8 ON r8.query_id = f.query_id
+                      AND r8.neighbor_id = f.neighbor_id
+    LEFT JOIN rank16 r16 ON r16.query_id = f.query_id
+                        AND r16.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+    """,
+)
+def dim_truncation_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation study: for each query
+    vector, recall@5 of the 8-dim and 16-dim PREFIX cosine rankings
+    against the full 64-dim ground truth — the measurement that
+    decides whether a Matryoshka index can serve the first-stage
+    retrieval (8 dims = 8x less memory bandwidth) with the full
+    vector only re-ranking. Reuses the exact cosine_topk operator on
+    sliced embeddings; the oracle replays all three rankings and the
+    per-query overlap. int8 quantization (int8_quant_topk) covers
+    the precision axis; this covers the dimension axis."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import cosine_topk
+
+    e = T(spark, sf_dir, "embeddings")
+    full = cosine_topk(e, query_ids=range(10), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    r8 = cosine_topk(
+        e.withColumn("embedding", F.slice("embedding", 1, 8)),
+        query_ids=range(10), k=5,
+    ).select("query_id", F.col("neighbor_id").alias("n8"))
+    r16 = cosine_topk(
+        e.withColumn("embedding", F.slice("embedding", 1, 16)),
+        query_ids=range(10), k=5,
+    ).select("query_id", F.col("neighbor_id").alias("n16"))
+    j = (
+        full.join(
+            r8,
+            (full["query_id"] == r8["query_id"])
+            & (full["neighbor_id"] == r8["n8"]),
+            "left",
+        )
+        .drop(r8["query_id"])
+        .join(
+            r16,
+            (full["query_id"] == r16["query_id"])
+            & (full["neighbor_id"] == r16["n16"]),
+            "left",
+        )
+        .drop(r16["query_id"])
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("n8").cast("long").alias("hits8"),
+            F.count("n16").cast("long").alias("hits16"),
+            (F.floor(F.count("n8") / 5.0 * 1e6 + 0.5) / 1e6).alias("recall8_q"),
+            (F.floor(F.count("n16") / 5.0 * 1e6 + 0.5) / 1e6).alias(
+                "recall16_q"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _mmr_oracle_sql(k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR selection: round 1 picks pure relevance;
+    each later round picks argmax lam*rel − (1−lam)*max-sim-to-
+    selected over the remaining candidates (ties by vec_id). cand
+    and the candidate-pair sim matrix are referenced every round →
+    MATERIALIZED."""
+    steps = [
+        "sel1 AS MATERIALIZED (SELECT vec_id, rel AS score FROM cand "
+        "ORDER BY rel DESC, vec_id ASC LIMIT 1)"
+    ]
+    union = "SELECT vec_id FROM sel1"
+    for i in range(2, k + 1):
+        steps.append(
+            f"""score{i} AS (
+      SELECT c.vec_id,
+             {lam} * c.rel - {round(1 - lam, 10)} * max(s.sim) AS score
+      FROM cand c
+      JOIN simmat s ON s.a = c.vec_id
+      WHERE s.b IN ({union}) AND c.vec_id NOT IN ({union})
+      GROUP BY c.vec_id, c.rel),
+    sel{i} AS MATERIALIZED (
+      SELECT vec_id, score FROM score{i}
+      ORDER BY score DESC, vec_id ASC LIMIT 1)"""
+        )
+        union += f" UNION ALL SELECT vec_id FROM sel{i}"
+    chain = ",\n    ".join(steps)
+    picks = "\n      UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, score FROM sel{i}" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT emb AS v_q FROM v WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT vec_id, rel FROM (
+        SELECT c.vec_id,
+               round(list_dot_product(q.v_q, c.emb)
+                     / (sqrt(list_dot_product(q.v_q, q.v_q))
+                        * sqrt(list_dot_product(c.emb, c.emb))), 6) AS rel,
+               row_number() OVER (ORDER BY
+                 round(list_dot_product(q.v_q, c.emb)
+                       / (sqrt(list_dot_product(q.v_q, q.v_q))
+                          * sqrt(list_dot_product(c.emb, c.emb))), 6) DESC,
+                 c.vec_id ASC) AS rk
+        FROM v c, q WHERE c.vec_id <> 0
+      ) WHERE rk <= 10
+    ),
+    simmat AS MATERIALIZED (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round(list_dot_product(vx.emb, vy.emb)
+                   / (sqrt(list_dot_product(vx.emb, vx.emb))
+                      * sqrt(list_dot_product(vy.emb, vy.emb))), 6) AS sim
+      FROM cand x JOIN cand y ON y.vec_id <> x.vec_id
+      JOIN v vx ON vx.vec_id = x.vec_id
+      JOIN v vy ON vy.vec_id = y.vec_id
+    ),
+    {chain}
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+           floor(score * 1e6 + 0.5) / 1e6 AS score_q
+    FROM ({picks})
+    ORDER BY rank
+    """
+
+
+@_staged("mmr_rerank_embeddings", _mmr_oracle_sql())
+def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity-aware result-page operator the retrieval
+    family lacks (hybrid_search_rrf fuses rankings; MMR de-dupes
+    them): from the top-10 cosine candidates for query vector 0,
+    greedily pick 5, each round maximizing λ·relevance −
+    (1−λ)·max-similarity-to-already-picked (λ=0.7, ties by vec_id).
+    The candidate PAGE is bounded by construction (re-rank is a
+    serving-side op on a top-N page), so the 5-round greedy loop
+    joins 10-row frames; the oracle unrolls the same greedy argmax
+    into chained CTEs. Relevance and the pair sims ride the exact
+    rounded-cosine device."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import cosine_topk
+
+    e = T(spark, sf_dir, "embeddings")
+    cand = (
+        cosine_topk(e, query_ids=[0], k=10)
+        .select("neighbor_id", F.col("cosine").alias("rel"))
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = cand.select(F.col("neighbor_id").alias("vec_id"))
+    ce = e.join(cand_ids, "vec_id").select("vec_id", "embedding")
+    # pairwise sims among the 10 candidates (bounded page)
+    pair = cosine_topk(ce, query_ids=None, k=9,
+                       query_df=ce).select(
+        F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        F.col("cosine").alias("sim"),
+    ).localCheckpoint(eager=True)
+    lam = 0.7
+    picked = (
+        cand.orderBy(F.desc("rel"), F.asc("neighbor_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("rel").alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, 6):
+        sel_ids = picked.select("vec_id")
+        remaining = cand.join(
+            sel_ids, cand["neighbor_id"] == sel_ids["vec_id"], "left_anti"
+        )
+        scored = (
+            remaining.join(pair, remaining["neighbor_id"] == pair["a"])
+            .join(sel_ids.select(F.col("vec_id").alias("b")), "b")
+            .groupBy("neighbor_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(
+                "neighbor_id",
+                (lam * F.col("rel") - (1 - lam) * F.col("maxsim")).alias("score"),
+            )
+        )
+        nxt = (
+            scored.orderBy(F.desc("score"), F.asc("neighbor_id"))
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("rank"),
+                F.col("neighbor_id").alias("vec_id"),
+                "score",
+            )
+        )
+        picked = picked.unionByName(nxt).localCheckpoint(eager=True)
+    return picked.select(
+        "rank", "vec_id", (F.floor(F.col("score") * 1e6 + 0.5) / 1e6).alias("score_q")
+    ).orderBy("rank")
