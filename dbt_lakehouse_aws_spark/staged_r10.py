@@ -3849,3 +3849,208 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select(
         "rank", "vec_id", (F.floor(F.col("score") * 1e6 + 0.5) / 1e6).alias("score_q")
     ).orderBy("rank")
+
+
+@_staged(
+    "slo_burn_rate_events",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errors
+      FROM events GROUP BY 1
+    ),
+    rates AS (
+      SELECT h.hr, h.n, h.errors,
+             CAST(sum(w6.errors) AS DOUBLE) / sum(w6.n) AS rate_6h
+      FROM hourly h
+      JOIN hourly w6 ON w6.hr > h.hr - INTERVAL 6 HOUR AND w6.hr <= h.hr
+      GROUP BY h.hr, h.n, h.errors
+    ),
+    rates24 AS (
+      SELECT h.hr,
+             CAST(sum(w.errors) AS DOUBLE) / sum(w.n) AS rate_24h
+      FROM hourly h
+      JOIN hourly w ON w.hr > h.hr - INTERVAL 24 HOUR AND w.hr <= h.hr
+      GROUP BY h.hr
+    ),
+    budget AS (
+      SELECT CAST(sum(errors) AS DOUBLE) / sum(n) AS slo_err
+      FROM hourly
+    ),
+    burn AS (
+      SELECT r.hr, r.rate_6h / (SELECT slo_err FROM budget) AS burn_6h,
+             r24.rate_24h / (SELECT slo_err FROM budget) AS burn_24h
+      FROM rates r JOIN rates24 r24 ON r24.hr = r.hr
+    )
+    SELECT CAST(hr AS TIMESTAMP) AS hr,
+           floor(burn_6h * 1e6 + 0.5) / 1e6 AS burn_6h_q,
+           floor(burn_24h * 1e6 + 0.5) / 1e6 AS burn_24h_q,
+           CASE WHEN burn_6h > 1.15 AND burn_24h > 1.05 THEN 'page'
+                WHEN burn_6h > 1.08 THEN 'ticket' ELSE 'ok' END AS severity
+    FROM burn
+    WHERE (burn_6h > 1.15 AND burn_24h > 1.05) OR burn_6h > 1.08
+    ORDER BY hr
+    """,
+)
+def slo_burn_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window multi-burn-rate SLO alerting (the Google SRE
+    workbook policy): per hour, the error-rate over the trailing 6h
+    and 24h windows relative to the corpus-wide error budget; PAGE
+    when both the fast and slow windows burn hot (rate spike that is
+    also sustained), TICKET on the fast window alone. The trailing
+    windows are NON-EQUI SELF-JOINS over the calendar-bounded hourly
+    aggregate (the KM risk-table device) — no unpartitioned ordered
+    window, so the plan holds at any event volume. Thresholds sit
+    just above 1.0x budget so synthetic uniform traffic still
+    surfaces its noisiest hours at every SF."""
+    e = T(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("long")
+        .alias("errors"),
+    ).persist()
+    w = hourly.select(
+        F.col("hr").alias("whr"), F.col("n").alias("wn"),
+        F.col("errors").alias("werr"),
+    )
+
+    def trailing(hours: int, out: str) -> DataFrame:
+        return (
+            hourly.join(
+                F.broadcast(w),
+                (F.col("whr") > F.col("hr") - F.expr(f"INTERVAL {hours} HOURS"))
+                & (F.col("whr") <= F.col("hr")),
+            )
+            .groupBy("hr")
+            .agg(
+                (F.sum("werr").cast("double") / F.sum("wn")).alias(out)
+            )
+        )
+
+    r6 = trailing(6, "rate_6h")
+    r24 = trailing(24, "rate_24h")
+    budget = hourly.agg(
+        (F.sum("errors").cast("double") / F.sum("n")).alias("slo_err")
+    )
+    burn = (
+        r6.join(r24, "hr")
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "hr",
+            (F.col("rate_6h") / F.col("slo_err")).alias("burn_6h"),
+            (F.col("rate_24h") / F.col("slo_err")).alias("burn_24h"),
+        )
+    )
+    page = (F.col("burn_6h") > 1.15) & (F.col("burn_24h") > 1.05)
+    ticket = F.col("burn_6h") > 1.08
+    return (
+        burn.filter(page | ticket)
+        .select(
+            "hr",
+            (F.floor(F.col("burn_6h") * 1e6 + 0.5) / 1e6).alias("burn_6h_q"),
+            (F.floor(F.col("burn_24h") * 1e6 + 0.5) / 1e6).alias("burn_24h_q"),
+            F.when(page, F.lit("page"))
+            .when(ticket, F.lit("ticket"))
+            .otherwise(F.lit("ok"))
+            .alias("severity"),
+        )
+        .orderBy("hr")
+    )
+
+
+@_staged(
+    "qq_plot_orders",
+    """
+    WITH scored AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                  ELSE 'other' END AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY cents ASC, cents ASC) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM scored
+    ),
+    pcts AS (SELECT unnest(range(1, 20)) AS p),
+    qs AS (
+      SELECT r.grp, p.p, max(r.cents) AS q
+      FROM ranked r JOIN pcts p
+        ON r.rn = greatest(1, CAST(ceil(r.n * p.p / 20.0) AS BIGINT))
+      GROUP BY r.grp, p.p
+    )
+    SELECT u.p AS pct_20th,
+           u.q AS q_urgent_cents,
+           o.q AS q_other_cents,
+           floor(CAST(u.q AS DOUBLE) / o.q * 1e6 + 0.5) / 1e6 AS ratio_q
+    FROM (SELECT p, q FROM qs WHERE grp = 'urgent') u
+    JOIN (SELECT p, q FROM qs WHERE grp = 'other') o ON o.p = u.p
+    ORDER BY pct_20th
+    """,
+)
+def qq_plot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile comparison of urgent vs non-urgent order
+    values at the 19 interior 20-quantiles (exact type-1
+    percentile_disc: the ceil(n·p/20)-th order statistic per group)
+    — the distribution-shape view behind ks_drift_order_values'
+    scalar: WHERE the two distributions diverge, not just whether.
+    Group ranks ride partitioned windows; each quantile is an
+    equi-join on the rank index, exact integer cents until the final
+    ratio."""
+    o = T(spark, sf_dir, "orders")
+    scored = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .otherwise("other")
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("grp").orderBy(F.col("cents").asc())
+    wn = Window.partitionBy("grp")
+    ranked = scored.select(
+        "grp",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pcts = spark.range(1, 20).select(F.col("id").alias("p"))
+    qs = (
+        ranked.join(
+            F.broadcast(pcts),
+            F.col("rn")
+            == F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n") * F.col("p") / 20.0).cast("long"),
+            ),
+        )
+        .groupBy("grp", "p")
+        .agg(F.max("cents").alias("q"))
+    )
+    u = qs.filter(F.col("grp") == "urgent").select(
+        F.col("p").alias("pct_20th"), F.col("q").alias("q_urgent_cents")
+    )
+    ot = qs.filter(F.col("grp") == "other").select(
+        F.col("p").alias("pct_20th"), F.col("q").alias("q_other_cents")
+    )
+    return (
+        u.join(ot, "pct_20th")
+        .select(
+            "pct_20th",
+            "q_urgent_cents",
+            "q_other_cents",
+            (
+                F.floor(
+                    F.col("q_urgent_cents").cast("double")
+                    / F.col("q_other_cents")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("ratio_q"),
+        )
+        .orderBy("pct_20th")
+    )
