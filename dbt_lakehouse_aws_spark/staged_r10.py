@@ -4054,3 +4054,214 @@ def qq_plot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct_20th")
     )
+
+
+@_staged(
+    "rolling_ols_14d_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS di,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    roll AS (
+      SELECT event_type, di, cents,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(di) OVER w AS BIGINT) AS sx,
+             CAST(sum(cents) OVER w AS BIGINT) AS sy,
+             CAST(sum(di * cents) OVER w AS BIGINT) AS sxy,
+             CAST(sum(di * di) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY di
+                   RANGE BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    slopes AS (
+      SELECT event_type, di, cents,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               AS slope
+      FROM roll WHERE n = 14
+    ),
+    ranked AS (
+      SELECT event_type, di, cents, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(slope) DESC, di ASC) AS rk
+      FROM slopes
+    )
+    SELECT event_type, di AS day_idx, cents,
+           floor(slope * 1e6 + 0.5) / 1e6 AS slope_q,
+           CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= 3
+    ORDER BY event_type, rank
+    """,
+)
+def rolling_ols_14d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day OLS revenue slope per event type — the LOCAL
+    trend series behind theil_sen_trend_events' global slope and
+    mann_kendall's global test: where in the quarter was each stream
+    accelerating hardest? The regression sufficient statistics ride
+    ONE partitioned RANGE window (exact BIGINT sums of cents and day
+    indexes — map-side combinable, no per-day rescan); only full
+    14-day windows qualify; top-3 |slope| days ship per type."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("di"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rangeBetween(-13, 0)
+    )
+    roll = daily.select(
+        "event_type",
+        "di",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("di").over(w).cast("long").alias("sx"),
+        F.sum("cents").over(w).cast("long").alias("sy"),
+        F.sum(F.col("di") * F.col("cents")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("di") * F.col("di")).over(w).cast("long").alias("sxx"),
+    ).filter(F.col("n") == 14)
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    slopes = roll.withColumn("slope", slope)
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("slope")).desc(), F.col("di").asc()
+    )
+    return (
+        slopes.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            F.col("di").alias("day_idx"),
+            "cents",
+            (F.floor(F.col("slope") * 1e6 + 0.5) / 1e6).alias("slope_q"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
+@_staged(
+    "audio_silence_segments",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(120 + (doc_id % 3) * 40 AS BIGINT) AS n,
+             list_transform(range(0, CAST(120 + (doc_id % 3) * 40 AS BIGINT)),
+               i -> CASE WHEN ((i // 20) % 3) = 0
+                         THEN (doc_id + i) % 7 - 3
+                         ELSE (doc_id * 41 + i * 73) % 20000 - 10000 END) AS sam
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, n, f.f AS frame_idx,
+             list_sum(list_transform(
+               list_slice(sam, CAST(f.f * 10 + 1 AS BIGINT),
+                          CAST(f.f * 10 + 10 AS BIGINT)),
+               x -> x * x)) AS sumsq
+      FROM base
+      CROSS JOIN LATERAL (SELECT unnest(range(0, CAST(n // 10 AS BIGINT))) AS f) f
+    ),
+    flags AS (
+      SELECT doc_id, frame_idx,
+             CASE WHEN sumsq < 1000 THEN 1 ELSE 0 END AS silent
+      FROM frames
+    ),
+    runs AS (
+      SELECT doc_id, frame_idx, silent,
+             frame_idx - row_number() OVER (PARTITION BY doc_id, silent
+                                            ORDER BY frame_idx) AS grp
+      FROM flags
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE silent = 1) AS BIGINT)
+             AS n_silent_frames,
+           CAST(count(DISTINCT CASE WHEN silent = 1 THEN grp END) AS BIGINT)
+             AS n_silent_segments,
+           CAST(count(*) AS BIGINT) AS n_frames
+    FROM runs
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation — the voice-activity-detection primitive
+    on top of the REAL audio path: per doc a waveform with
+    deterministic quiet stretches is encoded to genuine PCM16
+    RIFF/WAVE, decoded back by the pure-numpy WAV parser inside
+    mapInPandas, split into 10-sample frames, and each frame's
+    energy (Σx²) classified silent below threshold; consecutive
+    silent frames collapse into SEGMENTS (the unit a
+    speech-dataset curator actually counts) via gaps-and-islands.
+    The oracle replays frame slicing and energy classification in
+    closed form over the same synthetic samples."""
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                n = 120 + (doc_id % 3) * 40
+                i = np.arange(n, dtype=np.int64)
+                quiet = ((i // 20) % 3) == 0
+                sam = np.where(
+                    quiet,
+                    (doc_id + i) % 7 - 3,
+                    (doc_id * 41 + i * 73) % 20000 - 10000,
+                )
+                decoded = decode_wav(encode_wav(sam.astype("<i2"), 8000))[
+                    "samples"
+                ][:, 0].astype(np.int64)
+                nf = n // 10
+                frames = decoded[: nf * 10].reshape(nf, 10)
+                energy = (frames * frames).sum(axis=1)
+                silent = energy < 1000
+                # a segment starts at frame 0 if silent, or wherever
+                # silent follows non-silent
+                segments = int(silent[0]) + int(
+                    (silent[1:] & ~silent[:-1]).sum()
+                )
+                out.append(
+                    (
+                        int(doc_id),
+                        int(silent.sum()),
+                        segments,
+                        nf,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_silent_frames",
+                    "n_silent_segments",
+                    "n_frames",
+                ],
+            )
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        run,
+        "doc_id long, n_silent_frames long, n_silent_segments long, n_frames long",
+    ).orderBy("doc_id")
