@@ -85,6 +85,7 @@ class Snapshot:
     renames: dict[str, str] = field(default_factory=dict)  # physical col -> logical col
     generated: dict[str, str] = field(default_factory=dict)  # logical col -> expr
     dvs: dict[str, str] = field(default_factory=dict)  # data file -> deletion-vector ref
+    identity: dict[str, int] = field(default_factory=dict)  # identity col -> next value
 
 
 def _file_stats(path: str, cols: Sequence[str]) -> dict[str, list]:
@@ -253,6 +254,7 @@ class AcidTable:
         renames: dict[str, str] = {}
         generated: dict[str, str] = {}
         dvs: dict[str, str] = {}
+        identity: dict[str, int] = {}
         start = 0
         if base:
             cp = self._read_json(f"{base[-1]:020d}.checkpoint.json")
@@ -263,6 +265,7 @@ class AcidTable:
             renames = dict(cp.get("renames", {}))
             generated = dict(cp.get("generated", {}))
             dvs = dict(cp.get("dvs", {}))
+            identity = dict(cp.get("identity", {}))
             start = base[-1] + 1
         for i in range(start, v + 1):
             m = self._read_json(f"{i:020d}.json")
@@ -276,6 +279,7 @@ class AcidTable:
             renames = dict(m.get("renames", renames))
             generated = dict(m.get("generated", generated))
             dvs = dict(m.get("dvs", dvs))
+            identity = dict(m.get("identity", identity))
         return Snapshot(
             version=v,
             operation=operation,
@@ -288,6 +292,7 @@ class AcidTable:
             generated=generated,
             # a DV is only meaningful for a file the snapshot holds
             dvs={f: r for f, r in dvs.items() if f in files},
+            identity=identity,
         )
 
     def history(self) -> list[Snapshot]:
@@ -352,6 +357,7 @@ class AcidTable:
         renames: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
         dvs: dict[str, str] | None = None,
+        identity: dict[str, int] | None = None,
     ) -> Snapshot:
         os.makedirs(self._log, exist_ok=True)
         new_version = 0 if base_version is None else base_version + 1
@@ -362,6 +368,7 @@ class AcidTable:
             prev_renames: dict[str, str] = {}
             prev_generated: dict[str, str] = {}
             prev_dvs: dict[str, str] = {}
+            prev_identity: dict[str, int] = {}
         else:
             prev = self.snapshot(base_version)
             prev_files, prev_stats = set(prev.files), prev.stats
@@ -369,6 +376,7 @@ class AcidTable:
             prev_renames = prev.renames
             prev_generated = prev.generated
             prev_dvs = prev.dvs
+            prev_identity = prev.identity
         new_set = set(files)
         # DV carry rule: an unchanged file keeps its vector; a removed
         # file's vector dies with it; new files start clean. Callers
@@ -390,6 +398,7 @@ class AcidTable:
             "renames": dict(prev_renames if renames is None else renames),
             "generated": dict(prev_generated if generated is None else generated),
             "dvs": eff_dvs,
+            "identity": dict(prev_identity if identity is None else identity),
         }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -422,6 +431,7 @@ class AcidTable:
             "renames": snap.renames,
             "generated": snap.generated,
             "dvs": snap.dvs,
+            "identity": snap.identity,
         }
         tmp = os.path.join(self._log, f".cptmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -760,12 +770,37 @@ class AcidTable:
         trade is always safe; MERGE on such files simply rewrites
         conservatively."""
         base = self.latest_version() if self.exists() else None
+        new_identity: dict[str, int] | None = None
         if base is not None:
             snap0 = self.snapshot(base)
             # generated columns: compute when absent, reject disagreement
             df = self._apply_generated(df, snap0)
             # constraints bind to logical names (what callers see)
             self._enforce(df, snap0.constraints)
+            # identity columns (GENERATED BY DEFAULT): a batch that
+            # omits the column gets ids from the manifest high-water
+            # mark; one that carries it passes through (merge
+            # survivors keep theirs)
+            missing_ids = [c for c in snap0.identity if c not in df.columns]
+            if missing_ids:
+                from dbt_lakehouse_aws_spark.operators.windows import (
+                    global_row_number,
+                )
+
+                ident = dict(snap0.identity)
+                df = global_row_number(
+                    df.withColumn("_idmid", F.monotonically_increasing_id()),
+                    [F.col("_idmid").asc()],
+                    name="_idrn",
+                )
+                n = df.count()
+                for c in missing_ids:
+                    df = df.withColumn(
+                        c, (F.col("_idrn") + F.lit(ident[c] - 1)).cast("long")
+                    )
+                    ident[c] = ident[c] + int(n)
+                df = df.drop("_idmid", "_idrn")
+                new_identity = ident
             # data files always carry PHYSICAL names
             df = self._to_physical(df, snap0.renames)
         hint = 0 if base is None else base + 1
@@ -789,6 +824,39 @@ class AcidTable:
             stats=stats,
             base_version=base,
             txn=txn,
+            identity=new_identity,
+        )
+
+    def add_identity_column(self, name: str, *, start: int = 1) -> Snapshot:
+        """Delta-style IDENTITY column (GENERATED BY DEFAULT AS
+        IDENTITY): a metadata-only commit that adds a BIGINT column
+        whose values subsequent writes assign from a manifest-tracked
+        high-water mark — monotone and collision-free across commits
+        without any table-wide max() scan at write time. Attach
+        BEFORE data lands (empty table): backfilling ids onto
+        existing rows would impose an ordering the format does not
+        define. Batches that already carry the column pass through
+        (merge survivors keep their ids; the merge delta must carry
+        every target column, so an upsert can never silently re-id
+        a row)."""
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column {name!r} already exists")
+        if name in snap.identity:
+            raise ValueError(f"identity column {name!r} already declared")
+        if snap.files and self.read(snap.version).limit(1).count() > 0:
+            raise ValueError(
+                "identity columns attach before data lands (table not empty)"
+            )
+        evolved = StructType(list(schema.fields)).add(name, "long")
+        return self._commit(
+            operation=f"ADD IDENTITY {name} start={start}",
+            files=[],
+            schema_json=evolved.json(),
+            stats={},
+            base_version=snap.version,
+            identity={**snap.identity, name: int(start)},
         )
 
     # -- CHECK constraints -------------------------------------------------

@@ -4265,3 +4265,109 @@ def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, n_silent_frames long, n_silent_segments long, n_frames long",
     ).orderBy("doc_id")
+
+
+@_staged(
+    "image_contrast_features",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 9 AS BIGINT) AS w,
+             CAST(3 + doc_id % 5 AS BIGINT) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, w * h AS npx,
+             list_transform(range(0, CAST(w * h AS BIGINT)),
+                            i -> (doc_id * 37 + i * 11) % 256) AS gray
+      FROM base
+    ),
+    hist AS (
+      SELECT doc_id, npx,
+             CAST(list_min(gray) AS BIGINT) AS g_min,
+             CAST(list_max(gray) AS BIGINT) AS g_max,
+             CAST(list_sum(gray) AS BIGINT) AS g_sum,
+             CAST(len(list_distinct(gray)) AS BIGINT) AS n_levels
+      FROM px
+    ),
+    stretched AS (
+      SELECT p.doc_id, h.npx, h.g_min, h.g_max, h.g_sum, h.n_levels,
+             CAST(list_sum(list_transform(p.gray,
+               g -> CASE WHEN h.g_max = h.g_min THEN 0
+                    ELSE (g - h.g_min) * 255 // (h.g_max - h.g_min) END))
+               AS BIGINT) AS stretched_sum
+      FROM px p JOIN hist h ON h.doc_id = p.doc_id
+    )
+    SELECT doc_id, npx AS n_pixels, g_min, g_max, n_levels,
+           g_sum AS gray_sum,
+           stretched_sum,
+           floor((g_max - g_min) / 255.0 * 1e6 + 0.5) / 1e6
+             AS contrast_span_q
+    FROM stretched
+    ORDER BY doc_id
+    """,
+)
+def image_contrast_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrast-stretch image processing on the REAL decode path:
+    per doc a deterministic grayscale raster encodes to genuine
+    24-bpp BMP bytes, the pure-numpy BMP decoder reads the pixels
+    back inside mapInPandas, and min-max contrast stretching
+    ((g−min)·255//(max−min), the preprocessing normalizer every
+    vision pipeline runs before augmentation) is applied to the
+    DECODED pixels — emitting exact integer histogram features and
+    the stretched checksum. A green row proves pixels, not headers,
+    round-tripped (any decoder bit-slip shifts gray_sum AND
+    stretched_sum). Complements image_decode_features (codec
+    breadth) and image_ahash_fingerprints (perceptual hash) with
+    the PROCESSING step."""
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                w = 4 + doc_id % 9
+                h = 3 + doc_id % 5
+                npx = w * h
+                gray = ((doc_id * 37 + np.arange(npx, dtype=np.int64) * 11)
+                        % 256)
+                rgb = np.repeat(gray, 3).reshape(h, w, 3).astype(np.uint8)
+                decoded = decode_bmp(encode_bmp(rgb))
+                g = decoded[:, :, 0].astype(np.int64).reshape(-1)
+                g_min, g_max = int(g.min()), int(g.max())
+                if g_max == g_min:
+                    st = np.zeros_like(g)
+                else:
+                    st = (g - g_min) * 255 // (g_max - g_min)
+                out.append(
+                    (
+                        int(doc_id),
+                        int(npx),
+                        g_min,
+                        g_max,
+                        int(np.unique(g).size),
+                        int(g.sum()),
+                        int(st.sum()),
+                        float(np.floor((g_max - g_min) / 255.0 * 1e6 + 0.5) / 1e6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_pixels", "g_min", "g_max", "n_levels",
+                    "gray_sum", "stretched_sum", "contrast_span_q",
+                ],
+            )
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    schema = (
+        "doc_id long, n_pixels long, g_min long, g_max long, n_levels long, "
+        "gray_sum long, stretched_sum long, contrast_span_q double"
+    )
+    return d.mapInPandas(run, schema).orderBy("doc_id")

@@ -1410,3 +1410,51 @@ def test_merge_nmbs_prices_only_touched_files(spark, tmp_path):
     # file holding group b carries over untouched
     assert set(s1.files) & set(snap.files), "untouched file was rewritten"
     assert t.read().count() == 100
+
+
+# -- identity columns -------------------------------------------------------
+
+
+def test_identity_column_assigns_disjoint_monotone_ranges(spark, tmp_path):
+    """Two appends that omit the identity column draw disjoint,
+    contiguous id ranges from the manifest high-water mark."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, []).limit(0))  # establish schema, empty
+    t.add_identity_column("row_id", start=100)
+    t.write(_mkdf(spark, [(i, "a", 0.0) for i in range(7)]), mode="append")
+    t.write(_mkdf(spark, [(i, "b", 0.0) for i in range(5)]), mode="append")
+    rows = t.read().select("grp", "row_id").collect()
+    ids = sorted(r["row_id"] for r in rows)
+    assert ids == list(range(100, 112)), ids
+    a_ids = {r["row_id"] for r in rows if r["grp"] == "a"}
+    b_ids = {r["row_id"] for r in rows if r["grp"] == "b"}
+    assert max(a_ids) < min(b_ids), "append ranges must be disjoint and ordered"
+    assert t.snapshot().identity == {"row_id": 112}
+
+
+def test_identity_passthrough_and_merge_keeps_ids(spark, tmp_path):
+    """A batch that carries the column passes through untouched, and
+    a MERGE (whose delta must carry all columns) cannot re-id
+    survivors."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, []).limit(0))
+    t.add_identity_column("row_id")
+    t.write(_mkdf(spark, [(1, "a", 1.0), (2, "a", 2.0)]), mode="append")
+    before = {r["id"]: r["row_id"] for r in t.read().collect()}
+    upd = t.read().filter(F.col("id") == 1).withColumn("value", F.lit(99.0))
+    t.merge(upd, keys=["id"])
+    after = {r["id"]: r["row_id"] for r in t.read().collect()}
+    assert after == before, "merge must not reassign identity values"
+    assert t.read().filter(F.col("id") == 1).first()["value"] == 99.0
+
+
+def test_identity_refuses_nonempty_table_and_duplicates(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, [(1, "a", 1.0)]))
+    with pytest.raises(ValueError, match="not empty"):
+        t.add_identity_column("row_id")
+    t2 = AcidTable(spark, str(tmp_path / "t2"))
+    t2.write(_mkdf(spark, []).limit(0))
+    t2.add_identity_column("row_id")
+    with pytest.raises(ValueError, match="already exists"):
+        t2.add_identity_column("row_id")
