@@ -4371,3 +4371,524 @@ def image_contrast_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gray_sum long, stretched_sum long, contrast_span_q double"
     )
     return d.mapInPandas(run, schema).orderBy("doc_id")
+
+
+@_staged(
+    "kendalls_w_weekday_events",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS wd,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranks AS (
+      SELECT event_type, wd,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n DESC, wd ASC) AS BIGINT) AS r
+      FROM cells
+    ),
+    sums AS (
+      SELECT wd, CAST(sum(r) AS BIGINT) AS rsum FROM ranks GROUP BY 1
+    ),
+    m AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS m FROM cells),
+    s AS (
+      SELECT sum((rsum - (SELECT m FROM m) * 4.0)
+                 * (rsum - (SELECT m FROM m) * 4.0)) AS s
+      FROM sums
+    )
+    SELECT (SELECT m FROM m) AS n_judges,
+           CAST(7 AS BIGINT) AS n_items,
+           floor((SELECT s FROM s) * 1e6 + 0.5) / 1e6 AS s_q,
+           floor(12.0 * (SELECT s FROM s)
+                 / ((SELECT m FROM m) * (SELECT m FROM m) * 336.0)
+                 * 1e6 + 0.5) / 1e6 AS kendalls_w_q
+    """,
+)
+def kendalls_w_weekday_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W: do the event types
+    (judges) agree on how the seven weekdays (items) rank by
+    traffic? W = 12S / (m²(n³−n)) with S the variance of weekday
+    rank-sums around m(n+1)/2 = 4m — the multi-rater agreement
+    scalar next to weighted_kappa_quality's two-rater kappa. Ranks
+    are deterministic (count DESC, weekday ASC tiebreak) on the
+    types×7 cell frame; n³−n = 336 folds constant."""
+    e = T(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (F.weekday(F.to_date("ts")) + 1).cast("long").alias("wd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("wd").asc()
+    )
+    ranks = cells.select(
+        "event_type", "wd", F.row_number().over(wr).cast("long").alias("r")
+    )
+    sums = ranks.groupBy("wd").agg(F.sum("r").cast("long").alias("rsum"))
+    m = cells.agg(F.countDistinct("event_type").cast("long").alias("m"))
+    j = sums.crossJoin(F.broadcast(m))
+    dev = F.col("rsum") - F.col("m") * 4.0
+    s = j.groupBy("m").agg(F.sum(dev * dev).alias("s"))
+    return s.select(
+        F.col("m").alias("n_judges"),
+        F.lit(7).cast("long").alias("n_items"),
+        (F.floor(F.col("s") * 1e6 + 0.5) / 1e6).alias("s_q"),
+        (
+            F.floor(
+                12.0 * F.col("s") / (F.col("m") * F.col("m") * 336.0) * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("kendalls_w_q"),
+    )
+
+
+@_staged(
+    "topk_stability_parts",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o.o_orderdate) AS mon, l.l_partkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT mon, l_partkey,
+             CAST(row_number() OVER (PARTITION BY mon
+                                     ORDER BY cents DESC, l_partkey ASC)
+                  AS BIGINT) AS rk
+      FROM monthly
+    ),
+    topk AS MATERIALIZED (
+      SELECT mon, l_partkey, rk FROM ranked WHERE rk <= 10
+    ),
+    months AS (
+      SELECT mon, lag(mon) OVER (ORDER BY mon) AS prev
+      FROM (SELECT DISTINCT mon FROM topk)
+    ),
+    pairs AS (SELECT mon, prev FROM months WHERE prev IS NOT NULL),
+    overlap AS (
+      SELECT p.mon,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM pairs p
+      JOIN topk a ON a.mon = p.mon
+      JOIN topk b ON b.mon = p.prev AND b.l_partkey = a.l_partkey
+      GROUP BY 1
+    ),
+    rbo AS (
+      SELECT p.mon,
+             sum(0.1 * power(0.9, d.d - 1)
+                 * (SELECT count(*) FROM topk a JOIN topk b
+                    ON b.mon = p.prev AND b.l_partkey = a.l_partkey
+                       AND a.rk <= d.d AND b.rk <= d.d
+                    WHERE a.mon = p.mon) / d.d) AS rbo10
+      FROM pairs p CROSS JOIN (SELECT unnest(range(1, 11)) AS d) d
+      GROUP BY p.mon
+    )
+    SELECT CAST(p.mon AS DATE) AS month,
+           coalesce(o.inter, 0) AS top10_overlap,
+           floor(coalesce(o.inter, 0) / (20.0 - coalesce(o.inter, 0))
+                 * 1e6 + 0.5) / 1e6 AS jaccard_q,
+           floor(coalesce(r.rbo10, 0.0) * 1e6 + 0.5) / 1e6 AS rbo10_q
+    FROM pairs p
+    LEFT JOIN overlap o ON o.mon = p.mon
+    LEFT JOIN rbo r ON r.mon = p.mon
+    ORDER BY month
+    """,
+)
+def topk_stability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard stability: month-over-month top-10
+    revenue-parts overlap as Jaccard AND truncated rank-biased
+    overlap (RBO@10, p=0.9 — weights agreement at depth d by
+    0.1·0.9^(d−1)·|A_d ∩ B_d|/d, so podium churn costs more than
+    10th-place churn). The dashboard-churn metric behind
+    wow_movers_event_types. Everything runs on the months×10
+    leaderboard frame; the depth axis is a 10-row literal."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    monthly = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("mon").orderBy(
+        F.col("cents").desc(), F.col("l_partkey").asc()
+    )
+    topk = (
+        monthly.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("mon", "l_partkey", "rk")
+        .localCheckpoint(eager=True)
+    )
+    mons = topk.select("mon").distinct()
+    wm = Window.orderBy("mon")
+    # months are a calendar axis (bounded); the lag window over the
+    # distinct-month frame is fine at any SF
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
+    midx = global_row_number(mons, [F.col("mon").asc()], name="mi")
+    pairs = (
+        midx.alias("a")
+        .join(
+            midx.alias("b"),
+            F.col("b.mi") == F.col("a.mi") - 1,
+        )
+        .select(F.col("a.mon").alias("mon"), F.col("b.mon").alias("prev"))
+    )
+    # rename BOTH sides' part keys: deriving a and b from the same
+    # frame leaves l_partkey == l_partkey trivially true (Spark
+    # resolves the ambiguous self-join reference to one side)
+    a = topk.select(F.col("mon").alias("amon"),
+                    F.col("l_partkey").alias("pk_a"),
+                    F.col("rk").alias("ark"))
+    b = topk.select(F.col("mon").alias("bmon"),
+                    F.col("l_partkey").alias("pk_b"),
+                    F.col("rk").alias("brk"))
+    matched = (
+        pairs.join(a, pairs["mon"] == a["amon"])
+        .join(b, (pairs["prev"] == b["bmon"]) & (F.col("pk_a") == F.col("pk_b")))
+        .select("mon", "ark", "brk")
+        .localCheckpoint(eager=True)
+    )
+    overlap = matched.groupBy("mon").agg(
+        F.count(F.lit(1)).cast("long").alias("inter")
+    )
+    depth = spark.range(1, 11).select(F.col("id").alias("d"))
+    rbo = (
+        matched.crossJoin(F.broadcast(depth))
+        .filter((F.col("ark") <= F.col("d")) & (F.col("brk") <= F.col("d")))
+        .groupBy("mon", "d")
+        .agg(F.count(F.lit(1)).alias("inter_d"))
+        .select(
+            "mon",
+            (
+                0.1
+                * F.pow(F.lit(0.9), F.col("d") - 1)
+                * F.col("inter_d")
+                / F.col("d")
+            ).alias("term"),
+        )
+        .groupBy("mon")
+        .agg(F.sum("term").alias("rbo10"))
+    )
+    inter = F.coalesce(F.col("inter"), F.lit(0))
+    return (
+        pairs.select("mon")
+        .join(overlap, "mon", "left")
+        .join(rbo, "mon", "left")
+        .select(
+            F.col("mon").cast("date").alias("month"),
+            inter.cast("long").alias("top10_overlap"),
+            (
+                F.floor(inter / (20.0 - inter) * 1e6 + 0.5) / 1e6
+            ).alias("jaccard_q"),
+            (
+                F.floor(F.coalesce(F.col("rbo10"), F.lit(0.0)) * 1e6 + 0.5)
+                / 1e6
+            ).alias("rbo10_q"),
+        )
+        .orderBy("month")
+    )
+
+
+@_staged(
+    "markov_entropy_rate_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS k
+      FROM events
+    ),
+    trans AS (
+      SELECT a.event_type AS src, b.event_type AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq a JOIN seq b
+        ON b.user_id = a.user_id AND b.k = a.k + 1
+      GROUP BY 1, 2
+    ),
+    srct AS (
+      SELECT src, CAST(sum(n) AS BIGINT) AS ns FROM trans GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM trans),
+    hcond AS (
+      SELECT t.src, s.ns,
+             -sum((CAST(t.n AS DOUBLE) / s.ns)
+                  * ln(CAST(t.n AS DOUBLE) / s.ns)) AS h_src
+      FROM trans t JOIN srct s ON s.src = t.src
+      GROUP BY 1, 2
+    )
+    SELECT h.src AS state,
+           h.ns AS n_transitions,
+           floor(h.h_src * 1e6 + 0.5) / 1e6 AS h_state_q,
+           floor((CAST(h.ns AS DOUBLE) / (SELECT nt FROM tot)) * h.h_src
+                 * 1e6 + 0.5) / 1e6 AS h_contrib_q
+    FROM hcond h
+    ORDER BY state
+    """,
+)
+def markov_entropy_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the empirical user event chain: per state the
+    conditional next-step entropy H(next|s) = −Σ p(t|s)·ln p(t|s)
+    and its stationary-weighted contribution to the chain's entropy
+    rate Σ p(s)·H(next|s) — the predictability scalar behind
+    markov_perplexity (that query scores SEQUENCES; this scores the
+    CHAIN: a state with near-zero conditional entropy is a
+    deterministic funnel step, a high one is a branch point). Exact
+    transition counts; entropies are identical-order float sums over
+    the types² frame."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "k", F.row_number().over(w)
+    )
+    a = seq.select("user_id", F.col("event_type").alias("src"),
+                   F.col("k").alias("ka"))
+    b = seq.select("user_id", F.col("event_type").alias("dst"),
+                   F.col("k").alias("kb"))
+    trans = (
+        a.join(b, "user_id")
+        .filter(F.col("kb") == F.col("ka") + 1)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    srct = trans.groupBy("src").agg(F.sum("n").cast("long").alias("ns"))
+    tot = trans.agg(F.sum("n").cast("long").alias("nt"))
+    p = F.col("n").cast("double") / F.col("ns")
+    hcond = (
+        trans.join(srct, "src")
+        .groupBy("src", "ns")
+        .agg((-F.sum(p * F.log(p))).alias("h_src"))
+    )
+    return (
+        hcond.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("src").alias("state"),
+            F.col("ns").alias("n_transitions"),
+            (F.floor(F.col("h_src") * 1e6 + 0.5) / 1e6).alias("h_state_q"),
+            (
+                F.floor(
+                    (F.col("ns").cast("double") / F.col("nt"))
+                    * F.col("h_src")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("h_contrib_q"),
+        )
+        .orderBy("state")
+    )
+
+
+def _erlang_c_oracle_sql() -> str:
+    """Erlang-C with the factorial sum unrolled via a 0..k-1 literal
+    axis; k (agent count) is data-derived so the sum is a grouped
+    aggregate, not a scalar unroll."""
+    return """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    load AS (
+      SELECT event_type,
+             sum(CAST(n AS DOUBLE)) / count(*) * 0.05 AS a
+      FROM hourly GROUP BY 1
+    ),
+    agents AS (
+      SELECT event_type, a,
+             CAST(ceil(a) + 2 AS BIGINT) AS k
+      FROM load
+    ),
+    terms AS (
+      SELECT g.event_type, g.a, g.k, i.i,
+             power(g.a, i.i) / coalesce(list_aggregate(
+               list_transform(range(1, CAST(i.i + 1 AS BIGINT)),
+                              x -> CAST(x AS DOUBLE)), 'product'), 1.0)
+               AS term
+      FROM agents g
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS i) i
+      WHERE i.i < g.k
+    ),
+    s AS (
+      SELECT event_type, a, k, sum(term) AS denom_sum
+      FROM terms GROUP BY 1, 2, 3
+    ),
+    ek AS (
+      SELECT event_type, a, k, denom_sum,
+             power(a, k) / list_aggregate(
+               list_transform(range(1, CAST(k + 1 AS BIGINT)),
+                              x -> CAST(x AS DOUBLE)), 'product')
+               * (k / (k - a)) AS tail
+      FROM s
+    )
+    SELECT event_type,
+           floor(a * 1e6 + 0.5) / 1e6 AS offered_load_q,
+           k AS n_agents,
+           floor(tail / (denom_sum + tail) * 1e6 + 0.5) / 1e6
+             AS p_wait_q,
+           CASE WHEN tail / (denom_sum + tail) > 0.2 THEN 'understaffed'
+                ELSE 'ok' END AS verdict
+    FROM ek ORDER BY event_type
+    """
+
+
+@_staged("erlang_c_events", _erlang_c_oracle_sql())
+def erlang_c_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing model per event stream: offered load A =
+    mean hourly arrivals × 0.05 h handle time, k = ⌈A⌉+2 agents, and
+    the probability an arrival must WAIT, P_wait = (A^k/k!)·k/(k−A)
+    / (Σ_{i<k} A^i/i! + A^k/k!·k/(k−A)) — the queueing-theory
+    capacity answer behind the SLO burn-rate alert (burn tells you
+    it's on fire; Erlang-C tells you how many agents put it out).
+    Factorials build from an explicit product chain on a bounded
+    0..29 axis (k is small by construction), identical arithmetic
+    both engines."""
+    e = T(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    load = hourly.groupBy("event_type").agg(
+        (F.sum(F.col("n").cast("double")) / F.count(F.lit(1)) * 0.05).alias("a")
+    )
+    agents = load.select(
+        "event_type", "a", (F.ceil("a") + 2).cast("long").alias("k")
+    )
+    idx = spark.range(0, 30).select(F.col("id").alias("i"))
+    fact = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.col("i")),
+            lambda x: x.cast("double"),
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    terms = (
+        agents.crossJoin(F.broadcast(idx))
+        .filter(F.col("i") < F.col("k"))
+        .select(
+            "event_type",
+            "a",
+            "k",
+            (F.pow(F.col("a"), F.col("i")) / F.when(F.col("i") == 0, 1.0)
+             .otherwise(fact)).alias("term"),
+        )
+    )
+    s = terms.groupBy("event_type", "a", "k").agg(
+        F.sum("term").alias("denom_sum")
+    )
+    factk = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.col("k")),
+            lambda x: x.cast("double"),
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    ek = s.withColumn(
+        "tail",
+        F.pow(F.col("a"), F.col("k"))
+        / factk
+        * (F.col("k") / (F.col("k") - F.col("a"))),
+    )
+    pw = F.col("tail") / (F.col("denom_sum") + F.col("tail"))
+    return ek.select(
+        "event_type",
+        (F.floor(F.col("a") * 1e6 + 0.5) / 1e6).alias("offered_load_q"),
+        F.col("k").alias("n_agents"),
+        (F.floor(pw * 1e6 + 0.5) / 1e6).alias("p_wait_q"),
+        F.when(pw > 0.2, F.lit("understaffed")).otherwise(F.lit("ok")).alias(
+            "verdict"
+        ),
+    ).orderBy("event_type")
+
+
+@_staged(
+    "gmd_order_values",
+    """
+    WITH scored AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             o.o_orderkey
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    ranked AS (
+      SELECT segment, cents,
+             CAST(row_number() OVER (PARTITION BY segment
+                                     ORDER BY cents ASC, o_orderkey ASC)
+                  AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+      FROM scored
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS weighted_sum,
+           floor(2.0 * sum((2 * i - n - 1) * cents)
+                 / (CAST(max(n) AS DOUBLE) * (max(n) - 1)) * 1e4 + 0.5) / 1e4
+             AS gmd_cents_q,
+           floor(sum((2 * i - n - 1) * cents)
+                 / (CAST(max(n) AS DOUBLE) * (max(n) - 1))
+                 / (sum(cents) / CAST(max(n) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS gini_q
+    FROM ranked
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def gmd_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini mean difference per market segment — E|X−X'|, the
+    L1 dispersion scalar (more robust than variance, unlike MAD it
+    sees the whole distribution) via the RANK identity GMD =
+    2·Σ(2i−n−1)·x_(i) / (n(n−1)): one partitioned rank window over
+    exact cents, one aggregate — never the O(n²) pairwise form.
+    The normalized half (GMD/2μ) is exactly the Gini coefficient,
+    reported as a per-segment cross-check of
+    gini_customer_revenue's customer-level curve."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    scored = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    wr = Window.partitionBy("segment").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("segment")
+    ranked = scored.select(
+        "segment",
+        "cents",
+        F.row_number().over(wr).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    ws = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+    nn = F.max("n").cast("double")
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            ws.cast("long").alias("weighted_sum"),
+            (F.floor(2.0 * ws / (nn * (F.max("n") - 1)) * 1e4 + 0.5) / 1e4).alias(
+                "gmd_cents_q"
+            ),
+            (
+                F.floor(
+                    ws / (nn * (F.max("n") - 1)) / (F.sum("cents") / nn) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("gini_q"),
+        )
+        .orderBy("segment")
+    )

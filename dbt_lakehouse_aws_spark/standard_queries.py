@@ -5887,12 +5887,11 @@ DRIVER_WINDOW: list[str] = ROUND6_WINDOW[:50]
 #: Keep registering genuinely-new round-N work into staging only,
 #: never straight into the frozen window.
 #:
-#: ROUND-10 PLAN: staged_r10.py closed round 6 with 42 fully-oracled
-#: queries (every one verified at sf0.001 AND sf0.01, vanilla-ANSI
-#: checked, plan-linted, sf0.1-timed — the staging discipline).
-#: Round 10's window = the first 42 of staged_r10 in file order + an
-#: 8-slot stalest-evidence backfill chosen when the window rotates
-#: (after round 9, the stalest green rows are the round-2/3 cohort).
+#: ROUND-10 PLAN: staged_r10.py closed round 6 with EXACTLY 50
+#: fully-oracled queries (every one verified at sf0.001 AND sf0.01,
+#: vanilla-ANSI checked, plan-linted, sf0.1-timed — the staging
+#: discipline). Round 10's window = the 50 staged_r10 queries in
+#: file order — a full self-contained window, no backfill needed.
 #: The streaming-equivalence fixtures in staged_r10
 #: (stream_late_data_equivalence, stream_session_equivalence) stay
 #: out of bench.py per the standing policy; everything else joins
