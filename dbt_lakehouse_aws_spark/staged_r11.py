@@ -1,0 +1,593 @@
+"""Round-11+ STAGED queries — work built after round 10's window
+(the 50 staged_r10 queries) was already full. Same staging
+discipline: every entry carries its oracle and is pytest-verified
+each session by ``tests/test_staged_r6.py``.
+"""
+
+from __future__ import annotations
+
+#: name → oracle SQL, mirrors standard_queries' registry shape
+STAGED_ORACLES: dict[str, str] = {}
+#: name → (spark, sf_dir) -> DataFrame
+STAGED_QUERIES: dict[str, object] = {}
+
+
+def _staged(name: str, oracle: str):
+    def deco(fn):
+        STAGED_ORACLES[name] = oracle
+        STAGED_QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402,F401
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbt_lakehouse_aws_spark.sources.tables import T  # noqa: E402
+
+
+@_staged(
+    "km_censored_repurchase",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    firsts AS (
+      SELECT user_id, CAST(ts AS DATE) AS d1 FROM purchases WHERE k = 1
+    ),
+    seconds AS (
+      SELECT user_id, CAST(ts AS DATE) AS d2 FROM purchases WHERE k = 2
+    ),
+    subjects AS (
+      SELECT f.user_id,
+             CASE WHEN s.d2 IS NOT NULL
+                  THEN CAST(date_diff('day', f.d1, s.d2) AS BIGINT)
+                  ELSE CAST(date_diff('day', f.d1, (SELECT h FROM horizon))
+                       AS BIGINT) END AS t,
+             CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM firsts f LEFT JOIN seconds s ON s.user_id = f.user_id
+    ),
+    risk AS (
+      SELECT t, CAST(sum(observed) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM subjects GROUP BY 1
+    ),
+    km AS (
+      SELECT r.t, r.d,
+             (SELECT sum(r2.leaving) FROM risk r2 WHERE r2.t >= r.t)
+               AS n_at_risk
+      FROM risk r WHERE r.d > 0
+    ),
+    curve AS (
+      SELECT k.t, k.d, k.n_at_risk,
+             (SELECT sum(CASE WHEN k2.n_at_risk > k2.d
+                              THEN ln(1.0 - CAST(k2.d AS DOUBLE) / k2.n_at_risk)
+                              ELSE 0.0 END)
+              FROM km k2 WHERE k2.t <= k.t) AS logsum,
+             (SELECT max(CASE WHEN k2.n_at_risk = k2.d THEN 1 ELSE 0 END)
+              FROM km k2 WHERE k2.t <= k.t) AS zero_seen
+      FROM km k
+    )
+    SELECT t AS gap_days, d AS n_events,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CASE WHEN zero_seen = 1 THEN 0.0
+                ELSE round(exp(logsum), 6) END AS survival
+    FROM curve
+    ORDER BY gap_days
+    """,
+)
+def km_censored_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier WITH RIGHT CENSORING — the textbook estimator
+    survival_km_repurchase deliberately simplifies away: one-purchase
+    users aren't dropped, they're CENSORED at the observation horizon
+    (they survive at least that long), so they thin the at-risk sets
+    without contributing events. On a growing corpus the uncensored
+    curve is biased toward fast repurchasers; this one is not. Same
+    scalable risk-table device (two broadcast non-equi folds over the
+    calendar-bounded event-time frame); event times with d=0 (pure
+    censoring) drop out of the product exactly as the textbook says."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("k", F.row_number().over(w))
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("h"))
+    firsts = p.filter(F.col("k") == 1).select(
+        "user_id", F.to_date("ts").alias("d1")
+    )
+    seconds = p.filter(F.col("k") == 2).select(
+        "user_id", F.to_date("ts").alias("d2")
+    )
+    subjects = (
+        firsts.join(seconds, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("h", "d1"))
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("observed"),
+        )
+    )
+    risk = subjects.groupBy("t").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    ).persist()
+    r2 = risk.select(F.col("t").alias("t2"), F.col("leaving").alias("l2"))
+    km = (
+        risk.filter(F.col("d") > 0)
+        .join(F.broadcast(r2), F.col("t2") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.sum("l2").alias("n_at_risk"))
+    )
+    k2 = km.select(
+        F.col("t").alias("t2"),
+        F.col("d").alias("d2k"),
+        F.col("n_at_risk").alias("n2"),
+    )
+    ln_term = F.when(
+        F.col("n2") > F.col("d2k"),
+        F.log(1.0 - F.col("d2k").cast("double") / F.col("n2")),
+    ).otherwise(0.0)
+    zero_flag = F.when(F.col("n2") == F.col("d2k"), 1).otherwise(0)
+    curve = (
+        km.join(F.broadcast(k2), F.col("t2") <= F.col("t"))
+        .groupBy("t", "d", "n_at_risk")
+        .agg(
+            F.sum(ln_term).alias("logsum"),
+            F.max(zero_flag).alias("zero_seen"),
+        )
+    )
+    surv = F.when(F.col("zero_seen") == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("logsum")), 6)
+    )
+    return curve.select(
+        F.col("t").alias("gap_days"),
+        F.col("d").alias("n_events"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        surv.alias("survival"),
+    ).orderBy("gap_days")
+
+
+@_staged(
+    "brier_decomposition_orders",
+    """
+    WITH scored AS (
+      SELECT CAST((o_orderkey % 20) AS BIGINT) AS bin,
+             ((o_orderkey % 20) + 0.5) / 20.0 AS p,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y
+      FROM orders
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+             max(p) AS pk,
+             sum(y) / count(*) AS ok
+      FROM scored GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(y) / count(*) AS obar
+      FROM scored
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           floor((SELECT obar FROM tot) * 1e6 + 0.5) / 1e6 AS base_rate_q,
+           floor(sum(nk * (pk - ok) * (pk - ok)) / (SELECT n FROM tot)
+                 * 1e6 + 0.5) / 1e6 AS reliability_q,
+           floor(sum(nk * (ok - (SELECT obar FROM tot))
+                        * (ok - (SELECT obar FROM tot)))
+                 / (SELECT n FROM tot) * 1e6 + 0.5) / 1e6 AS resolution_q,
+           floor((SELECT obar FROM tot) * (1.0 - (SELECT obar FROM tot))
+                 * 1e6 + 0.5) / 1e6 AS uncertainty_q
+    FROM bins
+    """,
+)
+def brier_decomposition_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — reliability −
+    resolution + uncertainty — for a 20-bin synthetic forecaster of
+    order urgency (bin k forecasts (k+0.5)/20): calibration_brier
+    gives the total; this splits it into the three terms a forecast
+    shop actually tunes (reliability→recalibrate, resolution→better
+    features, uncertainty→irreducible). Bin aggregates then three
+    scalar folds, all identical-order arithmetic."""
+    o = T(spark, sf_dir, "orders")
+    scored = o.select(
+        (F.col("o_orderkey") % 20).cast("long").alias("bin"),
+        (((F.col("o_orderkey") % 20) + 0.5) / 20.0).alias("p"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("double").alias("y"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.max("p").alias("pk"),
+        (F.sum("y") / F.count(F.lit(1))).alias("ok"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("y") / F.count(F.lit(1))).alias("obar"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    rel = F.sum(F.col("nk") * (F.col("pk") - F.col("ok")) * (F.col("pk") - F.col("ok"))) / F.max("n")
+    res = F.sum(
+        F.col("nk")
+        * (F.col("ok") - F.col("obar"))
+        * (F.col("ok") - F.col("obar"))
+    ) / F.max("n")
+    return j.groupBy().agg(
+        F.max("n").alias("n"),
+        (F.floor(F.max("obar") * 1e6 + 0.5) / 1e6).alias("base_rate_q"),
+        (F.floor(rel * 1e6 + 0.5) / 1e6).alias("reliability_q"),
+        (F.floor(res * 1e6 + 0.5) / 1e6).alias("resolution_q"),
+        (
+            F.floor(F.max("obar") * (1.0 - F.max("obar")) * 1e6 + 0.5) / 1e6
+        ).alias("uncertainty_q"),
+    )
+
+
+@_staged(
+    "anderson_darling_2s_orders",
+    """
+    WITH pooled AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+             o_orderkey
+      FROM orders
+    ),
+    sizes AS (
+      SELECT CAST(sum(g) AS BIGINT) AS n1,
+             CAST(count(*) - sum(g) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pooled
+    ),
+    ranked AS (
+      SELECT x, g,
+             CAST(row_number() OVER (ORDER BY x ASC, o_orderkey ASC)
+                  AS BIGINT) AS j
+      FROM pooled
+    ),
+    cum AS (
+      SELECT j, x, g,
+             CAST(sum(g) OVER (ORDER BY j) AS BIGINT) AS m1j
+      FROM ranked
+    ),
+    terms AS (
+      SELECT c.j, c.m1j, s.n1, s.n
+      FROM cum c CROSS JOIN sizes s
+      WHERE c.j < s.n
+    )
+    SELECT (SELECT n1 FROM sizes) AS n_urgent,
+           (SELECT n2 FROM sizes) AS n_other,
+           floor(
+             (1.0 / ((SELECT CAST(n1 AS DOUBLE) FROM sizes)
+                     * (SELECT n2 FROM sizes)))
+             * sum((CAST(m1j AS DOUBLE) * n - CAST(j AS DOUBLE) * n1)
+                   * (CAST(m1j AS DOUBLE) * n - CAST(j AS DOUBLE) * n1)
+                   / (CAST(j AS DOUBLE) * (n - j)))
+             * 1e6 + 0.5) / 1e6 AS ad2_q
+    FROM terms
+    """,
+)
+def anderson_darling_2s_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic (Pettitt's rank form,
+    no-ties normalization: A² = 1/(n₁n₂) Σ_{j<n} (M₁ⱼn − jn₁)² /
+    (j(n−j))) comparing urgent vs non-urgent order values — the
+    TAIL-SENSITIVE companion to ks_drift_order_values (KS sees the
+    biggest middle gap; AD weights the tails where pricing outliers
+    actually live). The pooled rank and the cumulative urgent-count
+    prefix both ride the scalable two-pass primitives
+    (global_row_number + prefix_sum) — no single-partition funnel
+    at any n."""
+    from dbt_lakehouse_aws_spark.operators.windows import (
+        global_row_number,
+        prefix_sum,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    pooled = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("g"),
+        "o_orderkey",
+    )
+    sizes = pooled.agg(
+        F.sum("g").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ranked = global_row_number(
+        pooled, [F.col("x").asc(), F.col("o_orderkey").asc()], name="j"
+    )
+    cum = prefix_sum(
+        ranked, [F.col("j").asc()], "g", name="m1j"
+    )
+    j = cum.crossJoin(F.broadcast(sizes)).filter(F.col("j") < F.col("n"))
+    num = (
+        F.col("m1j").cast("double") * F.col("n")
+        - F.col("j").cast("double") * F.col("n1")
+    )
+    term = num * num / (F.col("j").cast("double") * (F.col("n") - F.col("j")))
+    return j.groupBy("n1", "n2").agg(
+        (
+            F.floor(
+                (1.0 / (F.col("n1").cast("double") * F.col("n2")))
+                * F.sum(term)
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("ad2_q")
+    ).select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_other"),
+        "ad2_q",
+    )
+
+
+def _gmm_oracle_sql(rounds: int = 5) -> str:
+    """Unrolled 2-component 1-D Gaussian-mixture EM: each round is
+    one E-step (per-row responsibilities from the previous round's
+    parameters) folded into one M-step aggregate (weighted moment
+    sums). The data CTE is referenced every round → MATERIALIZED;
+    initialization is deterministic (20th/80th exact order
+    statistics and the pooled variance)."""
+    steps = []
+    prev = "p0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""e{i} AS (
+      SELECT d.x,
+             (p.w1 * exp(-(d.x - p.mu1) * (d.x - p.mu1) / (2 * p.v1))
+                / sqrt(p.v1))
+             / ((p.w1 * exp(-(d.x - p.mu1) * (d.x - p.mu1) / (2 * p.v1))
+                 / sqrt(p.v1))
+                + ((1 - p.w1) * exp(-(d.x - p.mu2) * (d.x - p.mu2)
+                                    / (2 * p.v2)) / sqrt(p.v2))) AS r1
+      FROM data d CROSS JOIN {prev} p),
+    m{i} AS (
+      SELECT sum(r1) AS s1, count(*) AS n,
+             sum(r1 * x) AS sx1, sum(r1 * x * x) AS sxx1,
+             sum(1 - r1) AS s2,
+             sum((1 - r1) * x) AS sx2, sum((1 - r1) * x * x) AS sxx2
+      FROM e{i}),
+    p{i} AS (
+      SELECT s1 / n AS w1,
+             sx1 / s1 AS mu1,
+             greatest(sxx1 / s1 - (sx1 / s1) * (sx1 / s1), 1e-6) AS v1,
+             sx2 / s2 AS mu2,
+             greatest(sxx2 / s2 - (sx2 / s2) * (sx2 / s2), 1e-6) AS v2
+      FROM m{i})"""
+        )
+        prev = f"p{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH data AS MATERIALIZED (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) / 100000.0 AS x
+      FROM orders
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM data),
+    q AS (
+      SELECT min(CASE WHEN rn = greatest(1, (SELECT n FROM n) // 5)
+                      THEN x END) AS q20,
+             min(CASE WHEN rn = greatest(1, (SELECT n FROM n) * 4 // 5)
+                      THEN x END) AS q80
+      FROM (SELECT x, row_number() OVER (ORDER BY x ASC) AS rn FROM data)
+    ),
+    v0 AS (
+      SELECT sum(x * x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*))
+               AS v
+      FROM data
+    ),
+    p0 AS (
+      SELECT 0.5 AS w1, (SELECT q20 FROM q) AS mu1,
+             (SELECT v FROM v0) AS v1,
+             (SELECT q80 FROM q) AS mu2, (SELECT v FROM v0) AS v2
+    ),
+    {chain}
+    SELECT floor(w1 * 1e4 + 0.5) / 1e4 AS w1_q,
+           floor(mu1 * 1e4 + 0.5) / 1e4 AS mu1_q,
+           floor(v1 * 1e3 + 0.5) / 1e3 AS v1_q,
+           floor(mu2 * 1e4 + 0.5) / 1e4 AS mu2_q,
+           floor(v2 * 1e3 + 0.5) / 1e3 AS v2_q
+    FROM {prev}
+    """
+
+
+@_staged("gmm_em_orders", _gmm_oracle_sql())
+def gmm_em_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-component Gaussian-mixture EM on order values (scaled to
+    units of $1000), 5 fixed rounds — the UNSUPERVISED member of the
+    iterative-ML-as-aggregates family (logreg_orders_gd: supervised
+    GD; kmeans: hard assignment; this: soft responsibilities): each
+    round is one per-row E-step expression folded into one M-step
+    moment aggregate, O(rows) per round with no driver state beyond
+    the 5 parameters. Deterministic init (exact 20th/80th order
+    statistics + pooled variance); the oracle unrolls the identical
+    recursion; variances floored at 1e-6 against collapse. 4dp/3dp
+    quantization absorbs the cross-engine summation-order noise the
+    5 rounds amplify."""
+    o = T(spark, sf_dir, "orders")
+    data = o.select(
+        (F.round(F.col("o_totalprice") * 100).cast("long") / 100000.0).alias(
+            "x"
+        )
+    ).persist()
+    n = data.count()
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
+    ranked = global_row_number(data, [F.col("x").asc()], name="rn")
+    q = ranked.agg(
+        F.min(F.when(F.col("rn") == max(1, n // 5), F.col("x"))).alias("q20"),
+        F.min(F.when(F.col("rn") == max(1, n * 4 // 5), F.col("x"))).alias(
+            "q80"
+        ),
+    ).first()
+    v0 = data.agg(
+        (
+            F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+            - (F.sum("x") / F.count(F.lit(1)))
+            * (F.sum("x") / F.count(F.lit(1)))
+        ).alias("v")
+    ).first()["v"]
+    w1, mu1, v1, mu2, v2 = 0.5, q["q20"], v0, q["q80"], v0
+    for _ in range(5):
+        r1 = (
+            F.lit(w1)
+            * F.exp(-(F.col("x") - mu1) * (F.col("x") - mu1) / (2 * v1))
+            / F.sqrt(F.lit(v1))
+        ) / (
+            (
+                F.lit(w1)
+                * F.exp(-(F.col("x") - mu1) * (F.col("x") - mu1) / (2 * v1))
+                / F.sqrt(F.lit(v1))
+            )
+            + (
+                F.lit(1 - w1)
+                * F.exp(-(F.col("x") - mu2) * (F.col("x") - mu2) / (2 * v2))
+                / F.sqrt(F.lit(v2))
+            )
+        )
+        e = data.select("x", r1.alias("r1"))
+        m = e.agg(
+            (F.sum("r1") / F.count(F.lit(1))).alias("w1"),
+            (F.sum(F.col("r1") * F.col("x")) / F.sum("r1")).alias("mu1"),
+            F.sum("r1").alias("s1"),
+            (F.sum((1 - F.col("r1")) * F.col("x")) / F.sum(1 - F.col("r1"))).alias(
+                "mu2"
+            ),
+            F.sum(1 - F.col("r1")).alias("s2"),
+            F.sum(F.col("r1") * F.col("x") * F.col("x")).alias("sxx1"),
+            F.sum((1 - F.col("r1")) * F.col("x") * F.col("x")).alias("sxx2"),
+        ).first()
+        w1 = m["w1"]
+        mu1, mu2 = m["mu1"], m["mu2"]
+        v1 = max(m["sxx1"] / m["s1"] - mu1 * mu1, 1e-6)
+        v2 = max(m["sxx2"] / m["s2"] - mu2 * mu2, 1e-6)
+    return data.sparkSession.createDataFrame(
+        [
+            (
+                __import__("math").floor(w1 * 1e4 + 0.5) / 1e4,
+                __import__("math").floor(mu1 * 1e4 + 0.5) / 1e4,
+                __import__("math").floor(v1 * 1e3 + 0.5) / 1e3,
+                __import__("math").floor(mu2 * 1e4 + 0.5) / 1e4,
+                __import__("math").floor(v2 * 1e3 + 0.5) / 1e3,
+            )
+        ],
+        "w1_q double, mu1_q double, v1_q double, mu2_q double, v2_q double",
+    )
+
+
+def _huber_oracle_sql(rounds: int = 3, delta: float = 2.0) -> str:
+    """Unrolled Huber-loss IRLS for y = a + b·x: each round computes
+    per-row weights w = min(1, δ/|resid/s|) from the PREVIOUS
+    round's fit (scale s fixed at the initial residual RMS — the
+    fixed-scale variant, fully deterministic), then one weighted-OLS
+    aggregate. data and the scale CTE are referenced every round →
+    MATERIALIZED."""
+    steps = []
+    prev = "f0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""w{i} AS (
+      SELECT d.x, d.y,
+             CASE WHEN abs((d.y - p.a - p.b * d.x) / (SELECT s FROM scale))
+                       <= {delta} THEN 1.0
+                  ELSE {delta} / abs((d.y - p.a - p.b * d.x)
+                                     / (SELECT s FROM scale)) END AS w
+      FROM data d CROSS JOIN {prev} p),
+    f{i} AS (
+      SELECT (sum(w * y) * sum(w * x * x) - sum(w * x) * sum(w * x * y))
+               / (sum(w) * sum(w * x * x) - sum(w * x) * sum(w * x)) AS a,
+             (sum(w) * sum(w * x * y) - sum(w * x) * sum(w * y))
+               / (sum(w) * sum(w * x * x) - sum(w * x) * sum(w * x)) AS b
+      FROM w{i})"""
+        )
+        prev = f"f{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH data AS MATERIALIZED (
+      SELECT l_quantity AS x, l_extendedprice / 1000.0 AS y
+      FROM lineitem
+    ),
+    f0 AS (
+      SELECT (sum(y) * sum(x * x) - sum(x) * sum(x * y))
+               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS a,
+             (count(*) * sum(x * y) - sum(x) * sum(y))
+               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS b
+      FROM data
+    ),
+    scale AS MATERIALIZED (
+      SELECT sqrt(sum((d.y - p.a - p.b * d.x) * (d.y - p.a - p.b * d.x))
+                  / count(*)) AS s
+      FROM data d CROSS JOIN f0 p
+    ),
+    {chain}
+    SELECT floor(a * 1e6 + 0.5) / 1e6 AS intercept_q,
+           floor(b * 1e6 + 0.5) / 1e6 AS slope_q,
+           floor((SELECT s FROM scale) * 1e6 + 0.5) / 1e6 AS scale_q
+    FROM {prev}
+    """
+
+
+@_staged("huber_irls_lineitem", _huber_oracle_sql())
+def huber_irls_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber-loss robust regression of line value (in $1000) on
+    quantity via 3 unrolled IRLS rounds — the ROBUST member of the
+    regression family (ols_price_qty_disc: L2, hijacked by outliers;
+    theil_sen: rank-based but median-of-slopes; this: the M-estimator
+    production stacks actually fit): per round, rows with
+    |standardized residual| > δ=2 are down-weighted δ/|r| and one
+    weighted-OLS aggregate refits. Scale is frozen at the initial
+    L2 residual RMS (the fixed-scale IRLS variant), making every
+    round a deterministic O(rows) aggregate with 2 driver floats."""
+    li = T(spark, sf_dir, "lineitem")
+    data = li.select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+    ).persist()
+    x, y = F.col("x"), F.col("y")
+    f0 = data.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    ).first()
+    den = f0["n"] * f0["sxx"] - f0["sx"] * f0["sx"]
+    a = (f0["sy"] * f0["sxx"] - f0["sx"] * f0["sxy"]) / den
+    b = (f0["n"] * f0["sxy"] - f0["sx"] * f0["sy"]) / den
+    s = data.agg(
+        F.sqrt(
+            F.sum((y - a - b * x) * (y - a - b * x)) / F.count(F.lit(1))
+        ).alias("s")
+    ).first()["s"]
+    delta = 2.0
+    for _ in range(3):
+        r = (y - a - b * x) / s
+        w = F.when(F.abs(r) <= delta, 1.0).otherwise(delta / F.abs(r))
+        m = data.select("x", "y", w.alias("w")).agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * y).alias("swy"),
+            F.sum(F.col("w") * x).alias("swx"),
+            F.sum(F.col("w") * x * x).alias("swxx"),
+            F.sum(F.col("w") * x * y).alias("swxy"),
+        ).first()
+        den = m["sw"] * m["swxx"] - m["swx"] * m["swx"]
+        a = (m["swy"] * m["swxx"] - m["swx"] * m["swxy"]) / den
+        b = (m["sw"] * m["swxy"] - m["swx"] * m["swy"]) / den
+    import math
+
+    return data.sparkSession.createDataFrame(
+        [
+            (
+                math.floor(a * 1e6 + 0.5) / 1e6,
+                math.floor(b * 1e6 + 0.5) / 1e6,
+                math.floor(s * 1e6 + 0.5) / 1e6,
+            )
+        ],
+        "intercept_q double, slope_q double, scale_q double",
+    )

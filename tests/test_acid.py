@@ -362,7 +362,7 @@ def test_log_is_delta_structured_with_checkpoints(spark, tmp_path):
     assert set(merge_delta) <= {
         "version", "operation", "add", "remove", "schema", "parent",
         "committed_at", "txn", "constraints", "renames", "generated",
-        "dvs",
+        "dvs", "identity",
     }
     assert len(merge_delta["add"]) <= 2 and len(merge_delta["remove"]) <= 2
     # checkpoint exists at version 10 and reconstruction works everywhere
