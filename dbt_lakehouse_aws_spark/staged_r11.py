@@ -591,3 +591,284 @@ def huber_irls_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "intercept_q double, slope_q double, scale_q double",
     )
+
+
+@_staged(
+    "wilcoxon_signed_rank_users",
+    """
+    WITH span AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+      FROM events
+    ),
+    mid AS (
+      SELECT lo + CAST(date_diff('day', lo, hi) // 2 AS INTEGER) AS m
+      FROM span
+    ),
+    per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN CAST(ts AS DATE) < (SELECT m FROM mid)
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS first_half,
+             sum(CASE WHEN CAST(ts AS DATE) >= (SELECT m FROM mid)
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS second_half
+      FROM events GROUP BY 1
+    ),
+    diffs AS (
+      SELECT user_id,
+             CAST(second_half - first_half AS BIGINT) AS d
+      FROM per_user
+      WHERE second_half - first_half <> 0
+    ),
+    ranked AS (
+      SELECT d,
+             CAST(rank() OVER (ORDER BY abs(d) ASC) AS BIGINT) AS rlo,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(count(*) OVER (PARTITION BY abs(d)) AS BIGINT) AS ties
+      FROM diffs
+    ),
+    mid_ranked AS (
+      SELECT d, rlo + (ties - 1) / 2.0 AS r, n FROM ranked
+    ),
+    s AS (
+      SELECT max(n) AS n,
+             sum(CASE WHEN d > 0 THEN r ELSE 0 END) AS w_plus
+      FROM mid_ranked
+    )
+    SELECT n AS n_users,
+           floor(w_plus * 1e2 + 0.5) / 1e2 AS w_plus_q,
+           floor((w_plus - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0) * 1e6 + 0.5)
+             / 1e6 AS z_q,
+           CASE WHEN abs((w_plus - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0))
+                > 1.959963984540054 THEN 'shifted' ELSE 'no_shift' END
+             AS verdict
+    FROM s
+    """,
+)
+def wilcoxon_signed_rank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test: did per-user spend SHIFT between
+    the first and second half of the observation window? The PAIRED
+    nonparametric test the family lacks (mann_whitney_by_type is
+    unpaired; welch assumes normality): zero differences drop,
+    |d| gets midranks (rank() + (ties−1)/2 — the average-rank
+    convention, exact as a half-integer), W⁺ sums positive-d ranks,
+    and the normal approximation z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24)
+    decides. The rank rides a total-order window over the user frame
+    — bounded by users, exact integers until z."""
+    e = T(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).first()
+    import datetime as _dt
+
+    m = span["lo"] + _dt.timedelta(
+        days=(span["hi"] - span["lo"]).days // 2
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.to_date("ts") < F.lit(str(m)).cast("date"), cents)
+              .otherwise(0)).alias("first_half"),
+        F.sum(F.when(F.to_date("ts") >= F.lit(str(m)).cast("date"), cents)
+              .otherwise(0)).alias("second_half"),
+    )
+    diffs = per_user.select(
+        (F.col("second_half") - F.col("first_half")).cast("long").alias("d")
+    ).filter(F.col("d") != 0)
+    # midranks: rank() over |d| plus (tie_count-1)/2 — no dense sort
+    # pathologies, and the scalable two-pass rank handles the order
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
+    rn = global_row_number(
+        diffs.withColumn("ad", F.abs(F.col("d"))),
+        [F.col("ad").asc(), F.col("d").asc()],
+        name="rn",
+    )
+    # rank() semantics: min row_number within the |d| tie group
+    grp = rn.groupBy("ad").agg(
+        F.min("rn").alias("rlo"), F.count(F.lit(1)).alias("ties")
+    )
+    ranked = rn.join(grp, "ad").select(
+        "d", (F.col("rlo") + (F.col("ties") - 1) / 2.0).alias("r")
+    )
+    n_tot = diffs.count()
+    s = ranked.agg(
+        F.sum(F.when(F.col("d") > 0, F.col("r")).otherwise(0.0)).alias(
+            "w_plus"
+        )
+    ).first()
+    import math
+
+    n = float(n_tot)
+    z = (s["w_plus"] - n * (n + 1) / 4.0) / math.sqrt(
+        n * (n + 1.0) * (2 * n + 1) / 24.0
+    )
+    return e.sparkSession.createDataFrame(
+        [
+            (
+                n_tot,
+                math.floor(s["w_plus"] * 1e2 + 0.5) / 1e2,
+                math.floor(z * 1e6 + 0.5) / 1e6,
+                "shifted" if abs(z) > 1.959963984540054 else "no_shift",
+            )
+        ],
+        "n_users long, w_plus_q double, z_q double, verdict string",
+    )
+
+
+@_staged(
+    "iv_2sls_lineitem",
+    """
+    WITH d AS (
+      SELECT CAST(p.p_size AS DOUBLE) AS z,
+             l.l_quantity AS x,
+             l.l_extendedprice / 1000.0 AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(z) AS sz, sum(x) AS sx, sum(y) AS sy,
+             sum(z * x) AS szx, sum(z * y) AS szy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           floor((n * szy - sz * sy) / (n * szx - sz * sx) * 1e6 + 0.5)
+             / 1e6 AS beta_iv_q,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5)
+             / 1e6 AS beta_ols_q,
+           floor(((sy / n) - (n * szy - sz * sy) / (n * szx - sz * sx)
+                  * (sx / n)) * 1e6 + 0.5) / 1e6 AS alpha_iv_q
+    FROM s
+    """,
+)
+def iv_2sls_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variables estimate (2SLS with one instrument,
+    the Wald closed form β_IV = cov(z,y)/cov(z,x)): part SIZE
+    instruments quantity in the quantity→value regression — the
+    causal-inference estimator the family lacks (diff_in_diff:
+    time-based; regression_discontinuity: cutoff-based; this:
+    instrument-based, the answer to "quantity is endogenous to
+    price"). Reported against the naive OLS slope so the
+    endogeneity gap is visible. One pass of cross-moment sufficient
+    statistics."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    d = li.join(
+        F.broadcast(p.select("p_partkey", "p_size")),
+        p.p_partkey == li.l_partkey,
+    ).select(
+        F.col("p_size").cast("double").alias("z"),
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+    )
+    z, x, y = F.col("z"), F.col("x"), F.col("y")
+    s = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(z).alias("sz"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(z * x).alias("szx"),
+        F.sum(z * y).alias("szy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n, sz, sx, sy = (F.col(c) for c in ["n", "sz", "sx", "sy"])
+    szx, szy, sxy, sxx = (F.col(c) for c in ["szx", "szy", "sxy", "sxx"])
+    beta_iv = (n * szy - sz * sy) / (n * szx - sz * sx)
+    beta_ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n"),
+        (F.floor(beta_iv * 1e6 + 0.5) / 1e6).alias("beta_iv_q"),
+        (F.floor(beta_ols * 1e6 + 0.5) / 1e6).alias("beta_ols_q"),
+        (
+            F.floor(((sy / n) - beta_iv * (sx / n)) * 1e6 + 0.5) / 1e6
+        ).alias("alpha_iv_q"),
+    )
+
+
+@_staged(
+    "dft_weekly_power_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS t,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) / count(*) AS mu,
+             sum(x * x) / count(*)
+               - (sum(x) / count(*)) * (sum(x) / count(*)) AS var_pop
+      FROM daily GROUP BY 1
+    ),
+    fourier AS (
+      SELECT d.event_type,
+             sum((d.x - m.mu) * cos(2 * pi() * d.t / 7.0)) AS c7,
+             sum((d.x - m.mu) * sin(2 * pi() * d.t / 7.0)) AS s7
+      FROM daily d JOIN m ON m.event_type = d.event_type
+      GROUP BY 1
+    )
+    SELECT f.event_type, m.n AS n_days,
+           floor((f.c7 * f.c7 + f.s7 * f.s7) / m.n * 1e4 + 0.5) / 1e4
+             AS power7_q,
+           floor(((f.c7 * f.c7 + f.s7 * f.s7) / m.n)
+                 / (m.n * m.var_pop) * 1e6 + 0.5) / 1e6
+             AS power7_share_q
+    FROM fourier f JOIN m ON m.event_type = f.event_type
+    ORDER BY f.event_type
+    """,
+)
+def dft_weekly_power_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin DFT (Goertzel) at period 7: the spectral power of
+    each type's mean-centered daily counts at the weekly frequency,
+    |Σ(x−μ)e^{−2πit/7}|²/n, and its share of total variance — the
+    FREQUENCY-domain twin of seasonality_strength_events' ANOVA η²
+    (η² sees any weekday pattern; the DFT bin sees specifically the
+    period-7 sinusoid, immune to e.g. a payday-spike pattern that
+    inflates η²). cos/sin of exact integer-ratio angles, one hash
+    aggregate per type."""
+    import math
+
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("x") / F.count(F.lit(1))).alias("mu"),
+        (
+            F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+            - (F.sum("x") / F.count(F.lit(1)))
+            * (F.sum("x") / F.count(F.lit(1)))
+        ).alias("var_pop"),
+    )
+    ang = 2 * math.pi * F.col("t") / 7.0
+    fourier = (
+        daily.join(m.select("event_type", "mu"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("x") - F.col("mu")) * F.cos(ang)).alias("c7"),
+            F.sum((F.col("x") - F.col("mu")) * F.sin(ang)).alias("s7"),
+        )
+    )
+    power = (F.col("c7") * F.col("c7") + F.col("s7") * F.col("s7")) / F.col("n")
+    return (
+        fourier.join(m, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            (F.floor(power * 1e4 + 0.5) / 1e4).alias("power7_q"),
+            (
+                F.floor(power / (F.col("n") * F.col("var_pop")) * 1e6 + 0.5)
+                / 1e6
+            ).alias("power7_share_q"),
+        )
+        .orderBy("event_type")
+    )
