@@ -872,3 +872,324 @@ def dft_weekly_power_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_staged(
+    "brown_forsythe_events",
+    """
+    WITH vals AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM vals
+    ),
+    med AS (
+      SELECT event_type, max(cents) AS median_lo
+      FROM ranked WHERE rn = greatest(1, (n + 1) // 2)
+      GROUP BY 1
+    ),
+    z AS (
+      SELECT v.event_type,
+             CAST(abs(v.cents - m.median_lo) AS DOUBLE) AS z
+      FROM vals v JOIN med m ON m.event_type = v.event_type
+    ),
+    grp AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ni,
+             sum(z) AS sz, sum(z * z) AS szz
+      FROM z GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(sz) AS sz_all
+      FROM grp
+    ),
+    parts AS (
+      SELECT
+        (SELECT sum(ni * (sz / ni - (SELECT sz_all / n FROM tot))
+                       * (sz / ni - (SELECT sz_all / n FROM tot))) FROM grp)
+          AS ssb,
+        (SELECT sum(szz - sz * sz / ni) FROM grp) AS ssw
+    )
+    SELECT (SELECT k FROM tot) AS k_groups,
+           (SELECT n FROM tot) AS n_values,
+           floor(((SELECT n FROM tot) - (SELECT k FROM tot))
+                 / ((SELECT k FROM tot) - 1.0)
+                 * ssb / ssw * 1e6 + 0.5) / 1e6 AS bf_stat_q
+    FROM parts
+    """,
+)
+def brown_forsythe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across event types:
+    the ANOVA F applied to |x − group MEDIAN| — the robust Levene
+    variant that anova_f_event_types (means) and welch_ttest
+    (two groups) both presuppose but never check. Group medians are
+    the exact LOWER median ((n+1)//2-th order statistic, identical
+    both engines regardless of tie order: the value at that rank is
+    unique); everything after is two hash aggregates of power sums."""
+    e = T(spark, sf_dir, "events")
+    vals = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("cents").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = vals.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            F.col("rn") == F.greatest(F.lit(1), F.expr("(n + 1) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(F.max("cents").alias("median_lo"))
+    )
+    z = vals.join(med, "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("median_lo")).cast("double").alias("z"),
+    )
+    grp = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    ).persist()
+    tot = grp.agg(
+        F.sum("ni").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sz").alias("sz_all"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    dev = F.col("sz") / F.col("ni") - F.col("sz_all") / F.col("n")
+    parts = j.groupBy("n", "k").agg(
+        F.sum(F.col("ni") * dev * dev).alias("ssb"),
+        F.sum(F.col("szz") - F.col("sz") * F.col("sz") / F.col("ni")).alias(
+            "ssw"
+        ),
+    )
+    stat = (
+        (F.col("n") - F.col("k"))
+        / (F.col("k") - 1.0)
+        * F.col("ssb")
+        / F.col("ssw")
+    )
+    return parts.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_values"),
+        (F.floor(stat * 1e6 + 0.5) / 1e6).alias("bf_stat_q"),
+    )
+
+
+@_staged(
+    "cronbach_alpha_users",
+    """
+    WITH items AS (
+      SELECT user_id, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS wd,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT u.user_id, w.wd, coalesce(i.x, 0.0) AS x
+      FROM (SELECT DISTINCT user_id FROM items) u
+      CROSS JOIN (SELECT unnest(range(1, 8)) AS wd) w
+      LEFT JOIN items i ON i.user_id = u.user_id AND i.wd = w.wd
+    ),
+    item_var AS (
+      SELECT wd,
+             sum(x * x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*))
+               AS v
+      FROM grid GROUP BY 1
+    ),
+    totals AS (
+      SELECT user_id, sum(x) AS tot FROM grid GROUP BY 1
+    ),
+    tot_var AS (
+      SELECT sum(tot * tot) / count(*)
+               - (sum(tot) / count(*)) * (sum(tot) / count(*)) AS vt,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM totals
+    )
+    SELECT (SELECT n_users FROM tot_var) AS n_users,
+           CAST(7 AS BIGINT) AS k_items,
+           floor((SELECT sum(v) FROM item_var) * 1e2 + 0.5) / 1e2
+             AS sum_item_var_q,
+           floor((SELECT vt FROM tot_var) * 1e2 + 0.5) / 1e2 AS total_var_q,
+           floor((7.0 / 6.0)
+                 * (1.0 - (SELECT sum(v) FROM item_var)
+                          / (SELECT vt FROM tot_var)) * 1e6 + 0.5) / 1e6
+             AS cronbach_alpha_q
+    """,
+)
+def cronbach_alpha_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α treating each user's seven weekday spend totals
+    as a 7-item scale: α = k/(k−1)·(1 − Σσ²ᵢ/σ²ₜ) — the internal-
+    consistency coefficient (psychometrics' workhorse) asking
+    whether weekday spends measure one underlying 'spend propensity'
+    trait. Missing (user, weekday) cells are zero-filled on an
+    explicit user×7 grid so both engines see the identical design
+    matrix. Population variances from power sums; one grid fan-out,
+    three aggregates."""
+    e = T(spark, sf_dir, "events")
+    items = e.groupBy(
+        "user_id",
+        (F.weekday(F.to_date("ts")) + 1).cast("long").alias("wd"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("double")
+        .alias("x")
+    )
+    users = items.select("user_id").distinct()
+    wds = items.sparkSession.range(1, 8).select(F.col("id").alias("wd"))
+    grid = (
+        users.crossJoin(F.broadcast(wds))
+        .join(items, ["user_id", "wd"], "left")
+        .select("user_id", "wd", F.coalesce(F.col("x"), F.lit(0.0)).alias("x"))
+        .persist()
+    )
+    item_var = grid.groupBy("wd").agg(
+        (
+            F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+            - (F.sum("x") / F.count(F.lit(1)))
+            * (F.sum("x") / F.count(F.lit(1)))
+        ).alias("v")
+    )
+    totals = grid.groupBy("user_id").agg(F.sum("x").alias("tot"))
+    tot_var = totals.agg(
+        (
+            F.sum(F.col("tot") * F.col("tot")) / F.count(F.lit(1))
+            - (F.sum("tot") / F.count(F.lit(1)))
+            * (F.sum("tot") / F.count(F.lit(1)))
+        ).alias("vt"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    sv = item_var.agg(F.sum("v").alias("sum_v"))
+    return (
+        tot_var.crossJoin(F.broadcast(sv))
+        .select(
+            "n_users",
+            F.lit(7).cast("long").alias("k_items"),
+            (F.floor(F.col("sum_v") * 1e2 + 0.5) / 1e2).alias("sum_item_var_q"),
+            (F.floor(F.col("vt") * 1e2 + 0.5) / 1e2).alias("total_var_q"),
+            (
+                F.floor(
+                    (7.0 / 6.0) * (1.0 - F.col("sum_v") / F.col("vt")) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("cronbach_alpha_q"),
+        )
+    )
+
+
+@_staged(
+    "chain_ladder_orders",
+    """
+    WITH span AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo FROM orders),
+    cells AS (
+      SELECT CAST(date_diff('month', (SELECT lo FROM span),
+                            CAST(o_orderdate AS DATE)) AS BIGINT) // 3
+               AS origin_q,
+             CAST(o_orderkey % 4 AS BIGINT) AS lag,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS paid
+      FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT a.origin_q, a.lag,
+             CAST(sum(b.paid) AS BIGINT) AS cum_paid
+      FROM cells a JOIN cells b
+        ON b.origin_q = a.origin_q AND b.lag <= a.lag
+      GROUP BY 1, 2
+    ),
+    maxlag AS (SELECT max(lag) AS ml, max(origin_q) AS mo FROM cells),
+    known AS (
+      SELECT * FROM cum
+      WHERE origin_q + lag <= (SELECT mo FROM maxlag)
+    ),
+    factors AS (
+      SELECT a.lag AS from_lag,
+             sum(CAST(b.cum_paid AS DOUBLE)) / sum(a.cum_paid) AS f
+      FROM known a JOIN known b
+        ON b.origin_q = a.origin_q AND b.lag = a.lag + 1
+      GROUP BY 1
+    )
+    SELECT from_lag,
+           CAST(from_lag + 1 AS BIGINT) AS to_lag,
+           floor(f * 1e6 + 0.5) / 1e6 AS dev_factor_q
+    FROM factors
+    ORDER BY from_lag
+    """,
+)
+def chain_ladder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder loss development (the actuarial reserving
+    standard): orders fold into an (origin quarter × development
+    lag) run-off triangle of cumulative paid cents, the UPPER
+    triangle (origin + lag ≤ latest diagonal — what an insurer has
+    actually observed) estimates volume-weighted development
+    factors f_lag = Σ C_{i,lag+1} / Σ C_{i,lag}. The insurance
+    domain's core recursion, expressed as two equi-joins over the
+    quarters×lags cell frame — never row data. Exact integer
+    cumulative cells; factors are the only floats."""
+    o = T(spark, sf_dir, "orders")
+    lo = o.agg(F.min(F.to_date("o_orderdate")).alias("lo")).first()["lo"]
+    cells = o.groupBy(
+        (
+            F.floor(
+                F.months_between(
+                    F.to_date("o_orderdate"), F.lit(str(lo)).cast("date")
+                )
+            ).cast("long")
+            / 3
+        )
+        .cast("long")
+        .alias("origin_q"),
+        (F.col("o_orderkey") % 4).cast("long").alias("lag"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("paid")
+    ).persist()
+    b = cells.select(
+        F.col("origin_q").alias("oq"), F.col("lag").alias("bl"),
+        F.col("paid").alias("bp"),
+    )
+    cum = (
+        cells.join(
+            b, (F.col("oq") == F.col("origin_q")) & (F.col("bl") <= F.col("lag"))
+        )
+        .groupBy("origin_q", "lag")
+        .agg(F.sum("bp").cast("long").alias("cum_paid"))
+    )
+    mx = cells.agg(F.max("origin_q").alias("mo")).first()["mo"]
+    known = cum.filter(F.col("origin_q") + F.col("lag") <= mx).persist()
+    nxt = known.select(
+        F.col("origin_q").alias("noq"),
+        F.col("lag").alias("nl"),
+        F.col("cum_paid").alias("ncum"),
+    )
+    factors = (
+        known.join(
+            nxt,
+            (F.col("noq") == F.col("origin_q"))
+            & (F.col("nl") == F.col("lag") + 1),
+        )
+        .groupBy(F.col("lag").alias("from_lag"))
+        .agg(
+            (F.sum(F.col("ncum").cast("double")) / F.sum("cum_paid")).alias("f")
+        )
+    )
+    return factors.select(
+        "from_lag",
+        (F.col("from_lag") + 1).cast("long").alias("to_lag"),
+        (F.floor(F.col("f") * 1e6 + 0.5) / 1e6).alias("dev_factor_q"),
+    ).orderBy("from_lag")
