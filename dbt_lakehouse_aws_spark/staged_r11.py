@@ -1193,3 +1193,253 @@ def chain_ladder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("from_lag") + 1).cast("long").alias("to_lag"),
         (F.floor(F.col("f") * 1e6 + 0.5) / 1e6).alias("dev_factor_q"),
     ).orderBy("from_lag")
+
+
+@_staged(
+    "eoq_parts",
+    """
+    WITH demand AS (
+      SELECT p.p_brand AS brand,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS annual_d,
+             avg(p.p_retailprice) AS avg_price
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    )
+    SELECT brand, annual_d,
+           floor(sqrt(2.0 * annual_d * 100.0 / (0.2 * avg_price)) * 1e4 + 0.5)
+             / 1e4 AS eoq_units_q,
+           floor(annual_d / sqrt(2.0 * annual_d * 100.0 / (0.2 * avg_price))
+                 * 1e4 + 0.5) / 1e4 AS orders_per_period_q,
+           floor(sqrt(2.0 * annual_d * 100.0 * (0.2 * avg_price)) * 1e2 + 0.5)
+             / 1e2 AS total_cost_q
+    FROM demand
+    ORDER BY brand
+    """,
+)
+def eoq_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per brand (Harris-Wilson square-root
+    law): EOQ = √(2DK/h) with D the observed period demand, K=$100
+    fixed order cost, h = 20% of average retail price as annual
+    holding cost — plus the implied order cadence and the classic
+    total-cost-at-optimum √(2DKh). The inventory-theory prescription
+    layer on top of croston_demand_parts' forecast and abc_xyz's
+    segmentation. One join + one aggregate per brand."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    demand = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_retailprice")),
+            p.p_partkey == li.l_partkey,
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias(
+                "annual_d"
+            ),
+            F.avg("p_retailprice").alias("avg_price"),
+        )
+    )
+    h = 0.2 * F.col("avg_price")
+    eoq = F.sqrt(2.0 * F.col("annual_d") * 100.0 / h)
+    return demand.select(
+        "brand",
+        "annual_d",
+        (F.floor(eoq * 1e4 + 0.5) / 1e4).alias("eoq_units_q"),
+        (F.floor(F.col("annual_d") / eoq * 1e4 + 0.5) / 1e4).alias(
+            "orders_per_period_q"
+        ),
+        (
+            F.floor(F.sqrt(2.0 * F.col("annual_d") * 100.0 * h) * 1e2 + 0.5)
+            / 1e2
+        ).alias("total_cost_q"),
+    ).orderBy("brand")
+
+
+@_staged(
+    "deff_customer_acctbal",
+    """
+    WITH y AS (
+      SELECT c_nationkey AS cl, c_acctbal AS y FROM customer
+    ),
+    grp AS (
+      SELECT cl, CAST(count(*) AS BIGINT) AS m, sum(y) AS sy,
+             sum(y * y) AS syy
+      FROM y GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(m) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(sy) AS sy_all, sum(syy) AS syy_all
+      FROM grp
+    ),
+    comp AS (
+      SELECT (SELECT n FROM tot) AS n, (SELECT k FROM tot) AS k,
+             (SELECT sum(m * (sy / m - (SELECT sy_all / n FROM tot))
+                            * (sy / m - (SELECT sy_all / n FROM tot)))
+              FROM grp) AS ssb,
+             (SELECT sum(syy - sy * sy / m) FROM grp) AS ssw,
+             (SELECT CAST(n AS DOUBLE) / k FROM tot) AS mbar
+    ),
+    vars AS (
+      SELECT n, k, mbar,
+             ssw / (n - k) AS msw,
+             ssb / (k - 1) AS msb
+      FROM comp
+    )
+    SELECT n AS n_customers, k AS n_clusters,
+           floor(mbar * 1e4 + 0.5) / 1e4 AS avg_cluster_q,
+           floor((msb - msw) / (msb + (mbar - 1) * msw) * 1e6 + 0.5) / 1e6
+             AS icc_q,
+           floor((1.0 + (mbar - 1)
+                  * ((msb - msw) / (msb + (mbar - 1) * msw)))
+                 * 1e6 + 0.5) / 1e6 AS deff_q
+    FROM vars
+    """,
+)
+def deff_customer_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey design effect for nation-clustered sampling of account
+    balances: the ANOVA-components intraclass correlation ICC =
+    (MSB−MSW)/(MSB+(m̄−1)MSW) and Kish's DEFF = 1+(m̄−1)·ICC — how
+    much a nation-clustered sample inflates variance vs simple
+    random sampling, i.e. the effective-sample-size discount every
+    clustered pipeline measurement silently pays. Two power-sum
+    aggregates; all ratios derived from the (cluster, sums) frame."""
+    c = T(spark, sf_dir, "customer")
+    y = c.select(F.col("c_nationkey").alias("cl"), F.col("c_acctbal").alias("y"))
+    grp = y.groupBy("cl").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).persist()
+    tot = grp.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sy").alias("sy_all"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    dev = F.col("sy") / F.col("m") - F.col("sy_all") / F.col("n")
+    comp = j.groupBy("n", "k").agg(
+        F.sum(F.col("m") * dev * dev).alias("ssb"),
+        F.sum(F.col("syy") - F.col("sy") * F.col("sy") / F.col("m")).alias(
+            "ssw"
+        ),
+    )
+    mbar = F.col("n").cast("double") / F.col("k")
+    msw = F.col("ssw") / (F.col("n") - F.col("k"))
+    msb = F.col("ssb") / (F.col("k") - 1)
+    icc = (msb - msw) / (msb + (mbar - 1) * msw)
+    return comp.select(
+        F.col("n").alias("n_customers"),
+        F.col("k").alias("n_clusters"),
+        (F.floor(mbar * 1e4 + 0.5) / 1e4).alias("avg_cluster_q"),
+        (F.floor(icc * 1e6 + 0.5) / 1e6).alias("icc_q"),
+        (F.floor((1.0 + (mbar - 1) * icc) * 1e6 + 0.5) / 1e6).alias("deff_q"),
+    )
+
+
+@_staged(
+    "dfg_conformance_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS k
+      FROM events
+    ),
+    trans AS (
+      SELECT a.event_type AS src, b.event_type AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq a JOIN seq b
+        ON b.user_id = a.user_id AND b.k = a.k + 1
+      GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT * FROM (VALUES
+        ('signup', 'view'), ('view', 'view'), ('view', 'click'),
+        ('click', 'view'), ('click', 'purchase'), ('purchase', 'view'),
+        ('view', 'error'), ('error', 'view')
+      ) AS m(src, dst)
+    ),
+    marked AS (
+      SELECT t.src, t.dst, t.n,
+             CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END AS allowed
+      FROM trans t LEFT JOIN model m ON m.src = t.src AND m.dst = t.dst
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS all_n,
+             CAST(sum(CASE WHEN allowed = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS ok_n
+      FROM marked
+    )
+    SELECT m.src, m.dst, m.n,
+           CAST(m.allowed AS BIGINT) AS allowed,
+           floor((SELECT CAST(ok_n AS DOUBLE) / all_n FROM tot) * 1e6 + 0.5)
+             / 1e6 AS fitness_q
+    FROM marked m
+    WHERE m.allowed = 0
+    ORDER BY m.n DESC, m.src, m.dst
+    LIMIT 10
+    """,
+)
+def dfg_conformance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance checking: the observed
+    directly-follows graph against a DECLARED process model (the
+    allowed-edge list of the signup→view→click→purchase journey,
+    with error-recovery loops) — trace fitness = conforming
+    transition mass, plus the top deviating edges by frequency,
+    which is exactly the artifact a process-mining review writes up
+    (event_transition_matrix describes; this JUDGES against spec).
+    The model is an 8-row broadcast literal; conformance is one
+    left join over the types² DFG frame."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "k", F.row_number().over(w)
+    )
+    a = seq.select("user_id", F.col("event_type").alias("src"),
+                   F.col("k").alias("ka"))
+    b = seq.select("user_id", F.col("event_type").alias("dst"),
+                   F.col("k").alias("kb"))
+    trans = (
+        a.join(b, "user_id")
+        .filter(F.col("kb") == F.col("ka") + 1)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    model = spark.createDataFrame(
+        [
+            ("signup", "view"), ("view", "view"), ("view", "click"),
+            ("click", "view"), ("click", "purchase"), ("purchase", "view"),
+            ("view", "error"), ("error", "view"),
+        ],
+        "msrc string, mdst string",
+    )
+    marked = trans.join(
+        F.broadcast(model),
+        (F.col("msrc") == F.col("src")) & (F.col("mdst") == F.col("dst")),
+        "left",
+    ).select(
+        "src",
+        "dst",
+        "n",
+        F.when(F.col("msrc").isNotNull(), 1).otherwise(0).alias("allowed"),
+    ).persist()
+    tot = marked.agg(
+        (
+            F.sum(F.when(F.col("allowed") == 1, F.col("n")).otherwise(0))
+            .cast("double")
+            / F.sum("n")
+        ).alias("fitness")
+    )
+    return (
+        marked.filter(F.col("allowed") == 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.col("allowed").cast("long").alias("allowed"),
+            (F.floor(F.col("fitness") * 1e6 + 0.5) / 1e6).alias("fitness_q"),
+        )
+        .orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
+        .limit(10)
+    )
