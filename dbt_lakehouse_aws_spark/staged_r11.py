@@ -1443,3 +1443,340 @@ def dfg_conformance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
         .limit(10)
     )
+
+
+@_staged(
+    "anova_two_way_events",
+    """
+    WITH obs AS (
+      SELECT event_type AS a, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS b,
+             CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2, 3
+    ),
+    cells AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS nc, sum(x) AS sx,
+             sum(x * x) AS sxx
+      FROM obs GROUP BY 1, 2
+    ),
+    am AS (SELECT a, sum(sx) AS s, CAST(sum(nc) AS BIGINT) AS n FROM cells GROUP BY 1),
+    bm AS (SELECT b, sum(sx) AS s, CAST(sum(nc) AS BIGINT) AS n FROM cells GROUP BY 1),
+    g AS (
+      SELECT sum(sx) AS s, CAST(sum(nc) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM cells
+    ),
+    ss AS (
+      SELECT
+        (SELECT sum(s * s / n) FROM am) - (SELECT s * s / n FROM g) AS ss_a,
+        (SELECT sum(s * s / n) FROM bm) - (SELECT s * s / n FROM g) AS ss_b,
+        (SELECT sum(sx * sx / nc) FROM cells)
+          - (SELECT sum(s * s / n) FROM am)
+          - (SELECT sum(s * s / n) FROM bm)
+          + (SELECT s * s / n FROM g) AS ss_ab,
+        (SELECT sum(sxx) FROM cells)
+          - (SELECT sum(sx * sx / nc) FROM cells) AS ss_w,
+        (SELECT CAST(count(*) AS BIGINT) FROM am) AS ka,
+        (SELECT CAST(count(*) AS BIGINT) FROM bm) AS kb,
+        (SELECT n FROM g) AS n,
+        (SELECT n_cells FROM g) AS n_cells
+    )
+    SELECT ka AS k_types, kb AS k_weekdays, n AS n_obs,
+           floor(ss_a / (ka - 1) / (ss_w / (n - n_cells)) * 1e6 + 0.5) / 1e6
+             AS f_type_q,
+           floor(ss_b / (kb - 1) / (ss_w / (n - n_cells)) * 1e6 + 0.5) / 1e6
+             AS f_weekday_q,
+           floor(ss_ab / ((ka - 1) * (kb - 1)) / (ss_w / (n - n_cells))
+                 * 1e6 + 0.5) / 1e6 AS f_interaction_q
+    FROM ss
+    """,
+)
+def anova_two_way_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA with interaction on daily counts: factors =
+    event type × ISO weekday, observations = (type, weekday, day)
+    cells — F for each main effect AND for the type×weekday
+    INTERACTION, the question one-way ANOVA (anova_f_event_types)
+    and the marginal seasonality queries cannot ask: does the weekly
+    shape itself DIFFER by stream? Weighted (cell-mean) sums of
+    squares from power sums — three bounded-frame aggregates, exact
+    until the final ratios."""
+    e = T(spark, sf_dir, "events")
+    obs = e.groupBy(
+        F.col("event_type").alias("a"),
+        (F.weekday(F.to_date("ts")) + 1).cast("long").alias("b"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    cells = obs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("nc"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).persist()
+    am = cells.groupBy("a").agg(
+        F.sum("sx").alias("s"), F.sum("nc").cast("long").alias("n")
+    )
+    bm = cells.groupBy("b").agg(
+        F.sum("sx").alias("s"), F.sum("nc").cast("long").alias("n")
+    )
+    g = cells.agg(
+        F.sum("sx").alias("s"),
+        F.sum("nc").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    ).first()
+    sa = am.agg(
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("v"),
+        F.count(F.lit(1)).cast("long").alias("ka"),
+    ).first()
+    sb = bm.agg(
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("v"),
+        F.count(F.lit(1)).cast("long").alias("kb"),
+    ).first()
+    sc = cells.agg(
+        F.sum(F.col("sx") * F.col("sx") / F.col("nc")).alias("v"),
+        F.sum("sxx").alias("sxx"),
+    ).first()
+    corr = g["s"] * g["s"] / g["n"]
+    ss_a = sa["v"] - corr
+    ss_b = sb["v"] - corr
+    ss_ab = sc["v"] - sa["v"] - sb["v"] + corr
+    ss_w = sc["sxx"] - sc["v"]
+    ka, kb, n, n_cells = sa["ka"], sb["kb"], g["n"], g["n_cells"]
+    msw = ss_w / (n - n_cells)
+    import math
+
+    return e.sparkSession.createDataFrame(
+        [
+            (
+                ka,
+                kb,
+                n,
+                math.floor(ss_a / (ka - 1) / msw * 1e6 + 0.5) / 1e6,
+                math.floor(ss_b / (kb - 1) / msw * 1e6 + 0.5) / 1e6,
+                math.floor(
+                    ss_ab / ((ka - 1) * (kb - 1)) / msw * 1e6 + 0.5
+                )
+                / 1e6,
+            )
+        ],
+        "k_types long, k_weekdays long, n_obs long, "
+        "f_type_q double, f_weekday_q double, f_interaction_q double",
+    )
+
+
+@_staged(
+    "ar1_backtest_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    split AS (
+      SELECT min(day) + CAST(date_diff('day', min(day), max(day)) * 2 // 3
+                             AS INTEGER) AS cut
+      FROM daily
+    ),
+    train AS (
+      SELECT * FROM daily WHERE day < (SELECT cut FROM split)
+    ),
+    pairs AS (
+      SELECT a.event_type, a.cents AS x, b.cents AS y
+      FROM train a JOIN train b
+        ON b.event_type = a.event_type
+       AND b.day = a.day + CAST(1 AS INTEGER)
+    ),
+    fit AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             sum(CAST(x AS DOUBLE)) AS sx, sum(CAST(y AS DOUBLE)) AS sy,
+             sum(CAST(x AS DOUBLE) * y) AS sxy,
+             sum(CAST(x AS DOUBLE) * x) AS sxx
+      FROM pairs GROUP BY 1
+    ),
+    params AS (
+      SELECT event_type,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS phi,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS c
+      FROM fit
+    ),
+    test_pairs AS (
+      SELECT a.event_type, a.cents AS x, b.cents AS y
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type
+       AND b.day = a.day + CAST(1 AS INTEGER)
+      WHERE b.day >= (SELECT cut FROM split)
+    )
+    SELECT t.event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           floor(p.phi * 1e6 + 0.5) / 1e6 AS phi_q,
+           floor(avg(abs(t.y - (p.c + p.phi * t.x))) * 1e2 + 0.5) / 1e2
+             AS mae_ar1_q,
+           floor(avg(abs(CAST(t.y AS DOUBLE) - t.x)) * 1e2 + 0.5) / 1e2
+             AS mae_naive_q
+    FROM test_pairs t JOIN params p ON p.event_type = t.event_type
+    GROUP BY t.event_type, p.phi
+    ORDER BY t.event_type
+    """,
+)
+def ar1_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit-and-backtest per event stream: conditional least
+    squares on the first 2/3 of days (equivalent to regressing x_t
+    on x_{t−1} — the Yule-Walker/OLS estimate), then one-step-ahead
+    MAE on the held-out tail vs the naive carry-forward — the
+    model-based membership of the forecasting bench
+    (seasonal-naive/Holt/Theta are smoothers; this is the ARMA
+    family's entry point, and phi ≈ pacf1 by construction closes
+    the loop with pacf_daily_events). Lag pairs are calendar
+    equi-joins; everything else is sufficient stats."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).persist()
+    span = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).first()
+    import datetime as _dt
+
+    cut = span["lo"] + _dt.timedelta(
+        days=(span["hi"] - span["lo"]).days * 2 // 3
+    )
+    cut_lit = F.lit(str(cut)).cast("date")
+    train = daily.filter(F.col("day") < cut_lit)
+    nxt = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("nd"),
+        F.col("cents").alias("y"),
+    )
+    pairs = train.join(
+        nxt,
+        (F.col("et") == F.col("event_type"))
+        & (F.col("nd") == F.date_add(F.col("day"), 1))
+        & (F.col("nd") < cut_lit),
+    ).select("event_type", F.col("cents").alias("x"), "y")
+    fit = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("double")).alias("sx"),
+        F.sum(F.col("y").cast("double")).alias("sy"),
+        F.sum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+    )
+    phi = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    params = fit.select(
+        "event_type",
+        phi.alias("phi"),
+        ((F.col("sy") - phi * F.col("sx")) / F.col("n")).alias("c"),
+    )
+    test_pairs = daily.join(
+        nxt,
+        (F.col("et") == F.col("event_type"))
+        & (F.col("nd") == F.date_add(F.col("day"), 1))
+        & (F.col("nd") >= cut_lit),
+    ).select("event_type", F.col("cents").alias("x"), "y")
+    j = test_pairs.join(params, "event_type")
+    return (
+        j.groupBy("event_type", "phi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            (
+                F.floor(
+                    F.avg(
+                        F.abs(
+                            F.col("y") - (F.col("c") + F.col("phi") * F.col("x"))
+                        )
+                    )
+                    * 1e2
+                    + 0.5
+                )
+                / 1e2
+            ).alias("mae_ar1_q"),
+            (
+                F.floor(
+                    F.avg(F.abs(F.col("y").cast("double") - F.col("x"))) * 1e2
+                    + 0.5
+                )
+                / 1e2
+            ).alias("mae_naive_q"),
+        )
+        .select(
+            "event_type",
+            "n_test",
+            (F.floor(F.col("phi") * 1e6 + 0.5) / 1e6).alias("phi_q"),
+            "mae_ar1_q",
+            "mae_naive_q",
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "randomized_response_users",
+    """
+    WITH truth AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS attr
+      FROM events GROUP BY 1
+    ),
+    reports AS (
+      SELECT user_id, attr,
+             CASE WHEN (user_id * 2654435761) % 100 < 25
+                  THEN 1 - attr ELSE attr END AS report
+      FROM truth
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(report AS DOUBLE)) / count(*) AS lam,
+             sum(CAST(attr AS DOUBLE)) / count(*) AS true_p
+      FROM reports
+    )
+    SELECT n AS n_users,
+           floor(lam * 1e6 + 0.5) / 1e6 AS reported_rate_q,
+           floor((lam - 0.25) / 0.5 * 1e6 + 0.5) / 1e6 AS estimated_p_q,
+           floor(true_p * 1e6 + 0.5) / 1e6 AS true_p_q,
+           floor(abs((lam - 0.25) / 0.5 - true_p) * 1e6 + 0.5) / 1e6
+             AS abs_err_q
+    FROM agg
+    """,
+)
+def randomized_response_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response — the original local-DP mechanism:
+    each user's sensitive bit (did they ever purchase) is flipped
+    with probability 1/4 (deterministically simulated by a Knuth-
+    hash coin so both engines replay the same noise), and the
+    analyst recovers the population rate via the unbiased
+    de-randomizer p̂ = (λ − q)/(1 − 2q), q=0.25 — reported next to
+    the ground truth so the estimator's error is visible. The
+    mechanism side of the privacy family (dp_noisy_counts adds
+    central noise; k-anonymity/l-diversity audit releases; this is
+    the LOCAL collection protocol). Two aggregates over the user
+    frame."""
+    e = T(spark, sf_dir, "events")
+    truth = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("attr")
+    )
+    flip = (F.col("user_id") * 2654435761) % 100 < 25
+    reports = truth.select(
+        "attr",
+        F.when(flip, 1 - F.col("attr")).otherwise(F.col("attr")).alias(
+            "report"
+        ),
+    )
+    agg = reports.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(F.col("report").cast("double")) / F.count(F.lit(1))).alias(
+            "lam"
+        ),
+        (F.sum(F.col("attr").cast("double")) / F.count(F.lit(1))).alias(
+            "true_p"
+        ),
+    )
+    est = (F.col("lam") - 0.25) / 0.5
+    return agg.select(
+        F.col("n").alias("n_users"),
+        (F.floor(F.col("lam") * 1e6 + 0.5) / 1e6).alias("reported_rate_q"),
+        (F.floor(est * 1e6 + 0.5) / 1e6).alias("estimated_p_q"),
+        (F.floor(F.col("true_p") * 1e6 + 0.5) / 1e6).alias("true_p_q"),
+        (F.floor(F.abs(est - F.col("true_p")) * 1e6 + 0.5) / 1e6).alias(
+            "abs_err_q"
+        ),
+    )
