@@ -1780,3 +1780,101 @@ def randomized_response_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err_q"
         ),
     )
+
+
+def _median_polish_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled Tukey median polish on the (event_type x weekday)
+    count table: each round subtracts exact row medians then exact
+    column medians from the residuals (odd-width axes -> the middle
+    order statistic, deterministic under ties). Residuals stay
+    BIGINT throughout — no float enters until display."""
+    steps = []
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""rm{i} AS (
+      SELECT a, median_lo AS m FROM (
+        SELECT a, x AS median_lo,
+               row_number() OVER (PARTITION BY a ORDER BY x ASC, b ASC) AS rn,
+               count(*) OVER (PARTITION BY a) AS cnt
+        FROM {prev}
+      ) WHERE rn = (cnt + 1) // 2),
+    rr{i} AS (
+      SELECT p.a, p.b, CAST(p.x - m.m AS BIGINT) AS x
+      FROM {prev} p JOIN rm{i} m ON m.a = p.a),
+    cm{i} AS (
+      SELECT b, median_lo AS m FROM (
+        SELECT b, x AS median_lo,
+               row_number() OVER (PARTITION BY b ORDER BY x ASC, a ASC) AS rn,
+               count(*) OVER (PARTITION BY b) AS cnt
+        FROM rr{i}
+      ) WHERE rn = (cnt + 1) // 2),
+    r{i} AS (
+      SELECT p.a, p.b, CAST(p.x - m.m AS BIGINT) AS x
+      FROM rr{i} p JOIN cm{i} m ON m.b = p.b)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH cells AS (
+      SELECT event_type AS a, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r0 AS (SELECT a, b, n AS x FROM cells),
+    {chain}
+    SELECT c.a AS event_type, c.b AS wd, c.n AS count,
+           f.x AS residual
+    FROM cells c JOIN {prev} f ON f.a = c.a AND f.b = c.b
+    ORDER BY event_type, wd
+    """
+
+
+@_staged("median_polish_events", _median_polish_oracle_sql())
+def median_polish_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish of the (event type x ISO weekday) count
+    table, 3 rounds — the ROBUST two-way decomposition next to
+    anova_two_way_events (ANOVA's cell means follow every outlier;
+    the polish's medians shrug them off, and what's LEFT is the
+    residual an anomaly hunter reads). With 5x7 odd axes every
+    median is the exact middle order statistic, so residuals stay
+    exact BIGINT through all rounds — the rare iterative operator
+    with zero float risk. Spark folds the same rounds over the
+    35-row cell frame with per-round lineage truncation."""
+    e = T(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("a"),
+        (F.weekday(F.to_date("ts")) + 1).cast("long").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).persist()
+    r = cells.select("a", "b", F.col("n").alias("x"))
+    for _ in range(3):
+        for axis, other in (("a", "b"), ("b", "a")):
+            wrank = Window.partitionBy(axis).orderBy(
+                F.col("x").asc(), F.col(other).asc()
+            )
+            wcnt = Window.partitionBy(axis)
+            med = (
+                r.select(
+                    axis,
+                    "x",
+                    F.row_number().over(wrank).alias("rn"),
+                    F.count(F.lit(1)).over(wcnt).alias("cnt"),
+                )
+                .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+                .select(F.col(axis).alias("_k"), F.col("x").alias("m"))
+            )
+            r = (
+                r.join(med, r[axis] == med["_k"])
+                .select("a", "b", (F.col("x") - F.col("m")).cast("long").alias("x"))
+                .localCheckpoint(eager=True)
+            )
+    return (
+        cells.join(r, ["a", "b"])
+        .select(
+            F.col("a").alias("event_type"),
+            F.col("b").alias("wd"),
+            F.col("n").alias("count"),
+            F.col("x").alias("residual"),
+        )
+        .orderBy("event_type", "wd")
+    )
