@@ -1878,3 +1878,159 @@ def median_polish_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "wd")
     )
+
+
+@_staged(
+    "cumulative_incidence_events",
+    """
+    WITH signup AS (
+      SELECT user_id, min(ts) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    nxt AS (
+      SELECT s.user_id,
+             min(e.ts) AS t1
+      FROM signup s JOIN events e
+        ON e.user_id = s.user_id AND e.ts > s.t0
+       AND e.event_type IN ('purchase', 'error')
+      GROUP BY 1
+    ),
+    typed AS (
+      SELECT n.user_id,
+             CAST(date_diff('day', CAST(s.t0 AS DATE), CAST(n.t1 AS DATE))
+                  AS BIGINT) AS t,
+             min_by(e.event_type, e.event_id) AS cause
+      FROM nxt n
+      JOIN signup s ON s.user_id = n.user_id
+      JOIN events e ON e.user_id = n.user_id AND e.ts = n.t1
+                   AND e.event_type IN ('purchase', 'error')
+      GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT t,
+             CAST(sum(CASE WHEN cause = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d_p,
+             CAST(sum(CASE WHEN cause = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d_e,
+             CAST(count(*) AS BIGINT) AS d_all
+      FROM typed GROUP BY 1
+    ),
+    atrisk AS (
+      SELECT r.t, r.d_p, r.d_e, r.d_all,
+             (SELECT sum(r2.d_all) FROM risk r2 WHERE r2.t >= r.t) AS n_at
+      FROM risk r
+    ),
+    surv AS (
+      SELECT a.t, a.d_p, a.d_e, a.d_all, a.n_at,
+             coalesce((SELECT exp(sum(ln(1.0 - CAST(a2.d_all AS DOUBLE)
+                                             / a2.n_at)))
+                       FROM atrisk a2
+                       WHERE a2.t < a.t AND a2.n_at > a2.d_all), 1.0)
+               AS s_minus
+      FROM atrisk a
+    ),
+    cif AS (
+      SELECT s.t,
+             (SELECT sum(s2.s_minus * s2.d_p / s2.n_at) FROM surv s2
+              WHERE s2.t <= s.t) AS cif_purchase,
+             (SELECT sum(s2.s_minus * s2.d_e / s2.n_at) FROM surv s2
+              WHERE s2.t <= s.t) AS cif_error
+      FROM surv s
+    )
+    SELECT s.t AS day_gap, s.d_p AS d_purchase, s.d_e AS d_error,
+           CAST(s.n_at AS BIGINT) AS n_at_risk,
+           floor(c.cif_purchase * 1e6 + 0.5) / 1e6 AS cif_purchase_q,
+           floor(c.cif_error * 1e6 + 0.5) / 1e6 AS cif_error_q
+    FROM surv s JOIN cif c ON c.t = s.t
+    ORDER BY day_gap
+    """,
+)
+def cumulative_incidence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competing-risks cumulative incidence (Aalen-Johansen): after
+    signup, a user's FIRST subsequent purchase or error is the event
+    — two causes competing for the same subject, where naive
+    per-cause KM curves overstate both (they treat the rival cause
+    as censoring). CIF_k(t) = Σ_{s≤t} S(s⁻)·d_ks/n_s with S the
+    all-cause survival — the decomposition that answers "by day t,
+    what fraction converted vs broke". Ties at the first event
+    timestamp resolve by (ts, event_id) min_by. Same calendar-
+    bounded risk-frame folds as the KM family."""
+    e = T(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    causes = e.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    j = causes.join(signup, "user_id").filter(F.col("ts") > F.col("t0"))
+    typed = j.groupBy("user_id").agg(
+        F.min("ts").alias("t1"),
+        F.min("t0").alias("t0"),
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("cause"),
+    ).select(
+        F.datediff(F.to_date("t1"), F.to_date("t0")).cast("long").alias("t"),
+        "cause",
+    )
+    risk = typed.groupBy("t").agg(
+        F.sum((F.col("cause") == "purchase").cast("int"))
+        .cast("long")
+        .alias("d_p"),
+        F.sum((F.col("cause") == "error").cast("int")).cast("long").alias(
+            "d_e"
+        ),
+        F.count(F.lit(1)).cast("long").alias("d_all"),
+    ).persist()
+    r2 = risk.select(F.col("t").alias("t2"), F.col("d_all").alias("da2"))
+    atrisk = (
+        risk.join(F.broadcast(r2), F.col("t2") >= F.col("t"))
+        .groupBy("t", "d_p", "d_e", "d_all")
+        .agg(F.sum("da2").alias("n_at"))
+        .persist()
+    )
+    a2 = atrisk.select(
+        F.col("t").alias("t2"),
+        F.col("d_all").alias("da2"),
+        F.col("n_at").alias("na2"),
+    )
+    surv = (
+        atrisk.join(
+            F.broadcast(a2),
+            (F.col("t2") < F.col("t")) & (F.col("na2") > F.col("da2")),
+            "left",
+        )
+        .groupBy("t", "d_p", "d_e", "d_all", "n_at")
+        .agg(
+            F.coalesce(
+                F.exp(
+                    F.sum(
+                        F.log(1.0 - F.col("da2").cast("double") / F.col("na2"))
+                    )
+                ),
+                F.lit(1.0),
+            ).alias("s_minus")
+        )
+        .persist()
+    )
+    s2 = surv.select(
+        F.col("t").alias("t2"),
+        (F.col("s_minus") * F.col("d_p") / F.col("n_at")).alias("inc_p"),
+        (F.col("s_minus") * F.col("d_e") / F.col("n_at")).alias("inc_e"),
+    )
+    cif = (
+        surv.join(F.broadcast(s2), F.col("t2") <= F.col("t"))
+        .groupBy("t", "d_p", "d_e", "n_at")
+        .agg(
+            F.sum("inc_p").alias("cif_p"),
+            F.sum("inc_e").alias("cif_e"),
+        )
+    )
+    return cif.select(
+        F.col("t").alias("day_gap"),
+        F.col("d_p").alias("d_purchase"),
+        F.col("d_e").alias("d_error"),
+        F.col("n_at").cast("long").alias("n_at_risk"),
+        (F.floor(F.col("cif_p") * 1e6 + 0.5) / 1e6).alias("cif_purchase_q"),
+        (F.floor(F.col("cif_e") * 1e6 + 0.5) / 1e6).alias("cif_error_q"),
+    ).orderBy("day_gap")
