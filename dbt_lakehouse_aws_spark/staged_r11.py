@@ -2034,3 +2034,124 @@ def cumulative_incidence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("cif_p") * 1e6 + 0.5) / 1e6).alias("cif_purchase_q"),
         (F.floor(F.col("cif_e") * 1e6 + 0.5) / 1e6).alias("cif_error_q"),
     ).orderBy("day_gap")
+
+
+@_staged(
+    "g_test_weekday_events",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS wd,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k
+      FROM cells GROUP BY 1
+    )
+    SELECT c.event_type, t.n AS n_events, t.k AS k_cells,
+           floor(2.0 * sum(o * ln(CAST(o AS DOUBLE)
+                                  / (CAST(t.n AS DOUBLE) / t.k)))
+                 * 1e6 + 0.5) / 1e6 AS g_stat_q,
+           CASE WHEN 2.0 * sum(o * ln(CAST(o AS DOUBLE)
+                                      / (CAST(t.n AS DOUBLE) / t.k)))
+                     > 12.591587243743977 THEN 'nonuniform'
+                ELSE 'uniform_ok' END AS verdict
+    FROM cells c JOIN tot t ON t.event_type = c.event_type
+    GROUP BY c.event_type, t.n, t.k
+    ORDER BY c.event_type
+    """,
+)
+def g_test_weekday_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial G-test (likelihood-ratio goodness-of-fit) of each
+    type's weekday distribution against uniformity: G = 2Σo·ln(o/e)
+    vs the χ²(6) 95% critical value — the LR sibling of the Pearson
+    family (benjamini_hochberg_cells scores per-cell deviations;
+    this scores the whole 7-cell profile per type, and G is additive
+    across partitions where Pearson's X² is not, which is why
+    log-linear modelers prefer it). One aggregate over the types×7
+    frame."""
+    e = T(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (F.weekday(F.to_date("ts")) + 1).cast("long").alias("wd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    tot = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = cells.join(tot, "event_type")
+    g = 2.0 * F.sum(
+        F.col("o")
+        * F.log(
+            F.col("o").cast("double") / (F.col("n").cast("double") / F.col("k"))
+        )
+    )
+    crit = 12.591587243743977
+    return (
+        j.groupBy("event_type", "n", "k")
+        .agg(
+            (F.floor(g * 1e6 + 0.5) / 1e6).alias("g_stat_q"),
+            F.when(g > crit, F.lit("nonuniform"))
+            .otherwise(F.lit("uniform_ok"))
+            .alias("verdict"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("k").alias("k_cells"),
+            "g_stat_q",
+            "verdict",
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "oc_curve_sampling",
+    """
+    WITH grid AS (
+      SELECT p.p / 100.0 AS p FROM (SELECT unnest(range(1, 21)) AS p) p
+    ),
+    plan AS (
+      SELECT p,
+             power(1.0 - p, 48)
+             * ((1.0 - p) * (1.0 - p) + 50.0 * p * (1.0 - p)
+                + 1225.0 * p * p) AS p_accept
+      FROM grid
+    )
+    SELECT CAST(round(p * 100) AS BIGINT) AS defect_pct,
+           floor(p_accept * 1e6 + 0.5) / 1e6 AS p_accept_q,
+           CASE WHEN p_accept >= 0.95 THEN 'producer_safe'
+                WHEN p_accept <= 0.10 THEN 'consumer_safe'
+                ELSE 'indifference' END AS region
+    FROM plan ORDER BY defect_pct
+    """,
+)
+def oc_curve_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-characteristic curve for the single acceptance-
+    sampling plan n=50, c=2 (inspect 50 units, accept the lot on ≤2
+    defects): P(accept | defect rate p) = Σ_{k≤2} C(50,k)p^k(1−p)^{50−k}
+    expanded to the exact closed form (1−p)^48·((1−p)² + 50p(1−p) +
+    1225p²), evaluated over a 1-20% defect grid with the classic
+    producer's-risk (≥95% accept) and consumer's-risk (≤10% accept)
+    regions marked — the QC-engineering lens on the binomial that
+    wilson_ci_conversion uses for inference. Pure expression over a
+    20-row literal axis."""
+    p = F.col("p")
+    grid = (
+        T(spark, sf_dir, "region")
+        .sparkSession.range(1, 21)
+        .select((F.col("id") / 100.0).alias("p"))
+    )
+    pa = F.pow(1.0 - p, 48) * (
+        (1.0 - p) * (1.0 - p) + 50.0 * p * (1.0 - p) + 1225.0 * p * p
+    )
+    return grid.select(
+        F.round(p * 100).cast("long").alias("defect_pct"),
+        (F.floor(pa * 1e6 + 0.5) / 1e6).alias("p_accept_q"),
+        F.when(pa >= 0.95, F.lit("producer_safe"))
+        .when(pa <= 0.10, F.lit("consumer_safe"))
+        .otherwise(F.lit("indifference"))
+        .alias("region"),
+    ).orderBy("defect_pct")
