@@ -2155,3 +2155,271 @@ def oc_curve_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("indifference"))
         .alias("region"),
     ).orderBy("defect_pct")
+
+
+@_staged(
+    "yuen_trimmed_t_orders",
+    """
+    WITH scored AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                  ELSE 'other' END AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY cents ASC, o_orderkey ASC) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM scored
+    ),
+    trimmed AS (
+      SELECT grp, cents, n, CAST(n // 5 AS BIGINT) AS g
+      FROM ranked
+      WHERE rn > n // 5 AND rn <= n - n // 5
+    ),
+    wins AS (
+      SELECT grp, CAST(max(n) AS BIGINT) AS n, CAST(max(g) AS BIGINT) AS g,
+             CAST(count(*) AS BIGINT) AS h,
+             sum(CAST(cents AS DOUBLE)) / count(*) AS tmean,
+             sum(CAST(cents AS DOUBLE) * cents) / count(*)
+               - (sum(CAST(cents AS DOUBLE)) / count(*))
+                 * (sum(CAST(cents AS DOUBLE)) / count(*)) AS tvar
+      FROM trimmed GROUP BY 1
+    )
+    SELECT u.h AS h_urgent, o.h AS h_other,
+           floor(u.tmean * 1e2 + 0.5) / 1e2 AS tmean_urgent_q,
+           floor(o.tmean * 1e2 + 0.5) / 1e2 AS tmean_other_q,
+           floor((u.tmean - o.tmean)
+                 / sqrt(u.tvar / u.h + o.tvar / o.h) * 1e6 + 0.5) / 1e6
+             AS yuen_t_q,
+           CASE WHEN abs((u.tmean - o.tmean)
+                         / sqrt(u.tvar / u.h + o.tvar / o.h))
+                     > 1.959963984540054 THEN 'different'
+                ELSE 'comparable' END AS verdict
+    FROM (SELECT * FROM wins WHERE grp = 'urgent') u
+    CROSS JOIN (SELECT * FROM wins WHERE grp = 'other') o
+    """,
+)
+def yuen_trimmed_t_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's trimmed-mean t-test (20% symmetric trim) comparing
+    urgent vs non-urgent order values — the robust location test
+    between welch_ttest (means, outlier-hostage) and
+    mann_whitney (ranks, loses the scale): trim each group's top and
+    bottom fifth by exact partitioned ranks, compare trimmed means
+    with the variance of what remains (the simplified
+    equal-trim-fraction form, fully specified). Exact integer cents
+    until the statistic."""
+    o = T(spark, sf_dir, "orders")
+    scored = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .otherwise("other")
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    wr = Window.partitionBy("grp").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("grp")
+    ranked = scored.select(
+        "grp",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    trimmed = ranked.filter(
+        (F.col("rn") > F.expr("n div 5"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 5"))
+    )
+    c = F.col("cents").cast("double")
+    wins = trimmed.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("h"),
+        (F.sum(c) / F.count(F.lit(1))).alias("tmean"),
+        (
+            F.sum(c * F.col("cents")) / F.count(F.lit(1))
+            - (F.sum(c) / F.count(F.lit(1))) * (F.sum(c) / F.count(F.lit(1)))
+        ).alias("tvar"),
+    )
+    u = wins.filter(F.col("grp") == "urgent").select(
+        F.col("h").alias("hu"), F.col("tmean").alias("mu"),
+        F.col("tvar").alias("vu"),
+    )
+    ot = wins.filter(F.col("grp") == "other").select(
+        F.col("h").alias("ho"), F.col("tmean").alias("mo"),
+        F.col("tvar").alias("vo"),
+    )
+    j = u.crossJoin(F.broadcast(ot))
+    t = (F.col("mu") - F.col("mo")) / F.sqrt(
+        F.col("vu") / F.col("hu") + F.col("vo") / F.col("ho")
+    )
+    return j.select(
+        F.col("hu").alias("h_urgent"),
+        F.col("ho").alias("h_other"),
+        (F.floor(F.col("mu") * 1e2 + 0.5) / 1e2).alias("tmean_urgent_q"),
+        (F.floor(F.col("mo") * 1e2 + 0.5) / 1e2).alias("tmean_other_q"),
+        (F.floor(t * 1e6 + 0.5) / 1e6).alias("yuen_t_q"),
+        F.when(F.abs(t) > 1.959963984540054, F.lit("different"))
+        .otherwise(F.lit("comparable"))
+        .alias("verdict"),
+    )
+
+
+@_staged(
+    "circular_stats_events",
+    """
+    WITH ang AS (
+      SELECT event_type,
+             2 * pi() * (CAST(hour(ts) AS DOUBLE) * 3600
+                         + minute(ts) * 60 + CAST(second(ts) AS DOUBLE))
+               / 86400.0 AS theta
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(cos(theta)) / count(*) AS cbar,
+             sum(sin(theta)) / count(*) AS sbar
+      FROM ang GROUP BY 1
+    )
+    SELECT event_type, n,
+           floor(sqrt(cbar * cbar + sbar * sbar) * 1e6 + 0.5) / 1e6
+             AS resultant_q,
+           floor((atan2(sbar, cbar) * 86400.0 / (2 * pi())
+                  + CASE WHEN atan2(sbar, cbar) < 0 THEN 86400.0
+                         ELSE 0.0 END) / 3600.0 * 1e4 + 0.5) / 1e4
+             AS mean_hour_q,
+           floor(n * (cbar * cbar + sbar * sbar) * 1e4 + 0.5) / 1e4
+             AS rayleigh_z_q,
+           CASE WHEN n * (cbar * cbar + sbar * sbar) > 2.995732273553991
+                THEN 'clock_pattern' ELSE 'uniform_over_day' END AS verdict
+    FROM s ORDER BY event_type
+    """,
+)
+def circular_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of event TIME-OF-DAY per type: seconds
+    since midnight wrap onto the unit circle (θ = 2π·s/86400), the
+    resultant length R̄ measures clock concentration, atan2 recovers
+    the mean hour (a quantity a linear mean butchers across
+    midnight), and the Rayleigh test z = nR̄² vs the 5% critical
+    value ln(20) decides whether the stream has a daily rhythm at
+    all. The domain (directional data) no other registry query
+    touches; one trig aggregate per type."""
+    import math
+
+    e = T(spark, sf_dir, "events")
+    theta = (
+        2
+        * math.pi
+        * (
+            F.hour("ts").cast("double") * 3600
+            + F.minute("ts") * 60
+            + F.second("ts").cast("double")
+        )
+        / 86400.0
+    )
+    s = e.select("event_type", theta.alias("theta")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(F.cos("theta")) / F.count(F.lit(1))).alias("cbar"),
+        (F.sum(F.sin("theta")) / F.count(F.lit(1))).alias("sbar"),
+    )
+    r2 = F.col("cbar") * F.col("cbar") + F.col("sbar") * F.col("sbar")
+    mean_ang = F.atan2(F.col("sbar"), F.col("cbar"))
+    mean_sec = mean_ang * 86400.0 / (2 * math.pi) + F.when(
+        mean_ang < 0, 86400.0
+    ).otherwise(0.0)
+    z = F.col("n") * r2
+    return s.select(
+        "event_type",
+        "n",
+        (F.floor(F.sqrt(r2) * 1e6 + 0.5) / 1e6).alias("resultant_q"),
+        (F.floor(mean_sec / 3600.0 * 1e4 + 0.5) / 1e4).alias("mean_hour_q"),
+        (F.floor(z * 1e4 + 0.5) / 1e4).alias("rayleigh_z_q"),
+        F.when(z > 2.995732273553991, F.lit("clock_pattern"))
+        .otherwise(F.lit("uniform_over_day"))
+        .alias("verdict"),
+    ).orderBy("event_type")
+
+
+@_staged(
+    "morans_i_nations",
+    """
+    WITH vals AS (
+      SELECT n.n_nationkey AS k, n.n_regionkey AS r,
+             sum(c.c_acctbal) / count(*) AS y
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    mu AS (SELECT sum(y) / count(*) AS m, CAST(count(*) AS BIGINT) AS n FROM vals),
+    pairs AS (
+      SELECT a.k, (a.y - (SELECT m FROM mu)) * (b.y - (SELECT m FROM mu))
+               AS cross_dev
+      FROM vals a JOIN vals b
+        ON b.r = a.r AND b.k <> a.k
+    ),
+    w AS (SELECT CAST(count(*) AS BIGINT) AS sw FROM pairs),
+    ss AS (
+      SELECT sum((y - (SELECT m FROM mu)) * (y - (SELECT m FROM mu))) AS s
+      FROM vals
+    )
+    SELECT (SELECT n FROM mu) AS n_nations,
+           (SELECT sw FROM w) AS n_pairs,
+           floor((SELECT CAST(n AS DOUBLE) FROM mu) / (SELECT sw FROM w)
+                 * (SELECT sum(cross_dev) FROM pairs) / (SELECT s FROM ss)
+                 * 1e6 + 0.5) / 1e6 AS morans_i_q,
+           floor(-1.0 / ((SELECT n FROM mu) - 1) * 1e6 + 0.5) / 1e6
+             AS expected_i_q
+    """,
+)
+def morans_i_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of mean account balance
+    over the nation graph with same-region contiguity weights
+    (w_ij = 1 iff nations share a region): I = (n/ΣW)·Σw_ij(y_i−ȳ)
+    (y_j−ȳ)/Σ(y_i−ȳ)² against its null expectation −1/(n−1) — do
+    neighboring markets move together? The spatial-AUTOCORRELATION
+    member the geo family lacks (grid-NN/proximity find neighbors;
+    Moran's I scores whether neighbors RESEMBLE each other). The
+    weight graph is the nations×nations same-region frame — a
+    schema axis."""
+    c = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    vals = (
+        c.join(F.broadcast(nat), nat.n_nationkey == c.c_nationkey)
+        .groupBy(
+            F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("r")
+        )
+        .agg((F.sum("c_acctbal") / F.count(F.lit(1))).alias("y"))
+        .persist()
+    )
+    mu = vals.agg(
+        (F.sum("y") / F.count(F.lit(1))).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).first()
+    b = vals.select(
+        F.col("k").alias("bk"), F.col("r").alias("br"), F.col("y").alias("by")
+    )
+    pairs = vals.join(
+        F.broadcast(b),
+        (F.col("br") == F.col("r")) & (F.col("bk") != F.col("k")),
+    ).select(((F.col("y") - mu["m"]) * (F.col("by") - mu["m"])).alias("cd"))
+    sw = pairs.count()
+    cross = pairs.agg(F.sum("cd").alias("s")).first()["s"]
+    ss = vals.agg(
+        F.sum((F.col("y") - mu["m"]) * (F.col("y") - mu["m"])).alias("s")
+    ).first()["s"]
+    import math
+
+    i_stat = (mu["n"] / sw) * cross / ss
+    return c.sparkSession.createDataFrame(
+        [
+            (
+                mu["n"],
+                sw,
+                math.floor(i_stat * 1e6 + 0.5) / 1e6,
+                math.floor(-1.0 / (mu["n"] - 1) * 1e6 + 0.5) / 1e6,
+            )
+        ],
+        "n_nations long, n_pairs long, morans_i_q double, expected_i_q double",
+    )
