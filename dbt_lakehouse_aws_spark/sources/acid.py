@@ -1614,6 +1614,14 @@ class AcidTable:
         The dev/test sandbox primitive: branch a 100 TB table in
         milliseconds, experiment destructively, drop the directory.
         Time travel inside the clone starts at its own v0.
+
+        Hazard (Delta documents the same one): the SOURCE does not
+        know its clones, so a source-side rewrite + VACUUM can
+        physically drop files a clone still references — the clone's
+        next read fails loudly (pinned by
+        test_source_vacuum_can_invalidate_clone_documented_hazard).
+        Retain source history or deep-copy before vacuuming a cloned
+        table.
         """
         snap = self.snapshot(version)
         dest = AcidTable(self.spark, dest_path)

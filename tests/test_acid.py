@@ -1458,3 +1458,21 @@ def test_identity_refuses_nonempty_table_and_duplicates(spark, tmp_path):
     t2.add_identity_column("row_id")
     with pytest.raises(ValueError, match="already exists"):
         t2.add_identity_column("row_id")
+
+
+def test_source_vacuum_can_invalidate_clone_documented_hazard(spark, tmp_path):
+    """The documented Delta shallow-clone hazard, pinned: a clone
+    references source data files by absolute path, so a SOURCE-side
+    rewrite + VACUUM that drops those files breaks the clone's read
+    loudly (missing-file error), while a clone whose referenced
+    files survive keeps working. Retain history (or deep-copy)
+    before vacuuming a cloned source."""
+    src = AcidTable(spark, str(tmp_path / "src"))
+    src.write(_mkdf(spark, [(i, "g", float(i)) for i in range(50)]).coalesce(1))
+    cl = src.clone(str(tmp_path / "cl"))
+    assert cl.read().count() == 50  # healthy while source keeps the file
+
+    src.delete("id >= 0")          # source rewrites away the shared file
+    src.vacuum(retain_last=1)      # ...and physically drops it
+    with pytest.raises(Exception):
+        cl.read().count()
