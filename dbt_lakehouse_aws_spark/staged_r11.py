@@ -2423,3 +2423,198 @@ def morans_i_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_nations long, n_pairs long, morans_i_q double, expected_i_q double",
     )
+
+
+@_staged(
+    "seasonal_mann_kendall_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS wd,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT a.event_type, a.wd,
+             CAST(sum(CAST(sign(b.cents - a.cents) AS BIGINT)) AS BIGINT) AS s
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.wd = a.wd AND b.day > a.day
+      GROUP BY 1, 2
+    ),
+    counts AS (
+      SELECT event_type, wd, CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY 1, 2
+    ),
+    strata AS (
+      SELECT c.event_type, c.wd, c.n, coalesce(p.s, 0) AS s,
+             c.n * (c.n - 1) * (2 * c.n + 5) / 18.0 AS var_s
+      FROM counts c LEFT JOIN pairs p
+        ON p.event_type = c.event_type AND p.wd = c.wd
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(s) AS BIGINT) AS s_total,
+             sum(var_s) AS var_total
+      FROM strata GROUP BY 1
+    )
+    SELECT event_type, s_total,
+           floor(var_total * 1e6 + 0.5) / 1e6 AS var_total_q,
+           floor(CASE WHEN s_total > 0 THEN (s_total - 1) / sqrt(var_total)
+                      WHEN s_total < 0 THEN (s_total + 1) / sqrt(var_total)
+                      ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS z_q,
+           CASE WHEN (CASE WHEN s_total > 0
+                           THEN (s_total - 1) / sqrt(var_total)
+                           WHEN s_total < 0
+                           THEN (s_total + 1) / sqrt(var_total)
+                           ELSE 0.0 END) > 1.959963984540054 THEN 'increasing'
+                WHEN (CASE WHEN s_total > 0
+                           THEN (s_total - 1) / sqrt(var_total)
+                           WHEN s_total < 0
+                           THEN (s_total + 1) / sqrt(var_total)
+                           ELSE 0.0 END) < -1.959963984540054
+                  THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM agg ORDER BY event_type
+    """,
+)
+def seasonal_mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (Hirsch-Slack) Mann-Kendall: the trend test computed
+    WITHIN each ISO-weekday stratum and pooled (S = ΣS_g, Var =
+    ΣVar_g) — so a strong weekly cycle can neither mask nor fake a
+    monotone trend, the failure mode the plain mann_kendall_trend
+    has on seasonal streams. Same-weekday day pairs only (the
+    calendar axis squared stays bounded); exact BIGINT sign sums;
+    no within-stratum value ties in practice, so the untied variance
+    formula is the estimand."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.weekday(F.to_date("ts")) + 1).cast("long").alias("wd"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).persist()
+    b = daily.select(
+        F.col("event_type").alias("et"), F.col("wd").alias("bwd"),
+        F.col("day").alias("bday"), F.col("cents").alias("bc"),
+    )
+    pairs = (
+        daily.join(
+            b,
+            (F.col("et") == F.col("event_type"))
+            & (F.col("bwd") == F.col("wd"))
+            & (F.col("bday") > F.col("day")),
+        )
+        .groupBy("event_type", "wd")
+        .agg(
+            F.sum(F.signum(F.col("bc") - F.col("cents")).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    counts = daily.groupBy("event_type", "wd").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    strata = counts.join(pairs, ["event_type", "wd"], "left").select(
+        "event_type",
+        F.coalesce(F.col("s"), F.lit(0)).alias("s"),
+        (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0).alias(
+            "var_s"
+        ),
+    )
+    agg = strata.groupBy("event_type").agg(
+        F.sum("s").cast("long").alias("s_total"),
+        F.sum("var_s").alias("var_total"),
+    )
+    st = F.col("s_total")
+    z = (
+        F.when(st > 0, (st - 1) / F.sqrt(F.col("var_total")))
+        .when(st < 0, (st + 1) / F.sqrt(F.col("var_total")))
+        .otherwise(F.lit(0.0))
+    )
+    crit = 1.959963984540054
+    return agg.select(
+        "event_type",
+        "s_total",
+        (F.floor(F.col("var_total") * 1e6 + 0.5) / 1e6).alias("var_total_q"),
+        (F.floor(z * 1e6 + 0.5) / 1e6).alias("z_q"),
+        F.when(z > crit, F.lit("increasing"))
+        .when(z < -crit, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    ).orderBy("event_type")
+
+
+@_staged(
+    "gumbel_block_maxima_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    blocks AS (
+      SELECT event_type, date_trunc('week', CAST(day AS TIMESTAMP)) AS wk,
+             CAST(max(n) AS BIGINT) AS block_max
+      FROM daily GROUP BY 1, 2
+    ),
+    fit AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+             sum(CAST(block_max AS DOUBLE)) / count(*) AS m,
+             sqrt(sum(CAST(block_max AS DOUBLE) * block_max) / count(*)
+                  - (sum(CAST(block_max AS DOUBLE)) / count(*))
+                    * (sum(CAST(block_max AS DOUBLE)) / count(*))) AS s
+      FROM blocks GROUP BY 1
+    )
+    SELECT event_type, n_blocks,
+           floor((s * sqrt(6.0) / pi()) * 1e4 + 0.5) / 1e4 AS beta_q,
+           floor((m - 0.5772156649015329 * (s * sqrt(6.0) / pi()))
+                 * 1e4 + 0.5) / 1e4 AS mu_q,
+           floor((m - 0.5772156649015329 * (s * sqrt(6.0) / pi())
+                  - (s * sqrt(6.0) / pi()) * ln(-ln(0.99)))
+                 * 1e2 + 0.5) / 1e2 AS return_level_100_q
+    FROM fit ORDER BY event_type
+    """,
+)
+def gumbel_block_maxima_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value capacity planning: each type's WEEKLY block
+    maxima of daily load fit a Gumbel distribution by moments
+    (β = s√6/π, μ = m − γβ with Euler's γ), and the 100-block return
+    level μ − β·ln(−ln 0.99) answers the question percentiles
+    cannot: how big a day should we expect once per 100 weeks? The
+    EVT member of the capacity family (Erlang-C sizes the steady
+    state; this sizes the storm). Two aggregates over the
+    calendar-bounded block frame."""
+    e = T(spark, sf_dir, "events")
+    import math
+
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    blocks = daily.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("day").cast("timestamp")).alias("wk"),
+    ).agg(F.max("n").cast("long").alias("block_max"))
+    bm = F.col("block_max").cast("double")
+    fit = blocks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        (F.sum(bm) / F.count(F.lit(1))).alias("m"),
+        F.sqrt(
+            F.sum(bm * F.col("block_max")) / F.count(F.lit(1))
+            - (F.sum(bm) / F.count(F.lit(1)))
+            * (F.sum(bm) / F.count(F.lit(1)))
+        ).alias("s"),
+    )
+    gamma = 0.5772156649015329
+    beta = F.col("s") * math.sqrt(6.0) / math.pi
+    mu = F.col("m") - gamma * beta
+    rl = mu - beta * math.log(-math.log(0.99))
+    return fit.select(
+        "event_type",
+        "n_blocks",
+        (F.floor(beta * 1e4 + 0.5) / 1e4).alias("beta_q"),
+        (F.floor(mu * 1e4 + 0.5) / 1e4).alias("mu_q"),
+        (F.floor(rl * 1e2 + 0.5) / 1e2).alias("return_level_100_q"),
+    ).orderBy("event_type")
