@@ -648,7 +648,7 @@ def decode_wav(data: bytes) -> dict:
     if dt is None:
         raise ValueError(
             f"unsupported WAV encoding format={audio_format} bits={bits} "
-            "(PCM 8/16/32, IEEE float 32/64 and G.711 µ-law supported)"
+            "(PCM 8/16/32, IEEE float 32/64 and G.711 µ-law/A-law supported)"
         )
     frame_bytes = (bits // 8) * channels
     n_frames = len(raw) // frame_bytes

@@ -808,7 +808,11 @@ def weighted_pagerank(
     Requires every node to appear as a source (symmetric/undirected
     graphs satisfy this by construction) — weighted dangling-mass
     redistribution is not defined here and the operator raises
-    rather than silently mis-ranking.
+    rather than silently mis-ranking. Nodes with out-edges but no
+    IN-edges are kept in the rank vector across iterations (their
+    incoming sum coalesces to 0, rank = 1−d, and their outgoing
+    contributions keep flowing) — mirroring :func:`pagerank`'s
+    explicit no-in-edge handling.
 
     Same scale shape as :func:`pagerank`: the edge list with the
     source's weight-degree folded into a per-edge RATIO is
@@ -852,9 +856,16 @@ def weighted_pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = contribs.select(
+        # Left-join back onto the FULL node set: a node with
+        # out-edges but no in-edges has no contribs row; without
+        # this it would vanish after iteration 1, silently dropping
+        # its outgoing mass too (ADVICE r6 #1).
+        ranks = nodes.join(contribs, "node", "left").select(
             "node",
-            (F.lit(1.0 - damping) + F.lit(damping) * F.col("_s")).alias("rank"),
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+            ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)

@@ -291,6 +291,9 @@ class AcidTable:
             renames=renames,
             generated=generated,
             # a DV is only meaningful for a file the snapshot holds
+            # (`files` is the file->stats DICT here — hashed O(1)
+            # membership, not a list scan, so manifest replay stays
+            # O(n_files + n_dvs) at 100 TB manifest sizes)
             dvs={f: r for f, r in dvs.items() if f in files},
             identity=identity,
         )
@@ -782,12 +785,31 @@ class AcidTable:
             # mark; one that carries it passes through (merge
             # survivors keep theirs)
             missing_ids = [c for c in snap0.identity if c not in df.columns]
+            carried_ids = [c for c in snap0.identity if c in df.columns]
+            if carried_ids:
+                # Delta SYNC IDENTITY behavior (ADVICE r6 #2): a
+                # pass-through batch that explicitly writes ids above
+                # the high-water mark must ADVANCE the mark, else a
+                # later column-omitting append would auto-assign
+                # colliding ids. One bounded agg per identity write.
+                maxes = df.agg(
+                    *[F.max(F.col(c)).alias(c) for c in carried_ids]
+                ).first()
+                ident_c = dict(snap0.identity)
+                moved = False
+                for c in carried_ids:
+                    m = maxes[c]
+                    if m is not None and int(m) + 1 > ident_c[c]:
+                        ident_c[c] = int(m) + 1
+                        moved = True
+                if moved:
+                    new_identity = ident_c
             if missing_ids:
                 from dbt_lakehouse_aws_spark.operators.windows import (
                     global_row_number,
                 )
 
-                ident = dict(snap0.identity)
+                ident = dict(new_identity or snap0.identity)
                 df = global_row_number(
                     df.withColumn("_idmid", F.monotonically_increasing_id()),
                     [F.col("_idmid").asc()],
@@ -838,7 +860,11 @@ class AcidTable:
         define. Batches that already carry the column pass through
         (merge survivors keep their ids; the merge delta must carry
         every target column, so an upsert can never silently re-id
-        a row)."""
+        a row), and a pass-through write ADVANCES the high-water
+        mark past the batch's max id (Delta's SYNC IDENTITY
+        behavior), so explicit id injection followed by a
+        column-omitting append cannot collide — the collision-free
+        guarantee holds across mixed explicit/auto writers."""
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
         if name in [f.name for f in schema.fields]:

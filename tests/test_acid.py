@@ -1448,6 +1448,31 @@ def test_identity_passthrough_and_merge_keeps_ids(spark, tmp_path):
     assert t.read().filter(F.col("id") == 1).first()["value"] == 99.0
 
 
+def test_identity_passthrough_advances_high_water_mark(spark, tmp_path):
+    """ADVICE r6 #2 regression (Delta SYNC IDENTITY): an explicit
+    pass-through write of row_id=500 while the mark sits at 100 must
+    raise the mark to 501, so a later column-omitting append starts
+    at 501 instead of colliding at 100."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.write(_mkdf(spark, []).limit(0))
+    t.add_identity_column("row_id", start=100)
+    explicit = _mkdf(spark, [(1, "a", 1.0), (2, "a", 2.0)]).withColumn(
+        "row_id", (F.col("id") + 499).cast("long")  # ids 500, 501
+    )
+    t.write(explicit, mode="append")
+    assert t.snapshot().identity == {"row_id": 502}
+    t.write(_mkdf(spark, [(3, "b", 3.0), (4, "b", 4.0)]), mode="append")
+    ids = sorted(r["row_id"] for r in t.read().collect())
+    assert ids == [500, 501, 502, 503], ids
+    assert len(set(ids)) == 4, "explicit/auto id collision"
+    # a pass-through BELOW the mark must not regress it
+    low = _mkdf(spark, [(5, "c", 5.0)]).withColumn(
+        "row_id", F.lit(7).cast("long")
+    )
+    t.write(low, mode="append")
+    assert t.snapshot().identity == {"row_id": 504}
+
+
 def test_identity_refuses_nonempty_table_and_duplicates(spark, tmp_path):
     t = AcidTable(spark, str(tmp_path / "t"))
     t.write(_mkdf(spark, [(1, "a", 1.0)]))

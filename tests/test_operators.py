@@ -1372,3 +1372,31 @@ def test_weighted_pagerank_hand_computed(spark):
     )
     with _pytest.raises(ValueError, match="out-edges"):
         weighted_pagerank(dangling, iters=2)
+
+
+def test_weighted_pagerank_keeps_no_inedge_nodes(spark):
+    """ADVICE r6 #1 regression: a->b, b->a, c->a passes the
+    out-edge guard (every node is a source) but c never appears as
+    a destination. c must STAY in the returned rank vector at
+    rank = 1-d, and its contribution into a must persist across
+    every iteration (a > b strictly — a receives from both b and c,
+    b only from a)."""
+    from dbt_lakehouse_aws_spark.operators.graph import weighted_pagerank
+
+    g = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    for iters in (1, 2, 5):
+        r = {x["node"]: x["rank"] for x in weighted_pagerank(g, iters=iters).collect()}
+        assert set(r) == {"a", "b", "c"}, r
+        assert abs(r["c"] - 0.15) < 1e-12  # no in-edges: (1-d) exactly
+        assert r["a"] > r["c"] and r["b"] > r["c"]
+    # hand-check the first two rounds (the a<->b cycle oscillates):
+    #   iter1: a = .15+.85*(1+1) = 1.85,  b = .15+.85*1 = 1.0
+    #   iter2: a = .15+.85*(b1+c) = .15+.85*1.15 = 1.1275
+    #          b = .15+.85*a1 = .15+.85*1.85 = 1.7225
+    one = {x["node"]: x["rank"] for x in weighted_pagerank(g, iters=1).collect()}
+    assert abs(one["a"] - 1.85) < 1e-12 and abs(one["b"] - 1.0) < 1e-12
+    two = {x["node"]: x["rank"] for x in weighted_pagerank(g, iters=2).collect()}
+    assert abs(two["a"] - 1.1275) < 1e-12 and abs(two["b"] - 1.7225) < 1e-12
