@@ -13,7 +13,7 @@ sparse at every SF and stays non-empty at sf0.001 (measured,
 PERF.md). Orientation still guards the HUB case — probed separately
 at a 100k-degree hub (scale_probe9).
 
-Lives in a leaf module so query modules (queries_r5/r6, staged_r7/
+Lives in a leaf module so query modules (queries_r5/r6/r7, staged_
 r8) can all share it without circular imports through
 ``standard_queries``.
 """

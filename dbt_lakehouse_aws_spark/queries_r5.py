@@ -473,7 +473,15 @@ def triangle_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-law hubs; the oracle counts the same triangles with the
     naive ordered triple join, a genuinely different algorithm, which
     is what makes the row a strong check). Top-20 most clustered
-    users."""
+    users.
+
+    CALIBRATION-CLASS (the exact-vs-LSH dedup pattern): the EXACT
+    estimand itself densifies super-linearly — at sf1.0 the wedge
+    volume exceeds the 240 s watchdog (PERF.md "Round 6: sf1.0") —
+    so this row calibrates the production form,
+    ``triangle_counts_capped_events`` (queries_r7.py), whose top-16
+    neighbor cap bounds wedge volume at n·k² regardless of raw-graph
+    density (63 s at sf1.0)."""
     from dbt_lakehouse_aws_spark.operators.graph import triangle_counts
 
     edges = _coactivity_edges(spark, sf_dir, min_shared=3)
@@ -524,7 +532,14 @@ def link_prediction_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 for no extra signal), scored |Γa∩Γb|/|Γa∪Γb| — candidates
     from a wedge join through the shared neighbor, never an all-pairs
     cross. The score is exact integer rational arithmetic in double,
-    so ordering and values replay bit-identically in SQL."""
+    so ordering and values replay bit-identically in SQL.
+
+    CALIBRATION-CLASS (the exact-vs-LSH dedup pattern): exact Σ deg²
+    wedge enumeration densifies super-linearly — sf1.0 exceeds the
+    240 s watchdog (PERF.md "Round 6: sf1.0") — so this row
+    calibrates the production form, ``link_prediction_capped_users``
+    (queries_r7.py), whose top-16 neighbor cap bounds wedge volume
+    at n·k² (65 s at sf1.0)."""
     from dbt_lakehouse_aws_spark.operators.graph import common_neighbor_scores
 
     edges = _coactivity_edges(spark, sf_dir, min_shared=3)

@@ -1,23 +1,35 @@
-"""Round-7 STAGED queries — the second 50 (in original file order)
-of the round-5 staging corpus; NOT yet in ``queries()``. Round 7's
-driver window promotes exactly this file into ``queries_r7.py``
-(plain ``@register`` each, same as queries_r6.py did for the first
-50). Every entry carries its oracle and is pytest-verified each
-session by ``tests/test_staged_r6.py``.
+"""Round-7 queries, promoted from staging (formerly
+``staged_r7.py`` — the second 50, in original file order, of the
+round-5 staging corpus) into the main registry, per the ROUND-7/8
+PLAN comment in ``standard_queries.py``, PLUS the two capped wedge
+twins moved up from ``staged_r10.py`` on the round-6 verdict
+("register the capped twins now, not at the round-10 rotation").
+
+Definitions accumulate into module-local dicts via the ``_promoted``
+decorator and are appended to ``standard_queries._REGISTRY`` by the
+loop at the END of this file — after the placeholder-oracle fixups
+(bfs / LPA / CDC build their unrolled SQL post-definition), so every
+registration carries its final oracle. ``standard_queries`` imports
+this module before it builds the driver window, exactly like
+queries_r5/r6. Every entry was oracle-verified at sf0.001 AND
+sf0.01, vanilla-ANSI checked, plan-linted, sf0.1-timed, and
+sf1.0-audited under the 240 s watchdog while in staging
+(scripts/check_staged.py, check_staged_vanilla.py,
+bench_sf1_staged.py) BEFORE this promotion.
 """
 
 from __future__ import annotations
 
 #: name → oracle SQL, mirrors standard_queries' registry shape
-STAGED_ORACLES: dict[str, str] = {}
+_PROMOTED_ORACLES: dict[str, str] = {}
 #: name → (spark, sf_dir) -> DataFrame
-STAGED_QUERIES: dict[str, object] = {}
+_PROMOTED_QUERIES: dict[str, object] = {}
 
 
-def _staged(name: str, oracle: str):
+def _promoted(name: str, oracle: str):
     def deco(fn):
-        STAGED_ORACLES[name] = oracle
-        STAGED_QUERIES[name] = fn
+        _PROMOTED_ORACLES[name] = oracle
+        _PROMOTED_QUERIES[name] = fn
         return fn
 
     return deco
@@ -30,7 +42,7 @@ from dbt_lakehouse_aws_spark.operators.coactivity import (  # noqa: E402
     coactivity_edges_sql as _coactivity_edges_sql,
 )
 
-@_staged(
+@_promoted(
     "null_conditional_gauntlet_customer",
     """
     SELECT c_custkey,
@@ -89,7 +101,7 @@ def null_conditional_gauntlet_customer(
 
 
 
-@_staged(
+@_promoted(
     "set_ops_customers",
     """
     WITH a AS (
@@ -150,7 +162,7 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "acid_rename_column_events",
     """
     WITH src AS (
@@ -211,7 +223,7 @@ def acid_rename_column_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "recursive_cte_part_closure",
     """
     WITH RECURSIVE parents AS (
@@ -268,7 +280,7 @@ def recursive_cte_part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "lateral_topk_customers",
     """
     SELECT n.n_name, l.c_custkey, l.c_acctbal
@@ -311,7 +323,7 @@ def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "window_frame_gauntlet_orders",
     """
     WITH t AS (
@@ -408,7 +420,7 @@ _PIVOT_SQL_BODY = """
 """
 
 
-@_staged(
+@_promoted(
     "pivot_unpivot_native_events",
     _PIVOT_SQL_BODY.format(events="events"),
 )
@@ -426,7 +438,7 @@ def pivot_unpivot_native_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PIVOT_SQL_BODY.format(events=view))
 
 
-@_staged(
+@_promoted(
     "variant_extract_events",
     """
     SELECT event_type,
@@ -464,7 +476,7 @@ def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "collation_groups_parts",
     """
     WITH mixed AS (
@@ -534,7 +546,7 @@ def collation_groups_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "quantile_normalize_docs",
     """
     WITH base AS (SELECT source, doc_id, n_chars FROM documents),
@@ -616,7 +628,7 @@ def quantile_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "bfs_hops_users",
     """
     WITH RECURSIVE PLACEHOLDER_EDGES,
@@ -674,7 +686,7 @@ def bfs_hops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_ORACLES["bfs_hops_users"] = STAGED_ORACLES["bfs_hops_users"].replace(
+_PROMOTED_ORACLES["bfs_hops_users"] = _PROMOTED_ORACLES["bfs_hops_users"].replace(
     "PLACEHOLDER_EDGES", _coactivity_edges_sql(3).strip().rstrip()
 )
 
@@ -719,7 +731,7 @@ def _lpa_oracle_sql(rounds: int) -> str:
     )
 
 
-@_staged("lpa_communities_users", "PLACEHOLDER_LPA")
+@_promoted("lpa_communities_users", "PLACEHOLDER_LPA")
 def lpa_communities_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (operators/
     graph.py::label_propagation_rounds), 3 fixed rounds on the
@@ -748,10 +760,10 @@ def lpa_communities_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_ORACLES["lpa_communities_users"] = _lpa_oracle_sql(3)
+_PROMOTED_ORACLES["lpa_communities_users"] = _lpa_oracle_sql(3)
 
 
-@_staged(
+@_promoted(
     "chunk_overlap_docs",
     """
     WITH RECURSIVE gs(i) AS (
@@ -810,7 +822,7 @@ def chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "url_features_docs",
     """
     WITH f AS (
@@ -906,7 +918,7 @@ def url_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "html_extract_docs",
     """
     WITH f AS (
@@ -985,7 +997,7 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "pii_scrub_docs",
     """
     WITH f AS (
@@ -1080,7 +1092,7 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "stream_merge_exactly_once",
     """
     WITH latest AS (
@@ -1166,7 +1178,7 @@ def stream_merge_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "map_function_gauntlet_events",
     """
     WITH c AS (
@@ -1240,7 +1252,7 @@ def map_function_gauntlet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "vocab_ids_docs",
     """
     WITH tok AS (
@@ -1303,7 +1315,7 @@ from dbt_lakehouse_aws_spark.llmops.tokenizer import (  # noqa: E402
 _NEG_K = 10_000
 
 
-@_staged(
+@_promoted(
     "negative_sampling_docs",
     f"""
     WITH tok AS (
@@ -1436,7 +1448,7 @@ def _cdc_oracle_sql() -> str:
     """
 
 
-@_staged("cdc_chunks_docs", "PLACEHOLDER_CDC")
+@_promoted("cdc_chunks_docs", "PLACEHOLDER_CDC")
 def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (llmops/corpus.py::cdc_chunks):
     boundaries where the 8-char window hash ≡ 0 mod 64, so an
@@ -1467,10 +1479,10 @@ def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_ORACLES["cdc_chunks_docs"] = _cdc_oracle_sql()
+_PROMOTED_ORACLES["cdc_chunks_docs"] = _cdc_oracle_sql()
 
 
-@_staged(
+@_promoted(
     "phrase_search_docs",
     """
     WITH RECURSIVE ws(i) AS (
@@ -1537,7 +1549,7 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "lift_gains_orders",
     """
     WITH scored AS (
@@ -1642,7 +1654,7 @@ def lift_gains_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HW_L = "(0.5 * (q.x - r.s1) + 0.5 * (r.l + r.b))"
 
 
-@_staged(
+@_promoted(
     "holt_winters_daily_events",
     f"""
     WITH RECURSIVE daily AS (
@@ -1713,7 +1725,7 @@ def holt_winters_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "embedding_int8_quantize",
     """
     WITH q AS (
@@ -1800,7 +1812,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "pareto_frontier_parts",
     """
     WITH pts AS (
@@ -1865,7 +1877,7 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "fk_integrity_audit",
     """
     SELECT 'lineitem.orderkey' AS fk, CAST(count(*) AS BIGINT) AS orphans
@@ -1928,7 +1940,7 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fk")
 
 
-@_staged(
+@_promoted(
     "listagg_gauntlet_nation",
     """
     WITH c AS (
@@ -2004,7 +2016,7 @@ _SPLIT_HASH = (
 )
 
 
-@_staged(
+@_promoted(
     "leakage_safe_split_docs",
     f"""
     WITH RECURSIVE toks AS (
@@ -2124,7 +2136,7 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "diff_in_diff_events",
     """
     WITH base AS (
@@ -2240,7 +2252,7 @@ _AMS_H = (
 _AMS_SIGN = f"CASE WHEN ({_AMS_H}) % 2 = 0 THEN 1 ELSE -1 END"
 
 
-@_staged(
+@_promoted(
     "ams_f2_users",
     f"""
     WITH f AS (
@@ -2338,7 +2350,7 @@ def ams_f2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "stream_quarantine_split",
     """
     WITH base AS (
@@ -2431,7 +2443,7 @@ def stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "web_pipeline_chunks",
     """
     WITH f AS (
@@ -2513,7 +2525,7 @@ def web_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "incremental_join_maintenance",
     """
     SELECT c.c_nationkey AS nationkey,
@@ -2579,7 +2591,7 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "trimmed_mean_orders",
     """
     WITH o AS (
@@ -2654,7 +2666,7 @@ def trimmed_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "correlation_matrix_lineitem",
     """
     WITH x AS (
@@ -2747,7 +2759,7 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("flag")
 
 
-@_staged(
+@_promoted(
     "welch_ttest_events",
     """
     WITH x AS (
@@ -2852,7 +2864,7 @@ def welch_ttest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@_staged(
+@_promoted(
     "readability_by_lang",
     """
     WITH c AS (
@@ -2919,7 +2931,7 @@ def readability_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
-@_staged(
+@_promoted(
     "mann_whitney_by_type",
     """
     WITH x AS (
@@ -3025,7 +3037,7 @@ def mann_whitney_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "spearman_qty_price",
     """
     WITH li AS (
@@ -3107,7 +3119,7 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "decision_stump_orders",
     """
     WITH lab AS (
@@ -3229,7 +3241,7 @@ def decision_stump_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "ols_price_qty_disc",
     """
     WITH li AS (
@@ -3347,7 +3359,7 @@ def ols_price_qty_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "spatial_grid_nn_customers",
     """
     WITH c AS (
@@ -3443,7 +3455,7 @@ def spatial_grid_nn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "grouping_sets_events",
     """
     WITH e AS (
@@ -3495,7 +3507,7 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "bitwise_gauntlet_orders",
     """
     SELECT o_orderpriority,
@@ -3545,7 +3557,7 @@ def bitwise_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "dp_noisy_counts_events",
     """
     WITH c AS (
@@ -3601,7 +3613,7 @@ def dp_noisy_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@_staged(
+@_promoted(
     "item_cf_topk_parts",
     """
     WITH inter AS (
@@ -3709,7 +3721,7 @@ def item_cf_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "max_drawdown_users",
     """
     WITH x AS (
@@ -3766,7 +3778,7 @@ def max_drawdown_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.orderBy(F.desc("drawdown"), F.asc("user_id")).limit(20)
 
 
-@_staged(
+@_promoted(
     "fifo_match_returns_parts",
     """
     WITH li AS (
@@ -3871,7 +3883,7 @@ def fifo_match_returns_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "als_user_step_lineitem",
     """
     WITH r AS (
@@ -3972,3 +3984,206 @@ def als_user_step_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("u"))
         .limit(20)
     )
+
+
+from dbt_lakehouse_aws_spark.sources.tables import T  # noqa: E402
+
+
+@_promoted(
+    "link_prediction_capped_users",
+    """
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    ),
+    shared AS (
+      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
+      FROM ue x JOIN ue y
+        ON x.event_type = y.event_type AND x.hr = y.hr
+       AND x.user_id < y.user_id
+      GROUP BY 1, 2
+    ),
+    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
+    sym AS (
+      SELECT a AS node, b AS nbr, shared FROM strong
+      UNION ALL SELECT b, a, shared FROM strong
+    ),
+    ranked AS (
+      SELECT node, nbr,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY shared DESC, nbr ASC) AS rk
+      FROM sym
+    ),
+    kept_dir AS (SELECT node, nbr FROM ranked WHERE rk <= 16),
+    capped AS MATERIALIZED (
+      SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+      FROM kept_dir
+    ),
+    nbrs AS MATERIALIZED (
+      SELECT a AS node, b AS nbr FROM capped UNION ALL SELECT b, a FROM capped
+    ),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1),
+    wedges AS (
+      SELECT w1.node AS node_a, w2.node AS node_b, CAST(count(*) AS BIGINT) AS common
+      FROM (SELECT nbr AS w, node FROM nbrs) w1
+      JOIN (SELECT nbr AS w, node FROM nbrs) w2 ON w2.w = w1.w
+      WHERE w1.node < w2.node
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    cand AS (
+      SELECT w.node_a, w.node_b, w.common FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM capped c
+                        WHERE c.a = w.node_a AND c.b = w.node_b)
+    )
+    SELECT c.node_a AS user_a, c.node_b AS user_b, c.common,
+           round(CAST(c.common AS DOUBLE)
+                 / (da.deg + db.deg - c.common), 6) AS jaccard
+    FROM cand c
+    JOIN deg da ON da.node = c.node_a
+    JOIN deg db ON db.node = c.node_b
+    ORDER BY jaccard DESC, user_a ASC, user_b ASC
+    LIMIT 30
+    """,
+)
+def link_prediction_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the NEIGHBOR-CAPPED co-activity graph — the
+    documented 100 TB degeneracy control for the Sigma-deg^2 wedge
+    family (VERDICT r5 plan audit; the uncapped exact rows hit the
+    sf1.0 watchdog because 10x slot density densifies the graph
+    quadratically): each node keeps only its top-16 strongest
+    neighbors (shared-count DESC, id ASC — deterministic), edges
+    survive if EITHER endpoint keeps them (standard kNN-graph
+    symmetrization), and common-neighbor Jaccard runs on the capped
+    graph, whose wedge volume is bounded by n*k^2 REGARDLESS of how
+    dense the raw graph gets. The oracle replays the identical cap
+    with a window — this is a DIFFERENT, fully-specified estimand,
+    not an approximation of the uncapped query (which keeps its own
+    exact oracle at sf <= 0.1 scale); measured at sf1.0 in PERF.md
+    where the uncapped form times out."""
+    from dbt_lakehouse_aws_spark.operators.graph import (
+        cap_neighbors,
+        common_neighbor_scores,
+    )
+
+    e = T(spark, sf_dir, "events")
+    ue = e.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
+    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
+    weighted = (
+        x.join(y, ["event_type", "hr"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    capped = cap_neighbors(weighted, k=16, weight="shared")
+    scores = common_neighbor_scores(capped, src="a", dst="b", min_common=2)
+    return (
+        scores.select(
+            F.col("node_a").alias("user_a"),
+            F.col("node_b").alias("user_b"),
+            "common",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("user_a"), F.asc("user_b"))
+        .limit(30)
+    )
+
+
+@_promoted(
+    "triangle_counts_capped_events",
+    """
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    ),
+    shared AS (
+      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
+      FROM ue x JOIN ue y
+        ON x.event_type = y.event_type AND x.hr = y.hr
+       AND x.user_id < y.user_id
+      GROUP BY 1, 2
+    ),
+    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
+    sym AS (
+      SELECT a AS node, b AS nbr, shared FROM strong
+      UNION ALL SELECT b, a, shared FROM strong
+    ),
+    ranked AS (
+      SELECT node, nbr,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY shared DESC, nbr ASC) AS rk
+      FROM sym
+    ),
+    capped AS MATERIALIZED (
+      SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+      FROM ranked WHERE rk <= 16
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM capped e1
+      JOIN capped e2 ON e2.a = e1.b
+      JOIN capped e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY node
+    ),
+    nodes AS (SELECT a AS node FROM capped UNION SELECT b FROM capped)
+    SELECT n.node AS user_id,
+           CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
+    FROM nodes n LEFT JOIN per_node p ON p.node = n.node
+    ORDER BY triangles DESC, user_id ASC LIMIT 20
+    """,
+)
+def triangle_counts_capped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the NEIGHBOR-CAPPED co-activity
+    graph — the second member of the capped wedge family
+    (link_prediction_capped_users explains the estimand): top-16
+    strongest neighbors per node, kNN symmetrization, then the
+    degree-ordered-orientation triangle count whose wedge volume the
+    cap bounds at n*k^2 however dense the raw graph gets. The oracle
+    replays the cap with a window and counts the same triangles with
+    the naive ordered triple join — a genuinely different algorithm
+    agreeing on exact integers. Top-20 most clustered users."""
+    from dbt_lakehouse_aws_spark.operators.graph import (
+        cap_neighbors,
+        triangle_counts,
+    )
+
+    e = T(spark, sf_dir, "events")
+    ue = e.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
+    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
+    weighted = (
+        x.join(y, ["event_type", "hr"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    capped = cap_neighbors(weighted, k=16, weight="shared")
+    return (
+        triangle_counts(capped, src="a", dst="b")
+        .select(F.col("node").alias("user_id"), "triangles")
+        .orderBy(F.desc("triangles"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registration: runs AFTER every definition and placeholder-oracle
+# fixup above, so each query enters the registry with its final
+# oracle (bfs/LPA/CDC patch their unrolled SQL post-definition).
+# ---------------------------------------------------------------------------
+from dbt_lakehouse_aws_spark.standard_queries import register as _register  # noqa: E402
+
+for _name in list(_PROMOTED_QUERIES):
+    _register(_name, _PROMOTED_ORACLES[_name])(_PROMOTED_QUERIES[_name])

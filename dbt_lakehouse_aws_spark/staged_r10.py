@@ -28,195 +28,6 @@ from dbt_lakehouse_aws_spark.sources.tables import T  # noqa: E402
 
 
 @_staged(
-    "link_prediction_capped_users",
-    """
-    WITH ue AS (
-      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
-      FROM events
-    ),
-    shared AS (
-      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
-      FROM ue x JOIN ue y
-        ON x.event_type = y.event_type AND x.hr = y.hr
-       AND x.user_id < y.user_id
-      GROUP BY 1, 2
-    ),
-    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
-    sym AS (
-      SELECT a AS node, b AS nbr, shared FROM strong
-      UNION ALL SELECT b, a, shared FROM strong
-    ),
-    ranked AS (
-      SELECT node, nbr,
-             row_number() OVER (PARTITION BY node
-                                ORDER BY shared DESC, nbr ASC) AS rk
-      FROM sym
-    ),
-    kept_dir AS (SELECT node, nbr FROM ranked WHERE rk <= 16),
-    capped AS MATERIALIZED (
-      SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
-      FROM kept_dir
-    ),
-    nbrs AS MATERIALIZED (
-      SELECT a AS node, b AS nbr FROM capped UNION ALL SELECT b, a FROM capped
-    ),
-    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1),
-    wedges AS (
-      SELECT w1.node AS node_a, w2.node AS node_b, CAST(count(*) AS BIGINT) AS common
-      FROM (SELECT nbr AS w, node FROM nbrs) w1
-      JOIN (SELECT nbr AS w, node FROM nbrs) w2 ON w2.w = w1.w
-      WHERE w1.node < w2.node
-      GROUP BY 1, 2 HAVING count(*) >= 2
-    ),
-    cand AS (
-      SELECT w.node_a, w.node_b, w.common FROM wedges w
-      WHERE NOT EXISTS (SELECT 1 FROM capped c
-                        WHERE c.a = w.node_a AND c.b = w.node_b)
-    )
-    SELECT c.node_a AS user_a, c.node_b AS user_b, c.common,
-           round(CAST(c.common AS DOUBLE)
-                 / (da.deg + db.deg - c.common), 6) AS jaccard
-    FROM cand c
-    JOIN deg da ON da.node = c.node_a
-    JOIN deg db ON db.node = c.node_b
-    ORDER BY jaccard DESC, user_a ASC, user_b ASC
-    LIMIT 30
-    """,
-)
-def link_prediction_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction on the NEIGHBOR-CAPPED co-activity graph — the
-    documented 100 TB degeneracy control for the Sigma-deg^2 wedge
-    family (VERDICT r5 plan audit; the uncapped exact rows hit the
-    sf1.0 watchdog because 10x slot density densifies the graph
-    quadratically): each node keeps only its top-16 strongest
-    neighbors (shared-count DESC, id ASC — deterministic), edges
-    survive if EITHER endpoint keeps them (standard kNN-graph
-    symmetrization), and common-neighbor Jaccard runs on the capped
-    graph, whose wedge volume is bounded by n*k^2 REGARDLESS of how
-    dense the raw graph gets. The oracle replays the identical cap
-    with a window — this is a DIFFERENT, fully-specified estimand,
-    not an approximation of the uncapped query (which keeps its own
-    exact oracle at sf <= 0.1 scale); measured at sf1.0 in PERF.md
-    where the uncapped form times out."""
-    from dbt_lakehouse_aws_spark.operators.graph import (
-        cap_neighbors,
-        common_neighbor_scores,
-    )
-
-    e = T(spark, sf_dir, "events")
-    ue = e.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
-    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
-    weighted = (
-        x.join(y, ["event_type", "hr"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= 3)
-    )
-    capped = cap_neighbors(weighted, k=16, weight="shared")
-    scores = common_neighbor_scores(capped, src="a", dst="b", min_common=2)
-    return (
-        scores.select(
-            F.col("node_a").alias("user_a"),
-            F.col("node_b").alias("user_b"),
-            "common",
-            F.round("jaccard", 6).alias("jaccard"),
-        )
-        .orderBy(F.desc("jaccard"), F.asc("user_a"), F.asc("user_b"))
-        .limit(30)
-    )
-
-
-@_staged(
-    "triangle_counts_capped_events",
-    """
-    WITH ue AS (
-      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
-      FROM events
-    ),
-    shared AS (
-      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
-      FROM ue x JOIN ue y
-        ON x.event_type = y.event_type AND x.hr = y.hr
-       AND x.user_id < y.user_id
-      GROUP BY 1, 2
-    ),
-    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
-    sym AS (
-      SELECT a AS node, b AS nbr, shared FROM strong
-      UNION ALL SELECT b, a, shared FROM strong
-    ),
-    ranked AS (
-      SELECT node, nbr,
-             row_number() OVER (PARTITION BY node
-                                ORDER BY shared DESC, nbr ASC) AS rk
-      FROM sym
-    ),
-    capped AS MATERIALIZED (
-      SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
-      FROM ranked WHERE rk <= 16
-    ),
-    tri AS (
-      SELECT e1.a AS x, e1.b AS y, e2.b AS z
-      FROM capped e1
-      JOIN capped e2 ON e2.a = e1.b
-      JOIN capped e3 ON e3.a = e1.a AND e3.b = e2.b
-    ),
-    per_node AS (
-      SELECT node, count(*) AS triangles FROM (
-        SELECT x AS node FROM tri
-        UNION ALL SELECT y FROM tri
-        UNION ALL SELECT z FROM tri)
-      GROUP BY node
-    ),
-    nodes AS (SELECT a AS node FROM capped UNION SELECT b FROM capped)
-    SELECT n.node AS user_id,
-           CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
-    FROM nodes n LEFT JOIN per_node p ON p.node = n.node
-    ORDER BY triangles DESC, user_id ASC LIMIT 20
-    """,
-)
-def triangle_counts_capped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts on the NEIGHBOR-CAPPED co-activity
-    graph — the second member of the capped wedge family
-    (link_prediction_capped_users explains the estimand): top-16
-    strongest neighbors per node, kNN symmetrization, then the
-    degree-ordered-orientation triangle count whose wedge volume the
-    cap bounds at n*k^2 however dense the raw graph gets. The oracle
-    replays the cap with a window and counts the same triangles with
-    the naive ordered triple join — a genuinely different algorithm
-    agreeing on exact integers. Top-20 most clustered users."""
-    from dbt_lakehouse_aws_spark.operators.graph import (
-        cap_neighbors,
-        triangle_counts,
-    )
-
-    e = T(spark, sf_dir, "events")
-    ue = e.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
-    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
-    weighted = (
-        x.join(y, ["event_type", "hr"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= 3)
-    )
-    capped = cap_neighbors(weighted, k=16, weight="shared")
-    return (
-        triangle_counts(capped, src="a", dst="b")
-        .select(F.col("node").alias("user_id"), "triangles")
-        .orderBy(F.desc("triangles"), F.asc("user_id"))
-        .limit(20)
-    )
-
-
-@_staged(
     "stream_session_equivalence",
     """
     WITH e AS (

@@ -5739,6 +5739,11 @@ from dbt_lakehouse_aws_spark import queries_r5  # noqa: E402,F401
 # file order, moved out of staged_r6.py into their own module.
 from dbt_lakehouse_aws_spark import queries_r6  # noqa: E402,F401
 
+# round-7 promotions: the second 50 of the round-5 staging corpus
+# (formerly staged_r7.py) plus the two capped wedge twins moved up
+# from staged_r10 per the round-6 verdict.
+from dbt_lakehouse_aws_spark import queries_r7  # noqa: E402,F401
+
 #: queries whose SEMANTICS or result SHAPE changed after the round-4
 #: window froze — they must lead round 5's window for
 #: re-verification under the new definition (the in-repo replica
@@ -5868,34 +5873,105 @@ ROUND6_WINDOW: list[str] = [
     "arrow_ipc_roundtrip_orders",
 ]
 
-DRIVER_WINDOW: list[str] = ROUND6_WINDOW[:50]
+#: Round-7 window (rotated once CORRECTNESS_r06.json landed — 50/50
+#: green; memory: driver-window-rotation), amended from the original
+#: "staged_r7 verbatim" plan per the round-6 verdict:
+#:   * 2 lead slots for the round-6 ORACLE UPGRADES — bpe_merge_table
+#:     and semantic_dedup_survivors gained full value oracles in r6
+#:     (unrolled merge-round CTEs / exact-cosine + recursive-CTE
+#:     components) but their latest driver rows predate the upgrade
+#:     (r3 `no_oracle`). ROUND5_QUEUE precedent: changed oracles
+#:     re-verify first.
+#:   * 2 slots for the capped wedge twins
+#:     (link_prediction_capped_users, triangle_counts_capped_events,
+#:     moved from staged_r10 into queries_r7.py) — the registered
+#:     fix for the only two sf1.0 watchdog failures; the uncapped
+#:     exact forms stay registered as calibration-class (the
+#:     exact-vs-LSH dedup pattern).
+#:   * the first 46 round-7 promotions in original file order; the
+#:     4 tail queries (item_cf_topk_parts, max_drawdown_users,
+#:     fifo_match_returns_parts, als_user_step_lineitem) are
+#:     REGISTERED now but their driver rows lead round 8's window.
+ROUND7_WINDOW: list[str] = [
+    "bpe_merge_table",
+    "semantic_dedup_survivors",
+    "link_prediction_capped_users",
+    "triangle_counts_capped_events",
+    "null_conditional_gauntlet_customer",
+    "set_ops_customers",
+    "acid_rename_column_events",
+    "recursive_cte_part_closure",
+    "lateral_topk_customers",
+    "window_frame_gauntlet_orders",
+    "pivot_unpivot_native_events",
+    "variant_extract_events",
+    "collation_groups_parts",
+    "quantile_normalize_docs",
+    "bfs_hops_users",
+    "lpa_communities_users",
+    "chunk_overlap_docs",
+    "url_features_docs",
+    "html_extract_docs",
+    "pii_scrub_docs",
+    "stream_merge_exactly_once",
+    "map_function_gauntlet_events",
+    "vocab_ids_docs",
+    "negative_sampling_docs",
+    "cdc_chunks_docs",
+    "phrase_search_docs",
+    "lift_gains_orders",
+    "holt_winters_daily_events",
+    "embedding_int8_quantize",
+    "pareto_frontier_parts",
+    "fk_integrity_audit",
+    "listagg_gauntlet_nation",
+    "leakage_safe_split_docs",
+    "diff_in_diff_events",
+    "ams_f2_users",
+    "stream_quarantine_split",
+    "web_pipeline_chunks",
+    "incremental_join_maintenance",
+    "trimmed_mean_orders",
+    "correlation_matrix_lineitem",
+    "welch_ttest_events",
+    "readability_by_lang",
+    "mann_whitney_by_type",
+    "spearman_qty_price",
+    "decision_stump_orders",
+    "ols_price_qty_disc",
+    "spatial_grid_nn_customers",
+    "grouping_sets_events",
+    "bitwise_gauntlet_orders",
+    "dp_noisy_counts_events",
+]
 
-#: ROUND-7/8(/9) PLAN (rotate only once CORRECTNESS_r06.json
-#: exists — memory: driver-window-rotation): round 6 promoted the
-#: first 50 staged queries (queries_r6.py, ROUND6_WINDOW above) and
-#: split the staging remainder into staged_r7.py (the next 50 in
-#: original file order — round 7 promotes exactly that file into a
-#: queries_r7.py and windows it) and staged_r8.py (the final 50 —
-#: round 8 windows those promotions). Round 9's window is the
-#: stalest-evidence backfill below (18 value-oracled queries whose
-#: only driver row is round 1) PLUS the 32 round-6-built queries in
-#: staged_r9.py — 50 slots exactly; after round 9 no green row's
-#: evidence is older than round 2. Every staged
-#: entry is oracle-green at sf0.001 AND sf0.01
-#: (scripts/check_staged.py), plan-linted + timed at sf0.1, and
-#: green under a VANILLA ANSI session (check_staged_vanilla.py).
-#: Keep registering genuinely-new round-N work into staging only,
-#: never straight into the frozen window.
-#:
-#: ROUND-10 PLAN: staged_r10.py closed round 6 with EXACTLY 50
-#: fully-oracled queries (every one verified at sf0.001 AND sf0.01,
-#: vanilla-ANSI checked, plan-linted, sf0.1-timed — the staging
-#: discipline). Round 10's window = the 50 staged_r10 queries in
-#: file order — a full self-contained window, no backfill needed.
-#: The streaming-equivalence fixtures in staged_r10
+DRIVER_WINDOW: list[str] = ROUND7_WINDOW[:50]
+
+#: ROUND-8/9/10 PLAN (rotate only once CORRECTNESS_r07.json exists —
+#: memory: driver-window-rotation). Staged inventory after the r7
+#: promotion: staged_r8 50, staged_r9 32, staged_r10 48 (the two
+#: capped twins moved up into queries_r7), staged_r11 26 (opened at
+#: round-6 close; still growing).
+#:   * ROUND 8: the 4 round-7 promotions whose driver rows were
+#:     deferred (item_cf_topk_parts, max_drawdown_users,
+#:     fifo_match_returns_parts, als_user_step_lineitem) lead, then
+#:     the first 46 of staged_r8 in file order; staged_r8's 4 tail
+#:     queries join round 9.
+#:   * ROUND 9: staged_r8's 4 tail + the 18-query stalest-evidence
+#:     backfill below (r1-only driver rows) + the first 28 of
+#:     staged_r9 = 50; staged_r9's remaining 4 join round 10.
+#:   * ROUND 10: staged_r9's 4 tail + 46 of staged_r10; staged_r10's
+#:     2 tail + staged_r11 rotate in round 11.
+#: Every staged entry is oracle-green at sf0.001 AND sf0.01
+#: (scripts/check_staged.py), vanilla-ANSI checked
+#: (check_staged_vanilla.py), plan-linted + sf0.1-timed, and
+#: sf1.0-audited under the 240 s watchdog (bench_sf1_staged.py)
+#: BEFORE its window rotates. The streaming-equivalence fixtures
 #: (stream_late_data_equivalence, stream_session_equivalence) stay
 #: out of bench.py per the standing policy; everything else joins
-#: the headline set on promotion.
+#: the headline set on promotion. Keep registering genuinely-new
+#: round-N work into staging only, never straight into the frozen
+#: window.
 ROUND6_BACKFILL_PLAN: list[str] = [
     "q3_top_revenue_orders",
     "quality_filter",
