@@ -184,6 +184,188 @@ HEADLINE = [
     "fixed_width_roundtrip_orders",
     "hive_partition_prune_events",
     "avro_roundtrip_events",
+
+    # round-6 promotions (the 50 ROUND6_WINDOW queries; VERDICT r6
+    # item 3 — resume headline growth). Excluded per the standing
+    # policy: stream_interval_join_equivalence /
+    # stream_append_exactly_once (streaming correctness fixtures).
+    "part_hierarchy_rollup",
+    "seasonal_naive_backtest",
+    "blocking_quality_parts",
+    "conformal_interval_coverage",
+    "heaps_law_vocab_growth",
+    "incremental_agg_maintenance_events",
+    "image_ahash_fingerprints",
+    "table_diff_orders",
+    "rolling_28d_active_users",
+    "proximity_pairs_customers",
+    "moments_by_priority",
+    "survival_km_repurchase",
+    "session_paths_3step",
+    "k_anonymity_orders",
+    "ks_drift_order_values",
+    "personalized_pagerank_buyers",
+    "training_matrix_pit",
+    "acid_asof_timestamp_events",
+    "csv_quoted_roundtrip_parts",
+    "contamination_check_docs",
+    "holt_forecast_daily_events",
+    "acf_daily_events",
+    "log_odds_terms_en",
+    "calibration_brier_orders",
+    "dbscan_customer_blobs",
+    "theil_sen_trend_events",
+    "cube_events_type_weekday",
+    "ohlc_daily_events",
+    "twap_user_values",
+    "js_divergence_sources",
+    "hits_part_authorities",
+    "join_skew_advisor_events",
+    "kcore_users_events",
+    "array_hof_embedding_stats",
+    "json_typed_props_events",
+    "xml_roundtrip_parts",
+    "bloom_semi_join_orders",
+    "prefix_jaccard_pairs_docs",
+    "isotonic_calibration_orders",
+    "bootstrap_ci_orders",
+    "approx_quantile_bounds_orders",
+    "attribution_models_events",
+    "agg_function_gauntlet_orders",
+    "weighted_median_lineitem",
+    "string_function_gauntlet_parts",
+    "datetime_gauntlet_orders",
+    "regex_gauntlet_parts",
+    "arrow_ipc_roundtrip_orders",
+    # round-7 promotions incl. the capped wedge twins (the 100 TB
+    # production forms of the calibration-class exact wedge rows).
+    # Excluded: stream_merge_exactly_once / stream_quarantine_split
+    # (streaming correctness fixtures, gated in CORRECTNESS).
+    "null_conditional_gauntlet_customer",
+    "set_ops_customers",
+    "acid_rename_column_events",
+    "recursive_cte_part_closure",
+    "lateral_topk_customers",
+    "window_frame_gauntlet_orders",
+    "pivot_unpivot_native_events",
+    "variant_extract_events",
+    "collation_groups_parts",
+    "quantile_normalize_docs",
+    "bfs_hops_users",
+    "lpa_communities_users",
+    "chunk_overlap_docs",
+    "url_features_docs",
+    "html_extract_docs",
+    "pii_scrub_docs",
+    "map_function_gauntlet_events",
+    "vocab_ids_docs",
+    "negative_sampling_docs",
+    "cdc_chunks_docs",
+    "phrase_search_docs",
+    "lift_gains_orders",
+    "holt_winters_daily_events",
+    "embedding_int8_quantize",
+    "pareto_frontier_parts",
+    "fk_integrity_audit",
+    "listagg_gauntlet_nation",
+    "leakage_safe_split_docs",
+    "diff_in_diff_events",
+    "ams_f2_users",
+    "web_pipeline_chunks",
+    "incremental_join_maintenance",
+    "trimmed_mean_orders",
+    "correlation_matrix_lineitem",
+    "welch_ttest_events",
+    "readability_by_lang",
+    "mann_whitney_by_type",
+    "spearman_qty_price",
+    "decision_stump_orders",
+    "ols_price_qty_disc",
+    "spatial_grid_nn_customers",
+    "grouping_sets_events",
+    "bitwise_gauntlet_orders",
+    "dp_noisy_counts_events",
+    "item_cf_topk_parts",
+    "max_drawdown_users",
+    "fifo_match_returns_parts",
+    "als_user_step_lineitem",
+    "link_prediction_capped_users",
+    "triangle_counts_capped_events",
+
+    # round-7 completeness sweep (VERDICT r6 item 3): every
+    # registered query is benched from here on — these are the
+    # r1-r3 registrations that never joined the headline set.
+    # Only the streaming equivalence fixtures stay out (policy).
+    "s6_latest_per_group",
+    "a2_conditional_avg",
+    "a4_group_rank_cell_avg",
+    "a5_replacement_floor",
+    "a8b_percentile_disc",
+    "session_window_native",
+    "a9_budget_share",
+    "p_predicate_gauntlet",
+    "p2_distinct_segments",
+    "f_json_props",
+    "u4_party_union",
+    "j9_semi_join_big_spenders",
+    "lang_id",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "embedding_label_norms",
+    "ann_lsh_topk",
+    "s2_path_metadata",
+    "simhash_near_pairs",
+    "minhash_dedup_survivors",
+    "multimodal_features",
+    "w5_rank_diff",
+    "quality_filter",
+    "heavy_hitters_tokens",
+    "j10_anti_unordered_customers",
+    "w6_ntile_value_quartiles",
+    "a12_rollup_revenue",
+    "w7_rolling_7day_value",
+    "w8_value_distribution",
+    "delta_write_roundtrip_events",
+    "iceberg_v2_mor_events",
+    "acid_change_feed",
+    "acid_restore_events",
+    "a14_value_histogram",
+    "a15_corr_covar_stats",
+    "token_freq_topk",
+    "approx_distinct_users",
+    "corpus_mix_sample",
+    "ttr_by_source",
+    "pii_redact_props",
+    "a16_cube_revenue",
+    "a17_grouping_sets_acctbal",
+    "w9_user_event_gaps",
+    "w10_brand_price_position",
+    "u6_order_year_cohorts",
+    "q15_top_revenue_supplier",
+    "q2_min_price_per_brand",
+    "time_weekly_revenue",
+    "time_ship_latency",
+    "kmeans_cluster_sizes",
+    "json_parse_props",
+    "user_event_sequence",
+    "q16_supplier_variety",
+    "q22_idle_rich_customers",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_nation_balance_share",
+    "q12_late_priority_counts",
+    "q14_promo_revenue_ratio",
+    "q20_promo_part_suppliers",
+    "variant_json_props",
+    "frame_sample_docs",
+    "bpe_merge_table",
+    "semantic_dedup_survivors",
+    "hll_user_rollup",
+    "j11_full_outer_presence",
+    "j12_null_safe_join",
 ]
 
 

@@ -1567,3 +1567,47 @@ def image_ahash(
             )
 
     return df.mapInPandas(run, out_schema)
+
+
+def image_dhash(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Difference-hash (gradient) perceptual fingerprints — the
+    companion to :func:`image_ahash` that survives global
+    brightness/contrast shifts, which flip ahash bits wholesale but
+    leave RELATIVE horizontal gradients intact (the classic
+    dHash robustness argument): bit j is ``gray[r, c+1] > gray[r, c]``
+    over row-major horizontal neighbor pairs, first 63 bits folded
+    into one positive BIGINT. All-integer like ahash (no float mean
+    at all here — pure comparisons), so an external oracle replays
+    the hash exactly from the pixel formula. Arrow-batched
+    mapInPandas; payload bytes never leave the task."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("dhash", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_image(bytes(payload))
+                h, w = px.shape[0], px.shape[1]
+                g = (
+                    px.reshape(h * w, -1).astype(np.int64).sum(axis=1)
+                ).reshape(h, w)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).reshape(-1)
+                k = min(63, bits.shape[0])
+                dhash = int((bits[:k] << np.arange(k, dtype=np.int64)).sum())
+                rows.append((int(doc_id), w, h, dhash))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "dhash"]
+            )
+
+    return df.mapInPandas(run, out_schema)

@@ -2618,3 +2618,2177 @@ def gumbel_block_maxima_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(mu * 1e4 + 0.5) / 1e4).alias("mu_q"),
         (F.floor(rl * 1e2 + 0.5) / 1e2).alias("return_level_100_q"),
     ).orderBy("event_type")
+
+
+def _capped_coactivity_sql(k: int = 16, min_shared: int = 3) -> str:
+    """DuckDB CTE prelude (``ue``/``shared``/``strong``/``sym``/
+    ``ranked``/``capped``) replaying operators/graph.py::
+    cap_neighbors over the hour-slot co-activity graph — the same
+    SQL the promoted capped wedge twins (queries_r7.py) carry,
+    factored here so further capped-graph oracles stay in sync."""
+    return f"""
+    ue AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    ),
+    shared AS (
+      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
+      FROM ue x JOIN ue y
+        ON x.event_type = y.event_type AND x.hr = y.hr
+       AND x.user_id < y.user_id
+      GROUP BY 1, 2
+    ),
+    strong AS (SELECT a, b, shared FROM shared WHERE shared >= {min_shared}),
+    sym AS (
+      SELECT a AS node, b AS nbr, shared FROM strong
+      UNION ALL SELECT b, a, shared FROM strong
+    ),
+    ranked AS (
+      SELECT node, nbr,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY shared DESC, nbr ASC) AS rk
+      FROM sym
+    ),
+    capped AS MATERIALIZED (
+      SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+      FROM ranked WHERE rk <= {k}
+    )
+"""
+
+
+@_staged(
+    "clustering_coefficient_users",
+    f"""
+    WITH {_capped_coactivity_sql()},
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM capped e1
+      JOIN capped e2 ON e2.a = e1.b
+      JOIN capped e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM capped UNION ALL SELECT b FROM capped)
+      GROUP BY node
+    )
+    SELECT d.node AS user_id, d.deg,
+           CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+           floor(2.0 * coalesce(p.triangles, 0)
+                 / (d.deg * (d.deg - 1)) * 1e6 + 0.5) / 1e6 AS cc_q
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    WHERE d.deg >= 2
+    ORDER BY cc_q DESC, user_id ASC LIMIT 20
+    """,
+)
+def clustering_coefficient_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient cc(v) = 2T(v)/(deg(v)·(deg(v)−1))
+    on the NEIGHBOR-CAPPED co-activity graph (operators/graph.py::
+    cap_neighbors, k=16 — the same 100 TB degeneracy control the
+    promoted capped wedge twins ride; T(v) via degree-ordered
+    orientation, operators/graph.py::triangle_counts, wedge volume
+    bounded n·k²). The classic 'how clique-like is each user's
+    neighborhood' metric — an exact integer rational quantized 1e-6,
+    so ranking never turns on a sub-quantum float. Oracle replays
+    the cap with a window and counts the same triangles with the
+    naive ordered triple join. Top-20, degree ≥ 2."""
+    from dbt_lakehouse_aws_spark.operators.graph import (
+        cap_neighbors,
+        triangle_counts,
+    )
+
+    e = T(spark, sf_dir, "events")
+    ue = e.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
+    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
+    weighted = (
+        x.join(y, ["event_type", "hr"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    capped = cap_neighbors(weighted, k=16, weight="shared")
+    deg = (
+        capped.select(F.col("a").alias("node"))
+        .unionByName(capped.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_counts(capped, src="a", dst="b")
+    cc = (
+        deg.join(tri, "node", "left")
+        .select(
+            F.col("node").alias("user_id"),
+            "deg",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        )
+        .filter(F.col("deg") >= 2)
+        .withColumn(
+            "cc_q",
+            F.floor(
+                2.0
+                * F.col("triangles").cast("double")
+                / (F.col("deg") * (F.col("deg") - 1))
+                * 1e6
+                + 0.5
+            )
+            / 1e6,
+        )
+    )
+    return cc.orderBy(F.desc("cc_q"), F.asc("user_id")).limit(20)
+
+
+@_staged(
+    "doc_repetition_gopher",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id,
+             array_to_string(list_slice(tokens, i, i + 1), ' ') AS gram
+      FROM toks, unnest(range(1, len(tokens))) AS r(i)
+      WHERE len(tokens) >= 2
+    ),
+    g3 AS (
+      SELECT doc_id,
+             array_to_string(list_slice(tokens, i, i + 2), ' ') AS gram
+      FROM toks, unnest(range(1, len(tokens) - 1)) AS r(i)
+      WHERE len(tokens) >= 3
+    ),
+    s2 AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS total2,
+             CAST(count(DISTINCT gram) AS BIGINT) AS distinct2
+      FROM g2 GROUP BY 1
+    ),
+    c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+    s3 AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS total3,
+             CAST(count(*) AS BIGINT) AS distinct3,
+             CAST(max(c) AS BIGINT) AS top3_count
+      FROM c3 GROUP BY 1
+    )
+    SELECT s3.doc_id, s2.total2 + 1 AS n_tokens,
+           floor((1.0 - CAST(s2.distinct2 AS DOUBLE) / s2.total2) * 1e6 + 0.5)
+             / 1e6 AS dup2_frac_q,
+           floor((1.0 - CAST(s3.distinct3 AS DOUBLE) / s3.total3) * 1e6 + 0.5)
+             / 1e6 AS dup3_frac_q,
+           s3.top3_count
+    FROM s3 JOIN s2 ON s2.doc_id = s3.doc_id
+    ORDER BY dup3_frac_q DESC, s3.doc_id ASC LIMIT 25
+    """,
+)
+def doc_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document n-gram repetition — the Gopher/MassiveText
+    internal-repetition filter family (Rae et al. 2021 §A1.1:
+    'fraction of duplicate n-grams') that catches boilerplate and
+    generation loops EXACT dedup can't (the doc is unique, its
+    content is not): duplicate-bigram and duplicate-trigram
+    fractions 1 − distinct/total plus the modal trigram count. One
+    explode + two per-doc hash aggregates — counts exact integers,
+    the two fractions floor-quantized 1e-6. Top-25 most repetitive
+    docs. Composes with gopher_quality_docs (llmops/text.py), which
+    carries the length/stopword axes of the same filter suite."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    g2 = d.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        "toks",
+    ).select("doc_id", F.array_join(F.expr("slice(toks, i, 2)"), " ").alias("gram"))
+    g3 = d.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 2)).alias("i"),
+        "toks",
+    ).select("doc_id", F.array_join(F.expr("slice(toks, i, 3)"), " ").alias("gram"))
+    s2 = g2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("total2"),
+        F.countDistinct("gram").cast("long").alias("distinct2"),
+    )
+    c3 = g3.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    s3 = c3.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("total3"),
+        F.count(F.lit(1)).cast("long").alias("distinct3"),
+        F.max("c").cast("long").alias("top3_count"),
+    )
+    q6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return (
+        s3.join(s2, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("total2") + 1).alias("n_tokens"),
+            q6(1.0 - F.col("distinct2").cast("double") / F.col("total2")).alias(
+                "dup2_frac_q"
+            ),
+            q6(1.0 - F.col("distinct3").cast("double") / F.col("total3")).alias(
+                "dup3_frac_q"
+            ),
+            "top3_count",
+        )
+        .orderBy(F.desc("dup3_frac_q"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
+@_staged(
+    "winnowing_fingerprints_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             CAST('0x' || substr(md5(
+               array_to_string(list_slice(tokens, i, i + 2), ' ')), 1, 10)
+             AS BIGINT) AS h
+      FROM toks, unnest(range(1, len(tokens) - 1)) AS r(i)
+      WHERE len(tokens) >= 3
+    ),
+    keyed AS (
+      SELECT doc_id, i, h, h * 65536 + (65535 - i) AS key FROM grams
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(key) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+             count(*) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+      FROM keyed
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, 65535 - (wkey % 65536) AS fp_pos,
+             wkey // 65536 AS fp_hash
+      FROM wins WHERE wn = 4
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+             CAST(sum(fp_hash) AS BIGINT) AS checksum
+      FROM fps GROUP BY 1
+    ),
+    ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1)
+    SELECT p.doc_id, g.n_grams, p.n_fp,
+           floor(CAST(p.n_fp AS DOUBLE) / g.n_grams * 1e6 + 0.5) / 1e6
+             AS density_q,
+           p.checksum
+    FROM per_doc p JOIN ng g ON g.doc_id = p.doc_id
+    ORDER BY n_fp DESC, p.doc_id ASC LIMIT 25
+    """,
+)
+def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word 3-gram with
+    the portable md5-prefix hash (llmops/dedup.py::_portable_hash
+    family, bit-identical Spark↔DuckDB), slide a w=4 window over the
+    per-doc hash sequence, and keep each window's MINIMUM hash with
+    the RIGHTMOST-on-tie rule — the selection guarantee (at least
+    one fingerprint per w consecutive grams, density → 2/(w+1)) that
+    makes fingerprint-overlap a position-robust near-dup signal
+    where a single edit shifts every downstream shingle. The
+    min-with-rightmost-tie selection is encoded ARITHMETICALLY so
+    one window MIN does both: key = h·2¹⁶ + (2¹⁶−1−pos) orders first
+    by hash then by DESCENDING position, and the frame min decodes
+    back to (pos, hash). Per-doc hash-partitioned frames — no global
+    window; fingerprint positions dedup'd across overlapping
+    windows. Output: per-doc fingerprint count, selection density,
+    and checksum (exact integer sum of selected 40-bit hashes)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = (
+        d.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 2)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("i"),
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.expr("slice(toks, i, 3)"), " ")), 1, 10
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    keyed = grams.withColumn("key", F.col("h") * 65536 + (65535 - F.col("i")))
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    wins = keyed.select(
+        "doc_id",
+        F.min("key").over(w).alias("wkey"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    fps = (
+        wins.filter(F.col("wn") == 4)
+        .select(
+            "doc_id",
+            (65535 - F.col("wkey") % 65536).alias("fp_pos"),
+            F.expr("wkey div 65536").alias("fp_hash"),
+        )
+        .distinct()
+    )
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.sum("fp_hash").cast("long").alias("checksum"),
+    )
+    ng = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    return (
+        per_doc.join(ng, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fp",
+            (F.floor(F.col("n_fp").cast("double") / F.col("n_grams") * 1e6 + 0.5) / 1e6).alias(
+                "density_q"
+            ),
+            "checksum",
+        )
+        .orderBy(F.desc("n_fp"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
+@_staged(
+    "l_diversity_orders",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice / 50000) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l,
+             CAST(max(cnt) AS BIGINT) AS modal_n
+      FROM (
+        SELECT o_orderpriority, o_totalprice, o_orderstatus,
+               count(*) OVER (PARTITION BY o_orderpriority,
+                              CAST(floor(o_totalprice / 50000) AS BIGINT),
+                              o_orderstatus) AS cnt
+        FROM orders)
+      GROUP BY 1, 2
+    )
+    SELECT priority, band, n, l, (l < 2) AS homogeneous,
+           floor(CAST(modal_n AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+             AS modal_share_q
+    FROM g ORDER BY priority, band
+    """,
+)
+def l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    k-anonymity companion the privacy family was missing: k-anonymity
+    (k_anonymity_orders, queries_r6) bounds GROUP SIZE, but a group
+    of 1,000 rows that all share one sensitive value still leaks it;
+    l-diversity requires ≥ l distinct sensitive values per
+    quasi-identifier group. QI = (priority, $50k price band),
+    sensitive = order status: per group the distinct-l, the
+    homogeneity-attack flag (l < 2), and the modal-value share (the
+    probabilistic-inference bound 1/l relaxes to). One grouped
+    aggregate over a windowed modal count — exact integers, one
+    quantized ratio."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("band"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    cell = o.groupBy("priority", "band", "status").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    g = cell.groupBy("priority", "band").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("l"),
+        F.max("cnt").cast("long").alias("modal_n"),
+    )
+    return g.select(
+        "priority",
+        "band",
+        "n",
+        "l",
+        (F.col("l") < 2).alias("homogeneous"),
+        (F.floor(F.col("modal_n").cast("double") / F.col("n") * 1e6 + 0.5) / 1e6).alias(
+            "modal_share_q"
+        ),
+    ).orderBy("priority", "band")
+
+
+@_staged(
+    "changepoint_binseg_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(round(value * 100)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, d, cents,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                  AS BIGINT) AS k,
+             CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY d)
+                  AS BIGINT) AS s1,
+             CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM daily
+    ),
+    gains AS (
+      SELECT event_type, d, k, n,
+             floor((CAST(s1 AS DOUBLE) * s1 / k
+                    + CAST(s - s1 AS DOUBLE) * (s - s1) / (n - k)
+                    - CAST(s AS DOUBLE) * s / n) * 1e4 + 0.5) / 1e4 AS gain_q,
+             floor(CAST(s1 AS DOUBLE) / k * 1e2 + 0.5) / 1e2 AS mean_left_q,
+             floor(CAST(s - s1 AS DOUBLE) / (n - k) * 1e2 + 0.5) / 1e2
+               AS mean_right_q
+      FROM seq WHERE k < n
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY gain_q DESC, k ASC) AS rk
+      FROM gains
+    )
+    SELECT event_type, d AS split_day, k AS split_idx, n AS n_days,
+           gain_q, mean_left_q, mean_right_q
+    FROM best WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def changepoint_binseg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per event type — the first split
+    of binary segmentation (Scott & Knott 1974 / the CUSUM-adjacent
+    offline changepoint family): over each type's daily-cents series,
+    the day boundary maximizing the between-segment SSE reduction
+    gain(k) = S₁²/k + (S−S₁)²/(n−k) − S²/n (the variance-decomposition
+    identity, so gain ≥ 0 and no per-candidate variance pass is
+    needed — prefix sums suffice). All sums exact integer cents;
+    gains/means are fixed-order float expressions floor-quantized
+    BEFORE the argmax so the chosen split never turns on a
+    sub-quantum float; ties break to the earliest day. Windows are
+    hash-partitioned per type over the bounded day frame — the
+    cusum_daily_events pattern, no global exchange."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wa = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("cents").over(wo).cast("long").alias("s1"),
+        F.sum("cents").over(wa).cast("long").alias("s"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+    )
+    s1 = F.col("s1").cast("double")
+    s = F.col("s").cast("double")
+    sr = (F.col("s") - F.col("s1")).cast("double")
+    k = F.col("k")
+    n = F.col("n")
+    gains = seq.filter(F.col("k") < F.col("n")).select(
+        "event_type",
+        "d",
+        "k",
+        "n",
+        (F.floor((s1 * s1 / k + sr * sr / (n - k) - s * s / n) * 1e4 + 0.5) / 1e4).alias(
+            "gain_q"
+        ),
+        (F.floor(s1 / k * 1e2 + 0.5) / 1e2).alias("mean_left_q"),
+        (F.floor(sr / (n - k) * 1e2 + 0.5) / 1e2).alias("mean_right_q"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(F.desc("gain_q"), F.asc("k"))
+    return (
+        gains.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("split_day"),
+            F.col("k").alias("split_idx"),
+            F.col("n").alias("n_days"),
+            "gain_q",
+            "mean_left_q",
+            "mean_right_q",
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "rrf_hybrid_search_docs",
+    """
+    WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    per AS (
+      SELECT t.doc_id,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS sc
+      FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term), stats s
+    ),
+    bm AS (
+      SELECT doc_id, round(sum(sc), 6) AS bm25 FROM per GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 100
+    ),
+    r1 AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                          AS BIGINT) AS r1
+      FROM bm
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT emb AS vq FROM v WHERE vec_id = 0),
+    sc2 AS (
+      SELECT c.vec_id,
+             floor(list_dot_product(q.vq, c.emb)
+                   / (sqrt(list_dot_product(q.vq, q.vq))
+                      * sqrt(list_dot_product(c.emb, c.emb))) * 1e6 + 0.5)
+               / 1e6 AS cos_q
+      FROM v c, q
+    ),
+    top2 AS (SELECT vec_id, cos_q FROM sc2 ORDER BY cos_q DESC, vec_id LIMIT 100),
+    r2 AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY cos_q DESC, vec_id)
+                          AS BIGINT) AS r2
+      FROM top2
+    ),
+    fused AS (
+      SELECT coalesce(r1.doc_id, r2.vec_id) AS doc_id, r1.r1, r2.r2,
+             floor((coalesce(1.0 / (60 + r1.r1), 0.0)
+                    + coalesce(1.0 / (60 + r2.r2), 0.0)) * 1e9 + 0.5) / 1e9
+               AS rrf_q
+      FROM r1 FULL JOIN r2 ON r2.vec_id = r1.doc_id
+    )
+    SELECT doc_id, r1, r2, rrf_q FROM fused
+    ORDER BY rrf_q DESC, doc_id ASC LIMIT 20
+    """,
+)
+def rrf_hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a LEXICAL and a DENSE retriever
+    (Cormack, Clarke & Buettcher, SIGIR 2009 — the standard hybrid-
+    search combiner: score(d) = Σᵢ 1/(60 + rankᵢ(d)), rank-only so
+    incomparable score scales never need calibration): ranker 1 is
+    exact Okapi BM25 for query {spark, join, window} (llmops/
+    text.py::bm25_topk — early-filtered postings, broadcast idf),
+    ranker 2 is exact cosine to the vec_id-0 embedding over the
+    1:1-aligned embeddings table (llmops/similarity.py dot/fold).
+    Both top-100 candidate lists get ranks from the SCALABLE 2-pass
+    global_row_number (operators/windows.py — no single-partition
+    window exchange even on the bounded lists), docs absent from a
+    list contribute nothing (truncated-list RRF), cosine quantized
+    1e-6 BEFORE ranking so ranks never turn on a sub-quantum float.
+    Top-20 fused."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import _as_double, dot
+    from dbt_lakehouse_aws_spark.llmops.text import bm25_topk
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
+    d = T(spark, sf_dir, "documents")
+    bm = bm25_topk(d, ["spark", "join", "window"], k=100)
+    r1 = global_row_number(
+        bm.select("doc_id", "bm25"), [F.desc("bm25"), F.asc("doc_id")], name="r1"
+    ).select("doc_id", F.col("r1").cast("long").alias("r1"))
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("vq"))
+    cos = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (
+            F.floor(
+                dot(F.col("emb"), F.col("vq"))
+                / (
+                    F.sqrt(dot(F.col("vq"), F.col("vq")))
+                    * F.sqrt(dot(F.col("emb"), F.col("emb")))
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("cos_q"),
+    )
+    top2 = cos.orderBy(F.desc("cos_q"), F.asc("vec_id")).limit(100)
+    r2 = global_row_number(
+        top2, [F.desc("cos_q"), F.asc("vec_id")], name="r2"
+    ).select("vec_id", F.col("r2").cast("long").alias("r2"))
+
+    fused = r1.join(r2, r1["doc_id"] == r2["vec_id"], "full").select(
+        F.coalesce(r1["doc_id"], r2["vec_id"]).alias("doc_id"),
+        "r1",
+        "r2",
+        (
+            F.floor(
+                (
+                    F.coalesce(1.0 / (60 + F.col("r1")), F.lit(0.0))
+                    + F.coalesce(1.0 / (60 + F.col("r2")), F.lit(0.0))
+                )
+                * 1e9
+                + 0.5
+            )
+            / 1e9
+        ).alias("rrf_q"),
+    )
+    return fused.orderBy(F.desc("rrf_q"), F.asc("doc_id")).limit(20)
+
+
+@_staged(
+    "hll_error_bound_users",
+    """
+    WITH per AS (
+      SELECT CAST(event_type AS VARCHAR) AS group_key,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT '__total__' AS group_key,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events
+    )
+    SELECT group_key, exact_distinct, n_rows, TRUE AS bound_ok
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+    ORDER BY group_key
+    """,
+)
+def hll_error_bound_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tolerance-checked twin of the rows-only HLL rows (VERDICT
+    r6 item 7): DataSketches HLL per-type distinct-user estimates
+    AND the grand total from the per-group SKETCH UNION (operators/
+    aggregates.py::distinct_sketch_rollup, lg_k=12 → rsd ≈ 1.6%) are
+    verified ENGINE-SIDE against exact distinct counts at a 10%
+    relative bound (> 6σ for this lg_k — a failure means broken
+    sketch plumbing, not sketch luck). The sketch estimate itself is
+    engine-specific so the oracle pins (group, exact, n, bound-holds)
+    — the approx_quantile_bounds device applied to count-distinct.
+    The exact pass exists only to audit the sketch; production
+    rollups read the KB-sized sketches alone."""
+    from dbt_lakehouse_aws_spark.operators.aggregates import (
+        distinct_sketch_rollup,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    est = distinct_sketch_rollup(ev, group_col="event_type", value_col="user_id")
+    exact_per = ev.groupBy(
+        F.col("event_type").cast("string").alias("group_key")
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    exact_tot = ev.agg(
+        F.lit("__total__").alias("group_key"),
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+    )
+    exact = exact_per.unionByName(exact_tot)
+    return (
+        est.join(exact, "group_key")
+        .select(
+            "group_key",
+            "exact_distinct",
+            "n_rows",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+                <= 0.10 * F.col("exact_distinct")
+            ).alias("bound_ok"),
+        )
+        .orderBy("group_key")
+    )
+
+
+@_staged(
+    "multiset_ops_gauntlet_customers",
+    """
+    WITH a AS (
+      SELECT c_mktsegment AS seg, c_nationkey % 5 AS bucket
+      FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    b AS (
+      SELECT c_mktsegment AS seg, c_nationkey % 5 AS bucket
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+    inter AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+    exd AS (SELECT * FROM a EXCEPT SELECT * FROM b),
+    intd AS (SELECT * FROM a INTERSECT SELECT * FROM b)
+    SELECT 'except_all' AS op, seg, CAST(count(*) AS BIGINT) AS n
+    FROM ex GROUP BY 1, 2
+    UNION ALL
+    SELECT 'intersect_all', seg, count(*) FROM inter GROUP BY 1, 2
+    UNION ALL
+    SELECT 'except_distinct', seg, count(*) FROM exd GROUP BY 1, 2
+    UNION ALL
+    SELECT 'intersect_distinct', seg, count(*) FROM intd GROUP BY 1, 2
+    ORDER BY op, seg
+    """,
+)
+def multiset_ops_gauntlet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set-operation gauntlet — EXCEPT ALL / INTERSECT ALL
+    keep duplicate MULTIPLICITY (bag semantics: max(m−n, 0) and
+    min(m, n) copies respectively) where the DISTINCT forms collapse
+    it; mixing them up silently corrupts reconciliation counts, and
+    set_ops_customers (queries_r7) only exercised the distinct
+    forms. Spark's exceptAll/intersectAll compile to left-anti-style
+    joins on (row, replica) — no row-UDF, shuffle on the compared
+    columns — and both engines must agree on every per-segment
+    multiplicity. Two overlapping multisets built from deterministic
+    modular slices of customer."""
+    c = T(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).alias("bucket"),
+    )
+    b = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).alias("bucket"),
+    )
+    def agg(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("seg").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).select(F.lit(op).alias("op"), "seg", "n")
+
+    out = (
+        agg(a.exceptAll(b), "except_all")
+        .unionByName(agg(a.intersectAll(b), "intersect_all"))
+        .unionByName(agg(a.subtract(b), "except_distinct"))
+        .unionByName(agg(a.intersect(b), "intersect_distinct"))
+    )
+    return out.orderBy("op", "seg")
+
+
+@_staged(
+    "try_arithmetic_gauntlet_orders",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+           TRY_CAST(o_orderpriority AS BIGINT) AS prio_whole,
+           o_totalprice / nullif(CAST(o_custkey % 7 AS DOUBLE), 0.0)
+             AS price_per,
+           CAST(NULL AS BIGINT) AS div0_int,
+           TRY_CAST('2024-02-' || CAST(28 + o_custkey % 3 AS VARCHAR)
+                    AS DATE) AS feb_date,
+           ([10, 20, 30])[CAST(1 + o_custkey % 5 AS INTEGER)] AS arr_at
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def try_arithmetic_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe TRY_* gauntlet — the driver runs a Spark-4 ANSI
+    session where a bare cast('1-URGENT' AS BIGINT) or div-by-zero
+    THROWS, so every maybe-dirty expression must ride the TRY family
+    (SURVEY §2.8's cast row, hostile-input edition): try_cast of a
+    leading digit (succeeds) vs the whole enum (NULL), try_divide by
+    a sometimes-zero denominator (NULL, matching DuckDB's NULL-on-
+    zero division), integer division by zero pinned NULL on both
+    engines, try_to_date on a rolling Feb 28/29/30 (the 30th is NULL
+    in BOTH engines — 2024 is a leap year so the 29th survives), and
+    try_element_at past the array end (indices 4-5 of a 3-element
+    array are NULL; index 0 is NOT try-able — Spark throws
+    INVALID_INDEX_OF_ZERO even in the TRY form, a pinned engine
+    fact this gauntlet's 1-based index range respects). Every lane
+    lands NULL-or-value identically across engines."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias(
+            "prio_num"
+        ),
+        F.col("o_orderpriority").try_cast("bigint").alias("prio_whole"),
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_custkey") % 7).cast("double")
+        ).alias("price_per"),
+        F.try_divide(F.lit(1), F.lit(0)).cast("long").alias("div0_int"),
+        F.try_to_date(
+            F.concat(
+                F.lit("2024-02-"),
+                (28 + F.col("o_custkey") % 3).cast("string"),
+            )
+        ).alias("feb_date"),
+        F.try_element_at(
+            F.array(F.lit(10), F.lit(20), F.lit(30)),
+            (1 + F.col("o_custkey") % 5).cast("int"),
+        ).alias("arr_at"),
+    ).orderBy("o_orderkey")
+
+
+@_staged(
+    "mcc_orders",
+    """
+    WITH cm AS (
+      SELECT CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM (
+        SELECT o_totalprice > 150000 AS pred, o_orderstatus = 'F' AS truth
+        FROM orders)
+    )
+    SELECT tp, fp, fn, tn,
+           floor((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / sqrt((CAST(tp + fp AS DOUBLE)) * (tp + fn)
+                        * (CAST(tn AS DOUBLE) + fp) * (tn + fn))
+                 * 1e6 + 0.5) / 1e6 AS mcc_q,
+           floor((CAST(tp AS DOUBLE) / (tp + fn)
+                  + CAST(tn AS DOUBLE) / (tn + fp)) / 2 * 1e6 + 0.5) / 1e6
+             AS balanced_acc_q,
+           floor(2.0 * tp / (2.0 * tp + fp + fn) * 1e6 + 0.5) / 1e6 AS f1_q
+    FROM cm
+    """,
+)
+def mcc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient + balanced accuracy + F1 from
+    one exact confusion matrix — MCC is the single-number binary
+    metric that stays honest under class imbalance (Chicco & Jurman
+    2020), where accuracy and even F1 reward majority-class
+    collapse; the eval-metrics family (AUC, calibration, PR) lacked
+    it. Deterministic classifier: price > 150k predicting order
+    finality. One whole-stage-codegen conditional aggregate to four
+    BIGINTs; the three scores are fixed-order float expressions over
+    them, floor-quantized 1e-6 (products ordered tp·tn and
+    (tp+fp)(tp+fn)(tn+fp)(tn+fn) as doubles — deterministic IEEE
+    both engines)."""
+    o = T(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") > 150000).alias("pred"),
+        (F.col("o_orderstatus") == "F").alias("truth"),
+    )
+    cm = o.agg(
+        F.sum(F.when(F.col("pred") & F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    tn = F.col("tn").cast("double")
+    q6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        q6(
+            (tp * tn - fp * fn)
+            / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+        ).alias("mcc_q"),
+        q6((tp / (tp + fn) + tn / (tn + fp)) / 2).alias("balanced_acc_q"),
+        q6(2.0 * tp / (2.0 * tp + fp + fn)).alias("f1_q"),
+    )
+
+
+@_staged(
+    "tail_index_hill_orders",
+    """
+    WITH topk AS (
+      SELECT o_totalprice AS x FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 101
+    ),
+    ref AS (SELECT min(x) AS xref FROM topk),
+    pico AS (
+      SELECT CAST(sum(CAST(floor(ln(t.x / r.xref) * 1e12 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM topk t CROSS JOIN ref r
+    )
+    SELECT CAST(100 AS BIGINT) AS k,
+           floor(CAST(s AS DOUBLE) / 1e12 / 100 * 1e6 + 0.5) / 1e6 AS hill_q,
+           floor(1.0 / (CAST(s AS DOUBLE) / 1e12 / 100) * 1e4 + 0.5) / 1e4
+             AS alpha_q,
+           (SELECT floor(xref * 100 + 0.5) / 100 FROM ref) AS threshold
+    FROM pico
+    """,
+)
+def tail_index_hill_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (Hill 1975) over the top-k order
+    statistics of order value — the standard heavy-tail exponent
+    measurement behind 'is this distribution Pareto and how fat'
+    (revenue concentration, outlier pricing, retry storms); the
+    Zipf/Gumbel rows measure tails of RANKS and MAXIMA, this one
+    measures the value tail itself. H = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over
+    the top k=100, α = 1/H. The top-101 arrives via
+    TakeOrderedAndProject (no global sort), the reference value is
+    the 101-set MIN — summing ln(x/xref) over ALL 101 rows equals
+    the top-100 sum because the min row contributes exactly 0, which
+    sidesteps boundary-tie rank ambiguity entirely. Each log term is
+    floor-quantized to integer picounits BEFORE the sum (the
+    jackknife/JS discipline), so the aggregate is an exact BIGINT
+    on both engines."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"), "o_orderkey"
+    )
+    topk = o.orderBy(F.desc("x"), F.asc("o_orderkey")).limit(101).select("x")
+    ref = topk.agg(F.min("x").alias("xref"))
+    pico = (
+        topk.crossJoin(F.broadcast(ref))
+        .select(
+            F.floor(F.log(F.col("x") / F.col("xref")) * 1e12 + 0.5)
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("s"))
+    )
+    h = F.col("s").cast("double") / 1e12 / 100
+    return pico.crossJoin(F.broadcast(ref)).select(
+        F.lit(100).cast("long").alias("k"),
+        (F.floor(h * 1e6 + 0.5) / 1e6).alias("hill_q"),
+        (F.floor(1.0 / h * 1e4 + 0.5) / 1e4).alias("alpha_q"),
+        (F.floor(F.col("xref") * 100 + 0.5) / 100).alias("threshold"),
+    )
+
+
+@_staged(
+    "negbin_mom_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM daily GROUP BY 1
+    ),
+    mv AS (
+      SELECT event_type, n_days,
+             CAST(s AS DOUBLE) / n_days AS m,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days) / n_days
+               AS v
+      FROM stats
+    )
+    SELECT event_type, n_days,
+           floor(m * 1e6 + 0.5) / 1e6 AS mean_q,
+           floor(v * 1e6 + 0.5) / 1e6 AS var_q,
+           (v > m) AS overdispersed,
+           CASE WHEN v > m
+                THEN floor(m * m / (v - m) * 1e6 + 0.5) / 1e6 END AS r_q,
+           CASE WHEN v > m
+                THEN floor(m / v * 1e6 + 0.5) / 1e6 END AS p_q
+    FROM mv ORDER BY event_type
+    """,
+)
+def negbin_mom_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit on per-type daily
+    event counts — the distribution choice the dispersion-index row
+    (staged r6) motivates but doesn't make: when var > mean
+    (overdispersion), Poisson underestimates tail days and NB(r, p)
+    with r = m²/(v−m), p = m/v is the standard two-moment fit
+    (capacity planning, anomaly thresholds, bursty arrivals). One
+    grouped pass to exact integer (n, Σc, Σc²); mean/variance/r/p
+    are fixed-order float expressions floor-quantized 1e-6; the
+    under-dispersed guard keeps r/p NULL (CASE, not a throw) exactly
+    as the oracle does."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    m = F.col("s").cast("double") / F.col("n_days")
+    v = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n_days")
+    ) / F.col("n_days")
+    q6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return stats.select(
+        "event_type",
+        "n_days",
+        q6(m).alias("mean_q"),
+        q6(v).alias("var_q"),
+        (v > m).alias("overdispersed"),
+        F.when(v > m, q6(m * m / (v - m))).alias("r_q"),
+        F.when(v > m, q6(m / v)).alias("p_q"),
+    ).orderBy("event_type")
+
+
+@_staged(
+    "simpson_diversity_sources",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    c AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c * c) AS BIGINT) AS ss,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS pairs
+      FROM c GROUP BY 1
+    )
+    SELECT source, n, vocab,
+           floor((1.0 - CAST(pairs AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+                 * 1e6 + 0.5) / 1e6 AS simpson_q,
+           floor(CAST(n AS DOUBLE) * n / ss * 1e4 + 0.5) / 1e4
+             AS effective_vocab_q
+    FROM s ORDER BY source
+    """,
+)
+def simpson_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of each source's token distribution — the
+    ecology-standard concentration complement to Shannon entropy
+    (unigram_entropy_docs) and the JS drift row: unbiased Simpson
+    1 − Σc(c−1)/(n(n−1)) (the probability two tokens drawn WITHOUT
+    replacement differ) plus Hill-number effective vocabulary
+    n²/Σc² ('how many equally-common types would look this
+    diverse') — the pair every corpus-mix dashboard wants next to
+    raw vocab size, which hapax noise inflates. One per-(source,
+    term) count pass to exact integer (n, V, Σc², Σc(c−1)); two
+    fixed-order float expressions, floor-quantized."""
+    from dbt_lakehouse_aws_spark.llmops.text import tokens_col
+
+    d = T(spark, sf_dir, "documents")
+    c = d.select("source", F.explode(tokens_col("text")).alias("term")).groupBy(
+        "source", "term"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    s = c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("pairs"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "source",
+        "n",
+        "vocab",
+        (
+            F.floor(
+                (1.0 - F.col("pairs").cast("double") / (n * (F.col("n") - 1)))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("simpson_q"),
+        (F.floor(n * n / F.col("ss") * 1e4 + 0.5) / 1e4).alias(
+            "effective_vocab_q"
+        ),
+    ).orderBy("source")
+
+
+@_staged(
+    "cramers_v_orders",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             CAST(floor(o_totalprice / 100000) AS BIGINT) AS band
+      FROM orders
+    ),
+    pairs AS (
+      SELECT 'prio_x_status' AS pair, prio AS x, status AS y FROM base
+      UNION ALL
+      SELECT 'prio_x_band', prio, CAST(band AS VARCHAR) FROM base
+      UNION ALL
+      SELECT 'status_x_band', status, CAST(band AS VARCHAR) FROM base
+    ),
+    cells AS (
+      SELECT pair, x, y, CAST(count(*) AS BIGINT) AS o
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    rx AS (SELECT pair, x, CAST(sum(o) AS BIGINT) AS rx FROM cells GROUP BY 1, 2),
+    cy AS (SELECT pair, y, CAST(sum(o) AS BIGINT) AS cy FROM cells GROUP BY 1, 2),
+    tot AS (
+      SELECT pair, CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT x) AS BIGINT) AS r,
+             CAST(count(DISTINCT y) AS BIGINT) AS c
+      FROM cells GROUP BY 1
+    ),
+    contrib AS (
+      SELECT cl.pair,
+             CAST(sum(CAST(floor(
+               CAST(cl.o AS DOUBLE) * cl.o * tot.n
+               / (CAST(rx.rx AS DOUBLE) * cy.cy) * 1e9 + 0.5)
+             AS BIGINT)) AS BIGINT) AS nano
+      FROM cells cl
+      JOIN rx ON rx.pair = cl.pair AND rx.x = cl.x
+      JOIN cy ON cy.pair = cl.pair AND cy.y = cl.y
+      JOIN tot ON tot.pair = cl.pair
+      GROUP BY 1
+    )
+    SELECT t.pair, t.n, t.r, t.c,
+           floor((CAST(k.nano AS DOUBLE) / 1e9 - t.n) * 1e4 + 0.5) / 1e4
+             AS chi2_q,
+           floor(sqrt((CAST(k.nano AS DOUBLE) / 1e9 - t.n)
+                      / (t.n * (least(t.r, t.c) - 1))) * 1e6 + 0.5) / 1e6
+             AS cramers_v_q
+    FROM tot t JOIN contrib k ON k.pair = t.pair
+    ORDER BY t.pair
+    """,
+)
+def cramers_v_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix over three categorical pairs of
+    orders (priority×status, priority×$100k-band, status×band) — the
+    bounded-[0,1] normalization of χ² that makes association
+    comparable ACROSS tables of different shape (feature-redundancy
+    screens before one-hot encoding; the g-test row checks ONE pair
+    for independence, this ranks pairs by strength). All three
+    contingency tables ride ONE unpivoted (pair, x, y) aggregate +
+    broadcast margins, and χ² uses the algebraic identity
+    Σ_all (o−e)²/e = Σ_observed o²·n/(rx·cy) − n, so ZERO cells —
+    whose naive (o−e)²/e term is e, not 0 — are covered without
+    materializing the full r×c grid; per-cell terms are fixed-order
+    float expressions floor-quantized to integer nano-units BEFORE
+    the vocabulary-bounded sum (the JS/jackknife discipline). V =
+    √(χ²/(n·(min(r,c)−1)))."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") / 100000).cast("long").alias("band"),
+    )
+    pairs = (
+        o.select(
+            F.lit("prio_x_status").alias("pair"),
+            F.col("prio").alias("x"),
+            F.col("status").alias("y"),
+        )
+        .unionByName(
+            o.select(
+                F.lit("prio_x_band").alias("pair"),
+                F.col("prio").alias("x"),
+                F.col("band").cast("string").alias("y"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit("status_x_band").alias("pair"),
+                F.col("status").alias("x"),
+                F.col("band").cast("string").alias("y"),
+            )
+        )
+    )
+    cells = pairs.groupBy("pair", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rx = cells.groupBy("pair", "x").agg(F.sum("o").cast("long").alias("rx"))
+    cy = cells.groupBy("pair", "y").agg(F.sum("o").cast("long").alias("cy"))
+    tot = cells.groupBy("pair").agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("x").cast("long").alias("r"),
+        F.countDistinct("y").cast("long").alias("c"),
+    )
+    contrib = (
+        cells.join(rx, ["pair", "x"])
+        .join(cy, ["pair", "y"])
+        .join(F.broadcast(tot), "pair")
+        .select(
+            "pair",
+            F.floor(
+                F.col("o").cast("double")
+                * F.col("o")
+                * F.col("n")
+                / (F.col("rx").cast("double") * F.col("cy"))
+                * 1e9
+                + 0.5
+            )
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("t").cast("long").alias("nano"))
+    )
+    chi2 = F.col("nano").cast("double") / 1e9 - F.col("n")
+    return (
+        tot.join(contrib, "pair")
+        .select(
+            "pair",
+            "n",
+            "r",
+            "c",
+            (F.floor(chi2 * 1e4 + 0.5) / 1e4).alias("chi2_q"),
+            (
+                F.floor(
+                    F.sqrt(chi2 / (F.col("n") * (F.least("r", "c") - 1))) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("cramers_v_q"),
+        )
+        .orderBy("pair")
+    )
+
+
+@_staged(
+    "rich_club_users",
+    f"""
+    WITH {_capped_coactivity_sql()},
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM capped UNION ALL SELECT b FROM capped)
+      GROUP BY node
+    ),
+    ks AS (SELECT unnest([2, 4, 6, 8]) AS k),
+    nk AS (
+      SELECT ks.k, CAST(count(deg.node) AS BIGINT) AS n_k
+      FROM ks LEFT JOIN deg ON deg.deg > ks.k GROUP BY 1
+    ),
+    ek AS (
+      SELECT ks.k, CAST(count(e.a) AS BIGINT) AS e_k
+      FROM ks LEFT JOIN (
+        SELECT c.a, c.b, da.deg AS dega, db.deg AS degb
+        FROM capped c
+        JOIN deg da ON da.node = c.a
+        JOIN deg db ON db.node = c.b) e
+        ON e.dega > ks.k AND e.degb > ks.k
+      GROUP BY 1
+    )
+    SELECT CAST(nk.k AS BIGINT) AS k, nk.n_k, ek.e_k,
+           CASE WHEN nk.n_k >= 2 THEN
+             floor(2.0 * ek.e_k / (CAST(nk.n_k AS DOUBLE) * (nk.n_k - 1))
+                   * 1e6 + 0.5) / 1e6 END AS phi_q
+    FROM nk JOIN ek ON ek.k = nk.k
+    ORDER BY nk.k
+    """,
+)
+def rich_club_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E₍>k₎ / (N₍>k₎·(N₍>k₎−1)) at
+    degree thresholds k ∈ {2,4,6,8} on the neighbor-capped
+    co-activity graph — 'do the hubs form their own clique'
+    (Colizza et al. 2006), the hub-interconnection companion to
+    degree assortativity's global correlation: assortativity can be
+    near zero while the top decile is fully wired. Degrees once,
+    then each threshold is one broadcast-filtered count over the
+    SAME joined edge frame (4-row threshold ladder, the k-anon
+    ladder device) — exact integers, quantized ratio, NULL below
+    two qualifying nodes."""
+    from dbt_lakehouse_aws_spark.operators.graph import cap_neighbors
+
+    e = T(spark, sf_dir, "events")
+    ue = e.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
+    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
+    weighted = (
+        x.join(y, ["event_type", "hr"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    capped = cap_neighbors(weighted, k=16, weight="shared").localCheckpoint(
+        eager=True
+    )
+    deg = (
+        capped.select(F.col("a").alias("node"))
+        .unionByName(capped.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ks = spark.range(1, 5).select((F.col("id") * 2).cast("long").alias("k"))
+    nk = (
+        ks.join(deg, deg["deg"] > ks["k"], "left")
+        .groupBy("k")
+        .agg(F.count("node").cast("long").alias("n_k"))
+    )
+    edges_deg = (
+        capped.join(deg.withColumnsRenamed({"node": "a", "deg": "dega"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "deg": "degb"}), "b")
+        .select("a", "b", "dega", "degb")
+    )
+    ek = (
+        ks.join(
+            edges_deg,
+            (edges_deg["dega"] > ks["k"]) & (edges_deg["degb"] > ks["k"]),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("a").cast("long").alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k")
+        .select(
+            "k",
+            "n_k",
+            "e_k",
+            F.when(
+                F.col("n_k") >= 2,
+                F.floor(
+                    2.0
+                    * F.col("e_k")
+                    / (F.col("n_k").cast("double") * (F.col("n_k") - 1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6,
+            ).alias("phi_q"),
+        )
+        .orderBy("k")
+    )
+
+
+@_staged(
+    "acid_optimize_compaction_events",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(round(value * 100)) AS BIGINT) AS cents,
+           TRUE AS compacted,
+           TRUE AS rows_preserved
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def acid_optimize_compaction_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE small-file compaction under the driver gate
+    (sources/acid.py::optimize — the periodic counterweight to
+    incremental ingest's one-small-file-per-commit manifest
+    pressure): three per-type appends leave ≥ 3 data files; OPTIMIZE
+    rewrites the snapshot into a bounded file count as ONE atomic
+    commit (readers of the old version untouched, conflicting
+    writers rebase — raced in test_acid.py). The row pins the audit
+    IN-QUERY: ``compacted`` asserts the post-OPTIMIZE snapshot holds
+    fewer files than the pre-state and the log recorded an OPTIMIZE
+    operation; ``rows_preserved`` asserts version-over-version
+    counts agree. Values must equal the oracle's straight-from-source
+    aggregate — any row lost or duplicated by the rewrite flips
+    cents."""
+    import tempfile
+    import uuid as _uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("value"),
+    )
+    t = AcidTable(
+        spark,
+        tempfile.mkdtemp(prefix=f"opt_{_uuid.uuid4().hex[:8]}_") + "/t",
+    )
+    for i, ty in enumerate(("view", "click", "purchase")):
+        t.write(
+            ev.filter(F.col("event_type") == ty).select(
+                "event_id", "event_type", "cents"
+            ),
+            mode="overwrite" if i == 0 else "append",
+        )
+    pre = t.snapshot()
+    n_before = t.read().count()
+    t.optimize(target_file_bytes=1 << 30)
+    post = t.snapshot()
+    n_after = t.read().count()
+    compacted = (
+        len(post.files) < len(pre.files)
+        and post.operation.startswith("OPTIMIZE")
+    )
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "cents",
+            F.lit(bool(compacted)).alias("compacted"),
+            F.lit(bool(n_before == n_after)).alias("rows_preserved"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "image_dhash_fingerprints",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS w,
+             CAST(3 + doc_id % 7 AS INT) AS h
+      FROM documents WHERE doc_id % 6 != 3
+    ),
+    g AS (
+      SELECT doc_id, w, h,
+             list_transform(range(0, w * h),
+               p -> (doc_id * 31 + 3 * p) % 256
+                    + (doc_id * 31 + 3 * p + 1) % 256
+                    + (doc_id * 31 + 3 * p + 2) % 256) AS gs
+      FROM base
+    )
+    SELECT doc_id, w AS width, h AS height,
+           CAST(list_sum(list_transform(
+                  range(0, CAST(least(h * (w - 1), 63) AS INT)),
+                  j -> CASE WHEN gs[(j // (w - 1)) * w + (j % (w - 1)) + 2]
+                                 > gs[(j // (w - 1)) * w + (j % (w - 1)) + 1]
+                            THEN CAST(1 AS BIGINT) << j
+                            ELSE 0 END)) AS BIGINT) AS dhash
+    FROM g
+    """,
+)
+def image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash perceptual fingerprints over REAL decoded
+    rasters (llmops/multimodal.py::image_dhash) — the
+    brightness-invariant sibling of image_ahash_fingerprints
+    (queries_r6): the same five lossless codec lanes rotated by
+    doc_id % 6 (BMP, PNG, GIF LZW, TIFF LZW+predictor, PPM), decoded
+    by the pure-Python codecs, grayscaled by integer channel sum,
+    then bit j = gray[r,c+1] > gray[r,c] over horizontal neighbor
+    pairs — all comparisons, zero arithmetic a float could perturb.
+    The oracle computes the hash CLOSED-FORM from the deterministic
+    pixel formula, so a green row re-proves all five decode paths
+    bit-exact under a second, gradient-based bit pattern (ahash's
+    mean-threshold green row can mask a swapped-pixel-PAIR decode
+    bug that preserves sums; dhash cannot)."""
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+        image_dhash,
+    )
+    from dbt_lakehouse_aws_spark.llmops.tiff import encode_tiff
+
+    def make_payloads(batches):
+        import numpy as np
+        import pandas as pd
+
+        encoders = {0: encode_bmp, 1: encode_png, 2: encode_gif,
+                    4: encode_tiff, 5: encode_ppm}
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                codec = doc_id % 6
+                if codec == 3:
+                    continue
+                w, h = 4 + doc_id % 13, 3 + doc_id % 7
+                px = (
+                    (doc_id * 31 + np.arange(w * h * 3, dtype=np.int64)) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+                ids.append(doc_id)
+                payloads.append(encoders[codec](px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    return image_dhash(payloads)
+
+
+@_staged(
+    "schema_drift_audit_acid",
+    """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'added',   'bucket',      'schema grew by one column'),
+      (CAST(1 AS BIGINT), 'renamed', 'cents',       'logical name now amount_cents'),
+      (CAST(2 AS BIGINT), 'dropped', 'event_type',  'column removed from schema'),
+      (CAST(3 AS BIGINT), 'kept',    'event_id',    'stable across all versions')
+    ) AS t(step, change, column_name, note)
+    ORDER BY step
+    """,
+)
+def schema_drift_audit_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit across an ACID table's commit history —
+    the contract-monitoring readout every ingest pipeline wants
+    ('what changed between v0 and now'): the engine applies the full
+    evolution trio (ADD via union-by-name append, RENAME COLUMN,
+    DROP COLUMN — all metadata-only commits, sources/acid.py) and
+    then DIFFS the v0 schema against the latest straight from the
+    MANIFEST (StructType.fromJson over the two snapshots' schema
+    JSON + the rename map), emitting one row per drift fact. The
+    oracle pins the expected drift report; a wrong row means the
+    schema-evolution metadata path — not the data path, which
+    acid_rename/drop_column_events already gate — misrecorded a
+    commit."""
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql.types import StructType as _St
+    import json as _json
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = AcidTable(
+        spark,
+        tempfile.mkdtemp(prefix=f"drift_{_uuid.uuid4().hex[:8]}_") + "/t",
+    )
+    t.write(ev.filter(F.col("event_type") == "view"))
+    v0 = t.snapshot()
+    # ADD: append a slice carrying a new column (union-by-name evolution)
+    t.write(
+        ev.filter(F.col("event_type") == "click").withColumn(
+            "bucket", (F.col("event_id") % 4).cast("long")
+        ),
+        mode="append",
+    )
+    t.rename_column("cents", "amount_cents")
+    t.drop_column("event_type")
+    vN = t.snapshot()
+
+    cols0 = [f.name for f in _St.fromJson(_json.loads(v0.schema_json)).fields]
+    # snapshot schemas carry PHYSICAL names; renames maps phys -> logical
+    colsN_phys = [
+        f.name for f in _St.fromJson(_json.loads(vN.schema_json)).fields
+    ]
+    rows = []
+    for p_ in colsN_phys:
+        logical = vN.renames.get(p_, p_)
+        if p_ in vN.renames and p_ in cols0:
+            rows.append(("renamed", p_, f"logical name now {logical}"))
+        elif p_ not in cols0:
+            rows.append(("added", logical, "schema grew by one column"))
+    for c in cols0:
+        if c not in colsN_phys:
+            rows.append(("dropped", c, "column removed from schema"))
+    order = {"added": 0, "renamed": 1, "dropped": 2}
+    rows.sort(key=lambda r: (order[r[0]], r[1]))
+    rows.append(("kept", "event_id", "stable across all versions"))
+    assert "event_id" in cols0 and "event_id" in colsN_phys
+    return spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "step long, change string, column_name string, note string",
+    ).orderBy("step")
+
+
+@_staged(
+    "permutation_test_events",
+    """
+    WITH pool AS (
+      SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             (event_type = 'purchase') AS is_a
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    obs AS (
+      SELECT CAST(sum(CASE WHEN is_a THEN cents ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN NOT is_a THEN cents ELSE 0 END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM pool
+    ),
+    lanes AS (
+      SELECT pool.event_id, pool.cents, l.lane,
+             CAST('0x' || substr(md5(CAST(pool.event_id AS VARCHAR)
+                                     || '#' || CAST(l.lane AS VARCHAR)),
+                                 1, 1) AS BIGINT) % 2 = 0 AS flag
+      FROM pool CROSS JOIN (SELECT unnest(range(1, 21)) AS lane) l
+    ),
+    perm AS (
+      SELECT lane,
+             CAST(sum(CASE WHEN flag THEN cents ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN NOT flag THEN cents ELSE 0 END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN NOT flag THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM lanes GROUP BY 1
+    ),
+    tstats AS (
+      SELECT lane,
+             floor(abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                   * 1e6 + 0.5) AS t_abs_micro
+      FROM perm WHERE na > 0 AND nb > 0
+    ),
+    tobs AS (
+      SELECT floor(abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                   * 1e6 + 0.5) AS t_obs_micro,
+             na, nb
+      FROM obs
+    )
+    SELECT CAST(t.t_obs_micro AS DOUBLE) / 1e6 AS t_obs_q,
+           t.na, t.nb,
+           CAST(count(*) FILTER (WHERE s.t_abs_micro >= t.t_obs_micro)
+                AS BIGINT) AS n_exceed,
+           floor((1.0 + count(*) FILTER (WHERE s.t_abs_micro >= t.t_obs_micro))
+                 / 21.0 * 1e6 + 0.5) / 1e6 AS p_q
+    FROM tstats s CROSS JOIN tobs t
+    GROUP BY t.t_obs_micro, t.na, t.nb
+    """,
+)
+def permutation_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic permutation test for the purchase-vs-click mean
+    value gap — the distribution-free significance check next to the
+    parametric z/t rows (abtest_conversion_ztest, welch_ttest): 20
+    REPLAYABLE relabelings of the pooled rows via md5(event_id#lane)
+    parity (the exchangeability-null device — no RNG, both engines
+    derive the identical pseudo-permutation), each lane's |Δmean| in
+    integer micro-cents, p = (1 + #{|T_perm| ≥ |T_obs|}) / 21 (the
+    add-one rule that keeps p valid). Lanes are one
+    crossJoin-explode + one 40-cell aggregate; every comparison
+    happens on floor-quantized INTEGER micro-units, never
+    float-vs-float."""
+    e = T(spark, sf_dir, "events")
+    pool = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").alias("is_a"),
+    )
+    obs = pool.agg(
+        F.sum(F.when(F.col("is_a"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(~F.col("is_a"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    lanes = pool.crossJoin(
+        F.broadcast(
+            spark.range(1, 21).select(F.col("id").cast("long").alias("lane"))
+        )
+    ).select(
+        "cents",
+        "lane",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit("#"),
+                            F.col("lane").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        ).alias("flag"),
+    )
+    perm = lanes.groupBy("lane").agg(
+        F.sum(F.when(F.col("flag"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("flag"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(~F.col("flag"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+        F.sum(F.when(~F.col("flag"), 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    tmicro = lambda df: F.floor(  # noqa: E731
+        F.abs(
+            F.col("sa").cast("double") / F.col("na")
+            - F.col("sb").cast("double") / F.col("nb")
+        )
+        * 1e6
+        + 0.5
+    )
+    tstats = perm.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        tmicro(perm).alias("t_abs_micro")
+    )
+    tobs = obs.select(tmicro(obs).alias("t_obs_micro"), "na", "nb")
+    return (
+        tstats.crossJoin(F.broadcast(tobs))
+        .groupBy("t_obs_micro", "na", "nb")
+        .agg(
+            F.sum(
+                F.when(F.col("t_abs_micro") >= F.col("t_obs_micro"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_exceed")
+        )
+        .select(
+            (F.col("t_obs_micro").cast("double") / 1e6).alias("t_obs_q"),
+            "na",
+            "nb",
+            "n_exceed",
+            (F.floor((1.0 + F.col("n_exceed")) / 21.0 * 1e6 + 0.5) / 1e6).alias(
+                "p_q"
+            ),
+        )
+    )
+
+
+@_staged(
+    "sprt_sequential_ab_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, d,
+             CAST(sum(n) OVER w AS BIGINT) AS n_t,
+             CAST(sum(c) OVER w AS BIGINT) AS c_t
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    llr AS (
+      SELECT event_type, d, n_t, c_t,
+             CAST(floor((c_t * ln(0.30 / 0.25)
+                         + (n_t - c_t) * ln(0.70 / 0.75)) * 1e9 + 0.5)
+                  AS BIGINT) AS llr_nano
+      FROM cum
+    )
+    SELECT event_type, d, n_t, c_t,
+           CAST(llr_nano AS DOUBLE) / 1e9 AS llr_q,
+           CASE WHEN llr_nano >= CAST(floor(ln(19.0) * 1e9 + 0.5) AS BIGINT)
+                THEN 'accept_h1'
+                WHEN llr_nano <= -CAST(floor(ln(19.0) * 1e9 + 0.5) AS BIGINT)
+                THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr ORDER BY event_type, d
+    """,
+)
+def sprt_sequential_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over each event
+    type's daily high-value rate (value > 250 as 'conversion') —
+    the sequential-testing primitive mature experimentation
+    platforms run so they can PEEK daily without alpha inflation
+    (Wald 1945: H₀ p=0.25 vs H₁ p=0.30, α=β=0.05 → symmetric
+    log-boundaries ±ln 19): LLR_t = c_t·ln(p₁/p₀) +
+    (n_t−c_t)·ln((1−p₁)/(1−p₀)) over CUMULATIVE (n, c). Exact
+    integer cumulative counts on per-type day-frame windows (the
+    cusum pattern); the LLR is two integer-scaled log literals,
+    floor-quantized to integer nano-units, and the boundary
+    comparison happens INTEGER-vs-INTEGER (the burst-detection
+    discipline at the decision boundary). Emits the full daily
+    decision trail per type."""
+    import math
+
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 250, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("n").over(w).cast("long").alias("n_t"),
+        F.sum("c").over(w).cast("long").alias("c_t"),
+    )
+    l1 = math.log(0.30 / 0.25)
+    l0 = math.log(0.70 / 0.75)
+    bound = int(math.floor(math.log(19.0) * 1e9 + 0.5))
+    llr_nano = F.floor(
+        (F.col("c_t") * F.lit(l1) + (F.col("n_t") - F.col("c_t")) * F.lit(l0))
+        * 1e9
+        + 0.5
+    ).cast("long")
+    return (
+        cum.withColumn("llr_nano", llr_nano)
+        .select(
+            "event_type",
+            "d",
+            "n_t",
+            "c_t",
+            (F.col("llr_nano").cast("double") / 1e9).alias("llr_q"),
+            F.when(F.col("llr_nano") >= bound, "accept_h1")
+            .when(F.col("llr_nano") <= -bound, "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+@_staged(
+    "winsorized_mean_orders",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cuts AS (
+      SELECT priority,
+             CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lo,
+             CAST(quantile_disc(cents, 0.95) AS BIGINT) AS hi
+      FROM o GROUP BY 1
+    ),
+    w AS (
+      SELECT o.priority,
+             CASE WHEN o.cents < c.lo THEN c.lo
+                  WHEN o.cents > c.hi THEN c.hi
+                  ELSE o.cents END AS wc,
+             CASE WHEN o.cents < c.lo THEN 1 ELSE 0 END AS clamped_lo,
+             CASE WHEN o.cents > c.hi THEN 1 ELSE 0 END AS clamped_hi,
+             o.cents
+      FROM o JOIN cuts c USING (priority)
+    )
+    SELECT priority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(clamped_lo) AS BIGINT) AS n_clamped_lo,
+           CAST(sum(clamped_hi) AS BIGINT) AS n_clamped_hi,
+           floor(CAST(sum(wc) AS DOUBLE) / count(*) / 100 * 1e4 + 0.5) / 1e4
+             AS winsor_mean_q,
+           floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100 * 1e4 + 0.5) / 1e4
+             AS raw_mean_q
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def winsorized_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean order value per priority — the
+    outlier-robust location estimate finance/ops dashboards quote
+    when a single whale order shouldn't move the KPI (clamp to the
+    exact DISCRETE p5/p95 per group, then average — unlike trimming
+    it keeps n constant): percentile_disc returns actual data values
+    (bit-comparable across engines, the a8b lesson), clamping is
+    integer-vs-integer in cents, the winsorized sum stays an exact
+    BIGINT, and only the final mean is a quantized float. One
+    per-group percentile aggregate broadcast back over one
+    clamp-and-sum pass."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cuts = o.groupBy("priority").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("hi"),
+    )
+    w = o.join(F.broadcast(cuts), "priority").select(
+        "priority",
+        "cents",
+        F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+        .when(F.col("cents") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("cents"))
+        .alias("wc"),
+        F.when(F.col("cents") < F.col("lo"), 1).otherwise(0).alias("clamped_lo"),
+        F.when(F.col("cents") > F.col("hi"), 1).otherwise(0).alias("clamped_hi"),
+    )
+    return (
+        w.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("clamped_lo").cast("long").alias("n_clamped_lo"),
+            F.sum("clamped_hi").cast("long").alias("n_clamped_hi"),
+            F.sum("wc").cast("long").alias("swc"),
+            F.sum("cents").cast("long").alias("sc"),
+        )
+        .select(
+            "priority",
+            "n",
+            "n_clamped_lo",
+            "n_clamped_hi",
+            (
+                F.floor(
+                    F.col("swc").cast("double") / F.col("n") / 100 * 1e4 + 0.5
+                )
+                / 1e4
+            ).alias("winsor_mean_q"),
+            (
+                F.floor(
+                    F.col("sc").cast("double") / F.col("n") / 100 * 1e4 + 0.5
+                )
+                / 1e4
+            ).alias("raw_mean_q"),
+        )
+        .orderBy("priority")
+    )
+
+
+@_staged(
+    "median_of_means_orders",
+    """
+    WITH b AS (
+      SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+                  AS BIGINT) % 16 AS bucket,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    bm AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(CAST(sum(cents) AS DOUBLE) / count(*) + 0.5)
+                  AS BIGINT) AS mean_cents
+      FROM b GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(quantile_disc(mean_cents, 0.5) AS BIGINT) AS mom_cents,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(min(n) AS BIGINT) AS min_bucket_n
+      FROM bm
+    ),
+    raw AS (
+      SELECT floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100 * 1e4 + 0.5)
+               / 1e4 AS raw_mean_q
+      FROM b
+    )
+    SELECT m.n_buckets, m.min_bucket_n,
+           CAST(m.mom_cents AS DOUBLE) / 100 AS mom_mean,
+           r.raw_mean_q
+    FROM mom m CROSS JOIN raw r
+    """,
+)
+def median_of_means_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means estimator for order value — the
+    heavy-tail-robust mean with exponential concentration (the MoM
+    device behind robust statistics and sketch error bounds:
+    Nemirovsky-Yudin / Jerrum-Valiant-Vazirani): rows land in 16
+    DETERMINISTIC md5 buckets (no RNG — both engines replay the
+    identical assignment), each bucket's mean is an exact
+    BIGINT-cents ratio rounded to integer cents, and the estimate is
+    the DISCRETE median of the 16 bucket means — one outlier bucket
+    (a whale order) moves the raw mean but not the median of 16.
+    Shuffle O(16 cells); the raw mean rides along as the contrast
+    exhibit."""
+    o = T(spark, sf_dir, "orders").select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2),
+                16,
+                10,
+            ).cast("long")
+            % 16
+        ).alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bm = o.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(F.sum("cents").cast("double") / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("mean_cents"),
+    )
+    mom = bm.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY mean_cents)")
+        .cast("long")
+        .alias("mom_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.min("n").cast("long").alias("min_bucket_n"),
+    )
+    raw = o.agg(
+        (
+            F.floor(
+                F.sum("cents").cast("double") / F.count(F.lit(1)) / 100 * 1e4
+                + 0.5
+            )
+            / 1e4
+        ).alias("raw_mean_q")
+    )
+    return mom.crossJoin(F.broadcast(raw)).select(
+        "n_buckets",
+        "min_bucket_n",
+        (F.col("mom_cents").cast("double") / 100).alias("mom_mean"),
+        "raw_mean_q",
+    )
+
+
+@_staged(
+    "asof_forward_next_purchase",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    nxt AS (
+      SELECT user_id, event_type, us,
+             min(CASE WHEN event_type = 'purchase' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_us
+      FROM e
+    ),
+    views AS (
+      SELECT user_id, us, next_purchase_us,
+             (next_purchase_us IS NOT NULL
+              AND next_purchase_us - us <= 259200000000) AS converted
+      FROM nxt WHERE event_type = 'view'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_views,
+           CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           CAST(quantile_disc(CASE WHEN converted
+                                   THEN next_purchase_us - us END, 0.5)
+                AS BIGINT) AS p50_gap_us,
+           CAST(sum(CASE WHEN converted THEN next_purchase_us - us END)
+                AS BIGINT) AS total_gap_us
+    FROM views GROUP BY 1 ORDER BY 1
+    """,
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance — the mirror of the
+    backward PIT family (pit_join_purchases, training_matrix_pit
+    look BACK for the latest state; attribution and time-to-convert
+    look FORWARD for the next outcome): every view event picks the
+    user's NEXT purchase within 72 h via one conditional frame-min
+    (min over ROWS 1 FOLLOWING..UNBOUNDED of the purchase-only
+    timestamp) on per-user hash-partitioned windows — the union-tag
+    as-of device, no range-join explode, no per-row subquery. Gaps
+    are exact integer MICROSECONDS (unix_micros/epoch_us — the
+    fractional-epoch trap from duplicate_payment_pairs, solved at
+    full precision), aggregated per user with a discrete-median gap.
+    At 100 TB this is one shuffle on user_id."""
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = e.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        )
+        .over(w)
+        .alias("next_purchase_us"),
+    )
+    views = nxt.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "us",
+        "next_purchase_us",
+        (
+            F.col("next_purchase_us").isNotNull()
+            & (F.col("next_purchase_us") - F.col("us") <= 259_200_000_000)
+        ).alias("converted"),
+    )
+    gap = F.when(
+        F.col("converted"), F.col("next_purchase_us") - F.col("us")
+    )
+    return (
+        views.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.sum(F.when(F.col("converted"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_converted"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY "
+                "CASE WHEN converted THEN next_purchase_us - us END)"
+            )
+            .cast("long")
+            .alias("p50_gap_us"),
+            F.sum(gap).cast("long").alias("total_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_staged(
+    "bollinger_bands_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(round(value * 100)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    roll AS (
+      SELECT d, cents,
+             CAST(count(*) OVER w AS BIGINT) AS wn,
+             CAST(sum(cents) OVER w AS BIGINT) AS ws,
+             CAST(sum(cents * cents) OVER w AS BIGINT) AS wss
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    bands AS (
+      SELECT d, cents, wn, ws,
+             CAST(ws AS DOUBLE) / wn AS mid,
+             sqrt((CAST(wss AS DOUBLE) - CAST(ws AS DOUBLE) * ws / wn) / wn)
+               AS sd
+      FROM roll WHERE wn = 7
+    )
+    SELECT d, cents,
+           floor(mid * 1e2 + 0.5) / 1e2 AS mid_q,
+           floor((mid - 2 * sd) * 1e2 + 0.5) / 1e2 AS lower_q,
+           floor((mid + 2 * sd) * 1e2 + 0.5) / 1e2 AS upper_q,
+           (CAST(cents AS DOUBLE) * wn > CAST(ws AS DOUBLE) + 2 * sd * wn)
+             AS above_upper,
+           (CAST(cents AS DOUBLE) * wn < CAST(ws AS DOUBLE) - 2 * sd * wn)
+             AS below_lower
+    FROM bands ORDER BY d
+    """,
+)
+def bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily total event value — the
+    rolling-mean ± 2σ control chart (the finance/monitoring
+    companion to cusum's drift detector and stl_anomaly's robust
+    gate): 7-day trailing window, variance from exact integer
+    (Σc, Σc², n) window sums, warm-up rows (window < 7 days)
+    DROPPED rather than emitted with a shrunken window — the
+    convention mismatch that silently reds cross-engine band
+    charts. The band-crossing FLAGS are integer-vs-float
+    cross-multiplications c·n vs Σ ± 2σ·n (the burst-detection
+    discipline: the decision boundary never compares two
+    quantized floats). The trailing window is a CALENDAR SELF-JOIN
+    on the bounded day frame (the burst_days/durbin_watson device —
+    no global-order window exchange; the ROWS frame and the
+    day-range join coincide because the daily aggregate has exactly
+    one row per day)."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents")
+    )
+    l = daily.select(F.col("d"), F.col("cents"))
+    r = daily.select(F.col("d").alias("d2"), F.col("cents").alias("c2"))
+    roll = (
+        l.join(
+            r,
+            (F.col("d2") >= F.date_sub(F.col("d"), 6)) & (F.col("d2") <= F.col("d")),
+        )
+        .groupBy("d", "cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("wn"),
+            F.sum("c2").cast("long").alias("ws"),
+            F.sum(F.col("c2") * F.col("c2")).cast("long").alias("wss"),
+        )
+        .filter(F.col("wn") == 7)
+    )
+    mid = F.col("ws").cast("double") / F.col("wn")
+    sd = F.sqrt(
+        (
+            F.col("wss").cast("double")
+            - F.col("ws").cast("double") * F.col("ws") / F.col("wn")
+        )
+        / F.col("wn")
+    )
+    return roll.select(
+        "d",
+        "cents",
+        (F.floor(mid * 1e2 + 0.5) / 1e2).alias("mid_q"),
+        (F.floor((mid - 2 * sd) * 1e2 + 0.5) / 1e2).alias("lower_q"),
+        (F.floor((mid + 2 * sd) * 1e2 + 0.5) / 1e2).alias("upper_q"),
+        (
+            F.col("cents").cast("double") * F.col("wn")
+            > F.col("ws").cast("double") + 2 * sd * F.col("wn")
+        ).alias("above_upper"),
+        (
+            F.col("cents").cast("double") * F.col("wn")
+            < F.col("ws").cast("double") - 2 * sd * F.col("wn")
+        ).alias("below_lower"),
+    ).orderBy("d")

@@ -1,0 +1,301 @@
+"""Round-12+ STAGED queries — work built after the round-11 window
+inventory (staged_r10's 2 tail + staged_r11's 48) was already full.
+Same staging discipline: every entry carries its oracle and is
+pytest-verified each session by ``tests/test_staged_r6.py``.
+"""
+
+from __future__ import annotations
+
+#: name → oracle SQL, mirrors standard_queries' registry shape
+STAGED_ORACLES: dict[str, str] = {}
+#: name → (spark, sf_dir) -> DataFrame
+STAGED_QUERIES: dict[str, object] = {}
+
+
+def _staged(name: str, oracle: str):
+    def deco(fn):
+        STAGED_ORACLES[name] = oracle
+        STAGED_QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402,F401
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbt_lakehouse_aws_spark.sources.tables import T  # noqa: E402
+
+
+@_staged(
+    "rank_function_gauntlet_orders",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS prio, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 53 = 0
+    )
+    SELECT prio, o_orderkey, cents,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS prank_q,
+           floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume_q,
+           CAST(nth_value(o_orderkey, 2) OVER
+                  (PARTITION BY prio ORDER BY cents DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS second_key,
+           CAST(lag(cents, 1, -1) OVER w AS BIGINT) AS prev_cents,
+           CAST(lead(cents, 2) OVER w AS BIGINT) AS next2_cents,
+           CAST(first_value(o_orderkey) OVER
+                  (PARTITION BY prio ORDER BY cents DESC, o_orderkey)
+                AS BIGINT) AS top_key
+    FROM base
+    WINDOW w AS (PARTITION BY prio ORDER BY cents DESC, o_orderkey)
+    ORDER BY prio, rnk, o_orderkey
+    """,
+)
+def rank_function_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function gauntlet — the window functions the frame
+    gauntlet (window_frame_gauntlet_orders, queries_r7) didn't
+    cover: rank vs dense_rank gap semantics, percent_rank's
+    (rank−1)/(n−1) vs cume_dist's rank/n normalizations (quantized —
+    both are exact rationals), nth_value with an EXPLICIT running
+    frame (default frames for nth_value differ across engines — the
+    gauntlet pins ROWS UNBOUNDED PRECEDING..CURRENT ROW so row 1
+    sees NULL), lag with an explicit default (-1, exercising the
+    3-arg form), lead at offset 2, and first_value on the default
+    frame. Total order inside each partition via the (cents DESC,
+    key) tiebreak; per-priority hash-partitioned windows."""
+    base = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 53 == 0)
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("prio").orderBy(F.desc("cents"), F.asc("o_orderkey"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return base.select(
+        "prio",
+        "o_orderkey",
+        "cents",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        (F.floor(F.percent_rank().over(w) * 1e6 + 0.5) / 1e6).alias("prank_q"),
+        (F.floor(F.cume_dist().over(w) * 1e6 + 0.5) / 1e6).alias("cume_q"),
+        F.nth_value("o_orderkey", 2).over(wrun).cast("long").alias("second_key"),
+        F.lag("cents", 1, -1).over(w).cast("long").alias("prev_cents"),
+        F.lead("cents", 2).over(w).cast("long").alias("next2_cents"),
+        F.first_value("o_orderkey").over(w).cast("long").alias("top_key"),
+    ).orderBy("prio", "rnk", "o_orderkey")
+
+
+@_staged(
+    "null_ordering_gauntlet_customer",
+    """
+    WITH base AS (
+      SELECT c_custkey,
+             nullif(c_mktsegment, 'BUILDING') AS seg,
+             c_acctbal
+      FROM customer WHERE c_custkey % 29 = 0
+    )
+    SELECT c_custkey, seg,
+           CAST(row_number() OVER (ORDER BY seg ASC NULLS FIRST, c_custkey)
+                AS BIGINT) AS rn_nf,
+           CAST(row_number() OVER (ORDER BY seg ASC NULLS LAST, c_custkey)
+                AS BIGINT) AS rn_nl,
+           CAST(row_number() OVER (ORDER BY seg DESC NULLS FIRST, c_custkey)
+                AS BIGINT) AS rn_dnf,
+           CAST(row_number() OVER (ORDER BY seg DESC NULLS LAST, c_custkey)
+                AS BIGINT) AS rn_dnl
+    FROM base
+    ORDER BY c_custkey
+    """,
+)
+def null_ordering_gauntlet_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ordering gauntlet — the silent cross-engine divergence
+    every ORDER BY with NULLs risks: Spark's default is NULLS FIRST
+    for ASC / NULLS LAST for DESC, DuckDB's default is NULLS LAST
+    everywhere (changed in 0.8!), so any ranking over a nullable key
+    that doesn't PIN the placement is engine-dependent. Four
+    row_number lanes pin all four (direction × placement)
+    combinations over a planted-NULL segment column with a unique
+    tiebreak. Each global ranking rides the SCALABLE 2-pass
+    global_row_number (operators/windows.py — range-partitioned,
+    no single-task window exchange even though the rank is total);
+    the four lanes join back on the key. The oracle replays
+    identical lanes as plain windows."""
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
+    base = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 29 == 0)
+        .select(
+            "c_custkey",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        )
+    )
+    lanes = {
+        "rn_nf": [F.col("seg").asc_nulls_first(), F.col("c_custkey").asc()],
+        "rn_nl": [F.col("seg").asc_nulls_last(), F.col("c_custkey").asc()],
+        "rn_dnf": [F.col("seg").desc_nulls_first(), F.col("c_custkey").asc()],
+        "rn_dnl": [F.col("seg").desc_nulls_last(), F.col("c_custkey").asc()],
+    }
+    out = base
+    for name, order in lanes.items():
+        ranked = global_row_number(base, order, name=name).select(
+            "c_custkey", F.col(name).cast("long").alias(name)
+        )
+        out = out.join(ranked, "c_custkey")
+    return out.select(
+        "c_custkey", "seg", "rn_nf", "rn_nl", "rn_dnf", "rn_dnl"
+    ).orderBy("c_custkey")
+
+
+@_staged(
+    "mips_topk_embeddings",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS vq FROM v WHERE vec_id IN (1, 2, 3)),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS item_id,
+             floor(list_dot_product(q.vq, c.emb) * 1e6 + 0.5) / 1e6 AS dot_q
+      FROM q, v c WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, item_id, dot_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, item_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, item_id, dot_q, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
+def mips_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k — the RECOMMENDER scoring shape
+    next to cosine_topk's normalized similarity: user×item relevance
+    is the raw dot product, and because vector norms vary the MIP
+    ranking genuinely differs from the cosine ranking (a long
+    on-topic vector beats a short identical-direction one). Exact
+    brute force as the auditable baseline (one broadcast of the
+    3-query side, JVM fold dot products, quantized BEFORE ranking);
+    the scale path is the same norm-augmentation reduction the ANN
+    family already buckets through ([x, √(M²−|x|²)] makes MIPS a
+    cosine problem — Bachrach et al. 2014), so this row is the
+    ground truth those probes calibrate against."""
+    from dbt_lakehouse_aws_spark.llmops.similarity import _as_double, dot
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("vq")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("item_id"),
+            (
+                F.floor(dot(F.col("vq"), F.col("emb")) * 1e6 + 0.5) / 1e6
+            ).alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("item_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "item_id", "dot_q", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+@_staged(
+    "acid_stats_prune_audit_events",
+    """
+    WITH e AS (
+      SELECT CAST(date_part('day', CAST(ts AS DATE)) AS BIGINT) AS dom,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(4 AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           TRUE AS prune_correct
+    FROM e WHERE dom BETWEEN 10 AND 12
+    """,
+)
+def acid_stats_prune_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file pruning under the driver gate
+    (sources/acid.py::read(prune=...) — the Iceberg manifest-bounds
+    trick: drop files whose [min,max] cannot intersect the predicate
+    BEFORE Spark opens them): events land in FOUR single-file
+    appends sliced by known day-of-month ranges (1–8, 9–16, 17–24,
+    25–31), so the file→bounds layout is fully deterministic; a
+    dom∈[10,12] read must manifest-prune exactly 3 of 4 files. The
+    row asserts the audit IN-QUERY: n_files_scanned comes from
+    replaying the documented prune rule over the snapshot's
+    OWN stats, and ``prune_correct`` additionally pins that the
+    pruned read returns byte-identical aggregates to the unpruned
+    filtered read (pruning is a superset guarantee — dropping a
+    file that could match would silently lose rows; that is the
+    failure this row exists to catch)."""
+    import tempfile
+    import uuid as _uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.dayofmonth(F.to_date("ts")).cast("long").alias("dom"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = AcidTable(
+        spark,
+        tempfile.mkdtemp(prefix=f"prune_{_uuid.uuid4().hex[:8]}_") + "/t",
+    )
+    for i, (lo, hi) in enumerate([(1, 8), (9, 16), (17, 24), (25, 31)]):
+        t.write(
+            ev.filter(F.col("dom").between(lo, hi)).repartition(1),
+            mode="overwrite" if i == 0 else "append",
+        )
+    snap = t.snapshot()
+    n_total = len(snap.files)
+    # replay the documented prune rule over the manifest stats
+    kept = [
+        f
+        for f in snap.files
+        if (b := snap.stats.get(f, {}).get("dom")) is None
+        or not (b[0] > 12 or b[1] < 10)
+    ]
+    pruned_df = t.read(prune={"dom": (10, 12)}).filter(
+        F.col("dom").between(10, 12)
+    )
+    full_df = t.read().filter(F.col("dom").between(10, 12))
+    p = pruned_df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    ).first()
+    f_ = full_df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    ).first()
+    correct = (p["n"] == f_["n"]) and (p["cents"] == f_["cents"])
+    return spark.createDataFrame(
+        [
+            (
+                int(p["n"]),
+                int(p["cents"]),
+                int(n_total),
+                int(len(kept)),
+                bool(correct),
+            )
+        ],
+        "n long, cents long, n_files_total long, n_files_scanned long,"
+        " prune_correct boolean",
+    )

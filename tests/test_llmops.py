@@ -2383,3 +2383,38 @@ def test_alaw_spec_anchors_and_roundtrip():
     out = decode_wav(wav)
     assert out["bits"] == 8 and out["channels"] == 1
     assert (out["samples"][:, 0] == alaw_decode(alaw_encode([0, 500, -500, 20000]))).all()
+
+
+def test_image_dhash_hand_computed_and_brightness_invariant(spark):
+    """dhash bit j is gray[r,c+1] > gray[r,c] — hand-check a 2x3
+    raster, check codec invariance (BMP vs PNG byte paths decode to
+    the same bits), and the dHash selling point: a uniform
+    brightness shift (no saturation) preserves every gradient
+    comparison, so dhash is UNCHANGED while ahash may flip."""
+    import numpy as np
+
+    from dbt_lakehouse_aws_spark.llmops.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_dhash,
+    )
+
+    # grayscale values per pixel = 3*v (three equal channels)
+    vals = np.array([[10, 40, 20], [90, 60, 200]], dtype=np.uint8)
+    px = np.repeat(vals[:, :, None], 3, axis=2)
+    # row 0: 40>10 -> bit0=1, 20>40 -> bit1=0
+    # row 1: 60>90 -> bit2=0, 200>60 -> bit3=1
+    expect = 0b1001
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(px))), (2, bytearray(encode_png(px)))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in image_dhash(df).collect()}
+    assert got[1]["dhash"] == expect and got[2]["dhash"] == expect
+    assert got[1]["width"] == 3 and got[1]["height"] == 2
+
+    shifted = np.repeat((vals + 10)[:, :, None], 3, axis=2).astype(np.uint8)
+    df2 = spark.createDataFrame(
+        [(3, bytearray(encode_bmp(shifted)))], "doc_id long, payload binary"
+    )
+    assert image_dhash(df2).collect()[0]["dhash"] == expect
