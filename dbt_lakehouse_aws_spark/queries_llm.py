@@ -238,9 +238,15 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash fingerprints, portable-hash mode: the md5-prefix
     base hash lets the oracle recompute every vote lane and the full
-    fingerprint value per document (bits 60-62 provably 0)."""
+    fingerprint value per document (bits 60-62 provably 0). Rides
+    the Arrow vote-tally (bit-identical to the expression path,
+    asserted in test_llmops): the 63-lane interpreted expression
+    tree costs ~120 s at sf0.1 where the numpy tally is ~2 s — the
+    r7 simhash finding; bench's count() used to column-prune the
+    fingerprint away, which is why this read 0.3 s benched while
+    collect() paid the full price."""
     d = T(spark, sf_dir, "documents")
-    return simhash64(d, portable=True)
+    return simhash64(d, portable=True, arrow=True)
 
 
 @register("cosine_topk", COSINE_TOPK_ORACLE)
@@ -339,13 +345,17 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     block the 63-bit fingerprint, join per block, verify true
     Hamming distance — never an all-pairs compare. Portable-hash
     mode: the oracle replays fingerprints, the 4-block pigeonhole
-    join, and the bit_count(xor) Hamming verify exactly."""
+    join, and the bit_count(xor) Hamming verify exactly. Rides the
+    Arrow vote-tally + checkpointed fingerprints (r7 finding: the
+    63-lane interpreted expression tree cost ~240 s at sf0.1 across
+    the join's re-evaluations; numpy tally + one materialization is
+    ~4 s, values bit-identical — asserted in test_llmops)."""
     from dbt_lakehouse_aws_spark.llmops.dedup import simhash_near_pairs
 
     d = T(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, max_hamming=12, portable=True).withColumn(
-        "hamming", F.col("hamming").cast("long")
-    )
+    return simhash_near_pairs(
+        d, max_hamming=12, portable=True, arrow=True
+    ).withColumn("hamming", F.col("hamming").cast("long"))
 
 
 @register(
