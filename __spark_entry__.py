@@ -34,7 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each oracle-checkable
-    query. 4 of 261 registrations are omitted → rows-only check, each
+    query. 4 of 313 registrations are omitted → rows-only check, each
     with a measured justification in its docstring (HLL/KMV sketches
     are approximate by design: `hll_user_rollup`,
     `approx_distinct_users`; the embeddings k-means/PCA queries are

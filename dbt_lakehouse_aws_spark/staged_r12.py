@@ -299,3 +299,110 @@ def acid_stats_prune_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame
         "n long, cents long, n_files_total long, n_files_scanned long,"
         " prune_correct boolean",
     )
+
+
+@_staged(
+    "month_arithmetic_gauntlet_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderkey, d,
+           CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+           CAST(d + INTERVAL 13 MONTH AS DATE) AS plus_13m,
+           CAST(d + INTERVAL (-1) MONTH AS DATE) AS minus_1m,
+           last_day(d) AS eom,
+           (d = last_day(d)) AS is_eom,
+           CAST(date_part('year', d) * 12 + date_part('month', d)
+                AS BIGINT) AS month_index,
+           CAST(date_part('day', CAST(d + INTERVAL 1 MONTH AS DATE))
+                AS BIGINT) AS plus_1m_dom
+    FROM base ORDER BY o_orderkey
+    """,
+)
+def month_arithmetic_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-arithmetic gauntlet — the end-of-month clamp is where
+    calendar bugs live (Jan 31 + 1 month = Feb 29 in a leap year,
+    Feb 28 otherwise — BOTH engines clamp, and this row pins it over
+    six years of order dates incl. the 1996/2000 leap years):
+    add_months ±1/+13, last_day, an is-EOM flag, and the
+    month-index lane (y·12+m) — the SAFE cross-engine month-distance
+    idiom, pinned here precisely because the naive alternatives
+    diverge (Spark months_between is FRACTIONAL, DuckDB
+    date_diff('month') counts boundary crossings; Jan 31 → Feb 1 is
+    1 to DuckDB and ~0.03 to Spark). Pure projection, no shuffle."""
+    base = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey", F.to_date("o_orderdate").alias("d"))
+    )
+    return base.select(
+        "o_orderkey",
+        "d",
+        F.add_months("d", 1).alias("plus_1m"),
+        F.add_months("d", 13).alias("plus_13m"),
+        F.add_months("d", -1).alias("minus_1m"),
+        F.last_day("d").alias("eom"),
+        (F.col("d") == F.last_day("d")).alias("is_eom"),
+        (F.year("d") * 12 + F.month("d")).cast("long").alias("month_index"),
+        F.dayofmonth(F.add_months("d", 1)).cast("long").alias("plus_1m_dom"),
+    ).orderBy("o_orderkey")
+
+
+@_staged(
+    "explode_outer_gauntlet_docs",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN []
+                  ELSE string_split(text, ' ')[1:3] END AS toks
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    exploded AS (
+      SELECT b.doc_id, u.tok, u.pos
+      FROM base b
+      LEFT JOIN (
+        SELECT doc_id, unnest(toks) AS tok,
+               CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos
+        FROM base
+      ) u ON u.doc_id = b.doc_id
+    )
+    SELECT doc_id, pos, tok, (tok IS NULL) AS from_empty
+    FROM exploded
+    ORDER BY doc_id, pos NULLS FIRST
+    """,
+)
+def explode_outer_gauntlet_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer semantics pinned — the lateral-explode trap:
+    plain explode DROPS rows whose array is empty or NULL (an
+    anti-join in disguise — docs silently vanish from token-level
+    pipelines), while the OUTER variant keeps them as a single
+    (NULL pos, NULL tok) row. Every third doc's token array is
+    emptied; the engine uses posexplode_outer, and the oracle —
+    DuckDB's unnest has no outer form — reconstructs the same
+    semantics with a LEFT JOIN against the unnested rows. A
+    from_empty flag makes the preserved rows assertable; ordering
+    pins NULLS FIRST explicitly (the null-ordering gauntlet's
+    lesson)."""
+    base = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.array().cast("array<string>")
+            )
+            .otherwise(F.slice(F.split("text", " "), 1, 3))
+            .alias("toks"),
+        )
+    )
+    out = base.select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "tok",
+        F.col("tok").isNull().alias("from_empty"),
+    )
+    return out.orderBy("doc_id", F.col("pos").asc_nulls_first())

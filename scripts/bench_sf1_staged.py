@@ -22,7 +22,8 @@ sys.path.insert(0, "/root/repo")
 
 from dbt_lakehouse_aws_spark.session import get_spark
 from dbt_lakehouse_aws_spark import standard_queries as SQ
-from dbt_lakehouse_aws_spark import staged_r10, staged_r11
+from dbt_lakehouse_aws_spark import (staged_r8, staged_r9, staged_r10,
+                                     staged_r11, staged_r12)
 from bench import _prepare_chunked
 
 
@@ -34,7 +35,9 @@ def main() -> int:
 
     spark = get_spark("bench-sf1-staged")
     sc = spark.sparkContext
-    queries = {**staged_r10.STAGED_QUERIES, **staged_r11.STAGED_QUERIES}
+    queries = {**staged_r8.STAGED_QUERIES, **staged_r9.STAGED_QUERIES,
+               **staged_r10.STAGED_QUERIES, **staged_r11.STAGED_QUERIES,
+               **staged_r12.STAGED_QUERIES}
 
     for t in ("lineitem", "orders", "customer", "part", "supplier",
               "events", "documents", "embeddings"):
