@@ -105,3 +105,24 @@ def test_bench_headline_names_registered():
 
     assert set(bench.HEADLINE) <= set(QUERIES)
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    # round-7 invariant: registered ⇒ benched, streaming fixtures
+    # excepted — a future round can't silently freeze the benched
+    # surface again (VERDICT r6 item 3)
+    unbenched = {
+        n for n in QUERIES if n not in set(bench.HEADLINE)
+    }
+    assert all(n.startswith("stream_") for n in unbenched), unbenched
+
+
+def test_driver_window_is_50_oracled_and_leads_queries():
+    """The driver gates the FIRST 50 of queries(): the pinned window
+    must be exactly 50 names, every one registered AND value-oracled
+    (a rows-only entry in the window burns a verification slot), and
+    queries() must order them first."""
+    from dbt_lakehouse_aws_spark import standard_queries as sq
+
+    w = sq.DRIVER_WINDOW
+    assert len(w) == 50 and len(set(w)) == 50
+    assert list(QUERIES)[:50] == w
+    missing = [n for n in w if n not in ORACLES]
+    assert not missing, f"window entries without a value oracle: {missing}"
