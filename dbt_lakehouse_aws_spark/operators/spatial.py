@@ -134,6 +134,8 @@ def dbscan_labels(
     pairs = grid_proximity_pairs(
         df, id_col=id_col, x_col=x_col, y_col=y_col, radius=eps
     )
+    from pyspark import StorageLevel
+
     sym = (
         pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
         .unionByName(
@@ -141,9 +143,19 @@ def dbscan_labels(
         )
         # four downstream consumers (degree, two edge-endpoint joins,
         # border adoption) would each re-run the grid join; pin the
-        # neighbor list once
-        .localCheckpoint()
+        # neighbor list once. SERIALIZED memory+disk, not
+        # localCheckpoint: the ε-neighbor list is Σ density² rows at
+        # FIXED blob area, so a 10× denser corpus yields 100× pairs —
+        # at sf1.0 the deserialized in-memory pin OOM'd an 8 GB heap
+        # mid-unroll (r7 finding; the OOM also wedged the whole JVM).
+        # Serialized storage (PySpark's MEMORY_AND_DISK level; the
+        # DataFrame persist default is the _DESER variant) unrolls
+        # incrementally and SPILLS instead of dying, so the same
+        # query is slow-but-correct at any density while staying
+        # memory-resident at bench scales.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sym.count()  # materialize the pin before fan-out
     core = (
         sym.groupBy("id")
         .agg(F.count(F.lit(1)).alias("_deg"))

@@ -33,21 +33,26 @@ def main() -> int:
     budget = float(sys.argv[2]) if len(sys.argv) > 2 else 240.0
     sf_dir = _prepare_chunked(sf_dir)
 
-    spark = get_spark("bench-sf1")
-    sc = spark.sparkContext
-    queries = SQ.all_queries()
+    def fresh_session():
+        s = get_spark("bench-sf1")
+        for t in ("lineitem", "orders", "customer", "part", "supplier",
+                  "events", "documents", "embeddings"):
+            SQ.T(s, sf_dir, t).count()
+        s.range(0, 1024, 1, 32).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
+        return s
 
-    for t in ("lineitem", "orders", "customer", "part", "supplier",
-              "events", "documents", "embeddings"):
-        SQ.T(spark, sf_dir, t).count()
-    spark.range(0, 1024, 1, 32).mapInPandas(lambda it: it, schema="id long").count()
+    spark = fresh_session()
+    queries = SQ.all_queries()
 
     results: dict[str, float | str] = {}
     for i, name in enumerate(HEADLINE):
         fn = queries[name]
+        sc = spark.sparkContext
         done = threading.Event()
 
-        def watchdog() -> None:
+        def watchdog(sc=sc) -> None:
             if not done.wait(budget):
                 sc.cancelAllJobs()
 
@@ -63,6 +68,22 @@ def main() -> int:
             results[name] = f">{budget:.0f}s ({kind})"
         finally:
             done.set()
+        # A fatal failure (executor OOM) can wedge the whole JVM and
+        # poison every later row with ConnectionRefused (r7: dbscan's
+        # sf1.0 OOM cost 143 rows). Probe liveness after any
+        # exception and rebuild the session so one bad query costs
+        # exactly its own slot.
+        if isinstance(results[name], str):
+            try:
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                print(f"[{i + 1}] session dead after {name}; rebuilding",
+                      flush=True)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = fresh_session()
         print(f"[{i + 1}/{len(HEADLINE)}] {name}: {results[name]}", flush=True)
 
     numeric = [v for v in results.values() if isinstance(v, float)]

@@ -33,26 +33,29 @@ def main() -> int:
     only = set(sys.argv[3:])
     sf_dir = _prepare_chunked(sf_dir)
 
-    spark = get_spark("bench-sf1-staged")
-    sc = spark.sparkContext
+    def fresh_session():
+        s = get_spark("bench-sf1-staged")
+        for t in ("lineitem", "orders", "customer", "part", "supplier",
+                  "events", "documents", "embeddings"):
+            SQ.T(s, sf_dir, t).count()
+        s.range(0, 1024, 1, 32).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
+        return s
+
+    spark = fresh_session()
     queries = {**staged_r8.STAGED_QUERIES, **staged_r9.STAGED_QUERIES,
                **staged_r10.STAGED_QUERIES, **staged_r11.STAGED_QUERIES,
                **staged_r12.STAGED_QUERIES}
-
-    for t in ("lineitem", "orders", "customer", "part", "supplier",
-              "events", "documents", "embeddings"):
-        SQ.T(spark, sf_dir, t).count()
-    spark.range(0, 1024, 1, 32).mapInPandas(
-        lambda it: it, schema="id long"
-    ).count()
 
     names = [n for n in queries if not only or n in only]
     results: dict[str, float | str] = {}
     for i, name in enumerate(names):
         fn = queries[name]
+        sc = spark.sparkContext
         done = threading.Event()
 
-        def watchdog() -> None:
+        def watchdog(sc=sc) -> None:
             if not done.wait(budget):
                 sc.cancelAllJobs()
 
@@ -72,6 +75,19 @@ def main() -> int:
             results[name] = f">{budget:.0f}s ({kind})"
         finally:
             done.set()
+        # one fatal query must not poison the rest (r7 dbscan OOM
+        # lesson, same guard as bench_sf1.py)
+        if isinstance(results[name], str):
+            try:
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                print(f"[{i + 1}] session dead after {name}; rebuilding",
+                      flush=True)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = fresh_session()
         print(f"[{i + 1}/{len(names)}] {name}: {results[name]}", flush=True)
 
     numeric = [v for v in results.values() if isinstance(v, float)]
