@@ -406,3 +406,337 @@ def explode_outer_gauntlet_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").isNull().alias("from_empty"),
     )
     return out.orderBy("doc_id", F.col("pos").asc_nulls_first())
+
+
+@_staged(
+    "cross_source_dup_matrix",
+    """
+    WITH h AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS hash
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS shared_fps
+      FROM h a JOIN h b ON b.hash = a.hash AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_fps FROM h GROUP BY 1
+    )
+    SELECT p.source_a, p.source_b, p.shared_fps,
+           sa.n_fps AS n_a, sb.n_fps AS n_b,
+           floor(CAST(p.shared_fps AS DOUBLE)
+                 / least(sa.n_fps, sb.n_fps) * 1e6 + 0.5) / 1e6
+             AS containment_q
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    ORDER BY p.shared_fps DESC, p.source_a, p.source_b
+    LIMIT 30
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-boilerplate matrix — the corpus-provenance
+    diagnostic run before mixing crawls ('how much template/opening
+    boilerplate do sources share' drives dedup order and mixing
+    weights; the within-corpus dedup rows never ask BETWEEN which
+    sources the mass sits): each doc's OPENING fingerprint (md5 of
+    its first 5 tokens — the boilerplate signature; whole-text
+    hashing finds only verbatim dups, which this synthetic corpus
+    has none of below sf0.1), distinct per source, then a hash-equi
+    self-join over sources (never doc×doc — the join key is the
+    fingerprint, cost O(Σ group²) per fingerprint),
+    overlap-containment normalized by the smaller side. Exact
+    integers + one quantized ratio."""
+    d = T(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 5), " ")).alias(
+            "hash"
+        ),
+    ).distinct()
+    a = h.select(F.col("source").alias("source_a"), "hash")
+    b = h.select(F.col("source").alias("source_b"), "hash")
+    pairs = (
+        a.join(b, "hash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+    sizes = h.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps")
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_a", "n_fps": "n_a"})),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_b", "n_fps": "n_b"})),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fps",
+            "n_a",
+            "n_b",
+            (
+                F.floor(
+                    F.col("shared_fps").cast("double")
+                    / F.least("n_a", "n_b")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("containment_q"),
+        )
+        .orderBy(F.desc("shared_fps"), "source_a", "source_b")
+        .limit(30)
+    )
+
+
+@_staged(
+    "seq2_gap_patterns_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type AS ante, b.event_type AS cons,
+             CAST(count(*) AS BIGINT) AS support
+      FROM seq a JOIN seq b
+        ON b.user_id = a.user_id AND b.rn > a.rn AND b.rn <= a.rn + 3
+      GROUP BY 1, 2
+    ),
+    ante_tot AS (
+      SELECT ante, CAST(sum(support) AS BIGINT) AS tot
+      FROM pairs GROUP BY 1
+    )
+    SELECT p.ante, p.cons, p.support,
+           floor(CAST(p.support AS DOUBLE) / t.tot * 1e6 + 0.5) / 1e6
+             AS confidence_q
+    FROM pairs p JOIN ante_tot t ON t.ante = p.ante
+    ORDER BY p.ante, p.cons
+    """,
+)
+def seq2_gap_patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-constrained sequential 2-patterns (the SPAM/PrefixSpan
+    2-sequence cell with a maxgap of 3 events) — 'A then B within
+    the next 3 actions' with support and confidence, the sequential
+    association rule the adjacency-only rows (event_transition
+    Markov counts, session paths) can't express because they stop
+    at lag 1. Per-user rank from hash-partitioned windows, then a
+    BANDED self-join on (user, rank window) — the range-join
+    bucketing discipline with the band written as an rn residual;
+    vocabulary-bounded output (|types|²)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    a = seq.select(
+        "user_id", F.col("event_type").alias("ante"), F.col("rn").alias("ra")
+    )
+    b = seq.select(
+        "user_id", F.col("event_type").alias("cons"), F.col("rn").alias("rb")
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter((F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + 3))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    tot = pairs.groupBy("ante").agg(F.sum("support").cast("long").alias("tot"))
+    return (
+        pairs.join(F.broadcast(tot), "ante")
+        .select(
+            "ante",
+            "cons",
+            "support",
+            (
+                F.floor(F.col("support").cast("double") / F.col("tot") * 1e6 + 0.5)
+                / 1e6
+            ).alias("confidence_q"),
+        )
+        .orderBy("ante", "cons")
+    )
+
+
+@_staged(
+    "business_day_adjust_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow
+      FROM orders WHERE o_orderkey % 89 = 0
+    ),
+    adj AS (
+      SELECT o_orderkey, d, dow,
+             CASE WHEN dow = 6 THEN CAST(d + INTERVAL 2 DAY AS DATE)
+                  WHEN dow = 7 THEN CAST(d + INTERVAL 1 DAY AS DATE)
+                  ELSE d END AS next_bday
+      FROM base
+    )
+    SELECT o_orderkey, d, dow, next_bday,
+           (next_bday <> d) AS was_weekend,
+           CAST(next_bday + INTERVAL 7 DAY AS DATE) AS plus_5_bdays
+    FROM adj ORDER BY o_orderkey
+    """,
+)
+def business_day_adjust_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day adjustment — the settlement/SLA calendar op
+    (T+5 settlement, 'due in 5 business days') the datetime gauntlet
+    family lacked: roll weekend dates forward to the next business
+    day (Sat +2, Sun +1 — the ISO-dow CASE both engines replay;
+    Spark's dayofweek is 1=SUNDAY so the engine uses the weekday()
+    0=Monday form + 1 to match DuckDB's isodow exactly), then +5
+    business days, which from a business day is EXACTLY +7 calendar
+    days (5 weekdays always span one weekend) — the closed form that
+    needs no calendar table. Pure projection; a real holiday
+    calendar would broadcast-anti-join a dim table on top."""
+    base = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 89 == 0)
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("d"),
+            (F.weekday(F.to_date("o_orderdate")) + 1).cast("long").alias("dow"),
+        )
+    )
+    adj = base.withColumn(
+        "next_bday",
+        F.when(F.col("dow") == 6, F.date_add("d", 2))
+        .when(F.col("dow") == 7, F.date_add("d", 1))
+        .otherwise(F.col("d")),
+    )
+    return adj.select(
+        "o_orderkey",
+        "d",
+        "dow",
+        "next_bday",
+        (F.col("next_bday") != F.col("d")).alias("was_weekend"),
+        F.date_add("next_bday", 7).alias("plus_5_bdays"),
+    ).orderBy("o_orderkey")
+
+
+def _lpa_capped_oracle_sql(rounds: int = 3, k: int = 16) -> str:
+    """Unrolled LPA oracle over the NEIGHBOR-CAPPED co-activity
+    graph — the capped twins' CTE prelude + queries_r7's unrolled
+    label-propagation rounds."""
+    parts = [
+        f"""
+    ue AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    ),
+    shared AS (
+      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
+      FROM ue x JOIN ue y
+        ON x.event_type = y.event_type AND x.hr = y.hr
+       AND x.user_id < y.user_id
+      GROUP BY 1, 2
+    ),
+    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
+    sym0 AS (
+      SELECT a AS node, b AS nbr, shared FROM strong
+      UNION ALL SELECT b, a, shared FROM strong
+    ),
+    ranked AS (
+      SELECT node, nbr,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY shared DESC, nbr ASC) AS rk
+      FROM sym0
+    ),
+    capped AS MATERIALIZED (
+      SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+      FROM ranked WHERE rk <= {k}
+    ),
+    und AS (
+      SELECT a AS u, b AS v FROM capped
+      UNION ALL SELECT b, a FROM capped
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    v{i} AS (
+      SELECT u.u AS node, p.label, count(*) AS c
+      FROM und u JOIN l{i - 1} p ON p.node = u.v
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM v{i}) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS size,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM l{rounds} GROUP BY label
+    ORDER BY size DESC, community ASC LIMIT 50
+    """
+    )
+
+
+@_staged("lpa_communities_capped_users", "PLACEHOLDER_LPA_CAPPED")
+def lpa_communities_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities on the NEIGHBOR-CAPPED
+    co-activity graph — the scale-safe twin of lpa_communities_users
+    (queries_r7), added after the round-7 sf1.0 artifact showed the
+    uncapped form joining the exact wedge rows past the 240 s
+    watchdog (3 LPA rounds are O(edges) each, and the RAW graph's
+    edge count densifies ~quadratically with slot density; the
+    top-16 cap bounds it at n·k). Same deterministic LPA — 3
+    synchronous rounds, most-frequent-neighbor label, smallest-label
+    ties, map-side max(struct) argmax — a DIFFERENT, fully-specified
+    estimand on the kNN-sparsified graph, not an approximation of
+    the uncapped row (which stays registered as calibration-class
+    evidence at sf ≤ 0.1)."""
+    from dbt_lakehouse_aws_spark.operators.graph import (
+        cap_neighbors,
+        label_propagation_rounds,
+    )
+
+    e = T(spark, sf_dir, "events")
+    ue = e.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
+    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
+    weighted = (
+        x.join(y, ["event_type", "hr"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    capped = cap_neighbors(weighted, k=16, weight="shared")
+    labels = label_propagation_rounds(capped, src="a", dst="b", rounds=3)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.min("node").cast("long").alias("min_node"),
+            F.sum("node").cast("long").alias("node_checksum"),
+        )
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(50)
+    )
+
+
+STAGED_ORACLES["lpa_communities_capped_users"] = _lpa_capped_oracle_sql(3, 16)

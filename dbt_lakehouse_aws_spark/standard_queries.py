@@ -5947,11 +5947,12 @@ ROUND7_WINDOW: list[str] = [
 
 DRIVER_WINDOW: list[str] = ROUND7_WINDOW[:50]
 
-#: ROUND-8/9/10 PLAN (rotate only once CORRECTNESS_r07.json exists —
-#: memory: driver-window-rotation). Staged inventory after the r7
-#: promotion: staged_r8 50, staged_r9 32, staged_r10 48 (the two
-#: capped twins moved up into queries_r7), staged_r11 26 (opened at
-#: round-6 close; still growing).
+#: ROUND-8/9/10/11 PLAN (rotate only once CORRECTNESS_r07.json
+#: exists — memory: driver-window-rotation). Staged inventory at
+#: round-7 close: staged_r8 50, staged_r9 32, staged_r10 48 (the two
+#: capped twins moved up into queries_r7), staged_r11 50 (grown from
+#: 26 during round 7 — every addition 4-gate verified), staged_r12 6
+#: (opened round 7; grows through rounds 8+).
 #:   * ROUND 8: the 4 round-7 promotions whose driver rows were
 #:     deferred (item_cf_topk_parts, max_drawdown_users,
 #:     fifo_match_returns_parts, als_user_step_lineitem) lead, then
@@ -5960,8 +5961,9 @@ DRIVER_WINDOW: list[str] = ROUND7_WINDOW[:50]
 #:   * ROUND 9: staged_r8's 4 tail + the 18-query stalest-evidence
 #:     backfill below (r1-only driver rows) + the first 28 of
 #:     staged_r9 = 50; staged_r9's remaining 4 join round 10.
-#:   * ROUND 10: staged_r9's 4 tail + 46 of staged_r10; staged_r10's
-#:     2 tail + staged_r11 rotate in round 11.
+#:   * ROUND 10: staged_r9's 4 tail + 46 of staged_r10.
+#:   * ROUND 11: staged_r10's 2 tail + the first 48 of staged_r11;
+#:     staged_r11's 2 tail + staged_r12 rotate in round 12.
 #: Every staged entry is oracle-green at sf0.001 AND sf0.01
 #: (scripts/check_staged.py), vanilla-ANSI checked
 #: (check_staged_vanilla.py), plan-linted + sf0.1-timed, and
