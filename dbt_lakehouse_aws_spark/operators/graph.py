@@ -607,9 +607,17 @@ def label_propagation_rounds(
     one O(edges) join + one O(edges) aggregate; lineage truncates
     per round via ``localCheckpoint``.
     """
-    und = edges.select(
-        F.col(src).alias("_u"), F.col(dst).alias("_v")
-    ).union(edges.select(F.col(dst), F.col(src)))
+    # Pin the symmetrized edge list ONCE: it feeds the initial label
+    # frame plus one join PER ROUND, and without the checkpoint each
+    # consumer re-derives the whole upstream edge construction — for
+    # the capped co-activity graph that construction is the dominant
+    # quadratic cost, and 4-5 re-derivations put the sf1.0 run past
+    # the 240 s watchdog (r7 finding: >240 s → 70 s from this line).
+    und = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .union(edges.select(F.col(dst), F.col(src)))
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         und.select(F.col("_u").alias("node"))
