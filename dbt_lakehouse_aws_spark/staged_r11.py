@@ -2963,66 +2963,6 @@ def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_staged(
-    "l_diversity_orders",
-    """
-    WITH g AS (
-      SELECT o_orderpriority AS priority,
-             CAST(floor(o_totalprice / 50000) AS BIGINT) AS band,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l,
-             CAST(max(cnt) AS BIGINT) AS modal_n
-      FROM (
-        SELECT o_orderpriority, o_totalprice, o_orderstatus,
-               count(*) OVER (PARTITION BY o_orderpriority,
-                              CAST(floor(o_totalprice / 50000) AS BIGINT),
-                              o_orderstatus) AS cnt
-        FROM orders)
-      GROUP BY 1, 2
-    )
-    SELECT priority, band, n, l, (l < 2) AS homogeneous,
-           floor(CAST(modal_n AS DOUBLE) / n * 1e6 + 0.5) / 1e6
-             AS modal_share_q
-    FROM g ORDER BY priority, band
-    """,
-)
-def l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity audit (Machanavajjhala et al. 2007) — the
-    k-anonymity companion the privacy family was missing: k-anonymity
-    (k_anonymity_orders, queries_r6) bounds GROUP SIZE, but a group
-    of 1,000 rows that all share one sensitive value still leaks it;
-    l-diversity requires ≥ l distinct sensitive values per
-    quasi-identifier group. QI = (priority, $50k price band),
-    sensitive = order status: per group the distinct-l, the
-    homogeneity-attack flag (l < 2), and the modal-value share (the
-    probabilistic-inference bound 1/l relaxes to). One grouped
-    aggregate over a windowed modal count — exact integers, one
-    quantized ratio."""
-    o = T(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("priority"),
-        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("band"),
-        F.col("o_orderstatus").alias("status"),
-    )
-    cell = o.groupBy("priority", "band", "status").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    g = cell.groupBy("priority", "band").agg(
-        F.sum("cnt").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("l"),
-        F.max("cnt").cast("long").alias("modal_n"),
-    )
-    return g.select(
-        "priority",
-        "band",
-        "n",
-        "l",
-        (F.col("l") < 2).alias("homogeneous"),
-        (F.floor(F.col("modal_n").cast("double") / F.col("n") * 1e6 + 0.5) / 1e6).alias(
-            "modal_share_q"
-        ),
-    ).orderBy("priority", "band")
-
-
-@_staged(
     "changepoint_binseg_events",
     """
     WITH daily AS (
