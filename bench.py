@@ -366,6 +366,62 @@ HEADLINE = [
     "hll_user_rollup",
     "j11_full_outer_presence",
     "j12_null_safe_join",
+    # round-8 promotions (former staged_r8) + the four verdict-r7
+    # move-ups — registered ⇒ benched (test-enforced invariant)
+    "stl_lite_daily_events",
+    "string_format_gauntlet_parts",
+    "markov_perplexity_events",
+    "cramers_v_events",
+    "largest_remainder_allocation",
+    "cidr_longest_prefix_events",
+    "iso_calendar_gauntlet_orders",
+    "keyset_pagination_parts",
+    "timezone_gauntlet_events",
+    "cohens_d_events",
+    "hhi_by_part_type",
+    "change_point_daily_events",
+    "mix_shift_decomposition",
+    "linear_interpolate_daily",
+    "reconcile_order_totals",
+    "acid_replace_where_events",
+    "daily_percentile_bands",
+    "wilson_ci_conversion",
+    "dispersion_index_events",
+    "durbin_watson_daily",
+    "k_anon_generalization_ladder",
+    "degree_assortativity_users",
+    "burst_days_events",
+    "digest_codec_gauntlet_parts",
+    "stream_replace_where_daily",
+    "partial_correlation_lineitem",
+    "mahalanobis_outliers_lineitem",
+    "cuped_adjustment_events",
+    "srm_check_events",
+    "jackknife_ratio_variance",
+    "stratified_ate_events",
+    "travel_distance_users",
+    "budget_pacing_daily",
+    "churn_threshold_ladder",
+    "type_token_ratio_sources",
+    "open_orders_per_day",
+    "acid_drop_column_events",
+    "duplicate_payment_pairs",
+    "stl_anomaly_days",
+    "scd3_user_prior_state",
+    "bitemporal_asof_events",
+    "eb_shrunk_return_rates",
+    "minhash_eval_vs_exact",
+    "peak_event_rate_users",
+    "regression_discontinuity_orders",
+    "kpi_driver_decomposition",
+    "capture_recapture_users",
+    "transition_latency_matrix",
+    "weighted_kappa_quality",
+    "feature_gini_importance",
+    "hll_error_bound_users",
+    "lpa_communities_capped_users",
+    "kcore_capped_users",
+    "kmv_error_bound_customers",
 ]
 
 

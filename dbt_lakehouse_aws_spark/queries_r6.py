@@ -2312,7 +2312,17 @@ def kcore_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     peeling rounds (operators/graph.py::kcore_fixed_rounds) — the
     standard community-density filter (degree-1 tendrils peel away
     shell by shell); the oracle unrolls the identical 4 synchronous
-    rounds in SQL."""
+    rounds in SQL.
+
+    CALIBRATION-CLASS (the exact-vs-LSH dedup pattern): peeling is
+    O(edges)/round, but the RAW co-activity graph's edge count
+    densifies ~quadratically with slot density — the largest sf1.0
+    completion in BENCH_sf1 r7 (138 s, 17.6× per-unit on 10× data),
+    so this exact row calibrates the production form,
+    ``kcore_capped_users`` (queries_r8.py), whose top-16 neighbor
+    cap bounds every peeling round at O(n·k) regardless of raw-graph
+    density (82 s at sf1.0 vs 138 s here, and the gap widens with
+    scale)."""
     from dbt_lakehouse_aws_spark.operators.coactivity import coactivity_edges as _coactivity_edges
     from dbt_lakehouse_aws_spark.operators.graph import kcore_fixed_rounds
 

@@ -664,7 +664,17 @@ def bfs_hops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, frontier-only, localCheckpoint-truncated); the oracle is
     DuckDB's native recursive CTE with its UNION-dedup fixpoint —
     two different BFS evaluation strategies agreeing on the exact
-    per-distance node counts and id checksums."""
+    per-distance node counts and id checksums.
+
+    CALIBRATION-CLASS (the exact-vs-LSH dedup pattern): frontier
+    expansion is O(edges)/round, but the RAW co-activity graph's
+    edge count densifies ~quadratically with slot density (76 s /
+    7.6× per-unit at sf1.0 in BENCH_sf1 r7). The bounded-degree
+    production form is any of the capped-graph rows — the identical
+    ``cap_neighbors`` prelude feeds ``kcore_capped_users`` /
+    ``lpa_communities_capped_users`` (queries_r8.py), and BFS over
+    that kNN graph costs O(n·k)/round; this exact row stays
+    registered to calibrate them against the raw graph."""
     from dbt_lakehouse_aws_spark.operators.graph import bfs_hops
     from dbt_lakehouse_aws_spark.operators.coactivity import coactivity_edges as _coactivity_edges
 

@@ -1,22 +1,34 @@
-"""Round-8 STAGED queries — the final 50 of the round-5 staging
-corpus; NOT yet in ``queries()``. Round 8's window takes these plus
-the ROUND6_BACKFILL_PLAN rows (overflow leads round 9). Every entry
-carries its oracle and is pytest-verified each session by
-``tests/test_staged_r6.py``.
+"""Round-8 queries, promoted from staging (formerly
+``staged_r8.py`` — the final 50 of the round-5 staging corpus, in
+original file order) into the main registry, per the ROUND-8 PLAN in
+``rotation.py``, PLUS four rows moved up on the round-7 verdict:
+the capped-LPA twin (verdict item 2, from staged_r12), a NEW capped
+k-core twin (verdict item 2), and the two sketch error-bound rows
+(verdict item 4: ``hll_error_bound_users`` from staged_r11 and a NEW
+KMV bound twin for ``approx_distinct_users``).
+
+Definitions accumulate into module-local dicts via the ``_promoted``
+decorator and are appended to ``standard_queries._REGISTRY`` by the
+loop at the END of this file, exactly like queries_r5/r6/r7. Every
+entry was oracle-verified at sf0.001 AND sf0.01, vanilla-ANSI
+checked, plan-linted, sf0.1-timed, and sf1.0-audited under the 240 s
+watchdog while in staging (scripts/check_staged.py,
+check_staged_vanilla.py, bench_sf1_staged.py) BEFORE this promotion;
+the four moved-up rows passed the same four gates this round.
 """
 
 from __future__ import annotations
 
 #: name → oracle SQL, mirrors standard_queries' registry shape
-STAGED_ORACLES: dict[str, str] = {}
+_PROMOTED_ORACLES: dict[str, str] = {}
 #: name → (spark, sf_dir) -> DataFrame
-STAGED_QUERIES: dict[str, object] = {}
+_PROMOTED_QUERIES: dict[str, object] = {}
 
 
-def _staged(name: str, oracle: str):
+def _promoted(name: str, oracle: str):
     def deco(fn):
-        STAGED_ORACLES[name] = oracle
-        STAGED_QUERIES[name] = fn
+        _PROMOTED_ORACLES[name] = oracle
+        _PROMOTED_QUERIES[name] = fn
         return fn
 
     return deco
@@ -25,7 +37,7 @@ def _staged(name: str, oracle: str):
 from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-@_staged(
+@_promoted(
     "stl_lite_daily_events",
     """
     WITH daily AS (
@@ -118,7 +130,7 @@ def stl_lite_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "string_format_gauntlet_parts",
     """
     SELECT p_partkey,
@@ -167,7 +179,7 @@ def string_format_gauntlet_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
-@_staged(
+@_promoted(
     "markov_perplexity_events",
     """
     WITH seq AS (
@@ -232,7 +244,7 @@ def markov_perplexity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "cramers_v_events",
     """
     WITH obs AS (
@@ -307,7 +319,7 @@ def cramers_v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "largest_remainder_allocation",
     """
     WITH li AS (
@@ -423,7 +435,7 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "cidr_longest_prefix_events",
     """
     WITH ips AS (
@@ -515,7 +527,7 @@ def cidr_longest_prefix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "iso_calendar_gauntlet_orders",
     """
     WITH d AS (
@@ -568,7 +580,7 @@ def iso_calendar_gauntlet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "keyset_pagination_parts",
     """
     WITH ranked AS (
@@ -624,7 +636,7 @@ def keyset_pagination_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "timezone_gauntlet_events",
     """
     WITH z AS (
@@ -680,7 +692,7 @@ def timezone_gauntlet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "cohens_d_events",
     """
     WITH x AS (
@@ -771,7 +783,7 @@ def cohens_d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@_staged(
+@_promoted(
     "hhi_by_part_type",
     """
     WITH r AS (
@@ -839,7 +851,7 @@ def hhi_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "change_point_daily_events",
     """
     WITH daily AS (
@@ -941,7 +953,7 @@ def change_point_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "mix_shift_decomposition",
     """
     WITH m AS (
@@ -1019,7 +1031,7 @@ def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@_staged(
+@_promoted(
     "linear_interpolate_daily",
     """
     WITH daily AS (
@@ -1145,7 +1157,7 @@ def linear_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "reconcile_order_totals",
     """
     WITH li AS (
@@ -1221,7 +1233,7 @@ def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "acid_replace_where_events",
     """
     WITH base AS (
@@ -1280,7 +1292,7 @@ def acid_replace_where_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "daily_percentile_bands",
     """
     WITH x AS (
@@ -1331,7 +1343,7 @@ def daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "wilson_ci_conversion",
     """
     WITH s AS (
@@ -1394,7 +1406,7 @@ def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@_staged(
+@_promoted(
     "dispersion_index_events",
     """
     WITH daily AS (
@@ -1448,7 +1460,7 @@ def dispersion_index_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@_staged(
+@_promoted(
     "durbin_watson_daily",
     """
     WITH daily AS (
@@ -1507,7 +1519,7 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "k_anon_generalization_ladder",
     """
     WITH ladder AS (
@@ -1585,7 +1597,7 @@ def k_anon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "degree_assortativity_users",
     # NOTE: reuses queries_r5's co-activity edge definition verbatim
     """
@@ -1664,7 +1676,7 @@ def degree_assortativity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "burst_days_events",
     """
     WITH daily AS (
@@ -1749,7 +1761,7 @@ def burst_days_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "digest_codec_gauntlet_parts",
     """
     SELECT p_partkey,
@@ -1789,7 +1801,7 @@ def digest_codec_gauntlet_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
-@_staged(
+@_promoted(
     "stream_replace_where_daily",
     """
     WITH daily AS (
@@ -1889,7 +1901,7 @@ def stream_replace_where_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "partial_correlation_lineitem",
     """
     WITH li AS (
@@ -1972,7 +1984,7 @@ def partial_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "mahalanobis_outliers_lineitem",
     """
     WITH li AS (
@@ -2070,7 +2082,7 @@ def mahalanobis_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@_staged(
+@_promoted(
     "cuped_adjustment_events",
     """
     WITH bounds AS (
@@ -2197,7 +2209,7 @@ def cuped_adjustment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "srm_check_events",
     """
     WITH arms AS (
@@ -2248,7 +2260,7 @@ def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "jackknife_ratio_variance",
     """
     WITH per_bucket AS (
@@ -2342,7 +2354,7 @@ def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "stratified_ate_events",
     """
     WITH bounds AS (
@@ -2443,7 +2455,7 @@ def stratified_ate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stratum")
 
 
-@_staged(
+@_promoted(
     "travel_distance_users",
     """
     WITH pts AS (
@@ -2518,7 +2530,7 @@ def travel_distance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "budget_pacing_daily",
     """
     WITH daily AS (
@@ -2606,7 +2618,7 @@ def budget_pacing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d")
 
 
-@_staged(
+@_promoted(
     "churn_threshold_ladder",
     """
     WITH last_seen AS (
@@ -2675,7 +2687,7 @@ def churn_threshold_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "type_token_ratio_sources",
     """
     WITH tok AS (
@@ -2737,7 +2749,7 @@ def type_token_ratio_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-@_staged(
+@_promoted(
     "open_orders_per_day",
     """
     WITH spans AS (
@@ -2803,7 +2815,7 @@ def open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "acid_drop_column_events",
     """
     WITH base AS (
@@ -2870,7 +2882,7 @@ def acid_drop_column_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "duplicate_payment_pairs",
     """
     WITH pay AS (
@@ -2938,7 +2950,7 @@ def duplicate_payment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "stl_anomaly_days",
     """
     WITH daily AS (
@@ -3051,7 +3063,7 @@ def stl_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "scd3_user_prior_state",
     """
     WITH seq AS (
@@ -3102,7 +3114,7 @@ def scd3_user_prior_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "bitemporal_asof_events",
     """
     WITH horizon AS (
@@ -3190,7 +3202,7 @@ def bitemporal_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "eb_shrunk_return_rates",
     """
     WITH per_part AS (
@@ -3335,7 +3347,7 @@ def _minhash_eval_oracle() -> str:
     """
 
 
-@_staged("minhash_eval_vs_exact", _minhash_eval_oracle())
+@_promoted("minhash_eval_vs_exact", _minhash_eval_oracle())
 def minhash_eval_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality evaluation — MinHash(32)+LSH estimated
     near-dup pairs (est ≥ 0.5) scored against the EXACT 3-shingle
@@ -3387,7 +3399,7 @@ def minhash_eval_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "peak_event_rate_users",
     """
     WITH x AS (
@@ -3453,7 +3465,7 @@ def peak_event_rate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "regression_discontinuity_orders",
     """
     WITH x AS (
@@ -3548,7 +3560,7 @@ def regression_discontinuity_orders(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@_staged(
+@_promoted(
     "kpi_driver_decomposition",
     """
     WITH bounds AS (
@@ -3651,7 +3663,7 @@ def kpi_driver_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "capture_recapture_users",
     """
     WITH s1 AS (
@@ -3711,7 +3723,7 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "transition_latency_matrix",
     """
     WITH seq AS (
@@ -3766,7 +3778,7 @@ def transition_latency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "weighted_kappa_quality",
     """
     WITH rated AS (
@@ -3864,7 +3876,7 @@ def weighted_kappa_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "feature_gini_importance",
     """
     WITH lab AS (
@@ -3968,3 +3980,435 @@ def feature_gini_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_values",
         (F.floor(gain * 1e6 + 0.5) / 1e6).alias("gini_gain_q"),
     ).orderBy(F.desc("gini_gain_q"), F.asc("feature"))
+
+
+
+# ---------------------------------------------------------------------------
+# Rows moved up on the round-7 verdict (items 2 and 4): the capped-LPA
+# twin (from staged_r12), the HLL error-bound row (from staged_r11),
+# and the two NEW rows built this round (capped k-core twin, KMV
+# error-bound twin) — all four 4-gate verified this round before
+# registration; driver rows lead the round-9 window per rotation.py.
+# ---------------------------------------------------------------------------
+
+@_promoted(
+    "hll_error_bound_users",
+    """
+    WITH per AS (
+      SELECT CAST(event_type AS VARCHAR) AS group_key,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT '__total__' AS group_key,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events
+    )
+    SELECT group_key, exact_distinct, n_rows, TRUE AS bound_ok
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+    ORDER BY group_key
+    """,
+)
+def hll_error_bound_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tolerance-checked twin of the rows-only HLL rows (VERDICT
+    r6 item 7): DataSketches HLL per-type distinct-user estimates
+    AND the grand total from the per-group SKETCH UNION (operators/
+    aggregates.py::distinct_sketch_rollup, lg_k=12 → rsd ≈ 1.6%) are
+    verified ENGINE-SIDE against exact distinct counts at a 10%
+    relative bound (> 6σ for this lg_k — a failure means broken
+    sketch plumbing, not sketch luck). The sketch estimate itself is
+    engine-specific so the oracle pins (group, exact, n, bound-holds)
+    — the approx_quantile_bounds device applied to count-distinct.
+    The exact pass exists only to audit the sketch; production
+    rollups read the KB-sized sketches alone."""
+    from dbt_lakehouse_aws_spark.operators.aggregates import (
+        distinct_sketch_rollup,
+    )
+    from dbt_lakehouse_aws_spark.sources.tables import T
+
+    ev = T(spark, sf_dir, "events")
+    est = distinct_sketch_rollup(ev, group_col="event_type", value_col="user_id")
+    exact_per = ev.groupBy(
+        F.col("event_type").cast("string").alias("group_key")
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    exact_tot = ev.agg(
+        F.lit("__total__").alias("group_key"),
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+    )
+    exact = exact_per.unionByName(exact_tot)
+    return (
+        est.join(exact, "group_key")
+        .select(
+            "group_key",
+            "exact_distinct",
+            "n_rows",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+                <= 0.10 * F.col("exact_distinct")
+            ).alias("bound_ok"),
+        )
+        .orderBy("group_key")
+    )
+
+
+def _lpa_capped_oracle_sql(rounds: int = 3, k: int = 16) -> str:
+    """Unrolled LPA oracle over the NEIGHBOR-CAPPED co-activity
+    graph — the capped twins' CTE prelude + queries_r7's unrolled
+    label-propagation rounds."""
+    parts = [
+        f"""
+    ue AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    ),
+    shared AS (
+      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
+      FROM ue x JOIN ue y
+        ON x.event_type = y.event_type AND x.hr = y.hr
+       AND x.user_id < y.user_id
+      GROUP BY 1, 2
+    ),
+    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
+    sym0 AS (
+      SELECT a AS node, b AS nbr, shared FROM strong
+      UNION ALL SELECT b, a, shared FROM strong
+    ),
+    ranked AS (
+      SELECT node, nbr,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY shared DESC, nbr ASC) AS rk
+      FROM sym0
+    ),
+    capped AS MATERIALIZED (
+      SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+      FROM ranked WHERE rk <= {k}
+    ),
+    und AS (
+      SELECT a AS u, b AS v FROM capped
+      UNION ALL SELECT b, a FROM capped
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    v{i} AS (
+      SELECT u.u AS node, p.label, count(*) AS c
+      FROM und u JOIN l{i - 1} p ON p.node = u.v
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM v{i}) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS size,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM l{rounds} GROUP BY label
+    ORDER BY size DESC, community ASC LIMIT 50
+    """
+    )
+
+
+@_promoted("lpa_communities_capped_users", "PLACEHOLDER_LPA_CAPPED")
+def lpa_communities_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities on the NEIGHBOR-CAPPED
+    co-activity graph — the scale-safe twin of lpa_communities_users
+    (queries_r7), added after the round-7 sf1.0 artifact showed the
+    uncapped form joining the exact wedge rows past the 240 s
+    watchdog (3 LPA rounds are O(edges) each, and the RAW graph's
+    edge count densifies ~quadratically with slot density; the
+    top-16 cap bounds it at n·k). Same deterministic LPA — 3
+    synchronous rounds, most-frequent-neighbor label, smallest-label
+    ties, map-side max(struct) argmax — a DIFFERENT, fully-specified
+    estimand on the kNN-sparsified graph, not an approximation of
+    the uncapped row (which stays registered as calibration-class
+    evidence at sf ≤ 0.1)."""
+    from dbt_lakehouse_aws_spark.operators.graph import (
+        cap_neighbors,
+        label_propagation_rounds,
+    )
+    from dbt_lakehouse_aws_spark.sources.tables import T
+
+    e = T(spark, sf_dir, "events")
+    ue = e.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
+    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
+    weighted = (
+        x.join(y, ["event_type", "hr"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    capped = cap_neighbors(weighted, k=16, weight="shared")
+    labels = label_propagation_rounds(capped, src="a", dst="b", rounds=3)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.min("node").cast("long").alias("min_node"),
+            F.sum("node").cast("long").alias("node_checksum"),
+        )
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(50)
+    )
+
+
+_PROMOTED_ORACLES["lpa_communities_capped_users"] = _lpa_capped_oracle_sql(3, 16)
+
+
+def _kcore_capped_oracle_sql(k_core: int, rounds: int, k_nn: int) -> str:
+    """Unrolled k-core peeling oracle over the NEIGHBOR-CAPPED
+    co-activity graph: the capped twins' CTE prelude (top-k_nn
+    strongest neighbors per node, kNN-symmetrized) + queries_r6's
+    unrolled synchronous peeling rounds."""
+    parts = [
+        f"""
+    ue AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    ),
+    shared AS (
+      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
+      FROM ue x JOIN ue y
+        ON x.event_type = y.event_type AND x.hr = y.hr
+       AND x.user_id < y.user_id
+      GROUP BY 1, 2
+    ),
+    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
+    sym0 AS (
+      SELECT a AS node, b AS nbr, shared FROM strong
+      UNION ALL SELECT b, a, shared FROM strong
+    ),
+    ranked AS (
+      SELECT node, nbr,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY shared DESC, nbr ASC) AS rk
+      FROM sym0
+    ),
+    capped AS MATERIALIZED (
+      SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+      FROM ranked WHERE rk <= {k_nn}
+    ),
+    nbr0 AS (
+      SELECT a AS node, b AS nbr FROM capped
+      UNION ALL SELECT b, a FROM capped
+    )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""
+    keep{i} AS (
+      SELECT node FROM (
+        SELECT node, count(*) AS d FROM nbr{i} GROUP BY node
+      ) WHERE d >= {k_core}
+    ),
+    nbr{i + 1} AS (
+      SELECT n.node, n.nbr FROM nbr{i} n
+      JOIN keep{i} x ON x.node = n.node
+      JOIN keep{i} y ON y.node = n.nbr
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT node AS user_id, CAST(count(*) AS BIGINT) AS degree
+    FROM nbr{rounds} GROUP BY node
+    ORDER BY degree DESC, user_id ASC
+    """
+    )
+
+
+@_promoted("kcore_capped_users", "PLACEHOLDER_KCORE_CAPPED")
+def kcore_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the NEIGHBOR-CAPPED co-activity graph — the
+    scale-safe twin of ``kcore_users_events`` (queries_r6), built
+    after the round-7 sf1.0 artifact showed the uncapped form as the
+    largest completion (138 s, 17.6× on 10× data: peeling itself is
+    O(edges)/round, but the RAW co-activity graph's edge count
+    densifies ~quadratically with slot density). ``cap_neighbors``'
+    top-16 kNN symmetrization bounds every degree at 2k, so each
+    peeling round costs O(n·k) however dense the raw graph gets —
+    a DIFFERENT, fully-specified estimand on the sparsified graph,
+    not an approximation of the uncapped row (which stays registered
+    as calibration-class evidence). Same bounded peeling: 4
+    synchronous rounds of "drop nodes with current degree < 2"
+    (operators/graph.py::kcore_fixed_rounds), which the oracle
+    unrolls verbatim over the identical capped-graph CTE prelude."""
+    from dbt_lakehouse_aws_spark.operators.graph import (
+        cap_neighbors,
+        kcore_fixed_rounds,
+    )
+    from dbt_lakehouse_aws_spark.sources.tables import T
+
+    e = T(spark, sf_dir, "events")
+    ue = e.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
+    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
+    weighted = (
+        x.join(y, ["event_type", "hr"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    capped = cap_neighbors(weighted, k=16, weight="shared")
+    out = kcore_fixed_rounds(capped, src="a", dst="b", k=2, rounds=4)
+    return out.select(F.col("node").alias("user_id"), "degree").orderBy(
+        F.desc("degree"), F.asc("user_id")
+    )
+
+
+_PROMOTED_ORACLES["kcore_capped_users"] = _kcore_capped_oracle_sql(2, 4, 16)
+
+
+@_promoted(
+    "kmv_error_bound_customers",
+    """
+    WITH pairs AS (
+      SELECT CAST(o_orderpriority AS VARCHAR) AS group_key,
+             o_custkey AS k FROM orders
+      UNION ALL
+      SELECT '__total__' AS group_key, o_custkey AS k FROM orders
+    ),
+    hashed AS (
+      SELECT DISTINCT group_key,
+             CAST(CAST('0x' || substr(
+                    md5('kmv-seed-1|' || CAST(k AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS BIGINT) AS h
+      FROM pairs
+    ),
+    cnt AS (
+      SELECT group_key, CAST(count(*) AS BIGINT) AS exact_distinct
+      FROM hashed GROUP BY 1
+    ),
+    cand AS (
+      SELECT h.group_key, h.h,
+             row_number() OVER (PARTITION BY h.group_key
+                                ORDER BY h.h ASC) AS rn,
+             c.exact_distinct
+      FROM hashed h JOIN cnt c ON c.group_key = h.group_key
+      WHERE CAST(h.h AS DOUBLE) * CAST(c.exact_distinct AS DOUBLE)
+            <= 2361183241434822606848.0
+    ),
+    est AS (
+      SELECT group_key, exact_distinct,
+             CASE WHEN exact_distinct < 256
+                  THEN CAST(exact_distinct AS DOUBLE)
+                  ELSE (255.0 * 1152921504606846976.0)
+                       / CAST(max(CASE WHEN rn = 256 THEN h END) AS DOUBLE)
+             END AS kmv_est
+      FROM cand GROUP BY group_key, exact_distinct
+    )
+    SELECT group_key, exact_distinct,
+           floor(kmv_est * 1e6 + 0.5) / 1e6 AS kmv_est_q,
+           (abs(kmv_est - exact_distinct) <= 0.20 * exact_distinct)
+             AS bound_ok
+    FROM est ORDER BY group_key
+    """,
+)
+def kmv_error_bound_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-value-oracled bound twin of the rows-only
+    ``approx_distinct_users`` HLL row (VERDICT r7 item 4): a KMV
+    (k-minimum-values) distinct-customer estimator (Bar-Yossef et
+    al. 2002: D̂ = (k−1)/U_(k) over uniform hashes) whose hash is the
+    portable 60-bit md5 prefix of (seed|custkey) — the dp_noisy /
+    MinHash cross-engine device — so unlike the engine-specific HLL
+    sketch the ESTIMATE itself is deterministic and hash-matched by
+    DuckDB, not just the bound flag. Distinct o_custkey per order
+    priority plus the '__total__' union row (~1,300 distinct per
+    group at the driver's sf0.01 — comfortably past k, so the gate
+    exercises the REAL rank-k estimator, not the small-group exact
+    fallback; the events/user_id axis has only 150 users there),
+    k=256 (rsd ≈ 1/√(k−2) ≈ 6.3%; the 20% audit bound is >3σ),
+    exact-count fallback below k. Scale shape:
+    the kth-smallest never global-sorts — candidates are pre-filtered
+    to h ≤ 8k/D·2⁶⁰ using the exact count the audit needs anyway
+    (expected 8k = 2048 rows/group, Chernoff-negligible truncation
+    risk, and BOTH engines replay the same filter so the compare is
+    deterministic regardless), then one bounded per-group window. At
+    100 TB the production path keeps the KB-sized KMV synopsis via
+    the same bounded top-k; the exact pass exists only to audit it."""
+    from dbt_lakehouse_aws_spark.sources.tables import T
+
+    o = T(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.col("o_orderpriority").cast("string").alias("group_key"),
+        F.col("o_custkey").alias("k"),
+    ).unionByName(
+        o.select(
+            F.lit("__total__").alias("group_key"), F.col("o_custkey").alias("k")
+        )
+    )
+    hashed = pairs.distinct().select(
+        "group_key",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("kmv-seed-1|"), F.col("k").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    cnt = hashed.groupBy("group_key").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    cand = hashed.join(F.broadcast(cnt), "group_key").filter(
+        F.col("h").cast("double") * F.col("exact_distinct").cast("double")
+        <= F.lit(2361183241434822606848.0)  # 2^71 = 8·256·2^60, exact in IEEE
+    )
+    w = Window.partitionBy("group_key").orderBy(F.asc("h"))
+    ranked = cand.withColumn("rn", F.row_number().over(w))
+    est = ranked.groupBy("group_key", "exact_distinct").agg(
+        F.when(
+            F.col("exact_distinct") < 256,
+            F.col("exact_distinct").cast("double"),
+        )
+        .otherwise(
+            F.lit(255.0 * 1152921504606846976.0)
+            / F.max(F.when(F.col("rn") == 256, F.col("h"))).cast("double")
+        )
+        .alias("kmv_est")
+    )
+    return est.select(
+        "group_key",
+        "exact_distinct",
+        (F.floor(F.col("kmv_est") * 1e6 + 0.5) / 1e6).alias("kmv_est_q"),
+        (
+            F.abs(F.col("kmv_est") - F.col("exact_distinct"))
+            <= 0.20 * F.col("exact_distinct")
+        ).alias("bound_ok"),
+    ).orderBy("group_key")
+
+
+# ---------------------------------------------------------------------------
+# Registration: runs AFTER every definition above, so each query
+# enters the registry with its final oracle.
+# ---------------------------------------------------------------------------
+from dbt_lakehouse_aws_spark.standard_queries import register as _register  # noqa: E402
+
+for _name in list(_PROMOTED_QUERIES):
+    _register(_name, _PROMOTED_ORACLES[_name])(_PROMOTED_QUERIES[_name])

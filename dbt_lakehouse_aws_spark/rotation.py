@@ -338,26 +338,92 @@ ROUND7_WINDOW: list[str] = [
     "dp_noisy_counts_events",
 ]
 
-DRIVER_WINDOW: list[str] = ROUND7_WINDOW[:50]
+#: ROUND-8 WINDOW (CORRECTNESS_r08.json target) — rotated after the
+#: driver wrote CORRECTNESS_r07.json, exactly per the round-7 plan
+#: (verdict r7 item 1): the 4 round-7 promotions whose driver rows
+#: were deferred lead, then the first 46 of the former staged_r8
+#: (now queries_r8.py) in original file order. staged_r8's 4 tail
+#: queries (capture_recapture_users, transition_latency_matrix,
+#: weighted_kappa_quality, feature_gini_importance) are REGISTERED
+#: but their driver rows join round 9, as do the four rows moved up
+#: on the round-7 verdict (lpa_communities_capped_users,
+#: kcore_capped_users, hll_error_bound_users, kmv_error_bound_customers
+#: — registered + benched now per verdict items 2 and 4; driver
+#: evidence at the round-9 rotation).
+ROUND8_WINDOW: list[str] = [
+    "item_cf_topk_parts",
+    "max_drawdown_users",
+    "fifo_match_returns_parts",
+    "als_user_step_lineitem",
+    "stl_lite_daily_events",
+    "string_format_gauntlet_parts",
+    "markov_perplexity_events",
+    "cramers_v_events",
+    "largest_remainder_allocation",
+    "cidr_longest_prefix_events",
+    "iso_calendar_gauntlet_orders",
+    "keyset_pagination_parts",
+    "timezone_gauntlet_events",
+    "cohens_d_events",
+    "hhi_by_part_type",
+    "change_point_daily_events",
+    "mix_shift_decomposition",
+    "linear_interpolate_daily",
+    "reconcile_order_totals",
+    "acid_replace_where_events",
+    "daily_percentile_bands",
+    "wilson_ci_conversion",
+    "dispersion_index_events",
+    "durbin_watson_daily",
+    "k_anon_generalization_ladder",
+    "degree_assortativity_users",
+    "burst_days_events",
+    "digest_codec_gauntlet_parts",
+    "stream_replace_where_daily",
+    "partial_correlation_lineitem",
+    "mahalanobis_outliers_lineitem",
+    "cuped_adjustment_events",
+    "srm_check_events",
+    "jackknife_ratio_variance",
+    "stratified_ate_events",
+    "travel_distance_users",
+    "budget_pacing_daily",
+    "churn_threshold_ladder",
+    "type_token_ratio_sources",
+    "open_orders_per_day",
+    "acid_drop_column_events",
+    "duplicate_payment_pairs",
+    "stl_anomaly_days",
+    "scd3_user_prior_state",
+    "bitemporal_asof_events",
+    "eb_shrunk_return_rates",
+    "minhash_eval_vs_exact",
+    "peak_event_rate_users",
+    "regression_discontinuity_orders",
+    "kpi_driver_decomposition",
+]
 
-#: ROUND-8/9/10/11 PLAN (rotate only once CORRECTNESS_r07.json
+DRIVER_WINDOW: list[str] = ROUND8_WINDOW[:50]
+
+#: ROUND-9/10/11/12 PLAN (rotate only once CORRECTNESS_r08.json
 #: exists — memory: driver-window-rotation). Staged inventory at
-#: round-7 close: staged_r8 50, staged_r9 32, staged_r10 48 (the two
-#: capped twins moved up into queries_r7), staged_r11 49 (grown from
-#: 26 during round 7 — every addition 4-gate verified; one draft was
-#: dropped as a duplicate of staged_r10's richer l_diversity_orders),
-#: staged_r12 10 (opened round 7; grows through rounds 8+).
-#:   * ROUND 8: the 4 round-7 promotions whose driver rows were
-#:     deferred (item_cf_topk_parts, max_drawdown_users,
-#:     fifo_match_returns_parts, als_user_step_lineitem) lead, then
-#:     the first 46 of staged_r8 in file order; staged_r8's 4 tail
-#:     queries join round 9.
-#:   * ROUND 9: staged_r8's 4 tail + the 18-query stalest-evidence
-#:     backfill below (r1-only driver rows) + the first 28 of
-#:     staged_r9 = 50; staged_r9's remaining 4 join round 10.
-#:   * ROUND 10: staged_r9's 4 tail + 46 of staged_r10.
-#:   * ROUND 11: staged_r10's 2 tail + the first 48 of staged_r11;
-#:     staged_r11's 1 tail + staged_r12 rotate in round 12.
+#: round-8 close: staged_r9 32, staged_r10 48, staged_r11 48
+#: (hll_error_bound_users moved up into queries_r8 per verdict r7
+#: item 4), staged_r12 9 + round-8 additions (the LPA capped twin
+#: moved up into queries_r8 per verdict r7 item 2).
+#:   * ROUND 9: the 8 round-8 registrations whose driver rows were
+#:     deferred (staged_r8's 4 tail: capture_recapture_users,
+#:     transition_latency_matrix, weighted_kappa_quality,
+#:     feature_gini_importance; + the 4 verdict move-ups:
+#:     lpa_communities_capped_users, kcore_capped_users,
+#:     hll_error_bound_users, kmv_error_bound_customers) + the 18-query
+#:     stalest-evidence backfill below (r1-only driver rows) + the
+#:     first 24 of staged_r9 = 50; staged_r9's remaining 8 join
+#:     round 10.
+#:   * ROUND 10: staged_r9's 8 tail + the first 42 of staged_r10;
+#:     staged_r10's 6 tail join round 11.
+#:   * ROUND 11: staged_r10's 6 tail + the first 44 of staged_r11;
+#:     staged_r11's 4 tail + staged_r12 rotate in round 12.
 #: Every staged entry is oracle-green at sf0.001 AND sf0.01
 #: (scripts/check_staged.py), vanilla-ANSI checked
 #: (check_staged_vanilla.py), plan-linted + sf0.1-timed, and

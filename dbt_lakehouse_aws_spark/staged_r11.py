@@ -3181,66 +3181,6 @@ def rrf_hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf_q"), F.asc("doc_id")).limit(20)
 
 
-@_staged(
-    "hll_error_bound_users",
-    """
-    WITH per AS (
-      SELECT CAST(event_type AS VARCHAR) AS group_key,
-             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-             CAST(count(*) AS BIGINT) AS n_rows
-      FROM events GROUP BY 1
-    ),
-    tot AS (
-      SELECT '__total__' AS group_key,
-             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-             CAST(count(*) AS BIGINT) AS n_rows
-      FROM events
-    )
-    SELECT group_key, exact_distinct, n_rows, TRUE AS bound_ok
-    FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
-    ORDER BY group_key
-    """,
-)
-def hll_error_bound_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The tolerance-checked twin of the rows-only HLL rows (VERDICT
-    r6 item 7): DataSketches HLL per-type distinct-user estimates
-    AND the grand total from the per-group SKETCH UNION (operators/
-    aggregates.py::distinct_sketch_rollup, lg_k=12 → rsd ≈ 1.6%) are
-    verified ENGINE-SIDE against exact distinct counts at a 10%
-    relative bound (> 6σ for this lg_k — a failure means broken
-    sketch plumbing, not sketch luck). The sketch estimate itself is
-    engine-specific so the oracle pins (group, exact, n, bound-holds)
-    — the approx_quantile_bounds device applied to count-distinct.
-    The exact pass exists only to audit the sketch; production
-    rollups read the KB-sized sketches alone."""
-    from dbt_lakehouse_aws_spark.operators.aggregates import (
-        distinct_sketch_rollup,
-    )
-
-    ev = T(spark, sf_dir, "events")
-    est = distinct_sketch_rollup(ev, group_col="event_type", value_col="user_id")
-    exact_per = ev.groupBy(
-        F.col("event_type").cast("string").alias("group_key")
-    ).agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
-    exact_tot = ev.agg(
-        F.lit("__total__").alias("group_key"),
-        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
-    )
-    exact = exact_per.unionByName(exact_tot)
-    return (
-        est.join(exact, "group_key")
-        .select(
-            "group_key",
-            "exact_distinct",
-            "n_rows",
-            (
-                F.abs(F.col("distinct_est") - F.col("exact_distinct"))
-                <= 0.10 * F.col("exact_distinct")
-            ).alias("bound_ok"),
-        )
-        .orderBy("group_key")
-    )
-
 
 @_staged(
     "multiset_ops_gauntlet_customers",

@@ -625,118 +625,3 @@ def business_day_adjust_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-def _lpa_capped_oracle_sql(rounds: int = 3, k: int = 16) -> str:
-    """Unrolled LPA oracle over the NEIGHBOR-CAPPED co-activity
-    graph — the capped twins' CTE prelude + queries_r7's unrolled
-    label-propagation rounds."""
-    parts = [
-        f"""
-    ue AS (
-      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
-      FROM events
-    ),
-    shared AS (
-      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
-      FROM ue x JOIN ue y
-        ON x.event_type = y.event_type AND x.hr = y.hr
-       AND x.user_id < y.user_id
-      GROUP BY 1, 2
-    ),
-    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
-    sym0 AS (
-      SELECT a AS node, b AS nbr, shared FROM strong
-      UNION ALL SELECT b, a, shared FROM strong
-    ),
-    ranked AS (
-      SELECT node, nbr,
-             row_number() OVER (PARTITION BY node
-                                ORDER BY shared DESC, nbr ASC) AS rk
-      FROM sym0
-    ),
-    capped AS MATERIALIZED (
-      SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
-      FROM ranked WHERE rk <= {k}
-    ),
-    und AS (
-      SELECT a AS u, b AS v FROM capped
-      UNION ALL SELECT b, a FROM capped
-    ),
-    l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"""
-    ]
-    for i in range(1, rounds + 1):
-        parts.append(
-            f"""
-    v{i} AS (
-      SELECT u.u AS node, p.label, count(*) AS c
-      FROM und u JOIN l{i - 1} p ON p.node = u.v
-      GROUP BY 1, 2
-    ),
-    l{i} AS (
-      SELECT node, label FROM (
-        SELECT node, label,
-               row_number() OVER (PARTITION BY node
-                                  ORDER BY c DESC, label ASC) AS rn
-        FROM v{i}) WHERE rn = 1
-    )"""
-        )
-    return (
-        "WITH "
-        + ",".join(parts)
-        + f"""
-    SELECT label AS community,
-           CAST(count(*) AS BIGINT) AS size,
-           CAST(min(node) AS BIGINT) AS min_node,
-           CAST(sum(node) AS BIGINT) AS node_checksum
-    FROM l{rounds} GROUP BY label
-    ORDER BY size DESC, community ASC LIMIT 50
-    """
-    )
-
-
-@_staged("lpa_communities_capped_users", "PLACEHOLDER_LPA_CAPPED")
-def lpa_communities_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-propagation communities on the NEIGHBOR-CAPPED
-    co-activity graph — the scale-safe twin of lpa_communities_users
-    (queries_r7), added after the round-7 sf1.0 artifact showed the
-    uncapped form joining the exact wedge rows past the 240 s
-    watchdog (3 LPA rounds are O(edges) each, and the RAW graph's
-    edge count densifies ~quadratically with slot density; the
-    top-16 cap bounds it at n·k). Same deterministic LPA — 3
-    synchronous rounds, most-frequent-neighbor label, smallest-label
-    ties, map-side max(struct) argmax — a DIFFERENT, fully-specified
-    estimand on the kNN-sparsified graph, not an approximation of
-    the uncapped row (which stays registered as calibration-class
-    evidence at sf ≤ 0.1)."""
-    from dbt_lakehouse_aws_spark.operators.graph import (
-        cap_neighbors,
-        label_propagation_rounds,
-    )
-
-    e = T(spark, sf_dir, "events")
-    ue = e.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
-    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
-    weighted = (
-        x.join(y, ["event_type", "hr"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= 3)
-    )
-    capped = cap_neighbors(weighted, k=16, weight="shared")
-    labels = label_propagation_rounds(capped, src="a", dst="b", rounds=3)
-    return (
-        labels.groupBy(F.col("label").alias("community"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("size"),
-            F.min("node").cast("long").alias("min_node"),
-            F.sum("node").cast("long").alias("node_checksum"),
-        )
-        .orderBy(F.desc("size"), F.asc("community"))
-        .limit(50)
-    )
-
-
-STAGED_ORACLES["lpa_communities_capped_users"] = _lpa_capped_oracle_sql(3, 16)

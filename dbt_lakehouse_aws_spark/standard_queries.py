@@ -5618,6 +5618,7 @@ from dbt_lakehouse_aws_spark.rotation import (  # noqa: E402,F401
     ROUND6_BACKFILL_PLAN,
     ROUND6_WINDOW,
     ROUND7_WINDOW,
+    ROUND8_WINDOW,
 )
 
 # round-5 promotions registered via their own module (they lived in
@@ -5634,6 +5635,11 @@ from dbt_lakehouse_aws_spark import queries_r6  # noqa: E402,F401
 # (formerly staged_r7.py) plus the two capped wedge twins moved up
 # from staged_r10 per the round-6 verdict.
 from dbt_lakehouse_aws_spark import queries_r7  # noqa: E402,F401
+
+# round-8 promotions: the final 50 of the round-5 staging corpus
+# (formerly staged_r8.py) plus four rows moved up per the round-7
+# verdict (capped LPA/k-core twins, HLL/KMV error-bound rows).
+from dbt_lakehouse_aws_spark import queries_r8  # noqa: E402,F401
 
 
 def _window_ordered() -> list[QuerySpec]:

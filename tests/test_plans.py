@@ -512,9 +512,9 @@ def test_staged_r5_session_queries_no_funnels_or_row_udfs(spark, sf_dir):
     pareto_frontier_parts / ams_f2_users use tiny broadcast self-joins
     instead of global windows and pass the staged linter directly."""
     from dbt_lakehouse_aws_spark.plans.lint import plan_report
-    from dbt_lakehouse_aws_spark import queries_r7, staged_r8
+    from dbt_lakehouse_aws_spark import queries_r7, queries_r8
 
-    STAGED_QUERIES = {**queries_r7._PROMOTED_QUERIES, **staged_r8.STAGED_QUERIES}
+    STAGED_QUERIES = {**queries_r7._PROMOTED_QUERIES, **queries_r8._PROMOTED_QUERIES}
 
     names = [
         "chunk_overlap_docs",
@@ -543,9 +543,9 @@ def test_staged_rank_stats_and_spatial_no_funnels_or_row_udfs(spark, sf_dir):
     cell keys, never a Cartesian product (the brute-force cross join
     lives only in the oracle)."""
     from dbt_lakehouse_aws_spark.plans.lint import plan_report
-    from dbt_lakehouse_aws_spark import queries_r7, staged_r8
+    from dbt_lakehouse_aws_spark import queries_r7, queries_r8
 
-    STAGED_QUERIES = {**queries_r7._PROMOTED_QUERIES, **staged_r8.STAGED_QUERIES}
+    STAGED_QUERIES = {**queries_r7._PROMOTED_QUERIES, **queries_r8._PROMOTED_QUERIES}
 
     names = [
         "mann_whitney_by_type",
