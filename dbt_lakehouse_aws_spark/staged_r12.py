@@ -3005,3 +3005,657 @@ def bloom_semi_join_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_false_neg"),
         (F.floor(fp.cast("double") / nonmem * 1e6 + 0.5) / 1e6).alias("fpr_q"),
     )
+
+
+@_staged(
+    "sorted_neighborhood_pairs_parts",
+    """
+    WITH keyed AS (
+      SELECT p_brand, p_partkey, p_size,
+             p_type || '|' || p_name AS sk
+      FROM part
+    ),
+    ordered AS (
+      SELECT p_brand, p_partkey, p_size, sk,
+             lead(p_partkey, 1) OVER w AS k1,
+             lead(p_size, 1) OVER w AS s1,
+             lead(p_partkey, 2) OVER w AS k2,
+             lead(p_size, 2) OVER w AS s2,
+             lead(p_partkey, 3) OVER w AS k3,
+             lead(p_size, 3) OVER w AS s3
+      FROM keyed
+      WINDOW w AS (PARTITION BY p_brand ORDER BY sk, p_partkey)
+    ),
+    cand AS (
+      SELECT p_brand, p_partkey AS pa, k1 AS pb FROM ordered
+      WHERE k1 IS NOT NULL AND abs(p_size - s1) <= 2
+      UNION ALL
+      SELECT p_brand, p_partkey, k2 FROM ordered
+      WHERE k2 IS NOT NULL AND abs(p_size - s2) <= 2
+      UNION ALL
+      SELECT p_brand, p_partkey, k3 FROM ordered
+      WHERE k3 IS NOT NULL AND abs(p_size - s3) <= 2
+    )
+    SELECT k.p_brand,
+           CAST(count(DISTINCT k.p_partkey) AS BIGINT) AS n_parts,
+           CAST(count(c.pa) AS BIGINT) AS n_candidates,
+           CAST(coalesce(sum(c.pa + c.pb), 0) AS BIGINT) AS pair_checksum
+    FROM keyed k LEFT JOIN cand c ON c.p_brand = k.p_brand
+                                 AND c.pa = k.p_partkey
+    GROUP BY k.p_brand ORDER BY k.p_brand
+    """,
+)
+def sorted_neighborhood_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    third classic blocking strategy next to the phonetic and
+    LSH-band rows: sort each brand block by a composite key and pair
+    every record with its next w=3 neighbors (lead windows — O(n·w),
+    never a self-join), keeping pairs whose sizes differ by ≤ 2.
+    Per-brand candidate counts + an id checksum. Partitioned by
+    brand so no global sort; at 100 TB the sort key IS the shuffle
+    key and w bounds the candidate volume linearly."""
+    p = T(spark, sf_dir, "part")
+    keyed = p.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.concat_ws("|", F.col("p_type"), F.col("p_name")).alias("sk"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("sk", "p_partkey")
+    ordered = keyed.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        *[
+            c
+            for i in (1, 2, 3)
+            for c in (
+                F.lead("p_partkey", i).over(w).alias(f"k{i}"),
+                F.lead("p_size", i).over(w).alias(f"s{i}"),
+            )
+        ],
+    )
+    cand = None
+    for i in (1, 2, 3):
+        part_i = ordered.filter(
+            F.col(f"k{i}").isNotNull()
+            & (F.abs(F.col("p_size") - F.col(f"s{i}")) <= 2)
+        ).select(
+            "p_brand",
+            F.col("p_partkey").alias("pa"),
+            F.col(f"k{i}").alias("pb"),
+        )
+        cand = part_i if cand is None else cand.unionByName(part_i)
+    joined = keyed.join(
+        cand.withColumnRenamed("pa", "p_partkey"), ["p_brand", "p_partkey"], "left"
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.countDistinct("p_partkey").cast("long").alias("n_parts"),
+            F.count("pb").cast("long").alias("n_candidates"),
+            F.coalesce(F.sum(F.col("p_partkey") + F.col("pb")), F.lit(0))
+            .cast("long")
+            .alias("pair_checksum"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_staged(
+    "partition_skew_audit_events",
+    """
+    WITH b AS (
+      SELECT CAST(CAST('0x' || substr(
+               md5('pt|' || CAST(user_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % 200 AS BIGINT) AS bucket
+      FROM events
+    ),
+    c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rows_in
+          FROM b GROUP BY 1),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(rows_in) AS BIGINT) AS total,
+             CAST(max(rows_in) AS BIGINT) AS mx,
+             CAST(sum(rows_in * rows_in) AS BIGINT) AS s2
+      FROM c
+    ),
+    rk AS (
+      SELECT a.bucket, a.rows_in, CAST(count(*) AS BIGINT) AS rk
+      FROM c a JOIN c b
+        ON (b.rows_in < a.rows_in)
+        OR (b.rows_in = a.rows_in AND b.bucket <= a.bucket)
+      GROUP BY a.bucket, a.rows_in
+    ),
+    g AS (
+      SELECT CAST(sum((2 * rk.rk - st.nb - 1) * rk.rows_in) AS BIGINT) AS gnum
+      FROM rk, st
+    )
+    SELECT st.nb AS n_buckets, st.total, st.mx AS max_rows,
+           floor(st.mx / (CAST(st.total AS DOUBLE) / 200) * 1e6 + 0.5) / 1e6
+             AS skew_ratio_q,
+           floor(sqrt(CAST(st.s2 AS DOUBLE) / st.nb
+                      - (CAST(st.total AS DOUBLE) / st.nb)
+                        * (CAST(st.total AS DOUBLE) / st.nb))
+                 / (CAST(st.total AS DOUBLE) / st.nb) * 1e6 + 0.5) / 1e6
+             AS cv_q,
+           floor(CAST(g.gnum AS DOUBLE) / (st.nb * CAST(st.total AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS gini_q
+    FROM st, g
+    """,
+)
+def partition_skew_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition skew audit: hash user_id onto 200 simulated
+    reducers (the driver session's default shuffle width) with the
+    portable md5 hash and report max/mean skew ratio, coefficient of
+    variation, and the Gini index of the load distribution — the
+    numbers that decide whether a key needs salting BEFORE a 100 TB
+    shuffle hits one hot executor. The 200-row bucket histogram
+    makes every statistic integer-exact (Gini via the sorted-rank
+    formula, one bounded window)."""
+    e = T(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pt|"), F.col("user_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 200
+    )
+    c = e.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("rows_in")
+    )
+    st = c.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("rows_in").cast("long").alias("total"),
+        F.max("rows_in").cast("long").alias("mx"),
+        F.sum(F.col("rows_in") * F.col("rows_in")).cast("long").alias("s2"),
+    )
+    # rank via a bounded broadcast self-join (200x200 pairs), not a
+    # one-task global window — the pareto_frontier/ams_f2 device.
+    c2 = c.select(F.col("bucket").alias("b2"), F.col("rows_in").alias("r2"))
+    rk = (
+        c.join(
+            F.broadcast(c2),
+            (F.col("r2") < F.col("rows_in"))
+            | ((F.col("r2") == F.col("rows_in")) & (F.col("b2") <= F.col("bucket"))),
+        )
+        .groupBy("bucket", "rows_in")
+        .agg(F.count(F.lit(1)).cast("long").alias("rk"))
+    )
+    g = rk.crossJoin(F.broadcast(st.select("nb"))).agg(
+        F.sum((2 * F.col("rk") - F.col("nb") - 1) * F.col("rows_in"))
+        .cast("long")
+        .alias("gnum")
+    )
+    mean = F.col("total").cast("double") / F.col("nb")
+    return st.crossJoin(F.broadcast(g)).select(
+        F.col("nb").alias("n_buckets"),
+        "total",
+        F.col("mx").alias("max_rows"),
+        (
+            F.floor(F.col("mx") / (F.col("total").cast("double") / 200) * 1e6 + 0.5)
+            / 1e6
+        ).alias("skew_ratio_q"),
+        (
+            F.floor(
+                F.sqrt(F.col("s2").cast("double") / F.col("nb") - mean * mean)
+                / mean
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("cv_q"),
+        (
+            F.floor(
+                F.col("gnum").cast("double")
+                / (F.col("nb") * F.col("total").cast("double"))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("gini_q"),
+    )
+
+
+@_staged(
+    "poisson_bootstrap_ci_orders",
+    """
+    WITH reps AS (SELECT CAST(unnest(range(0, 100)) AS BIGINT) AS b),
+    h0 AS MATERIALIZED (
+      SELECT CAST(round(o_totalprice) AS BIGINT) AS usd,
+             CAST('0x' || substr(md5('boot|' || CAST(o_orderkey AS VARCHAR)),
+                  1, 15) AS BIGINT) % 2147483647 AS h
+      FROM orders
+    ),
+    w AS (
+      SELECT r.b, o.usd,
+             (CAST((((2 * r.b + 1) * 2654435761 % 2147483647) * o.h
+                    + r.b * 40503) % 2147483647 AS DOUBLE) + 0.5)
+               / 2147483647 AS u
+      FROM h0 o CROSS JOIN reps r
+    ),
+    wt AS (
+      SELECT b, usd,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  ELSE 5 END AS w
+      FROM w
+    ),
+    means AS (
+      SELECT b,
+             CAST(sum(w * usd) AS DOUBLE) / sum(w) AS m
+      FROM wt GROUP BY b
+    ),
+    sorted AS (
+      SELECT m, row_number() OVER (ORDER BY m ASC) AS rn FROM means
+    ),
+    full_mean AS (
+      SELECT CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS DOUBLE)
+               / count(*) AS fm
+      FROM orders
+    )
+    SELECT CAST(100 AS BIGINT) AS n_reps,
+           floor(max(CASE WHEN rn = 3 THEN m END) * 1e6 + 0.5) / 1e6
+             AS boot_lo_q,
+           floor(max(CASE WHEN rn = 50 THEN m END) * 1e6 + 0.5) / 1e6
+             AS boot_med_q,
+           floor(max(CASE WHEN rn = 98 THEN m END) * 1e6 + 0.5) / 1e6
+             AS boot_hi_q,
+           floor((SELECT fm FROM full_mean) * 1e6 + 0.5) / 1e6
+             AS full_mean_q
+    FROM sorted
+    """,
+)
+def poisson_bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean order total — THE scalable
+    bootstrap (Chamandy et al., Google 2012): instead of resampling
+    n rows B times (impossible at 100 TB), each (row, replicate)
+    draws an independent Poisson(1) weight, so one O(n·B) map + a
+    B-group aggregate replaces B full passes. Weights come from the
+    portable md5-uniform device pushed through the exact Poisson(1)
+    CDF thresholds (deterministic cross-engine, reproducible
+    releases). The 95% CI picks the 3rd/98th order statistics of
+    the 100 replicate means (explicit discrete rule, no
+    interpolation ambiguity); replicate means are exact integer-sum
+    ratios."""
+    o = T(spark, sf_dir, "orders")
+    h0 = o.select(
+        F.round("o_totalprice").cast("long").alias("usd"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("boot|"), F.col("o_orderkey").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2147483647
+        ).alias("h"),
+    ).localCheckpoint(eager=True)
+    u = (
+        (
+            (
+                (2 * F.col("b") + 1) * 2654435761 % 2147483647
+            )
+            * F.col("h")
+            + F.col("b") * 40503
+        )
+        % 2147483647
+    ).cast("double").__add__(0.5) / 2147483647
+    wt = h0.select(
+        "usd",
+        "h",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(99).cast("long"))).alias(
+            "b"
+        ),
+    ).select(
+        "b",
+        "usd",
+        (
+            F.when(u < 0.36787944117144233, 0)
+            .when(u < 0.7357588823428847, 1)
+            .when(u < 0.9196986029286058, 2)
+            .when(u < 0.9810118431238462, 3)
+            .when(u < 0.9963401531726563, 4)
+            .otherwise(5)
+        ).alias("w"),
+    )
+    means = wt.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("usd")).cast("double") / F.sum("w")
+        ).alias("m")
+    )
+    full_mean = o.agg(
+        (
+            F.sum(F.round("o_totalprice").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("fm")
+    )
+    ms = means.agg(F.array_sort(F.collect_list("m")).alias("ms"))
+    return ms.crossJoin(F.broadcast(full_mean)).select(
+        F.lit(100).cast("long").alias("n_reps"),
+        (F.floor(F.element_at("ms", 3) * 1e6 + 0.5) / 1e6).alias("boot_lo_q"),
+        (F.floor(F.element_at("ms", 50) * 1e6 + 0.5) / 1e6).alias("boot_med_q"),
+        (F.floor(F.element_at("ms", 98) * 1e6 + 0.5) / 1e6).alias("boot_hi_q"),
+        (F.floor(F.col("fm") * 1e6 + 0.5) / 1e6).alias("full_mean_q"),
+    )
+
+
+@_staged(
+    "expected_calibration_error_orders",
+    """
+    WITH d AS (
+      SELECT CAST(round(o_totalprice) AS BIGINT) AS usd,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(usd) AS BIGINT) AS s1,
+             CAST(sum(usd * usd) AS BIGINT) AS s2
+      FROM d
+    ),
+    scored AS (
+      SELECT y,
+             1.0 / (1.0 + exp(-((usd - CAST(s1 AS DOUBLE) / n)
+                   / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)))))
+               AS p
+      FROM d, st
+    ),
+    binned AS (
+      SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(CAST(round(p * 1e6) AS BIGINT)) AS BIGINT) AS sum_pq
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS nn FROM binned),
+    ece AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(n_b AS DOUBLE) / (SELECT nn FROM tot)
+               * abs(CAST(sum_y AS DOUBLE) / n_b
+                     - CAST(sum_pq AS DOUBLE) / n_b / 1e6) * 1e12)
+             AS BIGINT)) AS BIGINT) AS ece_int
+      FROM binned
+    )
+    SELECT b.bin, b.n_b,
+           floor(CAST(b.sum_pq AS DOUBLE) / b.n_b / 1e6 * 1e6 + 0.5) / 1e6
+             AS conf_q,
+           floor(CAST(b.sum_y AS DOUBLE) / b.n_b * 1e6 + 0.5) / 1e6 AS acc_q,
+           floor((CAST(e.ece_int AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6
+             AS ece_q
+    FROM binned b, ece e ORDER BY b.bin
+    """,
+)
+def expected_calibration_error_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error with the 10-bin reliability curve
+    (Naeini et al. 2015 — the standard LLM/classifier calibration
+    readout): a deterministic logistic score (sigmoid of the
+    z-scored order total) against the F-status label, per-bin
+    confidence vs accuracy, and ECE = Σ (n_b/N)·|acc−conf| repeated
+    on every row. Scores are quantized to 1e-6 integers before the
+    per-bin sums and the 10 ECE terms to 1e-12 — nothing float-order
+    dependent survives into the hash."""
+    o = T(spark, sf_dir, "orders")
+    d = o.select(
+        F.round("o_totalprice").cast("long").alias("usd"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    st = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("usd").cast("long").alias("s1"),
+        F.sum(F.col("usd") * F.col("usd")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    p = 1.0 / (1.0 + F.exp(-((F.col("usd") - mean) / sd)))
+    scored = d.crossJoin(F.broadcast(st)).select("y", p.alias("p"))
+    binned = scored.groupBy(
+        F.least(F.floor(F.col("p") * 10).cast("long"), F.lit(9).cast("long")).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.round(F.col("p") * 1e6).cast("long")).cast("long").alias("sum_pq"),
+    )
+    tot = binned.agg(F.sum("n_b").cast("long").alias("nn"))
+    conf = F.col("sum_pq").cast("double") / F.col("n_b") / 1e6
+    acc = F.col("sum_y").cast("double") / F.col("n_b")
+    ece = (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("n_b").cast("double") / F.col("nn") * F.abs(acc - conf) * 1e12
+            )
+            .cast("long")
+            .alias("term"),
+        )
+        .agg(F.sum("term").cast("long").alias("ece_int"))
+    )
+    return (
+        binned.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            "n_b",
+            (F.floor(conf * 1e6 + 0.5) / 1e6).alias("conf_q"),
+            (F.floor(acc * 1e6 + 0.5) / 1e6).alias("acc_q"),
+            (
+                F.floor((F.col("ece_int").cast("double") / 1e12) * 1e6 + 0.5) / 1e6
+            ).alias("ece_q"),
+        )
+        .orderBy("bin")
+    )
+
+
+@_staged(
+    "dataset_card_stats_docs",
+    """
+    WITH base AS (
+      SELECT source, lang, n_chars, md5(text) AS th FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base),
+    lc AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    ln_ AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM lc GROUP BY 1),
+    ent AS (
+      SELECT lc.source,
+             CAST(sum(CAST(round(-(CAST(lc.c AS DOUBLE) / ln_.n)
+                   * ln(CAST(lc.c AS DOUBLE) / ln_.n) / ln(2) * 1e12)
+                 AS BIGINT)) AS BIGINT) AS ent_int,
+             CAST(count(*) AS BIGINT) AS n_langs
+      FROM lc JOIN ln_ ON ln_.source = lc.source
+      GROUP BY lc.source
+    ),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars,
+             CAST(count(DISTINCT th) AS BIGINT) AS n_uniq
+      FROM base GROUP BY 1
+    )
+    SELECT p.source, p.n_docs,
+           floor(CAST(p.n_docs AS DOUBLE) / (SELECT nn FROM tot)
+                 * 1e6 + 0.5) / 1e6 AS corpus_share_q,
+           floor(CAST(p.sum_chars AS DOUBLE) / p.n_docs * 1e6 + 0.5) / 1e6
+             AS mean_chars_q,
+           p.p90_chars,
+           e.n_langs,
+           floor((CAST(e.ent_int AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6
+             AS lang_entropy_bits_q,
+           floor((1.0 - CAST(p.n_uniq AS DOUBLE) / p.n_docs) * 1e6 + 0.5)
+             / 1e6 AS exact_dup_rate_q
+    FROM per p JOIN ent e ON e.source = p.source
+    ORDER BY p.source
+    """,
+)
+def dataset_card_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card manifest (the datasheet every corpus
+    release ships — Gebru et al. 2021): document count and corpus
+    share, mean and p90 length, language count and entropy (bits),
+    and the exact-duplicate rate via text-hash distinct — one
+    aggregation pass per statistic family over the documents table,
+    every number either an integer ratio or a 1e-12-quantized
+    entropy sum. The row a 100 TB ingest publishes per shard to
+    decide mixing weights."""
+    d = T(spark, sf_dir, "documents")
+    base = d.select("source", "lang", "n_chars", F.md5("text").alias("th"))
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    lc = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ln_ = lc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pr = F.col("c").cast("double") / F.col("n")
+    import math
+
+    ent = (
+        lc.join(F.broadcast(ln_), "source")
+        .select(
+            "source",
+            F.round(-pr * F.log(pr) / math.log(2) * 1e12)
+            .cast("long")
+            .alias("term"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("term").cast("long").alias("ent_int"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+        )
+    )
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("p90_chars"),
+        F.countDistinct("th").cast("long").alias("n_uniq"),
+    )
+    return (
+        per.join(ent, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.floor(F.col("n_docs").cast("double") / F.col("nn") * 1e6 + 0.5)
+                / 1e6
+            ).alias("corpus_share_q"),
+            (
+                F.floor(
+                    F.col("sum_chars").cast("double") / F.col("n_docs") * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("mean_chars_q"),
+            "p90_chars",
+            "n_langs",
+            (
+                F.floor((F.col("ent_int").cast("double") / 1e12) * 1e6 + 0.5) / 1e6
+            ).alias("lang_entropy_bits_q"),
+            (
+                F.floor(
+                    (1.0 - F.col("n_uniq").cast("double") / F.col("n_docs")) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("exact_dup_rate_q"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "acid_version_diff_events",
+    """
+    WITH v0 AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 2 = 0
+    ),
+    v1 AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(cents) AS BIGINT) AS c0
+      FROM v0 GROUP BY 1
+    ),
+    b AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(cents) AS BIGINT) AS c1
+      FROM v1 GROUP BY 1
+    )
+    SELECT b.event_type, a.n0, b.n1,
+           CAST(b.n1 - a.n0 AS BIGINT) AS rows_added,
+           CAST(b.c1 - a.c0 AS BIGINT) AS cents_added
+    FROM b JOIN a ON a.event_type = b.event_type
+    ORDER BY b.event_type
+    """,
+)
+def acid_version_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version table diff via time travel: write the even
+    half of the events as v0, APPEND the odd half (one commit), then
+    diff read(version=v0) against the latest snapshot per type —
+    the audit a CDC consumer runs to reconcile what a commit
+    actually changed (rows/value added, nothing mutated). The diff
+    itself is two snapshot-isolated scans of the SAME table at
+    different versions joined on the group key; the oracle replays
+    it relationally from the source. Asserts the append bumped the
+    version exactly once."""
+    import tempfile
+    import uuid
+
+    from dbt_lakehouse_aws_spark.sources.acid import AcidTable
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = AcidTable(
+        spark, tempfile.mkdtemp(prefix=f"vd_{uuid.uuid4().hex[:8]}_") + "/t"
+    )
+    t.write(e.filter(F.col("event_id") % 2 == 0))
+    v0 = t.latest_version()
+    t.write(e.filter(F.col("event_id") % 2 == 1), mode="append")
+    assert t.latest_version() == v0 + 1, "append must be exactly one commit"
+    old = (
+        t.read(version=v0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n0"),
+            F.sum("cents").cast("long").alias("c0"),
+        )
+    )
+    new = (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n1"),
+            F.sum("cents").cast("long").alias("c1"),
+        )
+    )
+    return (
+        new.join(old, "event_type")
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            (F.col("n1") - F.col("n0")).cast("long").alias("rows_added"),
+            (F.col("c1") - F.col("c0")).cast("long").alias("cents_added"),
+        )
+        .orderBy("event_type")
+    )
