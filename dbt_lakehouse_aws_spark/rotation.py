@@ -409,8 +409,10 @@ DRIVER_WINDOW: list[str] = ROUND8_WINDOW[:50]
 #: exists — memory: driver-window-rotation). Staged inventory at
 #: round-8 close: staged_r9 32, staged_r10 48, staged_r11 48
 #: (hll_error_bound_users moved up into queries_r8 per verdict r7
-#: item 4), staged_r12 9 + round-8 additions (the LPA capped twin
-#: moved up into queries_r8 per verdict r7 item 2).
+#: item 4), staged_r12 46 (9 carried + 37 authored and 4-gate
+#: verified in round 8; the LPA capped twin moved up into
+#: queries_r8 per verdict r7 item 2) — staged_r11's 4 tail + the
+#: 46 fill the round-12 window exactly.
 #:   * ROUND 9: the 8 round-8 registrations whose driver rows were
 #:     deferred (staged_r8's 4 tail: capture_recapture_users,
 #:     transition_latency_matrix, weighted_kappa_quality,

@@ -3659,3 +3659,505 @@ def acid_version_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_staged(
+    "kendall_tau_types_daily",
+    f"""
+    WITH {_daily_type_sql()},
+    xy AS (
+      SELECT x,
+             max(CASE WHEN event_type = 'click' THEN y END) AS xv,
+             max(CASE WHEN event_type = 'purchase' THEN y END) AS yv
+      FROM daily GROUP BY x
+    ),
+    p AS (SELECT x, xv, yv FROM xy WHERE xv IS NOT NULL AND yv IS NOT NULL),
+    pairs AS (
+      SELECT CASE WHEN (a.xv - b.xv) * (a.yv - b.yv) > 0 THEN 1 ELSE 0 END
+               AS conc,
+             CASE WHEN (a.xv - b.xv) * (a.yv - b.yv) < 0 THEN 1 ELSE 0 END
+               AS disc,
+             CASE WHEN a.xv = b.xv THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.yv = b.yv THEN 1 ELSE 0 END AS ty
+      FROM p a JOIN p b ON b.x > a.x
+    )
+    SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_days,
+           CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(sum(disc) AS BIGINT) AS discordant,
+           CAST(sum(tx) AS BIGINT) AS ties_x,
+           CAST(sum(ty) AS BIGINT) AS ties_y,
+           floor((sum(conc) - sum(disc))
+                 / sqrt(CAST(count(*) - sum(tx) AS DOUBLE)
+                        * (count(*) - sum(ty)))
+                 * 1e6 + 0.5) / 1e6 AS tau_b_q
+    FROM pairs
+    """,
+)
+def kendall_tau_types_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between the click and purchase daily revenue
+    series — the rank-correlation complement to the Spearman and
+    Pearson rows (pairwise concordance with the τ-b tie correction).
+    Pairs are over DAYS (the generator's fixed 30-day window ⇒ ≤435
+    pairs at any scale), counted as integers; only the final ratio
+    touches floats."""
+    daily = _daily_type_df(spark, sf_dir)
+    xy = daily.groupBy("x").agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("y"))).alias("xv"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("y"))).alias("yv"),
+    )
+    p = xy.filter(F.col("xv").isNotNull() & F.col("yv").isNotNull())
+    a = p.select(F.col("x").alias("xa"), F.col("xv").alias("x1"), F.col("yv").alias("y1"))
+    b = p.select(F.col("x").alias("xb"), F.col("xv").alias("x2"), F.col("yv").alias("y2"))
+    nd = p.count()
+    prod = (F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2"))
+    pairs = a.join(F.broadcast(b), F.col("xb") > F.col("xa")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("x1") == F.col("x2"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("y1") == F.col("y2"), 1).otherwise(0).alias("ty"),
+    )
+    return pairs.agg(
+        F.lit(nd).cast("long").alias("n_days"),
+        F.sum("conc").cast("long").alias("concordant"),
+        F.sum("disc").cast("long").alias("discordant"),
+        F.sum("tx").cast("long").alias("ties_x"),
+        F.sum("ty").cast("long").alias("ties_y"),
+        (
+            F.floor(
+                (F.sum("conc") - F.sum("disc"))
+                / F.sqrt(
+                    (F.count(F.lit(1)) - F.sum("tx")).cast("double")
+                    * (F.count(F.lit(1)) - F.sum("ty"))
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("tau_b_q"),
+    )
+
+
+@_staged(
+    "bartlett_test_orders",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice) AS BIGINT) AS usd
+      FROM orders
+    ),
+    st AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(usd) AS BIGINT) AS s1,
+             CAST(sum(usd * usd) AS BIGINT) AS s2
+      FROM d GROUP BY 1
+    ),
+    var_ AS (
+      SELECT grp, n,
+             (s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS v
+      FROM st
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(CAST(round((n - 1) * v * 1e3) AS BIGINT)) AS BIGINT)
+               AS pooled_num_q,
+             CAST(sum(CAST(round((n - 1) * ln(v) * 1e9) AS BIGINT)) AS BIGINT)
+               AS sum_lnv_q,
+             CAST(sum(CAST(round(1e12 / (n - 1)) AS BIGINT)) AS BIGINT)
+               AS sum_inv_q
+      FROM var_
+    )
+    SELECT k, nn AS n_total,
+           floor(((nn - k) * ln((CAST(pooled_num_q AS DOUBLE) / 1e3)
+                                / (nn - k))
+                  - CAST(sum_lnv_q AS DOUBLE) / 1e9)
+                 / (1 + (CAST(sum_inv_q AS DOUBLE) / 1e12
+                         - 1.0 / (nn - k)) / (3 * (k - 1)))
+                 * 1e6 + 0.5) / 1e6 AS bartlett_t_q,
+           (((nn - k) * ln((CAST(pooled_num_q AS DOUBLE) / 1e3) / (nn - k))
+             - CAST(sum_lnv_q AS DOUBLE) / 1e9)
+            / (1 + (CAST(sum_inv_q AS DOUBLE) / 1e12
+                    - 1.0 / (nn - k)) / (3 * (k - 1))) > 9.488)
+             AS heteroscedastic_at_5pct
+    FROM agg
+    """,
+)
+def bartlett_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the five order
+    priorities (χ²₄ critical 9.488) — the parametric counterpart of
+    the robust Brown-Forsythe row (Bartlett is the one ANOVA
+    textbooks gate with when normality holds). Group variances come
+    from BIGINT sufficient statistics on whole dollars; the three
+    cross-group sums — pooled numerator, Σ(nᵢ−1)ln sᵢ², Σ1/(nᵢ−1) —
+    are each quantized to integer grids before summation so the
+    5-addend float order can't flip the hash."""
+    o = T(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round("o_totalprice").cast("long").alias("usd"),
+    )
+    st = d.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("usd").cast("long").alias("s1"),
+        F.sum(F.col("usd") * F.col("usd")).cast("long").alias("s2"),
+    )
+    v = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    var_ = st.select("grp", "n", v.alias("v"))
+    agg = var_.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.round((F.col("n") - 1) * F.col("v") * 1e3).cast("long"))
+        .cast("long")
+        .alias("pooled_num_q"),
+        F.sum(F.round((F.col("n") - 1) * F.log(F.col("v")) * 1e9).cast("long"))
+        .cast("long")
+        .alias("sum_lnv_q"),
+        F.sum(F.round(1e12 / (F.col("n") - 1)).cast("long"))
+        .cast("long")
+        .alias("sum_inv_q"),
+    )
+    nk = F.col("nn") - F.col("k")
+    t = (
+        nk * F.log((F.col("pooled_num_q").cast("double") / 1e3) / nk)
+        - F.col("sum_lnv_q").cast("double") / 1e9
+    ) / (
+        1
+        + (F.col("sum_inv_q").cast("double") / 1e12 - 1.0 / nk)
+        / (3 * (F.col("k") - 1))
+    )
+    return agg.select(
+        "k",
+        F.col("nn").alias("n_total"),
+        (F.floor(t * 1e6 + 0.5) / 1e6).alias("bartlett_t_q"),
+        (t > 9.488).alias("heteroscedastic_at_5pct"),
+    )
+
+
+@_staged(
+    "ab_power_mde_events",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 80 THEN 1 ELSE 0 END) AS BIGINT)
+               AS conv
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n,
+           floor(CAST(conv AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS p_base_q,
+           floor((1.959963984540054 + 0.8416212335729143)
+                 * sqrt(2 * (CAST(conv AS DOUBLE) / n)
+                        * (1 - CAST(conv AS DOUBLE) / n)
+                        / (CAST(n AS DOUBLE) / 2))
+                 * 1e6 + 0.5) / 1e6 AS mde_at_n_q,
+           CAST(ceil((1.959963984540054 + 0.8416212335729143)
+                     * (1.959963984540054 + 0.8416212335729143)
+                     * 2 * (CAST(conv AS DOUBLE) / n)
+                     * (1 - CAST(conv AS DOUBLE) / n) / (0.01 * 0.01))
+                AS BIGINT) AS n_per_arm_for_1pt
+    FROM d ORDER BY event_type
+    """,
+)
+def ab_power_mde_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test power planning per event type: the minimum detectable
+    effect at the CURRENT sample (two-proportion z-test, α=0.05
+    two-sided, 80% power — the 1.96/0.842 quantile pair written as
+    exact double literals both sides) and the required per-arm n to
+    detect a 1-point lift, from the observed value>80 conversion
+    base rate (~20% on this corpus — a realistic funnel step). Pure closed form over one aggregate — the experiment-
+    sizing row every growth dashboard carries."""
+    e = T(spark, sf_dir, "events")
+    d = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 80, 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+    )
+    zsum = 1.959963984540054 + 0.8416212335729143
+    p = F.col("conv").cast("double") / F.col("n")
+    return d.select(
+        "event_type",
+        "n",
+        (F.floor(p * 1e6 + 0.5) / 1e6).alias("p_base_q"),
+        (
+            F.floor(
+                zsum * F.sqrt(2 * p * (1 - p) / (F.col("n").cast("double") / 2))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("mde_at_n_q"),
+        F.ceil(zsum * zsum * 2 * p * (1 - p) / (0.01 * 0.01))
+        .cast("long")
+        .alias("n_per_arm_for_1pt"),
+    ).orderBy("event_type")
+
+
+@_staged(
+    "cross_entropy_sources_docs",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    sc AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY 1),
+    gc AS (SELECT t, CAST(sum(c) AS BIGINT) AS g FROM sc GROUP BY 1),
+    gn AS (SELECT CAST(sum(g) AS BIGINT) AS m FROM gc),
+    terms AS (
+      SELECT sc.source,
+             CAST(round(-(CAST(sc.c AS DOUBLE) / sn.n)
+                 * ln(CAST(gc.g AS DOUBLE) / (SELECT m FROM gn)) / ln(2)
+                 * 1e12) AS BIGINT) AS hx_q,
+             CAST(round(-(CAST(sc.c AS DOUBLE) / sn.n)
+                 * ln(CAST(sc.c AS DOUBLE) / sn.n) / ln(2)
+                 * 1e12) AS BIGINT) AS h_q
+      FROM sc JOIN sn ON sn.source = sc.source
+      JOIN gc ON gc.t = sc.t
+    )
+    SELECT source,
+           floor((CAST(sum(hx_q) AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6
+             AS cross_entropy_bits_q,
+           floor((CAST(sum(hx_q) - sum(h_q) AS DOUBLE) / 1e12) * 1e6 + 0.5)
+             / 1e6 AS kl_bits_q
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def cross_entropy_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cross-entropy H(Pₛ, Q) against the corpus-wide
+    token distribution and the implied KL divergence (bits) — the
+    distribution-shift scorecard a data-mixing pipeline reads to
+    spot sources that don't look like the blend they're entering
+    (every source's support ⊆ corpus support by construction, so no
+    smoothing term hides bugs). Integer token counts; each pointwise
+    term quantized to 1e-12 before summation."""
+    import math
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    sc = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    sn = sc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    gc = sc.groupBy("t").agg(F.sum("c").cast("long").alias("g"))
+    gn = gc.agg(F.sum("g").cast("long").alias("m"))
+    ps = F.col("c").cast("double") / F.col("n")
+    q = F.col("g").cast("double") / F.col("m")
+    terms = (
+        sc.join(F.broadcast(sn), "source")
+        .join(gc, "t")
+        .crossJoin(F.broadcast(gn))
+        .select(
+            "source",
+            F.round(-ps * F.log(q) / math.log(2) * 1e12).cast("long").alias("hx_q"),
+            F.round(-ps * F.log(ps) / math.log(2) * 1e12).cast("long").alias("h_q"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            (
+                F.floor((F.sum("hx_q").cast("double") / 1e12) * 1e6 + 0.5) / 1e6
+            ).alias("cross_entropy_bits_q"),
+            (
+                F.floor(
+                    ((F.sum("hx_q") - F.sum("h_q")).cast("double") / 1e12) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("kl_bits_q"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "shannon_code_audit_docs",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+    coded AS (
+      SELECT t, c, (SELECT n FROM n) AS n,
+             CAST(ceil(-ln(CAST(c AS DOUBLE) / (SELECT n FROM n)) / ln(2))
+                  AS BIGINT) AS code_len
+      FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n)
+                     * ln(CAST(c AS DOUBLE) / n) / ln(2) * 1e12) AS BIGINT))
+                 AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS entropy_bits_q,
+           floor(CAST(sum(c * code_len) AS DOUBLE) / max(n) * 1e6 + 0.5)
+             / 1e6 AS avg_code_len_q,
+           floor(CAST(sum(CAST(round(pow(2.0, -code_len) * 1e12) AS BIGINT))
+                 AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS kraft_sum_q,
+           (sum(CAST(round(pow(2.0, -code_len) * 1e12) AS BIGINT)) <= 1000000000000)
+             AS kraft_ok
+    FROM coded
+    """,
+)
+def shannon_code_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-code audit of the corpus token distribution: assign
+    each token the ⌈−log₂ p⌉ code length, check the Kraft inequality
+    Σ2^−L ≤ 1 (the prefix-code feasibility bound), and compare the
+    achieved average code length against the entropy lower bound —
+    the within-1-bit theorem every compression/tokenizer-efficiency
+    readout rests on. 2^−L is an exact power of two and Σc·L is an
+    integer, so only the entropy sum needs the 1e-12 term grid."""
+    import math
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+    c = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = c.agg(F.sum("c").cast("long").alias("n"))
+    coded = c.crossJoin(F.broadcast(n)).select(
+        "t",
+        "c",
+        "n",
+        F.ceil(
+            -F.log(F.col("c").cast("double") / F.col("n")) / math.log(2)
+        )
+        .cast("long")
+        .alias("code_len"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return coded.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.max("n").cast("long").alias("n_tokens"),
+        (
+            F.floor(
+                F.sum(
+                    F.round(-p * F.log(p) / math.log(2) * 1e12).cast("long")
+                ).cast("double")
+                / 1e12
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("entropy_bits_q"),
+        (
+            F.floor(
+                F.sum(F.col("c") * F.col("code_len")).cast("double")
+                / F.max("n")
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("avg_code_len_q"),
+        (
+            F.floor(
+                F.sum(
+                    F.round(F.pow(F.lit(2.0), -F.col("code_len")) * 1e12).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 1e12
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("kraft_sum_q"),
+        (
+            F.sum(
+                F.round(F.pow(F.lit(2.0), -F.col("code_len")) * 1e12).cast("long")
+            )
+            <= 1000000000000
+        ).alias("kraft_ok"),
+    )
+
+
+@_staged(
+    "wasserstein1_2s_orders",
+    """
+    WITH s AS (
+      SELECT CAST(round(o_totalprice) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS in1,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS in2
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    pts AS (
+      SELECT v, CAST(sum(in1) AS BIGINT) AS c1, CAST(sum(in2) AS BIGINT) AS c2
+      FROM s GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             sum(c1) OVER (ORDER BY v) AS cum1,
+             sum(c2) OVER (ORDER BY v) AS cum2,
+             lead(v) OVER (ORDER BY v) AS vnext
+      FROM pts
+    ),
+    n AS (
+      SELECT CAST(sum(in1) AS BIGINT) AS n1, CAST(sum(in2) AS BIGINT) AS n2
+      FROM s
+    ),
+    terms AS (
+      SELECT CAST(round(abs(CAST(cum1 AS DOUBLE) / n1
+                            - CAST(cum2 AS DOUBLE) / n2)
+                        * (vnext - v) * 1e6) AS BIGINT) AS term_q
+      FROM cum, n WHERE vnext IS NOT NULL
+    )
+    SELECT (SELECT n1 FROM n) AS n1, (SELECT n2 FROM n) AS n2,
+           floor(CAST(sum(term_q) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+             AS w1_distance_q
+    FROM terms
+    """,
+)
+def wasserstein1_2s_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between the URGENT and
+    LOW order-total distributions: W₁ = ∫|F₁−F₂| dv over the pooled
+    whole-dollar support — the magnitude-aware complement of the KS
+    row (KS reads the worst gap, W₁ reads the total transport).
+    Scalable shape: ECDFs ride the two-pass prefix_sum and the Δv
+    gap comes from a rank EQUI-join on global_row_number — no
+    one-task window anywhere (the oracle keeps DuckDB's plain
+    ORDER BY windows). Per-support-point terms quantized to 1e-6
+    dollar-mass integers before summing."""
+    from dbt_lakehouse_aws_spark.operators.windows import (
+        global_row_number,
+        prefix_sum,
+    )
+
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.round("o_totalprice").cast("long").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("in1"),
+        F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0).alias("in2"),
+    )
+    pts = s.groupBy("v").agg(
+        F.sum("in1").cast("long").alias("c1"),
+        F.sum("in2").cast("long").alias("c2"),
+    )
+    cum = prefix_sum(pts, [F.asc("v")], "c1", name="cum1")
+    cum = prefix_sum(cum, [F.asc("v")], "c2", name="cum2")
+    rn = global_row_number(cum, [F.asc("v")], name="rn")
+    nxt = rn.select((F.col("rn") - 1).alias("rn"), F.col("v").alias("vnext"))
+    gap = rn.join(nxt, "rn")
+    n = s.agg(
+        F.sum("in1").cast("long").alias("n1"), F.sum("in2").cast("long").alias("n2")
+    )
+    terms = gap.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        F.round(
+            F.abs(
+                F.col("cum1").cast("double") / F.col("n1")
+                - F.col("cum2").cast("double") / F.col("n2")
+            )
+            * (F.col("vnext") - F.col("v"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("term_q"),
+    )
+    return terms.groupBy("n1", "n2").agg(
+        (
+            F.floor(F.sum("term_q").cast("double") / 1e6 * 1e6 + 0.5) / 1e6
+        ).alias("w1_distance_q")
+    )

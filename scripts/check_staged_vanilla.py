@@ -16,14 +16,16 @@ from pyspark.sql import SparkSession
 from dbt_lakehouse_aws_spark.oracle import compare_frames
 from dbt_lakehouse_aws_spark.sources.catalog import STAR_TABLES
 from dbt_lakehouse_aws_spark import (staged_r9, staged_r10,
-                                     staged_r11, staged_r12)
+                                     staged_r11, staged_r12, staged_r13)
 
 STAGED_ORACLES = {
                   **staged_r9.STAGED_ORACLES, **staged_r10.STAGED_ORACLES,
-                  **staged_r11.STAGED_ORACLES, **staged_r12.STAGED_ORACLES}
+                  **staged_r11.STAGED_ORACLES, **staged_r12.STAGED_ORACLES,
+                  **staged_r13.STAGED_ORACLES}
 STAGED_QUERIES = {
                   **staged_r9.STAGED_QUERIES, **staged_r10.STAGED_QUERIES,
-                  **staged_r11.STAGED_QUERIES, **staged_r12.STAGED_QUERIES}
+                  **staged_r11.STAGED_QUERIES, **staged_r12.STAGED_QUERIES,
+                  **staged_r13.STAGED_QUERIES}
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 only = set(sys.argv[2:])
