@@ -392,7 +392,6 @@ HEADLINE = [
     "degree_assortativity_users",
     "burst_days_events",
     "digest_codec_gauntlet_parts",
-    "stream_replace_where_daily",
     "partial_correlation_lineitem",
     "mahalanobis_outliers_lineitem",
     "cuped_adjustment_events",
