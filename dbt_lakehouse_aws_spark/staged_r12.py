@@ -1827,9 +1827,11 @@ def grubbs_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     par AS (
       SELECT n, sx, sxx,
-             CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS b,
-             (sy - CAST(n * sxy - sx * sy AS DOUBLE)
-                   / (n * sxx - sx * sx) * sx) / n AS a,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS b,
+             (sy - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   * sx) / n AS a,
              (sxx - CAST(sx AS DOUBLE) * sx / n) AS sxx_c
       FROM st
     ),
@@ -1880,8 +1882,12 @@ def cooks_distance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
     )
-    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    ) / (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / F.col("n")
     )
     par = st.select(
         "n",

@@ -306,3 +306,235 @@ def quantile_sketch_bound_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_bound_ok"
         ),
     ).orderBy("grp")
+
+
+@_staged(
+    "ridge_2feature_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x1,
+             CAST(CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                       THEN 1 ELSE 0 END AS BIGINT) AS x2,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT)
+               AS y
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             CAST(sum(x2 * y) AS BIGINT) AS s2y
+      FROM daily
+    ),
+    c AS (
+      SELECT n,
+             (s11 - CAST(s1 AS DOUBLE) * s1 / n) + 10.0 AS a11,
+             (s22 - CAST(s2 AS DOUBLE) * s2 / n) + 10.0 AS a22,
+             (s12 - CAST(s1 AS DOUBLE) * s2 / n) AS a12,
+             (s1y - CAST(s1 AS DOUBLE) * sy / n) AS b1,
+             (s2y - CAST(s2 AS DOUBLE) * sy / n) AS b2
+      FROM st
+    )
+    SELECT n,
+           floor((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12)
+                 * 1e6 + 0.5) / 1e6 AS beta_trend_q,
+           floor((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12)
+                 * 1e6 + 0.5) / 1e6 AS beta_weekend_q
+    FROM c
+    """,
+)
+def ridge_2feature_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (λ=10, centered 2-feature normal
+    equations inverted analytically) of daily revenue on the day
+    trend and a weekend indicator — the regularized sibling of the
+    OLS rows, the 2×2 case every feature-attribution sanity check
+    starts from. Sufficient statistics are BIGINT-exact (whole
+    dollars, 0/1 and day-index features); the matrix solve is four
+    deterministic double expressions."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x1"),
+        F.when(F.dayofweek(F.to_date("ts")).isin(1, 7), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("x2"),
+    ).agg(
+        F.floor(F.sum(F.round(F.col("value") * 100).cast("long")) / 100)
+        .cast("long")
+        .alias("y")
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    a11 = (F.col("s11") - F.col("s1").cast("double") * F.col("s1") / F.col("n")) + 10.0
+    a22 = (F.col("s22") - F.col("s2").cast("double") * F.col("s2") / F.col("n")) + 10.0
+    a12 = F.col("s12") - F.col("s1").cast("double") * F.col("s2") / F.col("n")
+    b1 = F.col("s1y") - F.col("s1").cast("double") * F.col("sy") / F.col("n")
+    b2 = F.col("s2y") - F.col("s2").cast("double") * F.col("sy") / F.col("n")
+    det = a11 * a22 - a12 * a12
+    return st.select(
+        "n",
+        (F.floor((a22 * b1 - a12 * b2) / det * 1e6 + 0.5) / 1e6).alias(
+            "beta_trend_q"
+        ),
+        (F.floor((a11 * b2 - a12 * b1) / det * 1e6 + 0.5) / 1e6).alias(
+            "beta_weekend_q"
+        ),
+    )
+
+
+@_staged(
+    "vocab_coverage_curve_docs",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
+                   CAST(count(*) AS BIGINT) AS v FROM c),
+    rk AS (
+      SELECT a.t, a.c, CAST(count(*) AS BIGINT) AS rank
+      FROM c a JOIN c b
+        ON (b.c > a.c) OR (b.c = a.c AND b.t <= a.t)
+      GROUP BY a.t, a.c
+    ),
+    ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 10000000]) AS BIGINT) AS k)
+    SELECT least(ks.k, (SELECT v FROM tot)) AS k,
+           CAST(sum(CASE WHEN rk.rank <= ks.k THEN rk.c ELSE 0 END)
+                AS BIGINT) AS covered,
+           floor(CAST(sum(CASE WHEN rk.rank <= ks.k THEN rk.c ELSE 0 END)
+                      AS DOUBLE) / (SELECT nn FROM tot) * 1e6 + 0.5) / 1e6
+             AS coverage_q
+    FROM ks CROSS JOIN rk
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def vocab_coverage_curve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of token INSTANCES
+    covered by the top-k most frequent types, k ∈ {1,2,4,8,16,all} —
+    the readout that sizes tokenizer vocabularies and stopword lists
+    (the Zipf row's integral form). Ranking uses a bounded self-join
+    over the TYPE table (types are bounded by the language, not the
+    corpus — never a global window over rows); counts stay integer
+    to the final ratio."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+    c = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = c.agg(
+        F.sum("c").cast("long").alias("nn"), F.count(F.lit(1)).cast("long").alias("v")
+    )
+    c2 = c.select(F.col("t").alias("t2"), F.col("c").alias("cc2"))
+    rk = (
+        c.join(
+            F.broadcast(c2),
+            (F.col("cc2") > F.col("c"))
+            | ((F.col("cc2") == F.col("c")) & (F.col("t2") <= F.col("t"))),
+        )
+        .groupBy("t", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("rank"))
+    )
+    ks = d.sparkSession.createDataFrame(
+        [(1,), (2,), (4,), (8,), (16,), (10000000,)], "k LONG"
+    )
+    j = rk.crossJoin(F.broadcast(ks)).crossJoin(F.broadcast(tot))
+    return (
+        j.groupBy(F.least(F.col("k"), F.col("v")).alias("k"))
+        .agg(
+            F.sum(F.when(F.col("rank") <= F.col("k"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("covered"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("rank") <= F.col("k"), F.col("c")).otherwise(0)
+                    ).cast("double")
+                    / F.max("nn")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("coverage_q"),
+        )
+        .orderBy("k")
+    )
+
+
+@_staged(
+    "zero_inflation_audit_events",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
+    per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT)
+               AS cells_hit
+      FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(nu.n_users * 30 AS BIGINT) AS n_cells,
+           CAST(nu.n_users * 30 - cells_hit AS BIGINT) AS observed_zeros,
+           floor(CAST(n_events AS DOUBLE) / (nu.n_users * 30) * 1e6 + 0.5)
+             / 1e6 AS lambda_q,
+           floor(nu.n_users * 30
+                 * exp(-(CAST(n_events AS DOUBLE) / (nu.n_users * 30)))
+                 * 1e6 + 0.5) / 1e6 AS expected_zeros_q,
+           floor((nu.n_users * 30 - cells_hit)
+                 / (nu.n_users * 30
+                    * exp(-(CAST(n_events AS DOUBLE) / (nu.n_users * 30))))
+                 * 1e6 + 0.5) / 1e6 AS inflation_ratio_q
+    FROM per, nu ORDER BY event_type
+    """,
+)
+def zero_inflation_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-inflation audit for per-(user, day) event counts: the
+    observed empty-cell count against the Poisson(λ̂) expectation —
+    the diagnostic that decides between Poisson and ZIP/NB count
+    models (ratio ≫ 1 ⇒ excess zeros) and complements the
+    dispersion-index row. The user×30-day grid never materializes:
+    zeros = n_users·30 − distinct hit cells, all integer
+    aggregates."""
+    e = T(spark, sf_dir, "events")
+    nu = e.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(F.col("user_id"), F.to_date("ts"))
+        .cast("long")
+        .alias("cells_hit"),
+    )
+    lam = F.col("n_events").cast("double") / (F.col("n_users") * 30)
+    ez = F.col("n_users") * 30 * F.exp(-lam)
+    return (
+        per.crossJoin(F.broadcast(nu))
+        .select(
+            "event_type",
+            (F.col("n_users") * 30).cast("long").alias("n_cells"),
+            (F.col("n_users") * 30 - F.col("cells_hit"))
+            .cast("long")
+            .alias("observed_zeros"),
+            (F.floor(lam * 1e6 + 0.5) / 1e6).alias("lambda_q"),
+            (F.floor(ez * 1e6 + 0.5) / 1e6).alias("expected_zeros_q"),
+            (
+                F.floor((F.col("n_users") * 30 - F.col("cells_hit")) / ez * 1e6 + 0.5)
+                / 1e6
+            ).alias("inflation_ratio_q"),
+        )
+        .orderBy("event_type")
+    )
