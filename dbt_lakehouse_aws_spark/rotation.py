@@ -412,7 +412,8 @@ DRIVER_WINDOW: list[str] = ROUND8_WINDOW[:50]
 #: item 4), staged_r12 46 (9 carried + 37 authored and 4-gate
 #: verified in round 8; the LPA capped twin moved up into
 #: queries_r8 per verdict r7 item 2) — staged_r11's 4 tail + the
-#: 46 fill the round-12 window exactly.
+#: 46 fill the round-12 window exactly. staged_r13 opened in round
+#: 8 with 12 fully-gated entries (feeds rounds 13+).
 #:   * ROUND 9: the 8 round-8 registrations whose driver rows were
 #:     deferred (staged_r8's 4 tail: capture_recapture_users,
 #:     transition_latency_matrix, weighted_kappa_quality,

@@ -538,3 +538,498 @@ def zero_inflation_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _ivf_recall_oracle() -> str:
+    """Recall@5 of the fixed-centroid IVF index vs exact cosine, at
+    nprobe ∈ {1,2,4} — the queries_llm._ivf_oracle CTE machinery
+    with an exact-ranking CTE and a recall join on top."""
+    from dbt_lakehouse_aws_spark.queries_llm import _ivf_fixed_centroids
+
+    cents = _ivf_fixed_centroids()
+    rows = ", ".join(
+        f"({c}, {[float(x) for x in cents[c]]!r})" for c in range(16)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 64) AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    cb(cell, cv) AS (SELECT * FROM (VALUES {rows}) t(cell, cv)),
+    dist AS (
+      SELECT v.vec_id, cb.cell,
+             list_sum(list_transform(range(1, 65),
+                      i -> pow(emb[i] - cv[i], 2))) AS d2
+      FROM v CROSS JOIN cb
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    proberank AS (
+      SELECT vec_id AS query_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS prn
+      FROM dist WHERE vec_id < 10
+    ),
+    np AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+    scored AS (
+      SELECT np.nprobe, p.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(qv.emb, nv.emb)
+                   / (sqrt(list_dot_product(qv.emb, qv.emb))
+                      * sqrt(list_dot_product(nv.emb, nv.emb))), 6) AS cosine
+      FROM np JOIN proberank p ON p.prn <= np.nprobe
+      JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+      JOIN v qv ON qv.vec_id = p.query_id
+      JOIN v nv ON nv.vec_id = a.vec_id
+    ),
+    ivf5 AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+      WHERE rn <= 5
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, c.emb)
+                   / (sqrt(list_dot_product(q.emb, q.emb))
+                      * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+      FROM v q JOIN v c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn FROM exact)
+      WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT i.nprobe, i.query_id, CAST(count(e.neighbor_id) AS BIGINT) AS h
+      FROM ivf5 i LEFT JOIN exact5 e
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+      GROUP BY 1, 2
+    )
+    SELECT nprobe,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(h) AS BIGINT) AS hits_at_5,
+           floor(CAST(sum(h) AS DOUBLE) / (count(*) * 5) * 1e6 + 0.5) / 1e6
+             AS recall_at_5_q
+    FROM hits GROUP BY nprobe ORDER BY nprobe
+    """
+
+
+@_staged("ivf_probe_recall_curve_embeddings", "PLACEHOLDER_IVF_RECALL")
+def ivf_probe_recall_curve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve every vector-store deployment reads
+    before fixing nprobe: recall@5 of the IVF index against exact
+    cosine at nprobe ∈ {1,2,4}, on the integer-quantized vectors and
+    closed-form integer coarse quantizer of `ann_ivf_topk` (so both
+    the index AND the exact ranking replay bit-identically in SQL).
+    Rides the production ann_search_ivf path three times — cell
+    assignment is bucketed, the exact pass exists only as the
+    ground-truth audit, and recall is an integer hit-count ratio."""
+    import numpy as _np
+
+    from dbt_lakehouse_aws_spark.llmops.similarity import ann_search_ivf
+    from dbt_lakehouse_aws_spark.queries_llm import _ivf_fixed_centroids
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 64).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    cents = _np.array(_ivf_fixed_centroids(), dtype=_np.float64)
+
+    # exact ground truth on the same quantized vectors
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = q.crossJoin(e.withColumnRenamed("vec_id", "neighbor_id")).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("qv"), F.col("embedding"))
+            / (
+                F.sqrt(dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exact5 = (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+
+    out = None
+    for nprobe in (1, 2, 4):
+        ivf = ann_search_ivf(
+            e,
+            query_ids=range(10),
+            k=5,
+            n_cells=16,
+            nprobe=nprobe,
+            centroids=cents,
+            metric="l2",
+        ).select("query_id", "neighbor_id")
+        part = (
+            ivf.join(F.broadcast(exact5), ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("_hit").cast("long").alias("h"))
+            .agg(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.sum("h").cast("long").alias("hits_at_5"),
+                (
+                    F.floor(
+                        F.sum("h").cast("double")
+                        / (F.count(F.lit(1)) * 5)
+                        * 1e6
+                        + 0.5
+                    )
+                    / 1e6
+                ).alias("recall_at_5_q"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("nprobe")
+
+
+STAGED_ORACLES["ivf_probe_recall_curve_embeddings"] = _ivf_recall_oracle()
+
+
+def _DAILY(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily revenue in whole dollars (the staged_r12
+    _daily_type_df shape, local to this module)."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(
+        F.floor(F.sum(F.round(F.col("value") * 100).cast("long")) / 100)
+        .cast("long")
+        .alias("y")
+    )
+
+
+@_staged(
+    "hampel_filter_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT)
+               AS y
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT a.event_type, a.x, a.y,
+             quantile_cont(b.y, 0.5) AS med7,
+             CAST(count(*) AS BIGINT) AS w
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.x BETWEEN a.x - 3 AND a.x + 3
+      GROUP BY 1, 2, 3
+    ),
+    mad AS (
+      SELECT m.event_type, m.x, m.y, m.med7, m.w,
+             quantile_cont(abs(b.y - m.med7), 0.5) AS mad7
+      FROM med m JOIN daily b
+        ON b.event_type = m.event_type AND b.x BETWEEN m.x - 3 AND m.x + 3
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT event_type, x, y,
+           floor(med7 * 1e6 + 0.5) / 1e6 AS med7_q,
+           floor(mad7 * 1e6 + 0.5) / 1e6 AS mad7_q,
+           (abs(y - med7) > 3 * 1.4826 * mad7) AS outlier
+    FROM mad WHERE w = 7
+    ORDER BY event_type, x
+    """,
+)
+def hampel_filter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel identifier over each event type's daily revenue: a
+    centered 7-day rolling median and rolling MAD, flagging days
+    beyond 3·1.4826·MAD — the robust despiking filter every
+    telemetry pipeline runs before trend fits (immune to the very
+    outliers a z-score filter would absorb). Both rolling medians
+    ride day-bounded self-joins (≤7·n pairs per type on the fixed
+    30-day window — never a sort), and edges with partial windows
+    are excluded (w=7), which pins the estimand exactly."""
+    daily = _DAILY(spark, sf_dir)
+    b = daily.select(
+        F.col("event_type").alias("et2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    med = (
+        daily.join(
+            b,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("x2") >= F.col("x") - 3)
+            & (F.col("x2") <= F.col("x") + 3),
+        )
+        .groupBy("event_type", "x", "y")
+        .agg(
+            F.expr("percentile(y2, 0.5)").alias("med7"),
+            F.count(F.lit(1)).cast("long").alias("w"),
+        )
+    )
+    mad = (
+        med.join(
+            b,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("x2") >= F.col("x") - 3)
+            & (F.col("x2") <= F.col("x") + 3),
+        )
+        .groupBy("event_type", "x", "y", "med7", "w")
+        .agg(F.expr("percentile(abs(y2 - med7), 0.5)").alias("mad7"))
+    )
+    return (
+        mad.filter(F.col("w") == 7)
+        .select(
+            "event_type",
+            "x",
+            "y",
+            (F.floor(F.col("med7") * 1e6 + 0.5) / 1e6).alias("med7_q"),
+            (F.floor(F.col("mad7") * 1e6 + 0.5) / 1e6).alias("mad7_q"),
+            (
+                F.abs(F.col("y") - F.col("med7")) > 3 * 1.4826 * F.col("mad7")
+            ).alias("outlier"),
+        )
+        .orderBy("event_type", "x")
+    )
+
+
+@_staged(
+    "rsi_14_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT)
+               AS y
+      FROM events GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT event_type, x,
+             y - lag(y) OVER (PARTITION BY event_type ORDER BY x) AS d,
+             row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn
+      FROM daily
+    ),
+    rolled AS (
+      SELECT event_type, x, rn,
+             CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER w AS BIGINT)
+               AS sg,
+             CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER w AS BIGINT)
+               AS sl
+      FROM delta
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, x,
+           floor(100.0 * sg / (sg + sl) * 1e6 + 0.5) / 1e6 AS rsi_q,
+           (100.0 * sg / (sg + sl) > 70) AS overbought,
+           (100.0 * sg / (sg + sl) < 30) AS oversold
+    FROM rolled WHERE rn >= 15 AND sg + sl > 0
+    ORDER BY event_type, x
+    """,
+)
+def rsi_14_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (Cutler's SMA form — the arithmetic variant, so
+    the statistic is a pure ratio of integer gain/loss sums with no
+    recursive smoothing to drift across engines) per event type's
+    daily revenue, with the classic 70/30 overbought/oversold flags.
+    Only complete 14-delta windows emit (rn ≥ 15). The momentum
+    sibling of the Bollinger and drawdown rows."""
+    daily = _DAILY(spark, sf_dir)
+    w0 = Window.partitionBy("event_type").orderBy("x")
+    delta = daily.select(
+        "event_type",
+        "x",
+        (F.col("y") - F.lag("y").over(w0)).alias("d"),
+        F.row_number().over(w0).alias("rn"),
+    )
+    wr = w0.rowsBetween(-13, 0)
+    rolled = delta.select(
+        "event_type",
+        "x",
+        "rn",
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0))
+        .over(wr)
+        .cast("long")
+        .alias("sg"),
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0))
+        .over(wr)
+        .cast("long")
+        .alias("sl"),
+    )
+    rsi = 100.0 * F.col("sg") / (F.col("sg") + F.col("sl"))
+    return (
+        rolled.filter((F.col("rn") >= 15) & (F.col("sg") + F.col("sl") > 0))
+        .select(
+            "event_type",
+            "x",
+            (F.floor(rsi * 1e6 + 0.5) / 1e6).alias("rsi_q"),
+            (rsi > 70).alias("overbought"),
+            (rsi < 30).alias("oversold"),
+        )
+        .orderBy("event_type", "x")
+    )
+
+
+@_staged(
+    "chao1_vocab_estimate_docs",
+    """
+    WITH tri AS (
+      SELECT unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+                                  ' '))) AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY 1),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS observed,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(sum(c) AS BIGINT) AS n_instances
+      FROM c
+    )
+    SELECT observed, f1, f2, n_instances,
+           floor((observed + CAST(f1 AS DOUBLE) * f1 / (2 * (f2 + 1))
+                  - CAST(f1 AS DOUBLE) * f2 / (2 * (f2 + 1) * (f2 + 1)))
+                 * 1e6 + 0.5) / 1e6 AS chao1_q,
+           floor(CAST(f1 AS DOUBLE) / n_instances * 1e6 + 0.5) / 1e6
+             AS singleton_rate_q
+    FROM st
+    """,
+)
+def chao1_vocab_estimate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 richness estimate of the UNSEEN trigram vocabulary
+    (bias-corrected form, Chao 1984): observed types +
+    f₁²/(2(f₂+1)) − f₁f₂/(2(f₂+1)²) from singleton/doubleton counts
+    — the "how much vocabulary has this corpus NOT seen yet"
+    estimator that pairs with the Heaps-curve row (growth observed
+    vs ceiling estimated), plus the Good-Turing singleton rate
+    (P(next trigram is novel)). One explode + counts-of-counts."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("tokens")).filter(
+        F.size("tokens") >= 3
+    )
+    tri = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tokens) - 3), "
+                "i -> concat_ws(' ', slice(tokens, i + 1, 3)))"
+            )
+        ).alias("t")
+    )
+    c = tri.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    st = c.agg(
+        F.count(F.lit(1)).cast("long").alias("observed"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+        F.sum("c").cast("long").alias("n_instances"),
+    )
+    f1d = F.col("f1").cast("double")
+    chao = (
+        F.col("observed")
+        + f1d * F.col("f1") / (2 * (F.col("f2") + 1))
+        - f1d * F.col("f2") / (2 * (F.col("f2") + 1) * (F.col("f2") + 1))
+    )
+    return st.select(
+        "observed",
+        "f1",
+        "f2",
+        "n_instances",
+        (F.floor(chao * 1e6 + 0.5) / 1e6).alias("chao1_q"),
+        (
+            F.floor(f1d / F.col("n_instances") * 1e6 + 0.5) / 1e6
+        ).alias("singleton_rate_q"),
+    )
+
+
+@_staged(
+    "good_turing_counts_docs",
+    """
+    WITH tri AS (
+      SELECT unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+                                  ' '))) AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY 1),
+    coc AS (
+      SELECT c AS r, CAST(count(*) AS BIGINT) AS nr
+      FROM c GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(r * nr) AS BIGINT) AS n FROM coc)
+    SELECT a.r, a.nr,
+           floor((a.r + 1) * CAST(coalesce(b.nr, 0) AS DOUBLE) / a.nr
+                 * 1e6 + 0.5) / 1e6 AS r_star_q,
+           floor((a.r + 1) * CAST(coalesce(b.nr, 0) AS DOUBLE) / a.nr
+                 / (SELECT n FROM tot) * 1e9 + 0.5) / 1e9 AS p_gt_q
+    FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+    WHERE a.r <= 5
+    ORDER BY a.r
+    """,
+)
+def good_turing_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing adjusted counts r* = (r+1)·N_{r+1}/N_r for the
+    low-frequency trigram classes (r ≤ 5) and the implied smoothed
+    probabilities — the counts-of-counts discount every classical
+    LM backoff (Katz, SGT) builds on, complementing the Kneser-Ney
+    row with the estimator KN itself approximates. Two integer
+    aggregations and a self-join on r+1; floats only in the final
+    quantized ratios."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("tokens")).filter(
+        F.size("tokens") >= 3
+    )
+    tri = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tokens) - 3), "
+                "i -> concat_ws(' ', slice(tokens, i + 1, 3)))"
+            )
+        ).alias("t")
+    )
+    c = tri.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    coc = c.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("nr")
+    )
+    tot = coc.agg(F.sum(F.col("r") * F.col("nr")).cast("long").alias("n"))
+    b = coc.select((F.col("r") - 1).alias("r"), F.col("nr").alias("nr1"))
+    rstar = (F.col("r") + 1) * F.coalesce(F.col("nr1"), F.lit(0)).cast(
+        "double"
+    ) / F.col("nr")
+    return (
+        coc.join(b, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("r") <= 5)
+        .select(
+            "r",
+            "nr",
+            (F.floor(rstar * 1e6 + 0.5) / 1e6).alias("r_star_q"),
+            (F.floor(rstar / F.col("n") * 1e9 + 0.5) / 1e9).alias("p_gt_q"),
+        )
+        .orderBy("r")
+    )
