@@ -421,6 +421,41 @@ HEADLINE = [
     "lpa_communities_capped_users",
     "kcore_capped_users",
     "kmv_error_bound_customers",
+    # round-9 promotions (queries_r9.py, formerly staged_r9): the
+    # full 32 in file order — first 24 lead the round-9 driver
+    # window, 8 tail join round 10. No stream_* fixtures among them.
+    "monge_elkan_parts",
+    "trigram_cosine_pairs_parts",
+    "closeness_users_events",
+    "bellman_ford_users",
+    "anova_f_event_types",
+    "kruskal_wallis_priority",
+    "cross_correlation_lag_events",
+    "sharpe_daily_users",
+    "basket_triples_apriori",
+    "croston_demand_parts",
+    "ltv_cohort_triangle_orders",
+    "abc_xyz_parts",
+    "runs_test_daily_events",
+    "theil_index_customers",
+    "term_burstiness_docs",
+    "mcnemar_view_purchase",
+    "video_rle8_delta_features",
+    "growth_accounting_weekly",
+    "stickiness_dau_mau",
+    "simpsons_paradox_check",
+    "path_entropy_users",
+    "rake_keywords_docs",
+    "wow_movers_event_types",
+    "acid_shallow_clone_events",
+    "zorder_cells_events",
+    "cochran_q_events",
+    "audience_overlap_sources",
+    "conversion_horizon_shares",
+    "haar_energy_daily_events",
+    "dup_cluster_size_histogram",
+    "lmoments_order_values",
+    "friedman_by_type",
 ]
 
 

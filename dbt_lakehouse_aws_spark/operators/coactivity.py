@@ -20,7 +20,7 @@ r8) can all share it without circular imports through
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_lakehouse_aws_spark.sources.tables import T
@@ -44,6 +44,97 @@ def coactivity_edges_sql(min_shared: int) -> str:
     ),
     edges AS (SELECT a, b FROM shared WHERE shared >= {min_shared})
 """
+
+
+def coactivity_capped_sql(min_shared: int = 3, slot_cap: int = 32) -> str:
+    """DuckDB CTE prelude (``ue``/``uact``/``slot_kept``/``shared``/
+    ``strong``) mirroring :func:`coactivity_weighted_capped` — splice
+    into oracle SQL with ``WITH {coactivity_capped_sql()}, ...``.
+    ``strong`` is the weighted capped edge list (a, b, shared)."""
+    return f"""
+    ue AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    ),
+    uact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS act FROM ue GROUP BY 1
+    ),
+    slot_kept AS (
+      SELECT user_id, event_type, hr FROM (
+        SELECT ue.user_id, ue.event_type, ue.hr,
+               row_number() OVER (PARTITION BY ue.event_type, ue.hr
+                                  ORDER BY ua.act DESC, ue.user_id ASC) AS srn
+        FROM ue JOIN uact ua ON ua.user_id = ue.user_id
+      ) WHERE srn <= {slot_cap}
+    ),
+    shared AS (
+      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
+      FROM slot_kept x JOIN slot_kept y
+        ON x.event_type = y.event_type AND x.hr = y.hr
+       AND x.user_id < y.user_id
+      GROUP BY 1, 2
+    ),
+    strong AS (SELECT a, b, shared FROM shared WHERE shared >= {min_shared})
+"""
+
+
+def coactivity_weighted_capped(
+    spark: SparkSession,
+    sf_dir: str,
+    min_shared: int = 3,
+    slot_cap: int = 32,
+) -> DataFrame:
+    """SLOT-BOUNDED weighted co-activity edges (a, b, shared) — the
+    scale-safe constructor the capped graph family builds on (VERDICT
+    r8 item 1). :func:`coactivity_edges` self-joins every (event_type,
+    hour) slot's full occupancy: once the ~3,600-slot grid saturates
+    (sf >= 0.1) occupancy grows linearly with sf and pair work grows
+    as occupancy² — Θ(sf²), measured 36.8k → 2.82M pair candidates on
+    10× data. Capping the graph AFTER that join (``cap_neighbors``)
+    bounds wedge enumeration but still pays the quadratic build; this
+    constructor applies the same deterministic top-m estimand ONE
+    STAGE EARLIER, at the slot: each (event_type, hr) slot keeps its
+    ``slot_cap`` most-active participants (rank = user's distinct-slot
+    count DESC, then user_id ASC — both exact integers, fully
+    deterministic), so pair work is bounded by slots · C(m, 2) ≈ 1.8M
+    at m=32 REGARDLESS of sf (vs ~135M uncapped at sf1.0). At the
+    driver's sf0.01 no slot exceeds 10 participants, so the capped and
+    raw graphs coincide there; the cap starts biting at sf0.1 (max
+    occupancy 51) — a DIFFERENT, fully-specified estimand on the
+    bounded-occupancy graph, exactly like the top-16 neighbor cap one
+    stage later. Plan shape: one distinct, one per-user aggregate, one
+    rank window over ~3,600 bounded slot partitions, then the same
+    slot equi-join — every stage linear in the input."""
+    ue = (
+        T(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        )
+        .distinct()
+    )
+    act = ue.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("act")
+    )
+    w = Window.partitionBy("event_type", "hr").orderBy(
+        F.desc("act"), F.asc("user_id")
+    )
+    kept = (
+        ue.join(act, "user_id")
+        .withColumn("srn", F.row_number().over(w))
+        .filter(F.col("srn") <= slot_cap)
+        .select("user_id", "event_type", "hr")
+    )
+    x = kept.select(F.col("user_id").alias("a"), "event_type", "hr")
+    y = kept.select(F.col("user_id").alias("b"), "event_type", "hr")
+    return (
+        x.join(y, ["event_type", "hr"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
 
 
 def coactivity_edges(

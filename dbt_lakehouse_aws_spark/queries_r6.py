@@ -2321,8 +2321,9 @@ def kcore_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this exact row calibrates the production form,
     ``kcore_capped_users`` (queries_r8.py), whose top-16 neighbor
     cap bounds every peeling round at O(n·k) regardless of raw-graph
-    density (82 s at sf1.0 vs 138 s here, and the gap widens with
-    scale)."""
+    density (committed r8 BENCH_sf1.json artifact: 61.0 s at sf1.0
+    vs 122.7 s here — and since round 9 the twin's CONSTRUCTOR is
+    slot-bounded too, so the gap widens further with scale)."""
     from dbt_lakehouse_aws_spark.operators.coactivity import coactivity_edges as _coactivity_edges
     from dbt_lakehouse_aws_spark.operators.graph import kcore_fixed_rounds
 

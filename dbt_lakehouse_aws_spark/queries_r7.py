@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from dbt_lakehouse_aws_spark.operators.coactivity import (  # noqa: E402
+    coactivity_capped_sql as _coactivity_capped_sql,
     coactivity_edges_sql as _coactivity_edges_sql,
 )
 
@@ -4002,18 +4003,7 @@ from dbt_lakehouse_aws_spark.sources.tables import T  # noqa: E402
 @_promoted(
     "link_prediction_capped_users",
     """
-    WITH ue AS (
-      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
-      FROM events
-    ),
-    shared AS (
-      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
-      FROM ue x JOIN ue y
-        ON x.event_type = y.event_type AND x.hr = y.hr
-       AND x.user_id < y.user_id
-      GROUP BY 1, 2
-    ),
-    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
+    WITH PLACEHOLDER_CAPPED_PRELUDE,
     sym AS (
       SELECT a AS node, b AS nbr, shared FROM strong
       UNION ALL SELECT b, a, shared FROM strong
@@ -4056,38 +4046,33 @@ from dbt_lakehouse_aws_spark.sources.tables import T  # noqa: E402
     """,
 )
 def link_prediction_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction on the NEIGHBOR-CAPPED co-activity graph — the
-    documented 100 TB degeneracy control for the Sigma-deg^2 wedge
-    family (VERDICT r5 plan audit; the uncapped exact rows hit the
-    sf1.0 watchdog because 10x slot density densifies the graph
-    quadratically): each node keeps only its top-16 strongest
-    neighbors (shared-count DESC, id ASC — deterministic), edges
-    survive if EITHER endpoint keeps them (standard kNN-graph
-    symmetrization), and common-neighbor Jaccard runs on the capped
-    graph, whose wedge volume is bounded by n*k^2 REGARDLESS of how
-    dense the raw graph gets. The oracle replays the identical cap
-    with a window — this is a DIFFERENT, fully-specified estimand,
-    not an approximation of the uncapped query (which keeps its own
-    exact oracle at sf <= 0.1 scale); measured at sf1.0 in PERF.md
-    where the uncapped form times out."""
+    """Link prediction on the SLOT-BOUNDED + NEIGHBOR-CAPPED
+    co-activity graph — the documented 100 TB degeneracy control for
+    the Sigma-deg^2 wedge family (VERDICT r5 plan audit; re-based in
+    round 9 per VERDICT r8 item 1: ``cap_neighbors`` bounded wedge
+    work at n*k^2 but CONSUMED a Θ(sf²) pair join — 77× measured
+    pair-work on 10× data — so the cap now also applies one stage
+    earlier, at the (event_type, hour) slot). Construction:
+    ``coactivity_weighted_capped`` keeps each slot's top-32
+    most-active participants (activity DESC, id ASC — deterministic)
+    bounding pair work at slots·C(32,2); then each node keeps its
+    top-16 strongest neighbors (shared DESC, id ASC), edges survive
+    if EITHER endpoint keeps them (kNN symmetrization), and
+    common-neighbor Jaccard runs on that graph. The oracle replays
+    both caps with rank windows — a DIFFERENT, fully-specified
+    estimand, not an approximation of the uncapped query (which
+    keeps its own exact oracle at sf <= 0.1 as calibration-class
+    evidence); measured at sf1.0 in PERF.md where the uncapped form
+    times out."""
+    from dbt_lakehouse_aws_spark.operators.coactivity import (
+        coactivity_weighted_capped,
+    )
     from dbt_lakehouse_aws_spark.operators.graph import (
         cap_neighbors,
         common_neighbor_scores,
     )
 
-    e = T(spark, sf_dir, "events")
-    ue = e.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
-    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
-    weighted = (
-        x.join(y, ["event_type", "hr"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= 3)
-    )
+    weighted = coactivity_weighted_capped(spark, sf_dir, min_shared=3)
     capped = cap_neighbors(weighted, k=16, weight="shared")
     scores = common_neighbor_scores(capped, src="a", dst="b", min_common=2)
     return (
@@ -4105,18 +4090,7 @@ def link_prediction_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_promoted(
     "triangle_counts_capped_events",
     """
-    WITH ue AS (
-      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
-      FROM events
-    ),
-    shared AS (
-      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
-      FROM ue x JOIN ue y
-        ON x.event_type = y.event_type AND x.hr = y.hr
-       AND x.user_id < y.user_id
-      GROUP BY 1, 2
-    ),
-    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
+    WITH PLACEHOLDER_CAPPED_PRELUDE,
     sym AS (
       SELECT a AS node, b AS nbr, shared FROM strong
       UNION ALL SELECT b, a, shared FROM strong
@@ -4152,39 +4126,38 @@ def link_prediction_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def triangle_counts_capped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts on the NEIGHBOR-CAPPED co-activity
-    graph — the second member of the capped wedge family
-    (link_prediction_capped_users explains the estimand): top-16
-    strongest neighbors per node, kNN symmetrization, then the
-    degree-ordered-orientation triangle count whose wedge volume the
-    cap bounds at n*k^2 however dense the raw graph gets. The oracle
-    replays the cap with a window and counts the same triangles with
-    the naive ordered triple join — a genuinely different algorithm
-    agreeing on exact integers. Top-20 most clustered users."""
+    """Per-node triangle counts on the SLOT-BOUNDED + NEIGHBOR-CAPPED
+    co-activity graph — the second member of the capped wedge family
+    (link_prediction_capped_users explains the two-stage estimand,
+    re-based in round 9 per VERDICT r8 item 1): top-32 participants
+    per (event_type, hour) slot bound the pair JOIN, then top-16
+    strongest neighbors per node + kNN symmetrization bound the wedge
+    volume at n*k^2 however dense the raw graph gets. The oracle
+    replays both caps with rank windows and counts the same triangles
+    with the naive ordered triple join — a genuinely different
+    algorithm agreeing on exact integers. Top-20 most clustered
+    users."""
+    from dbt_lakehouse_aws_spark.operators.coactivity import (
+        coactivity_weighted_capped,
+    )
     from dbt_lakehouse_aws_spark.operators.graph import (
         cap_neighbors,
         triangle_counts,
     )
 
-    e = T(spark, sf_dir, "events")
-    ue = e.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
-    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
-    weighted = (
-        x.join(y, ["event_type", "hr"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= 3)
-    )
+    weighted = coactivity_weighted_capped(spark, sf_dir, min_shared=3)
     capped = cap_neighbors(weighted, k=16, weight="shared")
     return (
         triangle_counts(capped, src="a", dst="b")
         .select(F.col("node").alias("user_id"), "triangles")
         .orderBy(F.desc("triangles"), F.asc("user_id"))
         .limit(20)
+    )
+
+
+for _n in ("link_prediction_capped_users", "triangle_counts_capped_events"):
+    _PROMOTED_ORACLES[_n] = _PROMOTED_ORACLES[_n].replace(
+        "PLACEHOLDER_CAPPED_PRELUDE", _coactivity_capped_sql().strip().rstrip()
     )
 
 

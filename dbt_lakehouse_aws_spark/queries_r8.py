@@ -1599,20 +1599,11 @@ def k_anon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_promoted(
     "degree_assortativity_users",
-    # NOTE: reuses queries_r5's co-activity edge definition verbatim
+    # NOTE: two-stage capped co-activity prelude (round 9, VERDICT r8
+    # items 1+2) — `strong` is the slot-bounded weighted edge list.
     """
-    WITH ue AS (
-      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
-      FROM events
-    ),
-    shared AS (
-      SELECT x.user_id AS a, y.user_id AS b, count(*) AS shared
-      FROM ue x JOIN ue y
-        ON x.event_type = y.event_type AND x.hr = y.hr
-       AND x.user_id < y.user_id
-      GROUP BY 1, 2
-    ),
-    edges AS (SELECT a, b FROM shared WHERE shared >= 3),
+    WITH PLACEHOLDER_CAPPED_PRELUDE,
+    edges AS (SELECT a, b FROM strong),
     und AS (
       SELECT a AS u, b AS v FROM edges
       UNION ALL SELECT b, a FROM edges
@@ -1639,18 +1630,29 @@ def k_anon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def degree_assortativity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree assortativity of the user co-activity graph — Newman's
-    r: the Pearson correlation of endpoint degrees over all directed
-    edge instances (do hubs attach to hubs — social nets
+    """Degree assortativity of the SLOT-BOUNDED co-activity graph —
+    Newman's r: the Pearson correlation of endpoint degrees over all
+    directed edge instances (do hubs attach to hubs — social nets
     assortative, infrastructure nets disassortative). On the
     symmetrized edge list both endpoint marginals are identical, so
     r collapses to (mΣxy−(Σx)²)/(mΣx²−(Σx)²) with EVERY sum an
     exact integer (degrees are counts); one float expression,
     floor-quantized 1e-6. Degrees come from one aggregate, the
-    edge⋈degree joins are hash joins on the node key."""
-    from dbt_lakehouse_aws_spark.operators.coactivity import coactivity_edges as _coactivity_edges
+    edge⋈degree joins are hash joins on the node key. Re-based in
+    round 9 (VERDICT r8 items 1+2): the edge list comes from
+    ``coactivity_weighted_capped`` (top-32 participants per
+    (event_type, hour) slot before pairing — the same deterministic
+    estimand device as the top-16 neighbor cap), so the constructor
+    is slots·C(32,2)-bounded instead of the raw Θ(sf²) pair join the
+    round-8 registration paid; identical at the driver's sf0.01
+    (max slot occupancy 10 < 32)."""
+    from dbt_lakehouse_aws_spark.operators.coactivity import (
+        coactivity_weighted_capped,
+    )
 
-    edges = _coactivity_edges(spark, sf_dir, min_shared=3)
+    edges = coactivity_weighted_capped(spark, sf_dir, min_shared=3).select(
+        "a", "b"
+    )
     und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -4054,23 +4056,17 @@ def hll_error_bound_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_capped_oracle_sql(rounds: int = 3, k: int = 16) -> str:
-    """Unrolled LPA oracle over the NEIGHBOR-CAPPED co-activity
-    graph — the capped twins' CTE prelude + queries_r7's unrolled
-    label-propagation rounds."""
+    """Unrolled LPA oracle over the SLOT-BOUNDED + NEIGHBOR-CAPPED
+    co-activity graph — the capped twins' two-stage CTE prelude
+    (coactivity_capped_sql: top-32 per slot, then top-k neighbors)
+    + queries_r7's unrolled label-propagation rounds."""
+    from dbt_lakehouse_aws_spark.operators.coactivity import (
+        coactivity_capped_sql,
+    )
+
     parts = [
+        coactivity_capped_sql().strip().rstrip(),
         f"""
-    ue AS (
-      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
-      FROM events
-    ),
-    shared AS (
-      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
-      FROM ue x JOIN ue y
-        ON x.event_type = y.event_type AND x.hr = y.hr
-       AND x.user_id < y.user_id
-      GROUP BY 1, 2
-    ),
-    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
     sym0 AS (
       SELECT a AS node, b AS nbr, shared FROM strong
       UNION ALL SELECT b, a, shared FROM strong
@@ -4134,26 +4130,19 @@ def lpa_communities_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties, map-side max(struct) argmax — a DIFFERENT, fully-specified
     estimand on the kNN-sparsified graph, not an approximation of
     the uncapped row (which stays registered as calibration-class
-    evidence at sf ≤ 0.1)."""
+    evidence at sf ≤ 0.1). Round 9 (VERDICT r8 item 1): the graph is
+    now built by ``coactivity_weighted_capped`` — top-32 participants
+    per (event_type, hour) slot BEFORE pairing — so the constructor
+    is slots·C(32,2)-bounded instead of Θ(sf²)."""
+    from dbt_lakehouse_aws_spark.operators.coactivity import (
+        coactivity_weighted_capped,
+    )
     from dbt_lakehouse_aws_spark.operators.graph import (
         cap_neighbors,
         label_propagation_rounds,
     )
-    from dbt_lakehouse_aws_spark.sources.tables import T
 
-    e = T(spark, sf_dir, "events")
-    ue = e.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
-    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
-    weighted = (
-        x.join(y, ["event_type", "hr"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= 3)
-    )
+    weighted = coactivity_weighted_capped(spark, sf_dir, min_shared=3)
     capped = cap_neighbors(weighted, k=16, weight="shared")
     labels = label_propagation_rounds(capped, src="a", dst="b", rounds=3)
     return (
@@ -4172,24 +4161,18 @@ _PROMOTED_ORACLES["lpa_communities_capped_users"] = _lpa_capped_oracle_sql(3, 16
 
 
 def _kcore_capped_oracle_sql(k_core: int, rounds: int, k_nn: int) -> str:
-    """Unrolled k-core peeling oracle over the NEIGHBOR-CAPPED
-    co-activity graph: the capped twins' CTE prelude (top-k_nn
-    strongest neighbors per node, kNN-symmetrized) + queries_r6's
-    unrolled synchronous peeling rounds."""
+    """Unrolled k-core peeling oracle over the SLOT-BOUNDED +
+    NEIGHBOR-CAPPED co-activity graph: the capped twins' two-stage
+    CTE prelude (coactivity_capped_sql: top-32 per slot, then
+    top-k_nn strongest neighbors per node, kNN-symmetrized) +
+    queries_r6's unrolled synchronous peeling rounds."""
+    from dbt_lakehouse_aws_spark.operators.coactivity import (
+        coactivity_capped_sql,
+    )
+
     parts = [
+        coactivity_capped_sql().strip().rstrip(),
         f"""
-    ue AS (
-      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
-      FROM events
-    ),
-    shared AS (
-      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
-      FROM ue x JOIN ue y
-        ON x.event_type = y.event_type AND x.hr = y.hr
-       AND x.user_id < y.user_id
-      GROUP BY 1, 2
-    ),
-    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
     sym0 AS (
       SELECT a AS node, b AS nbr, shared FROM strong
       UNION ALL SELECT b, a, shared FROM strong
@@ -4249,26 +4232,20 @@ def kcore_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     as calibration-class evidence). Same bounded peeling: 4
     synchronous rounds of "drop nodes with current degree < 2"
     (operators/graph.py::kcore_fixed_rounds), which the oracle
-    unrolls verbatim over the identical capped-graph CTE prelude."""
+    unrolls verbatim over the identical capped-graph CTE prelude.
+    Round 9 (VERDICT r8 item 1): the graph is now built by
+    ``coactivity_weighted_capped`` — top-32 participants per
+    (event_type, hour) slot BEFORE pairing — so the constructor is
+    slots·C(32,2)-bounded instead of Θ(sf²)."""
+    from dbt_lakehouse_aws_spark.operators.coactivity import (
+        coactivity_weighted_capped,
+    )
     from dbt_lakehouse_aws_spark.operators.graph import (
         cap_neighbors,
         kcore_fixed_rounds,
     )
-    from dbt_lakehouse_aws_spark.sources.tables import T
 
-    e = T(spark, sf_dir, "events")
-    ue = e.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
-    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
-    weighted = (
-        x.join(y, ["event_type", "hr"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= 3)
-    )
+    weighted = coactivity_weighted_capped(spark, sf_dir, min_shared=3)
     capped = cap_neighbors(weighted, k=16, weight="shared")
     out = kcore_fixed_rounds(capped, src="a", dst="b", k=2, rounds=4)
     return out.select(F.col("node").alias("user_id"), "degree").orderBy(
@@ -4402,6 +4379,17 @@ def kmv_error_bound_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.20 * F.col("exact_distinct")
         ).alias("bound_ok"),
     ).orderBy("group_key")
+
+
+from dbt_lakehouse_aws_spark.operators.coactivity import (  # noqa: E402
+    coactivity_capped_sql as _coactivity_capped_sql,
+)
+
+_PROMOTED_ORACLES["degree_assortativity_users"] = _PROMOTED_ORACLES[
+    "degree_assortativity_users"
+].replace(
+    "PLACEHOLDER_CAPPED_PRELUDE", _coactivity_capped_sql().strip().rstrip()
+)
 
 
 # ---------------------------------------------------------------------------

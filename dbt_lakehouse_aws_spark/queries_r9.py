@@ -1,8 +1,10 @@
-"""Round-9 STAGED queries — NEW round-6 work, registered into
-staging only (the round-6 window froze at the 50 queries_r6
-promotions; VERDICT r3 item 3 discipline: nothing registers outside
-a frozen window). Every entry carries a full DuckDB value oracle and
-is pytest-verified each session by ``tests/test_staged_r6.py``.
+"""Round-9 query promotions (formerly ``staged_r9.py``, authored in
+round 6 and 4-gate verified through rounds 6–8; promoted at the
+round-9 rotation per the ``rotation.py`` ledger — the first 24 lead
+the ROUND9_WINDOW after the 8 deferred round-8 registrations and the
+18-query stalest-evidence backfill; the 8 tail rows join round 10's
+window). Every entry carries a full DuckDB value oracle and re-runs
+against it every session via ``tests/test_entry_contract.py``.
 
 Themes: string-similarity modalities the linkage family lacked
 (Monge-Elkan token-set, character-trigram cosine), weighted and
@@ -15,15 +17,15 @@ cross-correlation, per-entity risk ratios (Sharpe-style), and
 from __future__ import annotations
 
 #: name → oracle SQL, mirrors standard_queries' registry shape
-STAGED_ORACLES: dict[str, str] = {}
+_PROMOTED_ORACLES: dict[str, str] = {}
 #: name → (spark, sf_dir) -> DataFrame
-STAGED_QUERIES: dict[str, object] = {}
+_PROMOTED_QUERIES: dict[str, object] = {}
 
 
-def _staged(name: str, oracle: str):
+def _promoted(name: str, oracle: str):
     def deco(fn):
-        STAGED_ORACLES[name] = oracle
-        STAGED_QUERIES[name] = fn
+        _PROMOTED_ORACLES[name] = oracle
+        _PROMOTED_QUERIES[name] = fn
         return fn
 
     return deco
@@ -44,7 +46,7 @@ from dbt_lakehouse_aws_spark.queries_r5 import (  # noqa: E402
 from dbt_lakehouse_aws_spark.sources.tables import T  # noqa: E402
 
 
-@_staged(
+@_promoted(
     "monge_elkan_parts",
     f"""
     WITH dirty AS MATERIALIZED (
@@ -140,7 +142,7 @@ def monge_elkan_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return me.filter(F.col("me_sim") >= 0.95)
 
 
-@_staged(
+@_promoted(
     "trigram_cosine_pairs_parts",
     f"""
     WITH dirty AS MATERIALIZED (
@@ -240,7 +242,7 @@ def trigram_cosine_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "closeness_users_events",
     f"""
     WITH {_coactivity_edges_sql(3).strip().rstrip()},
@@ -346,7 +348,7 @@ def _bellman_ford_oracle(rounds: int = 4) -> str:
     )
 
 
-@_staged("bellman_ford_users", _bellman_ford_oracle(4))
+@_promoted("bellman_ford_users", _bellman_ford_oracle(4))
 def bellman_ford_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop-bounded weighted shortest paths (4 Bellman-Ford relaxation
     rounds) from the seed set {user_id % 7 = 0} over the co-activity
@@ -385,7 +387,7 @@ def bellman_ford_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "anova_f_event_types",
     """
     WITH x AS (
@@ -453,7 +455,7 @@ def anova_f_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "kruskal_wallis_priority",
     """
     WITH x AS (
@@ -552,7 +554,7 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "cross_correlation_lag_events",
     """
     WITH daily AS MATERIALIZED (
@@ -633,7 +635,7 @@ def cross_correlation_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lag")
 
 
-@_staged(
+@_promoted(
     "sharpe_daily_users",
     """
     WITH daily AS (
@@ -692,7 +694,7 @@ def sharpe_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "basket_triples_apriori",
     """
     WITH items AS MATERIALIZED (
@@ -780,7 +782,7 @@ def basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "croston_demand_parts",
     """
     WITH daily AS (
@@ -837,7 +839,7 @@ def croston_demand_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "ltv_cohort_triangle_orders",
     """
     WITH mo AS (
@@ -897,7 +899,7 @@ def ltv_cohort_triangle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort", "age")
 
 
-@_staged(
+@_promoted(
     "abc_xyz_parts",
     """
     WITH rev AS (
@@ -995,7 +997,7 @@ def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "runs_test_daily_events",
     """
     WITH daily AS MATERIALIZED (
@@ -1078,7 +1080,7 @@ def runs_test_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "theil_index_customers",
     """
     WITH spend AS (
@@ -1137,7 +1139,7 @@ def theil_index_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "term_burstiness_docs",
     """
     WITH toks AS (
@@ -1194,7 +1196,7 @@ def term_burstiness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "mcnemar_view_purchase",
     """
     WITH flags AS (
@@ -1241,7 +1243,7 @@ def mcnemar_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "video_rle8_delta_features",
     """
     WITH base AS (
@@ -1313,7 +1315,7 @@ def video_rle8_delta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_video_features(payloads)
 
 
-@_staged(
+@_promoted(
     "growth_accounting_weekly",
     """
     WITH act AS MATERIALIZED (
@@ -1396,7 +1398,7 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "stickiness_dau_mau",
     """
     WITH days AS (
@@ -1449,7 +1451,7 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "simpsons_paradox_check",
     """
     WITH x AS (
@@ -1532,7 +1534,7 @@ def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "path_entropy_users",
     """
     WITH seq AS (
@@ -1603,7 +1605,7 @@ def path_entropy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "rake_keywords_docs",
     """
     WITH toks AS MATERIALIZED (
@@ -1726,7 +1728,7 @@ def rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "wow_movers_event_types",
     """
     WITH weekly AS MATERIALIZED (
@@ -1783,7 +1785,7 @@ def wow_movers_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "acid_shallow_clone_events",
     """
     WITH base AS (
@@ -1854,7 +1856,7 @@ def acid_shallow_clone_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "zorder_cells_events",
     """
     WITH pts AS (
@@ -1922,7 +1924,7 @@ def zorder_cells_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "cochran_q_events",
     """
     WITH flags AS (
@@ -1994,7 +1996,7 @@ def cochran_q_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "audience_overlap_sources",
     """
     WITH su AS (
@@ -2047,7 +2049,7 @@ def audience_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "conversion_horizon_shares",
     """
     WITH firsts AS (
@@ -2117,7 +2119,7 @@ def conversion_horizon_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "haar_energy_daily_events",
     """
     WITH daily AS (
@@ -2202,7 +2204,7 @@ def haar_energy_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("level")
 
 
-@_staged(
+@_promoted(
     "dup_cluster_size_histogram",
     r"""
     WITH RECURSIVE toks AS (
@@ -2271,7 +2273,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "lmoments_order_values",
     """
     WITH cells AS (
@@ -2394,7 +2396,7 @@ def lmoments_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@_promoted(
     "friedman_by_type",
     """
     WITH users AS (SELECT DISTINCT user_id FROM events),
@@ -2489,3 +2491,13 @@ def friedman_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(chi2 * 1e6 + 0.5) / 1e6).alias("chi2_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Registration: runs AFTER every definition above, so each query
+# enters the registry with its final oracle.
+# ---------------------------------------------------------------------------
+from dbt_lakehouse_aws_spark.standard_queries import register as _register  # noqa: E402
+
+for _name in list(_PROMOTED_QUERIES):
+    _register(_name, _PROMOTED_ORACLES[_name])(_PROMOTED_QUERIES[_name])

@@ -403,7 +403,76 @@ ROUND8_WINDOW: list[str] = [
     "kpi_driver_decomposition",
 ]
 
-DRIVER_WINDOW: list[str] = ROUND8_WINDOW[:50]
+#: ROUND-9 WINDOW (CORRECTNESS_r09.json target) — rotated after the
+#: driver wrote CORRECTNESS_r08.json (50/50 green), exactly per the
+#: round-8 plan below and VERDICT r8 item 2: the 8 round-8
+#: registrations whose driver rows were deferred lead (staged_r8's 4
+#: tail + the 4 verdict move-ups — first driver evidence for the
+#: capped LPA/k-core twins and the HLL/KMV bound rows), then the
+#: 18-query stalest-evidence backfill (ROUND6_BACKFILL_PLAN: the
+#: r1-only §2 rows), then the first 24 of the round-9 promotions
+#: (queries_r9.py, formerly staged_r9) in original file order.
+#: queries_r9's 8 tail rows (zorder_cells_events …
+#: friedman_by_type) are REGISTERED now but their driver rows lead
+#: round 10's window. NOTE: lpa_communities_capped_users,
+#: kcore_capped_users and degree_assortativity_users (r8 row) were
+#: re-based onto the slot-bounded co-activity constructor this round
+#: (VERDICT r8 item 1) — their first/next driver evidence is under
+#: the new definition, oracle changed in lockstep.
+ROUND9_WINDOW: list[str] = [
+    "capture_recapture_users",
+    "transition_latency_matrix",
+    "weighted_kappa_quality",
+    "feature_gini_importance",
+    "lpa_communities_capped_users",
+    "kcore_capped_users",
+    "hll_error_bound_users",
+    "kmv_error_bound_customers",
+    "q3_top_revenue_orders",
+    "quality_filter",
+    "s2_path_metadata",
+    "s5_latest_snapshot",
+    "s6_latest_per_group",
+    "scd2_user_state",
+    "text_quality",
+    "token_stats",
+    "u2_unpivot_measures",
+    "u3_tiered_union",
+    "u4_party_union",
+    "w2_priority_price_ranks",
+    "w3_top_parts_per_brand",
+    "w4_global_order_rank",
+    "w5_rank_diff",
+    "w6_ntile_value_quartiles",
+    "w7_rolling_7day_value",
+    "w8_value_distribution",
+    "monge_elkan_parts",
+    "trigram_cosine_pairs_parts",
+    "closeness_users_events",
+    "bellman_ford_users",
+    "anova_f_event_types",
+    "kruskal_wallis_priority",
+    "cross_correlation_lag_events",
+    "sharpe_daily_users",
+    "basket_triples_apriori",
+    "croston_demand_parts",
+    "ltv_cohort_triangle_orders",
+    "abc_xyz_parts",
+    "runs_test_daily_events",
+    "theil_index_customers",
+    "term_burstiness_docs",
+    "mcnemar_view_purchase",
+    "video_rle8_delta_features",
+    "growth_accounting_weekly",
+    "stickiness_dau_mau",
+    "simpsons_paradox_check",
+    "path_entropy_users",
+    "rake_keywords_docs",
+    "wow_movers_event_types",
+    "acid_shallow_clone_events",
+]
+
+DRIVER_WINDOW: list[str] = ROUND9_WINDOW[:50]
 
 #: ROUND-9/10/11/12 PLAN (rotate only once CORRECTNESS_r08.json
 #: exists — memory: driver-window-rotation). Staged inventory at
@@ -423,7 +492,11 @@ DRIVER_WINDOW: list[str] = ROUND8_WINDOW[:50]
 #:     stalest-evidence backfill below (r1-only driver rows) + the
 #:     first 24 of staged_r9 = 50; staged_r9's remaining 8 join
 #:     round 10.
-#:   * ROUND 10: staged_r9's 8 tail + the first 42 of staged_r10;
+#:   * ROUND 10: queries_r9's 8 tail (zorder_cells_events,
+#:     cochran_q_events, audience_overlap_sources,
+#:     conversion_horizon_shares, haar_energy_daily_events,
+#:     dup_cluster_size_histogram, lmoments_order_values,
+#:     friedman_by_type) + the first 42 of staged_r10;
 #:     staged_r10's 6 tail join round 11.
 #:   * ROUND 11: staged_r10's 6 tail + the first 44 of staged_r11;
 #:     staged_r11's 4 tail + staged_r12 rotate in round 12.

@@ -1,5 +1,5 @@
 """Round-10+ STAGED queries — work built after round 9's 50-slot
-window (18 backfills + the 32 in staged_r9.py) was already full.
+window (18 backfills + the 32 now in queries_r9.py) was already full.
 Same staging discipline: every entry carries its oracle and is
 pytest-verified each session by ``tests/test_staged_r6.py``.
 """

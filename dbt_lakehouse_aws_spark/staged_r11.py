@@ -2621,24 +2621,20 @@ def gumbel_block_maxima_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _capped_coactivity_sql(k: int = 16, min_shared: int = 3) -> str:
-    """DuckDB CTE prelude (``ue``/``shared``/``strong``/``sym``/
-    ``ranked``/``capped``) replaying operators/graph.py::
-    cap_neighbors over the hour-slot co-activity graph — the same
-    SQL the promoted capped wedge twins (queries_r7.py) carry,
-    factored here so further capped-graph oracles stay in sync."""
-    return f"""
-    ue AS (
-      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
-      FROM events
-    ),
-    shared AS (
-      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
-      FROM ue x JOIN ue y
-        ON x.event_type = y.event_type AND x.hr = y.hr
-       AND x.user_id < y.user_id
-      GROUP BY 1, 2
-    ),
-    strong AS (SELECT a, b, shared FROM shared WHERE shared >= {min_shared}),
+    """DuckDB CTE prelude (slot-bounded ``ue``/``uact``/``slot_kept``/
+    ``shared``/``strong``, then ``sym``/``ranked``/``capped``)
+    replaying operators/coactivity.py::coactivity_weighted_capped +
+    operators/graph.py::cap_neighbors over the hour-slot co-activity
+    graph — the same SQL the promoted capped wedge twins
+    (queries_r7.py) carry since the round-9 re-base (VERDICT r8
+    item 1: the cap now also bounds the pair JOIN, not just the
+    wedge stage), factored here so further capped-graph oracles stay
+    in sync."""
+    from dbt_lakehouse_aws_spark.operators.coactivity import (
+        coactivity_capped_sql,
+    )
+
+    return coactivity_capped_sql(min_shared).strip().rstrip() + f""",
     sym AS (
       SELECT a AS node, b AS nbr, shared FROM strong
       UNION ALL SELECT b, a, shared FROM strong
@@ -2698,24 +2694,15 @@ def clustering_coefficient_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     so ranking never turns on a sub-quantum float. Oracle replays
     the cap with a window and counts the same triangles with the
     naive ordered triple join. Top-20, degree ≥ 2."""
+    from dbt_lakehouse_aws_spark.operators.coactivity import (
+        coactivity_weighted_capped,
+    )
     from dbt_lakehouse_aws_spark.operators.graph import (
         cap_neighbors,
         triangle_counts,
     )
 
-    e = T(spark, sf_dir, "events")
-    ue = e.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
-    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
-    weighted = (
-        x.join(y, ["event_type", "hr"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= 3)
-    )
+    weighted = coactivity_weighted_capped(spark, sf_dir, min_shared=3)
     capped = cap_neighbors(weighted, k=16, weight="shared")
     deg = (
         capped.select(F.col("a").alias("node"))
@@ -3752,21 +3739,12 @@ def rich_club_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME joined edge frame (4-row threshold ladder, the k-anon
     ladder device) — exact integers, quantized ratio, NULL below
     two qualifying nodes."""
+    from dbt_lakehouse_aws_spark.operators.coactivity import (
+        coactivity_weighted_capped,
+    )
     from dbt_lakehouse_aws_spark.operators.graph import cap_neighbors
 
-    e = T(spark, sf_dir, "events")
-    ue = e.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
-    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
-    weighted = (
-        x.join(y, ["event_type", "hr"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= 3)
-    )
+    weighted = coactivity_weighted_capped(spark, sf_dir, min_shared=3)
     capped = cap_neighbors(weighted, k=16, weight="shared").localCheckpoint(
         eager=True
     )

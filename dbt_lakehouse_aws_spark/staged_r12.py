@@ -2672,22 +2672,16 @@ STAGED_ORACLES["lsh_band_stats_docs"] = _lsh_band_stats_oracle()
 
 
 def _capped_graph_prelude_sql(k_nn: int = 16) -> str:
-    """The capped-twin CTE prelude (queries_r8's device): top-k_nn
-    strongest co-activity neighbors per node, kNN-symmetrized,
-    canonical (a < b) edges in ``capped``."""
-    return f"""
-    ue AS (
-      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
-      FROM events
-    ),
-    shared AS (
-      SELECT x.user_id AS a, y.user_id AS b, CAST(count(*) AS BIGINT) AS shared
-      FROM ue x JOIN ue y
-        ON x.event_type = y.event_type AND x.hr = y.hr
-       AND x.user_id < y.user_id
-      GROUP BY 1, 2
-    ),
-    strong AS (SELECT a, b, shared FROM shared WHERE shared >= 3),
+    """The capped-twin CTE prelude (queries_r8's device, slot-bounded
+    since the round-9 re-base — VERDICT r8 item 1): top-32
+    participants per (event_type, hour) slot bound the pair join,
+    then top-k_nn strongest co-activity neighbors per node,
+    kNN-symmetrized, canonical (a < b) edges in ``capped``."""
+    from dbt_lakehouse_aws_spark.operators.coactivity import (
+        coactivity_capped_sql,
+    )
+
+    return coactivity_capped_sql(3).strip().rstrip() + f""",
     sym0 AS (
       SELECT a AS node, b AS nbr, shared FROM strong
       UNION ALL SELECT b, a, shared FROM strong
@@ -2745,24 +2739,16 @@ def adamic_adar_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     common-neighbor counts on hub-heavy graphs (Adamic & Adar 2003),
     complementing the count-based link_prediction_capped row. The
     top-16 cap bounds the wedge join at n·k² at ANY raw density (the
-    queries_r8 twin discipline); per-z contributions are quantized
+    queries_r8 twin discipline), and since the round-9 re-base the
+    CONSTRUCTOR is slot-bounded too (top-32 per slot, VERDICT r8
+    item 1); per-z contributions are quantized
     to 1e-12 integers before summing, so ranking ties are exact."""
-    from dbt_lakehouse_aws_spark.operators.graph import cap_neighbors
-    from dbt_lakehouse_aws_spark.sources.tables import T as _T
-
-    e = _T(spark, sf_dir, "events")
-    ue = e.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
-    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
-    weighted = (
-        x.join(y, ["event_type", "hr"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= 3)
+    from dbt_lakehouse_aws_spark.operators.coactivity import (
+        coactivity_weighted_capped,
     )
+    from dbt_lakehouse_aws_spark.operators.graph import cap_neighbors
+
+    weighted = coactivity_weighted_capped(spark, sf_dir, min_shared=3)
     capped = cap_neighbors(weighted, k=16, weight="shared").localCheckpoint(
         eager=True
     )
@@ -2803,15 +2789,16 @@ def adamic_adar_capped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from dbt_lakehouse_aws_spark.operators.coactivity import (  # noqa: E402
-    coactivity_edges as _coactivity_edges,
-    coactivity_edges_sql as _coactivity_edges_sql,
+    coactivity_capped_sql as _coactivity_capped_sql,
+    coactivity_weighted_capped as _coactivity_weighted_capped,
 )
 
 
 @_staged(
     "degree_powerlaw_users",
     f"""
-    WITH {_coactivity_edges_sql(3)},
+    WITH {_coactivity_capped_sql(3)},
+    edges AS (SELECT a, b FROM strong),
     nbr AS (
       SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
     ),
@@ -2843,15 +2830,20 @@ from dbt_lakehouse_aws_spark.operators.coactivity import (  # noqa: E402
     """,
 )
 def degree_powerlaw_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree-distribution power-law readout for the co-activity
-    graph: the log-log OLS slope over the (degree, frequency)
-    histogram — the α̂ exponent proxy that decides whether hub
-    mitigation (salting, kNN caps) is needed before wedge-shaped
+    """Degree-distribution power-law readout for the SLOT-BOUNDED
+    co-activity graph (re-based on
+    ``coactivity_weighted_capped`` in round 9 — VERDICT r8 item 1;
+    identical to the raw graph at the gate SFs where no slot exceeds
+    32 participants): the log-log OLS slope over the (degree,
+    frequency) histogram — the α̂ exponent proxy that decides whether
+    hub mitigation (salting, kNN caps) is needed before wedge-shaped
     work. O(edges) degree count + a histogram-sized regression;
     log points quantized to 1e-6 integers so the OLS sufficient
     statistics are BIGINT-exact. (ln scale: slope unit-free,
     intercept reported back on the 1e-6 grid.)"""
-    edges = _coactivity_edges(spark, sf_dir, min_shared=3)
+    edges = _coactivity_weighted_capped(spark, sf_dir, min_shared=3).select(
+        "a", "b"
+    )
     nbr = edges.select(F.col("a").alias("node")).unionByName(
         edges.select(F.col("b").alias("node"))
     )

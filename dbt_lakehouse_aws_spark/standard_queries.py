@@ -5641,6 +5641,10 @@ from dbt_lakehouse_aws_spark import queries_r7  # noqa: E402,F401
 # verdict (capped LPA/k-core twins, HLL/KMV error-bound rows).
 from dbt_lakehouse_aws_spark import queries_r8  # noqa: E402,F401
 
+# Round-9 promotions: the 32 formerly-staged_r9 queries (first 24 in
+# the round-9 driver window per rotation.py; 8 tail join round 10).
+from dbt_lakehouse_aws_spark import queries_r9  # noqa: E402,F401
+
 
 def _window_ordered() -> list[QuerySpec]:
     by_name = {spec.name: spec for spec in _REGISTRY}

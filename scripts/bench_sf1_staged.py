@@ -22,8 +22,8 @@ sys.path.insert(0, "/root/repo")
 
 from dbt_lakehouse_aws_spark.session import get_spark
 from dbt_lakehouse_aws_spark import standard_queries as SQ
-from dbt_lakehouse_aws_spark import (staged_r9, staged_r10,
-                                     staged_r11, staged_r12, staged_r13)
+from dbt_lakehouse_aws_spark import (staged_r10, staged_r11,
+                                     staged_r12, staged_r13)
 from bench import _prepare_chunked
 
 
@@ -44,7 +44,7 @@ def main() -> int:
         return s
 
     spark = fresh_session()
-    queries = {**staged_r9.STAGED_QUERIES,
+    queries = {
                **staged_r10.STAGED_QUERIES, **staged_r11.STAGED_QUERIES,
                **staged_r12.STAGED_QUERIES, **staged_r13.STAGED_QUERIES}
 

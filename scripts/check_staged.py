@@ -16,15 +16,15 @@ import duckdb
 from dbt_lakehouse_aws_spark.oracle import compare_frames
 from dbt_lakehouse_aws_spark.session import get_spark
 from dbt_lakehouse_aws_spark.sources.catalog import STAR_TABLES
-from dbt_lakehouse_aws_spark import (staged_r9, staged_r10,
-                                     staged_r11, staged_r12, staged_r13)
+from dbt_lakehouse_aws_spark import (staged_r10, staged_r11,
+                                     staged_r12, staged_r13)
 
 STAGED_ORACLES = {
-                  **staged_r9.STAGED_ORACLES, **staged_r10.STAGED_ORACLES,
+                  **staged_r10.STAGED_ORACLES,
                   **staged_r11.STAGED_ORACLES, **staged_r12.STAGED_ORACLES,
                   **staged_r13.STAGED_ORACLES}
 STAGED_QUERIES = {
-                  **staged_r9.STAGED_QUERIES, **staged_r10.STAGED_QUERIES,
+                  **staged_r10.STAGED_QUERIES,
                   **staged_r11.STAGED_QUERIES, **staged_r12.STAGED_QUERIES,
                   **staged_r13.STAGED_QUERIES}
 

@@ -9,13 +9,14 @@ import pytest
 
 from dbt_lakehouse_aws_spark.oracle import compare_frames
 from dbt_lakehouse_aws_spark.sources.catalog import STAR_TABLES
-from dbt_lakehouse_aws_spark import (staged_r9, staged_r10,
-                                     staged_r11, staged_r12, staged_r13)
+from dbt_lakehouse_aws_spark import (staged_r10, staged_r11,
+                                     staged_r12, staged_r13)
 
-#: merged view over every staging file (r8…r12 — r7 was
-#: promoted into queries_r7.py at round 7); duplicate names across
-#: files would silently shadow — asserted disjoint below.
-_FILES = (staged_r9, staged_r10, staged_r11, staged_r12, staged_r13)
+#: merged view over every staging file (r10…r13 — r8/r9 were
+#: promoted into queries_r8.py / queries_r9.py at rounds 8/9);
+#: duplicate names across files would silently shadow — asserted
+#: disjoint below.
+_FILES = (staged_r10, staged_r11, staged_r12, staged_r13)
 STAGED_ORACLES = {k: v for m in _FILES for k, v in m.STAGED_ORACLES.items()}
 STAGED_QUERIES = {k: v for m in _FILES for k, v in m.STAGED_QUERIES.items()}
 
