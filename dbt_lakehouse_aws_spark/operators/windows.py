@@ -62,6 +62,30 @@ def top_k_per_group(
     return out.drop("_rn")
 
 
+def _cumulative_offsets(
+    frame: DataFrame, pid: Column, value: Column, out_type: str
+) -> DataFrame:
+    """(``_pid``, ``_offset``) per Spark partition: the EXCLUSIVE
+    prefix of per-partition ``sum(value)`` in partition-id order —
+    computed entirely inside the plan (no driver collect, no action
+    barrier). Per-partition totals are at most ``num_partitions``
+    rows, so the non-equi self-join that forms the prefix is a tiny
+    broadcast nested-loop over cluster-width metadata, never data.
+    Integer ``out_type`` only: integer addition is order-free, so
+    the distributed sum is exactly the sequential one."""
+    totals = frame.groupBy(pid.cast("int").alias("_pid")).agg(
+        F.sum(value).cast(out_type).alias("_t")
+    )
+    prev = totals.select(F.col("_pid").alias("_q"), F.col("_t").alias("_pt"))
+    return (
+        totals.join(F.broadcast(prev), F.col("_q") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(
+            F.coalesce(F.sum("_pt"), F.lit(0).cast(out_type)).alias("_offset")
+        )
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_by: Sequence[Column],
@@ -79,14 +103,20 @@ def global_row_number(
     2. ``monotonically_increasing_id()`` over the sorted partitions
        encodes ``partition_id·2^33 + local_index``, i.e. the local
        rank for free — no ``Window.partitionBy`` hash exchange.
-    3. per-partition counts → cumulative offsets (``#partitions``
-       rows, driver-side), broadcast-joined back.
+    3. per-partition counts → cumulative offsets, computed IN-PLAN
+       (tiny broadcast self-join over ≤ ``num_partitions`` metadata
+       rows) and broadcast-joined back. No driver collect: the whole
+       primitive is one lazy plan, so a consumer query runs as ONE
+       action instead of (collect + main) per call — guide §5 "the
+       driver should do almost no data work" plus one fewer
+       scheduling barrier per call site.
 
     The frame is persisted before step 3: ``repartitionByRange``
-    samples its boundaries, and re-evaluating it in a second job can
-    yield different partition assignment — offsets computed against
-    run A must not be applied to run B (at cluster scale use
-    DISK_ONLY / checkpoint for the same pin).
+    samples its boundaries, and evaluating the offsets branch and the
+    main branch against two independent materializations could yield
+    different partition assignment — the persist pins one sampled
+    layout for both (at cluster scale use DISK_ONLY / checkpoint for
+    the same pin).
 
     ``order_by`` must be a total order (add a unique tiebreaker
     column) for the result to be deterministic.
@@ -109,18 +139,11 @@ def global_row_number(
     pid = F.shiftright("_mono", 33)
     local_ix = F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1).cast("long"))
 
-    counts = sorted(
-        tagged.groupBy(pid.alias("_pid")).count().collect(), key=lambda r: r["_pid"]
-    )
-    offsets, acc = [], 0
-    for row in counts:
-        offsets.append((int(row["_pid"]), acc))
-        acc += row["count"]
-    offset_df = spark.createDataFrame(offsets, "_pid INT, _offset BIGINT")
+    offsets = _cumulative_offsets(tagged, pid, F.lit(1), "long")
 
     return (
         tagged.withColumn("_pid", pid.cast("int"))
-        .join(F.broadcast(offset_df), "_pid")
+        .join(F.broadcast(offsets), "_pid")
         .withColumn(name, (local_ix + F.col("_offset") + 1).cast("long"))
         .drop("_pid", "_mono", "_offset")
     )
@@ -229,8 +252,13 @@ def prefix_sum(
        then a window partitioned BY SPARK PARTITION ID — a hash
        exchange on ~``num_partitions`` balanced groups, never one
        task — gives each row its within-partition running sum;
-    2. per-partition totals (``num_partitions`` rows to the driver)
-       → cumulative offsets, broadcast back and added.
+    2. per-partition totals → cumulative offsets, broadcast back and
+       added. For integral value columns (every call site in the
+       engine) the offsets are computed IN-PLAN
+       (:func:`_cumulative_offsets` — no driver collect, one action
+       per consumer query); floating columns keep the driver-side
+       sequential accumulation so the addition ORDER (and thus the
+       last-ulp float result) is pinned.
 
     ``order_by`` must be a total order for a deterministic result.
     The ranged frame is persisted so both passes see the same
@@ -248,12 +276,6 @@ def prefix_sum(
     )
     pid = F.shiftright("_mono", 33).cast("int")
 
-    totals = sorted(
-        ranged.groupBy(pid.alias("_pid"))
-        .agg(F.sum(value_col).alias("_t"))
-        .collect(),
-        key=lambda r: r["_pid"],
-    )
     # offsets carry CUMULATIVE sums, so they take the AGGREGATE's
     # type, not the value column's: Spark widens sum(int) to long —
     # typing the offset as the input column would overflow int32 for
@@ -263,11 +285,20 @@ def prefix_sum(
         if df.schema[value_col].dataType.simpleString() in ("double", "float")
         else "long"
     )
-    offsets, acc = [], 0
-    for row in totals:
-        offsets.append((int(row["_pid"]), acc))
-        acc += row["_t"]
-    offset_df = spark.createDataFrame(offsets, f"_pid INT, _offset {sum_type}")
+    if sum_type == "long":
+        offset_df = _cumulative_offsets(ranged, pid, F.col(value_col), "long")
+    else:
+        totals = sorted(
+            ranged.groupBy(pid.alias("_pid"))
+            .agg(F.sum(value_col).alias("_t"))
+            .collect(),
+            key=lambda r: r["_pid"],
+        )
+        offsets, acc = [], 0
+        for row in totals:
+            offsets.append((int(row["_pid"]), acc))
+            acc += row["_t"]
+        offset_df = spark.createDataFrame(offsets, f"_pid INT, _offset {sum_type}")
 
     w = Window.partitionBy(pid).orderBy("_mono")
     return (
