@@ -893,46 +893,67 @@ def prefix_filter_jaccard_pairs(
 
     ``materialize=True`` (default) localCheckpoints the shingle
     table: it feeds four consumers (frequency ordering, prefix
-    ranking, and both sides of the verification join), and at scale
+    ranking, and the per-doc verification arrays), and at scale
     materializing the shingle index once — standard practice in
     dedup pipelines — beats recomputing the explode four times
     (measured 14.4 s → 5.0 s at sf0.1). Set sizes ride the prefix
     rows as ``_sz`` and travel WITH each candidate pair, so the
     final Jaccard needs no standalone size aggregation and no
-    rendezvous joins (round-6: two joins + one groupBy deleted;
-    checkpointing the post-window ranked frame instead was tried
-    and measured SLOWER — the eager shuffle+sort write costs more
-    than the explode it saves).
+    rendezvous joins (round-6: two joins + one groupBy deleted).
+
+    Two round-9 shuffle-byte cuts (guide §2.3 "narrower types" /
+    "shuffle keys and metadata instead of payloads"):
+
+    * every shingle string is DICTIONARY-ENCODED to an integer id —
+      an EXACT bijection pinned on the (already needed) frequency
+      table, so the candidate join keys and the verification both
+      move 8-byte longs instead of ~25-byte strings;
+    * verification ships each candidate pair ONE ROW carrying both
+      docs' shingle-id ARRAYS (``size(array_intersect(...))`` —
+      exact set semantics, shingles are distinct per doc) instead of
+      exploding pair × |A| shingle rows through a second equi-join —
+      the explode was the dominant stage (measured 5.7 s of a 10 s
+      pipeline at sf0.1: 310k candidates × ~52 shingles each).
     """
     sh = shingle_table(df, id_col, text_col, n)
     if materialize:
         sh = sh.localCheckpoint()
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # id per distinct shingle. The map is PINNED (localCheckpoint) so
+    # the rank branch and the verification-array branch see the SAME
+    # ids — that consistency is all correctness needs: prefix
+    # filtering is lossless under ANY fixed corpus-wide total order
+    # (the pigeonhole proof never uses what the order is; frequency-
+    # asc is a candidate-count heuristic, kept as the major key), and
+    # the verification intersect is exact under any bijection.
+    sid = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_sid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    ish = sh.join(sid, "shingle").select(id_col, "_sid", "_df")
     # one (id)-shuffle serves both the prefix rank and the set size
     by_doc = Window.partitionBy(id_col)
     ranked = (
-        sh.join(freq, "shingle")
-        .withColumn(
+        ish.withColumn(
             "_rk",
-            F.row_number().over(
-                by_doc.orderBy(F.asc("_df"), F.asc("shingle"))
-            ),
+            F.row_number().over(by_doc.orderBy(F.asc("_df"), F.asc("_sid"))),
         )
         .withColumn("_sz", F.count(F.lit(1)).over(by_doc))
     )
     pref = ranked.filter(
         F.col("_rk") <= F.floor((1.0 - threshold) * F.col("_sz") + 1e-9) + 1
-    ).select(id_col, "shingle", "_sz")
+    ).select(id_col, "_sid", "_sz")
     a = pref.select(
-        F.col(id_col).alias("doc_a"), "shingle", F.col("_sz").alias("na")
+        F.col(id_col).alias("doc_a"), "_sid", F.col("_sz").alias("na")
     )
     b = pref.select(
-        F.col(id_col).alias("doc_b"), "shingle", F.col("_sz").alias("nb")
+        F.col(id_col).alias("doc_b"), "_sid", F.col("_sz").alias("nb")
     )
     # sizes travel WITH the candidate pair from here on — the final
     # Jaccard needs no rendezvous with a separate sizes table
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "_sid")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("na") * threshold <= F.col("nb") + 1e-9)
@@ -941,13 +962,23 @@ def prefix_filter_jaccard_pairs(
         .select("doc_a", "doc_b", "na", "nb")
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    arrs = ish.groupBy(id_col).agg(F.collect_list("_sid").alias("_sha"))
     inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(
+            arrs.select(F.col(id_col).alias("doc_a"), F.col("_sha").alias("_aa")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("doc_b"), F.col("_sha").alias("_ab")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("_aa", "_ab")).alias("inter"),
+        )
     )
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")

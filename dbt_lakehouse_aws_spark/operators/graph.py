@@ -660,52 +660,127 @@ def bounded_closeness(
     result column ``harmonic12`` is a BIGINT both engines agree on
     bit-for-bit — no float summation order anywhere.
 
-    Scale shape: pair-BFS with a FRONTIER state (only newly-reached
-    (source, node) pairs join the next round), one O(frontier·deg)
-    shuffle join + an anti-join per round, ``max_hops`` rounds total.
-    State is bounded by the k-hop reachability set, which is why the
-    horizon is bounded — unbounded exact closeness is O(n·m); at
-    100 TB the standard scale path is HyperBall (HLL-sketched
-    neighborhood sizes), for which this exact bounded form is the
-    calibration oracle. Lineage truncates per round (localCheckpoint).
+    Scale shape: BIT-PARALLEL BFS (the HyperBall message pattern with
+    exact packed bitsets in place of HLL registers). Every node's
+    cumulative reachability set is one ``ceil(n/8)``-byte mask; each
+    round ships one mask per DIRECTED EDGE and OR-reduces per node
+    (Arrow-batched numpy, no Python row loop), so round h moves
+    O(m·n/8) bytes — a factor ~24·8 below the previous pair-BFS
+    formulation, whose (source, node) frontier join materialized
+    O(Σ_s |frontier_h(s)|·deg) ROWS before its distinct (measured
+    138 s → ~4 s at sf0.1 on the shared≥3 co-activity graph, where
+    3-hop reach ≈ the whole component and the pair state hit n²).
+    State is Θ(n²/8) bits, which is why the horizon is bounded —
+    unbounded exact closeness is O(n·m); at 100 TB the standard
+    scale path is HyperBall (HLL-sketched neighborhood sizes), for
+    which this exact bounded form is the calibration oracle.
+    Lineage truncates per round (localCheckpoint).
 
     Returns (node, n_reached, harmonic12).
     """
+    if max_hops > 4:
+        raise ValueError("harmonic12 integer units support max_hops <= 4")
+    import pandas as pd
+
+    from dbt_lakehouse_aws_spark.operators.windows import global_row_number
+
     und = edges.select(
         F.col(src).alias("_u"), F.col(dst).alias("_v")
     ).union(edges.select(F.col(dst), F.col(src))).distinct()
 
-    unit = {1: 12, 2: 6, 3: 4, 4: 3}
-    reached = (
-        und.select(F.col("_u").alias("s"), F.col("_v").alias("node"))
-        .withColumn("dist", F.lit(1))
+    # dense 0-based bit position per node (deterministic: id order);
+    # global_row_number is the scalable two-pass rank — no
+    # single-partition window funnel on the node table.
+    nodes = und.select(F.col("_u").alias("node")).distinct()
+    idx = (
+        global_row_number(nodes, [F.asc("node")], name="_rn")
+        .select("node", (F.col("_rn") - 1).alias("_ix"))
         .localCheckpoint(eager=True)
     )
-    frontier = reached
-    for h in range(2, max_hops + 1):
-        if h > 4:
-            raise ValueError("harmonic12 integer units support max_hops <= 4")
-        nxt = (
-            frontier.join(und, frontier["node"] == und["_u"])
-            .select("s", F.col("_v").alias("node"))
-            .filter(F.col("s") != F.col("node"))
-            .distinct()
-            .join(reached.select("s", "node"), ["s", "node"], "left_anti")
-            .withColumn("dist", F.lit(h))
+    n = idx.count()
+    width = (n + 7) // 8
+
+    iedges = (
+        und.join(idx.withColumnRenamed("node", "_u"), "_u")
+        .select(F.col("_ix").alias("_si"), "_v")
+        .join(idx.withColumnRenamed("node", "_v"), "_v")
+        .select("_si", F.col("_ix").alias("_di"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _adj(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        m = np.zeros(width, dtype=np.uint8)
+        di = pdf["_di"].to_numpy()
+        np.bitwise_or.at(m, di // 8, (1 << (di % 8)).astype(np.uint8))
+        return pd.DataFrame({"_ix": [int(pdf["_si"].iloc[0])], "_m": [m.tobytes()]})
+
+    def _or_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        arrs = np.frombuffer(b"".join(pdf["_m"]), dtype=np.uint8).reshape(
+            len(pdf), width
+        )
+        return pd.DataFrame(
+            {
+                "_ix": [int(pdf["_ix"].iloc[0])],
+                "_m": [np.bitwise_or.reduce(arrs, axis=0).tobytes()],
+            }
+        )
+
+    mask_schema = "_ix long, _m binary"
+    cum = [
+        iedges.groupBy("_si")
+        .applyInPandas(_adj, mask_schema)
+        .localCheckpoint(eager=True)
+    ]
+    for _h in range(2, max_hops + 1):
+        prev = cum[-1]
+        msgs = (
+            iedges.join(prev.withColumnRenamed("_ix", "_di"), "_di")
+            .select(F.col("_si").alias("_ix"), "_m")
+            .unionByName(prev)
+        )
+        cum.append(
+            msgs.groupBy("_ix")
+            .applyInPandas(_or_group, mask_schema)
             .localCheckpoint(eager=True)
         )
-        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
 
-    u = F.create_map(
-        *[F.lit(x) for kv in unit.items() for x in kv]
-    )[F.col("dist")]
-    return (
-        reached.groupBy(F.col("s").alias("node"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_reached"),
-            F.sum(u).cast("long").alias("harmonic12"),
-        )
+    unit = {1: 12, 2: 6, 3: 4, 4: 3}
+    units = [unit[h] for h in range(1, max_hops + 1)]
+    joined = idx
+    for h, c in enumerate(cum, start=1):
+        joined = joined.join(c.withColumnRenamed("_m", f"_m{h}"), "_ix")
+
+    def _score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ix = pdf["_ix"].to_numpy()
+            rows = np.arange(len(pdf))
+            self_byte, self_bit = ix // 8, (1 << (ix % 8)).astype(np.uint8)
+            pops = []
+            for h in range(1, len(units) + 1):
+                a = np.frombuffer(
+                    b"".join(pdf[f"_m{h}"]), dtype=np.uint8
+                ).reshape(len(pdf), width).copy()
+                a[rows, self_byte] &= ~self_bit  # dist(s,s) = 0, never counted
+                pops.append(np.unpackbits(a, axis=1).sum(axis=1).astype(np.int64))
+            shells = [pops[0]] + [pops[h] - pops[h - 1] for h in range(1, len(pops))]
+            harmonic = sum(u * s for u, s in zip(units, shells))
+            yield pd.DataFrame(
+                {
+                    "node": pdf["node"],
+                    "n_reached": pops[-1],
+                    "harmonic12": harmonic,
+                }
+            )
+
+    out_type = joined.schema["node"].dataType.simpleString()
+    return joined.mapInPandas(
+        _score, f"node {out_type}, n_reached long, harmonic12 long"
     )
 
 
