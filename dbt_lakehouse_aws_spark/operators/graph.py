@@ -472,8 +472,14 @@ def hits_path_counts(
     Returns (auth-node, score) for every authority. Overflow bound:
     scores grow like (d_hub·d_auth)^steps — fine for small fixed
     ``steps`` (the useful regime; rankings stabilize by depth 2–3).
+
+    The edge list is pinned ONCE (the label_propagation_rounds
+    pattern): it feeds two joins per double-step, and without the
+    pin an expensive upstream constructor replays per join.
     """
-    e = edges.select(F.col(hub).alias("h"), F.col(auth).alias("a"))
+    e = edges.select(F.col(hub).alias("h"), F.col(auth).alias("a")).localCheckpoint(
+        eager=True
+    )
     hvec = e.select("h").distinct().withColumn("score", F.lit(1).cast("long"))
     for _ in range(steps):
         avec = (
@@ -557,10 +563,14 @@ def bfs_hops(
     (not the whole dist frame) keeps round cost proportional to the
     NEW wavefront, which is the property that survives 100 TB —
     a converged frontier goes empty and later rounds are no-ops.
+    The symmetrized edge list is pinned ONCE (the
+    label_propagation_rounds pattern): it feeds one join per round,
+    and without the pin an expensive upstream constructor replays
+    per round — measured ~4× the co-activity build at sf0.1.
     """
     und = edges.select(
         F.col(src).alias("_u"), F.col(dst).alias("_v")
-    ).union(edges.select(F.col(dst), F.col(src)))
+    ).union(edges.select(F.col(dst), F.col(src))).localCheckpoint(eager=True)
 
     dist = (
         seeds.select(F.col(seed_col).alias("node"))
@@ -807,6 +817,12 @@ def bellman_ford_rounds(
     Pregel-style system (hop-bounded = "delta-stepping with one
     bucket"). Lineage truncates per round.
 
+    The symmetrized edge list is materialized ONCE (localCheckpoint,
+    the pagerank edges_w pattern): every round's join re-reads it,
+    and without the pin an expensive upstream constructor (e.g. the
+    co-activity slot self-join) replays per round — measured 4× the
+    constructor cost at sf0.1 before the pin.
+
     Returns (node, dist) for nodes reachable within R hops.
     """
     und = weighted_edges.select(
@@ -815,7 +831,7 @@ def bellman_ford_rounds(
         weighted_edges.select(
             F.col(dst).alias("_u"), F.col(src).alias("_v"), F.col(weight).alias("_w")
         )
-    )
+    ).localCheckpoint(eager=True)
 
     dist = (
         seeds.select(F.col(seed_col).alias("node"))

@@ -375,6 +375,11 @@ def bellman_ford_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= 3)
         .select("a", "b", F.expr("CAST(1000000 div shared AS BIGINT)").alias("w"))
+        # pinned: the slot self-join above feeds BOTH the seed
+        # derivation and the relaxation loop — without the pin the
+        # constructor replays per consumer (guide §5 caching rule:
+        # reused AND expensive to recompute)
+        .localCheckpoint(eager=True)
     )
     nodes = wedges.select(F.col("a").alias("node")).unionByName(
         wedges.select(F.col("b").alias("node"))
