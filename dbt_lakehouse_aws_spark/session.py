@@ -70,7 +70,27 @@ def get_spark(app_name: str = "dbt-lakehouse-aws-spark", *, master: str | None =
         )
         # quieter local runs
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Heap sized to the task-slot count (guide §5: memory per
+        # CONCURRENT task, not per machine): local[32] means 32 tasks
+        # share execution memory, and the driver additionally holds
+        # every broadcast relation (threshold raised to 64 MB above).
+        # 8g gave ~150 MB execution memory per slot and let dead
+        # broadcasts accumulate between full GCs — measured as
+        # progressive degradation across a long bench session (run-3
+        # spikes up to 6x on broadcast-heavy queries). 1 GB/slot is
+        # the floor of the standard cluster sizing; still < 1/3 of
+        # the 128 GiB sandbox. Override via SPARK_GRAFT_DRIVER_MEM.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(8, cpus)}g"),
+        )
+        # Long-lived sessions running MANY jobs (a bench pass, a real
+        # multi-tenant driver) otherwise free localCheckpoint blocks,
+        # broadcasts, and shuffle files only when a JVM full GC
+        # happens to run; the cleaner's default periodic GC is 30 min
+        # — longer than an entire bench session. 2 min bounds the
+        # garbage window without measurable overhead.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
