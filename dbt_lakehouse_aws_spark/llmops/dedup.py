@@ -892,13 +892,12 @@ def prefix_filter_jaccard_pairs(
     verify stage rejects it), never silently drop a true pair.
 
     ``materialize=True`` (default) localCheckpoints the shingle
-    table: it feeds four consumers (frequency ordering, prefix
-    ranking, and the per-doc verification arrays), and at scale
-    materializing the shingle index once — standard practice in
-    dedup pipelines — beats recomputing the explode four times
-    (measured 14.4 s → 5.0 s at sf0.1). Set sizes ride the prefix
-    rows as ``_sz`` and travel WITH each candidate pair, so the
-    final Jaccard needs no standalone size aggregation and no
+    table: it feeds both the frequency aggregate and the id-mapped
+    per-doc arrays, and at scale materializing the shingle index once
+    — standard practice in dedup pipelines — beats recomputing the
+    explode (measured 14.4 s → 5.0 s at sf0.1). Set sizes ride the
+    prefix rows as ``_sz`` and travel WITH each candidate pair, so
+    the final Jaccard needs no standalone size aggregation and no
     rendezvous joins (round-6: two joins + one groupBy deleted).
 
     Two round-9 shuffle-byte cuts (guide §2.3 "narrower types" /
@@ -914,36 +913,62 @@ def prefix_filter_jaccard_pairs(
       exploding pair × |A| shingle rows through a second equi-join —
       the explode was the dominant stage (measured 5.7 s of a 10 s
       pipeline at sf0.1: 310k candidates × ~52 shingles each).
+
+    Round-9 second pass (guide §2.4 "remove shuffles outright"): the
+    whole pipeline now derives from ONE pinned per-doc table. The
+    previous shape ranked prefixes with a window over the shingle
+    stream and collected verification arrays with a separate
+    aggregate, and the physical plan duplicated BOTH subtrees (once
+    per self-join side, once per verification side — no exchange
+    reuse across the four). Building the (_df asc, _sid asc)-sorted
+    id array per doc in a single aggregate and SLICING the prefix out
+    of it (the prefix is by definition the first
+    ``floor((1-t)·|A|)+1`` elements of that order) removes the two
+    window passes, the dictionary's separate checkpoint (every
+    consumer now reads ids through the one pinned array table, so
+    one evaluation of ``monotonically_increasing_id`` is shared by
+    construction), and all four duplicated subtrees: 8 exchanges →
+    4, 4 jobs → 3 (measured ~5.7 s → ~3.9 s solo at sf0.1 on the
+    consumer family). Pair output is bit-identical: same total
+    order, same prefix length, same exact verification.
     """
     sh = shingle_table(df, id_col, text_col, n)
     if materialize:
         sh = sh.localCheckpoint()
-    # id per distinct shingle. The map is PINNED (localCheckpoint) so
-    # the rank branch and the verification-array branch see the SAME
-    # ids — that consistency is all correctness needs: prefix
-    # filtering is lossless under ANY fixed corpus-wide total order
-    # (the pigeonhole proof never uses what the order is; frequency-
-    # asc is a candidate-count heuristic, kept as the major key), and
-    # the verification intersect is exact under any bijection.
+    # frequency-then-id total order. The id map needs NO separate pin:
+    # the only thing correctness needs is that every consumer sees ONE
+    # consistent assignment, and every consumer below reads ids out of
+    # the single pinned ``arrs`` table — prefix filtering is lossless
+    # under ANY fixed corpus-wide total order (the pigeonhole proof
+    # never uses what the order is; frequency-asc is a candidate-count
+    # heuristic, kept as the major key), and the verification
+    # intersect is exact under any bijection.
     sid = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
         .withColumn("_sid", F.monotonically_increasing_id())
-        .localCheckpoint()
     )
     ish = sh.join(sid, "shingle").select(id_col, "_sid", "_df")
-    # one (id)-shuffle serves both the prefix rank and the set size
-    by_doc = Window.partitionBy(id_col)
-    ranked = (
-        ish.withColumn(
-            "_rk",
-            F.row_number().over(by_doc.orderBy(F.asc("_df"), F.asc("_sid"))),
+    # ONE per-doc aggregate builds the (_df asc, _sid asc)-ordered id
+    # array; prefix slice, candidate join, and exact verification all
+    # derive from this pinned table (pinning is load-bearing for id
+    # consistency, not just for reuse — see above).
+    arrs = (
+        ish.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("_df", "_sid"))).alias("_ps"))
+        .select(
+            id_col,
+            F.col("_ps._sid").alias("_sha"),
+            F.size("_ps").alias("_sz"),
         )
-        .withColumn("_sz", F.count(F.lit(1)).over(by_doc))
+        .localCheckpoint()
     )
-    pref = ranked.filter(
-        F.col("_rk") <= F.floor((1.0 - threshold) * F.col("_sz") + 1e-9) + 1
-    ).select(id_col, "_sid", "_sz")
+    plen = (F.floor((1.0 - threshold) * F.col("_sz") + 1e-9) + 1).cast("int")
+    pref = arrs.select(
+        id_col,
+        F.col("_sz"),
+        F.explode(F.slice("_sha", F.lit(1), plen)).alias("_sid"),
+    )
     a = pref.select(
         F.col(id_col).alias("doc_a"), "_sid", F.col("_sz").alias("na")
     )
@@ -962,7 +987,6 @@ def prefix_filter_jaccard_pairs(
         .select("doc_a", "doc_b", "na", "nb")
         .distinct()
     )
-    arrs = ish.groupBy(id_col).agg(F.collect_list("_sid").alias("_sha"))
     inter = (
         cand.join(
             arrs.select(F.col(id_col).alias("doc_a"), F.col("_sha").alias("_aa")),

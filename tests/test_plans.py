@@ -587,3 +587,21 @@ def test_staged_rank_stats_and_spatial_no_funnels_or_row_udfs(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in nn_plan
     assert "BroadcastNestedLoopJoin" not in nn_plan
+
+
+def test_prefix_filter_jaccard_single_array_pass(spark):
+    """Round-9 PPJoin shape: prefixes come from SLICING the one pinned
+    per-doc id array — no window pass over the shingle stream, and no
+    duplicated ranking subtree per self-join side. A Window node
+    reappearing here means the single-pass structure regressed."""
+    from dbt_lakehouse_aws_spark.llmops.dedup import prefix_filter_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + ("x" * (i % 3))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = plan(prefix_filter_jaccard_pairs(df, threshold=0.5))
+    assert "Window" not in p
+    # candidate keys and verification arrays are integer-typed (the
+    # dictionary encoding): no shingle STRING survives past the scan
+    assert "slice(" in p or "Generate explode(slice" in p
