@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
@@ -552,7 +553,7 @@ def connected_components(
             ]
         )
         rows = [(n, find(n)) for n in parent]
-        return spark.createDataFrame(rows, schema)
+        return local_frame(spark, rows, schema)
 
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -116,8 +117,8 @@ def ranking_metrics(
 
     idcg_pairs = sorted({r["n_rel"] for r in n_truth.select("n_rel").distinct().collect()})
     spark = results.sparkSession
-    idcg_df = spark.createDataFrame(
-        [(int(m), _idcg(int(m))) for m in idcg_pairs], "n_rel long, idcg double"
+    idcg_df = local_frame(
+        spark, [(int(m), _idcg(int(m))) for m in idcg_pairs], "n_rel long, idcg double"
     )
     out = (
         n_truth.join(per_q, "q", "left")

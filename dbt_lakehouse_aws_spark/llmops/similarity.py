@@ -26,6 +26,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -339,7 +340,7 @@ def ann_search_ivf(
             for cell in np.argsort(d2, kind="stable")[:nprobe]:
                 probe_rows.append((qid, int(cell)))
     spark = df.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    probes = local_frame(spark, probe_rows, "query_id long, cell int")
 
     queries = assigned.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), v.alias("v_q"), F.col("_norm").alias("norm_q")
@@ -908,9 +909,10 @@ def pq_search(
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_n")
     )
-    qdf = df.sparkSession.createDataFrame(
+    qdf = local_frame(
+        df.sparkSession,
         [(int(q), [float(x) for x in qvecs[q]]) for q in qids],
-        f"query_id long, v_q array<double>",
+        "query_id long, v_q array<double>",
     )
     joined = (
         cand.join(corpus, "neighbor_id")

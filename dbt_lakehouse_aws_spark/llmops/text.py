@@ -14,6 +14,7 @@ identical integer semantics.
 from __future__ import annotations
 
 import pandas as pd
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -547,8 +548,8 @@ def query_likelihood_topk(
     # a term with ZERO corpus frequency has P(w|C)=0, which would
     # contribute ln(0) = -inf to every document — standard LM-IR
     # practice drops such terms (they carry no ranking signal)
-    qgrid = docs.sparkSession.createDataFrame(
-        [(t,) for t in query_terms], "_w string"
+    qgrid = local_frame(
+        docs.sparkSession, [(t,) for t in query_terms], "_w string"
     )
     cterm = qgrid.join(cterm, "_w", "left").fillna(0, ["_cw"]).filter(
         F.col("_cw") > 0

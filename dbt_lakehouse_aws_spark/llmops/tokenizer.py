@@ -29,6 +29,7 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -244,8 +245,8 @@ def bpe_vocab(docs: DataFrame, *, text_col: str = "text", num_merges: int = 30) 
     spark = docs.sparkSession
     merges = bpe_train(docs, text_col=text_col, num_merges=num_merges)
     rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
-    return spark.createDataFrame(
-        rows, "step long, left string, right string, merged string"
+    return local_frame(
+        spark, rows, "step long, left string, right string, merged string"
     )
 
 

@@ -694,9 +694,15 @@ def bounded_closeness(
 
     from dbt_lakehouse_aws_spark.operators.windows import global_row_number
 
-    und = edges.select(
-        F.col(src).alias("_u"), F.col(dst).alias("_v")
-    ).union(edges.select(F.col(dst), F.col(src))).distinct()
+    # the symmetrized edge list feeds BOTH the node index and the
+    # integer edge list — pin it once or the upstream constructor
+    # (for the co-activity rows, a slot self-join) replays per branch
+    und = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .union(edges.select(F.col(dst), F.col(src)))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     # dense 0-based bit position per node (deterministic: id order);
     # global_row_number is the scalable two-pass rank — no
@@ -718,31 +724,59 @@ def bounded_closeness(
         .localCheckpoint(eager=True)
     )
 
-    def _adj(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import numpy as np
+    # Per-KEY OR-reduce, implemented as a partition-level vectorized
+    # pass instead of groupBy().applyInPandas: hash-partition by the
+    # key, then ONE numpy reduceat per Arrow batch + a dict merge for
+    # groups that straddle batches. applyInPandas paid one Python
+    # call per GROUP (one per node — thousands of millisecond-scale
+    # calls per round, measured ~2 s/round at sf0.1); this is one
+    # call per batch. OR is associative/commutative, so the result
+    # is bit-identical regardless of grouping.
+    mask_schema = "_ix long, _m binary"
 
-        m = np.zeros(width, dtype=np.uint8)
+    def _or_by_key(key_col: str, val_to_mask):
+        def run(batches):
+            import numpy as np
+
+            acc: dict[int, "np.ndarray"] = {}
+            for pdf in batches:
+                keys = pdf[key_col].to_numpy()
+                masks = val_to_mask(pdf, np)
+                order = np.argsort(keys, kind="stable")
+                keys_s = keys[order]
+                masks_s = masks[order]
+                bounds = np.flatnonzero(
+                    np.r_[True, keys_s[1:] != keys_s[:-1]]
+                )
+                red = np.bitwise_or.reduceat(masks_s, bounds, axis=0)
+                for k, m in zip(keys_s[bounds], red):
+                    prev = acc.get(int(k))
+                    acc[int(k)] = m if prev is None else (prev | m)
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        "_ix": list(acc.keys()),
+                        "_m": [m.tobytes() for m in acc.values()],
+                    }
+                )
+
+        return run
+
+    def _bits_of_di(pdf, np):
         di = pdf["_di"].to_numpy()
-        np.bitwise_or.at(m, di // 8, (1 << (di % 8)).astype(np.uint8))
-        return pd.DataFrame({"_ix": [int(pdf["_si"].iloc[0])], "_m": [m.tobytes()]})
+        masks = np.zeros((len(di), width), dtype=np.uint8)
+        masks[np.arange(len(di)), di // 8] = (1 << (di % 8)).astype(np.uint8)
+        return masks
 
-    def _or_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import numpy as np
-
-        arrs = np.frombuffer(b"".join(pdf["_m"]), dtype=np.uint8).reshape(
+    def _bytes_of_m(pdf, np):
+        return np.frombuffer(b"".join(pdf["_m"]), dtype=np.uint8).reshape(
             len(pdf), width
         )
-        return pd.DataFrame(
-            {
-                "_ix": [int(pdf["_ix"].iloc[0])],
-                "_m": [np.bitwise_or.reduce(arrs, axis=0).tobytes()],
-            }
-        )
 
-    mask_schema = "_ix long, _m binary"
     cum = [
-        iedges.groupBy("_si")
-        .applyInPandas(_adj, mask_schema)
+        iedges.repartition("_si")
+        .withColumnRenamed("_si", "_ix")
+        .mapInPandas(_or_by_key("_ix", _bits_of_di), mask_schema)
         .localCheckpoint(eager=True)
     ]
     for _h in range(2, max_hops + 1):
@@ -753,8 +787,8 @@ def bounded_closeness(
             .unionByName(prev)
         )
         cum.append(
-            msgs.groupBy("_ix")
-            .applyInPandas(_or_group, mask_schema)
+            msgs.repartition("_ix")
+            .mapInPandas(_or_by_key("_ix", _bytes_of_m), mask_schema)
             .localCheckpoint(eager=True)
         )
 

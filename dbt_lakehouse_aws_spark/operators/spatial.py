@@ -25,6 +25,7 @@ epsilon at the boundary.
 
 from __future__ import annotations
 
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -220,7 +221,8 @@ def dbscan_labels(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         spark = df.sparkSession
-        comps = spark.createDataFrame(
+        comps = local_frame(
+            spark,
             [(n, find(n)) for n in list(parent)] or [(None, None)],
             "node long, component long",
         ).filter(F.col("node").isNotNull())

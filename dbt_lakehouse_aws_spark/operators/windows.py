@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -298,7 +299,7 @@ def prefix_sum(
         for row in totals:
             offsets.append((int(row["_pid"]), acc))
             acc += row["_t"]
-        offset_df = spark.createDataFrame(offsets, f"_pid INT, _offset {sum_type}")
+        offset_df = local_frame(spark, offsets, f"_pid INT, _offset {sum_type}")
 
     w = Window.partitionBy(pid).orderBy("_mono")
     return (

@@ -49,6 +49,7 @@ from dbt_lakehouse_aws_spark.operators.windows import (
     top_k_per_group,
 )
 from dbt_lakehouse_aws_spark.sources.tables import T  # noqa: F401
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from dbt_lakehouse_aws_spark.standard_queries import register
 
 @register(
@@ -1745,7 +1746,7 @@ def iceberg_v2_mor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("file_path", "pos")
     )
     pos_path = one_file(pos, _os.path.join(root, "data", "posdel"))
-    eq = spark.createDataFrame([("purchase",)], "event_type STRING")
+    eq = local_frame(spark, [("purchase",)], "event_type STRING")
     eq_path = one_file(eq, _os.path.join(root, "data", "eqdel"))
 
     write_v2_table(

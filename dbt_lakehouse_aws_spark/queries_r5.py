@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from dbt_lakehouse_aws_spark.standard_queries import T, register
 
 #: deterministic "dirty feed" of part names — char dropped or
@@ -1165,7 +1166,8 @@ def stream_window_counts_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
     only_s = stream_out.exceptAll(batch_out).count()
     only_b = batch_out.exceptAll(stream_out).count()
     n_windows = batch_out.count()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(n_windows, only_s, only_b)],
         "n_windows long, n_only_stream long, n_only_batch long",
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from dbt_lakehouse_aws_spark.operators.coactivity import coactivity_edges_sql as _coactivity_edges_sql
 from dbt_lakehouse_aws_spark.standard_queries import T, register  # noqa: F401
 
@@ -794,7 +795,8 @@ def stream_interval_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
     only_s = stream_out.exceptAll(batch_out).count()
     only_b = batch_out.exceptAll(stream_out).count()
     n_pairs = batch_out.count()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(n_pairs, only_s, only_b)],
         "n_pairs long, n_only_stream long, n_only_batch long",
     )
@@ -1221,7 +1223,8 @@ def stream_append_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (seen is not None and 0 <= seen):  # the sink's own guard
         t.write(replay, mode="append", txn=(app_id, 0))
     n2 = t.read().count()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(n1, n2, n2 - n1)],
         "n_rows long, n_after_replay long, replay_added long",
     )
@@ -1408,8 +1411,8 @@ def acid_asof_timestamp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n1 = t.read(as_of=t1).count()
     n2 = t.read().count()
-    return spark.createDataFrame(
-        [(n1, n2, n2 - n1)], "n_at_t1 long, n_at_t2 long, n_appended long"
+    return local_frame(
+        spark, [(n1, n2, n2 - n1)], "n_at_t1 long, n_at_t2 long, n_appended long"
     )
 
 

@@ -38,6 +38,7 @@ def _promoted(name: str, oracle: str):
 from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from dbt_lakehouse_aws_spark.localframe import local_frame  # noqa: E402
 from dbt_lakehouse_aws_spark.operators.coactivity import (  # noqa: E402
     coactivity_capped_sql as _coactivity_capped_sql,
     coactivity_edges_sql as _coactivity_edges_sql,
@@ -1946,8 +1947,8 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orphans("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
         orphans("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
     ]
-    return spark.createDataFrame(
-        sorted(rows), "fk string, orphans long"
+    return local_frame(
+        spark, sorted(rows), "fk string, orphans long"
     ).orderBy("fk")
 
 

@@ -1559,8 +1559,8 @@ def k_anon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy side shuffles once on the generalized keys)."""
     from dbt_lakehouse_aws_spark.standard_queries import T
 
-    ladder = spark.createDataFrame(
-        [(b,) for b in [1000, 5000, 10000, 50000, 100000]], "bucket long"
+    ladder = local_frame(
+        spark, [(b,) for b in [1000, 5000, 10000, 50000, 100000]], "bucket long"
     )
     o = T(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -2663,7 +2663,7 @@ def churn_threshold_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     inact = last_seen.crossJoin(F.broadcast(horizon)).select(
         "user_id", F.datediff("h", "last_d").cast("long").alias("idle_days")
     )
-    ladder = spark.createDataFrame([(7,), (14,), (21,), (28,)], "k long")
+    ladder = local_frame(spark, [(7,), (14,), (21,), (28,)], "k long")
     churned = F.sum(
         F.when(F.col("idle_days") >= F.col("k"), 1).otherwise(0)
     ).cast("long")
@@ -4381,6 +4381,7 @@ def kmv_error_bound_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("group_key")
 
 
+from dbt_lakehouse_aws_spark.localframe import local_frame  # noqa: E402
 from dbt_lakehouse_aws_spark.operators.coactivity import (  # noqa: E402
     coactivity_capped_sql as _coactivity_capped_sql,
 )

@@ -52,6 +52,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass, field
 from functools import reduce
 
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -583,8 +584,8 @@ class AcidTable:
                 base = os.path.basename(self._resolve(f))
                 for s, e in self._read_dv(snap.dvs[f]):
                     range_rows.append((base, int(s), int(e)))
-            deleted = self.spark.createDataFrame(
-                range_rows, "_dv_file STRING, _dv_s BIGINT, _dv_e BIGINT"
+            deleted = local_frame(
+                self.spark, range_rows, "_dv_file STRING, _dv_s BIGINT, _dv_e BIGINT"
             ).select(
                 "_dv_file",
                 F.explode(
@@ -657,8 +658,8 @@ class AcidTable:
                     rows, schema=pa.schema([("f", pa.string()), ("stats", pa.string())])
                 )
 
-        df = self.spark.createDataFrame(
-            [(f,) for f in files], "f string"
+        df = local_frame(
+            self.spark, [(f,) for f in files], "f string"
         ).repartition(min(len(files), 64))
         return {
             r["f"]: json.loads(r["stats"])

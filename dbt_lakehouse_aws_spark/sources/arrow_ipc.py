@@ -25,6 +25,7 @@ import uuid
 from collections.abc import Iterator
 
 import pyarrow as pa
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -102,8 +103,8 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
     # hash-spread the file list across >=2 partitions (one task per
     # file once file count reaches parallelism; repartition(1) would
     # be a SinglePartition exchange and a one-task read)
-    paths = spark.createDataFrame(
-        [(f,) for f in files], "p string"
+    paths = local_frame(
+        spark, [(f,) for f in files], "p string"
     ).repartition(max(2, len(files)), "p")
 
     def read_part(

@@ -42,6 +42,7 @@ import json
 import os
 import struct
 import zlib
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from typing import Any, Iterator
 
 MAGIC = b"Obj\x01"
@@ -513,4 +514,4 @@ def write_avro(df, path: str, *, codec: str = "deflate"):
     import uuid
 
     rows = _ensure_readable(agg.collect())
-    return df.sparkSession.createDataFrame(rows, "n_rows long, n_files long")
+    return local_frame(df.sparkSession, rows, "n_rows long, n_files long")

@@ -11,6 +11,7 @@ independent footer parser (parquet_file_metadata)."""
 
 from __future__ import annotations
 
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -20,7 +21,7 @@ def parquet_footer_audit(spark: SparkSession, paths: list[str]) -> DataFrame:
     average rows per group. Footer-only — no data pages touched."""
     import pandas as pd
 
-    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+    files = local_frame(spark, [(p,) for p in paths], "path string").repartition(
         max(1, min(len(paths), 64))
     )
 

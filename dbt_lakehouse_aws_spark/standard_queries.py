@@ -30,6 +30,7 @@ from dbt_lakehouse_aws_spark.operators.aggregates import (
     regression_slope,
     unpivot_long,
 )
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from dbt_lakehouse_aws_spark.operators.relational import null_padded_union, when_chain
 from dbt_lakehouse_aws_spark.operators.windows import (
     global_row_number,
@@ -4676,7 +4677,8 @@ def stream_pit_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = batch.columns
     b = batch.select(*cols)
     s = streamed.select(*cols)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (
                 s.count(),
@@ -4746,7 +4748,8 @@ def stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     only_s = stream_surv.exceptAll(batch_surv).count()
     only_b = batch_surv.exceptAll(stream_surv).count()
     eq = stream_surv.count() == batch_surv.count()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(only_s, only_b, eq)],
         "n_only_stream long, n_only_batch long, counts_equal boolean",
     )
