@@ -201,13 +201,18 @@ def minhash_signatures(
     # partial min makes its shuffle O(docs), and codegen'd explode
     # beats interpreted higher-order funcs per CPU cycle.
     sh = shingle_table(df, id_col, text_col, n)
-    base = _base_hash("shingle", portable=portable)
+    # the base hash lands in its OWN projection so the 32 affine
+    # transforms provably read one evaluation — leaving `base` inline
+    # in every hash column relied on codegen subexpression
+    # elimination, which does not fully fire for the md5/conv
+    # portable path (measured 1.57 -> 1.26 s at sf0.1, guide §1.2)
+    based = sh.select(id_col, _base_hash("shingle", portable=portable).alias("_b"))
     hash_cols = []
     for i, (a, b) in enumerate(minhash_coefficients(num_hashes)):
-        h = F.pmod(F.lit(a).cast("long") * base + F.lit(b).cast("long"),
+        h = F.pmod(F.lit(a).cast("long") * F.col("_b") + F.lit(b).cast("long"),
                    F.lit(MINHASH_PRIME).cast("long"))
         hash_cols.append(h.alias(f"_h{i}"))
-    hashed = sh.select(id_col, *hash_cols)
+    hashed = based.select(id_col, *hash_cols)
     mins = hashed.groupBy(id_col).agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
     )

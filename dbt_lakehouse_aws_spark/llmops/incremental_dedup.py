@@ -39,6 +39,7 @@ from dbt_lakehouse_aws_spark.llmops.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
 )
+from dbt_lakehouse_aws_spark.localframe import local_frame
 from dbt_lakehouse_aws_spark.sources.acid import AcidTable
 
 
@@ -121,7 +122,7 @@ class MinHashDedupIndex:
     def _persist_params(self) -> None:
         rows = [(k, str(v)) for k, v in self.params.items()]
         self._params_table.write(
-            self.spark.createDataFrame(rows, "key string, value string")
+            local_frame(self.spark, rows, "key string, value string")
         )
 
     # -- public API --------------------------------------------------------
@@ -194,7 +195,8 @@ class MinHashDedupIndex:
             from pyspark.sql.types import StructField, StructType, DoubleType
 
             id_type = docs.schema[self.id_col].dataType
-            dup_of_history = self.spark.createDataFrame(
+            dup_of_history = local_frame(
+                self.spark,
                 [],
                 StructType(
                     [

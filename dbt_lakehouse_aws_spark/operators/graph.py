@@ -906,6 +906,10 @@ def cap_neighbors(
     per-node rank window over bounded partitions; returns canonical
     (a < b) edges.
     """
+    # the symmetrizing union reads the input TWICE — pin it once so
+    # an expensive upstream constructor (the co-activity slot
+    # self-join for every capped twin) doesn't replay per branch
+    weighted_edges = weighted_edges.localCheckpoint(eager=True)
     sym = weighted_edges.select(
         F.col(src).alias("node"), F.col(dst).alias("nbr"), F.col(weight).alias("_w")
     ).unionByName(

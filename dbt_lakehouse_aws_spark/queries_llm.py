@@ -1729,10 +1729,27 @@ def iceberg_v2_mor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         [f] = [f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")]
         return _os.path.join(d, f)
 
-    data_paths = {
-        b: one_file(ev.filter(F.col("bucket") == b), _os.path.join(root, "data", f"b{b}"))
-        for b in range(4)
-    }
+    # ONE scan + one shuffle lays down all four bucket files (guide
+    # §1.2: four filter+coalesce(1) writes re-scanned events per
+    # bucket — measured 1.3 s vs 0.5 s warm at sf0.1). repartition on
+    # the bucket column puts each bucket's rows in exactly one task,
+    # so each partition directory holds exactly one parquet file; the
+    # partition column is duplicated (`_bdir`) so the data files keep
+    # the `bucket` column the v2 metadata declares. Positions for the
+    # delete file are derived from the file's ACTUAL row order below,
+    # so the surviving-row SET is unchanged.
+    (
+        ev.withColumn("_bdir", F.col("bucket"))
+        .repartition(4, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bdir")
+        .parquet(_os.path.join(root, "data"))
+    )
+    data_paths = {}
+    for b in range(4):
+        d = _os.path.join(root, "data", f"_bdir={b}")
+        [f] = [f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")]
+        data_paths[b] = _os.path.join(d, f)
     # position deletes: row ordinals within the bucket-0 file where
     # event_id % 10 = 0, derived from the file's actual row order
     pos = (

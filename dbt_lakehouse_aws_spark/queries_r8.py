@@ -1650,8 +1650,13 @@ def degree_assortativity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         coactivity_weighted_capped,
     )
 
-    edges = coactivity_weighted_capped(spark, sf_dir, min_shared=3).select(
-        "a", "b"
+    # pinned: the symmetrizing union + degree joins below read the
+    # edge list four times — without the pin the slot self-join
+    # constructor replays per branch (guide §5 caching rule)
+    edges = (
+        coactivity_weighted_capped(spark, sf_dir, min_shared=3)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
     )
     und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))

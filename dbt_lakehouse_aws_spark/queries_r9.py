@@ -360,16 +360,14 @@ def bellman_ford_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the identical 4 synchronous relaxations as
     MATERIALIZED CTEs (each round is referenced twice — the
     2^N-inlining trap is documented in memory)."""
+    from dbt_lakehouse_aws_spark.operators.coactivity import _packed_user_slots
     from dbt_lakehouse_aws_spark.operators.graph import bellman_ford_rounds
 
-    e = T(spark, sf_dir, "events")
-    ue = e.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    x = ue.select(F.col("user_id").alias("a"), "event_type", "hr")
-    y = ue.select(F.col("user_id").alias("b"), "event_type", "hr")
+    ue = _packed_user_slots(spark, sf_dir)
+    x = ue.select(F.col("user_id").alias("a"), "slot")
+    y = ue.select(F.col("user_id").alias("b"), "slot")
     wedges = (
-        x.join(y, ["event_type", "hr"])
+        x.join(y, "slot")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared"))

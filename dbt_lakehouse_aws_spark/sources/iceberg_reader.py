@@ -284,9 +284,11 @@ class IcebergTable:
             norm(F.col("_metadata.file_path")).alias("__ib_file"),
             F.col("_metadata.row_index").alias("__ib_pos"),
         )
+        from dbt_lakehouse_aws_spark.localframe import local_frame
+
         seq_df = F.broadcast(
-            self.spark.createDataFrame(
-                list(snap.file_seqs), "__ib_sfile STRING, __ib_seq LONG"
+            local_frame(
+                self.spark, list(snap.file_seqs), "__ib_sfile STRING, __ib_seq LONG"
             )
         )
         df = df.join(seq_df, df["__ib_file"] == seq_df["__ib_sfile"], "inner").drop(
