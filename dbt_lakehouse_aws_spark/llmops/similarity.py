@@ -478,7 +478,15 @@ def kmeans_lloyd(
     """
     from pyspark.sql.functions import pandas_udf
 
-    base = df.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    # pinned: the loop runs 2 + iters ACTIONS over this frame (init
+    # sample, one centroid-update collect per iteration, the final
+    # assignment) — each re-read the parquet scan + double-cast
+    # without the pin (guide §5 caching rule; measured 3.9 → 3.3 s
+    # on semantic_dedup_survivors, 3.0 → 2.5 s on
+    # kmeans_orders_wellsep at sf0.1, results bit-identical)
+    base = df.select(F.col(id_col), _as_double(vec_col).alias("_v")).localCheckpoint(
+        eager=True
+    )
     # portable=True orders the init sample by the md5-prefix hash
     # (dedup.py::_portable_hash60 of the stringified id) instead of
     # xxhash64 — same seedless-pseudo-random property, but an

@@ -5091,14 +5091,33 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recency_days", F.datediff("_maxd", "_last"))
         .drop("_last", "_maxd")
     )
-    scored = ntile_scalable(
-        cust, [F.asc("recency_days"), F.asc("cust")], n=5, name="r_band"
-    )
-    scored = ntile_scalable(
-        scored, [F.desc("frequency"), F.asc("cust")], n=5, name="f_band"
-    )
-    scored = ntile_scalable(
-        scored, [F.desc("monetary_cents"), F.asc("cust")], n=5, name="m_band"
+    # the three quintiles are INDEPENDENT rankings of the same
+    # per-customer frame: compute each from the pinned frame over a
+    # 2-column projection and join back on the customer key, instead
+    # of CHAINING the three ntile calls (each chained call ranged-
+    # shuffled the ever-wider frame and re-sampled the whole upstream
+    # chain for its range boundaries — measured 4.3 s chained vs
+    # 3.0 s independent at sf0.1, symdiff 0; guide §1.2 + §2.3
+    # "project before the exchange"). Bands are closed-form in the
+    # global rank, so the join-back recombination is bit-identical.
+    cust = cust.localCheckpoint(eager=True)
+    rb = ntile_scalable(
+        cust.select("cust", "recency_days"),
+        [F.asc("recency_days"), F.asc("cust")], n=5, name="r_band",
+    ).select("cust", "r_band")
+    fb = ntile_scalable(
+        cust.select("cust", "frequency"),
+        [F.desc("frequency"), F.asc("cust")], n=5, name="f_band",
+    ).select("cust", "f_band")
+    mb = ntile_scalable(
+        cust.select("cust", "monetary_cents"),
+        [F.desc("monetary_cents"), F.asc("cust")], n=5, name="m_band",
+    ).select("cust", "m_band")
+    scored = (
+        cust.select("cust", "monetary_cents")
+        .join(rb, "cust")
+        .join(fb, "cust")
+        .join(mb, "cust")
     )
     return scored.groupBy(
         F.col("r_band").cast("long").alias("r_band"),
