@@ -1,7 +1,7 @@
-"""Capture .explain("formatted") output for queries into plans/r09/.
+"""Capture .explain("formatted") output for queries into plans/<dir>.
 
 Usage: python scripts/capture_plan.py <suffix> query [query ...]
-Writes plans/r09/<query>_<suffix>.txt for each query.
+Writes plans/$SPARK_GRAFT_PLAN_DIR/<query>_<suffix>.txt (default r10).
 """
 
 from __future__ import annotations
@@ -24,7 +24,9 @@ def main() -> None:
     sf_dir = _prepare_chunked("/root/testdata/sf0.1")
     spark = get_spark("capture-plan")
     qs = SQ.all_queries()
-    out_dir = "/root/repo/plans/r09"
+    out_dir = os.path.join(
+        "/root/repo/plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r10")
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
