@@ -271,17 +271,33 @@ def lsh_candidate_pairs(
     matching signature positions.
     """
     banded = banded_signatures(signatures, id_col=id_col, num_bands=num_bands)
+    return lsh_pairs_from_banded(
+        banded, id_col=id_col, est_threshold=est_threshold
+    )
+
+
+def lsh_pairs_from_banded(
+    banded: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """The pair-join half of :func:`lsh_candidate_pairs`, taking an
+    already-banded table — so callers that band once for several
+    purposes (the incremental index) don't re-explode signatures.
+
+    The estimate filter runs BEFORE the duplicate-collapse distinct
+    (round 10, guide §2.3): a bucket-collision duplicate of a pair
+    carries the identical est_jaccard, so filtering first is
+    output-identical while the de-dup exchange moves only the pairs
+    that pass the threshold — 3 narrow columns instead of every
+    candidate with both 32-long signature arrays (~512 B/row).
+    """
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"), "band", "bucket"
     )
     b = banded.select(
         F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"), "band", "bucket"
-    )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)).cast(
@@ -290,9 +306,12 @@ def lsh_candidate_pairs(
         / F.size("sig_a")
     )
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+        .distinct()
     )
 
 

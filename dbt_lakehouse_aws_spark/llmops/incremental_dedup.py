@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from dbt_lakehouse_aws_spark.llmops.dedup import (
     banded_signatures,
     connected_components,
-    lsh_candidate_pairs,
+    lsh_pairs_from_banded,
     minhash_signatures,
 )
 from dbt_lakehouse_aws_spark.localframe import local_frame
@@ -150,6 +150,10 @@ class MinHashDedupIndex:
         both a history-dup and a batch-dup counts as a history-dup.
         """
         sigs = self._signatures(docs).localCheckpoint()
+        # band ONCE per batch: the same exploded table serves the
+        # history probe, the within-batch pair join, and the survivor
+        # append (round 10, guide §1.2 — it was re-derived from sigs
+        # three times, one explode per consumer)
         banded_new = self._banded(sigs)
 
         if self.exists():
@@ -211,13 +215,12 @@ class MinHashDedupIndex:
         # bounded by batch size, which can itself be large; AQE picks
         # broadcast when it fits.
         fresh = docs.join(dup_of_history.select(self.id_col), self.id_col, "left_anti")
-        fresh_sigs = sigs.join(
+        banded_fresh = banded_new.join(
             dup_of_history.select(self.id_col), self.id_col, "left_anti"
         )
-        pairs = lsh_candidate_pairs(
-            fresh_sigs,
+        pairs = lsh_pairs_from_banded(
+            banded_fresh,
             id_col=self.id_col,
-            num_bands=self.params["num_bands"],
             est_threshold=self.est_threshold,
         )
         # within-batch resolution, exposing the loser→survivor mapping
@@ -235,10 +238,8 @@ class MinHashDedupIndex:
             batch_dups.select(self.id_col), self.id_col, "left_anti"
         )
 
-        surv_banded = self._banded(
-            fresh_sigs.join(
-                survivors.select(self.id_col), self.id_col, "left_semi"
-            )
+        surv_banded = banded_fresh.join(
+            survivors.select(self.id_col), self.id_col, "left_semi"
         )
         # the index is joined on hashed (band, bucket) keys — min/max
         # footer stats can never prune it, so skip the stats job on
