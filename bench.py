@@ -456,6 +456,10 @@ HEADLINE = [
     "dup_cluster_size_histogram",
     "lmoments_order_values",
     "friedman_by_type",
+    # round-10 registration (queries_r10.py): the HyperBall
+    # sketched-closeness audit row (VERDICT r9 item 4) — registered
+    # ⇒ benched per the standing invariant.
+    "closeness_sketch_users_events",
 ]
 
 

@@ -5667,6 +5667,10 @@ from dbt_lakehouse_aws_spark import queries_r8  # noqa: E402,F401
 # the round-9 driver window per rotation.py; 8 tail join round 10).
 from dbt_lakehouse_aws_spark import queries_r9  # noqa: E402,F401
 
+# Round-10 registration: the HyperBall sketched-closeness audit row
+# (VERDICT r9 item 4). The driver window stays frozen this round.
+from dbt_lakehouse_aws_spark import queries_r10  # noqa: E402,F401
+
 
 def _window_ordered() -> list[QuerySpec]:
     by_name = {spec.name: spec for spec in _REGISTRY}

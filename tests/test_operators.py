@@ -1400,3 +1400,40 @@ def test_weighted_pagerank_keeps_no_inedge_nodes(spark):
     assert abs(one["a"] - 1.85) < 1e-12 and abs(one["b"] - 1.0) < 1e-12
     two = {x["node"]: x["rank"] for x in weighted_pagerank(g, iters=2).collect()}
     assert abs(two["a"] - 1.1275) < 1e-12 and abs(two["b"] - 1.7225) < 1e-12
+
+
+def test_hyperball_closeness_tracks_exact_on_path_graph(spark):
+    """hyperball_closeness (round 10): on a hand path graph the HLL
+    ball-size estimates must track the exact per-hop reach within the
+    registered audit row's 15% bound at every hop, and the estimates
+    must be DETERMINISTIC across invocations (fixed splitmix64 node
+    hash — no sketch luck in the oracle-gated booleans)."""
+    from dbt_lakehouse_aws_spark.operators.graph import (
+        bounded_closeness,
+        hyperball_closeness,
+    )
+
+    # path 1-2-3-4-5-6: exact 3-hop reach from the ends is 3, middle 5
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "a long, b long"
+    )
+    exact = {
+        r["node"]: r["n_reached"]
+        for r in bounded_closeness(edges, max_hops=3).collect()
+    }
+    got = {r["node"]: r for r in hyperball_closeness(edges, max_hops=3).collect()}
+    assert set(got) == set(exact) == {1, 2, 3, 4, 5, 6}
+    for node, row in got.items():
+        assert abs(row["est3"] - exact[node]) <= 0.15 * exact[node], (
+            node,
+            row,
+            exact[node],
+        )
+        # per-hop monotone: est1 <= est2 <= est3 (registers only grow)
+        assert row["est1"] <= row["est2"] + 1e-9 <= row["est3"] + 2e-9
+    again = {
+        r["node"]: r for r in hyperball_closeness(edges, max_hops=3).collect()
+    }
+    for node in got:
+        for c in ("est1", "est2", "est3"):
+            assert got[node][c] == again[node][c]
