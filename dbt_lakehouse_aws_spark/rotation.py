@@ -492,12 +492,19 @@ DRIVER_WINDOW: list[str] = ROUND9_WINDOW[:50]
 #:     stalest-evidence backfill below (r1-only driver rows) + the
 #:     first 24 of staged_r9 = 50; staged_r9's remaining 8 join
 #:     round 10.
-#:   * ROUND 10: queries_r9's 8 tail (zorder_cells_events,
+#:   * ROUND 10: an OPTIMIZATION round — the window stayed FROZEN on
+#:     ROUND9_WINDOW (no staged promotions; VERDICT r9 item 9), which
+#:     also re-gates closeness_users_events / bellman_ford_users
+#:     under their round-10 capped rebase (VERDICT r9 item 1). One
+#:     new registration outside the window: the VERDICT-r9-item-4
+#:     sketched-closeness audit row (queries_r10.py, benched per the
+#:     invariant). The promotion plan below shifts one build round:
+#:   * next BUILD round: queries_r9's 8 tail (zorder_cells_events,
 #:     cochran_q_events, audience_overlap_sources,
 #:     conversion_horizon_shares, haar_energy_daily_events,
 #:     dup_cluster_size_histogram, lmoments_order_values,
-#:     friedman_by_type) + the first 42 of staged_r10;
-#:     staged_r10's 6 tail join round 11.
+#:     friedman_by_type) + closeness_sketch_users_events + the first
+#:     41 of staged_r10; staged_r10's 7 tail join the round after.
 #:   * ROUND 11: staged_r10's 6 tail + the first 44 of staged_r11;
 #:     staged_r11's 4 tail + staged_r12 rotate in round 12.
 #: Every staged entry is oracle-green at sf0.001 AND sf0.01
